@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registries: Seq[Q] =
-    RelationalQueries.all
+    RelationalQueries.all ++ JoinQueries.all ++ AggQueries.all ++
+      WindowSetQueries.all ++ FunctionQueries.all ++ SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
