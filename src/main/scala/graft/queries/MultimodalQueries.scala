@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal binary-column surface (SURVEY §2C C46). Payloads here are the
+  * documents' UTF-8 bytes (ASCII in the testdata), so even the stubbed
+  * frame decode is exactly recomputable by the DuckDB oracle via substring
+  * arithmetic — the binary plumbing is verified end-to-end, not just
+  * smoke-tested.
+  */
+object MultimodalQueries {
+
+  private def sqlPolyHash(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    // ---- C46 binary round-trip: encode → base64 → decode, length, digest --------
+    Q(
+      "q_mm_binary_roundtrip",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            // Spark's base64 MIME-chunks with \r\n every 76 chars; strip to
+            // the canonical unchunked form DuckDB emits
+            regexp_replace(base64(encode(col("text"), "utf-8")), "[\\r\\n]", "").as("b64"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            md5(encode(col("text"), "utf-8")).as("digest"),
+            (decode(unbase64(base64(encode(col("text"), "utf-8"))), "utf-8") === col("text"))
+              .as("roundtrip_ok"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               base64(encode(text)) AS b64,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest,
+               (decode(from_base64(base64(encode(text)))) = text) AS roundtrip_ok
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ---- C46 stubbed frame decode via typed mapPartitions -----------------------
+    Q(
+      "q_mm_decode_frames",
+      (s, dir) => {
+        implicit val spark = s
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .filter(col("doc_id") < 50)
+          .select(
+            col("doc_id"),
+            encode(col("text"), "utf-8").as("payload"),
+            lit("text/plain").as("kind"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.decodeFrames(media)
+          .toDF()
+          .withColumn("mean_byte", round(col("mean_byte"), 4))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+                 substr(text, CAST(t.i * 32 + 1 AS BIGINT), 32) AS fr
+          FROM documents, unnest(range(0, 64)) AS t(i)
+          WHERE doc_id < 50 AND t.i * 32 < length(text))
+        SELECT doc_id, frame_idx,
+               CAST(length(fr) AS INT) AS frame_len,
+               ${sqlPolyHash("fr")} AS frame_hash,
+               round(CAST(list_sum(list_transform(string_split(fr, ''),
+                       c -> CAST(ascii(c) AS BIGINT))) AS DOUBLE) / length(fr), 4) AS mean_byte
+        FROM f ORDER BY doc_id, frame_idx
+      """))
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** North-star similarity surface (SURVEY §2C C44): approximate-nearest-
+  * neighbor search and embedding-space near-dedup over `embeddings`
+  * (64-dim float vectors).
+  *
+  * Scale posture: the brute-force variant is the CORRECTNESS baseline —
+  * its cross join is bounded by a tiny, fixed query set (broadcast side),
+  * so even at 100 TB it is one broadcast-nested-loop pass over the corpus,
+  * embarrassingly parallel with no shuffle of the big side. The LSH
+  * variant is the SCALE path: signature computation is a narrow map, and
+  * candidate generation shuffles only (bucket) keys — the classic
+  * sign-random-projection ANN layout.
+  */
+object SimilarityQueries {
+
+  private val DIM = 64
+  private val PLANES = 6
+
+  def all: Seq[Q] = Seq(
+    // ---- C44 brute-force cosine top-k for a fixed query set ---------------------
+    Q(
+      "q_sim_topk_brute",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val scored = e.select(col("vec_id"), col("embedding"))
+          .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(VectorOps.cosine(col("q_vec"), col("embedding")), 6))
+        scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"),
+            col("rk").cast("long").as("rk"))
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""
+        WITH e AS (SELECT * FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < 8),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 round(${VectorOps.sqlCosine("q.q_vec", "e.embedding", DIM)}, 6) AS cos
+          FROM e JOIN q ON e.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+          FROM scored)
+        SELECT q_id, vec_id AS neighbor_id, cos, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+      """)),
+
+    // ---- C44 LSH-bucketed ANN (sign random projections, the scale path) ---------
+    Q(
+      "q_sim_topk_lsh",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .withColumn("bucket", VectorOps.lshBucket(col("embedding"), PLANES, DIM))
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
+        e.join(broadcast(queries), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(VectorOps.cosine(col("q_vec"), col("embedding")), 6))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            col("bucket"), col("cos"), col("rk").cast("long").as("rk"))
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding,
+                          ${VectorOps.sqlLshBucket("embedding", PLANES, DIM)} AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM e WHERE vec_id < 8),
+        scored AS (
+          SELECT q.q_id, e.vec_id, e.bucket,
+                 round(${VectorOps.sqlCosine("q.q_vec", "e.embedding", DIM)}, 6) AS cos
+          FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, bucket, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+          FROM scored)
+        SELECT q_id, vec_id AS neighbor_id, bucket, cos, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+      """)),
+
+    // ---- C43 embedding-cosine near-dup pairs ------------------------------------
+    Q(
+      "q_dedup_embed_cosine",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .withColumn("cos", round(VectorOps.cosine(col("va"), col("vb")), 6))
+          .filter(col("cos") >= 0.42)
+          .select(col("vec_a"), col("vec_b"), col("cos"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""
+        WITH e AS (SELECT * FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(${VectorOps.sqlCosine("a.embedding", "b.embedding", DIM)}, 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(${VectorOps.sqlCosine("a.embedding", "b.embedding", DIM)}, 6) >= 0.42
+        ORDER BY vec_a, vec_b
+      """))
+  )
+}

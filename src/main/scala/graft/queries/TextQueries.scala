@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+
+/** North-star text surface (SURVEY §2C C42/C43/C45): text analysis,
+  * document fingerprinting, and the dedup family (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash) over the `documents` table.
+  *
+  * Scale posture: every pipeline here is shuffle-minimal — per-document
+  * signatures are computed with codegen'd HOFs (no explode of
+  * doc×shingle rows except where the algorithm itself needs the
+  * inverted index), and candidate generation goes through LSH band
+  * buckets rather than an O(n²) cross join, so the same plan holds when
+  * `documents` is 100 TB: band-bucket join shuffles only (band, hash)
+  * keys, and the expensive exact-Jaccard verification runs only on
+  * candidates.
+  */
+object TextQueries {
+
+  private val P = TextHash.P
+
+  /** DuckDB rendering of [[TextHash.polyHash]] over an arbitrary SQL expr. */
+  private def sqlPolyHash(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, x) -> (acc * 31 + x) % $P)""".stripMargin
+
+  /** DuckDB rendering of distinct word-bigram shingles of `trim(text)`. */
+  private val sqlShingles =
+    """list_distinct(list_transform(
+      |   range(1, greatest(len(w) - 1, 0) + 1),
+      |   i -> w[i] || ' ' || w[i + 1]))""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    // ---- C45 per-document token/char statistics --------------------------------
+    Q(
+      "q_text_stats",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val words = split(trim(col("text")), " ")
+        d.select(
+            col("doc_id"),
+            size(words).cast("long").as("n_tokens"),
+            size(array_distinct(words)).cast("long").as("n_distinct"),
+            length(col("text")).cast("long").as("n_chars_actual"),
+            size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+              .cast("long").as("n_bpe_tokens"),
+            round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(words), 4)
+              .as("avg_word_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(trim(text), ' ')), 4) AS avg_word_len
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ---- C45 quality scoring (length / stopword / word-shape heuristics) --------
+    Q(
+      "q_text_quality",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val words = split(trim(col("text")), " ")
+        val nTokens = size(words).cast("double")
+        val stopHits = size(filter(words, w => w.isin("the", "a", "data", "row"))).cast("double")
+        val avgWlen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
+        val lengthScore = least(nTokens / 100.0, lit(1.0))
+        val stopRatio = stopHits / nTokens
+        d.select(
+            col("doc_id"),
+            round(stopRatio, 4).as("stop_ratio"),
+            round(lengthScore, 4).as("length_score"),
+            round(lengthScore * 0.5 + (lit(1.0) - stopRatio) * 0.3
+              + least(avgWlen / 10.0, lit(1.0)) * 0.2, 4).as("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n_tokens,
+                 CAST(len(list_filter(string_split(trim(text), ' '),
+                                      w -> w IN ('the', 'a', 'data', 'row'))) AS DOUBLE) AS stop_hits,
+                 CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nsp
+          FROM documents)
+        SELECT doc_id,
+               round(stop_hits / n_tokens, 4) AS stop_ratio,
+               round(least(n_tokens / 100.0, 1.0), 4) AS length_score,
+               round(least(n_tokens / 100.0, 1.0) * 0.5
+                     + (1.0 - stop_hits / n_tokens) * 0.3
+                     + least(nsp / n_tokens / 10.0, 1.0) * 0.2, 4) AS quality_score
+        FROM t ORDER BY doc_id
+      """)),
+
+    // ---- C45 language ID: corpus-derived top-word profiles, argmax overlap ------
+    Q(
+      "q_text_langid",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val allWords = d.select(col("lang"), explode(split(trim(col("text")), " ")).as("word"))
+        val prof = allWords
+          .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("n").desc, col("word"))))
+          .filter(col("rk") <= 8)
+          .select(col("lang").as("p_lang"), col("word"))
+        val docWords = d.select(
+          col("doc_id"), explode(array_distinct(split(trim(col("text")), " "))).as("word"))
+        val best = docWords.join(prof, "word")
+          .groupBy(col("doc_id"), col("p_lang")).agg(count(lit(1)).as("hits"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("p_lang"))))
+          .filter(col("rk") === 1)
+        d.select(col("doc_id"), col("lang"))
+          .join(best, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("p_lang"), lit("unknown")).as("guessed_lang"),
+            coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+            col("lang").as("actual_lang"),
+            (coalesce(col("p_lang"), lit("")) === col("lang")).as("is_match"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS word FROM documents),
+        freq AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),
+        prof AS (SELECT lang AS p_lang, word FROM
+                   (SELECT lang, word, row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM freq)
+                 WHERE rk <= 8),
+        dw AS (SELECT DISTINCT doc_id, word FROM w),
+        sc AS (SELECT doc_id, p_lang, count(*) AS hits FROM dw JOIN prof USING (word) GROUP BY 1, 2),
+        best AS (SELECT doc_id, p_lang, hits FROM
+                   (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rk FROM sc)
+                 WHERE rk = 1)
+        SELECT d.doc_id,
+               coalesce(b.p_lang, 'unknown') AS guessed_lang,
+               CAST(coalesce(b.hits, 0) AS BIGINT) AS hits,
+               d.lang AS actual_lang,
+               (coalesce(b.p_lang, '') = d.lang) AS is_match
+        FROM documents d LEFT JOIN best b USING (doc_id) ORDER BY doc_id
+      """)),
+
+    // ---- C45 corpus term frequency, top 50 --------------------------------------
+    Q(
+      "q_text_tf_top",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(split(trim(col("text")), " ")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(50),
+      Some("""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+        GROUP BY word ORDER BY n DESC, word LIMIT 50
+      """)),
+
+    // ---- C45 document fingerprint: rolling polynomial hash ----------------------
+    Q(
+      "q_text_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextHash.polyHash(col("text")).as("fingerprint"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, ${sqlPolyHash("text")} AS fingerprint
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ---- C42 exact dedup on normalized text -------------------------------------
+    Q(
+      "q_dedup_exact_docs",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .groupBy(col("norm"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+          .select(col("canonical_id"), col("n_copies"),
+            TextHash.polyHash(col("norm")).as("norm_fp"))
+          .orderBy(col("canonical_id")),
+      Some(s"""
+        WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents)
+        SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+               ${sqlPolyHash("norm")} AS norm_fp
+        FROM n GROUP BY norm ORDER BY canonical_id
+      """)),
+
+    // ---- C42 exact dedup with real duplicate groups (events by user+type) -------
+    Q(
+      "q_dedup_exact_events",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("event_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("user_id"), col("event_type")),
+      Some("""
+        SELECT user_id, event_type, min(event_id) AS canonical_id, count(*) AS n_copies
+        FROM events GROUP BY 1, 2 ORDER BY user_id, event_type
+      """)),
+
+    // ---- C43 exact n-gram Jaccard near-dup pairs (lang-blocked baseline) --------
+    Q(
+      "q_dedup_ngram_jaccard",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), TextHash.wordShingles(col("text"), 2).as("sh"))
+        val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+          .withColumn("j",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+              / size(array_union(col("sh_a"), col("sh_b"))))
+          .filter(col("j") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, lang, $sqlShingles AS s
+          FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ---- C43 MinHash signatures + LSH band candidate join + exact verify --------
+    Q(
+      "q_dedup_minhash_lsh",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), TextHash.wordShingles(col("text"), 2).as("sh"))
+          .withColumn("hs", transform(col("sh"), x => TextHash.polyHash(x)))
+          .withColumn("sig", transform(sequence(lit(0L), lit(15L)),
+            j => array_min(transform(col("hs"), h => TextHash.minhashPerm(j, h)))))
+          .withColumn("bands", transform(sequence(lit(0), lit(3)), b =>
+            (get(col("sig"), b * 4) * lit(29791L)
+              + get(col("sig"), b * 4 + 1) * lit(961L)
+              + get(col("sig"), b * 4 + 2) * lit(31L)
+              + get(col("sig"), b * 4 + 3)) % lit(P)))
+        val banded = base.select(col("doc_id"), col("sig"), col("sh"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        val aSide = banded.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("sh").as("sh_a"))
+        val bSide = banded.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("sh").as("sh_b"))
+        aSide.join(bSide, Seq("band_idx", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .withColumn("est_j",
+            aggregate(
+              zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, x) => acc + x).cast("double") / 16.0)
+          .withColumn("exact_j",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+              / size(array_union(col("sh_a"), col("sh_b"))))
+          .filter(col("exact_j") >= 0.5)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("est_j"), 6).as("est_jaccard"),
+            round(col("exact_j"), 6).as("exact_jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, $sqlShingles AS s FROM base),
+        hs AS (SELECT doc_id, s, list_transform(s, x -> ${sqlPolyHash("x")}) AS hv FROM sh),
+        sig AS (SELECT doc_id, s,
+                  list_transform(range(0, 16),
+                    j -> list_min(list_transform(hv, h -> ((2 * j + 1) * h + 7919 * j) % $P))) AS sg
+                FROM hs),
+        bands AS (SELECT doc_id, s, sg, t.b AS band_idx,
+                    (sg[b * 4 + 1] * 29791 + sg[b * 4 + 2] * 961
+                     + sg[b * 4 + 3] * 31 + sg[b * 4 + 4]) % $P AS band_hash
+                  FROM sig, unnest(range(0, 4)) AS t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.sg AS sig_a, b.sg AS sig_b, a.s AS sh_a, b.s AS sh_b
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                      AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(list_sum(list_transform(range(1, 17),
+                       i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0, 6)
+                 AS est_jaccard,
+               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS exact_jaccard
+        FROM cand
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ---- C43 SimHash document signatures (24-bit, word-level) -------------------
+    Q(
+      "q_dedup_simhash",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("hv",
+            transform(array_distinct(split(trim(col("text")), " ")),
+              w => TextHash.polyHash(w)))
+          .withColumn("bits", transform(sequence(lit(0), lit(23)), b =>
+            when(
+              aggregate(col("hv"), lit(0L), (acc, h) =>
+                acc + when(floor(h / pow(lit(2.0), b.cast("double"))).cast("long") % 2 === 1, 1L)
+                  .otherwise(-1L)) > 0,
+              pow(lit(2.0), b.cast("double")).cast("long")).otherwise(0L)))
+          .select(col("doc_id"),
+            aggregate(col("bits"), lit(0L), (acc, x) => acc + x).as("simhash"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH ws AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w FROM documents),
+        hv AS (SELECT doc_id, list_transform(w, x -> ${sqlPolyHash("x")}) AS hs FROM ws),
+        bits AS (SELECT doc_id, list_transform(range(0, 24), b ->
+                   CASE WHEN list_sum(list_transform(hs,
+                          h -> CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS bv
+                 FROM hv)
+        SELECT doc_id, CAST(list_sum(bv) AS BIGINT) AS simhash FROM bits ORDER BY doc_id
+      """))
+  )
+}
