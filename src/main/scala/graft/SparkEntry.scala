@@ -17,7 +17,8 @@ object SparkEntry {
   private def registries: Seq[Q] =
     RelationalQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowSetQueries.all ++ FunctionQueries.all ++ SourceQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
+      TextQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      AcidQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,91 @@
+package graft.harness
+
+import java.util.Random
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.core._
+
+/** Harness configuration — defaults are value-for-value the reference's
+  * (`writer/Configuration.java:12-22`), including the 1234 seed that is the
+  * reference's de-facto golden corpus (SURVEY §5.1).
+  */
+final case class HarnessConfig(
+    tablePath: String,
+    numberOfWriterThreads: Int = 4,
+    numberOfReaderThreads: Int = 2,
+    totalNumberOfTransactions: Int = 1000,
+    maximumNumberOfRecords: Int = 100,
+    maximumNumberOfPartitions: Int = 4,
+    recordsPerTransaction: Int = 3,
+    preferenceToInsertOverOtherManipulations: Float = 0.25f,
+    preferenceToUpdateOverDelete: Float = 0.75f,
+    randomSeed: Long = 1234L)
+
+/** Seeded random workload generator — a draw-order-faithful port of
+  * `writer/TransactionGenerator.java:14-133`: one shared `java.util.Random`;
+  * decision floats drawn before per-record polls; each record drawn as
+  * (pool index `nextInt`, payload `nextLong`) interleaved (the reference's
+  * lazy IntStream pipeline); identifier pools behave like `LinkedList`
+  * random-index removal. `String.hashCode` is identical in Scala, so
+  * partition assignment (`hashCode % maxPartitions`, :76) ports exactly.
+  */
+final class TransactionGenerator(config: HarnessConfig) {
+
+  private val rnd = new Random(config.randomSeed)
+  private val existing = ArrayBuffer.empty[String]
+  private val nonExisting =
+    ArrayBuffer.tabulate(config.maximumNumberOfRecords)(n => s"Record$n")
+
+  def getNextTransaction(): Transaction = synchronized {
+    val enoughForUpdateOrDelete = existing.size >= config.recordsPerTransaction
+    val enoughForInsert = nonExisting.size >= config.recordsPerTransaction
+    val manipulationType =
+      if (enoughForInsert && (!enoughForUpdateOrDelete || randomInsertDecision()))
+        ManipulationType.Insert
+      else if (enoughForUpdateOrDelete)
+        (if (randomUpdateDecision()) ManipulationType.Update else ManipulationType.Delete)
+      else
+        throw new IllegalStateException(
+          "Not enough record identifiers available to create the next transaction.")
+    createTransaction(manipulationType)
+  }
+
+  /** Post-commit pool transfer (`TransactionGenerator.java:49-57`). */
+  def transactionCommitted(tx: Transaction): Unit = synchronized {
+    tx.manipulationType match {
+      case ManipulationType.Delete =>
+        tx.dataManipulations.foreach(dm => nonExisting += dm.primaryKeyValue)
+      case _ =>
+        tx.dataManipulations.foreach(dm => existing += dm.primaryKeyValue)
+    }
+  }
+
+  private def randomInsertDecision(): Boolean =
+    rnd.nextFloat() < config.preferenceToInsertOverOtherManipulations
+
+  private def randomUpdateDecision(): Boolean =
+    rnd.nextFloat() < config.preferenceToUpdateOverDelete
+
+  private def createTransaction(t: ManipulationType): Transaction = {
+    val manipulations = List.tabulate(config.recordsPerTransaction) { _ =>
+      val id = poll(t)
+      createDataManipulation(id)
+    }
+    Transaction(t, manipulations)
+  }
+
+  private def createDataManipulation(id: String): DataManipulation = {
+    val partitionNumber = id.hashCode % config.maximumNumberOfPartitions
+    val dataValue = "Some random value: " + rnd.nextLong()
+    DataManipulation(id, "Partition" + partitionNumber, dataValue)
+  }
+
+  private def poll(t: ManipulationType): String = {
+    val pool = if (t == ManipulationType.Insert) nonExisting else existing
+    // reference returns null on empty pool (`TransactionGenerator.java:117-119`);
+    // unreachable given the availability checks above
+    val idx = rnd.nextInt(pool.size)
+    pool.remove(idx)
+  }
+}

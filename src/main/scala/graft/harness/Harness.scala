@@ -1,0 +1,152 @@
+package graft.harness
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.core._
+import graft.lake.AcidTable
+
+/** Outcome of a harness run (`TransactionManager.java:39-68` return path,
+  * with the `&&`-accumulation bug §8-B7 fixed: any thread failure is
+  * reported, not masked).
+  */
+final case class HarnessResult(
+    failedVerifications: Int,
+    hasFailedWriters: Boolean,
+    hasFailedReaders: Boolean,
+    committedTransactions: Int,
+    finalRowCount: Long,
+    modelRowCount: Int)
+
+/** The concurrent ACID verification harness — N writer threads applying
+  * random transactions through [[AcidTable]] while M reader threads
+  * snapshot-read and verify against the in-memory transaction-log oracle
+  * (reference `writer/TransactionManager.java`, `writer/TransactionWriter.java`,
+  * `reader/ReaderThread.java`; SURVEY §7 M4).
+  *
+  * Driver-side orchestration is plain JVM threads over cloned sessions
+  * (`TransactionManager.java:95-101` shape); the data path is fully
+  * distributed through Spark.
+  */
+final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
+
+  private val recordSchema = StructType(Seq(
+    StructField("primaryKeyValue", StringType, nullable = false),
+    StructField("partitionKeyValue", StringType, nullable = false),
+    StructField("dataValue", StringType, nullable = true)))
+
+  def run(): HarnessResult = {
+    val table = AcidTable.create(
+      spark, config.tablePath, recordSchema,
+      pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
+      precombineCol = Some("dataValue"))
+    val log = new TransactionLog
+    val generator = new TransactionGenerator(config)
+    val producer = new ResultSetExpectationProducer(log)
+
+    val remaining = new AtomicInteger(config.totalNumberOfTransactions)
+    val committed = new AtomicInteger(0)
+    val stop = new AtomicBoolean(false)
+    val failedVerifications = new AtomicInteger(0)
+    val writerFailed = new AtomicBoolean(false)
+    val readerFailed = new AtomicBoolean(false)
+
+    def writerLoop(session: SparkSession): Unit = {
+      import session.implicits._
+      while (!stop.get() && remaining.getAndDecrement() > 0) {
+        val tx = generator.getNextTransaction()
+        log.logIntent(tx)
+        val t = AcidTable.open(session, config.tablePath)
+        tx.manipulationType match {
+          case ManipulationType.Insert | ManipulationType.Update =>
+            val records = tx.dataManipulations
+              .map(dm => Record(dm.primaryKeyValue, dm.partitionKeyValue, dm.dataValue))
+            val ds = session.createDataset(records).toDF()
+            if (tx.manipulationType == ManipulationType.Insert) t.upsert(ds)
+            // MERGE parity: matched rows update only dataValue
+            // (`TransactionWriter.java:154-161`)
+            else t.merge(ds, updateCols = Seq("dataValue"))
+          case ManipulationType.Delete =>
+            t.delete(tx.dataManipulations.map(_.primaryKeyValue))
+        }
+        generator.transactionCommitted(tx)
+        log.logCommit(tx)
+        committed.incrementAndGet()
+      }
+    }
+
+    def readerLoop(session: SparkSession): Unit = {
+      import session.implicits._
+      val t = AcidTable.open(session, config.tablePath)
+      while (!stop.get()) {
+        val before = log.eventCount
+        val records = t.snapshot().as[Record].collect().toSeq
+        val after = log.eventCount
+        val expectations = producer.createResultSetExpectations(before, after)
+        val ok =
+          try expectations.isSatisfied(new ResultSet(records))
+          catch { case _: InconsistentResultSetException => false }
+        if (!ok) {
+          failedVerifications.incrementAndGet()
+          stop.set(true)
+        }
+      }
+    }
+
+    val writers = (0 until config.numberOfWriterThreads).map { i =>
+      val session = spark.newSession()
+      new Thread(() => {
+        try writerLoop(session)
+        catch { case e: Throwable =>
+          System.err.println(s"Exception in writer: $e"); writerFailed.set(true); stop.set(true)
+        }
+      }, s"graft-writer-$i")
+    }
+    val readers = (0 until config.numberOfReaderThreads).map { i =>
+      val session = spark.newSession()
+      new Thread(() => {
+        try readerLoop(session)
+        catch { case e: Throwable =>
+          System.err.println(s"Exception in reader: $e"); readerFailed.set(true); stop.set(true)
+        }
+      }, s"graft-reader-$i")
+    }
+
+    readers.foreach(_.start())
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    stop.set(true)
+    readers.foreach(_.join())
+
+    val finalCount = AcidTable.open(spark, config.tablePath).snapshot().count()
+    HarnessResult(
+      failedVerifications = failedVerifications.get(),
+      hasFailedWriters = writerFailed.get(),
+      hasFailedReaders = readerFailed.get(),
+      committedTransactions = committed.get(),
+      finalRowCount = finalCount,
+      modelRowCount = modelRowCount(log))
+  }
+
+  /** Replay the committed transactions serially against a pure
+    * `Map[PK, Record]` model — the expected final table state.
+    */
+  private def modelRowCount(log: TransactionLog): Int = {
+    val model = scala.collection.mutable.HashMap.empty[String, Record]
+    log.firstN(log.eventCount).foreach {
+      case TransactionLogEvent(EventType.TransactionCommitted, tx) =>
+        tx.manipulationType match {
+          case ManipulationType.Delete =>
+            tx.dataManipulations.foreach(dm => model.remove(dm.primaryKeyValue))
+          case _ =>
+            tx.dataManipulations.foreach { dm =>
+              model(dm.primaryKeyValue) = Record(dm.primaryKeyValue, dm.partitionKeyValue, dm.dataValue)
+            }
+        }
+      case _ =>
+    }
+    model.size
+  }
+}

@@ -1,0 +1,298 @@
+package graft.lake
+
+import java.io.File
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardOpenOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Transactional (ACID) keyed, partitioned table over plain parquet — the
+  * Spark-native replacement for the reference's Hudi COW + OCC layer
+  * (`writer/TransactionManager.java:76-88`, `hudi-defaults.conf:1-4`),
+  * re-derived from the capability, not ported: parquet data files + an
+  * atomic, versioned commit manifest (the same shape as Hudi COW / Delta,
+  * reduced to what the verification harness exercises).
+  *
+  * Layout:
+  * {{{
+  * <path>/_meta.properties            # schema DDL, pk / partition / precombine cols
+  * <path>/_commits/v<000000000N>.txt  # manifest: one live data file per line
+  * <path>/data/<part>=<value>/c-<uuid>-<n>.parquet
+  * }}}
+  *
+  * - **Snapshot isolation**: a read resolves the highest committed manifest
+  *   once and scans exactly its file list; concurrent commits are invisible.
+  * - **Atomicity / OCC**: a commit writes new data files (invisible until
+  *   referenced), fsyncs a manifest to a temp name, then publishes with
+  *   `Files.createLink(v(N+1), tmp)` — hard-link creation is the atomic
+  *   create-exclusive linearization point. A loser gets
+  *   `FileAlreadyExistsException`, re-reads the new snapshot, re-applies its
+  *   batch, retries (reference A9/A10 intent, with the retry-defeating
+  *   wrapper bug §8-B4 fixed by construction).
+  * - **100 TB posture**: manifests list files, not rows; a commit rewrites
+  *   only the partitions its batch touches and carries every other file
+  *   forward by reference; the scan is ordinary distributed parquet with
+  *   partition values recovered from directory names (`basePath`), so
+  *   partition pruning works. The driver-side piece is metadata-only
+  *   (file lists + one hard link); data never moves through the driver.
+  */
+final class AcidTable private (
+    val spark: SparkSession,
+    val path: String,
+    val schema: StructType,
+    val pkCol: String,
+    val partitionCol: String,
+    val precombineCol: Option[String]) {
+
+  import AcidTable._
+
+  private val commitsDir = Paths.get(path, CommitsDir)
+  private val dataRoot = Paths.get(path, DataDir)
+
+  // ---------------------------------------------------------------- reads --
+
+  /** Highest committed version, or -1 for an empty (just-created) table. */
+  def latestVersion(): Long = {
+    val files = Option(new File(commitsDir.toString).list()).getOrElse(Array.empty)
+    files.collect { case ManifestName(v) => v.toLong }.foldLeft(-1L)(math.max)
+  }
+
+  /** Snapshot of the given (default latest) committed version. The file
+    * list is pinned before the scan → snapshot isolation for the whole read.
+    */
+  def snapshot(version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else latestVersion()
+    val files = if (v < 0) Nil else readManifest(v)
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else {
+      val abs = files.map(f => dataRoot.resolve(f).toString)
+      spark.read
+        .option("basePath", dataRoot.toString)
+        .schema(schema)
+        .parquet(abs: _*)
+        .select(schema.fieldNames.map(col): _*) // canonical column order
+    }
+  }
+
+  // --------------------------------------------------------------- writes --
+
+  /** Insert-or-replace whole rows by PK (reference A5, the path-based Hudi
+    * upsert with precombine semantics §1.1).
+    */
+  def upsert(batch: DataFrame): Long = {
+    val b = precombine(normalize(batch))
+    commitLoop { snap =>
+      val keys = b.select(pkCol).distinct()
+      (snap.join(keys, Seq(pkCol), "left_anti").unionByName(b), touchedBy(snap, b, keys))
+    }
+  }
+
+  /** MERGE INTO (reference A7): on PK match update `updateCols` from the
+    * source, otherwise insert the full source row.
+    */
+  def merge(source: DataFrame, updateCols: Seq[String]): Long = {
+    val src = precombine(normalize(source))
+    commitLoop { snap =>
+      val keys = src.select(pkCol).distinct()
+      val matched = snap.as("t")
+        .join(src.as("s"), col(s"t.$pkCol") === col(s"s.$pkCol"), "inner")
+        .select(schema.fieldNames.map { f =>
+          (if (updateCols.contains(f)) col(s"s.$f") else col(s"t.$f")).as(f)
+        }: _*)
+      val inserted = src.join(snap.select(pkCol), Seq(pkCol), "left_anti")
+        .select(schema.fieldNames.map(col): _*)
+      val result = snap.join(keys, Seq(pkCol), "left_anti")
+        .unionByName(matched).unionByName(inserted)
+      (result, touchedBy(snap, src, keys))
+    }
+  }
+
+  /** Delete by key set (reference A8, as a left-anti join — the reference's
+    * string-built `IN` list had the no-delimiter bug §8-B3).
+    */
+  def delete(keys: Seq[String]): Long = {
+    import spark.implicits._
+    val keysDf = keys.toDF(pkCol)
+    commitLoop { snap =>
+      (snap.join(keysDf, Seq(pkCol), "left_anti"),
+        // deletes touch only partitions that currently hold a matching key
+        snap.join(keysDf, Seq(pkCol), "left_semi")
+          .select(partitionCol).distinct().collect().map(_.getString(0)).toSeq)
+    }
+  }
+
+  /** Register the CURRENT snapshot as a temp view (reference A13 surface). */
+  def registerView(name: String): Unit = snapshot().createOrReplaceTempView(name)
+
+  // ------------------------------------------------------------ internals --
+
+  private def normalize(df: DataFrame): DataFrame =
+    df.select(schema.fieldNames.map(col): _*)
+
+  /** Intra-batch dedup: greatest precombine value wins per PK (§1.1).
+    * Precombine ties are broken by the remaining columns (descending, in
+    * schema order) so the surviving row is a deterministic function of the
+    * batch CONTENTS — independent of partitioning or arrival order, which
+    * is what makes the result reproducible at any scale.
+    */
+  private def precombine(df: DataFrame): DataFrame = precombineCol match {
+    case None => df
+    case Some(pc) =>
+      val tieBreak = schema.fieldNames.filterNot(f => f == pkCol || f == pc).map(col(_).desc)
+      val w = Window.partitionBy(col(pkCol)).orderBy(col(pc).desc +: tieBreak: _*)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Partitions a batch touches: its own rows' partitions plus the
+    * partitions currently holding any matched PK (covers cross-partition
+    * moves; reference workload never moves keys, §3.2 note).
+    */
+  private def touchedBy(snap: DataFrame, batch: DataFrame, keys: DataFrame): Seq[String] = {
+    val own = batch.select(partitionCol).distinct()
+    val existing = snap.join(keys, Seq(pkCol), "left_semi")
+      .select(partitionCol).distinct()
+    own.union(existing).distinct().collect().map(_.getString(0)).toSeq
+  }
+
+  /** One OCC commit: `rewrite(snapshot)` returns the full-table logical
+    * result plus the touched partition values; only touched partitions are
+    * physically rewritten. Retries on publish conflict with a fresh
+    * snapshot (bounded, reference retried ≤100, `TransactionWriter.java:108`).
+    */
+  private def commitLoop(rewrite: DataFrame => (DataFrame, Seq[String])): Long = {
+    var attempt = 0
+    while (true) {
+      val base = latestVersion()
+      val snap = snapshot(base)
+      val (result, touched) = rewrite(snap)
+      val carried =
+        if (base < 0) Nil
+        else readManifest(base).filterNot(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
+      val newFiles = writeTouched(result, touched)
+      try {
+        publish(base + 1, carried ++ newFiles)
+        return base + 1
+      } catch {
+        case _: FileAlreadyExistsException =>
+          // lost the race: drop our orphaned data files, re-apply on the new snapshot
+          newFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f)))
+          attempt += 1
+          if (attempt > MaxRetries)
+            throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def partDir(value: String): String = s"$partitionCol=$value"
+
+  /** Write the touched partitions' rows as new parquet files and move them
+    * into the stable per-partition directories (invisible until the
+    * manifest references them). Returns manifest-relative paths.
+    */
+  private def writeTouched(result: DataFrame, touched: Seq[String]): Seq[String] = {
+    if (touched.isEmpty) return Nil
+    val commitId = UUID.randomUUID().toString
+    val tmp = Paths.get(path, s"_tmp-$commitId")
+    result
+      .filter(col(partitionCol).isin(touched: _*))
+      // one output file per partition value: tiny files are the enemy of a
+      // 100 TB table; a real deployment would split by target file size
+      .repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    touched.foreach { p =>
+      val srcDir = tmp.resolve(partDir(p)).toFile
+      val parts = Option(srcDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val destDir = dataRoot.resolve(partDir(p))
+      Files.createDirectories(destDir)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val rel = s"${partDir(p)}/c-$commitId-$i.parquet"
+        Files.move(f.toPath, dataRoot.resolve(rel))
+        moved += rel
+      }
+    }
+    deleteRecursively(tmp.toFile)
+    moved.toSeq
+  }
+
+  private def readManifest(v: Long): Seq[String] = {
+    val lines = Files.readAllLines(commitsDir.resolve(manifestFileName(v)), StandardCharsets.UTF_8)
+    lines.toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+  }
+
+  /** Atomic create-exclusive publish: fsync'd temp file + hard link. */
+  private def publish(v: Long, files: Seq[String]): Unit = {
+    val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+    try Files.createLink(commitsDir.resolve(manifestFileName(v)), tmp)
+    finally Files.deleteIfExists(tmp)
+  }
+}
+
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+object AcidTable {
+  private val CommitsDir = "_commits"
+  private val DataDir = "data"
+  private val MetaFile = "_meta.properties"
+  private val MaxRetries = 100
+  private val ManifestName = """v(\d{12})\.txt""".r
+  private def manifestFileName(v: Long): String = f"v$v%012d.txt"
+
+  /** Create (or overwrite) a table directory — reference A2+A3 DDL path. */
+  def create(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      pkCol: String,
+      partitionCol: String,
+      precombineCol: Option[String] = None,
+      overwrite: Boolean = true): AcidTable = {
+    require(schema.fieldNames.contains(pkCol), s"pk column $pkCol not in schema")
+    require(schema.fieldNames.contains(partitionCol), s"partition column $partitionCol not in schema")
+    require(schema(partitionCol).dataType == StringType,
+      "partition column must be STRING (Hive-style directory value)")
+    val root = new File(path)
+    if (overwrite && root.exists()) deleteRecursively(root)
+    Files.createDirectories(Paths.get(path, CommitsDir))
+    Files.createDirectories(Paths.get(path, DataDir))
+    val props = new java.util.Properties()
+    props.setProperty("schemaDdl", schema.toDDL)
+    props.setProperty("pkCol", pkCol)
+    props.setProperty("partitionCol", partitionCol)
+    precombineCol.foreach(props.setProperty("precombineCol", _))
+    val out = Files.newOutputStream(Paths.get(path, MetaFile))
+    try props.store(out, "graft AcidTable metadata") finally out.close()
+    new AcidTable(spark, path, schema, pkCol, partitionCol, precombineCol)
+  }
+
+  /** Open an existing table from its `_meta.properties`. */
+  def open(spark: SparkSession, path: String): AcidTable = {
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(Paths.get(path, MetaFile))
+    try props.load(in) finally in.close()
+    new AcidTable(
+      spark, path,
+      StructType.fromDDL(props.getProperty("schemaDdl")),
+      props.getProperty("pkCol"),
+      props.getProperty("partitionCol"),
+      Option(props.getProperty("precombineCol")))
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}

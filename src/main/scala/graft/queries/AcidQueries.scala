@@ -1,0 +1,116 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.lake.AcidTable
+
+/** ACID table layer exercised as oracle-checked queries (SURVEY §2C C5):
+  * each query creates a real [[AcidTable]] in a scratch directory, drives
+  * real manifest commits (upsert / merge+precombine / delete), and returns
+  * the final snapshot; the DuckDB oracle replays the same mutation
+  * sequence as pure SQL over the same source tables. This is the `replay`
+  * oracle strategy from SURVEY §2C made driver-checkable.
+  */
+object AcidQueries {
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft-acid-").resolve(UUID.randomUUID().toString).toString
+
+  def all: Seq[Q] = Seq(
+    // ---- C5 upsert → second upsert (update) → delete-by-key → snapshot ----------
+    Q(
+      "q_acid_upsert_delete",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part")
+        val base = Tables.customer(s, dir)
+          .filter(col("c_custkey") < 1000)
+          .select(
+            col("c_custkey").cast("string").as("pk"),
+            concat(lit("p"), (col("c_nationkey") % 4).cast("string")).as("part"),
+            col("c_acctbal").as("val"))
+        t.upsert(base)
+        t.upsert(base.filter(col("pk").cast("long") % 3 === 0)
+          .withColumn("val", col("val") + 100))
+        val delKeys = base.filter(col("pk").cast("long") % 7 === 0)
+          .select("pk").collect().map(_.getString(0)).toSeq
+        t.delete(delKeys)
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS pk,
+                 'p' || CAST(c_nationkey % 4 AS VARCHAR) AS part,
+                 c_acctbal AS val
+          FROM customer WHERE c_custkey < 1000)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN val + 100 ELSE val END AS val
+        FROM base
+        WHERE CAST(pk AS BIGINT) % 7 <> 0
+        ORDER BY pk
+      """)),
+
+    // ---- C5 precombine dedup on ingest + MERGE (matched-update / insert) --------
+    Q(
+      "q_acid_merge_precombine",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("seq", LongType), StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part",
+          precombineCol = Some("seq"))
+        // batch with duplicate PKs: one lineitem row per (orderkey, linenumber);
+        // precombine must keep the greatest linenumber per order
+        val batch = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") < 200)
+          .select(
+            col("l_orderkey").cast("string").as("pk"),
+            concat(lit("p"), (col("l_orderkey") % 3).cast("string")).as("part"),
+            col("l_linenumber").cast("long").as("seq"),
+            col("l_extendedprice").as("val"))
+        t.upsert(batch)
+        // MERGE: double val for even keys (matched, updates only `val`),
+        // insert a few fresh keys from orders (not-matched path)
+        val updates = t.snapshot()
+          .filter(col("pk").cast("long") % 2 === 0)
+          .withColumn("val", col("val") * 2)
+        val inserts = Tables.orders(s, dir)
+          .filter(col("o_orderkey").between(200, 210))
+          .select(
+            concat(lit("new"), col("o_orderkey").cast("string")).as("pk"),
+            lit("p9").as("part"),
+            lit(0L).as("seq"),
+            col("o_totalprice").as("val"))
+        t.merge(updates.unionByName(inserts), updateCols = Seq("val"))
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(l_orderkey AS VARCHAR) AS pk,
+                 'p' || CAST(l_orderkey % 3 AS VARCHAR) AS part,
+                 CAST(l_linenumber AS BIGINT) AS seq,
+                 l_extendedprice AS val
+          FROM lineitem WHERE l_orderkey < 200),
+        ded AS (
+          SELECT pk, part, seq, val FROM
+            (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY seq DESC, part DESC, val DESC) AS rn FROM b)
+          WHERE rn = 1),
+        merged AS (
+          SELECT pk, part, seq,
+                 CASE WHEN CAST(pk AS BIGINT) % 2 = 0 THEN val * 2 ELSE val END AS val
+          FROM ded
+          UNION ALL
+          SELECT 'new' || CAST(o_orderkey AS VARCHAR) AS pk, 'p9' AS part,
+                 CAST(0 AS BIGINT) AS seq, o_totalprice AS val
+          FROM orders WHERE o_orderkey BETWEEN 200 AND 210)
+        SELECT pk, part, seq, val FROM merged ORDER BY pk
+      """))
+  )
+}

@@ -1,0 +1,35 @@
+package graft.harness
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SURVEY §7 M4: the end-to-end concurrent ACID verification run — the
+  * reference's `TransactionManagerTest.java:38-50` with working failure
+  * flags (§8-B7) and working readers (§8-B2). The reference's own run lost
+  * writes (3-9 surviving rows of ~25 expected, README.md:69-75); this run
+  * must converge exactly to the serial model.
+  */
+class HarnessSpec extends AnyFunSuite {
+
+  test("concurrent writers+readers: zero failed verifications, snapshot == model") {
+    val path = Files.createTempDirectory("harness-spec-").resolve("t").toString
+    val config = HarnessConfig(
+      tablePath = path,
+      numberOfWriterThreads = 2,
+      numberOfReaderThreads = 2,
+      totalNumberOfTransactions = 24,
+      maximumNumberOfRecords = 30,
+      recordsPerTransaction = 3,
+      randomSeed = 1234L)
+    val result = new TransactionManager(TestSpark.spark, config).run()
+    assert(result.failedVerifications == 0, s"verification failures: $result")
+    assert(!result.hasFailedWriters, s"writer died: $result")
+    assert(!result.hasFailedReaders, s"reader died: $result")
+    assert(result.committedTransactions == 24, s"not all txns committed: $result")
+    assert(result.finalRowCount == result.modelRowCount,
+      s"snapshot diverged from serial model: $result")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Record
+
+/** SURVEY §7 M1-M3 definitions of done for the native ACID layer. */
+class AcidTableSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("primaryKeyValue", StringType),
+    StructField("partitionKeyValue", StringType),
+    StructField("dataValue", StringType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("acid-spec-").resolve("t").toString
+
+  private def df(rs: Record*) = spark.createDataset(rs).toDF()
+
+  test("M1: two 3-row upserts yield 6 rows through a real scan") {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    t.upsert(df((1 to 3).map(i => Record(s"R$i", s"P${i % 2}", s"v$i")): _*))
+    t.upsert(df((4 to 6).map(i => Record(s"R$i", s"P${i % 2}", s"v$i")): _*))
+    val rows = t.snapshot().as[Record].collect().sortBy(_.primaryKeyValue)
+    assert(rows.length == 6)
+    assert(rows.map(_.primaryKeyValue).toSeq == (1 to 6).map(i => s"R$i"))
+    assert(rows.forall(r => r.partitionKeyValue == s"P${r.primaryKeyValue.drop(1).toInt % 2}"))
+  }
+
+  test("M1: upsert of an existing PK replaces the row (no duplicates)") {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    t.upsert(df(Record("R1", "P0", "old"), Record("R2", "P1", "keep")))
+    t.upsert(df(Record("R1", "P0", "new")))
+    val byPk = t.snapshot().as[Record].collect().map(r => r.primaryKeyValue -> r.dataValue).toMap
+    assert(byPk == Map("R1" -> "new", "R2" -> "keep"))
+  }
+
+  test("M2: precombine keeps the greatest value per PK within a batch") {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue",
+      precombineCol = Some("dataValue"))
+    t.upsert(df(Record("R1", "P0", "a"), Record("R1", "P0", "z"), Record("R1", "P0", "m")))
+    val rows = t.snapshot().as[Record].collect()
+    assert(rows.toSeq == Seq(Record("R1", "P0", "z")))
+  }
+
+  test("M2: merge updates only the named columns on match, inserts on no-match") {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    t.upsert(df(Record("R1", "P0", "old1"), Record("R2", "P1", "old2")))
+    t.merge(df(Record("R1", "PX", "new1"), Record("R3", "P1", "new3")),
+      updateCols = Seq("dataValue"))
+    val rows = t.snapshot().as[Record].collect().sortBy(_.primaryKeyValue).toSeq
+    assert(rows == Seq(
+      Record("R1", "P0", "new1"), // dataValue updated, partition NOT updated
+      Record("R2", "P1", "old2"),
+      Record("R3", "P1", "new3"))) // inserted whole
+  }
+
+  test("M2: delete by key set removes exactly those keys") {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    t.upsert(df((1 to 5).map(i => Record(s"R$i", "P0", s"v$i")): _*))
+    t.delete(Seq("R2", "R4", "R99"))
+    assert(t.snapshot().as[Record].collect().map(_.primaryKeyValue).sorted.toSeq
+      == Seq("R1", "R3", "R5"))
+  }
+
+  test("M3: snapshot pinning — old versions stay readable after later commits") {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    val v0 = t.upsert(df(Record("R1", "P0", "v0")))
+    val v1 = t.upsert(df(Record("R1", "P0", "v1")))
+    assert(t.snapshot(v0).as[Record].head().dataValue == "v0")
+    assert(t.snapshot(v1).as[Record].head().dataValue == "v1")
+  }
+
+  test("M3: partition-scoped rewrite carries untouched partitions by reference") {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    t.upsert(df(Record("R1", "P0", "a"), Record("R2", "P1", "b")))
+    t.upsert(df(Record("R3", "P0", "c"))) // touches only P0
+    // P1's file from commit 0 must still be referenced, not rewritten
+    val dataDir = new java.io.File(t.path, "data/partitionKeyValue=P1")
+    assert(dataDir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(t.snapshot().count() == 3)
+  }
+
+  test("M3: concurrent writers — OCC conflict resolves, both commits land") {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        val session = spark.newSession()
+        val tt = AcidTable.open(session, t.path)
+        tt.upsert(session.createDataset(Seq(Record(s"R$i", s"P${i % 2}", s"v$i"))).toDF())
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(t.snapshot().as[Record].collect().map(_.primaryKeyValue).sorted.toSeq
+      == Seq("R1", "R2", "R3", "R4"))
+    assert(t.latestVersion() == 3) // four commits: v0..v3, one linear history
+  }
+}
