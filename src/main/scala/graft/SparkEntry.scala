@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries._
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +19,7 @@ object SparkEntry {
     RelationalQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowSetQueries.all ++ FunctionQueries.all ++ SourceQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      AcidQueries.all
+      AcidQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

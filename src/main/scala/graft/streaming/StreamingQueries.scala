@@ -1,0 +1,242 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+import graft.queries.Q
+
+/** Structured Streaming surface (SURVEY §2C C37-C41) over the `events`
+  * table replayed as a file stream.
+  *
+  * Determinism strategy (the `batch-equiv` oracle contract): events are
+  * split into four TIME-SORTED parquet chunks with strictly increasing
+  * file mtimes; the stream reads them with `maxFilesPerTrigger=1` under
+  * `Trigger.AvailableNow`, so the query processes four ordered
+  * micro-batches and the watermark advances monotonically between them
+  * with no late rows — every streaming result below therefore equals its
+  * batch formulation, which is exactly what the DuckDB oracle computes.
+  *
+  * Scale posture: these are the same plans a production 100 TB stream
+  * would run — windowed partial aggregation shuffled by (window, key),
+  * broadcast stream-static join, and keyed state in
+  * `flatMapGroupsWithState` partitioned by user — only the source
+  * (files replayed) is test-shaped.
+  */
+object StreamingQueries {
+
+  private val nameCounter = new AtomicInteger(0)
+  private val chunkCache = TrieMap.empty[String, String]
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class UserCounter(user_id: Long, n_events: Long, last_event_type: String)
+
+  /** Write `events` as 4 time-ordered chunk files with increasing mtimes. */
+  private def chunkedEventsDir(s: SparkSession, dir: String): String =
+    chunkCache.getOrElseUpdate(dir, {
+      val out = Files.createTempDirectory("graft-stream-")
+      val ev = Tables.events(s, dir)
+        .withColumn("__rn", row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+      val n = ev.count()
+      (0 until 4).foreach { k =>
+        val lo = k * n / 4 + 1
+        val hi = (k + 1) * n / 4
+        val tmp = out.resolve(s"tmp-$k")
+        ev.filter(col("__rn").between(lo, hi)).drop("__rn")
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet written for chunk $k"))
+        val dest = out.resolve(f"chunk-$k%02d.parquet")
+        Files.move(part.toPath, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L + k * 1000L))
+        deleteRecursively(tmp)
+      }
+      out.toString
+    })
+
+  private def deleteRecursively(p: Path): Unit = {
+    val f = p.toFile
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(c => deleteRecursively(c.toPath))
+    f.delete(); ()
+  }
+
+  /** Run a streaming transform over the chunked events to a memory sink,
+    * wait for AvailableNow to drain, and return the sink table.
+    */
+  private def runStream(
+      s: SparkSession, dir: String, mode: OutputMode)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val src = chunkedEventsDir(s, dir)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = transform(stream).writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  def all: Seq[Q] = Seq(
+    // ---- C37 tumbling window aggregation with watermark -------------------------
+    Q(
+      "q_stream_tumbling",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Complete()) { ev =>
+          ev.withWatermark("ts", "30 minutes")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+        }.select(
+            unix_timestamp(col("window.start")).as("ws"),
+            col("event_type"), col("n"), col("sum_val"))
+          .orderBy(col("ws"), col("event_type")),
+      Some("""
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS ws,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        FROM events GROUP BY 1, 2 ORDER BY ws, event_type
+      """)),
+
+    // ---- C37 sliding window aggregation -----------------------------------------
+    Q(
+      "q_stream_sliding",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Complete()) { ev =>
+          ev.withWatermark("ts", "30 minutes")
+            .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+            .agg(count(lit(1)).as("n"))
+        }.select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+          .orderBy(col("ws")),
+      Some("""
+        WITH w AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800 - k.k * 1800 AS ws
+          FROM events, (SELECT unnest([0, 1]) AS k) k)
+        SELECT ws, COUNT(*) AS n FROM w GROUP BY ws ORDER BY ws
+      """)),
+
+    // ---- C38 session windows (30-minute gap) per user ---------------------------
+    Q(
+      "q_stream_session",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Complete()) { ev =>
+          ev.withWatermark("ts", "30 minutes")
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n"))
+        }.select(
+            col("user_id"),
+            unix_timestamp(col("session_window.start")).as("session_start"),
+            col("n"))
+          .orderBy(col("user_id"), col("session_start")),
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM o)
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n
+        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_start
+      """)),
+
+    // ---- C39 stateful dedup with watermark --------------------------------------
+    Q(
+      "q_stream_dedup",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Append()) { ev =>
+          ev.withWatermark("ts", "30 minutes")
+            .dropDuplicates("user_id", "event_type")
+        }.select(col("user_id"), col("event_type"), col("event_id"))
+          .orderBy(col("user_id"), col("event_type")),
+      Some("""
+        SELECT user_id, event_type, event_id FROM
+          (SELECT user_id, event_type, event_id,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+        WHERE rn = 1 ORDER BY user_id, event_type
+      """)),
+
+    // ---- C40 stream-static broadcast join ---------------------------------------
+    Q(
+      "q_stream_static_join",
+      (s, dir) => {
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        runStream(s, dir, OutputMode.Append()) { ev =>
+          ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
+            .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+        }.orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey
+        ORDER BY event_id
+      """)),
+
+    // ---- C41 custom keyed state: per-user running counters ----------------------
+    Q(
+      "q_stream_state_counter",
+      (s, dir) => {
+        import s.implicits._
+        val updated = runStream(s, dir, OutputMode.Update()) { ev =>
+          ev.as[Event]
+            .groupByKey(_.user_id)
+            .flatMapGroupsWithState[UserCounter, UserCounter](
+              OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+              (userId: Long, rows: Iterator[Event], state: GroupState[UserCounter]) =>
+                val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+                if (sorted.isEmpty) Iterator.empty
+                else {
+                  val prev = state.getOption.getOrElse(UserCounter(userId, 0L, ""))
+                  val next = UserCounter(
+                    userId, prev.n_events + sorted.size, sorted.last.event_type)
+                  state.update(next)
+                  Iterator(next)
+                }
+            }.toDF()
+        }
+        // Update-mode sink holds one row per (user, batch); the final state
+        // is the row with the greatest running count per user
+        updated
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("n_events"), col("last_event_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH last AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT e.user_id AS user_id, COUNT(*) AS n_events,
+               max(l.event_type) AS last_event_type
+        FROM events e JOIN last l ON e.user_id = l.user_id AND l.rn = 1
+        GROUP BY e.user_id ORDER BY e.user_id
+      """))
+  )
+}
