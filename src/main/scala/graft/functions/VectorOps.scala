@@ -14,7 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Codegen'd dot product (SURVEY M7); see
+    * [[org.apache.spark.sql.graft.FloatDotProduct]] — bit-identical to the
+    * HOF formulation below, ~10× faster on the O(n²) pair queries.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.FloatDotProduct.dot(a, b)
+
+  /** The HOF reference formulation — kept as the correctness witness for
+    * [[dot]] (asserted equal in VectorOpsSpec).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

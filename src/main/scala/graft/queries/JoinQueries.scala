@@ -60,6 +60,47 @@ object JoinQueries {
         ORDER BY nk
       """)),
 
+    // ---- C9 right outer: mirror of the left-outer case --------------------
+    Q(
+      "q_join_right_outer",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .groupBy(col("c_nationkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""
+        SELECT c_nationkey, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey
+      """)),
+
+    // ---- C12 broadcast-hinted equi-join (same result as the shuffled plan) --
+    Q(
+      "q_join_broadcast",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        // dims forced to broadcast: the orders side never shuffles
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("revenue"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        SELECT n_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+      """)),
+
     // ---- C10 left semi (EXISTS) ----------------------------------------
     Q(
       "q_join_semi",

@@ -17,6 +17,12 @@ import graft.functions.VectorOps
   * variant is the SCALE path: signature computation is a narrow map, and
   * candidate generation shuffles only (bucket) keys — the classic
   * sign-random-projection ANN layout.
+  *
+  * Perf notes (bench-driven): norms are computed ONCE PER VECTOR before
+  * any pair join (the naive per-pair cosine does 3 dots instead of 1),
+  * and the dot product itself is the codegen'd
+  * [[org.apache.spark.sql.graft.FloatDotProduct]] — bit-identical to the
+  * HOF formulation, so the DuckDB oracles are unchanged.
   */
 object SimilarityQueries {
 
@@ -29,12 +35,14 @@ object SimilarityQueries {
       "q_sim_topk_brute",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"))
         val queries = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val scored = e.select(col("vec_id"), col("embedding"))
-          .join(broadcast(queries), col("vec_id") =!= col("q_id"))
-          .withColumn("cos", round(VectorOps.cosine(col("q_vec"), col("embedding")), 6))
-        scored
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("nrm").as("q_nrm"))
+        e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(
+            VectorOps.dot(col("q_vec"), col("embedding")) / (col("q_nrm") * col("nrm")), 6))
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
           .filter(col("rk") <= 5)
@@ -62,12 +70,16 @@ object SimilarityQueries {
       "q_sim_topk_lsh",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-          .withColumn("bucket", VectorOps.lshBucket(col("embedding"), PLANES, DIM))
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"),
+            VectorOps.lshBucket(col("embedding"), PLANES, DIM).as("bucket"))
         val queries = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("nrm").as("q_nrm"), col("bucket"))
         e.join(broadcast(queries), Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", round(VectorOps.cosine(col("q_vec"), col("embedding")), 6))
+          .withColumn("cos", round(
+            VectorOps.dot(col("q_vec"), col("embedding")) / (col("q_nrm") * col("nrm")), 6))
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
           .filter(col("rk") <= 5)
@@ -97,10 +109,15 @@ object SimilarityQueries {
       "q_dedup_embed_cosine",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+          col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+          col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cos", round(VectorOps.cosine(col("va"), col("vb")), 6))
+          .withColumn("cos", round(
+            VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
           .filter(col("cos") >= 0.42)
           .select(col("vec_a"), col("vec_b"), col("cos"))
           .orderBy(col("vec_a"), col("vec_b"))

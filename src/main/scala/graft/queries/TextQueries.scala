@@ -207,64 +207,89 @@ object TextQueries {
       """)),
 
     // ---- C43 exact n-gram Jaccard near-dup pairs (lang-blocked baseline) --------
+    // Jaccard is computed over HASHED shingle sets (8-byte longs instead of
+    // ~15-char strings): identical result (the oracle hashes the same way),
+    // half the shuffle width and a much cheaper set intersection. Still the
+    // deliberate O(n² per lang) exact baseline — q_dedup_minhash_lsh is the
+    // scale path.
     Q(
       "q_dedup_ngram_jaccard",
       (s, dir) => {
         val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), TextHash.wordShingles(col("text"), 2).as("sh"))
-        val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+          .select(col("doc_id"), col("lang"),
+            transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
+        val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("hv").as("hv_a"))
+        val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("hv").as("hv_b"))
         a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
           .withColumn("j",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-              / size(array_union(col("sh_a"), col("sh_b"))))
+            size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
+              / size(array_union(col("hv_a"), col("hv_b"))))
           .filter(col("j") >= 0.8)
           .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
         WITH sh AS (
-          SELECT doc_id, lang, $sqlShingles AS s
+          SELECT doc_id, lang, list_transform($sqlShingles, x -> ${sqlPolyHash("x")}) AS hv
           FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents))
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+               round(CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.hv, b.hv))), 6) AS jaccard
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.hv, b.hv))) >= 0.8
         ORDER BY doc_a, doc_b
       """)),
 
     // ---- C43 MinHash signatures + LSH band candidate join + exact verify --------
+    // Pipeline shape is deliberately thin at every shuffle (bench-driven —
+    // the testdata plants duplicate CLUSTERS, so band buckets reach
+    // hundreds of docs and candidate pairs are quadratic per bucket):
+    //   1. per-doc signature table, persisted once (at 100 TB this would be
+    //      a materialized signatures table);
+    //   2. band self-join carries ONLY (band, doc_id) — 16-byte rows;
+    //   3. signature est-Jaccard prefilter (128-byte sig arrays) drops
+    //      non-candidates BEFORE any shingle set is shuffled;
+    //   4. exact verify joins the HASHED shingle sets (longs, not strings)
+    //      only for surviving pairs.
     Q(
       "q_dedup_minhash_lsh",
       (s, dir) => {
-        val base = Tables.documents(s, dir)
-          .select(col("doc_id"), TextHash.wordShingles(col("text"), 2).as("sh"))
-          .withColumn("hs", transform(col("sh"), x => TextHash.polyHash(x)))
+        val sigs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
           .withColumn("sig", transform(sequence(lit(0L), lit(15L)),
-            j => array_min(transform(col("hs"), h => TextHash.minhashPerm(j, h)))))
+            j => array_min(transform(col("hv"), h => TextHash.minhashPerm(j, h)))))
           .withColumn("bands", transform(sequence(lit(0), lit(3)), b =>
             (get(col("sig"), b * 4) * lit(29791L)
               + get(col("sig"), b * 4 + 1) * lit(961L)
               + get(col("sig"), b * 4 + 2) * lit(31L)
               + get(col("sig"), b * 4 + 3)) % lit(P)))
-        val banded = base.select(col("doc_id"), col("sig"), col("sh"),
+          .persist()
+        val banded = sigs.select(col("doc_id"),
           posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-        val aSide = banded.select(col("band_idx"), col("band_hash"),
-          col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("sh").as("sh_a"))
-        val bSide = banded.select(col("band_idx"), col("band_hash"),
-          col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("sh").as("sh_b"))
-        aSide.join(bSide, Seq("band_idx", "band_hash"))
-          .filter(col("doc_a") < col("doc_b"))
+        val cand = banded.as("a")
+          .join(banded.as("b"),
+            col("a.band_idx") === col("b.band_idx")
+              && col("a.band_hash") === col("b.band_hash")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
+        val est = cand
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
           .withColumn("est_j",
             aggregate(
               zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
               lit(0L), (acc, x) => acc + x).cast("double") / 16.0)
+          .filter(col("est_j") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("est_j"))
+        est
+          .join(sigs.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
           .withColumn("exact_j",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-              / size(array_union(col("sh_a"), col("sh_b"))))
+            size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
+              / size(array_union(col("hv_a"), col("hv_b"))))
           .filter(col("exact_j") >= 0.5)
           .select(col("doc_a"), col("doc_b"),
             round(col("est_j"), 6).as("est_jaccard"),
@@ -273,30 +298,36 @@ object TextQueries {
       },
       Some(s"""
         WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        sh AS (SELECT doc_id, $sqlShingles AS s FROM base),
-        hs AS (SELECT doc_id, s, list_transform(s, x -> ${sqlPolyHash("x")}) AS hv FROM sh),
-        sig AS (SELECT doc_id, s,
+        hs AS (SELECT doc_id, list_transform($sqlShingles, x -> ${sqlPolyHash("x")}) AS hv
+               FROM base),
+        sig AS (SELECT doc_id, hv,
                   list_transform(range(0, 16),
                     j -> list_min(list_transform(hv, h -> ((2 * j + 1) * h + 7919 * j) % $P))) AS sg
                 FROM hs),
-        bands AS (SELECT doc_id, s, sg, t.b AS band_idx,
+        bands AS (SELECT doc_id, t.b AS band_idx,
                     (sg[b * 4 + 1] * 29791 + sg[b * 4 + 2] * 961
                      + sg[b * 4 + 3] * 31 + sg[b * 4 + 4]) % $P AS band_hash
                   FROM sig, unnest(range(0, 4)) AS t(b)),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        a.sg AS sig_a, b.sg AS sig_b, a.s AS sh_a, b.s AS sh_b
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM bands a JOIN bands b
                    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-                      AND a.doc_id < b.doc_id)
+                      AND a.doc_id < b.doc_id),
+        est AS (SELECT doc_a, doc_b,
+                  CAST(list_sum(list_transform(range(1, 17),
+                    i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_j
+                FROM cand
+                JOIN sig sa ON sa.doc_id = cand.doc_a
+                JOIN sig sb ON sb.doc_id = cand.doc_b),
+        surv AS (SELECT doc_a, doc_b, est_j FROM est WHERE est_j >= 0.5)
         SELECT doc_a, doc_b,
-               round(CAST(list_sum(list_transform(range(1, 17),
-                       i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0, 6)
-                 AS est_jaccard,
-               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                     / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS exact_jaccard
-        FROM cand
-        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-              / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
+               round(est_j, 6) AS est_jaccard,
+               round(CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+                     / len(list_distinct(list_concat(ha.hv, hb.hv))), 6) AS exact_jaccard
+        FROM surv
+        JOIN hs ha ON ha.doc_id = surv.doc_a
+        JOIN hs hb ON hb.doc_id = surv.doc_b
+        WHERE CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+              / len(list_distinct(list_concat(ha.hv, hb.hv))) >= 0.5
         ORDER BY doc_a, doc_b
       """)),
 
