@@ -218,9 +218,16 @@ object TextQueries {
         val sh = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
             transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
-        val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("hv").as("hv_a"))
-        val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("hv").as("hv_b"))
-        a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+        val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("hv").as("hv_a"),
+          size(col("hv")).as("sz_a"))
+        val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("hv").as("hv_b"),
+          size(col("hv")).as("sz_b"))
+        // size-ratio bound is LOSSLESS for j >= 0.8: j <= min(|A|,|B|)/max(|A|,|B|),
+        // so 5*min >= 4*max must hold — prunes pairs before the expensive
+        // set intersection ever runs
+        a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b")
+            && col("sz_a") * 5 >= col("sz_b") * 4
+            && col("sz_b") * 5 >= col("sz_a") * 4)
           .withColumn("j",
             size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
               / size(array_union(col("hv_a"), col("hv_b"))))
@@ -236,6 +243,7 @@ object TextQueries {
                round(CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.hv, b.hv))), 6) AS jaccard
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          AND len(a.hv) * 5 >= len(b.hv) * 4 AND len(b.hv) * 5 >= len(a.hv) * 4
         WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
               / len(list_distinct(list_concat(a.hv, b.hv))) >= 0.8
         ORDER BY doc_a, doc_b
