@@ -130,6 +130,43 @@ final class AcidTable private (
   /** Register the CURRENT snapshot as a temp view (reference A13 surface). */
   def registerView(name: String): Unit = snapshot().createOrReplaceTempView(name)
 
+  /** Compaction: rewrite partitions that have accumulated more than
+    * `maxFilesPerPartition` small files into one file each — same content,
+    * new version. The COW write path emits one file per touched partition
+    * per commit, so long-running tables need this (at 100 TB this is the
+    * background optimize job every lakehouse runs).
+    */
+  def compact(maxFilesPerPartition: Int = 4): Long = {
+    commitLoopWithFiles { (snap, files) =>
+      val byPartition = files.groupBy(f => f.takeWhile(_ != '/'))
+      val crowded = byPartition.filter(_._2.size > maxFilesPerPartition).keys
+        .map(_.stripPrefix(s"$partitionCol=")).toSeq
+      (snap, crowded)
+    }
+  }
+
+  /** Garbage-collect data files no manifest ≤ `keepVersions` back still
+    * references. Readers pin a manifest, so only retire files beyond the
+    * retention window (same contract as Delta/Hudi vacuum).
+    */
+  def vacuum(keepVersions: Int = 2): Int = {
+    val latest = latestVersion()
+    if (latest < 0) return 0
+    val keepFrom = math.max(0L, latest - keepVersions + 1)
+    val live: Set[String] =
+      (keepFrom to latest).flatMap(v => readManifest(v)).toSet
+    var removed = 0
+    Option(dataRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { pdir =>
+      Option(pdir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val rel = s"${pdir.getName}/${f.getName}"
+        if (f.getName.endsWith(".parquet") && !live.contains(rel)) {
+          if (f.delete()) removed += 1
+        }
+      }
+    }
+    removed
+  }
+
   // ------------------------------------------------------------ internals --
 
   private def normalize(df: DataFrame): DataFrame =
@@ -165,12 +202,16 @@ final class AcidTable private (
     * physically rewritten. Retries on publish conflict with a fresh
     * snapshot (bounded, reference retried ≤100, `TransactionWriter.java:108`).
     */
-  private def commitLoop(rewrite: DataFrame => (DataFrame, Seq[String])): Long = {
+  private def commitLoop(rewrite: DataFrame => (DataFrame, Seq[String])): Long =
+    commitLoopWithFiles((snap, _) => rewrite(snap))
+
+  private def commitLoopWithFiles(
+      rewrite: (DataFrame, Seq[String]) => (DataFrame, Seq[String])): Long = {
     var attempt = 0
     while (true) {
       val base = latestVersion()
       val snap = snapshot(base)
-      val (result, touched) = rewrite(snap)
+      val (result, touched) = rewrite(snap, if (base < 0) Nil else readManifest(base))
       val carried =
         if (base < 0) Nil
         else readManifest(base).filterNot(f => touched.exists(p => f.startsWith(partDir(p) + "/")))

@@ -1,0 +1,84 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Record
+
+/** SURVEY §5.2-2 (property-based): for random operation sequences applied
+  * SERIALLY, the AcidTable snapshot must equal a pure `Map[PK, Record]`
+  * model. Uses a seeded generator (deterministic across runs) rather than
+  * scalacheck's forAll driver — the offline cache carries scalacheck but
+  * not the scalatest bridge artifact.
+  */
+class AcidTablePropertySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("primaryKeyValue", StringType),
+    StructField("partitionKeyValue", StringType),
+    StructField("dataValue", StringType)))
+
+  sealed trait Op
+  final case class Upsert(rows: List[Record]) extends Op
+  final case class Merge(rows: List[Record]) extends Op
+  final case class Delete(keys: List[String]) extends Op
+
+  private def genRecord(rnd: Random): Record = {
+    val k = rnd.nextInt(20)
+    Record(s"R$k", s"P${k % 3}", f"v${rnd.nextInt(1000000)}%07d")
+  }
+
+  private def genOp(rnd: Random): Op = rnd.nextInt(9) match {
+    case n if n < 4 => Upsert(List.fill(3)(genRecord(rnd)))
+    case n if n < 7 => Merge(List.fill(3)(genRecord(rnd)))
+    case _ => Delete(List.fill(2)(s"R${rnd.nextInt(20)}"))
+  }
+
+  /** Model of the precombine rule: greatest (dataValue, then tie-break by
+    * remaining columns — here partition is a function of PK, so dataValue
+    * orders totally) wins per PK within a batch.
+    */
+  private def dedupe(rows: List[Record]): List[Record] =
+    rows.groupBy(_.primaryKeyValue).values.map(_.maxBy(_.dataValue)).toList
+
+  private def applyModel(model: Map[String, Record], op: Op): Map[String, Record] = op match {
+    case Upsert(rows) => model ++ dedupe(rows).map(r => r.primaryKeyValue -> r)
+    case Merge(rows) =>
+      dedupe(rows).foldLeft(model) { (m, r) =>
+        m.get(r.primaryKeyValue) match {
+          case Some(old) => m + (r.primaryKeyValue -> old.copy(dataValue = r.dataValue))
+          case None => m + (r.primaryKeyValue -> r)
+        }
+      }
+    case Delete(keys) => model -- keys
+  }
+
+  test("serial random op sequences: snapshot == model (8 seeded runs)") {
+    (1 to 8).foreach { seed =>
+      val rnd = new Random(seed * 1000L + 7)
+      val ops = List.fill(6)(genOp(rnd))
+      val path = Files.createTempDirectory("acid-prop-").resolve("t").toString
+      val t = AcidTable.create(spark, path, schema,
+        "primaryKeyValue", "partitionKeyValue", precombineCol = Some("dataValue"))
+      var model = Map.empty[String, Record]
+      ops.foreach { op =>
+        op match {
+          case Upsert(rows) => t.upsert(spark.createDataset(rows).toDF())
+          case Merge(rows) => t.merge(spark.createDataset(rows).toDF(), Seq("dataValue"))
+          case Delete(keys) => t.delete(keys)
+        }
+        model = applyModel(model, op)
+      }
+      val actual = t.snapshot().as[Record].collect().map(r => r.primaryKeyValue -> r).toMap
+      assert(actual == model, s"divergence for seed $seed with ops $ops")
+    }
+  }
+}
