@@ -41,7 +41,10 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
     val table = AcidTable.create(
       spark, config.tablePath, recordSchema,
       pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
-      precombineCol = Some("dataValue"))
+      precombineCol = Some("dataValue"),
+      // partition is a pure function of the PK in this workload
+      // (`TransactionGenerator.java:76`) → commit fast path applies
+      stablePartitions = true)
     val log = new TransactionLog
     val generator = new TransactionGenerator(config)
     val producer = new ResultSetExpectationProducer(log)
@@ -69,7 +72,11 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
             // (`TransactionWriter.java:154-161`)
             else t.merge(ds, updateCols = Seq("dataValue"))
           case ManipulationType.Delete =>
-            t.delete(tx.dataManipulations.map(_.primaryKeyValue))
+            // keys + partitions: lets the stable-partition fast path skip
+            // the snapshot lookup
+            t.delete(session.createDataset(tx.dataManipulations.map(dm =>
+              (dm.primaryKeyValue, dm.partitionKeyValue)))
+              .toDF("primaryKeyValue", "partitionKeyValue"))
         }
         generator.transactionCommitted(tx)
         log.logCommit(tx)

@@ -47,7 +47,8 @@ final class AcidTable private (
     val schema: StructType,
     val pkCol: String,
     val partitionCol: String,
-    val precombineCol: Option[String]) {
+    val precombineCol: Option[String],
+    val stablePartitions: Boolean) {
 
   import AcidTable._
 
@@ -118,12 +119,26 @@ final class AcidTable private (
     */
   def delete(keys: Seq[String]): Long = {
     import spark.implicits._
-    val keysDf = keys.toDF(pkCol)
+    delete(keys.toDF(pkCol))
+  }
+
+  /** Delete by key set. If the caller's DataFrame also carries the
+    * partition column AND the table has stable partitions, the touched-
+    * partition lookup needs no snapshot scan (the harness's
+    * DataManipulations carry both, reference `DataManipulation.java`).
+    */
+  def delete(keysWithPartitions: DataFrame): Long = {
+    val hasPart = keysWithPartitions.columns.contains(partitionCol)
+    val keysDf = keysWithPartitions.select(pkCol).distinct()
     commitLoop { snap =>
-      (snap.join(keysDf, Seq(pkCol), "left_anti"),
-        // deletes touch only partitions that currently hold a matching key
-        snap.join(keysDf, Seq(pkCol), "left_semi")
-          .select(partitionCol).distinct().collect().map(_.getString(0)).toSeq)
+      val touched =
+        if (stablePartitions && hasPart)
+          keysWithPartitions.select(partitionCol).distinct()
+            .collect().map(_.getString(0)).toSeq
+        else
+          snap.join(keysDf, Seq(pkCol), "left_semi")
+            .select(partitionCol).distinct().collect().map(_.getString(0)).toSeq
+      (snap.join(keysDf, Seq(pkCol), "left_anti"), touched)
     }
   }
 
@@ -189,12 +204,20 @@ final class AcidTable private (
   /** Partitions a batch touches: its own rows' partitions plus the
     * partitions currently holding any matched PK (covers cross-partition
     * moves; reference workload never moves keys, §3.2 note).
+    *
+    * With `stablePartitions` (partition value is a pure function of the
+    * PK, the reference's contract — `TransactionGenerator.java:76`) the
+    * matched rows can only live in the batch's own partitions, so the
+    * snapshot lookup job is skipped entirely — halves the Spark jobs per
+    * transactional commit, which is what bounds harness txn/s.
     */
   private def touchedBy(snap: DataFrame, batch: DataFrame, keys: DataFrame): Seq[String] = {
     val own = batch.select(partitionCol).distinct()
-    val existing = snap.join(keys, Seq(pkCol), "left_semi")
-      .select(partitionCol).distinct()
-    own.union(existing).distinct().collect().map(_.getString(0)).toSeq
+    val touched =
+      if (stablePartitions) own
+      else own.union(
+        snap.join(keys, Seq(pkCol), "left_semi").select(partitionCol).distinct()).distinct()
+    touched.collect().map(_.getString(0)).toSeq
   }
 
   /** One OCC commit: `rewrite(snapshot)` returns the full-table logical
@@ -299,7 +322,8 @@ object AcidTable {
       pkCol: String,
       partitionCol: String,
       precombineCol: Option[String] = None,
-      overwrite: Boolean = true): AcidTable = {
+      overwrite: Boolean = true,
+      stablePartitions: Boolean = false): AcidTable = {
     require(schema.fieldNames.contains(pkCol), s"pk column $pkCol not in schema")
     require(schema.fieldNames.contains(partitionCol), s"partition column $partitionCol not in schema")
     require(schema(partitionCol).dataType == StringType,
@@ -313,9 +337,10 @@ object AcidTable {
     props.setProperty("pkCol", pkCol)
     props.setProperty("partitionCol", partitionCol)
     precombineCol.foreach(props.setProperty("precombineCol", _))
+    props.setProperty("stablePartitions", stablePartitions.toString)
     val out = Files.newOutputStream(Paths.get(path, MetaFile))
     try props.store(out, "graft AcidTable metadata") finally out.close()
-    new AcidTable(spark, path, schema, pkCol, partitionCol, precombineCol)
+    new AcidTable(spark, path, schema, pkCol, partitionCol, precombineCol, stablePartitions)
   }
 
   /** Open an existing table from its `_meta.properties`. */
@@ -328,7 +353,8 @@ object AcidTable {
       StructType.fromDDL(props.getProperty("schemaDdl")),
       props.getProperty("pkCol"),
       props.getProperty("partitionCol"),
-      Option(props.getProperty("precombineCol")))
+      Option(props.getProperty("precombineCol")),
+      "true" == props.getProperty("stablePartitions"))
   }
 
   private def deleteRecursively(f: File): Unit = {

@@ -1,0 +1,79 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.lake.AcidTable
+
+/** Surface extensions beyond the §2C core: pivot reshaping and the SQL-text
+  * path over an ACID table snapshot (reference A13's `SELECT * FROM db.tbl`
+  * read shape, via `registerView` instead of a metastore catalog).
+  */
+object ExtraQueries {
+
+  def all: Seq[Q] = Seq(
+    // ---- pivot: order counts per (nation, orderstatus) as columns ---------------
+    Q(
+      "q_agg_pivot",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("c_nationkey"),
+            col("F").cast("long").as("n_f"),
+            col("O").cast("long").as("n_o"),
+            col("P").cast("long").as("n_p"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""
+        SELECT c_nationkey,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_f,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_o,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_p
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey
+      """)),
+
+    // ---- SQL text over an ACID snapshot view ------------------------------------
+    Q(
+      "q_sql_over_acid",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("bal", DoubleType)))
+        val path = Files.createTempDirectory("graft-acid-")
+          .resolve(UUID.randomUUID().toString).toString
+        val t = AcidTable.create(s, path, schema, "pk", "part")
+        t.upsert(Tables.customer(s, dir)
+          .filter(col("c_custkey") < 500)
+          .select(
+            col("c_custkey").cast("string").as("pk"),
+            concat(lit("p"), (col("c_custkey") % 5).cast("string")).as("part"),
+            col("c_acctbal").as("bal")))
+        val view = s"acid_v_${UUID.randomUUID().toString.replace("-", "")}"
+        t.registerView(view)
+        s.sql(s"""
+          SELECT part, COUNT(*) AS n,
+                 CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          FROM $view GROUP BY part ORDER BY part""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS pk,
+                 'p' || CAST(c_custkey % 5 AS VARCHAR) AS part,
+                 c_acctbal AS bal
+          FROM customer WHERE c_custkey < 500)
+        SELECT part, COUNT(*) AS n,
+               CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM base GROUP BY part ORDER BY part
+      """))
+  )
+}
