@@ -184,8 +184,13 @@ final class AcidTable private (
 
   // ------------------------------------------------------------ internals --
 
-  private def normalize(df: DataFrame): DataFrame =
+  private def normalize(df: DataFrame): DataFrame = {
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"batch is missing table columns ${missing.mkString(", ")} " +
+        s"(table schema: ${schema.toDDL})")
     df.select(schema.fieldNames.map(col): _*)
+  }
 
   /** Intra-batch dedup: greatest precombine value wins per PK (§1.1).
     * Precombine ties are broken by the remaining columns (descending, in
