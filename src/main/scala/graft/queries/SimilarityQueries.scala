@@ -104,6 +104,66 @@ object SimilarityQueries {
         FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
       """)),
 
+    // ---- C44 IVF-style ANN: coarse quantize to cells, probe the query's cell ----
+    // Centroids are a deterministic corpus subset (vec_id % 64 == 0); every
+    // vector is assigned to its max-cosine centroid (exact same IEEE
+    // sequence in both engines → identical assignment); search is exact
+    // top-k WITHIN the probed cell. The classic IVF trade: assignment is a
+    // narrow broadcast pass, search cost drops by the cell count.
+    Q(
+      "q_sim_topk_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"))
+        val cent = e.filter(col("vec_id") % 64 === 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_vec"),
+            col("nrm").as("c_nrm"))
+        val assigned = e.join(broadcast(cent), lit(true))
+          .withColumn("c_cos",
+            VectorOps.dot(col("embedding"), col("c_vec")) / (col("nrm") * col("c_nrm")))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cent_id"))))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+        val queries = assigned.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("nrm").as("q_nrm"), col("cell"))
+        assigned.join(broadcast(queries), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(
+            VectorOps.dot(col("q_vec"), col("embedding")) / (col("q_nrm") * col("nrm")), 6))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            col("cell"), col("cos"), col("rk").cast("long").as("rk"))
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM e WHERE vec_id % 64 = 0),
+        assigned AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, cent.cent_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${VectorOps.sqlCosine("e.embedding", "cent.c_vec", DIM)} DESC,
+                              cent.cent_id) AS crk
+            FROM e CROSS JOIN cent)
+          WHERE crk = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM assigned WHERE vec_id < 8),
+        scored AS (
+          SELECT q.q_id, a.vec_id, a.cell,
+                 round(${VectorOps.sqlCosine("q.q_vec", "a.embedding", DIM)}, 6) AS cos
+          FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cell, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+          FROM scored)
+        SELECT q_id, vec_id AS neighbor_id, cell, cos, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+      """)),
+
     // ---- C43 embedding-cosine near-dup pairs ------------------------------------
     Q(
       "q_dedup_embed_cosine",

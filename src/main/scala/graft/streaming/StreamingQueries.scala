@@ -197,6 +197,36 @@ object StreamingQueries {
         ORDER BY event_id
       """)),
 
+    // ---- stream-stream interval join: view → purchase within 1 hour -------------
+    // Watermark (2h) exceeds the join window (1h) plus the batch skew, so no
+    // match is ever evicted before its partner can arrive — append-mode
+    // output equals the batch interval join the oracle computes.
+    Q(
+      "q_stream_stream_join",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Append()) { ev =>
+          val views = ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+            .withWatermark("view_ts", "2 hours")
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+            .withWatermark("purchase_ts", "2 hours")
+          views.join(purchases,
+            col("user_id") === col("p_user_id")
+              && col("purchase_ts") >= col("view_ts")
+              && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        }.select(col("user_id"), col("view_id"), col("purchase_id"))
+          .orderBy(col("user_id"), col("view_id"), col("purchase_id")),
+      Some("""
+        SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        ORDER BY user_id, view_id, purchase_id
+      """)),
+
     // ---- C41 custom keyed state: per-user running counters ----------------------
     Q(
       "q_stream_state_counter",
