@@ -76,12 +76,26 @@ object AggQueries {
     Q(
       "q_agg_approx_distinct",
       (s, dir) => {
+        // the HLL estimate itself is engine-specific, so the ORACLE-CHECKED
+        // output is the error-bound PROPERTY (|approx-exact| within 3×rsd)
+        // plus the exact count — §2C's `bound` oracle made hash-checkable
         val li = Tables.lineitem(s, dir)
         li.groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("apx"),
+            countDistinct(col("l_partkey")).as("n_exact"))
+          .select(
+            col("l_returnflag"), col("n_exact"),
+            (abs(col("apx") - col("n_exact")) <= col("n_exact") * 0.06 + lit(10))
+              .as("within_bound"))
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_exact,
+               true AS within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """)),
 
     // ---- C18 rollup + grouping_id -----------------------------------------
     Q(
