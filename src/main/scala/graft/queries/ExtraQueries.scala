@@ -42,6 +42,47 @@ object ExtraQueries {
         GROUP BY c_nationkey ORDER BY c_nationkey
       """)),
 
+    // ---- paginated total-order scan: ORDER BY ... LIMIT ... OFFSET --------------
+    Q(
+      "q_sort_limit_offset",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .select(col("c_custkey"), col("c_acctbal"))
+          .offset(50)
+          .limit(25),
+      Some("""
+        SELECT c_custkey, c_acctbal FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 25 OFFSET 50
+      """)),
+
+    // ---- unpivot (melt): wide per-nation metrics to long form -------------------
+    Q(
+      "q_agg_unpivot",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val wide = c.groupBy(col("c_nationkey"))
+          .agg(
+            count(lit(1)).cast("double").as("n_customers"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        wide.unpivot(
+            Array(col("c_nationkey")),
+            Array(col("n_customers"), col("total_bal")),
+            "metric", "value")
+          .orderBy(col("c_nationkey"), col("metric"))
+      },
+      Some("""
+        WITH wide AS (
+          SELECT c_nationkey,
+                 CAST(COUNT(*) AS DOUBLE) AS n_customers,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          FROM customer GROUP BY c_nationkey)
+        SELECT c_nationkey, metric, value
+        FROM wide UNPIVOT (value FOR metric IN (n_customers, total_bal))
+        ORDER BY c_nationkey, metric
+      """)),
+
     // ---- SQL text over an ACID snapshot view ------------------------------------
     Q(
       "q_sql_over_acid",
