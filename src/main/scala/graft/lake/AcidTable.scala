@@ -145,6 +145,19 @@ final class AcidTable private (
   /** Register the CURRENT snapshot as a temp view (reference A13 surface). */
   def registerView(name: String): Unit = snapshot().createOrReplaceTempView(name)
 
+  /** CDC-style diff between two committed versions: every row added and
+    * every row removed (an update appears as remove+insert of the two row
+    * images). Consumers use this for incremental downstream processing
+    * without re-reading the whole table — the lakehouse
+    * incremental-query surface.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val from = snapshot(fromVersion)
+    val to = snapshot(toVersion)
+    to.exceptAll(from).withColumn("_change_type", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
+  }
+
   /** Compaction: rewrite partitions that have accumulated more than
     * `maxFilesPerPartition` small files into one file each — same content,
     * new version. The COW write path emits one file per touched partition

@@ -57,6 +57,49 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 CDC diff between committed versions ---------------------------------
+    Q(
+      "q_acid_cdc_diff",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part")
+        val base = Tables.customer(s, dir)
+          .filter(col("c_custkey") < 300)
+          .select(
+            col("c_custkey").cast("string").as("pk"),
+            concat(lit("p"), (col("c_nationkey") % 4).cast("string")).as("part"),
+            col("c_acctbal").as("val"))
+        val v0 = t.upsert(base)
+        t.upsert(base.filter(col("pk").cast("long") % 5 === 0)
+          .withColumn("val", col("val") * 2))
+        val v2 = t.delete(base.filter(col("pk").cast("long") % 11 === 0)
+          .select("pk").collect().map(_.getString(0)).toSeq)
+        t.changesBetween(v0, v2)
+          .orderBy(col("_change_type"), col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS pk,
+                 'p' || CAST(c_nationkey % 4 AS VARCHAR) AS part,
+                 c_acctbal AS val
+          FROM customer WHERE c_custkey < 300),
+        v0 AS (SELECT * FROM base),
+        v2 AS (
+          SELECT pk, part,
+                 CASE WHEN CAST(pk AS BIGINT) % 5 = 0 THEN val * 2 ELSE val END AS val
+          FROM base WHERE CAST(pk AS BIGINT) % 11 <> 0),
+        ins AS (SELECT pk, part, val, 'insert' AS _change_type
+                FROM v2 EXCEPT ALL SELECT pk, part, val, 'insert' FROM v0),
+        del AS (SELECT pk, part, val, 'delete' AS _change_type
+                FROM v0 EXCEPT ALL SELECT pk, part, val, 'delete' FROM v2)
+        SELECT pk, part, val, _change_type FROM ins
+        UNION ALL
+        SELECT pk, part, val, _change_type FROM del
+        ORDER BY _change_type, pk
+      """)),
+
     // ---- C5 precombine dedup on ingest + MERGE (matched-update / insert) --------
     Q(
       "q_acid_merge_precombine",

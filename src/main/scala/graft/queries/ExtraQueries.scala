@@ -83,6 +83,70 @@ object ExtraQueries {
         ORDER BY c_nationkey, metric
       """)),
 
+    // ---- skew-safe aggregation via salting --------------------------------------
+    // event_type has 5 values over 10k+ rows — a direct groupBy puts whole
+    // key groups on single tasks. Two-phase salted aggregation: partial
+    // aggregate on (key, salt), then final on key. Same result, 8× the
+    // parallelism on the hot keys — the standard skew mitigation when AQE
+    // can't split a single giant group.
+    Q(
+      "q_agg_skew_salted",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val salted = e
+          .withColumn("salt", (col("event_id") % 8).cast("int"))
+          .groupBy(col("event_type"), col("salt"))
+          .agg(
+            count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(18,2)")).as("pv"))
+        salted
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("pn")).cast("long").as("n"),
+            sum(col("pv")).cast("double").as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type
+      """)),
+
+    // ---- bucketed co-located join: no exchange on either side -------------------
+    // Both sides are written bucketed by the join key into the same bucket
+    // count; the sort-merge join then runs with NO shuffle exchange — the
+    // pre-partitioning pattern that makes repeated large-table joins cheap
+    // (verify with graft.Explain: no Exchange above either scan).
+    Q(
+      "q_join_bucketed",
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-bucketed-")
+        val tag = UUID.randomUUID().toString.replace("-", "").take(12)
+        val oT = s"graft_bko_$tag"
+        val lT = s"graft_bkl_$tag"
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", tmp.resolve(oT).toString).saveAsTable(oT)
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", tmp.resolve(lT).toString).saveAsTable(lT)
+        // merge hint pins the sort-merge strategy so the bucketed, exchange-
+        // free join path is exercised at every scale (broadcast would also
+        // be shuffle-free but bypasses the bucketing)
+        s.table(oT).hint("merge")
+          .join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """)),
+
     // ---- SQL text over an ACID snapshot view ------------------------------------
     Q(
       "q_sql_over_acid",

@@ -339,6 +339,70 @@ object TextQueries {
         ORDER BY doc_a, doc_b
       """)),
 
+    // ---- C42/C43 duplicate-cluster resolution (keep one canonical per group) ----
+    // Near-dup PAIRS become dedup DECISIONS: undirected edges from the
+    // jaccard>=0.8 pairs, then 3 rounds of min-label propagation (enough
+    // for the planted clusters, which are near-cliques) → every document
+    // maps to a cluster id; `is_canonical` marks the survivor. The oracle
+    // unrolls the same 3 rounds as chained CTEs — identical fixpoint state.
+    Q(
+      "q_dedup_clusters",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
+        val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("hv").as("hv_a"),
+          size(col("hv")).as("sz_a"))
+        val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("hv").as("hv_b"),
+          size(col("hv")).as("sz_b"))
+        val pairs = a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b")
+            && col("sz_a") * 5 >= col("sz_b") * 4 && col("sz_b") * 5 >= col("sz_a") * 4)
+          .filter(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
+            / size(array_union(col("hv_a"), col("hv_b"))) >= 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = pairs.select(col("doc_a").as("d"), col("doc_b").as("nb"))
+          .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("nb")))
+        var labels = edges.select(col("d").as("doc_id")).distinct()
+          .withColumn("lbl", col("doc_id"))
+        (1 to 3).foreach { _ =>
+          val nbrMin = edges
+            .join(labels.select(col("doc_id").as("nb"), col("lbl").as("nbl")), "nb")
+            .groupBy(col("d")).agg(min(col("nbl")).as("nl"))
+          labels = labels
+            .join(nbrMin.select(col("d").as("doc_id"), col("nl")), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        }
+        labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+            (col("doc_id") === col("lbl")).as("is_canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, lang, list_transform($sqlShingles, x -> ${sqlPolyHash("x")}) AS hv
+          FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND len(a.hv) * 5 >= len(b.hv) * 4 AND len(b.hv) * 5 >= len(a.hv) * 4
+          WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.hv, b.hv))) >= 0.8),
+        e AS (SELECT doc_a AS d, doc_b AS nb FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+        l0 AS (SELECT DISTINCT d AS doc_id, d AS lbl FROM e),
+        l1 AS (SELECT n.doc_id, least(n.lbl, coalesce(min(x.lbl), n.lbl)) AS lbl
+               FROM l0 n LEFT JOIN e ON e.d = n.doc_id LEFT JOIN l0 x ON x.doc_id = e.nb
+               GROUP BY n.doc_id, n.lbl),
+        l2 AS (SELECT n.doc_id, least(n.lbl, coalesce(min(x.lbl), n.lbl)) AS lbl
+               FROM l1 n LEFT JOIN e ON e.d = n.doc_id LEFT JOIN l1 x ON x.doc_id = e.nb
+               GROUP BY n.doc_id, n.lbl),
+        l3 AS (SELECT n.doc_id, least(n.lbl, coalesce(min(x.lbl), n.lbl)) AS lbl
+               FROM l2 n LEFT JOIN e ON e.d = n.doc_id LEFT JOIN l2 x ON x.doc_id = e.nb
+               GROUP BY n.doc_id, n.lbl)
+        SELECT doc_id, lbl AS cluster_id, (doc_id = lbl) AS is_canonical
+        FROM l3 ORDER BY doc_id
+      """)),
+
     // ---- C43 SimHash document signatures (24-bit, word-level) -------------------
     Q(
       "q_dedup_simhash",
