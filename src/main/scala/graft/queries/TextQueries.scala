@@ -148,6 +148,41 @@ object TextQueries {
         FROM documents d LEFT JOIN best b USING (doc_id) ORDER BY doc_id
       """)),
 
+    // ---- C45 TF-IDF: top term per document --------------------------------------
+    Q(
+      "q_text_tfidf",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val n = d.count()
+        val terms = d.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = terms.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        tf.join(df, "term")
+          .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("term").as("top_term"), round(col("tfidf"), 6).as("tfidf"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf * ln(n.n / df) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, term AS top_term, round(tfidf, 6) AS tfidf
+        FROM ranked WHERE rk = 1 ORDER BY doc_id
+      """)),
+
     // ---- C45 corpus term frequency, top 50 --------------------------------------
     Q(
       "q_text_tf_top",

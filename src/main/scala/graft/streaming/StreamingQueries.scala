@@ -9,7 +9,8 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.Tables
 import graft.queries.Q
@@ -41,6 +42,31 @@ object StreamingQueries {
       event_type: String, value: Double, props: String)
 
   final case class UserCounter(user_id: Long, n_events: Long, last_event_type: String)
+
+  /** Spark 4 `transformWithState` processor: per-user running counter in a
+    * RocksDB-backed ValueState — the new-generation arbitrary-state API
+    * next to the `flatMapGroupsWithState` formulation in
+    * `q_stream_state_counter` (same semantics, same oracle).
+    */
+  final class CounterProcessor extends StatefulProcessor[Long, Event, UserCounter] {
+    @transient private var state: ValueState[UserCounter] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserCounter](
+        "counter", Encoders.product[UserCounter], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[UserCounter] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val prev = if (state.exists()) state.get() else UserCounter(key, 0L, "")
+        val next = UserCounter(key, prev.n_events + sorted.size, sorted.last.event_type)
+        state.update(next)
+        Iterator.single(next)
+      }
+    }
+  }
 
   /** Write `events` as 4 time-ordered chunk files with increasing mtimes. */
   private def chunkedEventsDir(s: SparkSession, dir: String): String =
@@ -225,6 +251,40 @@ object StreamingQueries {
          AND v.event_type = 'view' AND p.event_type = 'purchase'
          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         ORDER BY user_id, view_id, purchase_id
+      """)),
+
+    // ---- C41 (Spark 4 API): same counters via transformWithState ----------------
+    Q(
+      "q_stream_state_tws",
+      (s, dir) => {
+        import s.implicits._
+        // transformWithState requires the RocksDB state store provider
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val updated =
+          try runStream(s, dir, OutputMode.Update()) { ev =>
+            ev.as[Event]
+              .groupByKey(_.user_id)
+              .transformWithState(
+                new CounterProcessor, TimeMode.None(), OutputMode.Update())
+              .toDF()
+          } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        updated
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("n_events"), col("last_event_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH last AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT e.user_id AS user_id, COUNT(*) AS n_events,
+               max(l.event_type) AS last_event_type
+        FROM events e JOIN last l ON e.user_id = l.user_id AND l.rn = 1
+        GROUP BY e.user_id ORDER BY e.user_id
       """)),
 
     // ---- C41 custom keyed state: per-user running counters ----------------------
