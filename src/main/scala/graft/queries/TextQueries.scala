@@ -35,6 +35,34 @@ object TextQueries {
       |   range(1, greatest(len(w) - 1, 0) + 1),
       |   i -> w[i] || ' ' || w[i + 1]))""".stripMargin
 
+  /** Spark-side 24-bit word-level SimHash column (shared by the signature
+    * and pair queries; DuckDB rendering must stay in lock-step).
+    */
+  private def simhashCol = {
+    val hv = transform(array_distinct(split(trim(col("text")), " ")),
+      w => TextHash.polyHash(w))
+    val bits = transform(sequence(lit(0), lit(23)), b =>
+      when(
+        aggregate(hv, lit(0L), (acc, h) =>
+          acc + when(floor(h / pow(lit(2.0), b.cast("double"))).cast("long") % 2 === 1, 1L)
+            .otherwise(-1L)) > 0,
+        pow(lit(2.0), b.cast("double")).cast("long")).otherwise(0L))
+    aggregate(bits, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** DuckDB CTE chain computing `simhash` per doc_id (mirror of
+    * [[simhashCol]]); callers append their own final SELECT.
+    */
+  private def sqlSimhashCtes: String =
+    s"""ws AS (SELECT doc_id, lang, list_distinct(string_split(trim(text), ' ')) AS w FROM documents),
+       |shv AS (SELECT doc_id, lang, list_transform(w, x -> ${sqlPolyHash("x")}) AS hs FROM ws),
+       |bits AS (SELECT doc_id, lang, list_transform(range(0, 24), b ->
+       |           CASE WHEN list_sum(list_transform(hs,
+       |                  h -> CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |                THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS bv
+       |         FROM shv),
+       |sh AS (SELECT doc_id, lang, CAST(list_sum(bv) AS BIGINT) AS simhash FROM bits)""".stripMargin
+
   def all: Seq[Q] = Seq(
     // ---- C45 per-document token/char statistics --------------------------------
     Q(
@@ -443,27 +471,59 @@ object TextQueries {
       "q_dedup_simhash",
       (s, dir) =>
         Tables.documents(s, dir)
-          .withColumn("hv",
-            transform(array_distinct(split(trim(col("text")), " ")),
-              w => TextHash.polyHash(w)))
-          .withColumn("bits", transform(sequence(lit(0), lit(23)), b =>
-            when(
-              aggregate(col("hv"), lit(0L), (acc, h) =>
-                acc + when(floor(h / pow(lit(2.0), b.cast("double"))).cast("long") % 2 === 1, 1L)
-                  .otherwise(-1L)) > 0,
-              pow(lit(2.0), b.cast("double")).cast("long")).otherwise(0L)))
-          .select(col("doc_id"),
-            aggregate(col("bits"), lit(0L), (acc, x) => acc + x).as("simhash"))
+          .select(col("doc_id"), simhashCol.as("simhash"))
           .orderBy(col("doc_id")),
       Some(s"""
-        WITH ws AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w FROM documents),
-        hv AS (SELECT doc_id, list_transform(w, x -> ${sqlPolyHash("x")}) AS hs FROM ws),
-        bits AS (SELECT doc_id, list_transform(range(0, 24), b ->
-                   CASE WHEN list_sum(list_transform(hs,
-                          h -> CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-                        THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS bv
-                 FROM hv)
-        SELECT doc_id, CAST(list_sum(bv) AS BIGINT) AS simhash FROM bits ORDER BY doc_id
+        WITH $sqlSimhashCtes
+        SELECT doc_id, simhash FROM sh ORDER BY doc_id
+      """)),
+
+    // ---- C43 SimHash near-dup pairs via banded hamming distance -----------------
+    // Pigeonhole-lossless candidate generation: 24 bits in four 6-bit
+    // bands — any pair within hamming distance 3 matches at least one band
+    // exactly. Candidates verified with bit_count(xor) <= 3. Same
+    // band-bucket join shape as MinHash LSH; shuffles only (band, 6 bits).
+    Q(
+      "q_dedup_simhash_pairs",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), simhashCol.as("simhash"))
+        val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
+          posexplode(transform(sequence(lit(0), lit(3)), b =>
+            floor(col("simhash") / pow(lit(2.0), (b * 6).cast("double"))).cast("long") % 64))
+            .as(Seq("band_idx", "band_val")))
+        banded.as("a")
+          .join(banded.as("b"),
+            col("a.band_idx") === col("b.band_idx")
+              && col("a.band_val") === col("b.band_val")
+              && col("a.lang") === col("b.lang")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .withColumn("hamming",
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $sqlSimhashCtes,
+        banded AS (
+          SELECT doc_id, lang, simhash, t.b AS band_idx,
+                 (simhash // CAST(power(2, t.b * 6) AS BIGINT)) % 64 AS band_val
+          FROM sh, unnest(range(0, 4)) AS t(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        ORDER BY doc_a, doc_b
       """))
   )
 }
