@@ -22,6 +22,7 @@ object HarnessMain {
     val txns = args.headOption.map(_.toInt).getOrElse(1000)
     val writers = args.lift(1).map(_.toInt).getOrElse(2)
     val readers = args.lift(2).map(_.toInt).getOrElse(2)
+    val partitions = args.lift(3).map(_.toInt).getOrElse(4)
     val spark = Sessions.local(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, appName = "graft-harness")
     val path = Files.createTempDirectory("graft-harness-").resolve("t").toString
@@ -30,13 +31,15 @@ object HarnessMain {
       tablePath = path,
       numberOfWriterThreads = writers,
       numberOfReaderThreads = readers,
-      totalNumberOfTransactions = txns)).run()
+      totalNumberOfTransactions = txns,
+      maximumNumberOfPartitions = partitions)).run()
     val sec = (System.nanoTime() - t0) / 1e9
     println(
       f"""{"txns":$txns,"writers":$writers,"readers":$readers,"seconds":$sec%.1f,""" +
       f""""txnPerSec":${txns / sec}%.2f,"failedVerifications":${r.failedVerifications},""" +
       s""""failedWriters":${r.hasFailedWriters},"failedReaders":${r.hasFailedReaders},""" +
-      s""""finalRows":${r.finalRowCount},"modelRows":${r.modelRowCount}}""")
+      s""""finalRows":${r.finalRowCount},"modelRows":${r.modelRowCount},""" +
+      s""""firstFailure":"${r.firstFailure.getOrElse("").replace("\"", "'")}"}""")
     spark.stop()
     val ok = r.failedVerifications == 0 && !r.hasFailedWriters && !r.hasFailedReaders &&
       r.finalRowCount == r.modelRowCount

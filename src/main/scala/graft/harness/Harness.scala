@@ -18,7 +18,8 @@ final case class HarnessResult(
     hasFailedReaders: Boolean,
     committedTransactions: Int,
     finalRowCount: Long,
-    modelRowCount: Int)
+    modelRowCount: Int,
+    firstFailure: Option[String] = None)
 
 /** The concurrent ACID verification harness — N writer threads applying
   * random transactions through [[AcidTable]] while M reader threads
@@ -55,6 +56,7 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
     val failedVerifications = new AtomicInteger(0)
     val writerFailed = new AtomicBoolean(false)
     val readerFailed = new AtomicBoolean(false)
+    val firstFailure = new java.util.concurrent.atomic.AtomicReference[String](null)
 
     def writerLoop(session: SparkSession): Unit = {
       import session.implicits._
@@ -62,7 +64,7 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
         val tx = generator.getNextTransaction()
         log.logIntent(tx)
         val t = AcidTable.open(session, config.tablePath)
-        tx.manipulationType match {
+        def applyOnce(): Unit = tx.manipulationType match {
           case ManipulationType.Insert | ManipulationType.Update =>
             val records = tx.dataManipulations
               .map(dm => Record(dm.primaryKeyValue, dm.partitionKeyValue, dm.dataValue))
@@ -77,6 +79,23 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
             t.delete(session.createDataset(tx.dataManipulations.map(dm =>
               (dm.primaryKeyValue, dm.partitionKeyValue)))
               .toDF("primaryKeyValue", "partitionKeyValue"))
+        }
+        // bounded retry on TRANSIENT failures — the reference's intended A9
+        // wrapper (`TransactionWriter.java:104-119`), whose own
+        // exception-wrapping bug (§8-B4) meant it could never fire. OCC
+        // conflicts retry inside AcidTable; this guards execution-level
+        // transients. Re-applying a transaction is idempotent: upsert and
+        // delete are state-replacing, and a retried merge re-reads the
+        // snapshot it half-applied.
+        var attempt = 0
+        var applied = false
+        while (!applied) {
+          try { applyOnce(); applied = true }
+          catch {
+            case e: Throwable if attempt < 3 =>
+              attempt += 1
+              System.err.println(s"retrying txn ${tx.transactionId} after: $e")
+          }
         }
         generator.transactionCommitted(tx)
         log.logCommit(tx)
@@ -107,7 +126,10 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
       new Thread(() => {
         try writerLoop(session)
         catch { case e: Throwable =>
-          System.err.println(s"Exception in writer: $e"); writerFailed.set(true); stop.set(true)
+          System.err.println(s"Exception in writer: $e")
+          e.printStackTrace()
+          firstFailure.compareAndSet(null, s"writer: $e")
+          writerFailed.set(true); stop.set(true)
         }
       }, s"graft-writer-$i")
     }
@@ -116,7 +138,10 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
       new Thread(() => {
         try readerLoop(session)
         catch { case e: Throwable =>
-          System.err.println(s"Exception in reader: $e"); readerFailed.set(true); stop.set(true)
+          System.err.println(s"Exception in reader: $e")
+          e.printStackTrace()
+          firstFailure.compareAndSet(null, s"reader: $e")
+          readerFailed.set(true); stop.set(true)
         }
       }, s"graft-reader-$i")
     }
@@ -134,7 +159,8 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
       hasFailedReaders = readerFailed.get(),
       committedTransactions = committed.get(),
       finalRowCount = finalCount,
-      modelRowCount = modelRowCount(log))
+      modelRowCount = modelRowCount(log),
+      firstFailure = Option(firstFailure.get()))
   }
 
   /** Replay the committed transactions serially against a pure

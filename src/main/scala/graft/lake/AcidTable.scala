@@ -253,20 +253,42 @@ final class AcidTable private (
       val base = latestVersion()
       val snap = snapshot(base)
       val (result, touched) = rewrite(snap, if (base < 0) Nil else readManifest(base))
-      val carried =
-        if (base < 0) Nil
-        else readManifest(base).filterNot(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
       val newFiles = writeTouched(result, touched)
-      try {
-        publish(base + 1, carried ++ newFiles)
-        return base + 1
-      } catch {
-        case _: FileAlreadyExistsException =>
-          // lost the race: drop our orphaned data files, re-apply on the new snapshot
-          newFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f)))
-          attempt += 1
-          if (attempt > MaxRetries)
-            throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
+      // inner publish loop: losing the version race does NOT force a
+      // recompute when every intervening commit touched disjoint
+      // partitions — our rewritten partition contents are still exactly
+      // what the new snapshot requires, so only the manifest merge is
+      // redone (partition-level optimistic conflict detection; the move
+      // that makes multi-writer throughput scale with partition count
+      // instead of collapsing on a single version chain). Safe only under
+      // `stablePartitions` (otherwise an intervening commit could have
+      // placed one of our PKs in a partition we did not rewrite).
+      var publishBase = base
+      var done = false
+      while (!done) {
+        val carried =
+          if (publishBase < 0) Nil
+          else readManifest(publishBase)
+            .filterNot(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
+        try {
+          publish(publishBase + 1, carried ++ newFiles, touched)
+          return publishBase + 1
+        } catch {
+          case _: FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt > MaxRetries)
+              throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
+            val newBase = latestVersion()
+            val interveningDisjoint = stablePartitions &&
+              ((publishBase + 1) to newBase).forall(v => readTouched(v).intersect(touched.toSet).isEmpty)
+            if (interveningDisjoint) {
+              publishBase = newBase // fast path: re-merge manifests only
+            } else {
+              // full redo: drop our orphaned files, re-apply on the new snapshot
+              newFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f)))
+              done = true
+            }
+        }
       }
     }
     -1L // unreachable
@@ -306,15 +328,35 @@ final class AcidTable private (
     moved.toSeq
   }
 
-  private def readManifest(v: Long): Seq[String] = {
+  private def manifestLines(v: Long): Seq[String] = {
     val lines = Files.readAllLines(commitsDir.resolve(manifestFileName(v)), StandardCharsets.UTF_8)
     lines.toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
   }
 
+  private def readManifest(v: Long): Seq[String] =
+    manifestLines(v).filterNot(_.startsWith("#"))
+
+  /** Partition values the commit that produced version `v` rewrote
+    * (recorded as a `#touched=` header; empty for pre-header manifests).
+    * Values are URL-encoded in the header so arbitrary partition values
+    * survive the comma separator.
+    */
+  private def readTouched(v: Long): Set[String] =
+    manifestLines(v).find(_.startsWith("#touched=")) match {
+      case Some(line) =>
+        val csv = line.stripPrefix("#touched=")
+        if (csv.isEmpty) Set.empty
+        else csv.split(',').toSet
+          .map((s: String) => java.net.URLDecoder.decode(s, "UTF-8"))
+      case None => Set.empty
+    }
+
   /** Atomic create-exclusive publish: fsync'd temp file + hard link. */
-  private def publish(v: Long, files: Seq[String]): Unit = {
+  private def publish(v: Long, files: Seq[String], touched: Seq[String]): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val encoded = touched.map(java.net.URLEncoder.encode(_, "UTF-8"))
+    val body = (s"#touched=${encoded.mkString(",")}" +: files).mkString("\n")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()
     try Files.createLink(commitsDir.resolve(manifestFileName(v)), tmp)
