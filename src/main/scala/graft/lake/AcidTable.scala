@@ -9,7 +9,7 @@ import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Transactional (ACID) keyed, partitioned table over plain parquet — the
   * Spark-native replacement for the reference's Hudi COW + OCC layer
@@ -144,6 +144,20 @@ final class AcidTable private (
 
   /** Register the CURRENT snapshot as a temp view (reference A13 surface). */
   def registerView(name: String): Unit = snapshot().createOrReplaceTempView(name)
+
+  /** Schema evolution: append new nullable columns. No data rewrite —
+    * parquet files written before the evolution simply lack the columns,
+    * and the snapshot scan (explicit schema) surfaces them as NULL, the
+    * same add-column contract Delta/Hudi give. Returns the evolved table
+    * handle (this handle keeps the old schema).
+    */
+  def addColumns(newFields: Seq[StructField]): AcidTable = {
+    newFields.foreach(f => require(!schema.fieldNames.contains(f.name),
+      s"column ${f.name} already exists"))
+    val evolved = StructType(schema.fields ++ newFields.map(_.copy(nullable = true)))
+    AcidTable.writeMeta(path, evolved, pkCol, partitionCol, precombineCol, stablePartitions)
+    AcidTable.open(spark, path)
+  }
 
   /** CDC-style diff between two committed versions: every row added and
     * every row removed (an update appears as remove+insert of the two row
@@ -392,15 +406,30 @@ object AcidTable {
     if (overwrite && root.exists()) deleteRecursively(root)
     Files.createDirectories(Paths.get(path, CommitsDir))
     Files.createDirectories(Paths.get(path, DataDir))
+    writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions)
+    new AcidTable(spark, path, schema, pkCol, partitionCol, precombineCol, stablePartitions)
+  }
+
+  /** Atomically (re)write `_meta.properties` (tmp file + rename). */
+  private[lake] def writeMeta(
+      path: String,
+      schema: StructType,
+      pkCol: String,
+      partitionCol: String,
+      precombineCol: Option[String],
+      stablePartitions: Boolean): Unit = {
     val props = new java.util.Properties()
     props.setProperty("schemaDdl", schema.toDDL)
     props.setProperty("pkCol", pkCol)
     props.setProperty("partitionCol", partitionCol)
     precombineCol.foreach(props.setProperty("precombineCol", _))
     props.setProperty("stablePartitions", stablePartitions.toString)
-    val out = Files.newOutputStream(Paths.get(path, MetaFile))
+    val tmp = Paths.get(path, s".meta-tmp-${UUID.randomUUID()}")
+    val out = Files.newOutputStream(tmp)
     try props.store(out, "graft AcidTable metadata") finally out.close()
-    new AcidTable(spark, path, schema, pkCol, partitionCol, precombineCol, stablePartitions)
+    Files.move(tmp, Paths.get(path, MetaFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Open an existing table from its `_meta.properties`. */

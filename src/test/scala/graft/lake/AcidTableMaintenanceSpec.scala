@@ -38,6 +38,25 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 6) // content unchanged
   }
 
+  test("addColumns: old files read as NULL, new writes carry the column") {
+    val t0 = newTable()
+    t0.upsert(df(Record("R1", "P0", "a")))
+    val t1 = t0.addColumns(Seq(StructField("score", DoubleType)))
+    assert(t1.schema.fieldNames.toSeq ==
+      Seq("primaryKeyValue", "partitionKeyValue", "dataValue", "score"))
+    // pre-evolution row surfaces NULL for the new column
+    val before = t1.snapshot().collect()
+    assert(before.length == 1 && before.head.isNullAt(3))
+    // post-evolution write carries it
+    import org.apache.spark.sql.functions.{col, lit}
+    t1.upsert(t1.snapshot().filter(col("primaryKeyValue") === "R1")
+      .withColumn("dataValue", lit("b")).withColumn("score", lit(0.5)))
+    val after = t1.snapshot().collect()
+    assert(after.length == 1 && after.head.getDouble(3) == 0.5)
+    // reopening picks up the evolved schema
+    assert(AcidTable.open(spark, t1.path).schema.fieldNames.contains("score"))
+  }
+
   test("vacuum keeps files referenced by retained versions") {
     val t = newTable()
     t.upsert(df(Record("R1", "P0", "a")))
