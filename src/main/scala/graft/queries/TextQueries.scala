@@ -423,8 +423,11 @@ object TextQueries {
           .filter(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
             / size(array_union(col("hv_a"), col("hv_b"))) >= 0.8)
           .select(col("doc_a"), col("doc_b"))
+        // persist: every propagation round joins `edges`; without this the
+        // O(n²) pair computation re-executes once per round per side
         val edges = pairs.select(col("doc_a").as("d"), col("doc_b").as("nb"))
           .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("nb")))
+          .persist()
         var labels = edges.select(col("d").as("doc_id")).distinct()
           .withColumn("lbl", col("doc_id"))
         (1 to 3).foreach { _ =>
@@ -486,8 +489,11 @@ object TextQueries {
     Q(
       "q_dedup_simhash_pairs",
       (s, dir) => {
+        // persist: the signature computation (24 interpreted HOF folds per
+        // doc) would otherwise run once per self-join side
         val sh = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), simhashCol.as("simhash"))
+          .persist()
         val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
           posexplode(transform(sequence(lit(0), lit(3)), b =>
             floor(col("simhash") / pow(lit(2.0), (b * 6).cast("double"))).cast("long") % 64))
