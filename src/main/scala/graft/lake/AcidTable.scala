@@ -308,7 +308,13 @@ final class AcidTable private (
     -1L // unreachable
   }
 
-  private def partDir(value: String): String = s"$partitionCol=$value"
+  /** Partition directory name, escaped exactly the way Spark's partitioned
+    * writer escapes it — raw interpolation would miss the directory for any
+    * value with special characters and silently drop its data.
+    */
+  private def partDir(value: String): String =
+    s"$partitionCol=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)
 
   /** Write the touched partitions' rows as new parquet files and move them
     * into the stable per-partition directories (invisible until the
