@@ -121,8 +121,16 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
       }
     }
 
-    val writers = (0 until config.numberOfWriterThreads).map { i =>
+    // per-thread session clones (reference A15 shape). Harness batches are
+    // 3 rows against a ≤100-key table — a handful of shuffle partitions
+    // beats the cluster-sized session default for these metadata-scale jobs.
+    def harnessSession(): SparkSession = {
       val session = spark.newSession()
+      session.conf.set("spark.sql.shuffle.partitions", "4")
+      session
+    }
+    val writers = (0 until config.numberOfWriterThreads).map { i =>
+      val session = harnessSession()
       new Thread(() => {
         try writerLoop(session)
         catch { case e: Throwable =>
@@ -134,7 +142,7 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
       }, s"graft-writer-$i")
     }
     val readers = (0 until config.numberOfReaderThreads).map { i =>
-      val session = spark.newSession()
+      val session = harnessSession()
       new Thread(() => {
         try readerLoop(session)
         catch { case e: Throwable =>
