@@ -100,6 +100,57 @@ object AcidQueries {
         ORDER BY _change_type, pk
       """)),
 
+    // ---- C5 time travel: read a pinned historical version -----------------------
+    Q(
+      "q_acid_time_travel",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part")
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        val v0 = t.upsert(base)
+        t.upsert(base.withColumn("val", col("val") + 100)) // v1 overwrites all
+        t.delete(base.select("pk").collect().map(_.getString(0)).toSeq) // v2 empties
+        // time travel back to v0: the original rows, untouched by v1/v2
+        t.snapshot(v0).orderBy(col("pk"))
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+               'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+               CAST(n_regionkey AS DOUBLE) AS val
+        FROM nation ORDER BY pk
+      """)),
+
+    // ---- C5 compaction + vacuum preserve content --------------------------------
+    Q(
+      "q_acid_compact_vacuum",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part")
+        val src = Tables.region(s, dir).select(
+          col("r_regionkey").cast("string").as("pk"),
+          lit("p0").as("part"),
+          col("r_regionkey").cast("double").as("val"))
+        // five single-row commits → five small files in one partition
+        src.collect().foreach { r =>
+          t.upsert(s.createDataFrame(java.util.List.of(r), src.schema))
+        }
+        t.compact(maxFilesPerPartition = 1)
+        t.vacuum(keepVersions = 1)
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        SELECT CAST(r_regionkey AS VARCHAR) AS pk, 'p0' AS part,
+               CAST(r_regionkey AS DOUBLE) AS val
+        FROM region ORDER BY pk
+      """)),
+
     // ---- C5 precombine dedup on ingest + MERGE (matched-update / insert) --------
     Q(
       "q_acid_merge_precombine",

@@ -211,6 +211,31 @@ object TextQueries {
         FROM ranked WHERE rk = 1 ORDER BY doc_id
       """)),
 
+    // ---- C45 stopword filtering: cleaned token stream per doc -------------------
+    Q(
+      "q_text_stopword_filter",
+      (s, dir) => {
+        val stop = Seq("the", "a", "and", "of", "data", "row")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            filter(split(trim(col("text")), " "), w => !w.isin(stop: _*)).as("kept"))
+          .select(col("doc_id"),
+            size(col("kept")).cast("long").as("n_kept"),
+            concat_ws(" ", slice(col("kept"), 1, 8)).as("head_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(text), ' '),
+                             w -> w NOT IN ('the', 'a', 'and', 'of', 'data', 'row')) AS kept
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               array_to_string(kept[1:8], ' ') AS head_tokens
+        FROM f ORDER BY doc_id
+      """)),
+
     // ---- C45 corpus term frequency, top 50 --------------------------------------
     Q(
       "q_text_tf_top",
