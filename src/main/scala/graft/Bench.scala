@@ -33,12 +33,14 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time {
+      var failed = false
+      val sec = time {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); results(name) = -1.0
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
         }
       }
+      results(name) = if (failed) -1.0 else sec
     }
 
     // ACID harness throughput: 60 txns, 2 writers / 2 verifying readers
