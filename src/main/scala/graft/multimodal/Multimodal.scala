@@ -45,6 +45,29 @@ object Multimodal {
     h
   }
 
+  /** STUBBED media resize: deterministic byte-stride downsample standing in
+    * for an image resize / audio resample — halving `stride`-of-2 keeps
+    * every other byte. The plumbing contract (binary in → binary out,
+    * narrow map, no shuffle) is the production shape.
+    */
+  def resize(media: Dataset[MediaRecord], stride: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = r.payload.zipWithIndex.collect { case (b, i) if i % stride == 0 => b }
+        r.copy(payload = out, kind = s"${r.kind};stride=$stride")
+      }
+    }
+  }
+
+  /** STUBBED frame sampling: keep every `everyNth` frame's features — the
+    * video frame-sample step of a media pipeline.
+    */
+  def sampleFrames(frames: Dataset[FrameFeature], everyNth: Int)(implicit spark: SparkSession): Dataset[FrameFeature] = {
+    import spark.implicits._
+    frames.filter(_.frame_idx % everyNth == 0)
+  }
+
   /** STUBBED media decode: payload → frame-level features, one output row
     * per frame. Runs as `mapPartitions` so a real codec could amortize
     * per-partition init (codec handles, model weights) exactly like a

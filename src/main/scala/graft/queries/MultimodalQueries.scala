@@ -43,6 +43,45 @@ object MultimodalQueries {
         FROM documents ORDER BY doc_id
       """)),
 
+    // ---- C46 stubbed resize + frame-sample pipeline -----------------------------
+    // resize(stride=2) keeps every other byte of the payload; the sampled
+    // frames' features are recomputable by the oracle from the equivalent
+    // substring (every other ASCII char).
+    Q(
+      "q_mm_resize_sample",
+      (s, dir) => {
+        implicit val spark = s
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+            lit("text/plain").as("kind"))
+          .as[Multimodal.MediaRecord]
+        val frames = Multimodal.decodeFrames(Multimodal.resize(media, 2))
+        Multimodal.sampleFrames(frames, 2)
+          .toDF()
+          .withColumn("mean_byte", round(col("mean_byte"), 4))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some(s"""
+        WITH resized AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(
+                   range(1, length(text) + 1, 2), i -> substr(text, CAST(i AS BIGINT), 1)), '') AS rt
+          FROM documents WHERE doc_id < 50),
+        f AS (
+          SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+                 substr(rt, CAST(t.i * 32 + 1 AS BIGINT), 32) AS fr
+          FROM resized, unnest(range(0, 64)) AS t(i)
+          WHERE t.i * 32 < length(rt) AND t.i % 2 = 0)
+        SELECT doc_id, frame_idx,
+               CAST(length(fr) AS INT) AS frame_len,
+               ${sqlPolyHash("fr")} AS frame_hash,
+               round(CAST(list_sum(list_transform(string_split(fr, ''),
+                       c -> CAST(ascii(c) AS BIGINT))) AS DOUBLE) / length(fr), 4) AS mean_byte
+        FROM f ORDER BY doc_id, frame_idx
+      """)),
+
     // ---- C46 stubbed frame decode via typed mapPartitions -----------------------
     Q(
       "q_mm_decode_frames",

@@ -57,6 +57,16 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     assert(AcidTable.open(spark, t1.path).schema.fieldNames.contains("score"))
   }
 
+  test("open on a missing table fails fast; bad batches are rejected clearly") {
+    assertThrows[java.io.IOException] {
+      AcidTable.open(spark, "/tmp/definitely-not-a-table-" + System.nanoTime())
+    }
+    val t = newTable()
+    val bad = spark.range(3).selectExpr("CAST(id AS STRING) AS primaryKeyValue")
+    val e = intercept[IllegalArgumentException](t.upsert(bad))
+    assert(e.getMessage.contains("partitionKeyValue"))
+  }
+
   test("vacuum keeps files referenced by retained versions") {
     val t = newTable()
     t.upsert(df(Record("R1", "P0", "a")))
