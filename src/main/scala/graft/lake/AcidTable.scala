@@ -189,19 +189,25 @@ final class AcidTable private (
 
   /** Garbage-collect data files no manifest ≤ `keepVersions` back still
     * references. Readers pin a manifest, so only retire files beyond the
-    * retention window (same contract as Delta/Hudi vacuum).
+    * retention window (same contract as Delta/Hudi vacuum). `graceMillis`
+    * additionally protects files newer than the window: a concurrent
+    * writer's staged files sit in the data directories BEFORE its manifest
+    * publishes, so an age guard is what makes vacuum safe to run next to
+    * live commits (the same reason Delta's vacuum has a retention check).
     */
-  def vacuum(keepVersions: Int = 2): Int = {
+  def vacuum(keepVersions: Int = 2, graceMillis: Long = 10 * 60 * 1000L): Int = {
     val latest = latestVersion()
     if (latest < 0) return 0
     val keepFrom = math.max(0L, latest - keepVersions + 1)
     val live: Set[String] =
       (keepFrom to latest).flatMap(v => readManifest(v)).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
     var removed = 0
     Option(dataRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { pdir =>
       Option(pdir.listFiles()).getOrElse(Array.empty).foreach { f =>
         val rel = s"${pdir.getName}/${f.getName}"
-        if (f.getName.endsWith(".parquet") && !live.contains(rel)) {
+        if (f.getName.endsWith(".parquet") && !live.contains(rel)
+            && f.lastModified() < cutoff) {
           if (f.delete()) removed += 1
         }
       }

@@ -142,7 +142,7 @@ object AcidQueries {
           t.upsert(s.createDataFrame(java.util.List.of(r), src.schema))
         }
         t.compact(maxFilesPerPartition = 1)
-        t.vacuum(keepVersions = 1)
+        t.vacuum(keepVersions = 1, graceMillis = 0L)
         t.snapshot().orderBy(col("pk"))
       },
       Some("""

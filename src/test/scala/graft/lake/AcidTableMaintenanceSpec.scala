@@ -33,7 +33,7 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     (1 to 6).foreach(i => t.upsert(df(Record(s"R$i", "P0", s"v$i"))))
     assert(filesInPartition(t, "P0") == 6) // one file per commit
     t.compact(maxFilesPerPartition = 4)
-    t.vacuum(keepVersions = 1)
+    t.vacuum(keepVersions = 1, graceMillis = 0L)
     assert(filesInPartition(t, "P0") == 1)
     assert(t.snapshot().count() == 6) // content unchanged
   }
@@ -57,6 +57,23 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     assert(AcidTable.open(spark, t1.path).schema.fieldNames.contains("score"))
   }
 
+  test("compact races concurrent upserts safely (OCC)") {
+    val t = newTable()
+    (1 to 4).foreach(i => t.upsert(df(Record(s"R$i", "P0", "seed"))))
+    val writers = (1 to 3).map { i =>
+      new Thread(() => {
+        val s2 = spark.newSession()
+        val t2 = AcidTable.open(s2, t.path)
+        t2.upsert(s2.createDataset(Seq(Record(s"W$i", "P0", s"w$i"))).toDF())
+      })
+    }
+    val compactor = new Thread(() => AcidTable.open(spark.newSession(), t.path).compact(1))
+    (writers :+ compactor).foreach(_.start())
+    (writers :+ compactor).foreach(_.join())
+    val keys = t.snapshot().as[Record].collect().map(_.primaryKeyValue).sorted.toSeq
+    assert(keys == Seq("R1", "R2", "R3", "R4", "W1", "W2", "W3"))
+  }
+
   test("open on a missing table fails fast; bad batches are rejected clearly") {
     assertThrows[java.io.IOException] {
       AcidTable.open(spark, "/tmp/definitely-not-a-table-" + System.nanoTime())
@@ -71,7 +88,7 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     val t = newTable()
     t.upsert(df(Record("R1", "P0", "a")))
     t.upsert(df(Record("R1", "P0", "b"))) // rewrites P0; v0's file now stale
-    val removed = t.vacuum(keepVersions = 1)
+    val removed = t.vacuum(keepVersions = 1, graceMillis = 0L)
     assert(removed == 1)
     assert(t.snapshot().as[Record].head().dataValue == "b")
     // retained manifest still fully readable
