@@ -83,6 +83,25 @@ object ExtraQueries {
         ORDER BY c_nationkey, metric
       """)),
 
+    // ---- exact interpolated percentiles per group -------------------------------
+    Q(
+      "q_agg_percentile",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """)),
+
     // ---- skew-safe aggregation via salting --------------------------------------
     // event_type has 5 values over 10k+ rows — a direct groupBy puts whole
     // key groups on single tasks. Two-phase salted aggregation: partial
