@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep program stdout clean for the driver's JSON-line parse: sbt's
+// "[success] Total time ..." epilogue would otherwise land AFTER the
+// bench JSON line, and the default logger prefixes forked-app stdout with
+// "[info] " — both break a json.loads of the line (BENCH_r01 parsed:null).
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
