@@ -31,8 +31,13 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional comma-separated name-prefix filter for local iteration; the
+    // driver leaves it unset → full run including the ACID harness.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(t => selected(t._1)).foreach { case (name, fn) =>
       var failed = false
       val sec = time {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -45,7 +50,7 @@ object Bench {
 
     // ACID harness throughput: 60 txns, 2 writers / 2 verifying readers
     // (BASELINE.md workload shape at reduced txn budget)
-    results("acid_harness_60txn") = time {
+    if (selected("acid_harness_60txn")) results("acid_harness_60txn") = time {
       val path = Files.createTempDirectory("bench-acid-").resolve("t").toString
       val r = new TransactionManager(spark, HarnessConfig(
         tablePath = path, numberOfWriterThreads = 2, numberOfReaderThreads = 2,

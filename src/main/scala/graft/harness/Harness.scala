@@ -64,21 +64,22 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
         val tx = generator.getNextTransaction()
         log.logIntent(tx)
         val t = AcidTable.open(session, config.tablePath)
+        // the generator knows each manipulation's partition → hint skips
+        // the touched-partition discovery job on every commit
+        val parts = Some(tx.dataManipulations.map(_.partitionKeyValue).distinct)
         def applyOnce(): Unit = tx.manipulationType match {
           case ManipulationType.Insert | ManipulationType.Update =>
             val records = tx.dataManipulations
               .map(dm => Record(dm.primaryKeyValue, dm.partitionKeyValue, dm.dataValue))
             val ds = session.createDataset(records).toDF()
-            if (tx.manipulationType == ManipulationType.Insert) t.upsert(ds)
+            if (tx.manipulationType == ManipulationType.Insert) t.upsert(ds, parts)
             // MERGE parity: matched rows update only dataValue
             // (`TransactionWriter.java:154-161`)
-            else t.merge(ds, updateCols = Seq("dataValue"))
+            else t.merge(ds, updateCols = Seq("dataValue"), partitionsHint = parts)
           case ManipulationType.Delete =>
-            // keys + partitions: lets the stable-partition fast path skip
-            // the snapshot lookup
             t.delete(session.createDataset(tx.dataManipulations.map(dm =>
               (dm.primaryKeyValue, dm.partitionKeyValue)))
-              .toDF("primaryKeyValue", "partitionKeyValue"))
+              .toDF("primaryKeyValue", "partitionKeyValue"), parts)
         }
         // bounded retry on TRANSIENT failures — the reference's intended A9
         // wrapper (`TransactionWriter.java:104-119`), whose own
@@ -127,6 +128,11 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
     def harnessSession(): SparkSession = {
       val session = spark.newSession()
       session.conf.set("spark.sql.shuffle.partitions", "4")
+      // AQE re-plans after every shuffle materialization — worth it for
+      // cluster-scale stages, pure scheduling overhead for 3-row
+      // transactional commits (adds a job round-trip per shuffle on the
+      // commit critical path)
+      session.conf.set("spark.sql.adaptive.enabled", "false")
       session
     }
     val writers = (0 until config.numberOfWriterThreads).map { i =>

@@ -68,7 +68,14 @@ final class AcidTable private (
     */
   def snapshot(version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion()
-    val files = if (v < 0) Nil else readManifest(v)
+    snapshotFromFiles(if (v < 0) Nil else readManifest(v))
+  }
+
+  /** Scan of an explicit manifest-relative file list (a pinned snapshot or
+    * any partition-subset of one). Partition values are recovered from the
+    * directory names via `basePath`, so Catalyst partition pruning works.
+    */
+  private def snapshotFromFiles(files: Seq[String]): DataFrame =
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
@@ -79,39 +86,66 @@ final class AcidTable private (
         .parquet(abs: _*)
         .select(schema.fieldNames.map(col): _*) // canonical column order
     }
-  }
 
   // --------------------------------------------------------------- writes --
 
   /** Insert-or-replace whole rows by PK (reference A5, the path-based Hudi
     * upsert with precombine semantics §1.1).
+    *
+    * `partitionsHint`: the distinct partition values present in the batch,
+    * when the caller already knows them (a transactional producer always
+    * does). Skips the touched-partition discovery job — one fewer Spark
+    * round-trip on the commit critical path, which is what bounds
+    * small-transaction throughput. Only honored with [[stablePartitions]];
+    * otherwise matched PKs may live in partitions outside the batch and
+    * discovery must consult the snapshot.
     */
-  def upsert(batch: DataFrame): Long = {
+  def upsert(batch: DataFrame, partitionsHint: Option[Seq[String]] = None): Long = {
     val b = precombine(normalize(batch))
-    commitLoop { snap =>
-      val keys = b.select(pkCol).distinct()
-      (snap.join(keys, Seq(pkCol), "left_anti").unionByName(b), touchedBy(snap, b, keys))
-    }
+    val hint = checkedHint(partitionsHint)
+    val keys = b.select(pkCol).distinct()
+    commitLoop(
+      touchedOf = (snap, _) => hint.getOrElse(touchedBy(snap, b, keys)),
+      resultOf = snapT => snapT.join(keys, Seq(pkCol), "left_anti").unionByName(b))
   }
 
   /** MERGE INTO (reference A7): on PK match update `updateCols` from the
-    * source, otherwise insert the full source row.
+    * source, otherwise insert the full source row. `partitionsHint` as in
+    * [[upsert]].
     */
-  def merge(source: DataFrame, updateCols: Seq[String]): Long = {
+  def merge(
+      source: DataFrame,
+      updateCols: Seq[String],
+      partitionsHint: Option[Seq[String]] = None): Long = {
     val src = precombine(normalize(source))
-    commitLoop { snap =>
-      val keys = src.select(pkCol).distinct()
-      val matched = snap.as("t")
-        .join(src.as("s"), col(s"t.$pkCol") === col(s"s.$pkCol"), "inner")
-        .select(schema.fieldNames.map { f =>
-          (if (updateCols.contains(f)) col(s"s.$f") else col(s"t.$f")).as(f)
-        }: _*)
-      val inserted = src.join(snap.select(pkCol), Seq(pkCol), "left_anti")
-        .select(schema.fieldNames.map(col): _*)
-      val result = snap.join(keys, Seq(pkCol), "left_anti")
-        .unionByName(matched).unionByName(inserted)
-      (result, touchedBy(snap, src, keys))
-    }
+    val hint = checkedHint(partitionsHint)
+    val keys = src.select(pkCol).distinct()
+    commitLoop(
+      touchedOf = (snap, _) => hint.getOrElse(touchedBy(snap, src, keys)),
+      // sound on the touched subset: touched covers every matched PK's
+      // current partition (via hint contract or discovery), so any src key
+      // absent from snapT is absent from the whole table
+      resultOf = snapT => {
+        val matched = snapT.as("t")
+          .join(src.as("s"), col(s"t.$pkCol") === col(s"s.$pkCol"), "inner")
+          .select(schema.fieldNames.map { f =>
+            (if (updateCols.contains(f)) col(s"s.$f") else col(s"t.$f")).as(f)
+          }: _*)
+        val inserted = src.join(snapT.select(pkCol), Seq(pkCol), "left_anti")
+          .select(schema.fieldNames.map(col): _*)
+        snapT.join(keys, Seq(pkCol), "left_anti")
+          .unionByName(matched).unionByName(inserted)
+      })
+  }
+
+  /** A partitions hint is sound only when partition placement is a pure
+    * function of the PK — under churn a matched key's CURRENT partition
+    * could differ from the batch's and would be silently left stale.
+    */
+  private def checkedHint(hint: Option[Seq[String]]): Option[Seq[String]] = {
+    require(hint.isEmpty || stablePartitions,
+      "partitionsHint requires stablePartitions=true")
+    hint.map(_.distinct)
   }
 
   /** Delete by key set (reference A8, as a left-anti join — the reference's
@@ -127,19 +161,20 @@ final class AcidTable private (
     * partition lookup needs no snapshot scan (the harness's
     * DataManipulations carry both, reference `DataManipulation.java`).
     */
-  def delete(keysWithPartitions: DataFrame): Long = {
+  def delete(keysWithPartitions: DataFrame, partitionsHint: Option[Seq[String]] = None): Long = {
     val hasPart = keysWithPartitions.columns.contains(partitionCol)
     val keysDf = keysWithPartitions.select(pkCol).distinct()
-    commitLoop { snap =>
-      val touched =
+    val hint = checkedHint(partitionsHint)
+    commitLoop(
+      touchedOf = (snap, _) => hint.getOrElse {
         if (stablePartitions && hasPart)
           keysWithPartitions.select(partitionCol).distinct()
             .collect().map(_.getString(0)).toSeq
         else
           snap.join(keysDf, Seq(pkCol), "left_semi")
             .select(partitionCol).distinct().collect().map(_.getString(0)).toSeq
-      (snap.join(keysDf, Seq(pkCol), "left_anti"), touched)
-    }
+      },
+      resultOf = snapT => snapT.join(keysDf, Seq(pkCol), "left_anti"))
   }
 
   /** Register the CURRENT snapshot as a temp view (reference A13 surface). */
@@ -179,12 +214,17 @@ final class AcidTable private (
     * background optimize job every lakehouse runs).
     */
   def compact(maxFilesPerPartition: Int = 4): Long = {
-    commitLoopWithFiles { (snap, files) =>
-      val byPartition = files.groupBy(f => f.takeWhile(_ != '/'))
-      val crowded = byPartition.filter(_._2.size > maxFilesPerPartition).keys
-        .map(_.stripPrefix(s"$partitionCol=")).toSeq
-      (snap, crowded)
-    }
+    commitLoop(
+      touchedOf = (_, files) => {
+        val byPartition = files.groupBy(f => f.takeWhile(_ != '/'))
+        byPartition.filter(_._2.size > maxFilesPerPartition).keys
+          .map(d =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(d.stripPrefix(s"$partitionCol=")))
+          .toSeq
+      },
+      // identity rewrite: same rows, one file per crowded partition
+      resultOf = snapT => snapT)
   }
 
   /** Garbage-collect data files no manifest ≤ `keepVersions` back still
@@ -258,21 +298,29 @@ final class AcidTable private (
     touched.collect().map(_.getString(0)).toSeq
   }
 
-  /** One OCC commit: `rewrite(snapshot)` returns the full-table logical
-    * result plus the touched partition values; only touched partitions are
-    * physically rewritten. Retries on publish conflict with a fresh
-    * snapshot (bounded, reference retried ≤100, `TransactionWriter.java:108`).
+  /** One OCC commit in two phases. `touchedOf(snap, manifestFiles)` names
+    * the partition values the commit rewrites (consulting the full snapshot
+    * only when it must discover matched keys); `resultOf(snapTouched)` maps
+    * the TOUCHED-PARTITION SUBSET of the snapshot to its replacement
+    * content. Only that subset is ever scanned — a commit's read cost is
+    * proportional to what it rewrites, not to table size, which is the
+    * property that lets the same code path run against a 100 TB table. It
+    * also keeps the physical plan literal-free across commits (the file
+    * list lives in the scan relation, not in an `isin(...)` filter), so
+    * whole-stage codegen caches hit instead of recompiling per transaction.
+    * Retries on publish conflict with a fresh snapshot (bounded, reference
+    * retried ≤100, `TransactionWriter.java:108`).
     */
-  private def commitLoop(rewrite: DataFrame => (DataFrame, Seq[String])): Long =
-    commitLoopWithFiles((snap, _) => rewrite(snap))
-
-  private def commitLoopWithFiles(
-      rewrite: (DataFrame, Seq[String]) => (DataFrame, Seq[String])): Long = {
+  private def commitLoop(
+      touchedOf: (DataFrame, Seq[String]) => Seq[String],
+      resultOf: DataFrame => DataFrame): Long = {
     var attempt = 0
     while (true) {
       val base = latestVersion()
-      val snap = snapshot(base)
-      val (result, touched) = rewrite(snap, if (base < 0) Nil else readManifest(base))
+      val files = if (base < 0) Nil else readManifest(base)
+      val touched = touchedOf(snapshotFromFiles(files), files)
+      val touchedFiles = files.filter(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
+      val result = resultOf(snapshotFromFiles(touchedFiles))
       val newFiles = writeTouched(result, touched)
       // inner publish loop: losing the version race does NOT force a
       // recompute when every intervening commit touched disjoint
@@ -325,13 +373,16 @@ final class AcidTable private (
   /** Write the touched partitions' rows as new parquet files and move them
     * into the stable per-partition directories (invisible until the
     * manifest references them). Returns manifest-relative paths.
+    *
+    * The caller guarantees `result` holds rows of touched partitions only
+    * (the commit-loop contract); the leftover-directory check below turns a
+    * violation into a loud failure instead of silent row loss.
     */
   private def writeTouched(result: DataFrame, touched: Seq[String]): Seq[String] = {
     if (touched.isEmpty) return Nil
     val commitId = UUID.randomUUID().toString
     val tmp = Paths.get(path, s"_tmp-$commitId")
     result
-      .filter(col(partitionCol).isin(touched: _*))
       // one output file per partition value: tiny files are the enemy of a
       // 100 TB table; a real deployment would split by target file size
       .repartition(col(partitionCol))
@@ -350,6 +401,12 @@ final class AcidTable private (
         moved += rel
       }
     }
+    // loud-failure guard: any partition directory left in tmp means the
+    // caller's result strayed outside `touched` and rows would vanish
+    val stray = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !touched.exists(p => f.getName == partDir(p)))
+    require(stray.isEmpty,
+      s"commit produced rows outside its touched partitions: ${stray.map(_.getName).mkString(", ")}")
     deleteRecursively(tmp.toFile)
     moved.toSeq
   }

@@ -1,7 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PositionalEqCount
+import org.apache.spark.sql.graft.SortedLongIntersectCount.intersectCount
 
 import graft.Tables
 import graft.functions.TextHash
@@ -35,19 +38,68 @@ object TextQueries {
       |   range(1, greatest(len(w) - 1, 0) + 1),
       |   i -> w[i] || ' ' || w[i + 1]))""".stripMargin
 
-  /** Spark-side 24-bit word-level SimHash column (shared by the signature
-    * and pair queries; DuckDB rendering must stay in lock-step).
+  /** Spark-side 24-bit word-level SimHash as a (doc_id, lang, simhash)
+    * DataFrame (shared by the signature and pair queries; the DuckDB
+    * rendering in [[sqlSimhashCtes]] must stay in lock-step).
+    *
+    * Shape: explode distinct words → codegen'd hash aggregate with one
+    * ±1-sum per bit. The earlier formulation (nested `aggregate` HOF, 24
+    * interpreted folds per document) dominated the dedup bench; this one
+    * is a single whole-stage-codegen'd partial+final aggregation, and at
+    * 100 TB it is the plan you want anyway — word explosion is map-side,
+    * the shuffle carries only (doc_id, 24 longs). `shiftright(h,b)%2`
+    * equals the oracle's `(h // 2^b) % 2` because h ∈ [0, P) is
+    * non-negative.
     */
-  private def simhashCol = {
-    val hv = transform(array_distinct(split(trim(col("text")), " ")),
-      w => TextHash.polyHash(w))
-    val bits = transform(sequence(lit(0), lit(23)), b =>
-      when(
-        aggregate(hv, lit(0L), (acc, h) =>
-          acc + when(floor(h / pow(lit(2.0), b.cast("double"))).cast("long") % 2 === 1, 1L)
-            .otherwise(-1L)) > 0,
-        pow(lit(2.0), b.cast("double")).cast("long")).otherwise(0L))
-    aggregate(bits, lit(0L), (acc, x) => acc + x)
+  private def simhashDF(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(trim(col("text")), " "))).as("w"))
+      .withColumn("h", TextHash.polyHash(col("w")))
+    val bitSums = Seq.tabulate(24)(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b"))
+    val simhash = Seq.tabulate(24)(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    words.groupBy(col("doc_id"), col("lang")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("lang"), simhash.as("simhash"))
+  }
+
+  /** Hashed word-bigram shingle SETS per document, the shared input of the
+    * n-gram Jaccard family: `sz` is the raw (pre-distinct) signature length
+    * the size-ratio prune uses, `hs` the sorted distinct hash set for the
+    * merge-intersect, `ds` its cardinality. Persisted: both self-join
+    * sides and every cluster-propagation round read it (at 100 TB this is
+    * a materialized signatures table).
+    */
+  private def hashedShingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
+      .select(col("doc_id"), col("lang"), size(col("hv")).as("sz"),
+        array_sort(array_distinct(col("hv"))).as("hs"))
+      .withColumn("ds", size(col("hs")))
+      .persist()
+
+  /** Exact Jaccard ≥ 0.8 near-dup pairs over [[hashedShingleSets]]. The
+    * per-pair verify is a codegen'd sorted-merge `|A∩B|`
+    * ([[SortedLongIntersectCount]]) with `|A∪B| = ds_a + ds_b − |A∩B|` —
+    * no per-pair hash sets. Value-identical to the oracle's
+    * `len(list_intersect)/len(list_distinct(list_concat))`.
+    */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+      col("sz").as("sz_a"), col("ds").as("ds_a"))
+    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+      col("sz").as("sz_b"), col("ds").as("ds_b"))
+    // size-ratio bound is LOSSLESS for j >= 0.8: j <= min(|A|,|B|)/max(|A|,|B|),
+    // so 5*min >= 4*max must hold — prunes pairs before the merge-intersect runs
+    a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b")
+        && col("sz_a") * 5 >= col("sz_b") * 4
+        && col("sz_b") * 5 >= col("sz_a") * 4)
+      .withColumn("inter", intersectCount(col("hs_a"), col("hs_b")).cast("double"))
+      .withColumn("j", col("inter") / (col("ds_a") + col("ds_b") - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("j"))
   }
 
   /** DuckDB CTE chain computing `simhash` per doc_id (mirror of
@@ -303,23 +355,7 @@ object TextQueries {
     Q(
       "q_dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
-        val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("hv").as("hv_a"),
-          size(col("hv")).as("sz_a"))
-        val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("hv").as("hv_b"),
-          size(col("hv")).as("sz_b"))
-        // size-ratio bound is LOSSLESS for j >= 0.8: j <= min(|A|,|B|)/max(|A|,|B|),
-        // so 5*min >= 4*max must hold — prunes pairs before the expensive
-        // set intersection ever runs
-        a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b")
-            && col("sz_a") * 5 >= col("sz_b") * 4
-            && col("sz_b") * 5 >= col("sz_a") * 4)
-          .withColumn("j",
-            size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
-              / size(array_union(col("hv_a"), col("hv_b"))))
-          .filter(col("j") >= 0.8)
+        jaccardPairs(hashedShingleSets(s, dir))
           .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -351,41 +387,43 @@ object TextQueries {
     Q(
       "q_dedup_minhash_lsh",
       (s, dir) => {
-        val sigs = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
-          .withColumn("sig", transform(sequence(lit(0L), lit(15L)),
-            j => array_min(transform(col("hv"), h => TextHash.minhashPerm(j, h)))))
+        // MinHash over the sorted DISTINCT hash set: array_min over the
+        // permuted values is unaffected by duplicates, so this matches the
+        // oracle (which permutes the raw hv list) exactly.
+        val sigs = hashedShingleSets(s, dir)
+          .select(col("doc_id"), col("hs"), col("ds"),
+            transform(sequence(lit(0L), lit(15L)),
+              j => array_min(transform(col("hs"), h => TextHash.minhashPerm(j, h)))).as("sig"))
           .withColumn("bands", transform(sequence(lit(0), lit(3)), b =>
             (get(col("sig"), b * 4) * lit(29791L)
               + get(col("sig"), b * 4 + 1) * lit(961L)
               + get(col("sig"), b * 4 + 2) * lit(31L)
               + get(col("sig"), b * 4 + 3)) % lit(P)))
           .persist()
-        val banded = sigs.select(col("doc_id"),
+        // the band self-join CARRIES the 16-long signatures (128 B/row at
+        // 4 bands/doc) instead of re-joining them onto candidates — two
+        // fewer shuffles; est-filter is a codegen'd positional-eq count
+        val banded = sigs.select(col("doc_id"), col("sig"),
           posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-        val cand = banded.as("a")
+        val est = banded.as("a")
           .join(banded.as("b"),
             col("a.band_idx") === col("b.band_idx")
               && col("a.band_hash") === col("b.band_hash")
               && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
           .dropDuplicates("doc_a", "doc_b")
-        val est = cand
-          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
           .withColumn("est_j",
-            aggregate(
-              zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
-              lit(0L), (acc, x) => acc + x).cast("double") / 16.0)
+            PositionalEqCount.eqCount(col("sig_a"), col("sig_b")).cast("double") / 16.0)
           .filter(col("est_j") >= 0.5)
           .select(col("doc_a"), col("doc_b"), col("est_j"))
         est
-          .join(sigs.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
-          .join(sigs.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
-          .withColumn("exact_j",
-            size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
-              / size(array_union(col("hv_a"), col("hv_b"))))
+          .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+            col("ds").as("ds_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+            col("ds").as("ds_b")), "doc_b")
+          .withColumn("inter", intersectCount(col("hs_a"), col("hs_b")).cast("double"))
+          .withColumn("exact_j", col("inter") / (col("ds_a") + col("ds_b") - col("inter")))
           .filter(col("exact_j") >= 0.5)
           .select(col("doc_a"), col("doc_b"),
             round(col("est_j"), 6).as("est_jaccard"),
@@ -436,17 +474,7 @@ object TextQueries {
     Q(
       "q_dedup_clusters",
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
-        val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("hv").as("hv_a"),
-          size(col("hv")).as("sz_a"))
-        val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("hv").as("hv_b"),
-          size(col("hv")).as("sz_b"))
-        val pairs = a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b")
-            && col("sz_a") * 5 >= col("sz_b") * 4 && col("sz_b") * 5 >= col("sz_a") * 4)
-          .filter(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
-            / size(array_union(col("hv_a"), col("hv_b"))) >= 0.8)
+        val pairs = jaccardPairs(hashedShingleSets(s, dir))
           .select(col("doc_a"), col("doc_b"))
         // persist: every propagation round joins `edges`; without this the
         // O(n²) pair computation re-executes once per round per side
@@ -463,6 +491,12 @@ object TextQueries {
             .join(nbrMin.select(col("d").as("doc_id"), col("nl")), Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          // materialize each round: `labels` is referenced twice next round,
+          // so an unpersisted lineage re-executes all earlier rounds
+          // multiplicatively (this is the iterate-on-Spark idiom — persist
+          // per superstep, exactly what GraphX/Pregel does internally)
+          labels = labels.persist()
+          labels.count()
         }
         labels.select(col("doc_id"), col("lbl").as("cluster_id"),
             (col("doc_id") === col("lbl")).as("is_canonical"))
@@ -498,8 +532,8 @@ object TextQueries {
     Q(
       "q_dedup_simhash",
       (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"), simhashCol.as("simhash"))
+        simhashDF(s, dir)
+          .select(col("doc_id"), col("simhash"))
           .orderBy(col("doc_id")),
       Some(s"""
         WITH $sqlSimhashCtes
@@ -514,14 +548,12 @@ object TextQueries {
     Q(
       "q_dedup_simhash_pairs",
       (s, dir) => {
-        // persist: the signature computation (24 interpreted HOF folds per
-        // doc) would otherwise run once per self-join side
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), simhashCol.as("simhash"))
-          .persist()
+        // persist: the signature aggregation would otherwise run once per
+        // self-join side
+        val sh = simhashDF(s, dir).persist()
         val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
-          posexplode(transform(sequence(lit(0), lit(3)), b =>
-            floor(col("simhash") / pow(lit(2.0), (b * 6).cast("double"))).cast("long") % 64))
+          posexplode(array(Seq.tabulate(4)(b =>
+            shiftright(col("simhash"), b * 6).cast("long") % 64): _*))
             .as(Seq("band_idx", "band_val")))
         banded.as("a")
           .join(banded.as("b"),
