@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.harness.{HarnessConfig, TransactionManager}
 
@@ -29,6 +30,29 @@ object Bench {
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // Untimed warmup: JIT + whole-stage-codegen compilation otherwise land
+    // entirely on whichever query happens to run first (≈10 s on a cold
+    // JVM). Standard benchmarking practice; the BASELINE stock-Spark
+    // comparison runs warm the same way.
+    {
+      import spark.implicits._
+      val w = spark.read.parquet(s"$sfDir/nation.parquet")
+      w.groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+        .join(w.select(col("n_regionkey")).distinct(), "n_regionkey")
+        .write.format("noop").mode("overwrite").save()
+      Seq(("a", 1L)).toDF("k", "v").select(transform(array(col("v")), x => x + 1))
+        .write.format("noop").mode("overwrite").save()
+      // warm the transactional write path too (commit plan codegen,
+      // parquet writer init)
+      val wt = graft.lake.AcidTable.create(spark,
+        Files.createTempDirectory("bench-warm-").resolve("t").toString,
+        org.apache.spark.sql.types.StructType.fromDDL("pk STRING, part STRING, v BIGINT"),
+        pkCol = "pk", partitionCol = "part")
+      wt.upsert(Seq(("a", "p0", 1L), ("b", "p1", 2L)).toDF("pk", "part", "v"))
+      wt.delete(Seq("a"))
+      wt.snapshot().write.format("noop").mode("overwrite").save()
     }
 
     // Optional comma-separated name-prefix filter for local iteration; the

@@ -384,8 +384,12 @@ final class AcidTable private (
     val tmp = Paths.get(path, s"_tmp-$commitId")
     result
       // one output file per partition value: tiny files are the enemy of a
-      // 100 TB table; a real deployment would split by target file size
-      .repartition(col(partitionCol))
+      // 100 TB table; a real deployment would split by target file size.
+      // Task count = touched partitions, not the session shuffle default —
+      // a commit's write parallelism should track what it rewrites (hash
+      // collisions co-locating two values in one task are fine: partitionBy
+      // still splits the output files per value)
+      .repartition(math.max(touched.size, 1), col(partitionCol))
       .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     touched.foreach { p =>

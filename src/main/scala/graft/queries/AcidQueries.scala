@@ -29,7 +29,7 @@ object AcidQueries {
         val schema = StructType(Seq(
           StructField("pk", StringType), StructField("part", StringType),
           StructField("val", DoubleType)))
-        val t = AcidTable.create(s, scratch(), schema, "pk", "part")
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
         val base = Tables.customer(s, dir)
           .filter(col("c_custkey") < 1000)
           .select(
@@ -64,7 +64,7 @@ object AcidQueries {
         val schema = StructType(Seq(
           StructField("pk", StringType), StructField("part", StringType),
           StructField("val", DoubleType)))
-        val t = AcidTable.create(s, scratch(), schema, "pk", "part")
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
         val base = Tables.customer(s, dir)
           .filter(col("c_custkey") < 300)
           .select(
@@ -107,7 +107,7 @@ object AcidQueries {
         val schema = StructType(Seq(
           StructField("pk", StringType), StructField("part", StringType),
           StructField("val", DoubleType)))
-        val t = AcidTable.create(s, scratch(), schema, "pk", "part")
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
         val base = Tables.nation(s, dir).select(
           col("n_nationkey").cast("string").as("pk"),
           concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
@@ -132,7 +132,7 @@ object AcidQueries {
         val schema = StructType(Seq(
           StructField("pk", StringType), StructField("part", StringType),
           StructField("val", DoubleType)))
-        val t = AcidTable.create(s, scratch(), schema, "pk", "part")
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
         val src = Tables.region(s, dir).select(
           col("r_regionkey").cast("string").as("pk"),
           lit("p0").as("part"),
@@ -159,7 +159,7 @@ object AcidQueries {
           StructField("pk", StringType), StructField("part", StringType),
           StructField("seq", LongType), StructField("val", DoubleType)))
         val t = AcidTable.create(s, scratch(), schema, "pk", "part",
-          precombineCol = Some("seq"))
+          precombineCol = Some("seq"), stablePartitions = true)
         // batch with duplicate PKs: one lineitem row per (orderkey, linenumber);
         // precombine must keep the greatest linenumber per order
         val batch = Tables.lineitem(s, dir)

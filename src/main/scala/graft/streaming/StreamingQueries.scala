@@ -110,11 +110,23 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = transform(stream).writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stateful operators instantiate (and commit) one state store per
+    // shuffle partition per micro-batch, so the session-wide partition
+    // count — sized for batch shuffles — multiplies straight into
+    // per-batch fixed cost. Size state parallelism to the stream instead;
+    // the partition count binds at checkpoint creation, so setting it just
+    // for the start of this query is safe and local. On a real cluster
+    // this is the same knob, sized to state volume ÷ target store size.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        transform(stream).writeStream
+          .format("memory").queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     s.table(name)
   }
