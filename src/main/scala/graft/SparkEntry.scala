@@ -19,7 +19,8 @@ object SparkEntry {
     RelationalQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowSetQueries.all ++ FunctionQueries.all ++ SourceQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      AcidQueries.all ++ StreamingQueries.all ++ ExtraQueries.all
+      AcidQueries.all ++ StreamingQueries.all ++ ExtraQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.graft.SortedLongIntersectCount.intersectCount
+
+import graft.Tables
+import graft.functions.TextHash
+import graft.lake.AcidTable
+
+/** Training-data-pipeline operators beyond SURVEY §2C's inventory:
+  * reproducible sampling, order-independent statistics, data-layout
+  * clustering, incremental (CDC-driven) aggregate maintenance, containment
+  * dedup, fuzzy joins, pooled embeddings, and sketch-accuracy checks.
+  *
+  * Determinism doctrine (what makes these 100 TB-safe): anything that
+  * crosses a shuffle is accumulated in integers or DECIMAL — never raw
+  * doubles — so results are independent of partitioning and task order;
+  * sampling decisions are pure hash functions of the row key, never RNG
+  * state; all double math happens AFTER aggregation on single values with
+  * the operation sequence mirrored in the DuckDB oracle.
+  */
+object PipelineQueries {
+
+  private val Knuth = 2654435761L // Knuth multiplicative hash constant
+
+  def all: Seq[Q] = Seq(
+    // ---- reproducible Bernoulli-style sampling by key hash ----------------------
+    // The sampling decision is a pure function of the row key: the sample
+    // is stable across runs, executors, AND engines — the property actual
+    // corpus pipelines need so a re-run selects the identical subset
+    // (Spark's df.sample seeds per-partition RNG → repartition changes the
+    // sample; this does not).
+    Q(
+      "q_sample_hash",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter((col("event_id") * Knuth) % 1000 < 100)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy(col("event_id")),
+      Some(s"""
+        SELECT event_id, user_id, event_type
+        FROM events WHERE (event_id * $Knuth) % 1000 < 100
+        ORDER BY event_id
+      """)),
+
+    // ---- stratified fixed-size-per-stratum sampling -----------------------------
+    // Hash-ranked top-20 per language: balanced per-stratum subsets for
+    // eval sets / per-language quota sampling. One window per stratum —
+    // shuffles only (lang, hash, id), and WindowGroupLimit pushes the
+    // top-k below the exchange.
+    Q(
+      "q_sample_stratified",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("hk", (col("doc_id") * Knuth) % TextHash.P)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+          .orderBy(col("lang"), col("rk")),
+      Some(s"""
+        SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY (doc_id * $Knuth) % ${TextHash.P}, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 20 ORDER BY lang, rk
+      """)),
+
+    // ---- order-independent moment statistics (mean/stddev/corr) -----------------
+    // Second moments accumulated in DECIMAL (values carry 2 dp) and BIGINT,
+    // then combined in double space on the final single values: the result
+    // is bit-identical no matter how partial aggregation interleaves —
+    // the numerically-reproducible way to compute corpus statistics at
+    // scale. (A raw double `corr` differs per run on a real cluster.)
+    Q(
+      "q_stat_summary",
+      (s, dir) => {
+        val vd = col("value").cast(DecimalType(18, 2))
+        val h = hour(col("ts")).cast("long")
+        val agg = Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(vd).as("sxd"), sum(vd * vd).as("sxxd"),
+            sum(h).as("sy"), sum(h * h).as("syy"),
+            sum(vd * h.cast(DecimalType(18, 2))).as("sxyd"))
+        val n = col("n").cast("double")
+        val sx = col("sxd").cast("double"); val sxx = col("sxxd").cast("double")
+        val sy = col("sy").cast("double"); val syy = col("syy").cast("double")
+        val sxy = col("sxyd").cast("double")
+        agg.select(
+            col("event_type"), col("n"),
+            round(sx / n, 4).as("mean_val"),
+            round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4).as("stddev_val"),
+            round((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4).as("corr_val_hour"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                          * CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))
+                          * CAST(CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          FROM events GROUP BY event_type)
+        SELECT event_type, n,
+               round(sx / CAST(n AS DOUBLE), 4) AS mean_val,
+               round(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 4) AS stddev_val,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS corr_val_hour
+        FROM a ORDER BY event_type
+      """)),
+
+    // ---- Z-order data-layout clustering -----------------------------------------
+    // Bit-interleaved (Morton) key over two dimensions, then per-bucket
+    // min/max ranges: files written in z-order carry tight multi-column
+    // min/max statistics, so scans filtering on EITHER dimension prune —
+    // the layout technique behind Delta OPTIMIZE ZORDER / Hudi clustering.
+    // The query materializes the bucket→range map that proves locality
+    // (each 4096-wide z-range covers a 64×64 tile of the key space).
+    Q(
+      "q_layout_zorder",
+      (s, dir) => {
+        val x = col("o_custkey") % 256
+        val y = col("o_orderkey") % 256
+        val z = Seq.tabulate(8)(b =>
+          (shiftright(x, b) % 2) * lit(1L << (2 * b))
+            + (shiftright(y, b) % 2) * lit(1L << (2 * b + 1))).reduce(_ + _)
+        Tables.orders(s, dir)
+          .select(x.as("x"), y.as("y"), z.as("z"))
+          .withColumn("bucket", floor(col("z") / 4096).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+          .orderBy(col("bucket"))
+      },
+      Some({
+        val z = (0 until 8).map(b =>
+          s"((x // ${1L << b}) % 2) * ${1L << (2 * b)} + ((y // ${1L << b}) % 2) * ${1L << (2 * b + 1)}")
+          .mkString(" + ")
+        s"""
+        WITH d AS (SELECT o_custkey % 256 AS x, o_orderkey % 256 AS y FROM orders),
+        zd AS (SELECT x, y, $z AS z FROM d)
+        SELECT z // 4096 AS bucket, COUNT(*) AS n,
+               min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        FROM zd GROUP BY bucket ORDER BY bucket
+        """
+      })),
+
+    // ---- incremental aggregate maintenance over CDC -----------------------------
+    // The lakehouse pattern that avoids re-reading 100 TB to refresh a
+    // rollup: aggregate the v0 snapshot once, then apply the CDC diff
+    // (inserts add, deletes subtract — an update is delete+insert of the
+    // two row images) to roll the aggregate forward to v2. The oracle
+    // computes the v2 aggregate directly, so the gate proves
+    // incremental == full recompute.
+    Q(
+      "q_acid_incremental_agg",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s,
+          java.nio.file.Files.createTempDirectory("graft-acid-")
+            .resolve(java.util.UUID.randomUUID().toString).toString,
+          schema, "pk", "part", stablePartitions = true)
+        val base = Tables.customer(s, dir)
+          .filter(col("c_custkey") < 500)
+          .select(
+            col("c_custkey").cast("string").as("pk"),
+            concat(lit("p"), (col("c_nationkey") % 4).cast("string")).as("part"),
+            col("c_acctbal").as("val"))
+        val v0 = t.upsert(base)
+        t.upsert(base.filter(col("pk").cast("long") % 4 === 0)
+          .withColumn("val", col("val") + 50))
+        val v2 = t.delete(base.filter(col("pk").cast("long") % 9 === 0)
+          .select("pk").collect().map(_.getString(0)).toSeq)
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
+        val agg0 = t.snapshot(v0).groupBy(col("part"))
+          .agg(count(lit(1)).as("n0"), sum(dec(col("val"))).as("s0"))
+        val delta = t.changesBetween(v0, v2).groupBy(col("part"))
+          .agg(
+            sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("dn"),
+            sum(when(col("_change_type") === "insert", dec(col("val")))
+              .otherwise(-dec(col("val")))).as("ds"))
+        agg0.join(delta, Seq("part"), "full_outer")
+          .select(col("part"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("s0"), lit(0).cast(DecimalType(18, 2)))
+              + coalesce(col("ds"), lit(0).cast(DecimalType(18, 2))))
+              .cast("double").as("total"))
+          .filter(col("n") > 0)
+          .orderBy(col("part"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS pk,
+                 'p' || CAST(c_nationkey % 4 AS VARCHAR) AS part,
+                 c_acctbal AS val
+          FROM customer WHERE c_custkey < 500),
+        v2 AS (
+          SELECT pk, part,
+                 CASE WHEN CAST(pk AS BIGINT) % 4 = 0 THEN val + 50 ELSE val END AS val
+          FROM base WHERE CAST(pk AS BIGINT) % 9 <> 0)
+        SELECT part, COUNT(*) AS n,
+               CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM v2 GROUP BY part ORDER BY part
+      """)),
+
+    // ---- containment near-dup (sub-document duplication) ------------------------
+    // Jaccard misses a document pasted INSIDE a bigger one; containment
+    // |A∩B|/min(|A|,|B|) catches it. No size-ratio prune is sound here
+    // (small⊂big is exactly the target), so this is the deliberate exact
+    // baseline over same-lang pairs with the codegen'd merge-intersect
+    // doing the heavy lifting.
+    Q(
+      "q_dedup_containment",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
+          .select(col("doc_id"), col("lang"),
+            array_sort(array_distinct(col("hv"))).as("hs"))
+          .withColumn("ds", size(col("hs")))
+        val a = sh.select(col("lang"), col("doc_id").as("doc_a"),
+          col("hs").as("hs_a"), col("ds").as("ds_a"))
+        val b = sh.select(col("lang"), col("doc_id").as("doc_b"),
+          col("hs").as("hs_b"), col("ds").as("ds_b"))
+        a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+          .withColumn("inter", intersectCount(col("hs_a"), col("hs_b")).cast("double"))
+          .withColumn("cont", col("inter") / least(col("ds_a"), col("ds_b")))
+          .filter(col("cont") >= 0.9)
+          .select(col("doc_a"), col("doc_b"), round(col("cont"), 6).as("containment"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, lang,
+                 list_sort(list_distinct(list_transform(
+                   list_distinct(list_transform(
+                     range(1, greatest(len(w) - 1, 0) + 1), i -> w[i] || ' ' || w[i + 1])),
+                   x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(x, ''), c -> CAST(ascii(c) AS BIGINT))),
+                     (acc, h) -> (acc * 31 + h) % ${TextHash.P})))) AS hs
+          FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                     / least(len(a.hs), len(b.hs)), 6) AS containment
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+              / least(len(a.hs), len(b.hs)) >= 0.9
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ---- blocked fuzzy (edit-distance) join -------------------------------------
+    // Entity-resolution shape: candidate pairs restricted to equality
+    // blocks (brand, size) so the quadratic edit-distance only runs inside
+    // blocks — the join shuffles on the block key and scales with block
+    // size, not corpus size.
+    Q(
+      "q_join_fuzzy",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+        val a = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("p_a"), col("p_name").as("name_a"))
+        val b = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("p_b"), col("p_name").as("name_b"))
+        a.join(b, Seq("p_brand", "p_size"))
+          .filter(col("p_a") < col("p_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 4)
+          .select(col("p_a"), col("p_b"), col("dist"))
+          .orderBy(col("p_a"), col("p_b"))
+      },
+      Some("""
+        SELECT a.p_partkey AS p_a, b.p_partkey AS p_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY p_a, p_b
+      """)),
+
+    // ---- mean-pooled (centroid) embeddings per label ----------------------------
+    // Class centroids via FIXED-POINT accumulation: each component is
+    // quantized to an integer of millionths, summed exactly (order-free),
+    // and divided back once — the reproducible way to mean-pool float
+    // vectors across a shuffle. Explode is map-side; the shuffle carries
+    // (label, dim, int64).
+    Q(
+      "q_embed_centroid",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .filter(col("pos") < 8)
+          .withColumn("q", round(col("v").cast("double") * 1e6).cast("long"))
+          .groupBy(col("label"), col("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+          .select(col("label"), col("pos").cast("long").as("pos"),
+            round(col("sq").cast("double") / (col("n").cast("double") * 1e6), 6)
+              .as("centroid"))
+          .orderBy(col("label"), col("pos")),
+      Some("""
+        WITH expl AS (
+          SELECT label, i - 1 AS pos,
+                 CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e6) AS BIGINT) AS q
+          FROM embeddings, range(1, 9) r(i)),
+        agg AS (SELECT label, pos, COUNT(*) AS n, SUM(q) AS sq FROM expl GROUP BY 1, 2)
+        SELECT label, CAST(pos AS BIGINT) AS pos,
+               round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS centroid
+        FROM agg ORDER BY label, pos
+      """)),
+
+    // ---- sketch accuracy gate: approx percentile vs exact -----------------------
+    // The approx_percentile (KLL-style) sketch is the 100 TB path — one
+    // pass, mergeable, bounded memory; the gate emits the exact value and
+    // an in-tolerance flag so the oracle pins BOTH the exact result and
+    // the sketch's declared error envelope (2% of the group's value range).
+    Q(
+      "q_agg_approx_percentile",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.9)"), 4).as("p90_exact"),
+            expr("approx_percentile(value, 0.9, 10000)").as("p90_approx"),
+            ((max(col("value")) - min(col("value"))) * 0.02).as("tol"))
+          .select(col("event_type"), col("p90_exact"),
+            (abs(col("p90_approx") - col("p90_exact")) <= col("tol")).as("within_tol"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.9), 4) AS p90_exact,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type ORDER BY event_type
+      """))
+  )
+}

@@ -265,6 +265,54 @@ object StreamingQueries {
         ORDER BY user_id, view_id, purchase_id
       """)),
 
+    // ---- stream-stream LEFT OUTER interval join ---------------------------------
+    // Unmatched views surface with purchase_id = -1 once the watermark
+    // evicts their state: a view can emit null-side output only after the
+    // join window (1 h) plus the watermark delay (2 h) have passed the
+    // global watermark, i.e. views with view_ts < min(max view_ts,
+    // max purchase_ts) − 3 h. The chunked replay advances the watermark
+    // deterministically, and AvailableNow's trailing no-data batch runs
+    // the final eviction, so the outer results are exactly reproducible —
+    // the oracle mirrors the eviction rule in SQL.
+    Q(
+      "q_stream_stream_left_join",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Append()) { ev =>
+          val views = ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+            .withWatermark("view_ts", "2 hours")
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+            .withWatermark("purchase_ts", "2 hours")
+          views.join(purchases,
+            col("user_id") === col("p_user_id")
+              && col("purchase_ts") >= col("view_ts")
+              && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+        }.select(col("user_id"), col("view_id"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+          .orderBy(col("user_id"), col("view_id"), col("purchase_id")),
+      Some("""
+        WITH v AS (SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS vts
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+              FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(vts) FROM v), (SELECT max(pts) FROM p))
+                      - INTERVAL 2 HOUR AS w),
+        m AS (SELECT v.user_id, v.view_id, p.purchase_id
+              FROM v JOIN p ON v.user_id = p.user_id
+               AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR),
+        um AS (SELECT v.user_id, v.view_id, CAST(-1 AS BIGINT) AS purchase_id
+               FROM v, wm
+               WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+                 AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR)
+                 AND v.vts + INTERVAL 1 HOUR < wm.w)
+        SELECT user_id, view_id, purchase_id FROM m
+        UNION ALL SELECT user_id, view_id, purchase_id FROM um
+        ORDER BY user_id, view_id, purchase_id
+      """)),
+
     // ---- C41 (Spark 4 API): same counters via transformWithState ----------------
     Q(
       "q_stream_state_tws",
