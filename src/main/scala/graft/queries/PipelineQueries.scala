@@ -322,6 +322,47 @@ object PipelineQueries {
         FROM agg ORDER BY label, pos
       """)),
 
+    // ---- SQL extension surface: native expressions as SQL functions -------------
+    // The library's codegen'd Catalyst expressions registered through the
+    // FunctionRegistry (declaratively via
+    // spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions, or
+    // imperatively as here) — SQL users get the same hot paths as the
+    // DataFrame API. The quantization (round(x*10) into BIGINT) keeps the
+    // oracle comparison integer-exact.
+    Q(
+      "q_fn_sql_extension",
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_ext")
+        s.sql("""
+          SELECT vec_id,
+                 round(float_dot(embedding, embedding), 4) AS self_dot,
+                 CAST(sorted_intersect_count(
+                   array_sort(array_distinct(transform(embedding, x -> CAST(round(x * 10) AS BIGINT)))),
+                   array_sort(array_distinct(transform(slice(embedding, 1, 32), x -> CAST(round(x * 10) AS BIGINT))))
+                 ) AS BIGINT) AS half_overlap,
+                 CAST(positional_eq_count(
+                   transform(embedding, x -> CAST(round(x * 10) AS BIGINT)),
+                   transform(reverse(embedding), x -> CAST(round(x * 10) AS BIGINT))
+                 ) AS BIGINT) AS palindromic_dims
+          FROM embeddings_ext WHERE vec_id < 50 ORDER BY vec_id
+        """)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        q AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10) AS BIGINT)) AS qv
+              FROM e)
+        SELECT e.vec_id,
+               round(list_aggregate(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'), 4) AS self_dot,
+               CAST(len(list_intersect(list_distinct(q.qv), list_distinct(q.qv[1:32]))) AS BIGINT) AS half_overlap,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> CASE WHEN q.qv[i] = q.qv[65 - i] THEN 1 ELSE 0 END)) AS BIGINT) AS palindromic_dims
+        FROM e JOIN q ON e.vec_id = q.vec_id
+        ORDER BY e.vec_id
+      """)),
+
     // ---- sketch accuracy gate: approx percentile vs exact -----------------------
     // The approx_percentile (KLL-style) sketch is the 100 TB path — one
     // pass, mergeable, bounded memory; the gate emits the exact value and

@@ -1,0 +1,48 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration of the library's native Catalyst expressions (SURVEY
+  * §4.4 / M7): `float_dot`, `sorted_intersect_count`, `positional_eq_count`
+  * become plain SQL functions, so `spark.sql("...")` users get the same
+  * codegen'd hot paths as the DataFrame API.
+  *
+  * Two entry points, same registrations:
+  *  - [[GraftExtensions]] for the declarative route
+  *    (`spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`),
+  *    the standard way a Spark extension library ships;
+  *  - [[GraftFunctions.register]] for an already-running session (used by
+  *    the gate query so it works on any session the driver builds).
+  */
+object GraftFunctions {
+
+  private def entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("float_dot"),
+        new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+        (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))),
+      (FunctionIdentifier("sorted_intersect_count"),
+        new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_intersect_count"),
+        (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))),
+      (FunctionIdentifier("positional_eq_count"),
+        new ExpressionInfo(classOf[PositionalEqCount].getName, "positional_eq_count"),
+        (args: Seq[Expression]) => PositionalEqCount(args(0), args(1))))
+
+  /** Idempotently register on a live session (overwrites are harmless —
+    * same builder). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    entries.foreach { case (id, info, b) => reg.registerFunction(id, info, b) }
+  }
+
+  private[graft] def inject(ext: SparkSessionExtensions): Unit =
+    entries.foreach(ext.injectFunction)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}
