@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gates: the properties that make these queries
+  * scale are asserted, not assumed. Each assertion names the plan feature
+  * that would silently vanish under a careless refactor (a dropped
+  * broadcast hint, a filter that stops reaching the scan, a bucketed join
+  * that regrows its exchange) and would only show up as a 100× cost at
+  * cluster scale, far from local-test visibility.
+  */
+class PlanAssertionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    // collect() executes THIS DataFrame's QueryExecution (a noop write
+    // would run a copy), so AQE settles and the rendered plan is final
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // AQE renders "== Final Plan ==" followed by "== Initial Plan ==";
+    // assertions must look at the final section only
+    val start = full.indexOf("== Final Plan ==")
+    val end = full.indexOf("== Initial Plan ==")
+    if (start >= 0 && end > start) full.substring(start, end) else full
+  }
+
+  test("filter+projection reach the parquet scan (pushdown + pruning)") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(!p.contains("PushedFilters: []"), s"empty pushdown in:\n$p")
+    // projection pruning: the lineitem scan must not read all 16 columns
+    assert(p.contains("ReadSchema"), p)
+  }
+
+  test("dimension joins broadcast; no shuffle of the fact side for the dim") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("bucketed join runs with no exchange below the sort-merge join") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)    // bucketed co-location → SMJ
+    assert("Bucketed: true".r.findAllIn(p).size == 2, s"scans not bucketed:\n$p")
+    // nothing below the join may shuffle: the join subtree is everything
+    // after the SortMergeJoin line in the rendered tree
+    val belowJoin = p.substring(p.indexOf("SortMergeJoin"))
+    Seq("Exchange", "ShuffleQueryStage", "AQEShuffleRead").foreach(m =>
+      assert(!belowJoin.contains(m),
+        s"bucketed join regrew a shuffle ($m) below the SMJ:\n$p"))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("per-group top-k pushes a WindowGroupLimit below the exchange") {
+    val p = plan("q_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("aggregates run partial (map-side) + final hash aggregation") {
+    val p = plan("q_agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("native as-of join plans its custom exec with SMJ exchange shape") {
+    val p = plan("q_join_asof_native")
+    assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2,
+      s"expected co-partitioned exchanges:\n$p")
+  }
+
+  test("whole-stage codegen covers the similarity hot path") {
+    // "*(n)" is the whole-stage-codegen stage marker in rendered plans
+    val p = plan("q_dedup_embed_cosine")
+    assert(p.contains("*("), s"no codegen stages in:\n$p")
+  }
+}
