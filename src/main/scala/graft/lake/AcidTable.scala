@@ -346,6 +346,12 @@ final class AcidTable private (
             attempt += 1
             if (attempt > MaxRetries)
               throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
+            // capped exponential backoff with jitter: without it a writer
+            // that keeps losing the publish race can starve behind a
+            // faster peer until the retry budget drains (observed in the
+            // 1000-txn run as 100-conflict streaks)
+            val cap = math.min(1L << math.min(attempt, 8), 256L)
+            Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap * 2) + 1)
             val newBase = latestVersion()
             val interveningDisjoint = stablePartitions &&
               ((publishBase + 1) to newBase).forall(v => readTouched(v).intersect(touched.toSet).isEmpty)
@@ -457,7 +463,10 @@ object AcidTable {
   private val CommitsDir = "_commits"
   private val DataDir = "data"
   private val MetaFile = "_meta.properties"
-  private val MaxRetries = 100
+  // generous: under a FIFO local scheduler a writer queued behind reader
+  // scans can lose many consecutive publish races; the jittered backoff
+  // breaks the phase-lock, the budget bounds pathological livelock
+  private val MaxRetries = 300
   private val ManifestName = """v(\d{12})\.txt""".r
   private def manifestFileName(v: Long): String = f"v$v%012d.txt"
 

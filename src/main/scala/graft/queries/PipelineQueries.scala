@@ -322,6 +322,88 @@ object PipelineQueries {
         FROM agg ORDER BY label, pos
       """)),
 
+    // ---- batch sessionization (gaps-and-islands) --------------------------------
+    // The batch twin of q_stream_session: a new session starts where the
+    // gap to the previous event exceeds 30 min; session id is the running
+    // count of starts. Gap math in exact integer micros — fractional-
+    // second timestamps compare identically in both engines.
+    Q(
+      "q_sessionize_batch",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_us").isNull
+              || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(
+            unix_timestamp(min(col("ts"))).as("session_start"),
+            count(lit(1)).as("n"),
+            (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("dur_sec"))
+          .select(col("user_id"), col("session_start"), col("n"), col("dur_sec"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                 CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                      OR epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o)
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n,
+               CAST(floor(epoch(max(ts))) AS BIGINT)
+                 - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_sec
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+      """)),
+
+    // ---- fixed-width histogram (data profiling) ---------------------------------
+    Q(
+      "q_stat_histogram",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("bucket", (floor(col("value") / 50) * 50).cast("long"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("bucket")),
+      Some("""
+        SELECT event_type, CAST(floor(value / 50) * 50 AS BIGINT) AS bucket, COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
+      """)),
+
+    // ---- modal value per group ---------------------------------------------------
+    Q(
+      "q_agg_mode",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("cnt").desc, col("event_type"))))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("event_type").as("modal_type"), col("cnt"))
+          .orderBy(col("user_id")),
+      Some("""
+        SELECT user_id, event_type AS modal_type, cnt FROM (
+          SELECT user_id, event_type, COUNT(*) AS cnt,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY COUNT(*) DESC, event_type) AS rk
+          FROM events GROUP BY user_id, event_type)
+        WHERE rk = 1 ORDER BY user_id
+      """)),
+
     // ---- native as-of join (custom LogicalPlan + Strategy + SparkPlan) ----------
     // SURVEY §4.4 M7 option (c): the whole-operator extension path. For
     // each order, the latest event of that customer at-or-before the order

@@ -152,6 +152,34 @@ object StreamingQueries {
         FROM events GROUP BY 1, 2 ORDER BY ws, event_type
       """)),
 
+    // ---- C37 tumbling windows in APPEND mode (watermark-closed emission) --------
+    // Append emits a window exactly once, when the watermark passes its
+    // end — the production output mode for exactly-once sinks. With the
+    // deterministic chunk replay the final watermark is max(ts) − 30 min,
+    // so the emitted set is precisely the windows whose end ≤ that bound;
+    // the oracle applies the same closure rule.
+    Q(
+      "q_stream_tumbling_append",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Append()) { ev =>
+          ev.withWatermark("ts", "30 minutes")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+        }.select(
+            unix_timestamp(col("window.start")).as("ws"),
+            col("event_type"), col("n"))
+          .orderBy(col("ws"), col("event_type")),
+      Some("""
+        WITH wm AS (SELECT CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) - 1800 AS w
+                    FROM events)
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS ws,
+               event_type, COUNT(*) AS n
+        FROM events, wm
+        GROUP BY 1, 2, wm.w
+        HAVING CAST(floor(epoch(min(ts))) AS BIGINT) // 3600 * 3600 + 3600 <= wm.w
+        ORDER BY ws, event_type
+      """)),
+
     // ---- C37 sliding window aggregation -----------------------------------------
     Q(
       "q_stream_sliding",
