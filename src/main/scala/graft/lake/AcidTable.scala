@@ -201,8 +201,21 @@ final class AcidTable private (
     * incremental-query surface.
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
-    val from = snapshot(fromVersion)
-    val to = snapshot(toVersion)
+    // Partitions whose file set is IDENTICAL in both manifests cannot
+    // contribute a diff (COW: any row change rewrites its partition's
+    // files), so only the differing partitions' files are scanned and
+    // anti-joined — at 100 TB the diff cost is proportional to what
+    // changed between the versions, not to table size.
+    val fromFiles = if (fromVersion < 0) Nil else readManifest(fromVersion)
+    val toFiles = if (toVersion < 0) Nil else readManifest(toVersion)
+    def byPartition(fs: Seq[String]): Map[String, Set[String]] =
+      fs.groupBy(_.takeWhile(_ != '/')).map { case (k, v) => k -> v.toSet }
+    val fromP = byPartition(fromFiles)
+    val toP = byPartition(toFiles)
+    val changed = (fromP.keySet ++ toP.keySet)
+      .filter(p => fromP.getOrElse(p, Set.empty) != toP.getOrElse(p, Set.empty))
+    val from = snapshotFromFiles(fromFiles.filter(f => changed.contains(f.takeWhile(_ != '/'))))
+    val to = snapshotFromFiles(toFiles.filter(f => changed.contains(f.takeWhile(_ != '/'))))
     to.exceptAll(from).withColumn("_change_type", lit("insert"))
       .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
   }

@@ -151,6 +151,40 @@ object AcidQueries {
         FROM region ORDER BY pk
       """)),
 
+    // ---- C5 schema evolution: add-column without data rewrite -------------------
+    // Rows written before the evolution lack the column physically; the
+    // explicit-schema snapshot scan surfaces them as NULL — the Delta/Hudi
+    // add-column contract. The oracle replays the same sequence in SQL.
+    Q(
+      "q_acid_schema_evolution",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t.upsert(base)
+        val t2 = t.addColumns(Seq(StructField("tag", StringType)))
+        t2.upsert(base.filter(col("pk").cast("long") % 3 === 0)
+          .withColumn("val", col("val") + 1)
+          .withColumn("tag", concat(lit("t"), col("pk"))))
+        t2.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN val + 1 ELSE val END AS val,
+               CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN 't' || pk ELSE NULL END AS tag
+        FROM base ORDER BY pk
+      """)),
+
     // ---- C5 precombine dedup on ingest + MERGE (matched-update / insert) --------
     Q(
       "q_acid_merge_precombine",

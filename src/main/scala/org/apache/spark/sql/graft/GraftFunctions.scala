@@ -38,11 +38,14 @@ object GraftFunctions {
     entries.foreach { case (id, info, b) => reg.registerFunction(id, info, b) }
   }
 
-  private[graft] def inject(ext: SparkSessionExtensions): Unit =
+  private[graft] def inject(ext: SparkSessionExtensions): Unit = {
     entries.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: SQL functions + the as-of join
+  * planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
 }
