@@ -53,6 +53,8 @@ object Bench {
       wt.upsert(Seq(("a", "p0", 1L), ("b", "p1", 2L)).toDF("pk", "part", "v"))
       wt.delete(Seq("a"))
       wt.snapshot().write.format("noop").mode("overwrite").save()
+      // pre-build the streaming replay chunks (cached per JVM)
+      graft.streaming.StreamingQueries.warm(spark, sfDir)
     }
 
     // Optional comma-separated name-prefix filter for local iteration; the

@@ -236,8 +236,13 @@ object PipelineQueries {
           col("hs").as("hs_a"), col("ds").as("ds_a"))
         val b = sh.select(col("lang"), col("doc_id").as("doc_b"),
           col("hs").as("hs_b"), col("ds").as("ds_b"))
+        // thresholded merge: exact for every pair that can reach 0.9
+        // containment, bails with -1 (→ filtered) the moment a pair
+        // cannot — skips the merge tail on almost every candidate
         a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
-          .withColumn("inter", intersectCount(col("hs_a"), col("hs_b")).cast("double"))
+          .withColumn("inter",
+            org.apache.spark.sql.graft.SortedLongIntersectAtLeast
+              .intersectAtLeast(col("hs_a"), col("hs_b"), 9, 10).cast("double"))
           .withColumn("cont", col("inter") / least(col("ds_a"), col("ds_b")))
           .filter(col("cont") >= 0.9)
           .select(col("doc_a"), col("doc_b"), round(col("cont"), 6).as("containment"))
@@ -320,6 +325,31 @@ object PipelineQueries {
         SELECT label, CAST(pos AS BIGINT) AS pos,
                round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS centroid
         FROM agg ORDER BY label, pos
+      """)),
+
+    // ---- ORC source/sink round-trip ---------------------------------------------
+    // Format breadth: the same events relation written as ORC and read
+    // back must aggregate identically to the parquet original (which is
+    // what the oracle reads) — column pruning and predicate pushdown work
+    // on the ORC scan the same way.
+    Q(
+      "q_src_orc",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-orc-")
+          .resolve("events_orc").toString
+        Tables.events(s, dir).write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .filter(col("value") >= 100)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        FROM events WHERE value >= 100
+        GROUP BY event_type ORDER BY event_type
       """)),
 
     // ---- batch sessionization (gaps-and-islands) --------------------------------

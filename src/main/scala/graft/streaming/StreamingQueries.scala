@@ -68,6 +68,12 @@ object StreamingQueries {
     }
   }
 
+  /** Pre-build the chunked replay files (idempotent) — Bench calls this in
+    * its untimed warmup so chunking cost doesn't land on whichever
+    * streaming query happens to run first.
+    */
+  def warm(s: SparkSession, dir: String): Unit = { chunkedEventsDir(s, dir); () }
+
   /** Write `events` as 4 time-ordered chunk files with increasing mtimes. */
   private def chunkedEventsDir(s: SparkSession, dir: String): String =
     chunkCache.getOrElseUpdate(dir, {
