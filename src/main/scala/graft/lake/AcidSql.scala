@@ -1,0 +1,111 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.graft.PlanShim
+
+/** SQL TEXT front-end for [[AcidTable]] — the reference's writers emit
+  * literal `MERGE INTO` / `DELETE FROM` statements
+  * (`writer/TransactionWriter.java:153-161, 170-175`), so the rebuild
+  * accepts the same text. Spark's own parser produces the logical
+  * statement; this layer pattern-matches the reference's statement shapes
+  * and routes them to the transactional table ops (the same translation a
+  * DSv2 row-level-operation rule would do, without needing a catalog):
+  *
+  *  - `MERGE INTO t USING (…) s ON t.pk = s.pk WHEN MATCHED THEN UPDATE
+  *    SET t.c = s.c … WHEN NOT MATCHED THEN INSERT (…) VALUES (…)`
+  *    → [[AcidTable.merge]] (update-cols from the SET list; the insert
+  *    must cover the full schema, which the reference's statement does)
+  *  - `DELETE FROM t WHERE pk IN ('k1', 'k2', …)` (or `pk = 'k'`)
+  *    → [[AcidTable.delete]]
+  *  - `INSERT INTO t SELECT …` / `VALUES …`
+  *    → [[AcidTable.upsert]] (Hudi append with a record key IS an upsert,
+  *    which is exactly how the reference's insert path behaves)
+  *
+  * The USING source resolves through the session analyzer, so temp views
+  * registered the way the reference registers them work unchanged.
+  * Unsupported statement shapes fail loudly rather than mis-execute.
+  */
+object AcidSql {
+
+  /** Execute one statement against the registered tables; returns the
+    * committed version. `tables` maps both bare and qualified names.
+    */
+  def execute(spark: SparkSession, tables: Map[String, AcidTable], sql: String): Long =
+    PlanShim.parse(spark, sql) match {
+
+      case m: MergeIntoTable =>
+        val t = resolveTable(tables, m.targetTable)
+        val src = PlanShim.ofRows(spark, stripAlias(m.sourceTable))
+        requireShape(keyEquality(m.mergeCondition, t.pkCol),
+          s"MERGE condition must be t.${t.pkCol} = s.${t.pkCol}, got: ${m.mergeCondition.sql}")
+        val updateCols = m.matchedActions match {
+          case Seq(UpdateAction(None, assigns, _)) => assigns.map(assignedCol)
+          case other => fail(s"expected exactly WHEN MATCHED THEN UPDATE SET …, got: $other")
+        }
+        m.notMatchedActions match {
+          case Seq(InsertAction(None, assigns)) =>
+            val cols = assigns.map(assignedCol).toSet
+            requireShape(t.schema.fieldNames.forall(cols.contains),
+              s"MERGE insert must cover the full schema ${t.schema.fieldNames.mkString(",")}, got $cols")
+          case other => fail(s"expected exactly WHEN NOT MATCHED THEN INSERT (full row), got: $other")
+        }
+        t.merge(src, updateCols)
+
+      case DeleteFromTable(target, condition) =>
+        val t = resolveTable(tables, target)
+        t.delete(keysFrom(condition, t.pkCol))
+
+      case i: InsertIntoStatement =>
+        val t = resolveTable(tables, i.table)
+        t.upsert(PlanShim.ofRows(spark, i.query))
+
+      case other => fail(s"unsupported statement: ${other.getClass.getSimpleName}")
+    }
+
+  // ------------------------------------------------------------------ helpers --
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"AcidSql: $msg")
+
+  private def requireShape(ok: Boolean, msg: => String): Unit = if (!ok) fail(msg)
+
+  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, child) => stripAlias(child)
+    case other => other
+  }
+
+  private def resolveTable(tables: Map[String, AcidTable], p: LogicalPlan): AcidTable =
+    stripAlias(p) match {
+      case r: UnresolvedRelation =>
+        val full = r.multipartIdentifier.mkString(".")
+        val bare = r.multipartIdentifier.last
+        tables.getOrElse(full, tables.getOrElse(bare,
+          fail(s"unknown table '$full' (registered: ${tables.keys.mkString(", ")})")))
+      case other => fail(s"target must be a plain table reference, got: $other")
+    }
+
+  private def lastName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => fail(s"expected a column reference, got: ${other.sql}")
+  }
+
+  private def assignedCol(a: Assignment): String = lastName(a.key)
+
+  private def keyEquality(cond: Expression, pk: String): Boolean = cond match {
+    case EqualTo(l, r) => lastName(l) == pk && lastName(r) == pk
+    case _ => false
+  }
+
+  private def keysFrom(cond: Expression, pk: String): Seq[String] = cond match {
+    case In(attr, values) if lastName(attr) == pk =>
+      values.map {
+        case Literal(v, _) => String.valueOf(v)
+        case other => fail(s"DELETE keys must be literals, got: ${other.sql}")
+      }
+    case EqualTo(attr, Literal(v, _)) if lastName(attr) == pk => Seq(String.valueOf(v))
+    case other => fail(s"DELETE condition must be $pk IN (…) or $pk = …, got: ${other.sql}")
+  }
+}

@@ -151,6 +151,51 @@ object AcidQueries {
         FROM region ORDER BY pk
       """)),
 
+    // ---- C5 SQL text surface: INSERT INTO / MERGE INTO / DELETE FROM ------------
+    // The reference's writers emit literal SQL (TransactionWriter.java:
+    // 153-175); AcidSql parses the same text with Spark's parser and
+    // routes the reference's statement shapes to the transactional ops.
+    Q(
+      "q_sql_acid_dml",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val reg = Map("acid.t" -> t, "t" -> t)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        base.createOrReplaceTempView("acid_dml_base")
+        graft.lake.AcidSql.execute(s, reg,
+          "INSERT INTO acid.t SELECT * FROM acid_dml_base")
+        base.filter(col("pk").cast("long") % 2 === 0)
+          .withColumn("val", col("val") * 10)
+          .createOrReplaceTempView("acid_dml_updates")
+        graft.lake.AcidSql.execute(s, reg,
+          """MERGE INTO acid.t t
+            |USING (SELECT * FROM acid_dml_updates) s
+            |ON t.pk = s.pk
+            |WHEN MATCHED THEN UPDATE SET t.val = s.val
+            |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.val) VALUES (s.pk, s.part, s.val)
+            |""".stripMargin)
+        graft.lake.AcidSql.execute(s, reg,
+          "DELETE FROM acid.t WHERE pk IN ('3', '9', '15')")
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 2 = 0 THEN val * 10 ELSE val END AS val
+        FROM base WHERE pk NOT IN ('3', '9', '15')
+        ORDER BY pk
+      """)),
+
     // ---- C5 schema evolution: add-column without data rewrite -------------------
     // Rows written before the evolution lack the column physically; the
     // explicit-schema snapshot scan surfaces them as NULL — the Delta/Hudi

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Minimal bridge to `Dataset.ofRows` (private[sql]) for the SQL text
+  * front-end: turns a parsed-but-unresolved logical plan (e.g. the USING
+  * source of a MERGE statement) into a DataFrame through the session's
+  * normal analyzer, so temp views and functions resolve exactly as in
+  * `spark.sql`.
+  */
+object PlanShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def parse(spark: SparkSession, sql: String): LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sql)
+}
