@@ -82,6 +82,57 @@ object MultimodalQueries {
         FROM f ORDER BY doc_id, frame_idx
       """)),
 
+    // ---- C46 media near-dup via frame signatures --------------------------------
+    // The perceptual-hash dedup shape for video/audio corpora: each media
+    // payload becomes an ordered signature of its first 8 frame hashes;
+    // two payloads are near-dups when ≥6 positions agree (tolerates
+    // localized edits). Signature compare is the codegen'd
+    // PositionalEqCount; at 100 TB the signature table is tiny next to
+    // the media and the pair join shuffles only (doc_id, 8 longs).
+    Q(
+      "q_mm_frame_sig_dedup",
+      (s, dir) => {
+        implicit val spark = s
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+            lit("text/plain").as("kind"))
+          .as[Multimodal.MediaRecord]
+        val sigs = Multimodal.decodeFrames(media).toDF()
+          .filter(col("frame_idx") < 8)
+          .groupBy(col("doc_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("frame_idx"), col("frame_hash")))),
+            f => f.getField("frame_hash")).as("sig"))
+        val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+        val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("eq_frames",
+            org.apache.spark.sql.graft.PositionalEqCount
+              .eqCount(col("sig_a"), col("sig_b")).cast("long"))
+          .filter(col("eq_frames") >= 6)
+          .select(col("doc_a"), col("doc_b"), col("eq_frames"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+                 substr(text, CAST(t.i * 32 + 1 AS BIGINT), 32) AS fr
+          FROM documents, unnest(range(0, 8)) AS t(i)
+          WHERE doc_id < 300 AND t.i * 32 < length(text)),
+        sigs AS (
+          SELECT doc_id, list(${sqlPolyHash("fr")} ORDER BY frame_idx) AS sig
+          FROM f GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(list_sum(list_transform(range(1, least(len(a.sig), len(b.sig)) + 1),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS eq_frames
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, eq_frames FROM pairs
+        WHERE eq_frames >= 6 ORDER BY doc_a, doc_b
+      """)),
+
     // ---- C46 stubbed frame decode via typed mapPartitions -----------------------
     Q(
       "q_mm_decode_frames",

@@ -1,0 +1,52 @@
+package graft.functions
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.AsOfJoin
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-based check for the native as-of exec: on random tables the
+  * distributed merge must equal a driver-side reference model (for every
+  * left row: the right row of equal key with the greatest (ts, tie) among
+  * those with ts ≤ left ts). Seeded generator per repo convention
+  * (AcidTablePropertySpec) — deterministic across runs.
+  */
+class AsOfJoinPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("native as-of join equals the in-memory reference model on random tables") {
+    val rnd = new Random(4242)
+    (1 to 8).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(40)
+      val left = List.fill(50 + rnd.nextInt(300))(
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(500).toLong), rnd.nextLong()))
+      val right = List.fill(rnd.nextInt(400))(
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(500).toLong), rnd.nextLong()))
+
+      val expected = left.map { case (k, lt, lid) =>
+        val candidates = right.filter { case (rk, rt, _) => rk == k && !rt.after(lt) }
+        val best = if (candidates.isEmpty) -1L
+          else candidates.maxBy { case (_, rt, rid) => (rt.getTime, rid) }._3
+        (lid, best)
+      }.sortBy(_._1)
+
+      val lDf = left.toDF("k", "lts", "lid")
+      val rDf = right.toDF("rk", "rts", "rid")
+      val got = AsOfJoin.join(lDf, rDf,
+          lDf("k"), rDf("rk"), lDf("lts"), rDf("rts"), rDf("rid"))
+        .select(col("lid"), coalesce(col("rid"), lit(-1L)).as("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+      assert(got == expected, s"trial $trial (nKeys=$nKeys) diverged from model")
+    }
+  }
+}
