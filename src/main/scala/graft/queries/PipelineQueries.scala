@@ -226,12 +226,7 @@ object PipelineQueries {
     Q(
       "q_dedup_containment",
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
-          .select(col("doc_id"), col("lang"),
-            array_sort(array_distinct(col("hv"))).as("hs"))
-          .withColumn("ds", size(col("hs")))
+        val sh = TextQueries.hashedShingleSets(s, dir)
         val a = sh.select(col("lang"), col("doc_id").as("doc_a"),
           col("hs").as("hs_a"), col("ds").as("ds_a"))
         val b = sh.select(col("lang"), col("doc_id").as("doc_b"),
