@@ -75,6 +75,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"expected co-partitioned exchanges:\n$p")
   }
 
+  test("hive-partitioned data prunes to the filtered partition at planning") {
+    val dir = java.nio.file.Files.createTempDirectory("prune-").toString
+    Tables.documents(spark, sf).write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(
+      org.apache.spark.sql.functions.col("lang") === "en").select("doc_id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"partition filter did not reach the scan:\n$p")
+    // the equality predicate must be a partition filter, not a data filter
+    assert(!p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1").contains("lang"),
+      s"lang filter leaked into data filters instead of pruning:\n$p")
+  }
+
   test("whole-stage codegen covers the similarity hot path") {
     // "*(n)" is the whole-stage-codegen stage marker in rendered plans
     val p = plan("q_dedup_embed_cosine")
