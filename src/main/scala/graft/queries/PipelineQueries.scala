@@ -508,6 +508,73 @@ object PipelineQueries {
         ORDER BY e.vec_id
       """)),
 
+    // ---- binned (bucketized) pure range join ------------------------------------
+    // A range-only join (no equi key) is a broadcast nested loop — O(n·m)
+    // comparisons. The scale rewrite: bucket time into join-window-sized
+    // bins, explode each probe row into the two bins its window can touch,
+    // and equi-join on the bin — a plain shuffle join whose cost tracks
+    // rows-per-bin, with the exact range predicate as the residual. Here:
+    // for every purchase, the number of views (any user) in the preceding
+    // hour.
+    Q(
+      "q_join_range_binned",
+      (s, dir) => {
+        val us = 3600L * 1000000L // 1 hour in microseconds = bin width
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(unix_micros(col("ts")).as("v_us"))
+          .withColumn("bin", floor(col("v_us") / us))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+          .withColumn("bin0", floor(col("p_us") / us))
+          .withColumn("bin", explode(array(col("bin0") - 1, col("bin0"))))
+        purchases.join(views,
+            purchases("bin") === views("bin")
+              && col("v_us") > col("p_us") - us && col("v_us") <= col("p_us"),
+            "left")
+          .groupBy(col("p_id"))
+          .agg(count(col("v_us")).as("n_views_prior_hour"))
+          .orderBy(col("p_id"))
+      },
+      Some("""
+        WITH v AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT event_id AS p_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+              FROM events WHERE event_type = 'purchase')
+        SELECT p_id, COUNT(v.v_us) AS n_views_prior_hour
+        FROM p LEFT JOIN v ON v.v_us > p.p_us - 3600000000 AND v.v_us <= p.p_us
+        GROUP BY p_id ORDER BY p_id
+      """)),
+
+    // ---- mergeable HLL sketches: nation-level sketches unioned to regions -------
+    // The property that makes approximate distinct-counting work at 100 TB
+    // is MERGEABILITY: per-shard sketches union into rollup sketches
+    // without touching raw data. The gate pins the exact region-level
+    // count and checks the merged estimate lands inside the sketch's error
+    // envelope.
+    Q(
+      "q_agg_hll_merge",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+        val joined = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        val perNation = joined.groupBy(col("n_regionkey"), col("n_nationkey"))
+          .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+        val merged = perNation.groupBy(col("n_regionkey"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        val exact = joined.groupBy(col("n_regionkey"))
+          .agg(countDistinct(col("c_custkey")).as("n_exact"))
+        exact.join(merged, Seq("n_regionkey"))
+          .select(col("n_regionkey"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05).as("within_tol"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""
+        SELECT n_regionkey, COUNT(DISTINCT c_custkey) AS n_exact, TRUE AS within_tol
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey ORDER BY n_regionkey
+      """)),
+
     // ---- sketch accuracy gate: approx percentile vs exact -----------------------
     // The approx_percentile (KLL-style) sketch is the 100 TB path — one
     // pass, mergeable, bounded memory; the gate emits the exact value and
