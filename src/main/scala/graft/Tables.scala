@@ -22,7 +22,10 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integral `div`, NOT floor(x / 1000.0): epoch-nanos ≈ 1.7e18 exceed
+      // double's 2^53 exact range, so the double-division floor drifts by
+      // ±1 µs from DuckDB's exact ns→µs truncation
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")

@@ -508,6 +508,51 @@ object PipelineQueries {
         ORDER BY e.vec_id
       """)),
 
+    // ---- conversion funnel: first view → first subsequent purchase --------------
+    // The product-analytics staple: per user, the first 'view' and the
+    // first 'purchase' at-or-after it, with time-to-convert. Two partial
+    // min-aggregations and one broadcast-sized join — no windows over the
+    // full event stream, so the plan is two map-side-combined shuffles at
+    // any scale.
+    Q(
+      "q_funnel_conversion",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("first_view_us"))
+        val firstPurchase = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+          .join(firstView, Seq("user_id"))
+          .filter(col("p_us") >= col("first_view_us"))
+          .groupBy(col("user_id"))
+          .agg(min(col("p_us")).as("first_purchase_us"))
+        firstView.join(firstPurchase, Seq("user_id"), "left")
+          .select(col("user_id"),
+            col("first_view_us"),
+            col("first_purchase_us").isNotNull.as("converted"),
+            coalesce(expr("(first_purchase_us - first_view_us) div 1000000"), lit(-1L))
+              .as("secs_to_convert"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH fv AS (
+          SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_view_us
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        fp AS (
+          SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS first_purchase_us
+          FROM events e JOIN fv ON e.user_id = fv.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= fv.first_view_us
+          GROUP BY e.user_id)
+        SELECT fv.user_id, fv.first_view_us,
+               (fp.first_purchase_us IS NOT NULL) AS converted,
+               CAST(coalesce((fp.first_purchase_us - fv.first_view_us) // 1000000, -1) AS BIGINT)
+                 AS secs_to_convert
+        FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+        ORDER BY fv.user_id
+      """)),
+
     // ---- binned (bucketized) pure range join ------------------------------------
     // A range-only join (no equi key) is a broadcast nested loop — O(n·m)
     // comparisons. The scale rewrite: bucket time into join-window-sized
