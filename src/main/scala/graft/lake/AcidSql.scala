@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRe
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, In, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction}
 import org.apache.spark.sql.graft.PlanShim
+import org.apache.spark.sql.types.StructType
 
 /** SQL TEXT front-end for [[AcidTable]] — the reference's writers emit
   * literal `MERGE INTO` / `DELETE FROM` statements
@@ -107,5 +108,70 @@ object AcidSql {
       }
     case EqualTo(attr, Literal(v, _)) if lastName(attr) == pk => Seq(String.valueOf(v))
     case other => fail(s"DELETE condition must be $pk IN (…) or $pk = …, got: ${other.sql}")
+  }
+}
+
+/** Stateful SQL session over a warehouse directory: the reference's FULL
+  * text lifecycle — `CREATE SCHEMA`, `DROP TABLE IF EXISTS`,
+  * `CREATE TABLE … USING hudi PARTITIONED BY (…) TBLPROPERTIES(primaryKey,
+  * preCombinedField)` (`writer/TransactionManager.java:74-89`), then the
+  * DML statements — executes against native [[AcidTable]]s, table paths
+  * derived from the warehouse root exactly like a Hive-style catalog.
+  */
+final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
+  import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, UnresolvedIdentifier}
+  import org.apache.spark.sql.catalyst.plans.logical.{CreateTable, CreateNamespace, DropTable}
+
+  private val tables = scala.collection.concurrent.TrieMap.empty[String, AcidTable]
+
+  def table(name: String): AcidTable =
+    tables.getOrElse(name, throw new IllegalArgumentException(s"unknown table $name"))
+
+  /** Execute one DDL or DML statement; DDL returns 0, DML the committed
+    * version. */
+  def execute(sql: String): Long = PlanShim.parse(spark, sql) match {
+    case _: CreateNamespace => 0L // schemas are directories under the warehouse
+
+    case ct: CreateTable =>
+      val nameParts = identParts(ct.name)
+      val cols = ct.tableSchema.fields
+      val props = ct.tableSpec.properties
+      val pk = props.getOrElse("primaryKey",
+        throw new IllegalArgumentException("CREATE TABLE needs TBLPROPERTIES(primaryKey …)"))
+      val precombine = props.get("preCombinedField")
+      val partCols = ct.partitioning.flatMap(_.references.map(_.fieldNames.mkString(".")))
+      require(partCols.size == 1, s"exactly one partition column expected, got $partCols")
+      val t = AcidTable.create(spark,
+        (warehouseDir +: nameParts).mkString("/"),
+        StructType(cols), pk, partCols.head, precombine)
+      register(nameParts, t)
+      0L
+
+    case dt: DropTable =>
+      val nameParts = identParts(dt.child)
+      Seq(nameParts.mkString("."), nameParts.last).foreach(tables.remove)
+      val dir = new java.io.File((warehouseDir +: nameParts).mkString("/"))
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+        }
+        rm(dir)
+      } else if (!dt.ifExists) {
+        throw new IllegalArgumentException(s"table ${nameParts.mkString(".")} does not exist")
+      }
+      0L
+
+    case _ => AcidSql.execute(spark, tables.toMap, sql)
+  }
+
+  private def register(nameParts: Seq[String], t: AcidTable): Unit = {
+    tables(nameParts.mkString(".")) = t
+    tables(nameParts.last) = t
+  }
+
+  private def identParts(p: LogicalPlan): Seq[String] = p match {
+    case u: UnresolvedIdentifier => u.nameParts
+    case r: ResolvedIdentifier => r.identifier.namespace.toSeq :+ r.identifier.name
+    case other => throw new IllegalArgumentException(s"unsupported identifier plan: $other")
   }
 }

@@ -60,6 +60,39 @@ class AcidSqlSpec extends AnyFunSuite {
       == Seq("R2", "R4"))
   }
 
+  test("reference DDL text lifecycle: CREATE SCHEMA / CREATE TABLE / DROP TABLE") {
+    val wh = Files.createTempDirectory("acid-sql-wh-").toString
+    val sess = new AcidSqlSession(spark, wh)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS acid")
+    sess.execute("DROP TABLE IF EXISTS acid.records")
+    // the reference's CREATE TABLE, verbatim shape (TransactionManager.java:76-88)
+    sess.execute("""
+      CREATE TABLE IF NOT EXISTS acid.records(
+          primaryKeyValue STRING,
+          partitionKeyValue STRING,
+          dataValue STRING
+      )
+      USING hudi
+      PARTITIONED BY (partitionKeyValue)
+      TBLPROPERTIES (
+          primaryKey = 'primaryKeyValue',
+          preCombinedField = 'dataValue'
+      )
+    """)
+    Seq(("K1", "P0", "a"), ("K1", "P0", "z"), ("K2", "P1", "b"))
+      .toDF("primaryKeyValue", "partitionKeyValue", "dataValue")
+      .createOrReplaceTempView("ddl_src")
+    sess.execute("INSERT INTO acid.records SELECT * FROM ddl_src")
+    // precombine from TBLPROPERTIES: greatest dataValue wins for K1
+    val rows = sess.table("acid.records").snapshot()
+      .orderBy("primaryKeyValue").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(rows == Seq("K1" -> "z", "K2" -> "b"))
+    sess.execute("DELETE FROM acid.records WHERE primaryKeyValue IN ('K2')")
+    assert(sess.table("records").snapshot().count() == 1)
+    sess.execute("DROP TABLE IF EXISTS acid.records")
+    assertThrows[IllegalArgumentException] { sess.table("acid.records") }
+  }
+
   test("unsupported statement shapes fail loudly, not silently") {
     val (_, reg) = freshTable()
     assertThrows[IllegalArgumentException] {
