@@ -20,7 +20,11 @@ final case class HarnessConfig(
     recordsPerTransaction: Int = 3,
     preferenceToInsertOverOtherManipulations: Float = 0.25f,
     preferenceToUpdateOverDelete: Float = 0.75f,
-    randomSeed: Long = 1234L)
+    randomSeed: Long = 1234L,
+    // drive UPDATE/DELETE through the reference's literal SQL text
+    // (MERGE INTO / DELETE FROM via AcidSql) instead of the DataFrame API —
+    // the reference's own writer path (TransactionWriter.java:153-175)
+    useSqlText: Boolean = false)
 
 /** Seeded random workload generator — a draw-order-faithful port of
   * `writer/TransactionGenerator.java:14-133`: one shared `java.util.Random`;

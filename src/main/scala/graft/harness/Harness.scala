@@ -73,10 +73,29 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
               .map(dm => Record(dm.primaryKeyValue, dm.partitionKeyValue, dm.dataValue))
             val ds = session.createDataset(records).toDF()
             if (tx.manipulationType == ManipulationType.Insert) t.upsert(ds, parts)
+            else if (config.useSqlText) {
+              // the reference's literal MERGE text (TransactionWriter.java:154-160)
+              val view = s"harness_merge_${Math.abs(tx.transactionId.hashCode)}"
+              ds.createOrReplaceTempView(view)
+              graft.lake.AcidSql.execute(session, Map("records" -> t),
+                s"""MERGE INTO records t USING (SELECT * FROM $view) s
+                   |ON t.primaryKeyValue = s.primaryKeyValue
+                   |WHEN MATCHED THEN UPDATE SET t.dataValue = s.dataValue
+                   |WHEN NOT MATCHED THEN INSERT (t.primaryKeyValue, t.partitionKeyValue, t.dataValue)
+                   |VALUES (s.primaryKeyValue, s.partitionKeyValue, s.dataValue)""".stripMargin)
+              ()
+            }
             // MERGE parity: matched rows update only dataValue
             // (`TransactionWriter.java:154-161`)
             else t.merge(ds, updateCols = Seq("dataValue"), partitionsHint = parts)
           case ManipulationType.Delete =>
+            if (config.useSqlText) {
+              // the reference's DELETE … IN text (with its missing-delimiter bug fixed)
+              val keys = tx.dataManipulations.map(dm => s"'${dm.primaryKeyValue}'").distinct
+              graft.lake.AcidSql.execute(session, Map("records" -> t),
+                s"DELETE FROM records WHERE primaryKeyValue IN (${keys.mkString(", ")})")
+              ()
+            } else
             t.delete(session.createDataset(tx.dataManipulations.map(dm =>
               (dm.primaryKeyValue, dm.partitionKeyValue)))
               .toDF("primaryKeyValue", "partitionKeyValue"), parts)
