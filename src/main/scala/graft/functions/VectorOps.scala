@@ -73,4 +73,49 @@ object VectorOps {
        |  CASE WHEN list_aggregate(list_transform(range(0, $dim),
        |         k -> CAST($v[k + 1] AS DOUBLE) * ${sqlPlaneComponent("j", "k", dim)}), 'sum') > 0
        |       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** Well-mixed deterministic plane component for a MULTI-TABLE LSH family.
+    *
+    * [[planeComponent]]'s single-LCG planes are all shifts of ONE arithmetic
+    * progression mod 2001 (step −237), which is fine for one 6-plane bucket
+    * but makes a multi-table family pathologically correlated (measured:
+    * pairs at cosine 0.42 with 4/32 sign agreements, impossible under
+    * independence). Two LCG rounds mod the Mersenne prime 2^31−1 break the
+    * progression structure; all arithmetic stays within BIGINT in both
+    * engines, so the family is integer-exact and reproducible in SQL.
+    */
+  def mixedPlaneComponent(j: Column, k: Column): Column = {
+    val h1 = (lit(1103515245L) * (j.cast("long") * lit(67L) + k.cast("long")) + lit(12345L)) % lit(2147483647L)
+    val h2 = (lit(1103515245L) * h1 + lit(12345L)) % lit(2147483647L)
+    (h2 % lit(2001L) - lit(1000L)).cast("double") / 1000.0
+  }
+
+  def sqlMixedPlaneComponent(j: String, k: String): String =
+    s"CAST(((1103515245 * ((1103515245 * (($j) * 67 + ($k)) + 12345) % 2147483647) + 12345)" +
+      s" % 2147483647) % 2001 - 1000 AS DOUBLE) / 1000.0"
+
+  /** `tables` independent sign-random-projection buckets per vector, each
+    * packing `planes` sign bits (table t uses planes t*planes .. t*planes+
+    * planes−1 of the mixed family). Computed in ONE narrow pass per vector —
+    * the signature table is built once and reused by both sides of the
+    * candidate join.
+    */
+  def lshBuckets(v: Column, planes: Int, tables: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(
+        transform(sequence(lit(0), lit(planes - 1)), p =>
+          when(
+            aggregate(
+              transform(sequence(lit(0), lit(dim - 1)), k =>
+                get(v, k).cast("double") * mixedPlaneComponent(t * planes + p, k)),
+              lit(0.0), (acc, x) => acc + x) > 0,
+            pow(lit(2.0), p.cast("double")).cast("long")).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+
+  def sqlLshBuckets(v: String, planes: Int, tables: Int, dim: Int): String =
+    s"""list_transform(range(0, $tables), t ->
+       |  CAST(list_sum(list_transform(range(0, $planes), p ->
+       |    CASE WHEN list_aggregate(list_transform(range(0, $dim),
+       |           k -> CAST($v[k + 1] AS DOUBLE) * ${sqlMixedPlaneComponent(s"t * $planes + p", "k")}), 'sum') > 0
+       |         THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT))""".stripMargin
 }

@@ -94,4 +94,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p = plan("q_dedup_embed_cosine")
     assert(p.contains("*("), s"no codegen stages in:\n$p")
   }
+
+  test("embedding near-dedup scale paths have no corpus×corpus nested loop") {
+    // the all-pairs witness is ALLOWED its broadcast-nested-loop (it is the
+    // small-data correctness baseline); both scale paths must materialize
+    // pairs through equi joins only — a BNLJ or cartesian over the corpus
+    // is the 100 TB death sentence the blocked/LSH designs exist to avoid
+    for (q <- Seq("q_dedup_embed_cosine_blocked", "q_dedup_embed_cosine_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a broadcast nested loop:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q planned a cartesian product:\n$p")
+    }
+  }
 }
