@@ -21,10 +21,19 @@ final case class HarnessConfig(
     preferenceToInsertOverOtherManipulations: Float = 0.25f,
     preferenceToUpdateOverDelete: Float = 0.75f,
     randomSeed: Long = 1234L,
-    // drive UPDATE/DELETE through the reference's literal SQL text
-    // (MERGE INTO / DELETE FROM via AcidSql) instead of the DataFrame API —
-    // the reference's own writer path (TransactionWriter.java:153-175)
-    useSqlText: Boolean = false)
+    // drive UPDATE/DELETE (and reads) through the reference's literal SQL
+    // text (MERGE INTO / DELETE FROM / SELECT via AcidSql) instead of the
+    // DataFrame API — the reference's writer path
+    // (TransactionWriter.java:153-175) and reader path
+    // (ReaderThread.java:77-78)
+    useSqlText: Boolean = false,
+    // session pools DECOUPLED from thread counts: the reference
+    // round-robins N threads over M cloned sessions
+    // (writer/Configuration.java:14-15, TransactionManager.java:95-109) —
+    // M < N is a distinct concurrency shape (shared SQL conf and temp-view
+    // namespace). 0 keeps the thread-per-session default.
+    numberOfWriterSessions: Int = 0,
+    numberOfReaderSessions: Int = 0)
 
 /** Seeded random workload generator — a draw-order-faithful port of
   * `writer/TransactionGenerator.java:14-133`: one shared `java.util.Random`;

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.core._
-import graft.lake.AcidTable
+import graft.lake.{AcidSql, AcidTable}
 
 /** Outcome of a harness run (`TransactionManager.java:39-68` return path,
   * with the `&&`-accumulation bug §8-B7 fixed: any thread failure is
@@ -109,6 +109,7 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
         // snapshot it half-applied.
         var attempt = 0
         var applied = false
+        val t0 = System.nanoTime()
         while (!applied) {
           try { applyOnce(); applied = true }
           catch {
@@ -117,6 +118,10 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
               System.err.println(s"retrying txn ${tx.transactionId} after: $e")
           }
         }
+        // A24 structured perf telemetry — per-transaction write duration
+        // (`TransactionWriter.java:98-99` shape)
+        System.err.println(s"[perf] writer txn=${tx.transactionId}" +
+          s" type=${tx.manipulationType} durationMs=${(System.nanoTime() - t0) / 1000000}")
         generator.transactionCommitted(tx)
         log.logCommit(tx)
         committed.incrementAndGet()
@@ -126,10 +131,23 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
     def readerLoop(session: SparkSession): Unit = {
       import session.implicits._
       val t = AcidTable.open(session, config.tablePath)
+      // the reference reader's ONE statement is literal SQL text against
+      // the catalog (`ReaderThread.java:77-78`) — under useSqlText the
+      // rebuild reads through the same text front-end
+      val byText = Map("records" -> t, "concurrencytestdb.records" -> t)
       while (!stop.get()) {
         val before = log.eventCount
-        val records = t.snapshot().as[Record].collect().toSeq
+        val t0 = System.nanoTime()
+        val records =
+          if (config.useSqlText)
+            AcidSql.query(session, byText, "SELECT * FROM concurrencytestdb.records")
+              .as[Record].collect().toSeq
+          else t.snapshot().as[Record].collect().toSeq
         val after = log.eventCount
+        // A24 structured perf telemetry — per-read duration, the log window
+        // the read falls into, and the result size (`ReaderThread.java:64-71`)
+        System.err.println(s"[perf] reader durationMs=${(System.nanoTime() - t0) / 1000000}" +
+          s" logWindow=$before..$after resultSize=${records.size}")
         val expectations = producer.createResultSetExpectations(before, after)
         val ok =
           try expectations.isSatisfied(new ResultSet(records))
@@ -154,8 +172,18 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
       session.conf.set("spark.sql.adaptive.enabled", "false")
       session
     }
+    // session pools round-robined over threads (`TransactionManager.java:
+    // 95-109` shape): M sessions serve N threads; M == N (the 0 default)
+    // degenerates to thread-per-session. Sharing is safe because every
+    // statement resolves against its own pinned snapshot, and temp views
+    // are named by transaction UUID so a shared namespace cannot collide.
+    def pool(sessions: Int, threads: Int): IndexedSeq[SparkSession] =
+      IndexedSeq.fill(math.min(if (sessions <= 0) threads else sessions, threads))(
+        harnessSession())
+    val writerSessions = pool(config.numberOfWriterSessions, config.numberOfWriterThreads)
+    val readerSessions = pool(config.numberOfReaderSessions, config.numberOfReaderThreads)
     val writers = (0 until config.numberOfWriterThreads).map { i =>
-      val session = harnessSession()
+      val session = writerSessions(i % writerSessions.size)
       new Thread(() => {
         try writerLoop(session)
         catch { case e: Throwable =>
@@ -167,7 +195,7 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
       }, s"graft-writer-$i")
     }
     val readers = (0 until config.numberOfReaderThreads).map { i =>
-      val session = harnessSession()
+      val session = readerSessions(i % readerSessions.size)
       new Thread(() => {
         try readerLoop(session)
         catch { case e: Throwable =>

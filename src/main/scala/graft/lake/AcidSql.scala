@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, In, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction}
@@ -66,6 +66,25 @@ object AcidSql {
       case other => fail(s"unsupported statement: ${other.getClass.getSimpleName}")
     }
 
+  /** Execute a read statement (the reference reader's literal
+    * `SELECT * FROM concurrencytestdb.acid_verification`,
+    * `reader/ReaderThread.java:77-78`) against the registered tables: every
+    * relation naming a registered table is substituted with that table's
+    * CURRENT SNAPSHOT plan, then the whole statement resolves through the
+    * session analyzer — so joins, filters, aggregates, and temp views all
+    * work over transactional snapshots exactly as over catalog tables. The
+    * snapshot is pinned once per call: one statement reads one version.
+    */
+  def query(spark: SparkSession, tables: Map[String, AcidTable], sql: String): DataFrame = {
+    val plan = PlanShim.parse(spark, sql)
+    val substituted = plan.transformUp {
+      case r: UnresolvedRelation if lookup(tables, r).isDefined =>
+        SubqueryAlias(r.multipartIdentifier.last,
+          PlanShim.logical(lookup(tables, r).get.snapshot()))
+    }
+    PlanShim.ofRows(spark, substituted)
+  }
+
   // ------------------------------------------------------------------ helpers --
 
   private def fail(msg: String): Nothing =
@@ -78,13 +97,16 @@ object AcidSql {
     case other => other
   }
 
+  private def lookup(tables: Map[String, AcidTable], r: UnresolvedRelation): Option[AcidTable] = {
+    val full = r.multipartIdentifier.mkString(".")
+    tables.get(full).orElse(tables.get(r.multipartIdentifier.last))
+  }
+
   private def resolveTable(tables: Map[String, AcidTable], p: LogicalPlan): AcidTable =
     stripAlias(p) match {
       case r: UnresolvedRelation =>
-        val full = r.multipartIdentifier.mkString(".")
-        val bare = r.multipartIdentifier.last
-        tables.getOrElse(full, tables.getOrElse(bare,
-          fail(s"unknown table '$full' (registered: ${tables.keys.mkString(", ")})")))
+        lookup(tables, r).getOrElse(fail(s"unknown table '${r.multipartIdentifier.mkString(".")}'" +
+          s" (registered: ${tables.keys.mkString(", ")})"))
       case other => fail(s"target must be a plain table reference, got: $other")
     }
 
@@ -163,6 +185,12 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
 
     case _ => AcidSql.execute(spark, tables.toMap, sql)
   }
+
+  /** Execute a read statement (SELECT text) over the session's tables —
+    * completes the reference's text lifecycle: DDL, DML, and now the
+    * reader's literal `SELECT * FROM db.table`. */
+  def query(sql: String): org.apache.spark.sql.DataFrame =
+    AcidSql.query(spark, tables.toMap, sql)
 
   private def register(nameParts: Seq[String], t: AcidTable): Unit = {
     tables(nameParts.mkString(".")) = t

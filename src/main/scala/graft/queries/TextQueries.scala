@@ -109,6 +109,50 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), col("j"))
   }
 
+  /** Min-label propagation to FIXPOINT over an undirected edge list
+    * `(doc_a, doc_b)` → `(doc_id, lbl)` where `lbl` is the connected
+    * component's min id. Each superstep takes the min of a node's label and
+    * its neighbors' previous labels, persists the new frontier (the
+    * iterate-on-Spark idiom — the next round references it twice), and the
+    * one materializing `count` doubles as the convergence check: the loop
+    * stops when no label changed, so chain-shaped duplicate graphs merge
+    * fully no matter their diameter (a fixed round count silently
+    * under-merges any chain longer than rounds+1 — MinLabelFixpointSpec
+    * proves that on a 5-chain). Rounds are capped at `maxRounds` as a
+    * runaway guard; label propagation needs at most `diameter` supersteps.
+    */
+  private[graft] def minLabelFixpoint(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("d"), col("doc_b").as("nb"))
+      .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("nb")))
+      .persist()
+    // `cached` tracks the persisted frame itself — unpersisting a DERIVED
+    // select would be a no-op and leak one cache entry per superstep
+    var cached = edges.select(col("d").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .persist()
+    cached.count()
+    var labels = cached
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("nb"), col("lbl").as("nbl")), "nb")
+        .groupBy(col("d")).agg(min(col("nbl")).as("nl"))
+      val next = labels
+        .join(nbrMin.select(col("d").as("doc_id"), col("nl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("lbl"))
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** DuckDB CTE chain computing `simhash` per doc_id (mirror of
     * [[simhashCol]]); callers append their own final SELECT.
     */
@@ -474,43 +518,24 @@ object TextQueries {
 
     // ---- C42/C43 duplicate-cluster resolution (keep one canonical per group) ----
     // Near-dup PAIRS become dedup DECISIONS: undirected edges from the
-    // jaccard>=0.8 pairs, then 3 rounds of min-label propagation (enough
-    // for the planted clusters, which are near-cliques) → every document
-    // maps to a cluster id; `is_canonical` marks the survivor. The oracle
-    // unrolls the same 3 rounds as chained CTEs — identical fixpoint state.
+    // jaccard>=0.8 pairs, then min-label propagation TO FIXPOINT (see
+    // [[minLabelFixpoint]]) → every document maps to its connected
+    // component's min doc_id; `is_canonical` marks the survivor. The
+    // oracle computes the same fixpoint as a recursive CTE (min reachable
+    // id per node) — converged label propagation IS connected components,
+    // so both engines agree regardless of round count.
     Q(
       "q_dedup_clusters",
       (s, dir) => {
         val pairs = jaccardPairs(hashedShingleSets(s, dir))
           .select(col("doc_a"), col("doc_b"))
-        // persist: every propagation round joins `edges`; without this the
-        // O(n²) pair computation re-executes once per round per side
-        val edges = pairs.select(col("doc_a").as("d"), col("doc_b").as("nb"))
-          .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("nb")))
-          .persist()
-        var labels = edges.select(col("d").as("doc_id")).distinct()
-          .withColumn("lbl", col("doc_id"))
-        (1 to 3).foreach { _ =>
-          val nbrMin = edges
-            .join(labels.select(col("doc_id").as("nb"), col("lbl").as("nbl")), "nb")
-            .groupBy(col("d")).agg(min(col("nbl")).as("nl"))
-          labels = labels
-            .join(nbrMin.select(col("d").as("doc_id"), col("nl")), Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-          // materialize each round: `labels` is referenced twice next round,
-          // so an unpersisted lineage re-executes all earlier rounds
-          // multiplicatively (this is the iterate-on-Spark idiom — persist
-          // per superstep, exactly what GraphX/Pregel does internally)
-          labels = labels.persist()
-          labels.count()
-        }
-        labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+        minLabelFixpoint(pairs)
+          .select(col("doc_id"), col("lbl").as("cluster_id"),
             (col("doc_id") === col("lbl")).as("is_canonical"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH sh AS (
+        WITH RECURSIVE sh AS (
           SELECT doc_id, lang, list_transform($sqlShingles, x -> ${sqlPolyHash("x")}) AS hv
           FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents)),
         pairs AS (
@@ -521,18 +546,12 @@ object TextQueries {
                 / len(list_distinct(list_concat(a.hv, b.hv))) >= 0.8),
         e AS (SELECT doc_a AS d, doc_b AS nb FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
-        l0 AS (SELECT DISTINCT d AS doc_id, d AS lbl FROM e),
-        l1 AS (SELECT n.doc_id, least(n.lbl, coalesce(min(x.lbl), n.lbl)) AS lbl
-               FROM l0 n LEFT JOIN e ON e.d = n.doc_id LEFT JOIN l0 x ON x.doc_id = e.nb
-               GROUP BY n.doc_id, n.lbl),
-        l2 AS (SELECT n.doc_id, least(n.lbl, coalesce(min(x.lbl), n.lbl)) AS lbl
-               FROM l1 n LEFT JOIN e ON e.d = n.doc_id LEFT JOIN l1 x ON x.doc_id = e.nb
-               GROUP BY n.doc_id, n.lbl),
-        l3 AS (SELECT n.doc_id, least(n.lbl, coalesce(min(x.lbl), n.lbl)) AS lbl
-               FROM l2 n LEFT JOIN e ON e.d = n.doc_id LEFT JOIN l2 x ON x.doc_id = e.nb
-               GROUP BY n.doc_id, n.lbl)
-        SELECT doc_id, lbl AS cluster_id, (doc_id = lbl) AS is_canonical
-        FROM l3 ORDER BY doc_id
+        reach AS (
+          SELECT DISTINCT d AS doc_id, d AS nb FROM e
+          UNION
+          SELECT r.doc_id, e.nb FROM reach r JOIN e ON e.d = r.nb)
+        SELECT doc_id, min(nb) AS cluster_id, (doc_id = min(nb)) AS is_canonical
+        FROM reach GROUP BY doc_id ORDER BY doc_id
       """)),
 
     // ---- C43 SimHash document signatures (24-bit, word-level) -------------------

@@ -16,4 +16,9 @@ object PlanShim {
 
   def parse(spark: SparkSession, sql: String): LogicalPlan =
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sql)
+
+  /** The (unanalyzed) logical plan of a DataFrame — for splicing a
+    * snapshot read into a parsed statement tree. */
+  def logical(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical
 }

@@ -89,6 +89,13 @@ class AcidSqlSpec extends AnyFunSuite {
     assert(rows == Seq("K1" -> "z", "K2" -> "b"))
     sess.execute("DELETE FROM acid.records WHERE primaryKeyValue IN ('K2')")
     assert(sess.table("records").snapshot().count() == 1)
+    // the reference reader's literal SELECT text (ReaderThread.java:77-78)
+    // resolves through the same session — qualified name, filters, aggs
+    val selected = sess.query("SELECT primaryKeyValue, dataValue FROM acid.records")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(selected == Seq("K1" -> "z"))
+    assert(sess.query("SELECT count(*) AS n FROM acid.records WHERE dataValue = 'z'")
+      .collect().head.getLong(0) == 1L)
     sess.execute("DROP TABLE IF EXISTS acid.records")
     assertThrows[IllegalArgumentException] { sess.table("acid.records") }
   }
