@@ -55,6 +55,15 @@ final class AcidTable private (
   private val commitsDir = Paths.get(path, CommitsDir)
   private val dataRoot = Paths.get(path, DataDir)
 
+  /** Target output-file size for commit/compaction writes. A hot partition
+    * splits into ~this many bytes per file instead of fusing into one
+    * writer's output — at 100 TB a compacted partition can be far larger
+    * than any sane single parquet file. Mutable so deployments (and the
+    * maintenance spec) can tune it; sizing is enforced via a per-file
+    * record cap derived from the schema's estimated row width.
+    */
+  @volatile var targetFileBytes: Long = 128L * 1024 * 1024
+
   // ---------------------------------------------------------------- reads --
 
   /** Highest committed version, or -1 for an empty (just-created) table. */
@@ -401,15 +410,21 @@ final class AcidTable private (
     if (touched.isEmpty) return Nil
     val commitId = UUID.randomUUID().toString
     val tmp = Paths.get(path, s"_tmp-$commitId")
+    // size-targeted output: ONE file per partition value per task (tiny
+    // files are the enemy of a 100 TB table) UNLESS the partition exceeds
+    // targetFileBytes — then maxRecordsPerFile rolls to a new file, so a
+    // compacted hot partition can never fuse into one giant file. The
+    // record cap derives from the schema's estimated (uncompressed) row
+    // width; parquet compression only makes files smaller than target.
+    // Task count = touched partitions, not the session shuffle default —
+    // a commit's write parallelism should track what it rewrites (hash
+    // collisions co-locating two values in one task are fine: partitionBy
+    // still splits the output files per value)
+    val recordsPerFile = math.max(1L, targetFileBytes / math.max(1, schema.defaultSize))
     result
-      // one output file per partition value: tiny files are the enemy of a
-      // 100 TB table; a real deployment would split by target file size.
-      // Task count = touched partitions, not the session shuffle default —
-      // a commit's write parallelism should track what it rewrites (hash
-      // collisions co-locating two values in one task are fine: partitionBy
-      // still splits the output files per value)
       .repartition(math.max(touched.size, 1), col(partitionCol))
-      .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+      .write.option("maxRecordsPerFile", recordsPerFile)
+      .partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     touched.foreach { p =>
       val srcDir = tmp.resolve(partDir(p)).toFile

@@ -38,6 +38,27 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 6) // content unchanged
   }
 
+  test("size-targeted writes split an oversized partition into multiple files") {
+    val t = newTable()
+    // ~60-byte estimated rows; a 2 KiB target forces the per-file record
+    // cap low enough that 500 rows in one partition must roll files
+    t.targetFileBytes = 2048L
+    val manyRows = (1 to 500).map(i => Record(f"R$i%04d", "P0", s"value-$i"))
+    t.upsert(df(manyRows: _*))
+    val files = filesInPartition(t, "P0")
+    assert(files > 1, s"expected a split, got $files file(s)")
+    // content identical to the batch regardless of file layout
+    val got = t.snapshot().orderBy("primaryKeyValue")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(got == manyRows.map(r => (r.primaryKeyValue, r.dataValue)))
+    // compaction honors the same target: it cannot re-fuse the partition
+    // into one giant file
+    t.compact(maxFilesPerPartition = 1)
+    t.vacuum(keepVersions = 1, graceMillis = 0L)
+    assert(filesInPartition(t, "P0") > 1)
+    assert(t.snapshot().count() == 500)
+  }
+
   test("addColumns: old files read as NULL, new writes carry the column") {
     val t0 = newTable()
     t0.upsert(df(Record("R1", "P0", "a")))
