@@ -25,6 +25,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions",
+        classOf[org.apache.spark.sql.graft.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -62,17 +64,32 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
 
+    // Per-query noise control: each query runs `reps` times with the whole
+    // cache cleared before every rep (a query may persist intermediates for
+    // ITS OWN stages, but must not inherit — or be charged for — a
+    // neighbor's cached state; round-2 bench showed untouched queries
+    // drifting 0.3→2.5 s purely from suite interleaving). Reported time is
+    // the MEDIAN of reps, so one GC pause or JIT recompile can't brand a
+    // query as regressed.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).filter(t => selected(t._1)).foreach { case (name, fn) =>
-      var failed = false
-      val sec = time {
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        var failed = false
+        val sec = time {
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
+          }
         }
+        if (failed) -1.0 else sec
       }
-      results(name) = if (failed) -1.0 else sec
+      val ok = times.filter(_ >= 0).sorted
+      results(name) = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
     }
+    spark.catalog.clearCache()
 
     // ACID harness throughput: 60 txns, 2 writers / 2 verifying readers
     // (BASELINE.md workload shape at reduced txn budget)
@@ -88,7 +105,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     spark.stop()
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Also persist to a file: stdout captures have truncated head/tail in
+    // past rounds, and the file is immune to log interleaving.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    try Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     // Last line of stdout by contract: the driver parses this JSON line.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(json)
   }
 }

@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   * Replaces the reference's metastore-backed bootstrap
   * (`/root/reference/src/test/java/org/example/SparkSessionProvider.java:45-72`)
   * with a plain local session: the native lake layer ([[graft.lake.AcidTable]])
-  * keeps its catalog in filesystem manifests, so no Hive metastore, no
-  * session extensions, no Kryo registrars are needed.
+  * keeps its catalog in filesystem manifests — no Hive metastore needed.
+  * [[org.apache.spark.sql.graft.GraftExtensions]] rides along the standard
+  * `spark.sql.extensions` route (SQL functions, as-of join strategy, acid
+  * MERGE resolution rule).
   */
 object Sessions {
   def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
@@ -23,6 +25,7 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.extensions", classOf[org.apache.spark.sql.graft.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

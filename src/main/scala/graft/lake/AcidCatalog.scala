@@ -1,0 +1,274 @@
+package graft.lake
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 catalog over [[AcidTable]]s — SURVEY §7 M6's full form:
+  * `SELECT` / `INSERT INTO` / `DELETE FROM` resolve NATIVELY through
+  * Spark's catalog + connector APIs (no AcidSql pattern-match shim), and
+  * `MERGE INTO` resolves through the [[AcidMergeRule]] session extension
+  * (the pre-DSv2 Delta architecture: a resolution rule turns the statement
+  * into a driver-orchestrated command whose data path is distributed).
+  *
+  * Register with:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.graft.warehouse", "/path/to/warehouse")
+  * }}}
+  * The warehouse root is read from the DYNAMIC conf at every table lookup
+  * (not pinned at catalog initialization) so one session can point the
+  * catalog at different scratch roots — mirrors how the reference keeps its
+  * db path in runtime config (`writer/Configuration.java`).
+  *
+  * Scale posture: reads go through [[AcidTable.snapshot]] (pinned manifest
+  * → ordinary distributed parquet scan with partition pruning); the V1Scan
+  * bridge applies required-column pruning and translated filters to that
+  * DataFrame, so pushdown reaches the parquet scan through the snapshot
+  * plan. Writes commit through the same OCC manifest path as the
+  * programmatic API. Nothing row-scale crosses the driver.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def warehouse: String =
+    SQLConf.get.getConfString("spark.sql.graft.warehouse",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new java.io.File((warehouse +: namespace.toSeq).mkString("/"))
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => new java.io.File(f, "_meta.properties").exists())
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (!new java.io.File(path, "_meta.properties").exists())
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace.toSeq :+ ident.name)
+    new AcidV2Table(AcidTable.open(spark, path), ident)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val props = properties.asScala
+    val pk = props.getOrElse("primaryKey",
+      throw new IllegalArgumentException(
+        "CREATE TABLE needs TBLPROPERTIES('primaryKey' = …)"))
+    // public-API transform inspection (IdentityTransform is private[sql])
+    val partCols = partitions.toSeq.collect {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+    }
+    require(partCols.size == 1,
+      s"exactly one identity partition column expected, got ${partitions.mkString(",")}")
+    val t = AcidTable.create(spark, tablePath(ident), schema, pk, partCols.head,
+      props.get("preCombinedField"))
+    new AcidV2Table(t, ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use AcidTable.addColumns (schema evolution) directly")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = new java.io.File(tablePath(ident))
+    if (!dir.exists()) return false
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(dir)
+    true
+  }
+
+  override def renameTable(old: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ------------------------------------------------------------- namespaces --
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new java.io.File(warehouse)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(d => Array(d.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    new java.io.File((warehouse +: namespace.toSeq).mkString("/")).isDirectory
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    new java.io.File((warehouse +: namespace.toSeq).mkString("/")).mkdirs(); ()
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = new java.io.File((warehouse +: namespace.toSeq).mkString("/"))
+    if (!dir.exists()) return false
+    if (!cascade && Option(dir.listFiles()).exists(_.nonEmpty))
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(dir)
+    true
+  }
+}
+
+/** The connector-API face of one [[AcidTable]]: batch read via the V1Scan
+  * bridge (snapshot DataFrame with pruning + pushdown), batch append via
+  * V1Write → transactional upsert, and metadata-only DELETE on primary-key
+  * filters. MERGE arrives via [[AcidMergeRule]], not a capability here —
+  * group-based DSv2 row-level operations would force a full v2 parquet
+  * writer stack for no semantic gain at this surface.
+  */
+final class AcidV2Table(val acid: AcidTable, ident: Identifier)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType = acid.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AcidScanBuilder(acid)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "INSERT OVERWRITE is not supported; use upsert/delete semantics")
+              acid.upsert(data)
+              ()
+            }
+          }
+      }
+    }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    AcidV2Table.pkKeys(filters, acid.pkCol).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val keys = AcidV2Table.pkKeys(filters, acid.pkCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"DELETE needs ${acid.pkCol} IN (…) or ${acid.pkCol} = …, got ${filters.mkString(", ")}"))
+    acid.delete(keys)
+    ()
+  }
+}
+
+object AcidV2Table {
+  /** Primary-key values from a DELETE condition, if the condition is a
+    * pure PK filter (the reference's only DELETE shape). */
+  private[lake] def pkKeys(filters: Array[Filter], pk: String): Option[Seq[String]] =
+    filters.toSeq match {
+      case Seq(sources.In(a, vs)) if a == pk => Some(vs.toSeq.map(String.valueOf))
+      case Seq(sources.EqualTo(a, v)) if a == pk => Some(Seq(String.valueOf(v)))
+      case _ => None
+    }
+}
+
+/** Scan builder bridging to the snapshot DataFrame: required-column pruning
+  * and translated filters are applied to the snapshot plan, whose own
+  * execution pushes them down to the underlying parquet scan — the V1Scan
+  * indirection loses nothing at the file level.
+  */
+final class AcidScanBuilder(acid: AcidTable)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = acid.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty projection (e.g. count(*)) still needs one column to scan
+    required = if (requiredSchema.fields.isEmpty) StructType(acid.schema.take(1))
+    else requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => AcidScanBuilder.toColumn(f).isDefined)
+    // report everything as post-scan residual: Spark re-checks, which keeps
+    // correctness independent of the translation's completeness
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+          val filtered = pushed.flatMap(AcidScanBuilder.toColumn)
+            .foldLeft(acid.snapshot())((df, c) => df.filter(c))
+          filtered.select(required.fieldNames.map(col).toSeq: _*).rdd
+        }
+      }.asInstanceOf[T]
+  }
+}
+
+object AcidScanBuilder {
+  /** Best-effort v1 Filter → Column translation; untranslatable filters
+    * stay residual (Spark evaluates them post-scan). */
+  private[lake] def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toSeq.map(lit(_)): _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case _ => None
+  }
+}

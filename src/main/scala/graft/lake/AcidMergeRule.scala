@@ -1,0 +1,94 @@
+package graft.lake
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.PlanShim
+
+/** Session-extension resolution rule: `MERGE INTO <graft catalog table>`
+  * becomes [[AcidMergeCommand]] BEFORE Spark's row-level-operation rewrite
+  * can reject the table (the pre-DSv2 Delta architecture). The reference's
+  * one MERGE shape (`TransactionWriter.java:154-161`) — PK-equality
+  * condition, matched UPDATE SET, not-matched full-row INSERT — maps to
+  * [[AcidTable.merge]]; other shapes fail loudly.
+  *
+  * Injected via [[org.apache.spark.sql.graft.GraftExtensions]]; fires only
+  * once the target has resolved to an [[AcidV2Table]] relation, so it never
+  * touches MERGE statements aimed at other sources.
+  */
+case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case m: MergeIntoTable =>
+      acidTarget(m.targetTable) match {
+        case None => m
+        case Some(acid) =>
+          require(keyEquality(m.mergeCondition, acid.pkCol),
+            s"MERGE condition must be t.${acid.pkCol} = s.${acid.pkCol}," +
+              s" got: ${m.mergeCondition.sql}")
+          val updateCols = m.matchedActions match {
+            case Seq(UpdateAction(None, assigns, _)) => assigns.map(assignedCol)
+            case other =>
+              throw new IllegalArgumentException(
+                s"expected exactly WHEN MATCHED THEN UPDATE SET …, got: $other")
+          }
+          m.notMatchedActions match {
+            case Seq(InsertAction(None, assigns)) =>
+              val cols = assigns.map(assignedCol).toSet
+              require(acid.schema.fieldNames.forall(cols.contains),
+                s"MERGE insert must cover the full schema" +
+                  s" ${acid.schema.fieldNames.mkString(",")}, got $cols")
+            case other =>
+              throw new IllegalArgumentException(
+                s"expected exactly WHEN NOT MATCHED THEN INSERT (full row), got: $other")
+          }
+          require(m.notMatchedBySourceActions.isEmpty,
+            "WHEN NOT MATCHED BY SOURCE is not supported")
+          AcidMergeCommand(acid, m.sourceTable, updateCols)
+      }
+  }
+
+  private def acidTarget(p: LogicalPlan): Option[AcidTable] = p match {
+    case SubqueryAlias(_, child) => acidTarget(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: AcidV2Table => Some(t.acid)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def colName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case a: Attribute => a.name
+    case n: NamedExpression => n.name
+    case other =>
+      throw new IllegalArgumentException(s"expected a column reference, got: ${other.sql}")
+  }
+
+  private def assignedCol(a: Assignment): String = colName(a.key)
+
+  private def keyEquality(cond: Expression, pk: String): Boolean = cond match {
+    case EqualTo(l, r) => colName(l) == pk && colName(r) == pk
+    case _ => false
+  }
+}
+
+/** Driver-orchestrated MERGE: the source plan re-analyzes through the
+  * session (temp views resolve as in `spark.sql`) and flows into the
+  * transactional [[AcidTable.merge]] — metadata and commit logic on the
+  * driver, all row movement in distributed Spark jobs.
+  */
+case class AcidMergeCommand(
+    acid: AcidTable,
+    source: LogicalPlan,
+    updateCols: Seq[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    acid.merge(PlanShim.ofRows(session, source), updateCols)
+    Seq.empty
+  }
+}

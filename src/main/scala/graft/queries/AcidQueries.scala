@@ -196,6 +196,51 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5/M6 the same DML lifecycle through the DSv2 catalog ------------------
+    // No AcidSql shim anywhere: CREATE NAMESPACE/TABLE, INSERT INTO,
+    // MERGE INTO (via the GraftExtensions resolution rule), DELETE FROM
+    // (native SupportsDelete), and the final SELECT all go through
+    // spark.sql against `graft.acid.t` resolved by GraftCatalog.
+    Q(
+      "q_sql_acid_dml_catalog",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.lake.GraftCatalog].getName)
+        s.conf.set("spark.sql.graft.warehouse", scratch())
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.acid")
+        s.sql("""CREATE TABLE graft.acid.t (pk STRING, part STRING, val DOUBLE)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        base.createOrReplaceTempView("acid_cat_base")
+        s.sql("INSERT INTO graft.acid.t SELECT * FROM acid_cat_base")
+        base.filter(col("pk").cast("long") % 2 === 0)
+          .withColumn("val", col("val") * 10)
+          .createOrReplaceTempView("acid_cat_updates")
+        s.sql("""MERGE INTO graft.acid.t t
+                |USING (SELECT * FROM acid_cat_updates) s
+                |ON t.pk = s.pk
+                |WHEN MATCHED THEN UPDATE SET t.val = s.val
+                |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.val) VALUES (s.pk, s.part, s.val)
+                |""".stripMargin)
+        s.sql("DELETE FROM graft.acid.t WHERE pk IN ('3', '9', '15')")
+        s.sql("SELECT * FROM graft.acid.t ORDER BY pk")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 2 = 0 THEN val * 10 ELSE val END AS val
+        FROM base WHERE pk NOT IN ('3', '9', '15')
+        ORDER BY pk
+      """)),
+
     // ---- C5 schema evolution: add-column without data rewrite -------------------
     // Rows written before the evolution lack the column physically; the
     // explicit-schema snapshot scan surfaces them as NULL — the Delta/Hudi

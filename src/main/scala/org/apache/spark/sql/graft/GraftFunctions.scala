@@ -41,11 +41,15 @@ object GraftFunctions {
   private[graft] def inject(ext: SparkSessionExtensions): Unit = {
     entries.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // MERGE INTO over GraftCatalog tables (SURVEY M6) — must run during
+    // resolution, before Spark's row-level-operation rewrite rejects the
+    // v1-write table
+    ext.injectResolutionRule(session => graft.lake.AcidMergeRule(session))
   }
 }
 
 /** `spark.sql.extensions` entry point: SQL functions + the as-of join
-  * planner strategy. */
+  * planner strategy + the acid MERGE resolution rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
 }
