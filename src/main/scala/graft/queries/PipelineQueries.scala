@@ -227,14 +227,28 @@ object PipelineQueries {
       "q_dedup_containment",
       (s, dir) => {
         val sh = TextQueries.hashedShingleSets(s, dir)
-        val a = sh.select(col("lang"), col("doc_id").as("doc_a"),
-          col("hs").as("hs_a"), col("ds").as("ds_a"))
-        val b = sh.select(col("lang"), col("doc_id").as("doc_b"),
-          col("hs").as("hs_b"), col("ds").as("ds_b"))
-        // thresholded merge: exact for every pair that can reach 0.9
-        // containment, bails with -1 (→ filtered) the moment a pair
-        // cannot — skips the merge tail on almost every candidate
-        a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+        // PREFIX-PROBED inverted index (lossless for containment >= 0.9 on
+        // the smaller set): if |A∩B| >= 0.9·|A| then at most floor(|A|/10)
+        // of A's sorted tokens miss B, so A's first floor(|A|/10)+1 tokens
+        // must hit B SOMEWHERE — probe each doc's prefix against the full
+        // token index (no size-ratio prune is sound here; small⊂big is
+        // exactly the target). Candidates then take the thresholded merge:
+        // exact for every pair that can reach 0.9 containment, bails with
+        // -1 (→ filtered) the moment a pair cannot.
+        val index = sh.select(col("lang"), col("doc_id"), explode(col("hs")).as("tok"))
+        val probe = sh.select(col("lang"), col("doc_id"),
+          explode(expr("slice(hs, 1, ds div 10 + 1)")).as("tok"))
+        val cand = probe.as("a").join(index.as("b"),
+            col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok")
+              && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+            col("ds").as("ds_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+            col("ds").as("ds_b")), "doc_b")
           .withColumn("inter",
             org.apache.spark.sql.graft.SortedLongIntersectAtLeast
               .intersectAtLeast(col("hs_a"), col("hs_b"), 9, 10).cast("double"))

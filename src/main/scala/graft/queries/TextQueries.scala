@@ -94,14 +94,31 @@ object TextQueries {
     * `len(list_intersect)/len(list_distinct(list_concat))`.
     */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
-    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("hs").as("hs_a"),
-      col("sz").as("sz_a"), col("ds").as("ds_a"))
-    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("hs").as("hs_b"),
-      col("sz").as("sz_b"), col("ds").as("ds_b"))
+    // PREFIX-FILTERED candidate generation (Bayardo/Xiao all-pairs
+    // similarity search): under any global token order, J(A,B) >= 0.8
+    // forces a shared token within the first floor(|S|/5)+1 sorted tokens
+    // of BOTH sets — so candidates come from an inverted-index equi-join
+    // on prefix tokens instead of the O(n² per lang) blocked cross. The
+    // filter is LOSSLESS for the threshold; the final semantics (raw-size
+    // ratio prune + exact sorted-merge Jaccard) are unchanged, so the
+    // brute-force DuckDB oracle is the standing witness. At 100 TB this is
+    // the difference between a shuffle keyed on rare prefix tokens and a
+    // quadratic blowup.
+    val tok = sh.select(col("lang"), col("doc_id"),
+      explode(expr("slice(hs, 1, ds div 5 + 1)")).as("tok"))
+    val cand = tok.as("a").join(tok.as("b"),
+        col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
     // size-ratio bound is LOSSLESS for j >= 0.8: j <= min(|A|,|B|)/max(|A|,|B|),
     // so 5*min >= 4*max must hold — prunes pairs before the merge-intersect runs
-    a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b")
-        && col("sz_a") * 5 >= col("sz_b") * 4
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("sz").as("sz_a"), col("ds").as("ds_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("sz").as("sz_b"), col("ds").as("ds_b")), "doc_b")
+      .filter(col("sz_a") * 5 >= col("sz_b") * 4
         && col("sz_b") * 5 >= col("sz_a") * 4)
       .withColumn("inter", intersectCount(col("hs_a"), col("hs_b")).cast("double"))
       .withColumn("j", col("inter") / (col("ds_a") + col("ds_b") - col("inter")))
