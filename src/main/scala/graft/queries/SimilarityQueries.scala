@@ -271,10 +271,19 @@ object SimilarityQueries {
           .persist()
         val exact = sig.select(col("vec_id"),
           posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+        // one-directional probing: a Hamming-1 pair differs in EXACTLY one
+        // bit, and exactly one side holds a 0 there — that side probes
+        // upward (bucket + bit) into the other's exact bucket. Upward-only
+        // probes cover every qualifying pair once, halving both probe rows
+        // and the duplicate candidates a symmetric probe would generate.
         val probed = exact.select(col("vec_id"), col("tbl"),
           explode(concat(array(col("bucket")),
-            transform(sequence(lit(0), lit(DEDUP_P - 1)), p =>
-              col("bucket").bitwiseXOR(pow(lit(2.0), p.cast("double")).cast("long")))))
+            filter(
+              transform(sequence(lit(0), lit(DEDUP_P - 1)), p => {
+                val bit = pow(lit(2.0), p.cast("double")).cast("long")
+                when(col("bucket").bitwiseAND(bit) === 0L, col("bucket") + bit)
+              }),
+              x => x.isNotNull)))
             .as("pbucket"))
         val cand = probed.as("a").join(exact.as("b"),
             col("a.tbl") === col("b.tbl") && col("a.pbucket") === col("b.bucket")
@@ -300,10 +309,12 @@ object SimilarityQueries {
                 FROM e),
         ex AS (SELECT vec_id, t.t AS tbl, buckets[t.t + 1] AS bucket
                FROM sig, unnest(range(0, $DEDUP_L)) AS t(t)),
-        probes AS (SELECT vec_id, tbl,
-                     CASE WHEN p.p < 0 THEN bucket
-                          ELSE xor(bucket, CAST(power(2, p.p) AS BIGINT)) END AS pbucket
-                   FROM ex, unnest(range(-1, $DEDUP_P)) AS p(p)),
+        probes AS (SELECT vec_id, tbl, bucket AS pbucket FROM ex
+                   UNION ALL
+                   SELECT vec_id, tbl,
+                          bucket + CAST(power(2, p.p) AS BIGINT) AS pbucket
+                   FROM ex, unnest(range(0, $DEDUP_P)) AS p(p)
+                   WHERE (bucket & CAST(power(2, p.p) AS BIGINT)) = 0),
         cand AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
                         greatest(a.vec_id, b.vec_id) AS vec_b
                  FROM probes a JOIN ex b
