@@ -73,6 +73,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new AcidV2Table(AcidTable.open(spark, path), ident)
   }
 
+  /** SQL time travel: `SELECT … FROM graft.ns.t VERSION AS OF n` pins the
+    * scan to manifest version n — the catalog face of
+    * [[AcidTable.snapshot]]'s version parameter. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = loadTable(ident).asInstanceOf[AcidV2Table]
+    new AcidV2Table(base.acid, ident, Some(version.toLong))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -160,10 +168,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * group-based DSv2 row-level operations would force a full v2 parquet
   * writer stack for no semantic gain at this surface.
   */
-final class AcidV2Table(val acid: AcidTable, ident: Identifier)
+final class AcidV2Table(
+    val acid: AcidTable, ident: Identifier, version: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
-  override def name(): String = ident.toString
+  override def name(): String =
+    ident.toString + version.map(v => s"@v$v").getOrElse("")
 
   override def schema(): StructType = acid.schema
 
@@ -171,7 +181,7 @@ final class AcidV2Table(val acid: AcidTable, ident: Identifier)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AcidScanBuilder(acid)
+    new AcidScanBuilder(acid, version)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -181,6 +191,7 @@ final class AcidV2Table(val acid: AcidTable, ident: Identifier)
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               require(!overwrite,
                 "INSERT OVERWRITE is not supported; use upsert/delete semantics")
+              require(version.isEmpty, "cannot write to a time-travelled table")
               acid.upsert(data)
               ()
             }
@@ -192,6 +203,7 @@ final class AcidV2Table(val acid: AcidTable, ident: Identifier)
     AcidV2Table.pkKeys(filters, acid.pkCol).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty, "cannot delete from a time-travelled table")
     val keys = AcidV2Table.pkKeys(filters, acid.pkCol).getOrElse(
       throw new IllegalArgumentException(
         s"DELETE needs ${acid.pkCol} IN (…) or ${acid.pkCol} = …, got ${filters.mkString(", ")}"))
@@ -216,7 +228,7 @@ object AcidV2Table {
   * execution pushes them down to the underlying parquet scan — the V1Scan
   * indirection loses nothing at the file level.
   */
-final class AcidScanBuilder(acid: AcidTable)
+final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = acid.schema
@@ -246,7 +258,7 @@ final class AcidScanBuilder(acid: AcidTable)
         override def schema: StructType = required
         override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
           val filtered = pushed.flatMap(AcidScanBuilder.toColumn)
-            .foldLeft(acid.snapshot())((df, c) => df.filter(c))
+            .foldLeft(acid.snapshot(version.getOrElse(-1L)))((df, c) => df.filter(c))
           filtered.select(required.fieldNames.map(col).toSeq: _*).rdd
         }
       }.asInstanceOf[T]

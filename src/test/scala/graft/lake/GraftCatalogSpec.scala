@@ -57,6 +57,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSeq
       == Seq("accounts"))
 
+    // SQL time travel: version 0 is the post-insert state, before the
+    // merge updated 'a' and before 'b' was deleted
+    val v0 = spark.sql("SELECT pk, v FROM graft.db.accounts VERSION AS OF 0 ORDER BY pk")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(v0 == Seq("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+    // a time-travelled relation is read-only
+    intercept[Throwable] {
+      spark.sql("INSERT INTO graft.db.accounts VERSION AS OF 0 SELECT * FROM cat_src")
+    }
+
     // the SAME manifests serve the programmatic API (one table, two faces)
     val wh = spark.conf.get("spark.sql.graft.warehouse")
     assert(AcidTable.open(spark, s"$wh/db/accounts").snapshot().count() == 3)
