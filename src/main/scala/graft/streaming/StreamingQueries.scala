@@ -138,6 +138,68 @@ object StreamingQueries {
   }
 
   def all: Seq[Q] = Seq(
+    // ---- streaming ACID ingest (DeltaStreamer-shaped: stream → upsert) ----------
+    // Each micro-batch lands as ONE transactional upsert into an AcidTable
+    // keyed by event_id with ts precombine — the lakehouse streaming-ingest
+    // capability (Hudi DeltaStreamer's job) on the native manifest layer.
+    // Batch-level semantics are last-writer-wins per key across batches and
+    // greatest-precombine (deterministic full-row tie-break) within a
+    // batch; upserting a deterministic batch twice is a no-op, so
+    // AvailableNow replay gives effectively-once results on at-least-once
+    // delivery. The oracle reconstructs the chunk assignment (row_number
+    // over µs-truncated ts, quartile boundaries with integer division —
+    // exactly chunkedEventsDir's split) and picks per key the winner of
+    // (chunk DESC, ts DESC, remaining columns DESC).
+    Q(
+      "q_acid_stream_ingest",
+      (s, dir) => {
+        val src = chunkedEventsDir(s, dir)
+        val schema = s.read.parquet(src).schema
+        val t = graft.lake.AcidTable.create(s,
+          Files.createTempDirectory("acid-ingest-").resolve("t").toString,
+          schema, pkCol = "event_id", partitionCol = "event_type",
+          precombineCol = Some("ts"))
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            stream.writeStream
+              .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+                t.upsert(batch.toDF()); ()
+              })
+              .trigger(Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+        t.snapshot()
+          .select(col("event_id"), expr("unix_micros(ts)").as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+                 row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
+                 count(*) OVER () AS n
+          FROM events),
+        chunked AS (
+          SELECT *, CASE WHEN rn <= n // 4 THEN 0
+                         WHEN rn <= (2 * n) // 4 THEN 1
+                         WHEN rn <= (3 * n) // 4 THEN 2
+                         ELSE 3 END AS chunk
+          FROM ev),
+        picked AS (
+          SELECT event_id, ts_us, user_id, event_type, value, props,
+                 row_number() OVER (PARTITION BY event_id
+                   ORDER BY chunk DESC, ts_us DESC, user_id DESC,
+                            event_type DESC, value DESC, props DESC) AS pick
+          FROM chunked)
+        SELECT event_id, ts_us, user_id, event_type, value, props
+        FROM picked WHERE pick = 1 ORDER BY event_id
+      """)),
+
     // ---- C37 tumbling window aggregation with watermark -------------------------
     Q(
       "q_stream_tumbling",
