@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -50,6 +50,21 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "WHEN NOT MATCHED BY SOURCE is not supported")
           AcidMergeCommand(acid, m.sourceTable, updateCols)
       }
+
+    case u: UpdateTable =>
+      acidTarget(u.table) match {
+        case None => u
+        case Some(acid) =>
+          // UPDATE = snapshot → filter → apply SET → transactional upsert
+          // (keys unchanged, so the upsert IS the row update). Assignments
+          // and condition are carried as SQL text — with attribute
+          // qualifiers stripped so they re-resolve against the snapshot —
+          // and evaluated at run time.
+          val sets = u.assignments.map(a => assignedCol(a) -> bareNames(a.value).sql)
+          require(!sets.exists(_._1 == acid.pkCol),
+            s"UPDATE may not SET the primary key ${acid.pkCol}")
+          AcidUpdateCommand(acid, sets, u.condition.map(c => bareNames(c).sql))
+      }
   }
 
   private def acidTarget(p: LogicalPlan): Option[AcidTable] = p match {
@@ -59,6 +74,13 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     case _ => None
+  }
+
+  /** Strip table/catalog qualifiers so a rendered expression re-resolves
+    * against the bare snapshot DataFrame columns. */
+  private def bareNames(e: Expression): Expression = e.transform {
+    case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+    case a: Attribute => UnresolvedAttribute(Seq(a.name))
   }
 
   private def colName(e: Expression): String = e match {
@@ -89,6 +111,26 @@ case class AcidMergeCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     acid.merge(PlanShim.ofRows(session, source), updateCols)
+    Seq.empty
+  }
+}
+
+/** Driver-orchestrated UPDATE: read the snapshot, keep the rows matching
+  * the condition, apply the SET expressions, and upsert the result — the
+  * primary keys are unchanged, so the transactional upsert replaces
+  * exactly the targeted rows.
+  */
+case class AcidUpdateCommand(
+    acid: AcidTable,
+    sets: Seq[(String, String)],
+    conditionSql: Option[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    val snap = acid.snapshot()
+    val targeted = conditionSql.map(c => snap.filter(expr(c))).getOrElse(snap)
+    val updated = sets.foldLeft(targeted) { case (df, (c, e)) => df.withColumn(c, expr(e)) }
+    acid.upsert(updated)
     Seq.empty
   }
 }

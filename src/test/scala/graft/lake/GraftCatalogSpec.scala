@@ -49,6 +49,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(rows == Seq("a" -> 10.0, "c" -> 3.0, "d" -> 4.0))
 
+    // UPDATE completes the DML surface: filter + SET + transactional upsert
+    spark.sql("UPDATE graft.db.accounts SET v = v + 0.5 WHERE pk = 'c'")
+    val updated = spark.sql("SELECT pk, v FROM graft.db.accounts ORDER BY pk")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(updated == Seq("a" -> 10.0, "c" -> 3.5, "d" -> 4.0))
+    intercept[Throwable] { spark.sql("UPDATE graft.db.accounts SET pk = 'x'") }
+
     // filters + pruning flow through the snapshot scan
     assert(spark.sql("SELECT pk FROM graft.db.accounts WHERE part = 'p0' AND v > 5")
       .collect().map(_.getString(0)).toSeq == Seq("a"))
