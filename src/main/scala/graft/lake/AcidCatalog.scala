@@ -102,9 +102,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new AcidV2Table(t, ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use AcidTable.addColumns (schema evolution) directly")
+  /** `ALTER TABLE … ADD COLUMNS` → manifest-only schema evolution
+    * ([[AcidTable.addColumns]]: old files surface the column as NULL, no
+    * data rewrite). Other table changes are rejected loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported table change: $other")
+    }
+    val t = loadTable(ident).asInstanceOf[AcidV2Table]
+    new AcidV2Table(t.acid.addColumns(adds), ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new java.io.File(tablePath(ident))
@@ -178,21 +190,26 @@ final class AcidV2Table(
   override def schema(): StructType = acid.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AcidScanBuilder(acid, version)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // INSERT INTO appends (transactional upsert); INSERT OVERWRITE TABLE
+      // arrives as truncate()+insert and maps to the single-commit
+      // full-replace — both through the same OCC manifest path
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(!overwrite,
-                "INSERT OVERWRITE is not supported; use upsert/delete semantics")
               require(version.isEmpty, "cannot write to a time-travelled table")
-              acid.upsert(data)
+              if (overwriteAll || overwrite) acid.overwrite(data)
+              else acid.upsert(data)
               ()
             }
           }

@@ -118,6 +118,27 @@ final class AcidTable private (
       resultOf = snapT => snapT.join(keys, Seq(pkCol), "left_anti").unionByName(b))
   }
 
+  /** Replace the ENTIRE table content with `batch` in one atomic commit
+    * (SQL `INSERT OVERWRITE` semantics): touched = every partition the
+    * table currently holds plus every partition the batch lands in, so no
+    * file is carried forward and the new manifest references only the
+    * batch's output. Partition lists are metadata-scale; rows never cross
+    * the driver.
+    */
+  def overwrite(batch: DataFrame): Long = {
+    val b = precombine(normalize(batch))
+    commitLoop(
+      touchedOf = (_, files) => {
+        val existing = files.map(_.takeWhile(_ != '/')).distinct.map(d =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(d.stripPrefix(s"$partitionCol=")))
+        val incoming = b.select(partitionCol).distinct().collect()
+          .map(r => String.valueOf(r.get(0)))
+        (existing ++ incoming).distinct
+      },
+      resultOf = _ => b)
+  }
+
   /** MERGE INTO (reference A7): on PK match update `updateCols` from the
     * source, otherwise insert the full source row. `partitionsHint` as in
     * [[upsert]].

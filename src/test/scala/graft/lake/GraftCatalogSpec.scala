@@ -78,6 +78,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     val wh = spark.conf.get("spark.sql.graft.warehouse")
     assert(AcidTable.open(spark, s"$wh/db/accounts").snapshot().count() == 3)
 
+    // ALTER TABLE ADD COLUMNS: manifest-only evolution, old rows read NULL
+    spark.sql("ALTER TABLE graft.db.accounts ADD COLUMNS (tag STRING)")
+    assert(spark.sql("SELECT tag FROM graft.db.accounts").collect().forall(_.isNullAt(0)))
+
+    // INSERT OVERWRITE replaces the whole table in one commit
+    Seq(("z", "p1", 99.0, "fresh")).toDF("pk", "part", "v", "tag")
+      .createOrReplaceTempView("cat_ovw")
+    spark.sql("INSERT OVERWRITE graft.db.accounts SELECT * FROM cat_ovw")
+    val after = spark.sql("SELECT pk, v, tag FROM graft.db.accounts")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(after == Seq(("z", 99.0, "fresh")))
+
     spark.sql("DROP TABLE graft.db.accounts")
     assertThrows[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM graft.db.accounts").collect()
