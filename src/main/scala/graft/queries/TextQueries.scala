@@ -383,6 +383,62 @@ object TextQueries {
         FROM documents ORDER BY doc_id
       """)),
 
+    // ---- C43 INCREMENTAL near-dedup: new batch vs existing corpus ---------------
+    // The production dedup shape: a daily ingest batch (doc_id % 5 == 0
+    // stands in for it) is checked against the standing corpus and each
+    // batch document gets a keep/drop DECISION with its duplicate count.
+    // Candidates come from prefix-filtered probing (J >= 0.5 forces a
+    // shared token in the first floor(|S|/2)+1 sorted tokens of both
+    // sets), so at 100 TB the batch probes a prefix-token index of the
+    // corpus instead of cross-joining it; exact Jaccard verifies
+    // survivors. The oracle recomputes the decisions by brute force.
+    Q(
+      "q_dedup_incremental",
+      (s, dir) => {
+        val sh = hashedShingleSets(s, dir)
+        val corpus = sh.filter(col("doc_id") % 5 =!= 0)
+        val batch = sh.filter(col("doc_id") % 5 === 0)
+        val ctok = corpus.select(col("lang"), col("doc_id").as("corpus_doc"),
+          explode(expr("slice(hs, 1, ds div 2 + 1)")).as("tok"))
+        val btok = batch.select(col("lang"), col("doc_id").as("batch_doc"),
+          explode(expr("slice(hs, 1, ds div 2 + 1)")).as("tok"))
+        val cand = btok.join(ctok, Seq("lang", "tok"))
+          .select(col("batch_doc"), col("corpus_doc"))
+          .dropDuplicates("batch_doc", "corpus_doc")
+        val dups = cand
+          .join(batch.select(col("doc_id").as("batch_doc"), col("hs").as("hs_a"),
+            col("ds").as("ds_a")), "batch_doc")
+          .join(corpus.select(col("doc_id").as("corpus_doc"), col("hs").as("hs_b"),
+            col("ds").as("ds_b")), "corpus_doc")
+          .withColumn("inter", intersectCount(col("hs_a"), col("hs_b")).cast("double"))
+          .withColumn("j", col("inter") / (col("ds_a") + col("ds_b") - col("inter")))
+          .filter(col("j") >= 0.5)
+          .groupBy(col("batch_doc")).agg(count(lit(1)).as("n_dups"))
+        batch.select(col("doc_id").as("batch_doc"))
+          .join(dups, Seq("batch_doc"), "left")
+          .select(col("batch_doc"), coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+          .withColumn("keep", col("n_dups") === 0)
+          .orderBy(col("batch_doc"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, lang,
+                 list_sort(list_distinct(list_transform($sqlShingles, x -> ${sqlPolyHash("x")}))) AS hs
+          FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents)),
+        dups AS (
+          SELECT a.doc_id AS batch_doc, count(*) AS n_dups
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+          WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5
+          GROUP BY 1)
+        SELECT s.doc_id AS batch_doc, coalesce(p.n_dups, 0) AS n_dups,
+               coalesce(p.n_dups, 0) = 0 AS keep
+        FROM sh s LEFT JOIN dups p ON p.batch_doc = s.doc_id
+        WHERE s.doc_id % 5 = 0
+        ORDER BY batch_doc
+      """)),
+
     // ---- C42 exact dedup on normalized text -------------------------------------
     Q(
       "q_dedup_exact_docs",
