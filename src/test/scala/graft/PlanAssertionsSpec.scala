@@ -100,7 +100,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // small-data correctness baseline); both scale paths must materialize
     // pairs through equi joins only — a BNLJ or cartesian over the corpus
     // is the 100 TB death sentence the blocked/LSH designs exist to avoid
-    for (q <- Seq("q_dedup_embed_cosine_blocked", "q_dedup_embed_cosine_lsh")) {
+    for (q <- Seq("q_dedup_embed_cosine_blocked", "q_dedup_embed_cosine_lsh",
+        "q_dedup_incremental")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q planned a broadcast nested loop:\n$p")
