@@ -96,6 +96,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent INSERT INTO through the catalog keeps every row (OCC)") {
+    // four sessions, each with its own GraftCatalog instance, hammer the
+    // SAME warehouse path — isolation comes from the manifest OCC commit,
+    // not from any shared driver state
+    val wh = freshCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cc")
+    spark.sql("""CREATE TABLE graft.cc.t (pk STRING, part STRING, v DOUBLE)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    val failures = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        try {
+          val sess = spark.newSession()
+          sess.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+          sess.conf.set("spark.sql.graft.warehouse", wh)
+          (0 until 5).foreach { k =>
+            sess.createDataFrame(Seq((s"k-$i-$k", s"p${k % 2}", 1.0)))
+              .toDF("pk", "part", "v").createOrReplaceTempView("cc_src")
+            sess.sql("INSERT INTO graft.cc.t SELECT * FROM cc_src")
+          }
+        } catch { case t: Throwable => failures.compareAndSet(null, t); () }
+      }, s"cc-insert-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.get() == null, s"writer failed: ${failures.get()}")
+    assert(spark.sql("SELECT count(*) FROM graft.cc.t").collect().head.getLong(0) == 20L)
+  }
+
   test("non-PK deletes and unsupported merges fail loudly, not silently") {
     freshCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db2")
