@@ -81,6 +81,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new AcidV2Table(base.acid, ident, Some(version.toLong))
   }
 
+  /** `TIMESTAMP AS OF t`: Spark hands the timestamp in MICROseconds; the
+    * latest manifest published at or before it is the pinned version
+    * (manifest link mtime = commit linearization point). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = loadTable(ident).asInstanceOf[AcidV2Table]
+    val v = base.acid.versionAt(timestamp / 1000L)
+    require(v >= 0, s"no commit at or before timestamp ${timestamp}µs")
+    new AcidV2Table(base.acid, ident, Some(v))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

@@ -72,6 +72,19 @@ final class AcidTable private (
     files.collect { case ManifestName(v) => v.toLong }.foldLeft(-1L)(math.max)
   }
 
+  /** Highest version whose manifest was published at or before
+    * `epochMillis` (manifest publish time is the commit clock — the hard
+    * link's mtime is set at the atomic linearization point), or -1 if the
+    * table had no commits yet. Powers `TIMESTAMP AS OF` time travel.
+    */
+  def versionAt(epochMillis: Long): Long = {
+    val files = Option(new File(commitsDir.toString).listFiles()).getOrElse(Array.empty)
+    files.flatMap(f => f.getName match {
+      case ManifestName(v) if f.lastModified() <= epochMillis => Some(v.toLong)
+      case _ => None
+    }).foldLeft(-1L)(math.max)
+  }
+
   /** Snapshot of the given (default latest) committed version. The file
     * list is pinned before the scan → snapshot isolation for the whole read.
     */

@@ -74,6 +74,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("INSERT INTO graft.db.accounts VERSION AS OF 0 SELECT * FROM cat_src")
     }
 
+    // TIMESTAMP AS OF: "now" resolves to the latest committed version
+    // (manifest publish mtimes are the commit clock)
+    val nowTs = java.time.Instant.now().plusSeconds(1)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val asOfNow = spark.sql(
+      s"SELECT pk, v FROM graft.db.accounts TIMESTAMP AS OF '$nowTs' ORDER BY pk")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(asOfNow == Seq("a" -> 10.0, "c" -> 3.5, "d" -> 4.0))
+    // a timestamp before the first commit fails loudly
+    intercept[Throwable] {
+      spark.sql("SELECT * FROM graft.db.accounts TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+
     // the SAME manifests serve the programmatic API (one table, two faces)
     val wh = spark.conf.get("spark.sql.graft.warehouse")
     assert(AcidTable.open(spark, s"$wh/db/accounts").snapshot().count() == 3)
