@@ -139,8 +139,14 @@ object TextQueries {
     * runaway guard; label propagation needs at most `diameter` supersteps.
     */
   private[graft] def minLabelFixpoint(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // the iteration frames are edge-count-sized (near-dup graphs are
+    // sparse — tiny next to the corpus), so pin them to a handful of
+    // partitions: per-superstep cost is task-scheduling latency, and 32
+    // near-empty shuffle tasks per round is pure overhead. On a cluster
+    // this is the same knob sized to |edges|, not to the corpus.
     val edges = pairs.select(col("doc_a").as("d"), col("doc_b").as("nb"))
       .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("nb")))
+      .repartition(4, col("d"))
       .persist()
     // `cached` tracks the persisted frame itself — unpersisting a DERIVED
     // select would be a no-op and leak one cache entry per superstep
