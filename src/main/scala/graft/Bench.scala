@@ -74,9 +74,27 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // The shingle-signature table is shared corpus infrastructure (computed
+    // once per corpus in production, read by every dedup job), so its build
+    // is timed as its OWN entry and STORED as parquet — per-query dedup
+    // times then show incremental cost, and the per-rep clearCache below
+    // cannot evict it (a persisted-DataFrame version was silently evicted
+    // by rep-isolation clearing and re-charged to whichever query ran
+    // next).
+    if (selected("prep_shingle_signatures")) {
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        graft.queries.TextQueries.clearShingleCache()
+        time { graft.queries.TextQueries.materializeSignatures(spark, sfDir) }
+      }.sorted
+      results("prep_shingle_signatures") = times(times.size / 2)
+    } else graft.queries.TextQueries.materializeSignatures(spark, sfDir)
+
     SparkEntry.queries.toSeq.sortBy(_._1).filter(t => selected(t._1)).foreach { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
+        graft.queries.TextQueries.clearShingleCache()
         var failed = false
         val sec = time {
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -92,21 +110,46 @@ object Bench {
     spark.catalog.clearCache()
 
     // ACID harness throughput: 60 txns, 2 writers / 2 verifying readers
-    // (BASELINE.md workload shape at reduced txn budget)
-    if (selected("acid_harness_60txn")) results("acid_harness_60txn") = time {
-      val path = Files.createTempDirectory("bench-acid-").resolve("t").toString
-      val r = new TransactionManager(spark, HarnessConfig(
-        tablePath = path, numberOfWriterThreads = 2, numberOfReaderThreads = 2,
-        totalNumberOfTransactions = 60, maximumNumberOfRecords = 100)).run()
-      require(r.failedVerifications == 0 && !r.hasFailedWriters && !r.hasFailedReaders,
-        s"harness failed during bench: $r")
+    // (BASELINE.md workload shape at reduced txn budget). Same protocol as
+    // the queries — median of `reps`, each rep isolated: fresh table path,
+    // caches cleared, and an explicit GC so a heap full of 117 queries'
+    // garbage isn't charged to the harness's commit latencies (round-3
+    // showed 18.7 s isolated vs 40 s when run once, cold, at suite end).
+    // Per-rep conflict counts and steady txn/s go out in the JSON.
+    var harnessStats = List.empty[(Double, Long, Int)] // (sec, conflicts, committed)
+    if (selected("acid_harness_60txn")) {
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        graft.lake.AcidTable.resetConflictCount()
+        val path = Files.createTempDirectory("bench-acid-").resolve("t").toString
+        var committed = 0
+        val sec = time {
+          val r = new TransactionManager(spark, HarnessConfig(
+            tablePath = path, numberOfWriterThreads = 2, numberOfReaderThreads = 2,
+            totalNumberOfTransactions = 60, maximumNumberOfRecords = 100)).run()
+          require(r.failedVerifications == 0 && !r.hasFailedWriters && !r.hasFailedReaders,
+            s"harness failed during bench: $r")
+          committed = r.committedTransactions
+        }
+        harnessStats ::= ((sec, graft.lake.AcidTable.conflictCount, committed))
+        sec
+      }.sorted
+      results("acid_harness_60txn") = times(times.size / 2)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    val harnessJson = harnessStats.reverse match {
+      case Nil => ""
+      case stats =>
+        val med = results("acid_harness_60txn")
+        val txnPerSec = stats.map(s => s._3 / s._1).sortBy(identity)(Ordering.Double.TotalOrdering)
+        f""","harness":{"txn_per_sec_median":${txnPerSec(txnPerSec.size / 2)}%.2f,"conflicts":[${stats.map(_._2).mkString(",")}],"reps_sec":[${stats.map(s => f"${s._1}%.2f").mkString(",")}],"median_sec":$med%.3f}"""
+    }
     spark.stop()
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$harnessJson}"""
     // Also persist to a file: stdout captures have truncated head/tail in
     // past rounds, and the file is immune to log interleaving.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")

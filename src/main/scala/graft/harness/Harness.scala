@@ -21,6 +21,38 @@ final case class HarnessResult(
     modelRowCount: Int,
     firstFailure: Option[String] = None)
 
+object TransactionManager {
+
+  /** Transient = worth re-applying: an OCC conflict that exhausted
+    * [[AcidTable]]'s internal retries, or a distributed-execution failure
+    * (task/stage death surfaces as `SparkException`). Everything else —
+    * analysis errors, bad arguments, assertion failures — is a logic
+    * error and must fail on the first attempt (reference A10 intent,
+    * `TransactionWriter.java:22-28,189-195`).
+    */
+  private[graft] def isTransient(e: Throwable): Boolean = e match {
+    case _: graft.lake.CommitConflictException => true
+    case _: org.apache.spark.SparkException => true
+    case _ => false
+  }
+
+  /** The writer's A9 retry wrapper: re-run `body` up to `maxRetries`
+    * additional times, but only for [[isTransient]] failures.
+    */
+  private[graft] def retryTransient[A](maxRetries: Int, onRetry: Throwable => Unit)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if attempt < maxRetries && isTransient(e) =>
+          attempt += 1
+          onRetry(e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 /** The concurrent ACID verification harness — N writer threads applying
   * random transactions through [[AcidTable]] while M reader threads
   * snapshot-read and verify against the in-memory transaction-log oracle
@@ -100,23 +132,20 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
               (dm.primaryKeyValue, dm.partitionKeyValue)))
               .toDF("primaryKeyValue", "partitionKeyValue"), parts)
         }
-        // bounded retry on TRANSIENT failures — the reference's intended A9
-        // wrapper (`TransactionWriter.java:104-119`), whose own
-        // exception-wrapping bug (§8-B4) meant it could never fire. OCC
-        // conflicts retry inside AcidTable; this guards execution-level
-        // transients. Re-applying a transaction is idempotent: upsert and
-        // delete are state-replacing, and a retried merge re-reads the
-        // snapshot it half-applied.
-        var attempt = 0
-        var applied = false
+        // bounded retry on TRANSIENT failures only — the reference's
+        // intended A9 wrapper (`TransactionWriter.java:104-119`, fail-fast
+        // intent at :22-28,189-195), whose own exception-wrapping bug
+        // (§8-B4) meant it could never fire. OCC conflicts retry inside
+        // AcidTable; this guards a conflict that exhausted those retries
+        // and execution-level transients (task/stage failures surface as
+        // SparkException). Logic errors — analysis failures, bad
+        // arguments — fail on attempt 1. Re-applying a transaction is
+        // idempotent: upsert and delete are state-replacing, and a retried
+        // merge re-reads the snapshot it half-applied.
         val t0 = System.nanoTime()
-        while (!applied) {
-          try { applyOnce(); applied = true }
-          catch {
-            case e: Throwable if attempt < 3 =>
-              attempt += 1
-              System.err.println(s"retrying txn ${tx.transactionId} after: $e")
-          }
+        TransactionManager.retryTransient(maxRetries = 3,
+          onRetry = e => System.err.println(s"retrying txn ${tx.transactionId} after: $e")) {
+          applyOnce()
         }
         // A24 structured perf telemetry — per-transaction write duration
         // (`TransactionWriter.java:98-99` shape)
@@ -159,11 +188,13 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
       }
     }
 
-    // per-thread session clones (reference A15 shape). Harness batches are
+    // per-thread session clones via cloneSession() — conf AND temp-view
+    // namespace inherited at clone time (`TransactionManager.java:95-101`
+    // parity), then two deliberate workload overrides: harness batches are
     // 3 rows against a ≤100-key table — a handful of shuffle partitions
     // beats the cluster-sized session default for these metadata-scale jobs.
     def harnessSession(): SparkSession = {
-      val session = spark.newSession()
+      val session = org.apache.spark.sql.graft.PlanShim.cloneSession(spark)
       session.conf.set("spark.sql.shuffle.partitions", "4")
       // AQE re-plans after every shuffle materialization — worth it for
       // cluster-scale stages, pure scheduling overhead for 3-row

@@ -31,13 +31,16 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"MERGE condition must be t.${acid.pkCol} = s.${acid.pkCol}," +
               s" got: ${m.mergeCondition.sql}")
           val updateCols = m.matchedActions match {
-            case Seq(UpdateAction(None, assigns, _)) => assigns.map(assignedCol)
+            case Seq(UpdateAction(None, assigns, _)) =>
+              assigns.foreach(requireIdentityAssignment)
+              assigns.map(assignedCol)
             case other =>
               throw new IllegalArgumentException(
                 s"expected exactly WHEN MATCHED THEN UPDATE SET …, got: $other")
           }
           m.notMatchedActions match {
             case Seq(InsertAction(None, assigns)) =>
+              assigns.foreach(requireIdentityAssignment)
               val cols = assigns.map(assignedCol).toSet
               require(acid.schema.fieldNames.forall(cols.contains),
                 s"MERGE insert must cover the full schema" +
@@ -93,6 +96,24 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def assignedCol(a: Assignment): String = colName(a.key)
 
+  /** [[AcidTable.merge]] copies same-named source columns — it can only
+    * execute assignments of the shape `t.c = s.c`. Any transformed or
+    * reordered VALUE expression (`t.v = s.v * 2`, `t.a = s.b`) would
+    * silently run as the identity mapping, so reject it here instead.
+    */
+  private def requireIdentityAssignment(a: Assignment): Unit = {
+    val key = assignedCol(a)
+    val ok = a.value match {
+      case attr: UnresolvedAttribute => attr.nameParts.last == key
+      case attr: Attribute => attr.name == key
+      case _ => false
+    }
+    require(ok,
+      s"MERGE assignment for '$key' must be the same-named source column" +
+        s" (t.$key = s.$key); transformed values are not supported," +
+        s" got: ${a.value.sql}")
+  }
+
   private def keyEquality(cond: Expression, pk: String): Boolean = cond match {
     case EqualTo(l, r) => colName(l) == pk && colName(r) == pk
     case _ => false
@@ -119,6 +140,10 @@ case class AcidMergeCommand(
   * the condition, apply the SET expressions, and upsert the result — the
   * primary keys are unchanged, so the transactional upsert replaces
   * exactly the targeted rows.
+  *
+  * All SET expressions are evaluated in ONE projection against the
+  * original snapshot row (SQL UPDATE semantics): `SET a = b, b = a`
+  * swaps, because neither RHS observes the other assignment's result.
   */
 case class AcidUpdateCommand(
     acid: AcidTable,
@@ -126,10 +151,14 @@ case class AcidUpdateCommand(
     conditionSql: Option[String]) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.{col, expr}
     val snap = acid.snapshot()
     val targeted = conditionSql.map(c => snap.filter(expr(c))).getOrElse(snap)
-    val updated = sets.foldLeft(targeted) { case (df, (c, e)) => df.withColumn(c, expr(e)) }
+    val byCol = sets.toMap
+    val unknown = byCol.keySet -- snap.columns
+    require(unknown.isEmpty, s"UPDATE SET references unknown columns: ${unknown.mkString(",")}")
+    val updated = targeted.select(
+      snap.columns.map(c => byCol.get(c).map(e => expr(e).as(c)).getOrElse(col(c))).toIndexedSeq: _*)
     acid.upsert(updated)
     Seq.empty
   }

@@ -72,18 +72,36 @@ final class AcidTable private (
     files.collect { case ManifestName(v) => v.toLong }.foldLeft(-1L)(math.max)
   }
 
-  /** Highest version whose manifest was published at or before
-    * `epochMillis` (manifest publish time is the commit clock — the hard
-    * link's mtime is set at the atomic linearization point), or -1 if the
+  /** Highest version committed at or before `epochMillis`, or -1 if the
     * table had no commits yet. Powers `TIMESTAMP AS OF` time travel.
+    *
+    * The commit clock is the `#ts=` header each manifest records at
+    * publish time — it survives copying the table directory (which
+    * rewrites file mtimes) and is immune to the inode-sharing subtlety
+    * of `Files.createLink` (the link's mtime is the temp-file write
+    * time, not the atomic publish point). Header timestamps are
+    * monotone across versions: a publisher only chooses version N+1
+    * after observing version N's published manifest, which N's
+    * publisher stamped before linking. Millisecond ties break toward
+    * the higher version via the max fold. Pre-header manifests fall
+    * back to file mtime.
     */
   def versionAt(epochMillis: Long): Long = {
     val files = Option(new File(commitsDir.toString).listFiles()).getOrElse(Array.empty)
     files.flatMap(f => f.getName match {
-      case ManifestName(v) if f.lastModified() <= epochMillis => Some(v.toLong)
+      case ManifestName(v) if commitTime(v.toLong, f) <= epochMillis => Some(v.toLong)
       case _ => None
     }).foldLeft(-1L)(math.max)
   }
+
+  /** Publish-time of version `v`: the manifest's `#ts=` header, or the
+    * manifest file's mtime for manifests written before the header existed.
+    */
+  private def commitTime(v: Long, f: File): Long =
+    manifestLines(v).find(_.startsWith("#ts=")) match {
+      case Some(line) => line.stripPrefix("#ts=").toLong
+      case None => f.lastModified()
+    }
 
   /** Snapshot of the given (default latest) committed version. The file
     * list is pinned before the scan → snapshot isolation for the whole read.
@@ -399,6 +417,7 @@ final class AcidTable private (
           return publishBase + 1
         } catch {
           case _: FileAlreadyExistsException =>
+            AcidTable.conflictCounter.incrementAndGet()
             attempt += 1
             if (attempt > MaxRetries)
               throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
@@ -506,11 +525,17 @@ final class AcidTable private (
       case None => Set.empty
     }
 
-  /** Atomic create-exclusive publish: fsync'd temp file + hard link. */
+  /** Atomic create-exclusive publish: fsync'd temp file + hard link.
+    * The `#ts=` header is stamped immediately before the link attempt; a
+    * manifest that loses the createLink race is discarded, so only the
+    * winner's timestamp ever becomes visible (see [[versionAt]]).
+    */
   private def publish(v: Long, files: Seq[String], touched: Seq[String]): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val encoded = touched.map(java.net.URLEncoder.encode(_, "UTF-8"))
-    val body = (s"#touched=${encoded.mkString(",")}" +: files).mkString("\n")
+    val body = (Seq(
+      s"#ts=${System.currentTimeMillis()}",
+      s"#touched=${encoded.mkString(",")}") ++ files).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()
@@ -522,6 +547,15 @@ final class AcidTable private (
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 object AcidTable {
+
+  /** Process-wide count of lost publish races (each is one OCC retry
+    * somewhere in a commit loop). Bench telemetry: read + reset around a
+    * harness run to report the conflict rate next to txn/s.
+    */
+  private[graft] val conflictCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  def conflictCount: Long = conflictCounter.get()
+  def resetConflictCount(): Unit = conflictCounter.set(0)
+
   private val CommitsDir = "_commits"
   private val DataDir = "data"
   private val MetaFile = "_meta.properties"

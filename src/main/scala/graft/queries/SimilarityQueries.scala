@@ -110,27 +110,34 @@ object SimilarityQueries {
       """)),
 
     // ---- C44 IVF-style ANN: coarse quantize to cells, probe the query's cell ----
-    // Centroids are a deterministic corpus subset (vec_id % 64 == 0); every
-    // vector is assigned to its max-cosine centroid (exact same IEEE
-    // sequence in both engines → identical assignment); search is exact
-    // top-k WITHIN the probed cell. The classic IVF trade: assignment is a
-    // narrow broadcast pass, search cost drops by the cell count.
+    // The coarse quantizer is a FIXED-k (64) deterministic sample of the
+    // corpus (`vec_id < 64` — real IVF trains k-means, but any fixed small
+    // codebook gives the same complexity), so the broadcast side is O(k)
+    // REGARDLESS of corpus size and assignment is Θ(k·n) dot products — the
+    // classic IVF trade. Cell choice is argmax cosine via a hash
+    // aggregation with map-side partial combine: the k candidate rows per
+    // vector collapse back to one row BEFORE any shuffle (a window argmax
+    // would shuffle all k·n expanded vector rows). Same IEEE sequence in
+    // both engines → identical assignment; search is exact top-k WITHIN
+    // the probed cell.
     Q(
       "q_sim_topk_ivf",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"),
             VectorOps.norm(col("embedding")).as("nrm"))
-        val cent = e.filter(col("vec_id") % 64 === 0)
+        val cent = e.filter(col("vec_id") < 64)
           .select(col("vec_id").as("cent_id"), col("embedding").as("c_vec"),
             col("nrm").as("c_nrm"))
         val assigned = e.join(broadcast(cent), lit(true))
           .withColumn("c_cos",
             VectorOps.dot(col("embedding"), col("c_vec")) / (col("nrm") * col("c_nrm")))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cent_id"))))
-          .filter(col("crk") === 1)
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(
+            first(col("embedding")).as("embedding"),
+            first(col("nrm")).as("nrm"),
+            // max cosine, ties toward the lower centroid id
+            max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id"))).as("cell"))
         val queries = assigned.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("nrm").as("q_nrm"), col("cell"))
@@ -147,7 +154,7 @@ object SimilarityQueries {
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        cent AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM e WHERE vec_id % 64 = 0),
+        cent AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM e WHERE vec_id < 64),
         assigned AS (
           SELECT vec_id, embedding, cell FROM (
             SELECT e.vec_id, e.embedding, cent.cent_id AS cell,

@@ -21,4 +21,14 @@ object PlanShim {
     * snapshot read into a parsed statement tree. */
   def logical(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.logical
+
+  /** `SparkSession.cloneSession()` (private[sql]): an isolated session
+    * state INITIALIZED FROM the parent — conf, temp views, and registered
+    * functions are inherited at clone time, then diverge. This is the
+    * semantics the reference's session pool relies on
+    * (`writer/TransactionManager.java:95-101`); `newSession()` would start
+    * from empty state instead.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }

@@ -95,6 +95,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("*("), s"no codegen stages in:\n$p")
   }
 
+  test("IVF assignment broadcasts only the fixed-k centroid relation") {
+    // the coarse-quantizer pass is corpus × centroids; the broadcast side
+    // must be the CONSTANT-k centroid sample (vec_id < 64 reaches the scan
+    // as a pushed filter) — a centroid set that grows with the corpus
+    // makes the broadcast itself the scale ceiling
+    val p = plan("q_sim_topk_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the bounded quantizer BNLJ:\n$p")
+    assert(p.contains("LessThan(vec_id,64)"),
+      s"fixed-k centroid filter did not reach the broadcast-side scan:\n$p")
+    // cell argmax must partial-aggregate map-side: the k·n expanded rows
+    // collapse back to n BEFORE the shuffle
+    assert(p.contains("partial_max_by") || p.contains("partial max_by")
+        || p.contains("Partial"),
+      s"cell argmax is not a partial (map-side) aggregation:\n$p")
+  }
+
   test("embedding near-dedup scale paths have no corpus×corpus nested loop") {
     // the all-pairs witness is ALLOWED its broadcast-nested-loop (it is the
     // small-data correctness baseline); both scale paths must materialize

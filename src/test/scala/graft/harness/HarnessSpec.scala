@@ -32,4 +32,40 @@ class HarnessSpec extends AnyFunSuite {
     assert(result.finalRowCount == result.modelRowCount,
       s"snapshot diverged from serial model: $result")
   }
+
+  test("writer retry is typed: transient failures retry, logic errors fail fast") {
+    // transient (injected commit conflict): retried until success
+    var conflictsLeft = 2
+    var calls = 0
+    TransactionManager.retryTransient(maxRetries = 3, onRetry = _ => ()) {
+      calls += 1
+      if (conflictsLeft > 0) {
+        conflictsLeft -= 1
+        throw new graft.lake.CommitConflictException("injected")
+      }
+    }
+    assert(calls == 3, s"expected 2 retries then success, saw $calls calls")
+
+    // non-transient (a logic error): must fail on attempt 1, no retries —
+    // the reference A10 intent (TransactionWriter.java:22-28,189-195)
+    var attempts = 0
+    val e = intercept[IllegalStateException] {
+      TransactionManager.retryTransient(maxRetries = 3, onRetry = _ => ()) {
+        attempts += 1
+        throw new IllegalStateException("logic bug")
+      }
+    }
+    assert(e.getMessage == "logic bug")
+    assert(attempts == 1, s"logic error was retried: $attempts attempts")
+
+    // the retry budget is finite even for transients
+    var transientAttempts = 0
+    intercept[graft.lake.CommitConflictException] {
+      TransactionManager.retryTransient(maxRetries = 3, onRetry = _ => ()) {
+        transientAttempts += 1
+        throw new graft.lake.CommitConflictException("always conflicts")
+      }
+    }
+    assert(transientAttempts == 4)
+  }
 }

@@ -75,7 +75,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
 
     // TIMESTAMP AS OF: "now" resolves to the latest committed version
-    // (manifest publish mtimes are the commit clock)
+    // (the manifests' #ts= publish headers are the commit clock)
     val nowTs = java.time.Instant.now().plusSeconds(1)
       .atZone(java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
@@ -155,6 +155,41 @@ class GraftCatalogSpec extends AnyFunSuite {
                   |ON t.pk = s.pk
                   |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
     }
+    // transformed UPDATE value: executing it as the identity copy would
+    // silently return wrong data → must be rejected up front
+    intercept[Throwable] {
+      spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
+                  |ON t.pk = s.pk
+                  |WHEN MATCHED THEN UPDATE SET t.v = s.v * 2
+                  |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
+                  |VALUES (s.pk, s.part, s.v)""".stripMargin)
+    }
+    // reordered INSERT values (s.part into t.pk): same silent-corruption
+    // risk → rejected
+    intercept[Throwable] {
+      spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
+                  |ON t.pk = s.pk
+                  |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                  |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
+                  |VALUES (s.part, s.pk, s.v)""".stripMargin)
+    }
     assert(spark.sql("SELECT v FROM graft.db2.t").collect().head.getDouble(0) == 1.0)
+  }
+
+  test("UPDATE SET evaluates all assignments against the old row (swap works)") {
+    freshCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
+    spark.sql("""CREATE TABLE graft.db3.s (pk STRING, part STRING, a DOUBLE, b DOUBLE)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    Seq(("x", "p0", 1.0, 2.0)).toDF("pk", "part", "a", "b")
+      .createOrReplaceTempView("cat_swap")
+    spark.sql("INSERT INTO graft.db3.s SELECT * FROM cat_swap")
+    // SQL UPDATE semantics: every RHS sees the PRE-update row, so this
+    // swaps — a sequential withColumn chain would set b to its own old value
+    spark.sql("UPDATE graft.db3.s SET a = b, b = a")
+    val r = spark.sql("SELECT a, b FROM graft.db3.s").collect().head
+    assert((r.getDouble(0), r.getDouble(1)) == (2.0, 1.0))
+    // unknown SET column fails loudly
+    intercept[Throwable] { spark.sql("UPDATE graft.db3.s SET nope = 1.0") }
   }
 }
