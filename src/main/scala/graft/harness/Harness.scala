@@ -29,10 +29,32 @@ object TransactionManager {
     * analysis errors, bad arguments, assertion failures — is a logic
     * error and must fail on the first attempt (reference A10 intent,
     * `TransactionWriter.java:22-28,189-195`).
+    *
+    * A `SparkException` alone is NOT proof of transience: a deterministic
+    * executor-side logic error (a bad expression, a data bug inside a
+    * task) surfaces wrapped in one too, and re-applying it three times
+    * just repeats the failure. Walk the cause chain — a deterministic
+    * root cause (illegal argument/state, assertion, analysis error,
+    * arithmetic/NPE/cast) marks the whole failure non-transient.
     */
   private[graft] def isTransient(e: Throwable): Boolean = e match {
     case _: graft.lake.CommitConflictException => true
-    case _: org.apache.spark.SparkException => true
+    case se: org.apache.spark.SparkException =>
+      var cause = se.getCause
+      var deterministic = false
+      var hops = 0
+      while (cause != null && hops < 20 && !deterministic) {
+        deterministic = cause match {
+          case _: IllegalArgumentException | _: IllegalStateException |
+               _: AssertionError | _: ArithmeticException |
+               _: NullPointerException | _: ClassCastException |
+               _: org.apache.spark.sql.AnalysisException => true
+          case _ => false
+        }
+        cause = cause.getCause
+        hops += 1
+      }
+      !deterministic
     case _ => false
   }
 

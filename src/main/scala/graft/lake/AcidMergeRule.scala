@@ -30,9 +30,11 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           require(keyEquality(m.mergeCondition, acid.pkCol),
             s"MERGE condition must be t.${acid.pkCol} = s.${acid.pkCol}," +
               s" got: ${m.mergeCondition.sql}")
+          val targetAliases = aliasNames(m.targetTable)
+          val check = requireIdentityAssignment(targetAliases) _
           val updateCols = m.matchedActions match {
             case Seq(UpdateAction(None, assigns, _)) =>
-              assigns.foreach(requireIdentityAssignment)
+              assigns.foreach(check)
               assigns.map(assignedCol)
             case other =>
               throw new IllegalArgumentException(
@@ -40,7 +42,7 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           m.notMatchedActions match {
             case Seq(InsertAction(None, assigns)) =>
-              assigns.foreach(requireIdentityAssignment)
+              assigns.foreach(check)
               val cols = assigns.map(assignedCol).toSet
               require(acid.schema.fieldNames.forall(cols.contains),
                 s"MERGE insert must cover the full schema" +
@@ -64,7 +66,7 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // qualifiers stripped so they re-resolve against the snapshot —
           // and evaluated at run time.
           val sets = u.assignments.map(a => assignedCol(a) -> bareNames(a.value).sql)
-          require(!sets.exists(_._1 == acid.pkCol),
+          require(!sets.exists(_._1.equalsIgnoreCase(acid.pkCol)),
             s"UPDATE may not SET the primary key ${acid.pkCol}")
           AcidUpdateCommand(acid, sets, u.condition.map(c => bareNames(c).sql))
       }
@@ -96,22 +98,45 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def assignedCol(a: Assignment): String = colName(a.key)
 
+  /** Alias names under which a plan's columns can be qualified: every
+    * `SubqueryAlias` on the chain plus the catalog table's own name.
+    * Lower-cased — MERGE qualifiers resolve case-insensitively.
+    */
+  private def aliasNames(p: LogicalPlan): Set[String] = p match {
+    case SubqueryAlias(id, child) => aliasNames(child) + id.name.toLowerCase
+    case r: DataSourceV2Relation => r.table match {
+      case t: AcidV2Table => Set(t.name().toLowerCase)
+      case _ => Set.empty
+    }
+    case _ => Set.empty
+  }
+
   /** [[AcidTable.merge]] copies same-named source columns — it can only
     * execute assignments of the shape `t.c = s.c`. Any transformed or
     * reordered VALUE expression (`t.v = s.v * 2`, `t.a = s.b`) would
     * silently run as the identity mapping, so reject it here instead.
+    * The NAME alone is not enough: `t.v = t.v` ("keep the target value")
+    * names the same column but qualifies it with the TARGET — executing
+    * it as a copy from `s.v` is exactly the silent-wrong-data class this
+    * check exists to reject, so any value qualified by a target alias is
+    * rejected too (an unqualified value is accepted as the source column,
+    * the reference's only shape).
     */
-  private def requireIdentityAssignment(a: Assignment): Unit = {
+  private def requireIdentityAssignment(targetAliases: Set[String])(a: Assignment): Unit = {
     val key = assignedCol(a)
+    def qualifierIsNotTarget(qualifier: Seq[String]): Boolean =
+      qualifier.lastOption.forall(q => !targetAliases.contains(q.toLowerCase))
     val ok = a.value match {
-      case attr: UnresolvedAttribute => attr.nameParts.last == key
-      case attr: Attribute => attr.name == key
+      case attr: UnresolvedAttribute =>
+        attr.nameParts.last == key && qualifierIsNotTarget(attr.nameParts.init)
+      case attr: Attribute =>
+        attr.name == key && qualifierIsNotTarget(attr.qualifier)
       case _ => false
     }
     require(ok,
-      s"MERGE assignment for '$key' must be the same-named source column" +
-        s" (t.$key = s.$key); transformed values are not supported," +
-        s" got: ${a.value.sql}")
+      s"MERGE assignment for '$key' must be the same-named SOURCE column" +
+        s" (t.$key = s.$key); transformed or target-qualified values are" +
+        s" not supported, got: ${a.value.sql}")
   }
 
   private def keyEquality(cond: Expression, pk: String): Boolean = cond match {
@@ -154,9 +179,22 @@ case class AcidUpdateCommand(
     import org.apache.spark.sql.functions.{col, expr}
     val snap = acid.snapshot()
     val targeted = conditionSql.map(c => snap.filter(expr(c))).getOrElse(snap)
-    val byCol = sets.toMap
-    val unknown = byCol.keySet -- snap.columns
-    require(unknown.isEmpty, s"UPDATE SET references unknown columns: ${unknown.mkString(",")}")
+    // resolve SET columns the way Spark resolves attributes (the session
+    // resolver — case-insensitive by default, so `SET V = 1` targets `v`),
+    // and reject duplicates instead of letting the last one win silently
+    // (SQL engines error on `SET v = 1, v = 2`)
+    val resolver = session.sessionState.conf.resolver
+    val resolved = sets.map { case (c, e) =>
+      snap.columns.find(resolver(_, c)) match {
+        case Some(actual) => actual -> e
+        case None => throw new IllegalArgumentException(
+          s"UPDATE SET references unknown column: $c")
+      }
+    }
+    val dupes = resolved.map(_._1).groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+    require(dupes.isEmpty,
+      s"duplicate assignment in UPDATE SET: ${dupes.mkString(",")}")
+    val byCol = resolved.toMap
     val updated = targeted.select(
       snap.columns.map(c => byCol.get(c).map(e => expr(e).as(c)).getOrElse(col(c))).toIndexedSeq: _*)
     acid.upsert(updated)

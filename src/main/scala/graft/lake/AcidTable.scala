@@ -66,11 +66,56 @@ final class AcidTable private (
 
   // ---------------------------------------------------------------- reads --
 
-  /** Highest committed version, or -1 for an empty (just-created) table. */
+  /** Highest committed version, or -1 for an empty (just-created) table.
+    *
+    * Checkpointed: `_commits/_latest.hint` records the last published
+    * version, so resolution is one small read plus O(publish-lag)
+    * existence probes — NOT a listing of the whole `_commits` directory,
+    * which grows without bound over a table's life (the unchkpointed-log
+    * failure mode on object stores; Hudi's timeline listing is bounded
+    * the same way). The hint is advisory: it is written AFTER a publish
+    * succeeds, so it can only lag (a racing writer may even regress it by
+    * one), and the forward probe recovers the true latest. A missing or
+    * unreadable hint falls back to the full listing.
+    */
   def latestVersion(): Long = {
-    val files = Option(new File(commitsDir.toString).list()).getOrElse(Array.empty)
-    files.collect { case ManifestName(v) => v.toLong }.foldLeft(-1L)(math.max)
+    val hinted = readLatestHint()
+    if (hinted >= 0 && Files.exists(manifestPath(hinted))) {
+      var v = hinted
+      while ({ AcidTable.latestProbes.incrementAndGet(); Files.exists(manifestPath(v + 1)) }) v += 1
+      v
+    } else {
+      AcidTable.metaDirListings.incrementAndGet()
+      val files = Option(new File(commitsDir.toString).list()).getOrElse(Array.empty)
+      files.collect { case ManifestName(v) => v.toLong }.foldLeft(-1L)(math.max)
+    }
   }
+
+  private def manifestPath(v: Long): Path = commitsDir.resolve(manifestFileName(v))
+
+  private def readLatestHint(): Long =
+    try {
+      val s = new String(Files.readAllBytes(latestHintPath), StandardCharsets.UTF_8).trim
+      s.toLong
+    } catch { case _: Throwable => -1L }
+
+  /** Advance the hint to `v` (best-effort, atomic move). Written after the
+    * manifest link succeeds, so the hint never points past the true
+    * latest; a lost race between two publishers can leave it one behind,
+    * which the probe in [[latestVersion]] absorbs.
+    */
+  private def writeLatestHint(v: Long): Unit =
+    try {
+      if (readLatestHint() < v) {
+        val tmp = commitsDir.resolve(s".hint-tmp-${UUID.randomUUID()}")
+        Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, latestHintPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch { case _: Throwable => () } // advisory only; listing fallback covers it
+
+  private def latestHintPath: Path = commitsDir.resolve(LatestHint)
 
   /** Highest version committed at or before `epochMillis`, or -1 if the
     * table had no commits yet. Powers `TIMESTAMP AS OF` time travel.
@@ -82,26 +127,41 @@ final class AcidTable private (
     * time, not the atomic publish point). Header timestamps are
     * monotone across versions: a publisher only chooses version N+1
     * after observing version N's published manifest, which N's
-    * publisher stamped before linking. Millisecond ties break toward
-    * the higher version via the max fold. Pre-header manifests fall
-    * back to file mtime.
+    * publisher stamped before linking — a loser's later stamp is
+    * discarded with its unpublished temp manifest, never visible.
+    * Millisecond ties break toward the higher version. That
+    * monotonicity is what lets this resolve by BINARY SEARCH over
+    * version numbers — O(log n) header reads (cached: manifests are
+    * immutable once published) instead of opening every manifest.
     */
   def versionAt(epochMillis: Long): Long = {
-    val files = Option(new File(commitsDir.toString).listFiles()).getOrElse(Array.empty)
-    files.flatMap(f => f.getName match {
-      case ManifestName(v) if commitTime(v.toLong, f) <= epochMillis => Some(v.toLong)
-      case _ => None
-    }).foldLeft(-1L)(math.max)
+    val latest = latestVersion()
+    var lo = 0L
+    var hi = latest
+    var ans = -1L
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (commitTime(mid) <= epochMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
   }
 
   /** Publish-time of version `v`: the manifest's `#ts=` header, or the
-    * manifest file's mtime for manifests written before the header existed.
+    * manifest file's mtime when the header is absent (pre-header builds)
+    * or unparseable (hand-edited/corrupted — degrade, don't throw).
+    * Cached process-wide: manifests are immutable once published, so a
+    * header is read at most once per (table, version).
     */
-  private def commitTime(v: Long, f: File): Long =
-    manifestLines(v).find(_.startsWith("#ts=")) match {
-      case Some(line) => line.stripPrefix("#ts=").toLong
-      case None => f.lastModified()
-    }
+  private def commitTime(v: Long): Long =
+    AcidTable.commitTimeCache.computeIfAbsent((path, v), _ => {
+      AcidTable.manifestHeaderReads.incrementAndGet()
+      val ts = scala.util.Try(
+        manifestLines(v).find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong))
+        .toOption.flatten
+        .getOrElse(manifestPath(v).toFile.lastModified())
+      java.lang.Long.valueOf(ts)
+    }).longValue()
 
   /** Snapshot of the given (default latest) committed version. The file
     * list is pinned before the scan → snapshot isolation for the whole read.
@@ -385,6 +445,12 @@ final class AcidTable private (
     * Retries on publish conflict with a fresh snapshot (bounded, reference
     * retried ≤100, `TransactionWriter.java:108`).
     */
+  /** Test hook: invoked once per commit immediately before the first
+    * publish attempt — lets a spec deterministically interleave an
+    * intervening commit to exercise the conflict paths. Production noop.
+    */
+  private[lake] var beforePublishHook: () => Unit = () => ()
+
   private def commitLoop(
       touchedOf: (DataFrame, Seq[String]) => Seq[String],
       resultOf: DataFrame => DataFrame): Long = {
@@ -395,16 +461,27 @@ final class AcidTable private (
       val touched = touchedOf(snapshotFromFiles(files), files)
       val touchedFiles = files.filter(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
       val result = resultOf(snapshotFromFiles(touchedFiles))
-      val newFiles = writeTouched(result, touched)
-      // inner publish loop: losing the version race does NOT force a
-      // recompute when every intervening commit touched disjoint
-      // partitions — our rewritten partition contents are still exactly
-      // what the new snapshot requires, so only the manifest merge is
-      // redone (partition-level optimistic conflict detection; the move
-      // that makes multi-writer throughput scale with partition count
-      // instead of collapsing on a single version chain). Safe only under
-      // `stablePartitions` (otherwise an intervening commit could have
-      // placed one of our PKs in a partition we did not rewrite).
+      var newFiles = writeTouched(result, touched)
+      beforePublishHook()
+      // inner publish loop: losing the version race does NOT force a full
+      // recompute under `stablePartitions` (partition placement a pure
+      // function of the PK — every operation is then PARTITION-LOCAL:
+      // output partition p depends only on input partition p):
+      //  - intervening commits all touched DISJOINT partitions → our
+      //    rewritten contents are still exactly what the new snapshot
+      //    requires; only the manifest merge is redone (re-merge);
+      //  - intervening commits OVERLAP some touched partitions → only the
+      //    overlapping partitions' outputs are stale; they are recomputed
+      //    against the new snapshot while the disjoint partitions' staged
+      //    files are kept (partial redo). The 60-txn telemetry that
+      //    motivated this split showed ~40 of 60 conflicts were full
+      //    redos rewriting every touched partition; partition-level
+      //    conflict resolution is the move that makes multi-writer
+      //    throughput scale with partition count instead of collapsing
+      //    on a single version chain.
+      // Without `stablePartitions` an intervening commit could have moved
+      // one of our PKs into a partition we did not rewrite, so the whole
+      // computation restarts from the outer loop.
       var publishBase = base
       var done = false
       while (!done) {
@@ -417,7 +494,6 @@ final class AcidTable private (
           return publishBase + 1
         } catch {
           case _: FileAlreadyExistsException =>
-            AcidTable.conflictCounter.incrementAndGet()
             attempt += 1
             if (attempt > MaxRetries)
               throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
@@ -428,11 +504,36 @@ final class AcidTable private (
             val cap = math.min(1L << math.min(attempt, 8), 256L)
             Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap * 2) + 1)
             val newBase = latestVersion()
-            val interveningDisjoint = stablePartitions &&
-              ((publishBase + 1) to newBase).forall(v => readTouched(v).intersect(touched.toSet).isEmpty)
-            if (interveningDisjoint) {
-              publishBase = newBase // fast path: re-merge manifests only
+            if (stablePartitions) {
+              val intervening = ((publishBase + 1) to newBase)
+                .foldLeft(Set.empty[String])((acc, v) => acc ++ readTouched(v))
+              val overlap = touched.filter(intervening.contains)
+              if (overlap.isEmpty) {
+                AcidTable.conflictRemergeCounter.incrementAndGet()
+                publishBase = newBase // fast path: re-merge manifests only
+              } else {
+                AcidTable.conflictRedoCounter.incrementAndGet()
+                // partial redo: drop only the stale (overlapping)
+                // partitions' staged files and recompute THEM against the
+                // new snapshot; staged files of non-overlapping touched
+                // partitions remain valid and are carried into the next
+                // publish attempt
+                val (staleFiles, keptFiles) = newFiles.partition(f =>
+                  overlap.exists(p => f.startsWith(partDir(p) + "/")))
+                staleFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f)))
+                val newSnapFiles = readManifest(newBase)
+                  .filter(f => overlap.exists(p => f.startsWith(partDir(p) + "/")))
+                // resultOf may emit rows outside the recomputed subset
+                // (e.g. a merge's not-matched inserts for other
+                // partitions) — restrict to the overlap partitions; the
+                // non-overlap rows are already covered by keptFiles
+                val redone = resultOf(snapshotFromFiles(newSnapFiles))
+                  .filter(col(partitionCol).isin(overlap: _*))
+                newFiles = keptFiles ++ writeTouched(redone, overlap)
+                publishBase = newBase
+              }
             } else {
+              AcidTable.conflictRedoCounter.incrementAndGet()
               // full redo: drop our orphaned files, re-apply on the new snapshot
               newFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f)))
               done = true
@@ -525,22 +626,30 @@ final class AcidTable private (
       case None => Set.empty
     }
 
+  /** Wall-clock source for the `#ts=` commit stamp — injectable so the
+    * monotonicity spec can reproduce a racing publisher whose clock runs
+    * ahead (TimeTravelSpec); production default is the system clock.
+    */
+  private[lake] var commitClock: () => Long = () => System.currentTimeMillis()
+
   /** Atomic create-exclusive publish: fsync'd temp file + hard link.
     * The `#ts=` header is stamped immediately before the link attempt; a
     * manifest that loses the createLink race is discarded, so only the
     * winner's timestamp ever becomes visible (see [[versionAt]]).
+    * `private[lake]` for the concurrent-publisher specs.
     */
-  private def publish(v: Long, files: Seq[String], touched: Seq[String]): Unit = {
+  private[lake] def publish(v: Long, files: Seq[String], touched: Seq[String]): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val encoded = touched.map(java.net.URLEncoder.encode(_, "UTF-8"))
     val body = (Seq(
-      s"#ts=${System.currentTimeMillis()}",
+      s"#ts=${commitClock()}",
       s"#touched=${encoded.mkString(",")}") ++ files).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()
     try Files.createLink(commitsDir.resolve(manifestFileName(v)), tmp)
     finally Files.deleteIfExists(tmp)
+    writeLatestHint(v)
   }
 }
 
@@ -548,17 +657,43 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 object AcidTable {
 
-  /** Process-wide count of lost publish races (each is one OCC retry
-    * somewhere in a commit loop). Bench telemetry: read + reset around a
-    * harness run to report the conflict rate next to txn/s.
+  /** Process-wide counts of lost publish races, split by what losing
+    * cost: a RE-MERGE redid only the manifest union (the partition-
+    * disjoint fast path — rewritten files stayed valid); a REDO deleted
+    * the orphaned output files and recomputed against the new snapshot
+    * (real wasted work). Bench telemetry: read + reset around a harness
+    * run to report both rates next to txn/s.
     */
-  private[graft] val conflictCounter = new java.util.concurrent.atomic.AtomicLong(0)
-  def conflictCount: Long = conflictCounter.get()
-  def resetConflictCount(): Unit = conflictCounter.set(0)
+  private[graft] val conflictRemergeCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val conflictRedoCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  def conflictRemergeCount: Long = conflictRemergeCounter.get()
+  def conflictRedoCount: Long = conflictRedoCounter.get()
+  def conflictCount: Long = conflictRemergeCount + conflictRedoCount
+  def resetConflictCount(): Unit = { conflictRemergeCounter.set(0); conflictRedoCounter.set(0) }
+
+  /** Metadata-I/O telemetry (spec-checked): commit-log resolution must be
+    * O(1) probes per [[AcidTable.latestVersion]] and O(log n) header reads
+    * per [[AcidTable.versionAt]], never a full `_commits` listing — the
+    * difference between a bounded and an unbounded timeline scan on a
+    * 100 TB table's object store.
+    */
+  private[graft] val metaDirListings = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val latestProbes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val manifestHeaderReads = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def resetMetaIoCounters(): Unit = {
+    metaDirListings.set(0); latestProbes.set(0); manifestHeaderReads.set(0)
+  }
+
+  /** (table path, version) → `#ts=` commit time. Manifests are immutable
+    * once published; invalidated when a table directory is re-created.
+    */
+  private[lake] val commitTimeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
 
   private val CommitsDir = "_commits"
   private val DataDir = "data"
   private val MetaFile = "_meta.properties"
+  private val LatestHint = "_latest.hint"
   // generous: under a FIFO local scheduler a writer queued behind reader
   // scans can lose many consecutive publish races; the jittered backoff
   // breaks the phase-lock, the budget bounds pathological livelock
@@ -581,7 +716,12 @@ object AcidTable {
     require(schema(partitionCol).dataType == StringType,
       "partition column must be STRING (Hive-style directory value)")
     val root = new File(path)
-    if (overwrite && root.exists()) deleteRecursively(root)
+    if (overwrite && root.exists()) {
+      deleteRecursively(root)
+      // a fresh table at a reused path must not inherit the old table's
+      // cached commit times
+      commitTimeCache.keySet.removeIf(_._1 == path)
+    }
     Files.createDirectories(Paths.get(path, CommitsDir))
     Files.createDirectories(Paths.get(path, DataDir))
     writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions)

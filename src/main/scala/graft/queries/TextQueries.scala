@@ -123,6 +123,22 @@ object TextQueries {
     shingleCache.clear()
   }
 
+  /** Delete every materialized signature store and forget its
+    * registration (end-of-process hygiene: the stores live in
+    * `graft-sigs-*` temp directories that nothing else cleans up).
+    */
+  def cleanupSignatureStores(): Unit = {
+    signatureStores.values.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      // the store is <tmpdir>/signatures — remove the enclosing tmpdir
+      rm(new java.io.File(p).getParentFile)
+    }
+    signatureStores.clear()
+  }
+
   /** Exact Jaccard ≥ 0.8 near-dup pairs over [[hashedShingleSets]]. The
     * per-pair verify is a codegen'd sorted-merge `|A∩B|`
     * ([[SortedLongIntersectCount]]) with `|A∪B| = ds_a + ds_b − |A∩B|` —
@@ -489,6 +505,37 @@ object TextQueries {
         FROM sh s LEFT JOIN dups p ON p.batch_doc = s.doc_id
         WHERE s.doc_id % 5 = 0
         ORDER BY batch_doc
+      """)),
+
+    // ---- C43 the STORED signature table itself, oracle-gated --------------------
+    // Every dedup query above trusts the materialized signature store as
+    // its input; this entry hashes the store's CONTENT against a DuckDB
+    // recomputation from raw text (per-doc raw size, distinct size, and a
+    // sum/min/max digest of the sorted hash set — a digest because the
+    // driver compare canonicalizes scalar columns, and sum+extrema+counts
+    // over a sorted distinct set pin it for all practical purposes). The
+    // query reads the PARQUET STORE (materializing it on first use), so
+    // the write→read roundtrip is inside the gate.
+    Q(
+      "q_dedup_signature_table",
+      (s, dir) => {
+        val path = signatureStores.getOrElse(dir, materializeSignatures(s, dir))
+        s.read.parquet(path)
+          .select(col("doc_id"), col("lang"),
+            col("sz").cast("long").as("sz"), col("ds").cast("long").as("ds"),
+            aggregate(col("hs"), lit(0L), (acc, x) => acc + x).as("hs_sum"),
+            array_min(col("hs")).as("hs_min"), array_max(col("hs")).as("hs_max"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH hv AS (
+          SELECT doc_id, lang, list_transform($sqlShingles, x -> ${sqlPolyHash("x")}) AS hv
+          FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents)),
+        sh AS (SELECT doc_id, lang, len(hv) AS sz, list_sort(list_distinct(hv)) AS hs FROM hv)
+        SELECT doc_id, lang, sz, len(hs) AS ds,
+               CAST(coalesce(list_sum(hs), 0) AS BIGINT) AS hs_sum,
+               list_min(hs) AS hs_min, list_max(hs) AS hs_max
+        FROM sh ORDER BY doc_id
       """)),
 
     // ---- C42 exact dedup on normalized text -------------------------------------

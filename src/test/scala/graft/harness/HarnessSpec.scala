@@ -68,4 +68,26 @@ class HarnessSpec extends AnyFunSuite {
     }
     assert(transientAttempts == 4)
   }
+
+  test("isTransient inspects the cause chain of a SparkException") {
+    import org.apache.spark.SparkException
+    // execution-level transience (fetch/stage failure shapes): no
+    // deterministic root cause in the chain → transient
+    assert(TransactionManager.isTransient(
+      new SparkException("task failed", new java.io.IOException("connection reset"))))
+    assert(TransactionManager.isTransient(new SparkException("stage cancelled")))
+    // a deterministic executor-side logic error surfaces wrapped in
+    // SparkException too — re-applying it 3 times just repeats the
+    // failure, so it must be classified non-transient
+    assert(!TransactionManager.isTransient(
+      new SparkException("task failed", new IllegalArgumentException("bad expression"))))
+    assert(!TransactionManager.isTransient(
+      new SparkException("task failed",
+        new RuntimeException("wrapper", new IllegalStateException("data bug")))))
+    assert(!TransactionManager.isTransient(
+      new SparkException("task failed", new ClassCastException("bad cast"))))
+    // plain (non-Spark) logic errors stay non-transient, conflicts transient
+    assert(!TransactionManager.isTransient(new IllegalArgumentException("x")))
+    assert(TransactionManager.isTransient(new graft.lake.CommitConflictException("c")))
+  }
 }

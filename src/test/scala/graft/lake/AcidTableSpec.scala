@@ -89,6 +89,65 @@ class AcidTableSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 3)
   }
 
+  test("OCC partial redo: only overlapping partitions recompute, disjoint staged files survive") {
+    // stable partitions → partition-level conflict resolution applies
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue",
+      stablePartitions = true)
+    t.upsert(df(Record("RA", "P0", "a0"), Record("RB", "P1", "b0"), Record("RC", "P2", "c0")))
+
+    // deterministically interleave: just before OUR commit publishes, a
+    // second handle commits an overlapping change to P1 — our first link
+    // attempt must then lose and take the conflict path
+    AcidTable.resetConflictCount()
+    val p0Staged = new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+    t.beforePublishHook = () => {
+      t.beforePublishHook = () => () // fire once
+      p0Staged.set(Option(new java.io.File(t.path, "data/partitionKeyValue=P0").listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet)
+      val session = spark.newSession()
+      val t2 = AcidTable.open(session, t.path)
+      t2.upsert(session.createDataset(Seq(Record("RB", "P1", "b1"))).toDF())
+    }
+    t.upsert(df(Record("RA", "P0", "a1"), Record("RB", "P1", "b2")))
+
+    // the conflict was classified as a (partial) redo, not a re-merge
+    assert(AcidTable.conflictRedoCount == 1, s"redo=${AcidTable.conflictRedoCount}")
+    assert(AcidTable.conflictRemergeCount == 0)
+    // final content: our commit published after the intervening one, so
+    // both of our rows win; P2 untouched throughout
+    val byPk = t.snapshot().as[Record].collect().map(r => r.primaryKeyValue -> r.dataValue).toMap
+    assert(byPk == Map("RA" -> "a1", "RB" -> "b2", "RC" -> "c0"))
+    // PARTIAL: the P0 output staged before the conflict was NOT discarded —
+    // the final manifest references one of the exact files staged pre-publish
+    // (a full redo would have deleted them and written a fresh UUID)
+    val manifest = Files.readAllLines(
+      java.nio.file.Paths.get(t.path, "_commits", f"v${t.latestVersion()}%012d.txt"))
+      .toArray(Array.empty[String]).toSeq.filterNot(_.startsWith("#"))
+    val p0InManifest = manifest.filter(_.startsWith("partitionKeyValue=P0/")).map(_.split('/').last)
+    assert(p0InManifest.nonEmpty)
+    assert(p0InManifest.forall(p0Staged.get().contains),
+      s"P0 was recomputed despite being disjoint from the intervening commit: " +
+        s"manifest=$p0InManifest staged=${p0Staged.get()}")
+  }
+
+  test("OCC re-merge: fully disjoint intervening commit costs no recompute") {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue",
+      stablePartitions = true)
+    t.upsert(df(Record("RA", "P0", "a0"), Record("RB", "P1", "b0")))
+    AcidTable.resetConflictCount()
+    t.beforePublishHook = () => {
+      t.beforePublishHook = () => ()
+      val session = spark.newSession()
+      val t2 = AcidTable.open(session, t.path)
+      t2.upsert(session.createDataset(Seq(Record("RB", "P1", "b1"))).toDF())
+    }
+    t.upsert(df(Record("RA", "P0", "a1"))) // touches only P0 — disjoint
+    assert(AcidTable.conflictRemergeCount == 1)
+    assert(AcidTable.conflictRedoCount == 0)
+    val byPk = t.snapshot().as[Record].collect().map(r => r.primaryKeyValue -> r.dataValue).toMap
+    assert(byPk == Map("RA" -> "a1", "RB" -> "b1"))
+  }
+
   test("M3: concurrent writers — OCC conflict resolves, both commits land") {
     val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
     val threads = (1 to 4).map { i =>

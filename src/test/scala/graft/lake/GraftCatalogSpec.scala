@@ -173,6 +173,16 @@ class GraftCatalogSpec extends AnyFunSuite {
                   |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
                   |VALUES (s.part, s.pk, s.v)""".stripMargin)
     }
+    // TARGET-qualified RHS (`t.v = t.v`, "keep the target value"): passes a
+    // name-only check but would execute as a copy from s.v — the exact
+    // silent-wrong-data class this validation exists for → rejected
+    intercept[Throwable] {
+      spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
+                  |ON t.pk = s.pk
+                  |WHEN MATCHED THEN UPDATE SET t.v = t.v
+                  |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
+                  |VALUES (s.pk, s.part, s.v)""".stripMargin)
+    }
     assert(spark.sql("SELECT v FROM graft.db2.t").collect().head.getDouble(0) == 1.0)
   }
 
@@ -191,5 +201,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert((r.getDouble(0), r.getDouble(1)) == (2.0, 1.0))
     // unknown SET column fails loudly
     intercept[Throwable] { spark.sql("UPDATE graft.db3.s SET nope = 1.0") }
+    // Spark attribute resolution is case-insensitive by default — `SET A`
+    // must target column `a`, not be spuriously rejected as unknown
+    spark.sql("UPDATE graft.db3.s SET A = 5.0")
+    assert(spark.sql("SELECT a FROM graft.db3.s").collect().head.getDouble(0) == 5.0)
+    // duplicate assignments: SQL engines reject, not last-one-wins silently
+    intercept[Throwable] { spark.sql("UPDATE graft.db3.s SET a = 1.0, a = 2.0") }
+    intercept[Throwable] { spark.sql("UPDATE graft.db3.s SET a = 1.0, A = 2.0") }
+    assert(spark.sql("SELECT a FROM graft.db3.s").collect().head.getDouble(0) == 5.0)
   }
 }
