@@ -112,6 +112,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"cell argmax is not a partial (map-side) aggregation:\n$p")
   }
 
+  test("LSH near-dedup verify broadcasts the embedding side, never shuffles candidates by id") {
+    // the candidate stream is ~n²-ish pairs of 16-byte ids; the embedding
+    // side is n rows — shuffling the candidates to meet a shuffled
+    // embedding table would dominate the query, so both verify fetches
+    // must be broadcast hash joins
+    val p = plan("q_dedup_embed_cosine_lsh")
+    val broadcastJoins = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcastJoins >= 2,
+      s"expected both verify fetches to be BroadcastHashJoin (saw $broadcastJoins):\n$p")
+  }
+
   test("embedding near-dedup scale paths have no corpus×corpus nested loop") {
     // the all-pairs witness is ALLOWED its broadcast-nested-loop (it is the
     // small-data correctness baseline); both scale paths must materialize
