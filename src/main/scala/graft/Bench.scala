@@ -61,6 +61,33 @@ object Bench {
     if (inProcess) runInProcess() else orchestrate()
   }
 
+  /** Render the driver-contract JSON line, write it to
+    * `SPARK_GRAFT_BENCH_OUT`, and print it as the last stdout line — the
+    * ONE place the contract format lives (orchestrator and child both
+    * emit through it; the orchestrator's regex parser reads this format
+    * back, so a one-sided format change cannot desynchronize them).
+    * `harnessJson` is the bare `{...}` telemetry object or empty;
+    * `extra` is appended verbatim inside the top-level object.
+    */
+  private def emit(
+      entries: scala.collection.Map[String, Double],
+      sfDir: String,
+      harnessJson: String,
+      extra: String = ""): Unit = {
+    val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = entries.values.filter(_ >= 0).sum
+    val harnessPart = if (harnessJson.isEmpty) "" else s""","harness":$harnessJson"""
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$harnessPart$extra}"""
+    // Also persist to a file: stdout captures have truncated head/tail in
+    // past rounds, and the file is immune to log interleaving.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    try Files.writeString(Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    // Last line of stdout by contract: the driver parses this JSON line.
+    println(json)
+  }
+
   // ------------------------------------------------------------ orchestrator
 
   private def orchestrate(): Unit = {
@@ -74,6 +101,7 @@ object Bench {
 
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var harnessJson = ""
+    val failedFamilies = scala.collection.mutable.ArrayBuffer.empty[String]
 
     GroupOrder.filter(groups.contains).foreach { g =>
       val names = groups(g)
@@ -108,18 +136,18 @@ object Bench {
       val parsed = parseQueryTimes(content)
       names.foreach(n => merged(n) = parsed.getOrElse(n, -1.0))
       if (g == "harness") harnessJson = parseHarnessBlock(content)
+      if (rc != 0 || parsed.isEmpty) failedFamilies += g
     }
 
-    val qs = merged.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = merged.values.filter(_ >= 0).sum
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val harnessPart = if (harnessJson.isEmpty) "" else s""","harness":$harnessJson"""
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$harnessPart}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
-    try Files.writeString(Paths.get(outFile), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
-    println(json)
+    // a dead family must not masquerade as a speedup: its entries are -1
+    // (excluded from the total), it is named in the JSON, and the process
+    // exits non-zero so the driver records the run as broken
+    val extra =
+      if (failedFamilies.isEmpty) ""
+      else s""","failed_families":[${failedFamilies.map("\"" + _ + "\"").mkString(",")}]"""
+    emit(merged, sfDir, harnessJson, extra)
+    if (failedFamilies.nonEmpty) sys.exit(1)
   }
 
   /** Extract the `"queries":{...}` map from a child's JSON line. The
@@ -304,8 +332,6 @@ object Bench {
       results("acid_harness_1000txn") = harness1000.get.sec
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
     val harnessJson = if (harnessStats.isEmpty && harness1000.isEmpty) "" else {
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
       if (harnessStats.nonEmpty) {
@@ -324,20 +350,12 @@ object Bench {
         parts += s""""txn1000_conflicts_remerge":${h.remerge}"""
         parts += s""""txn1000_conflicts_redo":${h.redo}"""
       }
-      s""","harness":{${parts.mkString(",")}}"""
+      s"{${parts.mkString(",")}}"
     }
     spark.stop()
     // bench hygiene: drop the signature store's temp directory (it is
     // per-corpus infrastructure for THIS process only)
     graft.queries.TextQueries.cleanupSignatureStores()
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$harnessJson}"""
-    // Also persist to a file: stdout captures have truncated head/tail in
-    // past rounds, and the file is immune to log interleaving.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
-    try Files.writeString(Paths.get(outFile), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
-    // Last line of stdout by contract: the driver parses this JSON line.
-    println(json)
+    emit(results, sfDir, harnessJson)
   }
 }

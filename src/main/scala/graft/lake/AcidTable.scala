@@ -136,15 +136,28 @@ final class AcidTable private (
     */
   def versionAt(epochMillis: Long): Long = {
     val latest = latestVersion()
+    if (latest < 0) return -1L
+    // legacy tables (written before the #ts= header) are attributed from
+    // file mtimes, which carry NO monotonicity guarantee (copies/restores
+    // rewrite them arbitrarily) — binary search would be unsound there,
+    // so probe the OLDEST manifest first: header-less history starts at
+    // v0, and any header-less manifest met during the search (e.g. a
+    // hand-corrupted one) also demotes to the linear scan
+    commitTime(0L)
+    var sawHeaderless = AcidTable.headerlessManifests.contains((path, 0L))
     var lo = 0L
     var hi = latest
     var ans = -1L
-    while (lo <= hi) {
+    while (!sawHeaderless && lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (commitTime(mid) <= epochMillis) { ans = mid; lo = mid + 1 }
+      val ts = commitTime(mid)
+      if (AcidTable.headerlessManifests.contains((path, mid))) sawHeaderless = true
+      else if (ts <= epochMillis) { ans = mid; lo = mid + 1 }
       else hi = mid - 1
     }
-    ans
+    if (!sawHeaderless) ans
+    else (0L to latest).foldLeft(-1L)((acc, v) =>
+      if (commitTime(v) <= epochMillis) math.max(acc, v) else acc)
   }
 
   /** Publish-time of version `v`: the manifest's `#ts=` header, or the
@@ -156,10 +169,13 @@ final class AcidTable private (
   private def commitTime(v: Long): Long =
     AcidTable.commitTimeCache.computeIfAbsent((path, v), _ => {
       AcidTable.manifestHeaderReads.incrementAndGet()
-      val ts = scala.util.Try(
+      val header = scala.util.Try(
         manifestLines(v).find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong))
         .toOption.flatten
-        .getOrElse(manifestPath(v).toFile.lastModified())
+      val ts = header.getOrElse {
+        AcidTable.headerlessManifests.add((path, v))
+        manifestPath(v).toFile.lastModified()
+      }
       java.lang.Long.valueOf(ts)
     }).longValue()
 
@@ -219,6 +235,13 @@ final class AcidTable private (
   def overwrite(batch: DataFrame): Long = {
     val b = precombine(normalize(batch))
     commitLoop(
+      // overwrite's touched set is a function of the GLOBAL file list
+      // (every existing partition must be replaced or emptied), so the
+      // partition-local conflict fast paths are unsound for it: an
+      // intervening commit that creates a brand-new partition would be
+      // carried into the "full replace" result. Force a full recompute
+      // on any lost race.
+      globalScope = true,
       touchedOf = (_, files) => {
         val existing = files.map(_.takeWhile(_ != '/')).distinct.map(d =>
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -453,7 +476,8 @@ final class AcidTable private (
 
   private def commitLoop(
       touchedOf: (DataFrame, Seq[String]) => Seq[String],
-      resultOf: DataFrame => DataFrame): Long = {
+      resultOf: DataFrame => DataFrame,
+      globalScope: Boolean = false): Long = {
     var attempt = 0
     while (true) {
       val base = latestVersion()
@@ -504,7 +528,7 @@ final class AcidTable private (
             val cap = math.min(1L << math.min(attempt, 8), 256L)
             Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap * 2) + 1)
             val newBase = latestVersion()
-            if (stablePartitions) {
+            if (stablePartitions && !globalScope) {
               val intervening = ((publishBase + 1) to newBase)
                 .foldLeft(Set.empty[String])((acc, v) => acc ++ readTouched(v))
               val overlap = touched.filter(intervening.contains)
@@ -641,8 +665,14 @@ final class AcidTable private (
   private[lake] def publish(v: Long, files: Seq[String], touched: Seq[String]): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val encoded = touched.map(java.net.URLEncoder.encode(_, "UTF-8"))
+    // clamp the stamp to the predecessor's: System.currentTimeMillis()
+    // can step BACKWARD (NTP), and the observe-then-stamp protocol alone
+    // does not survive that — clamping makes the visible commit clock
+    // monotone BY CONSTRUCTION, which versionAt's binary search relies
+    // on (ties break toward the higher version). One cached header read.
+    val ts = if (v > 0) math.max(commitClock(), commitTime(v - 1)) else commitClock()
     val body = (Seq(
-      s"#ts=${commitClock()}",
+      s"#ts=$ts",
       s"#touched=${encoded.mkString(",")}") ++ files).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
@@ -690,6 +720,14 @@ object AcidTable {
   private[lake] val commitTimeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
 
+  /** (table path, version) of manifests that had NO parseable `#ts=`
+    * header (pre-header builds, hand edits): their mtime-attributed times
+    * are not monotone, so [[AcidTable.versionAt]] demotes to a linear
+    * scan when it meets one.
+    */
+  private[lake] val headerlessManifests =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+
   private val CommitsDir = "_commits"
   private val DataDir = "data"
   private val MetaFile = "_meta.properties"
@@ -716,12 +754,13 @@ object AcidTable {
     require(schema(partitionCol).dataType == StringType,
       "partition column must be STRING (Hive-style directory value)")
     val root = new File(path)
-    if (overwrite && root.exists()) {
-      deleteRecursively(root)
-      // a fresh table at a reused path must not inherit the old table's
-      // cached commit times
-      commitTimeCache.keySet.removeIf(_._1 == path)
-    }
+    if (overwrite && root.exists()) deleteRecursively(root)
+    // a fresh table at a reused path must not inherit a previous table's
+    // cached commit times — purge unconditionally (the old directory may
+    // have been deleted externally, in which case root.exists() was
+    // already false here but the cache still holds the dead table)
+    commitTimeCache.keySet.removeIf(_._1 == path)
+    headerlessManifests.removeIf(_._1 == path)
     Files.createDirectories(Paths.get(path, CommitsDir))
     Files.createDirectories(Paths.get(path, DataDir))
     writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions)

@@ -310,7 +310,11 @@ object SimilarityQueries {
         // candidate stream (n rows of dim floats vs ~n²-ish candidate
         // pairs) — BROADCAST both fetches so verification is two map-side
         // hash lookups + a codegen dot product, never a shuffle of the
-        // candidate set keyed by vector id
+        // candidate set keyed by vector id. The hint is bounded by the
+        // CORPUS table, not the pair stream; a corpus too big to
+        // broadcast (~10M+ vectors) is also far past where ~n² candidate
+        // PAIR-dedup is the right tool — the blocked variant's sharded
+        // organization is the declared scale path there.
         cand
           .join(broadcast(sig.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
             col("nrm").as("na"))), "vec_a")

@@ -148,6 +148,30 @@ class AcidTableSpec extends AnyFunSuite {
     assert(byPk == Map("RA" -> "a1", "RB" -> "b1"))
   }
 
+  test("overwrite vs concurrent new-partition commit: full replace wins, nothing carried") {
+    // overwrite's touched set derives from the GLOBAL file list, so the
+    // partition-local conflict fast paths must not apply: an intervening
+    // commit that creates a brand-new partition would otherwise be
+    // carried into the "replace the entire table" result
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue",
+      stablePartitions = true)
+    t.upsert(df(Record("RA", "P0", "a0")))
+    AcidTable.resetConflictCount()
+    t.beforePublishHook = () => {
+      t.beforePublishHook = () => ()
+      val session = spark.newSession()
+      val t2 = AcidTable.open(session, t.path)
+      // NEW partition P9 — disjoint from overwrite's touched set at plan
+      // time, which is exactly the hole the globalScope flag closes
+      t2.upsert(session.createDataset(Seq(Record("RX", "P9", "x0"))).toDF())
+    }
+    t.overwrite(df(Record("RB", "P1", "b0")))
+    val rows = t.snapshot().as[Record].collect()
+    assert(rows.map(_.primaryKeyValue).toSeq == Seq("RB"),
+      s"overwrite carried intervening rows: ${rows.toSeq}")
+    assert(AcidTable.conflictRedoCount == 1) // full redo, never re-merge
+  }
+
   test("M3: concurrent writers — OCC conflict resolves, both commits land") {
     val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
     val threads = (1 to 4).map { i =>

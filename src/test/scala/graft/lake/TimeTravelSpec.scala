@@ -153,6 +153,25 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(t2.latestVersion() == versions.toLong)
   }
 
+  test("a backward-stepping wall clock cannot break the commit-clock monotonicity") {
+    // System.currentTimeMillis() can step BACKWARD (NTP): the publish
+    // stamp is clamped to the predecessor's, so visible stamps stay
+    // monotone by construction and the binary search stays sound
+    val path = Files.createTempDirectory("tt-ntp-").resolve("t")
+    val t = AcidTable.create(spark, path.toString, schema, "primaryKeyValue", "partitionKeyValue")
+    t.commitClock = () => 1000L
+    t.upsert(df(Record("R1", "P0", "v0")))             // version 0 @ ts=1000
+    t.commitClock = () => 500L                          // clock steps back 500ms
+    t.upsert(df(Record("R1", "P0", "v1")))             // version 1 clamps to ts=1000
+    assert(t.versionAt(999L) == -1L)
+    assert(t.versionAt(1000L) == 1L)  // tie breaks toward the higher version
+    assert(t.versionAt(5000L) == 1L)
+    t.commitClock = () => 1500L                         // clock recovers
+    t.upsert(df(Record("R1", "P0", "v2")))             // version 2 @ ts=1500
+    assert(t.versionAt(1499L) == 1L)
+    assert(t.versionAt(1500L) == 2L)
+  }
+
   test("a corrupted #ts= header degrades to mtime, not an exception") {
     val path = Files.createTempDirectory("tt-corrupt-").resolve("t")
     val t = AcidTable.create(spark, path.toString, schema, "primaryKeyValue", "partitionKeyValue")
