@@ -529,8 +529,12 @@ final class AcidTable private (
             Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap * 2) + 1)
             val newBase = latestVersion()
             if (stablePartitions && !globalScope) {
-              val intervening = ((publishBase + 1) to newBase)
-                .foldLeft(Set.empty[String])((acc, v) => acc ++ readTouched(v))
+              // an intervening manifest with no #touched header has an
+              // UNKNOWN touched set — treat it as overlapping everything
+              val interveningSets = ((publishBase + 1) to newBase).map(readTouched)
+              val intervening =
+                if (interveningSets.exists(_.isEmpty)) touched.toSet
+                else interveningSets.flatten.flatten.toSet
               val overlap = touched.filter(intervening.contains)
               if (overlap.isEmpty) {
                 AcidTable.conflictRemergeCounter.incrementAndGet()
@@ -636,18 +640,22 @@ final class AcidTable private (
     manifestLines(v).filterNot(_.startsWith("#"))
 
   /** Partition values the commit that produced version `v` rewrote
-    * (recorded as a `#touched=` header; empty for pre-header manifests).
-    * Values are URL-encoded in the header so arbitrary partition values
-    * survive the comma separator.
+    * (recorded as a `#touched=` header). Values are URL-encoded in the
+    * header so arbitrary partition values survive the comma separator.
+    * `None` for a manifest WITHOUT the header (pre-header builds): the
+    * conflict fast paths must treat an unknown touched set as
+    * potentially-overlapping, not as empty — reading it as "touched
+    * nothing" would let the re-merge path carry a stale partition.
     */
-  private def readTouched(v: Long): Set[String] =
+  private def readTouched(v: Long): Option[Set[String]] =
     manifestLines(v).find(_.startsWith("#touched=")) match {
       case Some(line) =>
         val csv = line.stripPrefix("#touched=")
-        if (csv.isEmpty) Set.empty
-        else csv.split(',').toSet
-          .map((s: String) => java.net.URLDecoder.decode(s, "UTF-8"))
-      case None => Set.empty
+        Some(
+          if (csv.isEmpty) Set.empty[String]
+          else csv.split(',').toSet
+            .map((s: String) => java.net.URLDecoder.decode(s, "UTF-8")))
+      case None => None
     }
 
   /** Wall-clock source for the `#ts=` commit stamp — injectable so the
