@@ -137,15 +137,18 @@ final class AcidTable private (
   def versionAt(epochMillis: Long): Long = {
     val latest = latestVersion()
     if (latest < 0) return -1L
+    // archival prunes a PREFIX of the timeline — the search floor is the
+    // oldest manifest still on disk
+    val oldest = oldestRetainedVersion(latest)
     // legacy tables (written before the #ts= header) are attributed from
     // file mtimes, which carry NO monotonicity guarantee (copies/restores
     // rewrite them arbitrarily) — binary search would be unsound there,
     // so probe the OLDEST manifest first: header-less history starts at
-    // v0, and any header-less manifest met during the search (e.g. a
-    // hand-corrupted one) also demotes to the linear scan
-    commitTime(0L)
-    var sawHeaderless = AcidTable.headerlessManifests.contains((path, 0L))
-    var lo = 0L
+    // the retention floor, and any header-less manifest met during the
+    // search (e.g. a hand-corrupted one) also demotes to the linear scan
+    commitTime(oldest)
+    var sawHeaderless = AcidTable.headerlessManifests.contains((path, oldest))
+    var lo = oldest
     var hi = latest
     var ans = -1L
     while (!sawHeaderless && lo <= hi) {
@@ -155,9 +158,36 @@ final class AcidTable private (
       else if (ts <= epochMillis) { ans = mid; lo = mid + 1 }
       else hi = mid - 1
     }
-    if (!sawHeaderless) ans
-    else (0L to latest).foldLeft(-1L)((acc, v) =>
-      if (commitTime(v) <= epochMillis) math.max(acc, v) else acc)
+    if (sawHeaderless)
+      ans = (oldest to latest).foldLeft(-1L)((acc, v) =>
+        if (commitTime(v) <= epochMillis) math.max(acc, v) else acc)
+    if (ans < 0 && oldest > 0)
+      // the requested time falls below the archival horizon: the table
+      // HAD committed state then, but its manifest is gone — resolving to
+      // -1 (empty table) would silently return wrong data, so fail loudly
+      // (the Delta/Hudi contract for time travel past retention)
+      throw new IllegalStateException(
+        s"TIMESTAMP AS OF $epochMillis predates the retention horizon of $path" +
+          s" (oldest retained version $oldest)")
+    ans
+  }
+
+  /** Oldest manifest still on disk. Archival only ever removes a prefix
+    * of the timeline, so existence is monotone in the version number and
+    * a binary search over it needs O(log n) probes; the common (never
+    * archived) case is one probe of v0.
+    */
+  private def oldestRetainedVersion(latest: Long): Long = {
+    AcidTable.latestProbes.incrementAndGet()
+    if (Files.exists(manifestPath(0L))) return 0L
+    var lo = 1L // 0 known missing
+    var hi = latest // known present
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      AcidTable.latestProbes.incrementAndGet()
+      if (Files.exists(manifestPath(mid))) hi = mid else lo = mid + 1
+    }
+    lo
   }
 
   /** Publish-time of version `v`: the manifest's `#ts=` header, or the
@@ -409,6 +439,18 @@ final class AcidTable private (
         }
       }
     }
+    // timeline archival (the Hudi-archive / Delta-log-retention analog):
+    // manifests below the retention window reference files the loop above
+    // is already deleting, so they are unreadable history — prune them to
+    // keep `_commits` bounded over the table's life. Time travel below
+    // the horizon then fails loudly in versionAt/snapshot instead of
+    // resolving against a gutted manifest. Archival only removes a
+    // PREFIX (oldest-first), the invariant oldestRetainedVersion and the
+    // conflict paths rely on.
+    (oldestRetainedVersion(latest) until keepFrom).foreach { v =>
+      Files.deleteIfExists(manifestPath(v))
+      ()
+    }
     removed
   }
 
@@ -648,14 +690,17 @@ final class AcidTable private (
     * nothing" would let the re-merge path carry a stale partition.
     */
   private def readTouched(v: Long): Option[Set[String]] =
-    manifestLines(v).find(_.startsWith("#touched=")) match {
-      case Some(line) =>
+    scala.util.Try(manifestLines(v).find(_.startsWith("#touched="))) match {
+      case scala.util.Success(Some(line)) =>
         val csv = line.stripPrefix("#touched=")
         Some(
           if (csv.isEmpty) Set.empty[String]
           else csv.split(',').toSet
             .map((s: String) => java.net.URLDecoder.decode(s, "UTF-8")))
-      case None => None
+      // header absent, or the manifest was archived by a concurrent
+      // vacuum between our conflict and this read — unknown either way,
+      // and unknown must mean "potentially overlapping"
+      case _ => None
     }
 
   /** Wall-clock source for the `#ts=` commit stamp — injectable so the

@@ -115,4 +115,35 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     // retained manifest still fully readable
     assert(t.snapshot(t.latestVersion()).count() == 1)
   }
+
+  test("vacuum archives the timeline: _commits stays bounded, horizon fails loudly") {
+    val t = newTable()
+    (0 until 10).foreach { i =>
+      t.commitClock = () => 1000L + i
+      t.upsert(df(Record("R1", "P0", s"v$i")))
+    }
+    def manifestCount: Int =
+      Option(new java.io.File(t.path, "_commits").listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".txt"))
+    assert(manifestCount == 10)
+    t.vacuum(keepVersions = 3, graceMillis = 0L)
+    // only the retention window's manifests remain (versions 7..9)
+    assert(manifestCount == 3, s"timeline not archived: $manifestCount manifests")
+    assert(t.latestVersion() == 9L)
+    assert(t.snapshot().as[Record].head().dataValue == "v9")
+    // time travel INSIDE the window still resolves by commit order
+    assert(t.versionAt(1008L) == 8L)
+    assert(t.versionAt(5000L) == 9L)
+    assert(t.snapshot(t.versionAt(1007L)).as[Record].head().dataValue == "v7")
+    // time travel BELOW the horizon: the table had state then but its
+    // manifest is archived — must fail loudly, never resolve to "empty"
+    val e = intercept[IllegalStateException] { t.versionAt(1005L) }
+    assert(e.getMessage.contains("retention horizon"))
+    // writes continue normally on the archived table
+    t.commitClock = () => 2000L
+    t.upsert(df(Record("R2", "P0", "post-archive")))
+    assert(t.latestVersion() == 10L)
+    assert(t.snapshot().count() == 2)
+    assert(t.versionAt(2000L) == 10L)
+  }
 }
