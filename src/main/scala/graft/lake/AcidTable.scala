@@ -247,9 +247,16 @@ final class AcidTable private (
     * discovery must consult the snapshot.
     */
   def upsert(batch: DataFrame, partitionsHint: Option[Seq[String]] = None): Long = {
-    val b = precombine(normalize(batch))
+    val n = normalize(batch)
+    val b = precombine(n)
     val hint = checkedHint(partitionsHint)
-    val keys = b.select(pkCol).distinct()
+    // The anti-join key set is deliberately NOT deduplicated or precombined:
+    // semi/anti joins hash their build side into a set anyway, and a local
+    // (driver-side) batch then remains a LocalRelation — Catalyst builds the
+    // broadcast from it without launching a Spark job. Small-transaction
+    // commit latency is bounded by job round-trips (measured: the distinct()
+    // here cost a 2-stage broadcast-build job per commit), not by data.
+    val keys = n.select(pkCol)
     commitLoop(
       touchedOf = (snap, _) => hint.getOrElse(touchedBy(snap, b, keys)),
       resultOf = snapT => snapT.join(keys, Seq(pkCol), "left_anti").unionByName(b))
@@ -293,22 +300,47 @@ final class AcidTable private (
       partitionsHint: Option[Seq[String]] = None): Long = {
     val src = precombine(normalize(source))
     val hint = checkedHint(partitionsHint)
-    val keys = src.select(pkCol).distinct()
+    val keys = normalize(source).select(pkCol)
     commitLoop(
       touchedOf = (snap, _) => hint.getOrElse(touchedBy(snap, src, keys)),
       // sound on the touched subset: touched covers every matched PK's
       // current partition (via hint contract or discovery), so any src key
-      // absent from snapT is absent from the whole table
+      // absent from snapT is absent from the whole table.
+      //
+      // Single-pass formulation: tag target rows 0 and source rows 1, then
+      // align the (at most two) rows of each PK with window aggregates over
+      // ONE hash(pk) shuffle. The previous three-join shape (inner for
+      // matched, anti for inserts, anti for carried rows) cost a broadcast
+      // build job per side at transaction scale, and at table scale its
+      // insert-side anti join needed the TARGET's key set as the build
+      // side — O(partition keys) broadcast, degrading to three separate
+      // shuffles of the touched subset. This plan moves the touched rows
+      // exactly once before the write repartition, the same shuffle-by-key
+      // shape Hudi's merge handle uses.
       resultOf = snapT => {
-        val matched = snapT.as("t")
-          .join(src.as("s"), col(s"t.$pkCol") === col(s"s.$pkCol"), "inner")
+        val srcTag = "__graft_src"
+        val srcRow = "__graft_srow"
+        val hasT = "__graft_hast"
+        val tagged = snapT.withColumn(srcTag, lit(0))
+          .unionByName(src.withColumn(srcTag, lit(1)))
+        val w = Window.partitionBy(col(pkCol))
+        tagged
+          // the source row's full payload, visible from the target row
+          .withColumn(srcRow,
+            max(when(col(srcTag) === 1, struct(schema.fieldNames.map(col): _*))).over(w))
+          .withColumn(hasT, max(when(col(srcTag) === 0, 1).otherwise(0)).over(w))
+          // keep target rows (merged in the projection) and unmatched
+          // source rows (inserts); matched source rows collapse into the
+          // target row they updated
+          .filter(col(srcTag) === 0 || col(hasT) === 0)
           .select(schema.fieldNames.map { f =>
-            (if (updateCols.contains(f)) col(s"s.$f") else col(s"t.$f")).as(f)
+            val merged =
+              if (updateCols.contains(f))
+                when(col(srcTag) === 0 && col(srcRow).isNotNull, col(srcRow).getField(f))
+                  .otherwise(col(f))
+              else col(f)
+            merged.as(f)
           }: _*)
-        val inserted = src.join(snapT.select(pkCol), Seq(pkCol), "left_anti")
-          .select(schema.fieldNames.map(col): _*)
-        snapT.join(keys, Seq(pkCol), "left_anti")
-          .unionByName(matched).unionByName(inserted)
       })
   }
 
@@ -337,7 +369,9 @@ final class AcidTable private (
     */
   def delete(keysWithPartitions: DataFrame, partitionsHint: Option[Seq[String]] = None): Long = {
     val hasPart = keysWithPartitions.columns.contains(partitionCol)
-    val keysDf = keysWithPartitions.select(pkCol).distinct()
+    // no distinct(): see upsert — keeps a local key batch a LocalRelation so
+    // the anti-join broadcast needs no Spark job; the join dedups internally
+    val keysDf = keysWithPartitions.select(pkCol)
     val hint = checkedHint(partitionsHint)
     commitLoop(
       touchedOf = (snap, _) => hint.getOrElse {
@@ -648,6 +682,13 @@ final class AcidTable private (
     result
       .repartition(math.max(touched.size, 1), col(partitionCol))
       .write.option("maxRecordsPerFile", recordsPerFile)
+      // The tmp dir is private to this commit and the MANIFEST is the
+      // atomic publish point, so the two-phase job commit (v1: task dir →
+      // job staging → destination renames, plus a _SUCCESS marker) buys
+      // nothing here. Algorithm 2 renames once at task commit; on an
+      // object store that removes the O(files) job-commit copy storm.
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     touched.foreach { p =>
