@@ -259,8 +259,28 @@ final class AcidTable private (
     val keys = n.select(pkCol)
     commitLoop(
       touchedOf = (snap, _) => hint.getOrElse(touchedBy(snap, b, keys)),
-      resultOf = snapT => snapT.join(keys, Seq(pkCol), "left_anti").unionByName(b))
+      resultOf = snapT => antiByKeys(snapT, keys).unionByName(b))
   }
+
+  /** `snapT` minus rows whose PK appears in `keys` — the carry side of an
+    * upsert/delete. A small driver-local key batch takes the `InSet`
+    * filter path: no broadcast-exchange build job (one fewer Spark
+    * round-trip per transactional commit), and the set rides the
+    * generated code as a reference object so whole-stage codegen compiled
+    * for one transaction is reused by the next. Distributed or large key
+    * sets keep the anti-join plan (broadcast or shuffle as Catalyst
+    * chooses — the scale path is unchanged).
+    */
+  private def antiByKeys(snapT: DataFrame, keys: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.PlanShim.smallLocalColumn(keys, maxRows = 10000) match {
+      case Some(set) =>
+        // anti-join parity: a null never equals any key, so null-PK rows
+        // are carried, and null KEYS can never match anything
+        val nonNull = set.filter(_ != null)
+        snapT.filter(col(pkCol).isNull ||
+          !org.apache.spark.sql.graft.PlanShim.inSet(col(pkCol), nonNull))
+      case None => snapT.join(keys, Seq(pkCol), "left_anti")
+    }
 
   /** Replace the ENTIRE table content with `batch` in one atomic commit
     * (SQL `INSERT OVERWRITE` semantics): touched = every partition the
@@ -382,7 +402,7 @@ final class AcidTable private (
           snap.join(keysDf, Seq(pkCol), "left_semi")
             .select(partitionCol).distinct().collect().map(_.getString(0)).toSeq
       },
-      resultOf = snapT => snapT.join(keysDf, Seq(pkCol), "left_anti"))
+      resultOf = snapT => antiByKeys(snapT, keysDf))
   }
 
   /** Register the CURRENT snapshot as a temp view (reference A13 surface). */
@@ -507,9 +527,58 @@ final class AcidTable private (
   private def precombine(df: DataFrame): DataFrame = precombineCol match {
     case None => df
     case Some(pc) =>
-      val tieBreak = schema.fieldNames.filterNot(f => f == pkCol || f == pc).map(col(_).desc)
-      val w = Window.partitionBy(col(pkCol)).orderBy(col(pc).desc +: tieBreak: _*)
-      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      localPrecombine(df, pc).getOrElse {
+        val tieBreak = schema.fieldNames.filterNot(f => f == pkCol || f == pc).map(col(_).desc)
+        val w = Window.partitionBy(col(pkCol)).orderBy(col(pc).desc +: tieBreak: _*)
+        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      }
+  }
+
+  /** Driver-side precombine for small `LocalRelation` batches: the same
+    * greatest-(precombine, tiebreaks) winner per PK, computed over the
+    * batch's internal rows with Catalyst's interpreted orderings instead
+    * of a Window plan node. A transactional producer's batch is
+    * metadata-scale (the reference's is 3 records); folding its dedup out
+    * of the distributed plan removes a shuffle and two stages from EVERY
+    * commit job and shrinks the plan Catalyst re-analyzes per commit.
+    * Distributed or large batches — and types with no total order (maps)
+    * — fall back to the Window formulation unchanged.
+    */
+  private def localPrecombine(df: DataFrame, pc: String): Option[DataFrame] = {
+    import org.apache.spark.sql.graft.PlanShim
+    PlanShim.smallLocalRelation(df, maxRows = 10000).flatMap { case (attrs, rows) =>
+      val names = attrs.map(_.name)
+      val pkIdx = names.indexOf(pkCol)
+      val pcIdx = names.indexOf(pc)
+      // comparison key: precombine first, then remaining columns in schema
+      // order (all descending) — identical to the Window's orderBy
+      val keyIdxs = pcIdx +: attrs.indices.filterNot(i => i == pkIdx || i == pcIdx)
+      val orderings = keyIdxs.map(i => PlanShim.interpretedOrdering(attrs(i).dataType))
+      if (pkIdx < 0 || pcIdx < 0 || orderings.exists(_.isEmpty)) None
+      else {
+        val ords = orderings.map(_.get)
+        val types = attrs.map(_.dataType)
+        def better(a: org.apache.spark.sql.catalyst.InternalRow,
+                   b: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+          var k = 0
+          while (k < keyIdxs.length) {
+            val i = keyIdxs(k)
+            val c = ords(k).compare(a.get(i, types(i)), b.get(i, types(i)))
+            if (c != 0) return c > 0
+            k += 1
+          }
+          false
+        }
+        val winners = new java.util.LinkedHashMap[Any, org.apache.spark.sql.catalyst.InternalRow]
+        rows.foreach { r =>
+          val key = r.get(pkIdx, types(pkIdx))
+          val cur = winners.get(key)
+          if (cur == null || better(r, cur)) winners.put(key, r)
+        }
+        import scala.jdk.CollectionConverters._
+        Some(PlanShim.localRelationDf(spark, attrs, winners.values.asScala.toSeq))
+      }
+    }
   }
 
   /** Partitions a batch touches: its own rows' partitions plus the

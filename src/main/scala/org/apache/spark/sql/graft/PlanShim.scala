@@ -31,4 +31,77 @@ object PlanShim {
     */
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** If `df`'s single column reduces to a driver-side `LocalRelation` of
+    * at most `maxRows` rows, return its values as CATALYST-internal values
+    * (e.g. `UTF8String` for strings) — the element type [[inSet]] expects.
+    * Transactional producers hand [[graft.lake.AcidTable]] small local
+    * batches; their key sets then never need a distributed plan at all.
+    */
+  def smallLocalColumn(df: DataFrame, maxRows: Int): Option[Set[Any]] = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.queryExecution.optimizedPlan match {
+      case rel: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if rel.output.size == 1 && rel.data.size <= maxRows =>
+        val dt = rel.output.head.dataType
+        Some(rel.data.map(_.get(0, dt)).toSet)
+      case _ => None
+    }
+  }
+
+  /** If `df` reduces to a driver-side `LocalRelation` of at most `maxRows`
+    * rows, return its output attributes and internal rows for driver-side
+    * metadata-scale processing.
+    */
+  def smallLocalRelation(
+      df: DataFrame,
+      maxRows: Int): Option[(Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                             Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.queryExecution.optimizedPlan match {
+      case rel: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if rel.data.size <= maxRows =>
+        Some((rel.output, rel.data))
+      case _ => None
+    }
+  }
+
+  /** Wrap driver-side internal rows back into a DataFrame (a
+    * `LocalRelation` plan node). Inverse of [[smallLocalRelation]]. */
+  def localRelationDf(
+      spark: SparkSession,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): DataFrame =
+    ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs, rows))
+
+  /** A null-first total ordering over Catalyst-internal values of `dt`,
+    * or None when the type is not orderable (maps). Null sorting matches
+    * `desc` = NULLS LAST when the caller takes a MAX under this ordering.
+    */
+  def interpretedOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] =
+    if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)) None
+    else {
+      val base = org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+      Some(new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else base.compare(a, b)
+      })
+    }
+
+  /** `InSet` membership test as a Column. Unlike `isin(...)` / `In` with
+    * literal children, `InSet` carries its set as a referenced object in
+    * generated code, so whole-stage codegen compiled for one key set is
+    * REUSED for the next — the property that keeps a stream of
+    * transactional commits from recompiling per transaction. `values`
+    * must hold Catalyst-internal values ([[smallLocalColumn]] provides
+    * them).
+    */
+  def inSet(column: org.apache.spark.sql.Column, values: Set[Any]): org.apache.spark.sql.Column = {
+    val expr = org.apache.spark.sql.classic.ExpressionUtils.expression(column)
+    org.apache.spark.sql.classic.ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.InSet(expr, values))
+  }
 }
