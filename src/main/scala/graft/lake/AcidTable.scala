@@ -630,7 +630,7 @@ final class AcidTable private (
       val touched = touchedOf(snapshotFromFiles(files), files)
       val touchedFiles = files.filter(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
       val result = resultOf(snapshotFromFiles(touchedFiles))
-      var newFiles = writeTouched(result, touched)
+      var newFiles = writeTouched(result, touched, inputBytes(touchedFiles))
       beforePublishHook()
       // inner publish loop: losing the version race does NOT force a full
       // recompute under `stablePartitions` (partition placement a pure
@@ -702,7 +702,7 @@ final class AcidTable private (
                 // non-overlap rows are already covered by keptFiles
                 val redone = resultOf(snapshotFromFiles(newSnapFiles))
                   .filter(col(partitionCol).isin(overlap: _*))
-                newFiles = keptFiles ++ writeTouched(redone, overlap)
+                newFiles = keptFiles ++ writeTouched(redone, overlap, inputBytes(newSnapFiles))
                 publishBase = newBase
               }
             } else {
@@ -733,7 +733,17 @@ final class AcidTable private (
     * (the commit-loop contract); the leftover-directory check below turns a
     * violation into a loud failure instead of silent row loss.
     */
-  private def writeTouched(result: DataFrame, touched: Seq[String]): Seq[String] = {
+  /** Sum of on-disk sizes of manifest-relative files — the scan volume a
+    * commit's rewrite will read. Metadata-scale: one stat per file (a real
+    * deployment would carry sizes in the manifest instead).
+    */
+  private def inputBytes(files: Seq[String]): Long =
+    files.map(f => dataRoot.resolve(f).toFile.length()).sum
+
+  private def writeTouched(
+      result: DataFrame,
+      touched: Seq[String],
+      inBytes: Long = Long.MaxValue): Seq[String] = {
     if (touched.isEmpty) return Nil
     val commitId = UUID.randomUUID().toString
     val tmp = Paths.get(path, s"_tmp-$commitId")
@@ -748,8 +758,17 @@ final class AcidTable private (
     // collisions co-locating two values in one task are fine: partitionBy
     // still splits the output files per value)
     val recordsPerFile = math.max(1L, targetFileBytes / math.max(1, schema.defaultSize))
-    result
-      .repartition(math.max(touched.size, 1), col(partitionCol))
+    // Write parallelism tracks rewritten BYTES, not partition count: below
+    // one target file's worth of input the whole rewrite is a single write
+    // task reached by a narrow coalesce — no shuffle stage at all (the
+    // dynamic-partition writer still splits output files per partition
+    // value). Above it, hash-repartition by partition value so tasks scale
+    // with what the commit rewrites. Small transactional commits take the
+    // first path; compaction and bulk loads the second.
+    val shaped =
+      if (inBytes < targetFileBytes) result.coalesce(1)
+      else result.repartition(math.max(touched.size, 1), col(partitionCol))
+    shaped
       .write.option("maxRecordsPerFile", recordsPerFile)
       // The tmp dir is private to this commit and the MANIFEST is the
       // atomic publish point, so the two-phase job commit (v1: task dir →
