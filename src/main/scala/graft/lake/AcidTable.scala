@@ -768,6 +768,7 @@ final class AcidTable private (
     val shaped =
       if (inBytes < targetFileBytes) result.coalesce(1)
       else result.repartition(math.max(touched.size, 1), col(partitionCol))
+    val t0 = System.nanoTime()
     shaped
       .write.option("maxRecordsPerFile", recordsPerFile)
       // The tmp dir is private to this commit and the MANIFEST is the
@@ -778,6 +779,8 @@ final class AcidTable private (
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+    AcidTable.writeCallNanos.addAndGet(System.nanoTime() - t0)
+    val t1 = System.nanoTime()
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     touched.foreach { p =>
       val srcDir = tmp.resolve(partDir(p)).toFile
@@ -799,6 +802,7 @@ final class AcidTable private (
     require(stray.isEmpty,
       s"commit produced rows outside its touched partitions: ${stray.map(_.getName).mkString(", ")}")
     deleteRecursively(tmp.toFile)
+    AcidTable.moveNanos.addAndGet(System.nanoTime() - t1)
     moved.toSeq
   }
 
@@ -845,6 +849,12 @@ final class AcidTable private (
     * `private[lake]` for the concurrent-publisher specs.
     */
   private[lake] def publish(v: Long, files: Seq[String], touched: Seq[String]): Unit = {
+    val t0 = System.nanoTime()
+    try publishImpl(v, files, touched)
+    finally AcidTable.publishNanos.addAndGet(System.nanoTime() - t0)
+  }
+
+  private def publishImpl(v: Long, files: Seq[String], touched: Seq[String]): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val encoded = touched.map(java.net.URLEncoder.encode(_, "UTF-8"))
     // clamp the stamp to the predecessor's: System.currentTimeMillis()
@@ -894,6 +904,19 @@ object AcidTable {
   private[graft] val manifestHeaderReads = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] def resetMetaIoCounters(): Unit = {
     metaDirListings.set(0); latestProbes.set(0); manifestHeaderReads.set(0)
+  }
+
+  /** Commit-phase wall-time accumulators (nanos) — where a transactional
+    * commit's latency lives: the distributed write (`.parquet` call: plan
+    * analysis + job), the post-job file moves, and manifest publication
+    * (fsync + link). Diagnostic-only (read by `graft.tools.ProfileCommit`);
+    * the overhead per commit is a few `nanoTime` reads.
+    */
+  private[graft] val writeCallNanos = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val moveNanos = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val publishNanos = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def resetCommitTimers(): Unit = {
+    writeCallNanos.set(0); moveNanos.set(0); publishNanos.set(0)
   }
 
   /** (table path, version) → `#ts=` commit time. Manifests are immutable

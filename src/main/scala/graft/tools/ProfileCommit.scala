@@ -74,6 +74,7 @@ object ProfileCommit {
 
     val nTxn = 100
     jobCount.set(0); jobNanos.set(0)
+    AcidTable.resetCommitTimers()
     // 1. end-to-end upsert with partition hint (harness shape)
     val upsertMs = timed(nTxn) {
       val rows = (1 to 3).map { _ =>
@@ -88,6 +89,12 @@ object ProfileCommit {
     Thread.sleep(500)
     val upsertJobs = jobCount.get().toDouble / nTxn
     val upsertJobMs = jobNanos.get().toDouble / 1e6 / nTxn
+    // phase split of the upsert loop (per commit): the .parquet write call
+    // (plan analysis + committer setup + the job), post-job file moves,
+    // and manifest publish (fsync + hard link)
+    val upsertWriteMs = AcidTable.writeCallNanos.get.toDouble / 1e6 / nTxn
+    val upsertMoveMs = AcidTable.moveNanos.get.toDouble / 1e6 / nTxn
+    val upsertPublishMs = AcidTable.publishNanos.get.toDouble / 1e6 / nTxn
 
     // 2. floor: a bare 3-row noop write (Spark job scheduling + codegen floor)
     val noopMs = timed(nTxn) {
@@ -168,7 +175,7 @@ object ProfileCommit {
       batch().coalesce(1).write.mode("overwrite").parquet(tmp.resolve("x").toString)
     }
 
-    println(f"""{"upsert_ms":$upsertMs%.1f,"upsert_jobs":$upsertJobs%.2f,"upsert_job_ms":$upsertJobMs%.1f,"merge_ms":$mergeMs%.1f,"merge_jobs":$mergeJobs%.2f,"merge_job_ms":$mergeJobMs%.1f,"delete_jobs":$deleteJobs%.2f,"noop3row_ms":$noopMs%.1f,"parquet3row_ms":$pqMs%.1f,"snapshot_ms":$snapMs%.1f,"delete_ms":$delMs%.1f,"flat_ms":$flatMs%.1f,"onetask_ms":$oneTaskMs%.1f,"committer_v2_ms":$v2Ms%.1f,"csv_part_ms":$csvMs%.1f,"shuffle_noop_ms":$shufNoopMs%.1f,"bare_parquet_ms":$bareParquetMs%.1f}""")
+    println(f"""{"upsert_ms":$upsertMs%.1f,"upsert_jobs":$upsertJobs%.2f,"upsert_job_ms":$upsertJobMs%.1f,"upsert_write_ms":$upsertWriteMs%.1f,"upsert_move_ms":$upsertMoveMs%.1f,"upsert_publish_ms":$upsertPublishMs%.1f,"merge_ms":$mergeMs%.1f,"merge_jobs":$mergeJobs%.2f,"merge_job_ms":$mergeJobMs%.1f,"delete_jobs":$deleteJobs%.2f,"noop3row_ms":$noopMs%.1f,"parquet3row_ms":$pqMs%.1f,"snapshot_ms":$snapMs%.1f,"delete_ms":$delMs%.1f,"flat_ms":$flatMs%.1f,"onetask_ms":$oneTaskMs%.1f,"committer_v2_ms":$v2Ms%.1f,"csv_part_ms":$csvMs%.1f,"shuffle_noop_ms":$shufNoopMs%.1f,"bare_parquet_ms":$bareParquetMs%.1f}""")
     spark.stop()
   }
 }
