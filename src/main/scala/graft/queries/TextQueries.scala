@@ -451,6 +451,140 @@ object TextQueries {
         FROM documents ORDER BY doc_id
       """)),
 
+    // ---- C45 repetition / boilerplate filter (Gopher-style) ---------------------
+    // The standard LLM-corpus quality gate: flag documents dominated by a
+    // single token or bigram. Shape: explode → codegen'd partial+final
+    // hash aggregation per (doc, gram), then a per-doc max/sum — the same
+    // plan as the term-frequency queries. (A first formulation computed
+    // the counts in-row with nested array HOFs; higher-order functions are
+    // interpreted, and the per-doc distinct×n lambda evaluation ran ~50×
+    // slower than this aggregate at sf0.1.)
+    Q(
+      "q_text_repetition",
+      (s, dir) => {
+        val words = split(trim(col("text")), " ")
+        // zip adjacent tokens; slice lengths go to 0 on 1-token docs (a
+        // sequence(1, size-1) would DESCEND to [1, 0] there and fault)
+        val bigrams = zip_with(
+          slice(words, lit(1), size(words) - 1),
+          slice(words, lit(2), size(words) - 1),
+          (a, b) => concat_ws(" ", a, b))
+        def topShare(d: DataFrame, gram: org.apache.spark.sql.Column, out: String) =
+          d.select(col("doc_id"), explode(gram).as("g"))
+            .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+            .groupBy(col("doc_id"))
+            .agg((max(col("n")).cast("double") / sum(col("n"))).as(out))
+        val docs = Tables.documents(s, dir)
+        docs.select(col("doc_id"))
+          .join(topShare(docs, words, "tok_share"), Seq("doc_id"), "left")
+          .join(topShare(docs, bigrams, "bi_share"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            round(coalesce(col("tok_share"), lit(0.0)), 4).as("top_token_share"),
+            round(coalesce(col("bi_share"), lit(0.0)), 4).as("top_bigram_share"))
+          .withColumn("flagged",
+            col("top_token_share") > 0.2 || col("top_bigram_share") > 0.1)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        b AS (
+          SELECT doc_id, w,
+                 list_transform(range(1, greatest(len(w), 1)),
+                                i -> w[i] || ' ' || w[i+1]) AS bg
+          FROM t),
+        shares AS (
+          SELECT doc_id,
+                 round(CAST(list_max(list_transform(list_distinct(w),
+                         g -> len(list_filter(w, x -> x = g)))) AS DOUBLE)
+                       / greatest(len(w), 1), 4) AS top_token_share,
+                 round(coalesce(CAST(list_max(list_transform(list_distinct(bg),
+                         g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+                       / greatest(len(bg), 1), 0.0), 4) AS top_bigram_share
+          FROM b)
+        SELECT doc_id, top_token_share, top_bigram_share,
+               (top_token_share > 0.2 OR top_bigram_share > 0.1) AS flagged
+        FROM shares ORDER BY doc_id
+      """)),
+
+    // ---- C45 pattern + lexicon scrubbing (the PII-redaction stage shape) --------
+    // Counts and redacts email/URL patterns (regex machinery; this corpus
+    // contains none, which the oracle confirms) plus a term lexicon (real
+    // hits). Narrow map — regex + per-token transform, no shuffle.
+    Q(
+      "q_text_scrub",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+        val url = "https?://[^ ]+"
+        val lexicon = Seq("key", "value", "table")
+        val words = split(trim(col("text")), " ")
+        val scrubbed = concat_ws(" ",
+          transform(words, w => when(w.isin(lexicon: _*), lit("<TERM>")).otherwise(w)))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+            regexp_count(col("text"), lit(url)).cast("long").as("n_url"),
+            size(filter(words, w => w.isin(lexicon: _*))).cast("long").as("n_term"),
+            length(scrubbed).cast("long").as("scrubbed_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+               CAST(len(list_filter(w, x -> x IN ('key', 'value', 'table'))) AS BIGINT) AS n_term,
+               CAST(length(array_to_string(list_transform(w,
+                      x -> CASE WHEN x IN ('key', 'value', 'table') THEN '<TERM>' ELSE x END),
+                    ' ')) AS BIGINT) AS scrubbed_len
+        FROM t ORDER BY doc_id
+      """)),
+
+    // ---- C43 edit-distance verification of blocked candidates -------------------
+    // The cheap-blocking + expensive-verify dedup shape: documents sharing
+    // a (lang, 16-char prefix) block are candidate pairs; a BANDED
+    // Levenshtein (threshold-capped — Spark's 3-arg levenshtein abandons
+    // the DP past the cap) confirms real near-duplicates. At 100 TB the
+    // equi-join shuffles block keys, never crosses blocks, and the verify
+    // cost is bounded per pair by the cap.
+    Q(
+      "q_dedup_edit_verify",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"),
+            substring(col("text"), 1, 16).as("blk"))
+        // verify-cost hygiene: restrict BOTH join sides to blocks holding
+        // >1 document first. Catalyst pushes the levenshtein filter into
+        // the join condition ahead of the cheap doc_id< conjunct, so
+        // without this prune every singleton's self-pair pays a banded
+        // edit-distance evaluation (measured: 14.5 s → ~1 s at sf0.1)
+        val multi = d.groupBy(col("lang"), col("blk"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") > 1)
+          .select(col("lang"), col("blk"))
+        val c = d.join(multi, Seq("lang", "blk"))
+        val cap = 120
+        val bound = least(
+          greatest(length(col("a.text")), length(col("b.text"))) * 0.2, lit(cap))
+        c.as("a").join(c.as("b"),
+            col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .withColumn("dist",
+            levenshtein(col("a.text"), col("b.text"), cap).cast("long"))
+          .filter(col("dist") >= 0 && col("dist") <= bound)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, text, substr(text, 1, 16) AS blk FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text)
+                <= least(0.2 * greatest(length(a.text), length(b.text)), 120)
+        ORDER BY doc_a, doc_b
+      """)),
+
     // ---- C43 INCREMENTAL near-dedup: new batch vs existing corpus ---------------
     // The production dedup shape: a daily ingest batch (doc_id % 5 == 0
     // stands in for it) is checked against the standing corpus and each
