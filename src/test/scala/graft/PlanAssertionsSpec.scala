@@ -137,4 +137,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
         s"$q planned a cartesian product:\n$p")
     }
   }
+
+  test("edit-distance verify pairs come from equi joins, never a nested loop") {
+    // the blocked self-join must stay an equi join on (lang, blk) — a
+    // nested loop here evaluates a banded Levenshtein per corpus² pair
+    val p = plan("q_dedup_edit_verify")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi join on block keys:\n$p")
+  }
+
+  test("repetition filter aggregates partially before its shuffles") {
+    // explode fans out (doc, gram) rows map-side; the per-gram counts must
+    // collapse there (partial_count) before the exchange — at corpus scale
+    // the shuffle carries one row per distinct (doc, gram), not per token
+    val p = plan("q_text_repetition")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial aggregation in:\n$p")
+  }
 }
