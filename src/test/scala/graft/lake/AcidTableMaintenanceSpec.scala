@@ -95,6 +95,39 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     assert(keys == Seq("R1", "R2", "R3", "R4", "W1", "W2", "W3"))
   }
 
+  test("vacuum races concurrent writers safely when the grace window holds") {
+    // the production maintenance scenario: retention GC runs NEXT TO live
+    // commits. Safety rests on the age guard — a concurrent writer's
+    // staged files sit in the data directories before its manifest
+    // publishes, so vacuum may only retire files OLDER than the grace
+    // window. With a grace window wider than any in-flight commit, no
+    // writer may ever lose a staged file, every commit must land, and the
+    // final state must equal the serial expectation.
+    val t = newTable()
+    (1 to 4).foreach(i => t.upsert(df(Record(s"R$i", s"P${i % 2}", "seed"))))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vacuumFailed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val vacuumer = new Thread(() => {
+      val vt = AcidTable.open(spark.newSession(), t.path)
+      try while (!stop.get()) { vt.vacuum(keepVersions = 2, graceMillis = 60000L); Thread.sleep(5) }
+      catch { case e: Throwable => vacuumFailed.set(e) }
+    })
+    val writers = (1 to 3).map { i =>
+      new Thread(() => {
+        val s2 = spark.newSession()
+        val t2 = AcidTable.open(s2, t.path)
+        (1 to 3).foreach(j =>
+          t2.upsert(s2.createDataset(Seq(Record(s"W$i-$j", s"P${j % 2}", s"w$i$j"))).toDF()))
+      })
+    }
+    vacuumer.start(); writers.foreach(_.start()); writers.foreach(_.join())
+    stop.set(true); vacuumer.join()
+    assert(vacuumFailed.get() == null, s"vacuum failed: ${vacuumFailed.get()}")
+    val keys = t.snapshot().as[Record].collect().map(_.primaryKeyValue).sorted.toSeq
+    assert(keys == (1 to 4).map(i => s"R$i") ++
+      (for (i <- 1 to 3; j <- 1 to 3) yield s"W$i-$j").sorted)
+  }
+
   test("open on a missing table fails fast; bad batches are rejected clearly") {
     assertThrows[java.io.IOException] {
       AcidTable.open(spark, "/tmp/definitely-not-a-table-" + System.nanoTime())
