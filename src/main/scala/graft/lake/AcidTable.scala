@@ -303,8 +303,12 @@ final class AcidTable private (
         val existing = files.map(_.takeWhile(_ != '/')).distinct.map(d =>
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(d.stripPrefix(s"$partitionCol=")))
-        val incoming = b.select(partitionCol).distinct().collect()
-          .map(r => String.valueOf(r.get(0)))
+        val incoming = org.apache.spark.sql.graft.PlanShim
+          .smallLocalColumn(b.select(partitionCol), maxRows = 10000) match {
+          case Some(set) => set.map(String.valueOf).toSeq
+          case None => b.select(partitionCol).distinct().collect()
+            .map(r => String.valueOf(r.get(0))).toSeq
+        }
         (existing ++ incoming).distinct
       },
       resultOf = _ => b)
@@ -592,6 +596,14 @@ final class AcidTable private (
     * transactional commit, which is what bounds harness txn/s.
     */
   private def touchedBy(snap: DataFrame, batch: DataFrame, keys: DataFrame): Seq[String] = {
+    // hint-less commits through the SQL/catalog front-ends land here; a
+    // driver-local batch still needs no discovery job under
+    // stablePartitions — its partition values are read off the plan
+    if (stablePartitions) {
+      org.apache.spark.sql.graft.PlanShim
+        .smallLocalColumn(batch.select(partitionCol), maxRows = 10000)
+        .foreach(set => return set.map(String.valueOf).toSeq)
+    }
     val own = batch.select(partitionCol).distinct()
     val touched =
       if (stablePartitions) own
