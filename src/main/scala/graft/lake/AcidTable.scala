@@ -259,8 +259,19 @@ final class AcidTable private (
     val keys = n.select(pkCol)
     commitLoop(
       touchedOf = (snap, _) => hint.getOrElse(touchedBy(snap, b, keys)),
-      resultOf = snapT => antiByKeys(snapT, keys).unionByName(b))
+      resultOf = snapT => antiByKeys(snapT, keys).unionByName(b),
+      // a DISTRIBUTED batch can dwarf the files it rewrites — the
+      // input-byte write-sizing heuristic only holds when the added rows
+      // are metadata-scale
+      outputBounded = isMetadataScale(b))
   }
+
+  /** Whether `df` reduces to a small driver-side LocalRelation — the
+    * precondition for treating a commit's output volume as bounded by the
+    * files it rewrites.
+    */
+  private def isMetadataScale(df: DataFrame): Boolean =
+    org.apache.spark.sql.graft.PlanShim.smallLocalRelation(df, maxRows = 10000).isDefined
 
   /** `snapT` minus rows whose PK appears in `keys` — the carry side of an
     * upsert/delete. A small driver-local key batch takes the `InSet`
@@ -271,8 +282,20 @@ final class AcidTable private (
     * sets keep the anti-join plan (broadcast or shuffle as Catalyst
     * chooses — the scale path is unchanged).
     */
-  private def antiByKeys(snapT: DataFrame, keys: DataFrame): DataFrame =
-    org.apache.spark.sql.graft.PlanShim.smallLocalColumn(keys, maxRows = 10000) match {
+  private def antiByKeys(snapT: DataFrame, keys: DataFrame): DataFrame = {
+    // the InSet shortcut replaces JOIN equality with raw internal-value
+    // set containment, which is only sound when (a) no implicit type
+    // coercion could apply (key type must BE the pk type — an Int key
+    // batch against a Long pk would silently match nothing) and (b) the
+    // internal representation's equals/hashCode IS SQL value equality
+    // (false for Array[Byte] identity and for float/double ±0.0 / NaN)
+    val sameType = org.apache.spark.sql.graft.PlanShim.sameType(
+      keys.schema.head.dataType, schema(pkCol).dataType)
+    val fast =
+      if (sameType && hashSafeInternal(schema(pkCol).dataType))
+        org.apache.spark.sql.graft.PlanShim.smallLocalColumn(keys, maxRows = 10000)
+      else None
+    fast match {
       case Some(set) =>
         // anti-join parity: a null never equals any key, so null-PK rows
         // are carried, and null KEYS can never match anything
@@ -281,6 +304,23 @@ final class AcidTable private (
           !org.apache.spark.sql.graft.PlanShim.inSet(col(pkCol), nonNull))
       case None => snapT.join(keys, Seq(pkCol), "left_anti")
     }
+  }
+
+  /** Types whose Catalyst-internal boxed values implement SQL value
+    * equality through `equals`/`hashCode` — the precondition for driver-
+    * side key sets ([[antiByKeys]]) and dedup maps ([[localPrecombine]]).
+    * Excluded: binary (array identity), float/double (±0.0, NaN), and
+    * nested types.
+    */
+  private def hashSafeInternal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case StringType | org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
 
   /** Replace the ENTIRE table content with `batch` in one atomic commit
     * (SQL `INSERT OVERWRITE` semantics): touched = every partition the
@@ -311,7 +351,8 @@ final class AcidTable private (
         }
         (existing ++ incoming).distinct
       },
-      resultOf = _ => b)
+      resultOf = _ => b,
+      outputBounded = isMetadataScale(b))
   }
 
   /** MERGE INTO (reference A7): on PK match update `updateCols` from the
@@ -322,50 +363,84 @@ final class AcidTable private (
       source: DataFrame,
       updateCols: Seq[String],
       partitionsHint: Option[Seq[String]] = None): Long = {
-    val src = precombine(normalize(source))
+    val n = normalize(source)
+    val src = precombine(n)
     val hint = checkedHint(partitionsHint)
-    val keys = normalize(source).select(pkCol)
+    val keys = n.select(pkCol)
+    // the window formulation aggregates max(struct(<all columns>)), which
+    // requires every column ORDERABLE (maps are not) — such schemas keep
+    // the join formulation the window path replaced
+    val allOrderable = schema.fields.forall(f =>
+      org.apache.spark.sql.graft.PlanShim.orderable(f.dataType))
     commitLoop(
       touchedOf = (snap, _) => hint.getOrElse(touchedBy(snap, src, keys)),
       // sound on the touched subset: touched covers every matched PK's
       // current partition (via hint contract or discovery), so any src key
       // absent from snapT is absent from the whole table.
-      //
-      // Single-pass formulation: tag target rows 0 and source rows 1, then
-      // align the (at most two) rows of each PK with window aggregates over
-      // ONE hash(pk) shuffle. The previous three-join shape (inner for
-      // matched, anti for inserts, anti for carried rows) cost a broadcast
-      // build job per side at transaction scale, and at table scale its
-      // insert-side anti join needed the TARGET's key set as the build
-      // side — O(partition keys) broadcast, degrading to three separate
-      // shuffles of the touched subset. This plan moves the touched rows
-      // exactly once before the write repartition, the same shuffle-by-key
-      // shape Hudi's merge handle uses.
-      resultOf = snapT => {
-        val srcTag = "__graft_src"
-        val srcRow = "__graft_srow"
-        val hasT = "__graft_hast"
-        val tagged = snapT.withColumn(srcTag, lit(0))
-          .unionByName(src.withColumn(srcTag, lit(1)))
-        val w = Window.partitionBy(col(pkCol))
-        tagged
-          // the source row's full payload, visible from the target row
-          .withColumn(srcRow,
-            max(when(col(srcTag) === 1, struct(schema.fieldNames.map(col): _*))).over(w))
-          .withColumn(hasT, max(when(col(srcTag) === 0, 1).otherwise(0)).over(w))
-          // keep target rows (merged in the projection) and unmatched
-          // source rows (inserts); matched source rows collapse into the
-          // target row they updated
-          .filter(col(srcTag) === 0 || col(hasT) === 0)
-          .select(schema.fieldNames.map { f =>
-            val merged =
-              if (updateCols.contains(f))
-                when(col(srcTag) === 0 && col(srcRow).isNotNull, col(srcRow).getField(f))
-                  .otherwise(col(f))
-              else col(f)
-            merged.as(f)
-          }: _*)
-      })
+      resultOf = snapT =>
+        if (allOrderable) windowMerge(snapT, src, updateCols)
+        else joinMerge(snapT, src, keys, updateCols),
+      outputBounded = isMetadataScale(src))
+  }
+
+  /** Single-pass MERGE: tag target rows 0 and source rows 1, then align
+    * the (at most two) rows of each PK with window aggregates over ONE
+    * hash(pk) shuffle. The join formulation ([[joinMerge]]) costs a
+    * broadcast build job per side at transaction scale, and at table
+    * scale its insert-side anti join needs the TARGET's key set as the
+    * build side — O(partition keys) broadcast, degrading to three
+    * separate shuffles of the touched subset. This plan moves the touched
+    * rows exactly once before the write repartition, the same
+    * shuffle-by-key shape Hudi's merge handle uses.
+    *
+    * NULL-PK rows bypass the window: join equality never matches NULL, so
+    * a NULL-key target row is carried unchanged and a NULL-key source row
+    * inserts — whereas `Window.partitionBy` GROUPS nulls. For tables with
+    * a non-nullable PK Catalyst folds the bypass branches away.
+    */
+  private def windowMerge(snapT: DataFrame, src: DataFrame, updateCols: Seq[String]): DataFrame = {
+    val srcTag = "__graft_src"
+    val srcRow = "__graft_srow"
+    val hasT = "__graft_hast"
+    val tagged = snapT.filter(col(pkCol).isNotNull).withColumn(srcTag, lit(0))
+      .unionByName(src.filter(col(pkCol).isNotNull).withColumn(srcTag, lit(1)))
+    val w = Window.partitionBy(col(pkCol))
+    val merged = tagged
+      // the source row's full payload, visible from the target row
+      .withColumn(srcRow,
+        max(when(col(srcTag) === 1, struct(schema.fieldNames.map(col): _*))).over(w))
+      .withColumn(hasT, max(when(col(srcTag) === 0, 1).otherwise(0)).over(w))
+      // keep target rows (merged in the projection) and unmatched
+      // source rows (inserts); matched source rows collapse into the
+      // target row they updated
+      .filter(col(srcTag) === 0 || col(hasT) === 0)
+      .select(schema.fieldNames.map { f =>
+        val m =
+          if (updateCols.contains(f))
+            when(col(srcTag) === 0 && col(srcRow).isNotNull, col(srcRow).getField(f))
+              .otherwise(col(f))
+          else col(f)
+        m.as(f)
+      }: _*)
+    merged
+      .unionByName(snapT.filter(col(pkCol).isNull))
+      .unionByName(src.filter(col(pkCol).isNull))
+  }
+
+  /** The three-join MERGE formulation — kept for schemas the window path
+    * cannot order (map-typed columns).
+    */
+  private def joinMerge(
+      snapT: DataFrame, src: DataFrame, keys: DataFrame, updateCols: Seq[String]): DataFrame = {
+    val matched = snapT.as("t")
+      .join(src.as("s"), col(s"t.$pkCol") === col(s"s.$pkCol"), "inner")
+      .select(schema.fieldNames.map { f =>
+        (if (updateCols.contains(f)) col(s"s.$f") else col(s"t.$f")).as(f)
+      }: _*)
+    val inserted = src.join(snapT.select(pkCol), Seq(pkCol), "left_anti")
+      .select(schema.fieldNames.map(col): _*)
+    snapT.join(keys, Seq(pkCol), "left_anti")
+      .unionByName(matched).unionByName(inserted)
   }
 
   /** A partitions hint is sound only when partition placement is a pure
@@ -558,7 +633,11 @@ final class AcidTable private (
       // order (all descending) — identical to the Window's orderBy
       val keyIdxs = pcIdx +: attrs.indices.filterNot(i => i == pkIdx || i == pcIdx)
       val orderings = keyIdxs.map(i => PlanShim.interpretedOrdering(attrs(i).dataType))
-      if (pkIdx < 0 || pcIdx < 0 || orderings.exists(_.isEmpty)) None
+      // the PK dedup map below keys on boxed internal values — only sound
+      // for types whose equals/hashCode IS SQL value equality (not binary
+      // arrays, not float/double ±0.0/NaN)
+      if (pkIdx < 0 || pcIdx < 0 || orderings.exists(_.isEmpty)
+          || !hashSafeInternal(attrs(pkIdx).dataType)) None
       else {
         val ords = orderings.map(_.get)
         val types = attrs.map(_.dataType)
@@ -634,7 +713,8 @@ final class AcidTable private (
   private def commitLoop(
       touchedOf: (DataFrame, Seq[String]) => Seq[String],
       resultOf: DataFrame => DataFrame,
-      globalScope: Boolean = false): Long = {
+      globalScope: Boolean = false,
+      outputBounded: Boolean = true): Long = {
     var attempt = 0
     while (true) {
       val base = latestVersion()
@@ -642,7 +722,8 @@ final class AcidTable private (
       val touched = touchedOf(snapshotFromFiles(files), files)
       val touchedFiles = files.filter(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
       val result = resultOf(snapshotFromFiles(touchedFiles))
-      var newFiles = writeTouched(result, touched, inputBytes(touchedFiles))
+      var newFiles = writeTouched(result, touched,
+        if (outputBounded) inputBytes(touchedFiles) else Long.MaxValue)
       beforePublishHook()
       // inner publish loop: losing the version race does NOT force a full
       // recompute under `stablePartitions` (partition placement a pure
@@ -714,7 +795,8 @@ final class AcidTable private (
                 // non-overlap rows are already covered by keptFiles
                 val redone = resultOf(snapshotFromFiles(newSnapFiles))
                   .filter(col(partitionCol).isin(overlap: _*))
-                newFiles = keptFiles ++ writeTouched(redone, overlap, inputBytes(newSnapFiles))
+                newFiles = keptFiles ++ writeTouched(redone, overlap,
+                  if (outputBounded) inputBytes(newSnapFiles) else Long.MaxValue)
                 publishBase = newBase
               }
             } else {

@@ -74,6 +74,15 @@ object PlanShim {
       rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): DataFrame =
     ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs, rows))
 
+  /** Whether Catalyst can order values of `dt` (maps cannot) — the
+    * precondition for `max(struct(...))`-style whole-row aggregation. */
+  def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+
+  /** `DataType.sameType` (private[sql]): type equality modulo nullability. */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+               b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
   /** A null-first total ordering over Catalyst-internal values of `dt`,
     * or None when the type is not orderable (maps). Null sorting matches
     * `desc` = NULLS LAST when the caller takes a MAX under this ordering.

@@ -82,6 +82,67 @@ class CommitFastPathSpec extends AnyFunSuite {
     }
   }
 
+  test("merge on a schema with a map column takes the join formulation") {
+    // max(struct(<all columns>)) cannot order maps — such schemas must
+    // keep the three-join merge instead of failing analysis
+    val mapSchema = StructType(Seq(
+      StructField("pk", StringType, nullable = false),
+      StructField("part", StringType, nullable = false),
+      StructField("attrs", MapType(StringType, StringType), nullable = true)))
+    val t = AcidTable.create(
+      spark, Files.createTempDirectory("fastpath-map-").resolve("t").toString,
+      mapSchema, pkCol = "pk", partitionCol = "part", precombineCol = None,
+      stablePartitions = true)
+    import spark.implicits._
+    def row(pk: String, v: String) =
+      Seq((pk, "p0", Map("k" -> v))).toDF("pk", "part", "attrs")
+    t.upsert(row("a", "1"))
+    t.merge(row("a", "2"), updateCols = Seq("attrs"))
+    t.merge(row("b", "3"), updateCols = Seq("attrs"))
+    val out = t.snapshot().select("pk", "attrs").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).get("k").get).toMap
+    assert(out === Map("a" -> "2", "b" -> "3"))
+  }
+
+  test("typed key batches that need coercion still match (no silent no-op)") {
+    // an Int key column against a Long pk must not take the raw InSet
+    // path (internal Integer vs Long never matches); the join path's
+    // type coercion is the correct route
+    val longSchema = StructType(Seq(
+      StructField("pk", LongType, nullable = false),
+      StructField("part", StringType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val t = AcidTable.create(
+      spark, Files.createTempDirectory("fastpath-long-").resolve("t").toString,
+      longSchema, pkCol = "pk", partitionCol = "part", precombineCol = Some("v"),
+      stablePartitions = true)
+    import spark.implicits._
+    t.upsert(Seq((1L, "p0", "a"), (2L, "p0", "b")).toDF("pk", "part", "v"))
+    val intKeys = Seq(1).toDF("pk") // IntegerType, not LongType
+    t.delete(intKeys)
+    assert(t.snapshot().select("pk").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("merge carries and inserts NULL-PK rows like the join formulation") {
+    // join equality never matches NULL = NULL: a null-key target row must
+    // be carried unchanged and a null-key source row inserted — the
+    // window path routes them around its (null-grouping) partitionBy
+    val t = newTable("nullpk-merge")
+    val nullSchema = StructType(Seq(
+      StructField("pk", StringType, nullable = true),
+      StructField("part", StringType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val mk = (pk: String, v: String) => spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(pk, "p0", v)), nullSchema)
+    t.upsert(mk(null, "t-null"))
+    t.upsert(mk("a", "t-a"))
+    t.merge(mk(null, "s-null"), updateCols = Seq("v"))
+    val vs = t.snapshot().collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(vs.sortBy(x => String.valueOf(x._1) + x._2) ===
+      Seq(("a", "t-a"), (null, "s-null"), (null, "t-null"))
+        .sortBy(x => String.valueOf(x._1) + x._2))
+  }
+
   test("a hinted transactional commit launches exactly one Spark job") {
     // AQE re-plans each shuffle as its own job — correct for cluster-scale
     // queries, noise for a 3-row commit; the harness writer sessions
