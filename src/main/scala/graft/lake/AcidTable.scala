@@ -719,11 +719,12 @@ final class AcidTable private (
     while (true) {
       val base = latestVersion()
       val files = if (base < 0) Nil else readManifest(base)
+      val baseSizes = if (base < 0) Map.empty[String, Long] else readSizes(base)
       val touched = touchedOf(snapshotFromFiles(files), files)
       val touchedFiles = files.filter(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
       val result = resultOf(snapshotFromFiles(touchedFiles))
       var newFiles = writeTouched(result, touched,
-        if (outputBounded) inputBytes(touchedFiles) else Long.MaxValue)
+        if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue)
       beforePublishHook()
       // inner publish loop: losing the version race does NOT force a full
       // recompute under `stablePartitions` (partition placement a pure
@@ -752,7 +753,14 @@ final class AcidTable private (
           else readManifest(publishBase)
             .filterNot(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
         try {
-          publish(publishBase + 1, carried ++ newFiles, touched)
+          // carried files keep the sizes their manifest recorded; new
+          // files' sizes were captured at the staging move — the next
+          // reader's commit sizing needs no filesystem stats at all
+          val carriedSizes =
+            if (publishBase < 0) Map.empty[String, Long]
+            else readSizes(publishBase).view.filterKeys(carried.contains).toMap
+          publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
+            carriedSizes ++ newFiles)
           return publishBase + 1
         } catch {
           case _: FileAlreadyExistsException =>
@@ -785,8 +793,8 @@ final class AcidTable private (
                 // partitions remain valid and are carried into the next
                 // publish attempt
                 val (staleFiles, keptFiles) = newFiles.partition(f =>
-                  overlap.exists(p => f.startsWith(partDir(p) + "/")))
-                staleFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f)))
+                  overlap.exists(p => f._1.startsWith(partDir(p) + "/")))
+                staleFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f._1)))
                 val newSnapFiles = readManifest(newBase)
                   .filter(f => overlap.exists(p => f.startsWith(partDir(p) + "/")))
                 // resultOf may emit rows outside the recomputed subset
@@ -796,13 +804,14 @@ final class AcidTable private (
                 val redone = resultOf(snapshotFromFiles(newSnapFiles))
                   .filter(col(partitionCol).isin(overlap: _*))
                 newFiles = keptFiles ++ writeTouched(redone, overlap,
-                  if (outputBounded) inputBytes(newSnapFiles) else Long.MaxValue)
+                  if (outputBounded) inputBytes(newSnapFiles, readSizes(newBase))
+                  else Long.MaxValue)
                 publishBase = newBase
               }
             } else {
               AcidTable.conflictRedoCounter.incrementAndGet()
               // full redo: drop our orphaned files, re-apply on the new snapshot
-              newFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f)))
+              newFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f._1)))
               done = true
             }
         }
@@ -827,17 +836,23 @@ final class AcidTable private (
     * (the commit-loop contract); the leftover-directory check below turns a
     * violation into a loud failure instead of silent row loss.
     */
-  /** Sum of on-disk sizes of manifest-relative files — the scan volume a
-    * commit's rewrite will read. Metadata-scale: one stat per file (a real
-    * deployment would carry sizes in the manifest instead).
+  /** Sum of sizes of manifest-relative files — the scan volume a commit's
+    * rewrite will read. Sizes come from the manifest's `#sizes=` header
+    * (recorded at publish); a stat is only the fallback for files from
+    * manifests written before the header existed — steady state costs
+    * ZERO filesystem calls, which is what makes commit sizing free on an
+    * object store.
     */
-  private def inputBytes(files: Seq[String]): Long =
-    files.map(f => dataRoot.resolve(f).toFile.length()).sum
+  private def inputBytes(files: Seq[String], known: Map[String, Long]): Long =
+    files.map(f => known.getOrElse(f, {
+      AcidTable.sizeStatFallbacks.incrementAndGet()
+      dataRoot.resolve(f).toFile.length()
+    })).sum
 
   private def writeTouched(
       result: DataFrame,
       touched: Seq[String],
-      inBytes: Long = Long.MaxValue): Seq[String] = {
+      inBytes: Long = Long.MaxValue): Seq[(String, Long)] = {
     if (touched.isEmpty) return Nil
     val commitId = UUID.randomUUID().toString
     val tmp = Paths.get(path, s"_tmp-$commitId")
@@ -875,7 +890,7 @@ final class AcidTable private (
       .partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
     AcidTable.writeCallNanos.addAndGet(System.nanoTime() - t0)
     val t1 = System.nanoTime()
-    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     touched.foreach { p =>
       val srcDir = tmp.resolve(partDir(p)).toFile
       val parts = Option(srcDir.listFiles()).getOrElse(Array.empty)
@@ -885,8 +900,9 @@ final class AcidTable private (
       Files.createDirectories(destDir)
       parts.zipWithIndex.foreach { case (f, i) =>
         val rel = s"${partDir(p)}/c-$commitId-$i.parquet"
+        val bytes = f.length()
         Files.move(f.toPath, dataRoot.resolve(rel))
-        moved += rel
+        moved += (rel -> bytes)
       }
     }
     // loud-failure guard: any partition directory left in tmp means the
@@ -907,6 +923,25 @@ final class AcidTable private (
 
   private def readManifest(v: Long): Seq[String] =
     manifestLines(v).filterNot(_.startsWith("#"))
+
+  /** Per-file byte sizes the commit recorded at publish (`#sizes=`
+    * header). Empty for manifests written before the header existed —
+    * callers fall back to a stat per missing file.
+    */
+  private def readSizes(v: Long): Map[String, Long] =
+    scala.util.Try(manifestLines(v).find(_.startsWith("#sizes="))) match {
+      case scala.util.Success(Some(line)) =>
+        line.stripPrefix("#sizes=").split(',').iterator
+          .filter(_.nonEmpty)
+          .flatMap { ent =>
+            val i = ent.lastIndexOf(':')
+            if (i <= 0) None
+            else scala.util.Try(
+              java.net.URLDecoder.decode(ent.substring(0, i), "UTF-8")
+                -> ent.substring(i + 1).toLong).toOption
+          }.toMap
+      case _ => Map.empty
+    }
 
   /** Partition values the commit that produced version `v` rewrote
     * (recorded as a `#touched=` header). Values are URL-encoded in the
@@ -942,13 +977,18 @@ final class AcidTable private (
     * winner's timestamp ever becomes visible (see [[versionAt]]).
     * `private[lake]` for the concurrent-publisher specs.
     */
-  private[lake] def publish(v: Long, files: Seq[String], touched: Seq[String]): Unit = {
+  private[lake] def publish(
+      v: Long,
+      files: Seq[String],
+      touched: Seq[String],
+      sizes: Map[String, Long] = Map.empty): Unit = {
     val t0 = System.nanoTime()
-    try publishImpl(v, files, touched)
+    try publishImpl(v, files, touched, sizes)
     finally AcidTable.publishNanos.addAndGet(System.nanoTime() - t0)
   }
 
-  private def publishImpl(v: Long, files: Seq[String], touched: Seq[String]): Unit = {
+  private def publishImpl(
+      v: Long, files: Seq[String], touched: Seq[String], sizes: Map[String, Long]): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val encoded = touched.map(java.net.URLEncoder.encode(_, "UTF-8"))
     // clamp the stamp to the predecessor's: System.currentTimeMillis()
@@ -957,9 +997,15 @@ final class AcidTable private (
     // monotone BY CONSTRUCTION, which versionAt's binary search relies
     // on (ties break toward the higher version). One cached header read.
     val ts = if (v > 0) math.max(commitClock(), commitTime(v - 1)) else commitClock()
+    // per-file sizes ride the manifest so later commits can size their
+    // writes without stat round-trips (Delta/Iceberg manifests carry the
+    // same); paths are URL-encoded, so ':' and ',' cannot collide
+    val sizeHeader = files.flatMap(f => sizes.get(f).map(b =>
+      s"${java.net.URLEncoder.encode(f, "UTF-8")}:$b"))
     val body = (Seq(
       s"#ts=$ts",
-      s"#touched=${encoded.mkString(",")}") ++ files).mkString("\n")
+      s"#touched=${encoded.mkString(",")}",
+      s"#sizes=${sizeHeader.mkString(",")}") ++ files).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()
@@ -996,8 +1042,10 @@ object AcidTable {
   private[graft] val metaDirListings = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val latestProbes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val manifestHeaderReads = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val sizeStatFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] def resetMetaIoCounters(): Unit = {
     metaDirListings.set(0); latestProbes.set(0); manifestHeaderReads.set(0)
+    sizeStatFallbacks.set(0)
   }
 
   /** Commit-phase wall-time accumulators (nanos) — where a transactional

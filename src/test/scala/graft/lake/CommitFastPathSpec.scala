@@ -143,6 +143,20 @@ class CommitFastPathSpec extends AnyFunSuite {
         .sortBy(x => String.valueOf(x._1) + x._2))
   }
 
+  test("steady-state commit sizing reads sizes from manifests, not the filesystem") {
+    // the #sizes= manifest header must make inputBytes() stat-free for
+    // any file written after table creation — on an object store each
+    // fallback stat is a round trip on the commit critical path
+    val t = newTable("sizes")
+    t.upsert(batchDf(Seq(("a", "p0", "1"), ("b", "p1", "2"))))
+    AcidTable.resetMetaIoCounters()
+    t.upsert(batchDf(Seq(("a", "p0", "3"))))
+    t.merge(batchDf(Seq(("c", "p1", "4"))), updateCols = Seq("v"))
+    t.delete(batchDf(Seq(("b", "p1", "2"))).select("pk", "part"))
+    assert(AcidTable.sizeStatFallbacks.get() === 0,
+      s"${AcidTable.sizeStatFallbacks.get()} filesystem stats on the commit path")
+  }
+
   test("a hinted transactional commit launches exactly one Spark job") {
     // AQE re-plans each shuffle as its own job — correct for cluster-scale
     // queries, noise for a 3-row commit; the harness writer sessions
