@@ -585,6 +585,84 @@ object TextQueries {
         ORDER BY doc_a, doc_b
       """)),
 
+    // ---- End-to-end corpus curation (the stages above composed as ONE query) ----
+    // The artifact a training-data pipeline actually ships: quality-filter
+    // the corpus, drop near-duplicates (keep each cluster's canonical),
+    // and report the curated per-language corpus. Every stage is one of
+    // the declared operators (q_text_quality's score, jaccardPairs'
+    // lossless prefix-filtered candidates, minLabelFixpoint's clusters) —
+    // this entry pins that they COMPOSE: filters push into the shared
+    // scan, the cluster join keys only surviving docs, and the final
+    // aggregate is exact (decimal quality sum) so the result is
+    // order-independent at any scale.
+    Q(
+      "q_dedup_pipeline_corpus",
+      (s, dir) => {
+        val words = split(trim(col("text")), " ")
+        val nTokens = size(words).cast("double")
+        val stopHits = size(filter(words, w => w.isin("the", "a", "data", "row"))).cast("double")
+        val avgWlen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
+        val quality = round(
+          least(nTokens / 100.0, lit(1.0)) * 0.5 + (lit(1.0) - stopHits / nTokens) * 0.3
+            + least(avgWlen / 10.0, lit(1.0)) * 0.2, 4)
+        val kept = Tables.documents(s, dir)
+          .withColumn("quality", quality)
+          .withColumn("n_tokens", size(words).cast("long"))
+          .filter(col("quality") >= 0.5)
+        // near-dup clusters among SURVIVING docs only (the signature table
+        // is corpus infrastructure; the semi join restricts candidates)
+        val sh = hashedShingleSets(s, dir)
+          .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val pairs = jaccardPairs(sh).select(col("doc_a"), col("doc_b"))
+        val labels = minLabelFixpoint(pairs)
+        kept.join(labels, Seq("doc_id"), "left")
+          .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast("double") / count(lit(1))).as("avg_quality"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, lang, text, string_split(trim(text), ' ') AS w FROM documents),
+        scored AS (
+          SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS n_tokens,
+                 round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+                       + (1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'data', 'row'))) AS DOUBLE)
+                              / CAST(len(w) AS DOUBLE)) * 0.3
+                       + least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                              / CAST(len(w) AS DOUBLE) / 10.0, 1.0) * 0.2, 4) AS quality
+          FROM t),
+        kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+        sh AS (
+          SELECT doc_id, lang, list_transform($sqlShingles, x -> ${sqlPolyHash("x")}) AS hv
+          FROM kept),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND len(a.hv) * 5 >= len(b.hv) * 4 AND len(b.hv) * 5 >= len(a.hv) * 4
+          WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.hv, b.hv))) >= 0.8),
+        e AS (SELECT doc_a AS d, doc_b AS nb FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT DISTINCT d AS doc_id, d AS nb FROM e
+          UNION
+          SELECT r.doc_id, e.nb FROM reach r JOIN e ON e.d = r.nb),
+        lbl AS (SELECT doc_id, min(nb) AS lbl FROM reach GROUP BY doc_id),
+        curated AS (
+          SELECT k.lang, k.n_tokens, k.quality
+          FROM kept k LEFT JOIN lbl ON k.doc_id = lbl.doc_id
+          WHERE lbl.lbl IS NULL OR lbl.lbl = k.doc_id)
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DOUBLE)
+                 AS avg_quality
+        FROM curated GROUP BY lang ORDER BY lang
+      """)),
+
     // ---- C43 INCREMENTAL near-dedup: new batch vs existing corpus ---------------
     // The production dedup shape: a daily ingest batch (doc_id % 5 == 0
     // stands in for it) is checked against the standing corpus and each
