@@ -718,8 +718,11 @@ final class AcidTable private (
     var attempt = 0
     while (true) {
       val base = latestVersion()
-      val files = if (base < 0) Nil else readManifest(base)
-      val baseSizes = if (base < 0) Map.empty[String, Long] else readSizes(base)
+      val baseLines = if (base < 0) Nil else manifestLines(base)
+      val files = dataLinesOf(baseLines)
+      // parsed from the SAME read as `files` — and only when the write-
+      // sizing heuristic will consume it
+      val baseSizes = if (outputBounded) sizesOf(baseLines) else Map.empty[String, Long]
       val touched = touchedOf(snapshotFromFiles(files), files)
       val touchedFiles = files.filter(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
       val result = resultOf(snapshotFromFiles(touchedFiles))
@@ -748,17 +751,15 @@ final class AcidTable private (
       var publishBase = base
       var done = false
       while (!done) {
-        val carried =
-          if (publishBase < 0) Nil
-          else readManifest(publishBase)
-            .filterNot(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
+        val publishLines = if (publishBase < 0) Nil else manifestLines(publishBase)
+        val carried = dataLinesOf(publishLines)
+          .filterNot(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
         try {
           // carried files keep the sizes their manifest recorded; new
           // files' sizes were captured at the staging move — the next
           // reader's commit sizing needs no filesystem stats at all
-          val carriedSizes =
-            if (publishBase < 0) Map.empty[String, Long]
-            else readSizes(publishBase).view.filterKeys(carried.contains).toMap
+          val carriedSet = carried.toSet
+          val carriedSizes = sizesOf(publishLines).view.filterKeys(carriedSet.contains).toMap
           publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
             carriedSizes ++ newFiles)
           return publishBase + 1
@@ -795,7 +796,8 @@ final class AcidTable private (
                 val (staleFiles, keptFiles) = newFiles.partition(f =>
                   overlap.exists(p => f._1.startsWith(partDir(p) + "/")))
                 staleFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f._1)))
-                val newSnapFiles = readManifest(newBase)
+                val newBaseLines = manifestLines(newBase)
+                val newSnapFiles = dataLinesOf(newBaseLines)
                   .filter(f => overlap.exists(p => f.startsWith(partDir(p) + "/")))
                 // resultOf may emit rows outside the recomputed subset
                 // (e.g. a merge's not-matched inserts for other
@@ -804,7 +806,7 @@ final class AcidTable private (
                 val redone = resultOf(snapshotFromFiles(newSnapFiles))
                   .filter(col(partitionCol).isin(overlap: _*))
                 newFiles = keptFiles ++ writeTouched(redone, overlap,
-                  if (outputBounded) inputBytes(newSnapFiles, readSizes(newBase))
+                  if (outputBounded) inputBytes(newSnapFiles, sizesOf(newBaseLines))
                   else Long.MaxValue)
                 publishBase = newBase
               }
@@ -843,11 +845,23 @@ final class AcidTable private (
     * ZERO filesystem calls, which is what makes commit sizing free on an
     * object store.
     */
-  private def inputBytes(files: Seq[String], known: Map[String, Long]): Long =
-    files.map(f => known.getOrElse(f, {
-      AcidTable.sizeStatFallbacks.incrementAndGet()
-      dataRoot.resolve(f).toFile.length()
-    })).sum
+  private def inputBytes(files: Seq[String], known: Map[String, Long]): Long = {
+    var sum = 0L
+    files.foreach { f =>
+      sum += known.getOrElse(f, {
+        AcidTable.sizeStatFallbacks.incrementAndGet()
+        val file = dataRoot.resolve(f).toFile
+        val len = file.length()
+        // File.length() reports 0 for an ABSENT file — that is "size
+        // unknown", not "empty"; treating it as 0 could collapse a large
+        // rewrite onto the single-task write path
+        if (len == 0L && !file.exists()) return Long.MaxValue
+        len
+      })
+      if (sum < 0) return Long.MaxValue // overflow guard
+    }
+    sum
+  }
 
   private def writeTouched(
       result: DataFrame,
@@ -921,16 +935,21 @@ final class AcidTable private (
     lines.toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
   }
 
-  private def readManifest(v: Long): Seq[String] =
-    manifestLines(v).filterNot(_.startsWith("#"))
+  private def readManifest(v: Long): Seq[String] = dataLinesOf(manifestLines(v))
+
+  private def dataLinesOf(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
 
   /** Per-file byte sizes the commit recorded at publish (`#sizes=`
     * header). Empty for manifests written before the header existed —
     * callers fall back to a stat per missing file.
     */
   private def readSizes(v: Long): Map[String, Long] =
-    scala.util.Try(manifestLines(v).find(_.startsWith("#sizes="))) match {
-      case scala.util.Success(Some(line)) =>
+    scala.util.Try(manifestLines(v)).map(sizesOf).getOrElse(Map.empty)
+
+  private def sizesOf(lines: Seq[String]): Map[String, Long] =
+    lines.find(_.startsWith("#sizes=")) match {
+      case Some(line) =>
         line.stripPrefix("#sizes=").split(',').iterator
           .filter(_.nonEmpty)
           .flatMap { ent =>
@@ -940,7 +959,7 @@ final class AcidTable private (
               java.net.URLDecoder.decode(ent.substring(0, i), "UTF-8")
                 -> ent.substring(i + 1).toLong).toOption
           }.toMap
-      case _ => Map.empty
+      case None => Map.empty
     }
 
   /** Partition values the commit that produced version `v` rewrote

@@ -38,6 +38,29 @@ object TextQueries {
       |   range(1, greatest(len(w) - 1, 0) + 1),
       |   i -> w[i] || ' ' || w[i + 1]))""".stripMargin
 
+  /** The corpus quality score (length / stopword / word-shape heuristics,
+    * 4-dp rounded) — ONE definition shared by `q_text_quality` and the
+    * curation pipeline so the two cannot drift. [[sqlQualityExpr]] is its
+    * DuckDB rendering; the two must change together.
+    */
+  private[queries] def qualityScore: org.apache.spark.sql.Column = {
+    val words = split(trim(col("text")), " ")
+    val nTokens = size(words).cast("double")
+    val stopHits = size(filter(words, w => w.isin("the", "a", "data", "row"))).cast("double")
+    val avgWlen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
+    round(least(nTokens / 100.0, lit(1.0)) * 0.5 + (lit(1.0) - stopHits / nTokens) * 0.3
+      + least(avgWlen / 10.0, lit(1.0)) * 0.2, 4)
+  }
+
+  /** DuckDB rendering of [[qualityScore]] given token-list and text
+    * column names. */
+  private def sqlQualityExpr(w: String, text: String): String =
+    s"""round(least(CAST(len($w) AS DOUBLE) / 100.0, 1.0) * 0.5
+       |      + (1.0 - CAST(len(list_filter($w, x -> x IN ('the', 'a', 'data', 'row'))) AS DOUBLE)
+       |             / CAST(len($w) AS DOUBLE)) * 0.3
+       |      + least(CAST(length(replace($text, ' ', '')) AS DOUBLE)
+       |             / CAST(len($w) AS DOUBLE) / 10.0, 1.0) * 0.2, 4)""".stripMargin
+
   /** Spark-side 24-bit word-level SimHash as a (doc_id, lang, simhash)
     * DataFrame (shared by the signature and pair queries; the DuckDB
     * rendering in [[sqlSimhashCtes]] must stay in lock-step).
@@ -235,6 +258,13 @@ object TextQueries {
       labels = next.select(col("doc_id"), col("lbl"))
     }
     edges.unpersist()
+    // loud-failure guard: exiting on the hop budget with labels still
+    // moving means a component of diameter > maxRounds was UNDER-MERGED —
+    // silently returning would ship extra "canonicals" (and diverge from
+    // the oracle's exact transitive closure)
+    require(changed == 0,
+      s"min-label propagation did not converge within $maxRounds hops; " +
+        "a duplicate chain exceeds the budget - raise maxRounds")
     labels
   }
 
@@ -288,15 +318,15 @@ object TextQueries {
         val words = split(trim(col("text")), " ")
         val nTokens = size(words).cast("double")
         val stopHits = size(filter(words, w => w.isin("the", "a", "data", "row"))).cast("double")
-        val avgWlen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
         val lengthScore = least(nTokens / 100.0, lit(1.0))
         val stopRatio = stopHits / nTokens
         d.select(
             col("doc_id"),
             round(stopRatio, 4).as("stop_ratio"),
             round(lengthScore, 4).as("length_score"),
-            round(lengthScore * 0.5 + (lit(1.0) - stopRatio) * 0.3
-              + least(avgWlen / 10.0, lit(1.0)) * 0.2, 4).as("quality_score"))
+            // the composite is the SHARED definition (also the curation
+            // pipeline's filter input)
+            qualityScore.as("quality_score"))
           .orderBy(col("doc_id"))
       },
       Some("""
@@ -599,14 +629,8 @@ object TextQueries {
       "q_dedup_pipeline_corpus",
       (s, dir) => {
         val words = split(trim(col("text")), " ")
-        val nTokens = size(words).cast("double")
-        val stopHits = size(filter(words, w => w.isin("the", "a", "data", "row"))).cast("double")
-        val avgWlen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
-        val quality = round(
-          least(nTokens / 100.0, lit(1.0)) * 0.5 + (lit(1.0) - stopHits / nTokens) * 0.3
-            + least(avgWlen / 10.0, lit(1.0)) * 0.2, 4)
         val kept = Tables.documents(s, dir)
-          .withColumn("quality", quality)
+          .withColumn("quality", qualityScore)
           .withColumn("n_tokens", size(words).cast("long"))
           .filter(col("quality") >= 0.5)
         // near-dup clusters among SURVIVING docs only (the signature table
@@ -630,11 +654,7 @@ object TextQueries {
           SELECT doc_id, lang, text, string_split(trim(text), ' ') AS w FROM documents),
         scored AS (
           SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS n_tokens,
-                 round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
-                       + (1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'data', 'row'))) AS DOUBLE)
-                              / CAST(len(w) AS DOUBLE)) * 0.3
-                       + least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                              / CAST(len(w) AS DOUBLE) / 10.0, 1.0) * 0.2, 4) AS quality
+                 ${sqlQualityExpr("w", "text")} AS quality
           FROM t),
         kept AS (SELECT * FROM scored WHERE quality >= 0.5),
         sh AS (

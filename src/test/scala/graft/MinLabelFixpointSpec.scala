@@ -28,12 +28,15 @@ class MinLabelFixpointSpec extends AnyFunSuite {
     assert(labels.toSeq == Seq(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 50L -> 10L))
   }
 
-  test("3 fixed rounds provably under-merge the same chain") {
-    // maxRounds=3 simulates the old fixed-round implementation: node 50
-    // is still labeled 20 after three synchronous min-propagations
-    val labels = TextQueries.minLabelFixpoint(chain(10L, 20L, 30L, 40L, 50L), maxRounds = 3)
-      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(labels.last == (50L -> 20L))
+  test("an exhausted hop budget fails loudly instead of under-merging") {
+    // maxRounds=3 cannot close a 5-node chain: the old fixed-round
+    // implementation silently returned node 50 still labeled 20 — an
+    // under-merged labeling that ships wrong canonicals. The contract is
+    // now a loud failure.
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.minLabelFixpoint(chain(10L, 20L, 30L, 40L, 50L), maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("two disjoint components keep distinct canonical labels") {
