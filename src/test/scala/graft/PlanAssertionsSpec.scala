@@ -129,7 +129,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // pairs through equi joins only — a BNLJ or cartesian over the corpus
     // is the 100 TB death sentence the blocked/LSH designs exist to avoid
     for (q <- Seq("q_dedup_embed_cosine_blocked", "q_dedup_embed_cosine_lsh",
-        "q_dedup_incremental")) {
+        "q_dedup_incremental", "q_dedup_pipeline_corpus")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q planned a broadcast nested loop:\n$p")
