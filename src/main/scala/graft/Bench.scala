@@ -353,9 +353,10 @@ object Bench {
       s"{${parts.mkString(",")}}"
     }
     spark.stop()
-    // bench hygiene: drop the signature store's temp directory (it is
-    // per-corpus infrastructure for THIS process only)
+    // bench hygiene: drop the signature store's and bucketed tables' temp
+    // directories (per-corpus infrastructure for THIS process only)
     graft.queries.TextQueries.cleanupSignatureStores()
+    graft.queries.ExtraQueries.cleanupBucketedTables()
     emit(results, sfDir, harnessJson)
   }
 }

@@ -49,5 +49,6 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     graft.queries.TextQueries.cleanupSignatureStores()
+    graft.queries.ExtraQueries.cleanupBucketedTables()
   }
 }
