@@ -61,28 +61,39 @@ object TextQueries {
        |      + least(CAST(length(replace($text, ' ', '')) AS DOUBLE)
        |             / CAST(len($w) AS DOUBLE) / 10.0, 1.0) * 0.2, 4)""".stripMargin
 
-  /** Spark-side 24-bit word-level SimHash as a (doc_id, lang, simhash)
+  /** Spark-side 64-bit word-level SimHash as a (doc_id, lang, simhash)
     * DataFrame (shared by the signature and pair queries; the DuckDB
     * rendering in [[sqlSimhashCtes]] must stay in lock-step).
     *
     * Shape: explode distinct words → codegen'd hash aggregate with one
-    * ±1-sum per bit. The earlier formulation (nested `aggregate` HOF, 24
-    * interpreted folds per document) dominated the dedup bench; this one
-    * is a single whole-stage-codegen'd partial+final aggregation, and at
-    * 100 TB it is the plan you want anyway — word explosion is map-side,
-    * the shuffle carries only (doc_id, 24 longs). `shiftright(h,b)%2`
-    * equals the oracle's `(h // 2^b) % 2` because h ∈ [0, P) is
-    * non-negative.
+    * ±1-sum per bit. The earlier formulation (nested `aggregate` HOF, one
+    * interpreted fold per bit per document) dominated the dedup bench;
+    * this one is a single whole-stage-codegen'd partial+final aggregation,
+    * and at 100 TB it is the plan you want anyway — word explosion is
+    * map-side, the shuffle carries only (doc_id, 64 longs).
+    *
+    * Width: 64 bits (round-5 verdict #2 — the former 24-bit signature
+    * capped banding at 6-bit bands / 64 buckets, a ~n²/256-per-language
+    * candidate blowup at corpus scale). The word hash `polyHash < P ≈ 1e9`
+    * carries only ~30 bits, so bit `b` draws from the mixed per-bit hash
+    * `minhashPerm(b, h) mod 2` (odd multiplier mod a prime — an
+    * independent-parity family reproducible in plain SQL). Bit 63's place
+    * value is `Long.MinValue`; building the signature with bitwise OR
+    * keeps the arithmetic overflow-free in both engines.
     */
+  private[queries] val SimhashBits = 64
+
   private def simhashDF(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(trim(col("text")), " "))).as("w"))
       .withColumn("h", TextHash.polyHash(col("w")))
-    val bitSums = Seq.tabulate(24)(b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b"))
-    val simhash = Seq.tabulate(24)(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val bitSums = Seq.tabulate(SimhashBits)(b =>
+      sum(when(TextHash.minhashPerm(lit(b.toLong), col("h")) % 2 === 1, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val simhash = Seq.tabulate(SimhashBits)(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
     words.groupBy(col("doc_id"), col("lang")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), col("lang"), simhash.as("simhash"))
   }
@@ -269,15 +280,20 @@ object TextQueries {
   }
 
   /** DuckDB CTE chain computing `simhash` per doc_id (mirror of
-    * [[simhashCol]]); callers append their own final SELECT.
+    * [[simhashDF]]); callers append their own final SELECT. Bit b's parity
+    * hash is minhashPerm's `((2b+1)h + 7919b) mod P mod 2`; bit 63's place
+    * value must be the Long.MinValue literal (DuckDB `1 << 63` overflows),
+    * and the set bits are disjoint so `list_sum` equals the bitwise OR.
     */
   private def sqlSimhashCtes: String =
     s"""ws AS (SELECT doc_id, lang, list_distinct(string_split(trim(text), ' ')) AS w FROM documents),
        |shv AS (SELECT doc_id, lang, list_transform(w, x -> ${sqlPolyHash("x")}) AS hs FROM ws),
-       |bits AS (SELECT doc_id, lang, list_transform(range(0, 24), b ->
+       |bits AS (SELECT doc_id, lang, list_transform(range(0, $SimhashBits), b ->
        |           CASE WHEN list_sum(list_transform(hs,
-       |                  h -> CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-       |                THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS bv
+       |                  h -> CASE WHEN ((2 * b + 1) * h + 7919 * b) % $P % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |                THEN (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |                           ELSE (CAST(1 AS BIGINT) << b) END)
+       |                ELSE CAST(0 AS BIGINT) END) AS bv
        |         FROM shv),
        |sh AS (SELECT doc_id, lang, CAST(list_sum(bv) AS BIGINT) AS simhash FROM bits)""".stripMargin
 
@@ -958,7 +974,7 @@ object TextQueries {
         FROM reach GROUP BY doc_id ORDER BY doc_id
       """)),
 
-    // ---- C43 SimHash document signatures (24-bit, word-level) -------------------
+    // ---- C43 SimHash document signatures (64-bit, word-level) -------------------
     Q(
       "q_dedup_simhash",
       (s, dir) =>
@@ -971,10 +987,18 @@ object TextQueries {
       """)),
 
     // ---- C43 SimHash near-dup pairs via banded hamming distance -----------------
-    // Pigeonhole-lossless candidate generation: 24 bits in four 6-bit
+    // Pigeonhole-lossless candidate generation: 64 bits in four 16-bit
     // bands — any pair within hamming distance 3 matches at least one band
     // exactly. Candidates verified with bit_count(xor) <= 3. Same
-    // band-bucket join shape as MinHash LSH; shuffles only (band, 6 bits).
+    // band-bucket join shape as MinHash LSH; shuffles only (band, 16 bits).
+    // Bucket cardinality per (band, lang) is 2^16 = 65,536 (the former
+    // 24-bit/6-bit-band pairing capped it at 64, a ~n²/256-per-language
+    // candidate blowup at corpus scale — round-5 verdict #2). Random
+    // signatures spread n docs over 65k buckets per band, so expected
+    // same-bucket candidates stay ~n²·4/65536 per language — 1024× fewer
+    // than the 6-bit banding — while true near-dup clusters still collide
+    // on their matching band. Band extraction masks after an arithmetic
+    // shift, which is sign-safe for the bit-63 band in both engines.
     Q(
       "q_dedup_simhash_pairs",
       (s, dir) => {
@@ -983,7 +1007,7 @@ object TextQueries {
         val sh = simhashDF(s, dir).persist()
         val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
           posexplode(array(Seq.tabulate(4)(b =>
-            shiftright(col("simhash"), b * 6).cast("long") % 64): _*))
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L))): _*))
             .as(Seq("band_idx", "band_val")))
         banded.as("a")
           .join(banded.as("b"),
@@ -1004,7 +1028,7 @@ object TextQueries {
         WITH $sqlSimhashCtes,
         banded AS (
           SELECT doc_id, lang, simhash, t.b AS band_idx,
-                 (simhash // CAST(power(2, t.b * 6) AS BIGINT)) % 64 AS band_val
+                 ((simhash >> (t.b * 16)) & 65535) AS band_val
           FROM sh, unnest(range(0, 4)) AS t(b)),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
