@@ -229,15 +229,19 @@ object PipelineQueries {
         val sh = TextQueries.hashedShingleSets(s, dir)
         // PREFIX-PROBED inverted index (lossless for containment >= 0.9 on
         // the smaller set): if |A∩B| >= 0.9·|A| then at most floor(|A|/10)
-        // of A's sorted tokens miss B, so A's first floor(|A|/10)+1 tokens
-        // must hit B SOMEWHERE — probe each doc's prefix against the full
-        // token index (no size-ratio prune is sound here; small⊂big is
-        // exactly the target). Candidates then take the thresholded merge:
-        // exact for every pair that can reach 0.9 containment, bails with
-        // -1 (→ filtered) the moment a pair cannot.
+        // of A's tokens miss B, so ANY floor(|A|/10)+1 of A's tokens must
+        // hit B SOMEWHERE — probe each doc's prefix against the full token
+        // index (no size-ratio prune is sound here; small⊂big is exactly
+        // the target). The probe prefix is drawn from `hd` (ascending
+        // global document frequency): the probed tokens are the corpus's
+        // rarest, so hot boilerplate shingles never fan a probe out across
+        // their whole index bucket — the round-5 hot-token residual risk.
+        // Candidates then take the thresholded merge: exact for every pair
+        // that can reach 0.9 containment, bails with -1 (→ filtered) the
+        // moment a pair cannot.
         val index = sh.select(col("lang"), col("doc_id"), explode(col("hs")).as("tok"))
         val probe = sh.select(col("lang"), col("doc_id"),
-          explode(expr("slice(hs, 1, ds div 10 + 1)")).as("tok"))
+          explode(expr("slice(hd, 1, ds div 10 + 1)")).as("tok"))
         val cand = probe.as("a").join(index.as("b"),
             col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok")
               && col("a.doc_id") =!= col("b.doc_id"))

@@ -105,14 +105,37 @@ object TextQueries {
 
   /** The hashed-shingle signature plan: `sz` is the raw (pre-distinct)
     * signature length the size-ratio prune uses, `hs` the sorted distinct
-    * hash set for the merge-intersect, `ds` its cardinality. */
-  private def shingleSetsPlan(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    * hash set for the merge-intersect, `ds` its cardinality, and `hd` the
+    * SAME set reordered by ascending global document frequency (ties by
+    * hash value — a total order, consistent across every document).
+    *
+    * `hd` exists for the prefix-filtered candidate joins (round-5 verdict
+    * #4, the classic prefix-filtering refinement): a probe prefix drawn
+    * from the START of `hd` consists of the corpus's RAREST tokens, so
+    * inverted-index buckets stay small even for boilerplate-heavy corpora
+    * where hash-ordered prefixes can land on hot shared tokens. The
+    * pigeonhole bounds only need one globally consistent token order, so
+    * the filter stays lossless. Computing `hd` costs two extra shuffles
+    * (df count + per-doc reorder) paid ONCE at signature-build time — the
+    * store is corpus infrastructure, which is exactly where a global
+    * statistic like df belongs.
+    */
+  private def shingleSetsPlan(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
       .select(col("doc_id"), col("lang"), size(col("hv")).as("sz"),
         array_sort(array_distinct(col("hv"))).as("hs"))
       .withColumn("ds", size(col("hs")))
+    val tok = base.select(col("doc_id"), explode(col("hs")).as("tok"))
+    val df = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val hd = tok.join(df, "tok")
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+        e => e.getField("tok")).as("hd"))
+    base.join(hd, Seq("doc_id"), "left")
+      .withColumn("hd", coalesce(col("hd"), array().cast("array<bigint>")))
+  }
 
   /** Write the corpus's shingle-signature table to parquet and register it:
     * every later [[hashedShingleSets]] call for `dir` reads the stored
@@ -142,7 +165,7 @@ object TextQueries {
   private[queries] def hashedShingleSets(s: SparkSession, dir: String): DataFrame =
     signatureStores.get(dir) match {
       case Some(path) => s.read.parquet(path)
-        .select(col("doc_id"), col("lang"), col("sz"), col("hs"), col("ds"))
+        .select(col("doc_id"), col("lang"), col("sz"), col("hs"), col("ds"), col("hd"))
       case None =>
         shingleCache.getOrElseUpdate((System.identityHashCode(s), dir),
           shingleSetsPlan(s, dir).persist())
@@ -182,16 +205,19 @@ object TextQueries {
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     // PREFIX-FILTERED candidate generation (Bayardo/Xiao all-pairs
     // similarity search): under any global token order, J(A,B) >= 0.8
-    // forces a shared token within the first floor(|S|/5)+1 sorted tokens
+    // forces a shared token within the first floor(|S|/5)+1 ordered tokens
     // of BOTH sets — so candidates come from an inverted-index equi-join
     // on prefix tokens instead of the O(n² per lang) blocked cross. The
-    // filter is LOSSLESS for the threshold; the final semantics (raw-size
-    // ratio prune + exact sorted-merge Jaccard) are unchanged, so the
-    // brute-force DuckDB oracle is the standing witness. At 100 TB this is
-    // the difference between a shuffle keyed on rare prefix tokens and a
-    // quadratic blowup.
+    // order used is `hd` (ascending global document frequency): prefixes
+    // then hold the corpus's RAREST tokens, bounding per-token bucket size
+    // — hash-ordered prefixes can land every doc on the same hot
+    // boilerplate shingle. The filter is LOSSLESS for the threshold; the
+    // final semantics (raw-size ratio prune + exact sorted-merge Jaccard)
+    // are unchanged, so the brute-force DuckDB oracle is the standing
+    // witness. At 100 TB this is the difference between a shuffle keyed on
+    // rare prefix tokens and a quadratic blowup.
     val tok = sh.select(col("lang"), col("doc_id"),
-      explode(expr("slice(hs, 1, ds div 5 + 1)")).as("tok"))
+      explode(expr("slice(hd, 1, ds div 5 + 1)")).as("tok"))
     val cand = tok.as("a").join(tok.as("b"),
         col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok")
           && col("a.doc_id") < col("b.doc_id"))
@@ -714,10 +740,12 @@ object TextQueries {
         val sh = hashedShingleSets(s, dir)
         val corpus = sh.filter(col("doc_id") % 5 =!= 0)
         val batch = sh.filter(col("doc_id") % 5 === 0)
+        // prefixes over the df-ascending order `hd` (rarest tokens first;
+        // same lossless pigeonhole bound, far smaller index buckets)
         val ctok = corpus.select(col("lang"), col("doc_id").as("corpus_doc"),
-          explode(expr("slice(hs, 1, ds div 2 + 1)")).as("tok"))
+          explode(expr("slice(hd, 1, ds div 2 + 1)")).as("tok"))
         val btok = batch.select(col("lang"), col("doc_id").as("batch_doc"),
-          explode(expr("slice(hs, 1, ds div 2 + 1)")).as("tok"))
+          explode(expr("slice(hd, 1, ds div 2 + 1)")).as("tok"))
         val cand = btok.join(ctok, Seq("lang", "tok"))
           .select(col("batch_doc"), col("corpus_doc"))
           .dropDuplicates("batch_doc", "corpus_doc")
@@ -768,22 +796,38 @@ object TextQueries {
       "q_dedup_signature_table",
       (s, dir) => {
         val path = signatureStores.getOrElse(dir, materializeSignatures(s, dir))
+        // hd_ord is a POSITION-WEIGHTED digest of the df-ordered column:
+        // with hs pinned by sum/extrema, it pins both that hd is the same
+        // set and that its ORDER is the declared (df asc, tok asc) order
+        // the prefix-filter joins rely on.
+        val hdOrd = when(size(col("hd")) === 0, lit(0L)).otherwise(
+          aggregate(
+            zip_with(col("hd"), sequence(lit(1), size(col("hd"))),
+              (h, i) => (h * i.cast("long")) % lit(P)),
+            lit(0L), (acc, x) => acc + x))
         s.read.parquet(path)
           .select(col("doc_id"), col("lang"),
             col("sz").cast("long").as("sz"), col("ds").cast("long").as("ds"),
             aggregate(col("hs"), lit(0L), (acc, x) => acc + x).as("hs_sum"),
-            array_min(col("hs")).as("hs_min"), array_max(col("hs")).as("hs_max"))
+            array_min(col("hs")).as("hs_min"), array_max(col("hs")).as("hs_max"),
+            hdOrd.as("hd_ord"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
         WITH hv AS (
           SELECT doc_id, lang, list_transform($sqlShingles, x -> ${sqlPolyHash("x")}) AS hv
           FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents)),
-        sh AS (SELECT doc_id, lang, len(hv) AS sz, list_sort(list_distinct(hv)) AS hs FROM hv)
-        SELECT doc_id, lang, sz, len(hs) AS ds,
-               CAST(coalesce(list_sum(hs), 0) AS BIGINT) AS hs_sum,
-               list_min(hs) AS hs_min, list_max(hs) AS hs_max
-        FROM sh ORDER BY doc_id
+        sh AS (SELECT doc_id, lang, len(hv) AS sz, list_sort(list_distinct(hv)) AS hs FROM hv),
+        tok AS (SELECT doc_id, unnest(hs) AS tok FROM sh),
+        dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        hdt AS (SELECT t.doc_id, list(t.tok ORDER BY d.df, t.tok) AS hd
+                FROM tok t JOIN dfreq d ON t.tok = d.tok GROUP BY t.doc_id)
+        SELECT s.doc_id, s.lang, s.sz, len(s.hs) AS ds,
+               CAST(coalesce(list_sum(s.hs), 0) AS BIGINT) AS hs_sum,
+               list_min(s.hs) AS hs_min, list_max(s.hs) AS hs_max,
+               CAST(coalesce(list_sum(list_transform(range(1, len(h.hd) + 1),
+                      i -> (i * h.hd[i]) % $P)), 0) AS BIGINT) AS hd_ord
+        FROM sh s LEFT JOIN hdt h ON s.doc_id = h.doc_id ORDER BY s.doc_id
       """)),
 
     // ---- C42 exact dedup on normalized text -------------------------------------
