@@ -16,7 +16,8 @@ import graft.lake.AcidTable
 object ExtraQueries {
 
   private val bucketedTables =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
   private val bucketedDirs =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
@@ -31,7 +32,11 @@ object ExtraQueries {
     */
   private[queries] def prepareBucketedTables(
       s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
-    bucketedTables.getOrElseUpdate((System.identityHashCode(s), dir), {
+    // keyed on the session OBJECT (identity), not identityHashCode: a GC'd
+    // session's hash can be reused by a NEW session, which would then be
+    // handed table names absent from its catalog (a confusing NoSuchTable
+    // failure). The strong reference pins at most a handful of sessions.
+    bucketedTables.getOrElseUpdate((s, dir), {
       val tmp = Files.createTempDirectory("graft-bucketed-")
       bucketedDirs(tmp.toString) = tmp
       val tag = UUID.randomUUID().toString.replace("-", "").take(12)
@@ -45,6 +50,12 @@ object ExtraQueries {
         .option("path", tmp.resolve(lT).toString).saveAsTable(lT)
       (oT, lT)
     })
+
+  /** The bucketed-layout temp dirs THIS process registered (hygiene gates
+    * read this instead of scanning the shared java.io.tmpdir, which a
+    * concurrent bench/verify process also writes into).
+    */
+  def registeredBucketedDirs: Set[String] = bucketedDirs.keySet.toSet
 
   /** Drop every memoized bucketed table's files and forget the
     * registrations (end-of-process bench hygiene — catalog entries die

@@ -98,8 +98,8 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), simhash.as("simhash"))
   }
 
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
   private val signatureStores =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -167,7 +167,10 @@ object TextQueries {
       case Some(path) => s.read.parquet(path)
         .select(col("doc_id"), col("lang"), col("sz"), col("hs"), col("ds"), col("hd"))
       case None =>
-        shingleCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        // keyed on the session OBJECT (identity), not identityHashCode:
+        // hash reuse after a session is GC'd could hand a new session
+        // another session's cached frame
+        shingleCache.getOrElseUpdate((s, dir),
           shingleSetsPlan(s, dir).persist())
     }
 
@@ -294,9 +297,19 @@ object TextQueries {
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels = next.select(col("doc_id"), col("lbl"))
     }
+    // Budget exhausted while the LAST round still moved labels. That is
+    // exactly what a component of diameter == maxRounds looks like (the
+    // final hop legitimately changes labels and the loop exits before the
+    // next convergence check), so run ONE confirming hop before judging:
+    // if it changes nothing, the labeling converged on the budget's edge.
+    if (changed > 0) {
+      val confirm = hop(labels.withColumn("prev", col("lbl"))).localCheckpoint(true)
+      changed = confirm.filter(col("lbl") =!= col("prev")).count()
+      labels = confirm.select(col("doc_id"), col("lbl"))
+    }
     edges.unpersist()
-    // loud-failure guard: exiting on the hop budget with labels still
-    // moving means a component of diameter > maxRounds was UNDER-MERGED —
+    // loud-failure guard: labels still moving past the confirming hop
+    // means a component of diameter > maxRounds was UNDER-MERGED —
     // silently returning would ship extra "canonicals" (and diverge from
     // the oracle's exact transitive closure)
     require(changed == 0,
@@ -1061,10 +1074,13 @@ object TextQueries {
               && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-          .dropDuplicates("doc_a", "doc_b")
+          // hamming is a pure function of the pair, so the cheap bit_count
+          // filter runs BEFORE the dedup shuffle: only qualifying candidate
+          // rows are shuffled by dropDuplicates (same result either way)
           .withColumn("hamming",
             bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
           .filter(col("hamming") <= 3)
+          .dropDuplicates("doc_a", "doc_b")
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
       },

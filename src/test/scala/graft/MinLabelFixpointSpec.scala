@@ -39,6 +39,17 @@ class MinLabelFixpointSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("a component of diameter exactly maxRounds converges without a spurious failure") {
+    // 5-node chain: diameter 4. With maxRounds=4 the final hop legitimately
+    // still moves labels (node 50 learns 10 on hop 4), so the loop exits on
+    // the budget with changed>0 — the pre-round-7 guard threw here even
+    // though the labeling is complete. The confirming hop must prove
+    // convergence instead.
+    val labels = TextQueries.minLabelFixpoint(chain(10L, 20L, 30L, 40L, 50L), maxRounds = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.toSeq == Seq(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 50L -> 10L))
+  }
+
   test("two disjoint components keep distinct canonical labels") {
     val pairs = chain(1L, 2L, 3L).union(chain(100L, 101L))
     val labels = TextQueries.minLabelFixpoint(pairs)
