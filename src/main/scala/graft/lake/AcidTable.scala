@@ -364,7 +364,6 @@ final class AcidTable private (
       updateCols: Seq[String],
       partitionsHint: Option[Seq[String]] = None): Long = {
     val n = normalize(source)
-    val src = precombine(n)
     val hint = checkedHint(partitionsHint)
     val keys = n.select(pkCol)
     // the window formulation aggregates max(struct(<all columns>)), which
@@ -372,6 +371,20 @@ final class AcidTable private (
     // the join formulation the window path replaced
     val allOrderable = schema.fields.forall(f =>
       org.apache.spark.sql.graft.PlanShim.orderable(f.dataType))
+    // A precombine-less source with duplicate PKs used to DIVERGE between
+    // the two formulations (windowMerge collapsed matched duplicates to
+    // the max-struct winner but inserted unmatched duplicates twice;
+    // joinMerge multiplied matched target rows) — so the source is
+    // deduplicated up front to one deterministic winner per PK, the same
+    // row windowMerge's max(struct) already picked for updates. Schemas
+    // the winner rule cannot order (maps) have NO deterministic winner:
+    // duplicate PKs there fail loudly instead of silently depending on
+    // the physical formulation.
+    val src = precombineCol match {
+      case Some(_) => precombine(n)
+      case None if allOrderable => dedupByPk(n)
+      case None => requireUniquePks(n); n
+    }
     commitLoop(
       touchedOf = (snap, _) => hint.getOrElse(touchedBy(snap, src, keys)),
       // sound on the touched subset: touched covers every matched PK's
@@ -606,37 +619,79 @@ final class AcidTable private (
   private def precombine(df: DataFrame): DataFrame = precombineCol match {
     case None => df
     case Some(pc) =>
-      localPrecombine(df, pc).getOrElse {
-        val tieBreak = schema.fieldNames.filterNot(f => f == pkCol || f == pc).map(col(_).desc)
-        val w = Window.partitionBy(col(pkCol)).orderBy(col(pc).desc +: tieBreak: _*)
+      val orderCols = pc +: schema.fieldNames.filterNot(f => f == pkCol || f == pc).toSeq
+      localWinners(df, orderCols, groupNullPks = true).getOrElse {
+        val w = Window.partitionBy(col(pkCol)).orderBy(orderCols.map(col(_).desc): _*)
         df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
       }
   }
 
-  /** Driver-side precombine for small `LocalRelation` batches: the same
-    * greatest-(precombine, tiebreaks) winner per PK, computed over the
-    * batch's internal rows with Catalyst's interpreted orderings instead
-    * of a Window plan node. A transactional producer's batch is
-    * metadata-scale (the reference's is 3 records); folding its dedup out
-    * of the distributed plan removes a shuffle and two stages from EVERY
-    * commit job and shrinks the plan Catalyst re-analyzes per commit.
-    * Distributed or large batches — and types with no total order (maps)
-    * — fall back to the Window formulation unchanged.
+  /** Winner-per-PK dedup for a precombine-LESS merge source: greatest
+    * remaining-columns tuple (schema order, descending) wins — the same
+    * row windowMerge's `max(struct(<schema>))` picks for its update image,
+    * so the dedup is invisible to the window formulation and makes the
+    * join formulation agree with it. NULL-PK rows pass through untouched
+    * (windowMerge inserts each of them individually; grouping them here
+    * would change that contract).
     */
-  private def localPrecombine(df: DataFrame, pc: String): Option[DataFrame] = {
+  private def dedupByPk(df: DataFrame): DataFrame = {
+    val orderCols = schema.fieldNames.filterNot(_ == pkCol).toSeq
+    localWinners(df, orderCols, groupNullPks = false).getOrElse {
+      val w = Window.partitionBy(col(pkCol)).orderBy(orderCols.map(col(_).desc): _*)
+      df.filter(col(pkCol).isNotNull)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        .unionByName(df.filter(col(pkCol).isNull))
+    }
+  }
+
+  /** Loud duplicate-PK guard for merge sources no deterministic winner
+    * rule can order (map-typed columns, no precombine). Driver-local
+    * batches are checked without a Spark job; distributed sources pay one
+    * aggregate — merges of such schemas are the rare path.
+    */
+  private def requireUniquePks(df: DataFrame): Unit = {
+    import org.apache.spark.sql.graft.PlanShim
+    val hasDup = PlanShim.smallLocalRelation(df.select(pkCol), maxRows = 10000) match {
+      case Some((attrs, rows)) if hashSafeInternal(attrs.head.dataType) =>
+        val vals = rows.map(_.get(0, attrs.head.dataType)).filter(_ != null)
+        vals.size != vals.distinct.size
+      case _ =>
+        df.filter(col(pkCol).isNotNull).groupBy(col(pkCol))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count() > 0
+    }
+    require(!hasDup,
+      s"merge source has duplicate values of PK '$pkCol' and the table has no " +
+        "precombine column; with unorderable (map-typed) columns no deterministic " +
+        "winner exists - deduplicate the source or declare a precombine column")
+  }
+
+  /** Driver-side winner-per-PK dedup for small `LocalRelation` batches:
+    * greatest `orderCols` tuple (descending, in the given priority order)
+    * wins per PK, computed over the batch's internal rows with Catalyst's
+    * interpreted orderings instead of a Window plan node. A transactional
+    * producer's batch is metadata-scale (the reference's is 3 records);
+    * folding its dedup out of the distributed plan removes a shuffle and
+    * two stages from EVERY commit job and shrinks the plan Catalyst
+    * re-analyzes per commit. Distributed or large batches — and types with
+    * no total order (maps) — fall back to the Window formulation.
+    *
+    * `groupNullPks`: precombine groups NULL PKs into one winner (the
+    * Window's partitionBy semantics); the merge-source dedup lets each
+    * NULL-PK row through untouched (windowMerge's insert contract).
+    */
+  private def localWinners(
+      df: DataFrame, orderCols: Seq[String], groupNullPks: Boolean): Option[DataFrame] = {
     import org.apache.spark.sql.graft.PlanShim
     PlanShim.smallLocalRelation(df, maxRows = 10000).flatMap { case (attrs, rows) =>
       val names = attrs.map(_.name)
       val pkIdx = names.indexOf(pkCol)
-      val pcIdx = names.indexOf(pc)
-      // comparison key: precombine first, then remaining columns in schema
-      // order (all descending) — identical to the Window's orderBy
-      val keyIdxs = pcIdx +: attrs.indices.filterNot(i => i == pkIdx || i == pcIdx)
-      val orderings = keyIdxs.map(i => PlanShim.interpretedOrdering(attrs(i).dataType))
+      val keyIdxs = orderCols.map(names.indexOf)
+      val orderings = keyIdxs.map(i =>
+        if (i < 0) None else PlanShim.interpretedOrdering(attrs(i).dataType))
       // the PK dedup map below keys on boxed internal values — only sound
       // for types whose equals/hashCode IS SQL value equality (not binary
       // arrays, not float/double ±0.0/NaN)
-      if (pkIdx < 0 || pcIdx < 0 || orderings.exists(_.isEmpty)
+      if (pkIdx < 0 || keyIdxs.exists(_ < 0) || orderings.exists(_.isEmpty)
           || !hashSafeInternal(attrs(pkIdx).dataType)) None
       else {
         val ords = orderings.map(_.get)
@@ -653,13 +708,19 @@ final class AcidTable private (
           false
         }
         val winners = new java.util.LinkedHashMap[Any, org.apache.spark.sql.catalyst.InternalRow]
+        val nullPkRows = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.catalyst.InternalRow]
         rows.foreach { r =>
           val key = r.get(pkIdx, types(pkIdx))
-          val cur = winners.get(key)
-          if (cur == null || better(r, cur)) winners.put(key, r)
+          if (key == null && !groupNullPks) nullPkRows += r
+          else {
+            val cur = winners.get(key)
+            if (cur == null || better(r, cur)) winners.put(key, r)
+          }
         }
         import scala.jdk.CollectionConverters._
-        Some(PlanShim.localRelationDf(spark, attrs, winners.values.asScala.toSeq))
+        Some(PlanShim.localRelationDf(spark, attrs,
+          winners.values.asScala.toSeq ++ nullPkRows))
       }
     }
   }

@@ -40,6 +40,43 @@ class AcidTableEdgeSpec extends AnyFunSuite {
     assert(t.latestVersion() == v + 1)
   }
 
+  test("precombine-less merge dedups a duplicate-PK source to one deterministic winner") {
+    // round-6 ADVICE latent bug: windowMerge collapsed matched duplicates
+    // to the max-struct winner but inserted unmatched duplicates TWICE,
+    // and joinMerge multiplied matched target rows — the same source gave
+    // different results depending on schema orderability. The contract is
+    // now: greatest remaining-columns tuple wins per PK, both matched and
+    // unmatched, on both formulations.
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    t.upsert(df(Record("A", "P0", "v0")))
+    t.merge(df(
+      Record("A", "P0", "v1"), Record("A", "P0", "v9"),   // matched duplicate
+      Record("B", "P1", "u1"), Record("B", "P1", "u7")),  // unmatched duplicate
+      updateCols = Seq("dataValue"))
+    val got = t.snapshot().as[Record].collect().map(r => r.primaryKeyValue -> r.dataValue).toMap
+    assert(got == Map("A" -> "v9", "B" -> "u7"))
+  }
+
+  test("precombine-less duplicate-PK merge on a map-typed schema fails loudly") {
+    // maps are unorderable: no deterministic winner exists, so a
+    // duplicate-PK source must be rejected instead of silently depending
+    // on the physical merge formulation
+    val mapSchema = StructType(Seq(
+      StructField("pk", StringType),
+      StructField("part", StringType),
+      StructField("attrs", MapType(StringType, StringType))))
+    def row(pk: String, v: String) =
+      Seq((pk, "p0", Map("k" -> v))).toDF("pk", "part", "attrs")
+    val t = AcidTable.create(spark, tmp(), mapSchema, "pk", "part")
+    t.upsert(row("a", "1"))
+    // unique-PK source merges fine through the join formulation
+    t.merge(row("a", "2"), updateCols = Seq("attrs"))
+    assert(t.snapshot().count() == 1)
+    val dup = row("a", "3").unionByName(row("a", "4"))
+    val e = intercept[IllegalArgumentException] { t.merge(dup, updateCols = Seq("attrs")) }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("delete of absent keys leaves content identical") {
     val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
     t.upsert(df(Record("A", "P0", "v1"), Record("B", "P1", "v2")))
