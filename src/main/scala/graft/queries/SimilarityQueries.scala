@@ -342,19 +342,35 @@ object SimilarityQueries {
     Q(
       "q_dedup_embed_cosine_lsh",
       (s, dir) => {
+        // REPARTITION FIRST: the corpus parquet is one small file → one
+        // input partition, so without this every per-vector signature
+        // (lshBuckets is an interpreted HOF tree — the costliest map in
+        // the query) and the entire ~6.4M-row collision stream below it
+        // runs in a single task (the round-6 5.9–7.1 s was one core doing
+        // everything). One negligible round-robin shuffle of the corpus
+        // makes both embarrassingly parallel.
         val sig = Tables.embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), col("embedding"),
             VectorOps.norm(col("embedding")).as("nrm"),
             VectorOps.lshBuckets(col("embedding"), DEDUP_P, DEDUP_L, DIM).as("buckets"))
           .persist()
-        val exact = sig.select(col("vec_id"),
+        // all L tables' P-bit buckets packed into ONE long (nibble t =
+        // table t's bucket): every cross-table question about a PAIR
+        // becomes bit arithmetic on a single XOR — no arrays cross the
+        // join, and the dedup algebra below stays in whole-stage codegen
+        val packed = (0 until DEDUP_L)
+          .map(t => shiftleft(col("buckets").getItem(t), DEDUP_P * t))
+          .reduce(_ bitwiseOR _).as("sigp")
+        val exact = sig.select(col("vec_id"), packed,
           posexplode(col("buckets")).as(Seq("tbl", "bucket")))
         // one-directional probing: a Hamming-1 pair differs in EXACTLY one
         // bit, and exactly one side holds a 0 there — that side probes
         // upward (bucket + bit) into the other's exact bucket. Upward-only
         // probes cover every qualifying pair once, halving both probe rows
         // and the duplicate candidates a symmetric probe would generate.
-        val probed = exact.select(col("vec_id"), col("tbl"),
+        val probed = exact.select(col("vec_id"), col("sigp"), col("tbl"),
+          col("bucket").as("own"),
           explode(concat(array(col("bucket")),
             filter(
               transform(sequence(lit(0), lit(DEDUP_P - 1)), p => {
@@ -363,12 +379,32 @@ object SimilarityQueries {
               }),
               x => x.isNotNull)))
             .as("pbucket"))
-        val cand = probed.as("a").join(exact.as("b"),
+        // EXACTLY-ONCE candidates by algebra, not by a dedup shuffle: a
+        // dropDuplicates here moves every collision row (6.4M at sf0.1,
+        // vs 2k corpus rows) through an exchange. Instead each unordered
+        // pair is kept at most once, map-side, in codegen:
+        //  - within a table, a Hamming-0 collision matches in both probe
+        //    directions (keep vec_id<), a Hamming-1 collision in exactly
+        //    one (the up-probing side — see above);
+        //  - across tables, keep the pair only at the FIRST table whose
+        //    buckets are within Hamming 1 — a when-chain over the nibbles
+        //    of the pair's packed-signature XOR (plain shifts + bit_count,
+        //    no interpreted higher-order functions).
+        // The candidate set is identical; the whole generate+verify
+        // pipeline is broadcast joins + map-side filters, no exchange.
+        val xorSig = col("a.sigp").bitwiseXOR(col("b.sigp"))
+        def tblCollides(t: Int) = bit_count(
+          shiftright(xorSig, DEDUP_P * t).bitwiseAND(lit((1L << DEDUP_P) - 1))) <= 1
+        val firstCollidingTbl = (0 until DEDUP_L).foldRight(lit(DEDUP_L): Column)(
+          (t, acc) => when(tblCollides(t), lit(t)).otherwise(acc))
+        val withinTblOnce = (col("a.pbucket") =!= col("a.own")) ||
+          (col("a.vec_id") < col("b.vec_id"))
+        val cand = probed.as("a").join(broadcast(exact.as("b")),
             col("a.tbl") === col("b.tbl") && col("a.pbucket") === col("b.bucket")
               && col("a.vec_id") =!= col("b.vec_id"))
+          .filter(withinTblOnce && col("a.tbl") === firstCollidingTbl)
           .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
             greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
-          .dropDuplicates("vec_a", "vec_b")
         // the embedding side of the verify is metadata-scale next to the
         // candidate stream (n rows of dim floats vs ~n²-ish candidate
         // pairs) — BROADCAST both fetches so verification is two map-side
