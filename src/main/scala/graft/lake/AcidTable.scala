@@ -22,8 +22,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * {{{
   * <path>/_meta.properties            # schema DDL, pk / partition / precombine cols
   * <path>/_commits/v<000000000N>.txt  # manifest: one live data file per line
-  * <path>/data/<part>=<value>/c-<uuid>-<n>.parquet
+  * <path>/data/<part>=<value>/b<bbb>-c-<uuid>-<n>.parquet
   * }}}
+  *
+  * Data files are hash-bucketed WITHIN each partition (`b<bbb>-` name
+  * prefix, bucket = Murmur3(pk) % numBuckets) — the file-group layout that
+  * lets optimistic concurrency detect conflicts at key scope: see the
+  * "file-group (cell) scope" section below.
   *
   * - **Snapshot isolation**: a read resolves the highest committed manifest
   *   once and scans exactly its file list; concurrent commits are invisible.
@@ -41,6 +46,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *   partition pruning works. The driver-side piece is metadata-only
   *   (file lists + one hard link); data never moves through the driver.
   */
+/** A unit of optimistic-concurrency scope: one hash bucket of one partition
+  * (`bucket == -1` = the whole partition). The granularity commits declare
+  * in their `#touched=` manifest header and conflict resolution compares.
+  */
+private[lake] final case class FileCell(part: String, bucket: Int)
+
 final class AcidTable private (
     val spark: SparkSession,
     val path: String,
@@ -48,7 +59,8 @@ final class AcidTable private (
     val pkCol: String,
     val partitionCol: String,
     val precombineCol: Option[String],
-    val stablePartitions: Boolean) {
+    val stablePartitions: Boolean,
+    val numBuckets: Int) {
 
   import AcidTable._
 
@@ -214,22 +226,44 @@ final class AcidTable private (
     */
   def snapshot(version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion()
-    snapshotFromFiles(if (v < 0) Nil else readManifest(v))
+    if (v < 0) snapshotFromFiles(Nil)
+    else {
+      val lines = manifestLines(v)
+      snapshotFromFiles(dataLinesOf(lines), sizesOf(lines))
+    }
   }
 
   /** Scan of an explicit manifest-relative file list (a pinned snapshot or
-    * any partition-subset of one). Partition values are recovered from the
-    * directory names via `basePath`, so Catalyst partition pruning works.
+    * any partition-subset of one). Planned ENTIRELY from manifest metadata
+    * ([[org.apache.spark.sql.graft.ManifestScan]]): partition values are
+    * parsed off the directory names and per-file sizes come from the
+    * manifest's `#sizes=` header, so building the scan costs no filesystem
+    * listing or stat calls — a snapshot's planning cost is O(files) string
+    * work, the property that keeps reads cheap while file-group commits
+    * accumulate files (and, at 100 TB, the property that lets scan
+    * planning run from manifests alone, as Delta/Iceberg/Hudi do).
+    * Partition pruning works against the parsed values.
     */
-  private def snapshotFromFiles(files: Seq[String]): DataFrame =
+  private def snapshotFromFiles(
+      files: Seq[String],
+      sizes: Map[String, Long] = Map.empty): DataFrame =
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
-      val abs = files.map(f => dataRoot.resolve(f).toString)
-      spark.read
-        .option("basePath", dataRoot.toString)
-        .schema(schema)
-        .parquet(abs: _*)
+      val mf = files.map { f =>
+        val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol="))
+        val size = sizes.getOrElse(f, {
+          // pre-`#sizes` manifest — one stat, counted like the write-sizing
+          // fallback
+          AcidTable.sizeStatFallbacks.incrementAndGet()
+          dataRoot.resolve(f).toFile.length()
+        })
+        org.apache.spark.sql.graft.ManifestScan.ManifestFile(
+          dataRoot.resolve(f).toString, pv, size)
+      }
+      org.apache.spark.sql.graft.ManifestScan
+        .dataFrame(spark, schema, partitionCol, dataRoot.toString, mf)
         .select(schema.fieldNames.map(col): _*) // canonical column order
     }
 
@@ -258,7 +292,7 @@ final class AcidTable private (
     // here cost a 2-stage broadcast-build job per commit), not by data.
     val keys = n.select(pkCol)
     commitLoop(
-      touchedOf = (snap, _) => hint.getOrElse(touchedBy(snap, b, keys)),
+      touchedOf = (snap, _) => cellsBy(snap, b, keys, hint),
       resultOf = snapT => antiByKeys(snapT, keys).unionByName(b),
       // a DISTRIBUTED batch can dwarf the files it rewrites — the
       // input-byte write-sizing heuristic only holds when the added rows
@@ -349,7 +383,7 @@ final class AcidTable private (
           case None => b.select(partitionCol).distinct().collect()
             .map(r => String.valueOf(r.get(0))).toSeq
         }
-        (existing ++ incoming).distinct
+        (existing ++ incoming).distinct.map(FileCell(_, -1))
       },
       resultOf = _ => b,
       outputBounded = isMetadataScale(b))
@@ -386,7 +420,7 @@ final class AcidTable private (
       case None => requireUniquePks(n); n
     }
     commitLoop(
-      touchedOf = (snap, _) => hint.getOrElse(touchedBy(snap, src, keys)),
+      touchedOf = (snap, _) => cellsBy(snap, src, keys, hint),
       // sound on the touched subset: touched covers every matched PK's
       // current partition (via hint contract or discovery), so any src key
       // absent from snapT is absent from the whole table.
@@ -486,14 +520,19 @@ final class AcidTable private (
     val keysDf = keysWithPartitions.select(pkCol)
     val hint = checkedHint(partitionsHint)
     commitLoop(
-      touchedOf = (snap, _) => hint.getOrElse {
+      touchedOf = (snap, _) =>
         if (stablePartitions && hasPart)
-          keysWithPartitions.select(partitionCol).distinct()
-            .collect().map(_.getString(0)).toSeq
-        else
+          // the caller's (pk, partition) rows are the batch: same job-free
+          // plan-read (or single distinct job) as an upsert's own rows
+          cellsBy(snap, keysWithPartitions.select(col(partitionCol), col(pkCol)),
+            keysDf, hint)
+        else hint.map(_.map(FileCell(_, -1))).getOrElse {
+          // matched rows can live in any partition, but always in their
+          // pk's bucket (a pure function of the key)
           snap.join(keysDf, Seq(pkCol), "left_semi")
-            .select(partitionCol).distinct().collect().map(_.getString(0)).toSeq
-      },
+            .select(col(partitionCol).as("__p"), bucketExpr.as("__b")).distinct()
+            .collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
+        },
       resultOf = snapT => antiByKeys(snapT, keysDf))
   }
 
@@ -510,7 +549,8 @@ final class AcidTable private (
     newFields.foreach(f => require(!schema.fieldNames.contains(f.name),
       s"column ${f.name} already exists"))
     val evolved = StructType(schema.fields ++ newFields.map(_.copy(nullable = true)))
-    AcidTable.writeMeta(path, evolved, pkCol, partitionCol, precombineCol, stablePartitions)
+    AcidTable.writeMeta(path, evolved, pkCol, partitionCol, precombineCol, stablePartitions,
+      numBuckets)
     AcidTable.open(spark, path)
   }
 
@@ -534,8 +574,12 @@ final class AcidTable private (
     val toP = byPartition(toFiles)
     val changed = (fromP.keySet ++ toP.keySet)
       .filter(p => fromP.getOrElse(p, Set.empty) != toP.getOrElse(p, Set.empty))
-    val from = snapshotFromFiles(fromFiles.filter(f => changed.contains(f.takeWhile(_ != '/'))))
-    val to = snapshotFromFiles(toFiles.filter(f => changed.contains(f.takeWhile(_ != '/'))))
+    val from = snapshotFromFiles(
+      fromFiles.filter(f => changed.contains(f.takeWhile(_ != '/'))),
+      if (fromVersion < 0) Map.empty else readSizes(fromVersion))
+    val to = snapshotFromFiles(
+      toFiles.filter(f => changed.contains(f.takeWhile(_ != '/'))),
+      if (toVersion < 0) Map.empty else readSizes(toVersion))
     to.exceptAll(from).withColumn("_change_type", lit("insert"))
       .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
   }
@@ -554,9 +598,14 @@ final class AcidTable private (
           .map(d =>
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .unescapePathName(d.stripPrefix(s"$partitionCol=")))
-          .toSeq
+          // whole-partition scope: compaction's point is folding the
+          // partition's accumulated per-commit files; the rewrite emits
+          // one file per NON-EMPTY BUCKET (the file-group layout keyed
+          // commits rely on), so post-compaction a partition holds at
+          // most numBuckets files, each still subject to targetFileBytes
+          .map(FileCell(_, -1)).toSeq
       },
-      // identity rewrite: same rows, one file per crowded partition
+      // identity rewrite: same rows, re-bucketed into per-cell files
       resultOf = snapT => snapT)
   }
 
@@ -725,31 +774,53 @@ final class AcidTable private (
     }
   }
 
-  /** Partitions a batch touches: its own rows' partitions plus the
-    * partitions currently holding any matched PK (covers cross-partition
-    * moves; reference workload never moves keys, §3.2 note).
+  /** Cells a batch touches: its own rows' (partition, bucket) cells plus
+    * the cells currently holding any matched PK (covers cross-partition
+    * moves; reference workload never moves keys, §3.2 note). The matched
+    * side can take BUCKET scope even without stable partitions: the
+    * bucket is a pure function of the PK, so only a key's partition can
+    * ever move, never its bucket.
     *
-    * With `stablePartitions` (partition value is a pure function of the
-    * PK, the reference's contract — `TransactionGenerator.java:76`) the
-    * matched rows can only live in the batch's own partitions, so the
-    * snapshot lookup job is skipped entirely — halves the Spark jobs per
-    * transactional commit, which is what bounds harness txn/s.
+    * With `stablePartitions` (partition value a pure function of the PK,
+    * the reference's contract — `TransactionGenerator.java:76`) the
+    * matched rows can only live in the batch's own cells, so the snapshot
+    * lookup job is skipped entirely; a DRIVER-LOCAL batch needs no Spark
+    * job at all — partitions and buckets are read off the optimized plan
+    * ([[driverBucketOf]] evaluates the same Murmur3 the executors would).
+    * That job-free path is what bounds harness txn/s, and it subsumes the
+    * partitions hint: the hint only still matters for DISTRIBUTED batches,
+    * where it pins partition scope without a discovery job.
     */
-  private def touchedBy(snap: DataFrame, batch: DataFrame, keys: DataFrame): Seq[String] = {
-    // hint-less commits through the SQL/catalog front-ends land here; a
-    // driver-local batch still needs no discovery job under
-    // stablePartitions — its partition values are read off the plan
+  private def cellsBy(
+      snap: DataFrame,
+      batch: DataFrame,
+      keys: DataFrame,
+      hint: Option[Seq[String]]): Seq[FileCell] = {
     if (stablePartitions) {
       org.apache.spark.sql.graft.PlanShim
-        .smallLocalColumn(batch.select(partitionCol), maxRows = 10000)
-        .foreach(set => return set.map(String.valueOf).toSeq)
+        .smallLocalRelation(batch.select(col(partitionCol), col(pkCol)), maxRows = 10000)
+        .foreach { case (attrs, rows) =>
+          val pdt = attrs.head.dataType
+          return rows.map(r => FileCell(
+            String.valueOf(r.get(0, pdt)),
+            driverBucketOf(r.get(1, attrs(1).dataType)))).distinct
+        }
     }
-    val own = batch.select(partitionCol).distinct()
-    val touched =
-      if (stablePartitions) own
-      else own.union(
-        snap.join(keys, Seq(pkCol), "left_semi").select(partitionCol).distinct()).distinct()
-    touched.collect().map(_.getString(0)).toSeq
+    hint match {
+      case Some(parts) => parts.map(FileCell(_, -1))
+      case None =>
+        val own = batch.select(col(partitionCol).as("__p"), bucketExpr.as("__b"))
+        if (stablePartitions)
+          own.distinct().collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
+        else {
+          // matched keys may live in any PARTITION, but always in their
+          // pk's bucket
+          val matched = snap.join(keys, Seq(pkCol), "left_semi")
+            .select(col(partitionCol).as("__p"), bucketExpr.as("__b"))
+          own.union(matched).distinct().collect()
+            .map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
+        }
+    }
   }
 
   /** One OCC commit in two phases. `touchedOf(snap, manifestFiles)` names
@@ -772,7 +843,7 @@ final class AcidTable private (
   private[lake] var beforePublishHook: () => Unit = () => ()
 
   private def commitLoop(
-      touchedOf: (DataFrame, Seq[String]) => Seq[String],
+      touchedOf: (DataFrame, Seq[String]) => Seq[FileCell],
       resultOf: DataFrame => DataFrame,
       globalScope: Boolean = false,
       outputBounded: Boolean = true): Long = {
@@ -781,12 +852,12 @@ final class AcidTable private (
       val base = latestVersion()
       val baseLines = if (base < 0) Nil else manifestLines(base)
       val files = dataLinesOf(baseLines)
-      // parsed from the SAME read as `files` — and only when the write-
-      // sizing heuristic will consume it
-      val baseSizes = if (outputBounded) sizesOf(baseLines) else Map.empty[String, Long]
-      val touched = touchedOf(snapshotFromFiles(files), files)
-      val touchedFiles = files.filter(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
-      val result = resultOf(snapshotFromFiles(touchedFiles))
+      // parsed from the SAME read as `files`; consumed by both the scan
+      // planner (stat-free manifest scans) and the write-sizing heuristic
+      val baseSizes = sizesOf(baseLines)
+      var touched = expandForLegacy(touchedOf(snapshotFromFiles(files, baseSizes), files), files)
+      val touchedFiles = files.filter(f => touched.exists(c => fileInCell(f, c)))
+      val result = resultOf(snapshotFromFiles(touchedFiles, baseSizes))
       var newFiles = writeTouched(result, touched,
         if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue)
       beforePublishHook()
@@ -814,7 +885,7 @@ final class AcidTable private (
       while (!done) {
         val publishLines = if (publishBase < 0) Nil else manifestLines(publishBase)
         val carried = dataLinesOf(publishLines)
-          .filterNot(f => touched.exists(p => f.startsWith(partDir(p) + "/")))
+          .filterNot(f => touched.exists(c => fileInCell(f, c)))
         try {
           // carried files keep the sizes their manifest recorded; new
           // files' sizes were captured at the staging move — the next
@@ -840,35 +911,47 @@ final class AcidTable private (
               // an intervening manifest with no #touched header has an
               // UNKNOWN touched set — treat it as overlapping everything
               val interveningSets = ((publishBase + 1) to newBase).map(readTouched)
-              val intervening =
+              val intervening: Set[FileCell] =
                 if (interveningSets.exists(_.isEmpty)) touched.toSet
                 else interveningSets.flatten.flatten.toSet
-              val overlap = touched.filter(intervening.contains)
-              if (overlap.isEmpty) {
+              val overlap0 = touched.filter(t => intervening.exists(cellsOverlap(t, _)))
+              if (overlap0.isEmpty) {
                 AcidTable.conflictRemergeCounter.incrementAndGet()
                 publishBase = newBase // fast path: re-merge manifests only
               } else {
                 AcidTable.conflictRedoCounter.incrementAndGet()
-                // partial redo: drop only the stale (overlapping)
-                // partitions' staged files and recompute THEM against the
-                // new snapshot; staged files of non-overlapping touched
-                // partitions remain valid and are carried into the next
-                // publish attempt
-                val (staleFiles, keptFiles) = newFiles.partition(f =>
-                  overlap.exists(p => f._1.startsWith(partDir(p) + "/")))
-                staleFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f._1)))
+                // partial redo: drop only the stale (overlapping) cells'
+                // staged files and recompute THEM against the new
+                // snapshot; staged files of non-overlapping touched cells
+                // remain valid and are carried into the next publish
+                // attempt
                 val newBaseLines = manifestLines(newBase)
-                val newSnapFiles = dataLinesOf(newBaseLines)
-                  .filter(f => overlap.exists(p => f.startsWith(partDir(p) + "/")))
+                val newSnapAll = dataLinesOf(newBaseLines)
+                // an intervening commit may have introduced bucketless
+                // files (older build) into an overlap partition — the
+                // redo of that partition must then take whole-partition
+                // scope, exactly like the outer loop's expansion
+                val overlap = expandForLegacy(overlap0, newSnapAll)
+                val (staleFiles, keptFiles) = newFiles.partition(f =>
+                  overlap.exists(c => fileInCell(f._1, c)))
+                staleFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f._1)))
+                val newSnapFiles = newSnapAll
+                  .filter(f => overlap.exists(c => fileInCell(f, c)))
                 // resultOf may emit rows outside the recomputed subset
-                // (e.g. a merge's not-matched inserts for other
-                // partitions) — restrict to the overlap partitions; the
-                // non-overlap rows are already covered by keptFiles
-                val redone = resultOf(snapshotFromFiles(newSnapFiles))
-                  .filter(col(partitionCol).isin(overlap: _*))
+                // (e.g. a merge's not-matched inserts for other cells) —
+                // restrict to the overlap cells; the non-overlap rows are
+                // already covered by keptFiles
+                val redone = resultOf(snapshotFromFiles(newSnapFiles, sizesOf(newBaseLines)))
+                  .filter(cellFilter(overlap))
                 newFiles = keptFiles ++ writeTouched(redone, overlap,
                   if (outputBounded) inputBytes(newSnapFiles, sizesOf(newBaseLines))
                   else Long.MaxValue)
+                // a legacy expansion widened the rewrite beyond the
+                // original touched set — the published #touched and the
+                // carried-file exclusion must widen with it
+                touched = expandForLegacy(
+                  (touched.filterNot(t => overlap.exists(o =>
+                    o.part == t.part && o.bucket < 0)) ++ overlap).distinct, Nil)
                 publishBase = newBase
               }
             } else {
@@ -890,6 +973,94 @@ final class AcidTable private (
   private def partDir(value: String): String =
     s"$partitionCol=" +
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)
+
+  // ------------------------------------------------- file-group (cell) scope --
+  //
+  // Conflict granularity is the CELL — (partition value, hash(pk) % numBuckets)
+  // — the same file-group idea Hudi keys its upserts by. Every keyed operation
+  // is cell-local (bucket is a pure function of the PK), so two commits whose
+  // key sets are disjoint usually touch disjoint cells and resolve a lost
+  // publish race with a manifest re-merge instead of recomputing: with
+  // partition-scope detection the reference-parity workload (4 partitions,
+  // disjoint keys by construction) redid ~50% of its commits; cell scope is
+  // what makes multi-writer throughput track key collisions, not partition
+  // collisions. `bucket == -1` means the whole partition (global operations,
+  // and legacy files written before bucketing — see [[fileInCell]]).
+
+  /** Bucket assignment, Spark side: Murmur3 (the `hash()` function, seed 42)
+    * of the PK, non-negative mod. [[driverBucketOf]] must agree exactly.
+    */
+  private def bucketExpr: Column = pmod(hash(col(pkCol)), lit(numBuckets))
+
+  /** Bucket assignment, driver side, for a CATALYST-INTERNAL pk value (what
+    * [[org.apache.spark.sql.graft.PlanShim.smallLocalRelation]] yields).
+    * Evaluates the same `Murmur3Hash` expression `hash()` plans, so driver
+    * and executors can never disagree on a key's cell.
+    */
+  private lazy val driverHashExpr =
+    new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, schema(pkCol).dataType, nullable = true)), 42)
+  private val driverHashRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+  private def driverBucketOf(pkInternal: Any): Int = driverHashRow.synchronized {
+    driverHashRow.update(0, pkInternal)
+    val h = driverHashExpr.eval(driverHashRow).asInstanceOf[Int]
+    ((h % numBuckets) + numBuckets) % numBuckets
+  }
+
+  private def bucketPrefix(b: Int): String = f"b$b%03d-"
+  private val BucketedFileName = """b(\d{3})-.*""".r
+
+  /** The bucket a data file holds, read off its name; `None` for a legacy
+    * (pre-bucketing) file, which may hold rows of EVERY bucket.
+    */
+  private def fileBucketOf(relPath: String): Option[Int] =
+    relPath.substring(relPath.lastIndexOf('/') + 1) match {
+      case BucketedFileName(b) => Some(b.toInt)
+      case _ => None
+    }
+
+  /** Whether manifest-relative file `f` can hold rows of `cell`. Bucketless
+    * files belong to every cell of their partition (conservative — they
+    * predate bucketing or were written by an older build).
+    */
+  private def fileInCell(f: String, cell: FileCell): Boolean =
+    f.startsWith(partDir(cell.part) + "/") &&
+      (cell.bucket < 0 || fileBucketOf(f).forall(_ == cell.bucket))
+
+  private def cellsOverlap(a: FileCell, b: FileCell): Boolean =
+    a.part == b.part && (a.bucket < 0 || b.bucket < 0 || a.bucket == b.bucket)
+
+  /** Rows belonging to any of `cells` — the redo-path restriction filter.
+    * Bucket cells compare [[bucketExpr]]; whole-partition cells need only
+    * the partition value.
+    */
+  private def cellFilter(cells: Seq[FileCell]): Column = {
+    val (whole, bucketed) = cells.partition(_.bucket < 0)
+    val parts = whole.map(_.part).distinct
+    val byPart = bucketed.groupBy(_.part).toSeq
+    val conds =
+      (if (parts.isEmpty) Nil else Seq(col(partitionCol).isin(parts: _*))) ++
+        byPart.map { case (p, cs) =>
+          col(partitionCol) === p && bucketExpr.isin(cs.map(_.bucket): _*)
+        }
+    conds.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** A cell set is only sound against a file list with no bucketless files
+    * in its partitions: removing a bucketless file from the manifest while
+    * rewriting one bucket would drop the file's OTHER buckets' rows. Any
+    * partition holding such a file escalates to whole-partition scope (its
+    * rewrite then re-buckets the partition — self-healing, one commit per
+    * legacy partition).
+    */
+  private def expandForLegacy(cells: Seq[FileCell], files: Seq[String]): Seq[FileCell] =
+    cells.groupBy(_.part).flatMap { case (p, pc) =>
+      val legacy = pc.exists(_.bucket < 0) ||
+        files.exists(f => f.startsWith(partDir(p) + "/") && fileBucketOf(f).isEmpty)
+      if (legacy) Seq(FileCell(p, -1)) else pc.distinct
+    }.toSeq
 
   /** Write the touched partitions' rows as new parquet files and move them
     * into the stable per-partition directories (invisible until the
@@ -926,7 +1097,7 @@ final class AcidTable private (
 
   private def writeTouched(
       result: DataFrame,
-      touched: Seq[String],
+      touched: Seq[FileCell],
       inBytes: Long = Long.MaxValue): Seq[(String, Long)] = {
     if (touched.isEmpty) return Nil
     val commitId = UUID.randomUUID().toString
@@ -949,9 +1120,16 @@ final class AcidTable private (
     // value). Above it, hash-repartition by partition value so tasks scale
     // with what the commit rewrites. Small transactional commits take the
     // first path; compaction and bulk loads the second.
+    // every output row is routed to its cell: the dynamic-partition writer
+    // splits files per (partition value, bucket), and the move below bakes
+    // the bucket into the FILE NAME (not a directory level, so the reader's
+    // basePath partition recovery sees only the partition column)
+    val BucketDir = "__graft_bucket"
+    val withBucket = result.withColumn(BucketDir, bucketExpr)
     val shaped =
-      if (inBytes < targetFileBytes) result.coalesce(1)
-      else result.repartition(math.max(touched.size, 1), col(partitionCol))
+      if (inBytes < targetFileBytes) withBucket.coalesce(1)
+      else withBucket.repartition(math.max(touched.size, 1),
+        col(partitionCol), col(BucketDir))
     val t0 = System.nanoTime()
     shaped
       .write.option("maxRecordsPerFile", recordsPerFile)
@@ -962,30 +1140,47 @@ final class AcidTable private (
       // object store that removes the O(files) job-commit copy storm.
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+      .partitionBy(partitionCol, BucketDir).mode("overwrite").parquet(tmp.toString)
     AcidTable.writeCallNanos.addAndGet(System.nanoTime() - t0)
     val t1 = System.nanoTime()
     val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    touched.foreach { p =>
-      val srcDir = tmp.resolve(partDir(p)).toFile
-      val parts = Option(srcDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      val destDir = dataRoot.resolve(partDir(p))
+    val matchedDirs = scala.collection.mutable.Set.empty[String]
+    val BucketDirName = s"$BucketDir=(\\d+)".r
+    touched.foreach { cell =>
+      val pdir = tmp.resolve(partDir(cell.part)).toFile
+      val bucketDirs: Seq[(Int, File)] = Option(pdir.listFiles()).getOrElse(Array.empty)
+        .toSeq.flatMap(d => d.getName match {
+          case BucketDirName(b) if cell.bucket < 0 || cell.bucket == b.toInt =>
+            Seq(b.toInt -> d)
+          case _ => Nil
+        })
+      val destDir = dataRoot.resolve(partDir(cell.part))
       Files.createDirectories(destDir)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        val rel = s"${partDir(p)}/c-$commitId-$i.parquet"
-        val bytes = f.length()
-        Files.move(f.toPath, dataRoot.resolve(rel))
-        moved += (rel -> bytes)
+      bucketDirs.sortBy(_._1).foreach { case (b, srcDir) =>
+        matchedDirs += s"${pdir.getName}/${srcDir.getName}"
+        val parts = Option(srcDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val rel = s"${partDir(cell.part)}/${bucketPrefix(b)}c-$commitId-$i.parquet"
+          val bytes = f.length()
+          Files.move(f.toPath, dataRoot.resolve(rel))
+          moved += (rel -> bytes)
+        }
       }
     }
-    // loud-failure guard: any partition directory left in tmp means the
-    // caller's result strayed outside `touched` and rows would vanish
-    val stray = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !touched.exists(p => f.getName == partDir(p)))
+    // loud-failure guard: any (partition, bucket) directory no touched
+    // cell claimed means the caller's result strayed outside `touched`
+    // and rows would vanish (the checksum filesystem leaves .crc sidecars
+    // behind, so claimed-dir tracking — not dir emptiness — is the test)
+    val stray = Option(tmp.toFile.listFiles()).getOrElse(Array.empty).toSeq.flatMap { pd =>
+      if (!pd.isDirectory) Nil
+      else Option(pd.listFiles()).getOrElse(Array.empty).toSeq.filter(_.isDirectory)
+        .map(bd => s"${pd.getName}/${bd.getName}")
+        .filterNot(matchedDirs.contains)
+    }
     require(stray.isEmpty,
-      s"commit produced rows outside its touched partitions: ${stray.map(_.getName).mkString(", ")}")
+      s"commit produced rows outside its touched cells: ${stray.mkString(", ")}")
     deleteRecursively(tmp.toFile)
     AcidTable.moveNanos.addAndGet(System.nanoTime() - t1)
     moved.toSeq
@@ -1031,14 +1226,24 @@ final class AcidTable private (
     * potentially-overlapping, not as empty — reading it as "touched
     * nothing" would let the re-merge path carry a stale partition.
     */
-  private def readTouched(v: Long): Option[Set[String]] =
+  private def readTouched(v: Long): Option[Set[FileCell]] =
     scala.util.Try(manifestLines(v).find(_.startsWith("#touched="))) match {
       case scala.util.Success(Some(line)) =>
         val csv = line.stripPrefix("#touched=")
         Some(
-          if (csv.isEmpty) Set.empty[String]
-          else csv.split(',').toSet
-            .map((s: String) => java.net.URLDecoder.decode(s, "UTF-8")))
+          if (csv.isEmpty) Set.empty[FileCell]
+          else csv.split(',').toSet.map { (s: String) =>
+            // `<url-encoded part>|<bucket>`: the encoding maps '|' to %7C,
+            // so a literal '|' is always OUR separator; an entry without
+            // one is partition scope (this build's global ops, and every
+            // manifest written before cell scope existed)
+            val i = s.lastIndexOf('|')
+            val bucket =
+              if (i < 0) -1
+              else scala.util.Try(s.substring(i + 1).toInt).getOrElse(-1)
+            val head = if (i < 0 || bucket < 0) s else s.substring(0, i)
+            FileCell(java.net.URLDecoder.decode(head, "UTF-8"), bucket)
+          })
       // header absent, or the manifest was archived by a concurrent
       // vacuum between our conflict and this read — unknown either way,
       // and unknown must mean "potentially overlapping"
@@ -1060,7 +1265,7 @@ final class AcidTable private (
   private[lake] def publish(
       v: Long,
       files: Seq[String],
-      touched: Seq[String],
+      touched: Seq[FileCell],
       sizes: Map[String, Long] = Map.empty): Unit = {
     val t0 = System.nanoTime()
     try publishImpl(v, files, touched, sizes)
@@ -1068,9 +1273,11 @@ final class AcidTable private (
   }
 
   private def publishImpl(
-      v: Long, files: Seq[String], touched: Seq[String], sizes: Map[String, Long]): Unit = {
+      v: Long, files: Seq[String], touched: Seq[FileCell], sizes: Map[String, Long]): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
-    val encoded = touched.map(java.net.URLEncoder.encode(_, "UTF-8"))
+    val encoded = touched.map(c =>
+      java.net.URLEncoder.encode(c.part, "UTF-8") +
+        (if (c.bucket < 0) "" else s"|${c.bucket}"))
     // clamp the stamp to the predecessor's: System.currentTimeMillis()
     // can step BACKWARD (NTP), and the observe-then-stamp protocol alone
     // does not survive that — clamping makes the visible commit clock
@@ -1175,11 +1382,14 @@ object AcidTable {
       partitionCol: String,
       precombineCol: Option[String] = None,
       overwrite: Boolean = true,
-      stablePartitions: Boolean = false): AcidTable = {
+      stablePartitions: Boolean = false,
+      numBuckets: Int = 32): AcidTable = {
     require(schema.fieldNames.contains(pkCol), s"pk column $pkCol not in schema")
     require(schema.fieldNames.contains(partitionCol), s"partition column $partitionCol not in schema")
     require(schema(partitionCol).dataType == StringType,
       "partition column must be STRING (Hive-style directory value)")
+    require(numBuckets > 0 && numBuckets <= 1000,
+      "numBuckets must be in [1, 1000] (bucket file-name prefix is 3 digits)")
     val root = new File(path)
     if (overwrite && root.exists()) deleteRecursively(root)
     // a fresh table at a reused path must not inherit a previous table's
@@ -1190,8 +1400,9 @@ object AcidTable {
     headerlessManifests.removeIf(_._1 == path)
     Files.createDirectories(Paths.get(path, CommitsDir))
     Files.createDirectories(Paths.get(path, DataDir))
-    writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions)
-    new AcidTable(spark, path, schema, pkCol, partitionCol, precombineCol, stablePartitions)
+    writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions, numBuckets)
+    new AcidTable(spark, path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
+      numBuckets)
   }
 
   /** Atomically (re)write `_meta.properties` (tmp file + rename). */
@@ -1201,13 +1412,17 @@ object AcidTable {
       pkCol: String,
       partitionCol: String,
       precombineCol: Option[String],
-      stablePartitions: Boolean): Unit = {
+      stablePartitions: Boolean,
+      numBuckets: Int = 16): Unit = {
     val props = new java.util.Properties()
     props.setProperty("schemaDdl", schema.toDDL)
     props.setProperty("pkCol", pkCol)
     props.setProperty("partitionCol", partitionCol)
     precombineCol.foreach(props.setProperty("precombineCol", _))
     props.setProperty("stablePartitions", stablePartitions.toString)
+    // every writer of the table must agree on the cell layout — the bucket
+    // count rides the table metadata, never a session config
+    props.setProperty("numBuckets", numBuckets.toString)
     val tmp = Paths.get(path, s".meta-tmp-${UUID.randomUUID()}")
     val out = Files.newOutputStream(tmp)
     try props.store(out, "graft AcidTable metadata") finally out.close()
@@ -1227,7 +1442,8 @@ object AcidTable {
       props.getProperty("pkCol"),
       props.getProperty("partitionCol"),
       Option(props.getProperty("precombineCol")),
-      "true" == props.getProperty("stablePartitions"))
+      "true" == props.getProperty("stablePartitions"),
+      Option(props.getProperty("numBuckets")).map(_.toInt).getOrElse(16))
   }
 
   private def deleteRecursively(f: File): Unit = {

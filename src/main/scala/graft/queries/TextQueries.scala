@@ -83,7 +83,7 @@ object TextQueries {
     */
   private[queries] val SimhashBits = 64
 
-  private def simhashDF(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def simhashDF(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(trim(col("text")), " "))).as("w"))

@@ -148,6 +148,57 @@ class AcidTableSpec extends AnyFunSuite {
     assert(byPk == Map("RA" -> "a1", "RB" -> "b1"))
   }
 
+  test("OCC cell scope: same partition, disjoint keys -> re-merge, no recompute") {
+    // the reference-parity workload writes disjoint key sets into the SAME
+    // four partitions; partition-scope detection redid ~50% of its commits.
+    // With (partition, hash-bucket) cells, a lost race against a commit
+    // touching the same partition but other keys' buckets must resolve as
+    // a manifest re-merge.
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue",
+      stablePartitions = true)
+    // find two keys in DIFFERENT buckets (numBuckets=16 — nearly any pair)
+    val pool = (1 to 50).map(i => s"K$i")
+    val buckets = spark.createDataset(pool).toDF("primaryKeyValue")
+      .select(org.apache.spark.sql.functions.col("primaryKeyValue"),
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(
+            org.apache.spark.sql.functions.col("primaryKeyValue")),
+          org.apache.spark.sql.functions.lit(t.numBuckets)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val (kA, bA) = buckets.head
+    val (kB, _) = buckets.find(_._2 != bA).get
+    t.upsert(df(Record(kA, "P0", "a0"), Record(kB, "P0", "b0")))
+    AcidTable.resetConflictCount()
+    t.beforePublishHook = () => {
+      t.beforePublishHook = () => ()
+      val session = spark.newSession()
+      val t2 = AcidTable.open(session, t.path)
+      t2.upsert(session.createDataset(Seq(Record(kB, "P0", "b1"))).toDF())
+    }
+    t.upsert(df(Record(kA, "P0", "a1"))) // same partition, different bucket
+    assert(AcidTable.conflictRemergeCount == 1,
+      s"disjoint-key same-partition conflict must re-merge, got redo=${AcidTable.conflictRedoCount}")
+    assert(AcidTable.conflictRedoCount == 0)
+    val byPk = t.snapshot().as[Record].collect().map(r => r.primaryKeyValue -> r.dataValue).toMap
+    assert(byPk == Map(kA -> "a1", kB -> "b1"))
+  }
+
+  test("OCC cell scope: same key conflict still redoes against the new snapshot") {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue",
+      stablePartitions = true)
+    t.upsert(df(Record("RK", "P0", "v0")))
+    AcidTable.resetConflictCount()
+    t.beforePublishHook = () => {
+      t.beforePublishHook = () => ()
+      val session = spark.newSession()
+      val t2 = AcidTable.open(session, t.path)
+      t2.upsert(session.createDataset(Seq(Record("RK", "P0", "v1"))).toDF())
+    }
+    t.upsert(df(Record("RK", "P0", "v2"))) // same key -> same cell
+    assert(AcidTable.conflictRedoCount == 1)
+    assert(t.snapshot().as[Record].head().dataValue == "v2") // ours published last
+  }
+
   test("intervening manifest without #touched header is treated as overlapping, not empty") {
     // a pre-header manifest has an UNKNOWN touched set; reading it as
     // "touched nothing" would let the re-merge fast path carry a stale
