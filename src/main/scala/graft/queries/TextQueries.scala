@@ -83,8 +83,16 @@ object TextQueries {
     */
   private[queries] val SimhashBits = 64
 
-  private[queries] def simhashDF(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
+  private[queries] def simhashDF(s: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(s, dir))
+
+  /** The signature pipeline over any `(doc_id, lang, text)` frame —
+    * shared by the dir-reading query path and the recall gate
+    * (`SimhashRecallSpec`), so the gate exercises the exact production
+    * pipeline, not a re-implementation.
+    */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val words = docs
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(trim(col("text")), " "))).as("w"))
       .withColumn("h", TextHash.polyHash(col("w")))
@@ -96,6 +104,30 @@ object TextQueries {
       .reduce(_ bitwiseOR _)
     words.groupBy(col("doc_id"), col("lang")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), col("lang"), simhash.as("simhash"))
+  }
+
+  /** Banded hamming-≤3 near-dup pairs over a signature frame — the
+    * candidate+verify stage of `q_dedup_simhash_pairs`, extracted for the
+    * same reason as [[simhashOf]].
+    */
+  private[graft] def simhashPairsOf(sh: DataFrame): DataFrame = {
+    val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
+      posexplode(array(Seq.tabulate(4)(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.lang") === col("b.lang")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   private val shingleCache = scala.collection.concurrent.TrieMap
@@ -1108,28 +1140,11 @@ object TextQueries {
       "q_dedup_simhash_pairs",
       (s, dir) => {
         // persist: the signature aggregation would otherwise run once per
-        // self-join side
-        val sh = simhashDF(s, dir).persist()
-        val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
-          posexplode(array(Seq.tabulate(4)(b =>
-            shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L))): _*))
-            .as(Seq("band_idx", "band_val")))
-        banded.as("a")
-          .join(banded.as("b"),
-            col("a.band_idx") === col("b.band_idx")
-              && col("a.band_val") === col("b.band_val")
-              && col("a.lang") === col("b.lang")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-          // hamming is a pure function of the pair, so the cheap bit_count
-          // filter runs BEFORE the dedup shuffle: only qualifying candidate
-          // rows are shuffled by dropDuplicates (same result either way)
-          .withColumn("hamming",
-            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-          .filter(col("hamming") <= 3)
-          .dropDuplicates("doc_a", "doc_b")
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
+        // self-join side. Candidate+verify live in [[simhashPairsOf]]
+        // (hamming is a pure function of the pair, so its cheap bit_count
+        // filter runs BEFORE the dedup shuffle: only qualifying candidate
+        // rows are shuffled by dropDuplicates — same result either way).
+        simhashPairsOf(simhashDF(s, dir).persist())
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
