@@ -254,7 +254,12 @@ object SimilarityQueries {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"),
             VectorOps.norm(col("embedding")).as("nrm"))
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        // the witness is a broadcast-nested-loop; its STREAM side comes
+        // from a one-file corpus read → one task doing every dot product
+        // unless the stream is spread first (same single-partition cliff
+        // as the LSH variant; the broadcast side is unaffected)
+        val a = e.repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("vec_a"), col("embedding").as("va"),
           col("nrm").as("na"))
         val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
           col("nrm").as("nb"))
@@ -292,7 +297,11 @@ object SimilarityQueries {
       "q_dedup_embed_cosine_blocked",
       (s, dir) => {
         val B = BLOCKS
+        // spread the one-file corpus before the per-vector replication
+        // below: the explode serializes n·B vector copies, and on the raw
+        // single-partition read that whole fan-out is one task
         val e = Tables.embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), col("embedding"),
             VectorOps.norm(col("embedding")).as("nrm"),
             (col("vec_id") % B).cast("int").as("blk"))

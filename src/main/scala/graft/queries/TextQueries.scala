@@ -92,7 +92,10 @@ object TextQueries {
     * pipeline, not a re-implementation.
     */
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
-    val words = docs
+    // single-file corpus → single input partition: without a repartition
+    // the explode AND the 64-way partial aggregate below run in one task
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val words = spread
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(trim(col("text")), " "))).as("w"))
       .withColumn("h", TextHash.polyHash(col("w")))
@@ -160,6 +163,12 @@ object TextQueries {
     */
   private def shingleBasePlan(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // the corpus parquet is one small file → one input partition, and
+      // the interpreted shingle hashing below is the most expensive map in
+      // the dedup family — round-robin the docs first so it runs on every
+      // core instead of one (the same single-task cliff the embed-LSH
+      // query had; negligible shuffle, per-doc results unchanged)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
       .select(col("doc_id"), col("lang"), size(col("hv")).as("sz"),
