@@ -855,11 +855,31 @@ final class AcidTable private (
       // parsed from the SAME read as `files`; consumed by both the scan
       // planner (stat-free manifest scans) and the write-sizing heuristic
       val baseSizes = sizesOf(baseLines)
-      var touched = expandForLegacy(touchedOf(snapshotFromFiles(files, baseSizes), files), files)
+      val rawCells = touchedOf(snapshotFromFiles(files, baseSizes), files)
+      // Dense distributed batches defeat the point of fine-grained cells:
+      // a commit touching most of a partition's buckets conflicts with any
+      // concurrent writer in that partition regardless of scope, yet pays
+      // numBuckets× the output files (and every reader pays it again). So
+      // a NON-metadata-scale commit covering ≥ half a partition's buckets
+      // collapses that partition to whole-partition scope and writes ONE
+      // sized file stream per partition (bucketless layout). Small
+      // transactional commits — the concurrency case the cells exist
+      // for — are outputBounded and never coarsen; an escalated-legacy
+      // rewrite of a small commit re-buckets as before (self-healing), and
+      // compaction's whole-partition cells stay out of `coarseParts`, so
+      // it still folds partitions back INTO per-bucket file groups.
+      val coarseParts: Set[String] =
+        if (outputBounded) Set.empty
+        else rawCells.groupBy(_.part).collect {
+          case (p, cs) if cs.count(_.bucket >= 0) >= math.max(2, (numBuckets + 1) / 2) => p
+        }.toSet
+      var touched = expandForLegacy(
+        rawCells.map(c => if (coarseParts(c.part)) FileCell(c.part, -1) else c).distinct, files)
       val touchedFiles = files.filter(f => touched.exists(c => fileInCell(f, c)))
       val result = resultOf(snapshotFromFiles(touchedFiles, baseSizes))
       var newFiles = writeTouched(result, touched,
-        if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue)
+        if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue,
+        coarseParts)
       beforePublishHook()
       // inner publish loop: losing the version race does NOT force a full
       // recompute under `stablePartitions` (partition placement a pure
@@ -945,7 +965,8 @@ final class AcidTable private (
                   .filter(cellFilter(overlap))
                 newFiles = keptFiles ++ writeTouched(redone, overlap,
                   if (outputBounded) inputBytes(newSnapFiles, sizesOf(newBaseLines))
-                  else Long.MaxValue)
+                  else Long.MaxValue,
+                  coarseParts.intersect(overlap.map(_.part).toSet))
                 // a legacy expansion widened the rewrite beyond the
                 // original touched set — the published #touched and the
                 // carried-file exclusion must widen with it
@@ -1098,7 +1119,8 @@ final class AcidTable private (
   private def writeTouched(
       result: DataFrame,
       touched: Seq[FileCell],
-      inBytes: Long = Long.MaxValue): Seq[(String, Long)] = {
+      inBytes: Long = Long.MaxValue,
+      coarseParts: Set[String] = Set.empty): Seq[(String, Long)] = {
     if (touched.isEmpty) return Nil
     val commitId = UUID.randomUUID().toString
     val tmp = Paths.get(path, s"_tmp-$commitId")
@@ -1125,7 +1147,16 @@ final class AcidTable private (
     // the bucket into the FILE NAME (not a directory level, so the reader's
     // basePath partition recovery sees only the partition column)
     val BucketDir = "__graft_bucket"
-    val withBucket = result.withColumn(BucketDir, bucketExpr)
+    // `coarseParts` partitions write partition-scope (bucketless) files —
+    // their rows all route to the sentinel -1 directory and come out as
+    // size-rolled files with no bucket prefix. Everything else keeps the
+    // per-bucket file-group layout. (Comparison is on the STRING partition
+    // value, the same rendering FileCell.part carries.)
+    val bucketCol =
+      if (coarseParts.isEmpty) bucketExpr
+      else when(col(partitionCol).cast("string").isin(coarseParts.toSeq: _*), lit(-1))
+        .otherwise(bucketExpr)
+    val withBucket = result.withColumn(BucketDir, bucketCol)
     val shaped =
       if (inBytes < targetFileBytes) withBucket.coalesce(1)
       else withBucket.repartition(math.max(touched.size, 1),
@@ -1145,7 +1176,7 @@ final class AcidTable private (
     val t1 = System.nanoTime()
     val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val matchedDirs = scala.collection.mutable.Set.empty[String]
-    val BucketDirName = s"$BucketDir=(\\d+)".r
+    val BucketDirName = s"$BucketDir=(-?\\d+)".r
     touched.foreach { cell =>
       val pdir = tmp.resolve(partDir(cell.part)).toFile
       val bucketDirs: Seq[(Int, File)] = Option(pdir.listFiles()).getOrElse(Array.empty)
@@ -1162,7 +1193,8 @@ final class AcidTable private (
           .filter(f => f.getName.endsWith(".parquet"))
           .sortBy(_.getName)
         parts.zipWithIndex.foreach { case (f, i) =>
-          val rel = s"${partDir(cell.part)}/${bucketPrefix(b)}c-$commitId-$i.parquet"
+          val prefix = if (b < 0) "" else bucketPrefix(b)
+          val rel = s"${partDir(cell.part)}/${prefix}c-$commitId-$i.parquet"
           val bytes = f.length()
           Files.move(f.toPath, dataRoot.resolve(rel))
           moved += (rel -> bytes)

@@ -158,7 +158,12 @@ object StreamingQueries {
         val t = graft.lake.AcidTable.create(s,
           Files.createTempDirectory("acid-ingest-").resolve("t").toString,
           schema, pkCol = "event_id", partitionCol = "event_type",
-          precombineCol = Some("ts"))
+          precombineCol = Some("ts"),
+          // an event's type never changes across replays, so a key's
+          // partition is stable — the producer contract that lets every
+          // commit derive its touched cells from the batch alone instead
+          // of a per-commit matched-key join against the whole snapshot
+          stablePartitions = true)
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(src)
         val prev = s.conf.get("spark.sql.shuffle.partitions")
