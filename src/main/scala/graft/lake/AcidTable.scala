@@ -868,13 +868,15 @@ final class AcidTable private (
       // rewrite of a small commit re-buckets as before (self-healing), and
       // compaction's whole-partition cells stay out of `coarseParts`, so
       // it still folds partitions back INTO per-bucket file groups.
-      val coarseParts: Set[String] =
+      val denseParts: Set[String] =
         if (outputBounded) Set.empty
         else rawCells.groupBy(_.part).collect {
           case (p, cs) if cs.count(_.bucket >= 0) >= math.max(2, (numBuckets + 1) / 2) => p
         }.toSet
-      var touched = expandForLegacy(
-        rawCells.map(c => if (coarseParts(c.part)) FileCell(c.part, -1) else c).distinct, files)
+      val (touched0, legacyParts) = expandForLegacy(
+        rawCells.map(c => if (denseParts(c.part)) FileCell(c.part, -1) else c).distinct, files)
+      var touched = touched0
+      val coarseParts = denseParts ++ legacyParts
       val touchedFiles = files.filter(f => touched.exists(c => fileInCell(f, c)))
       val result = resultOf(snapshotFromFiles(touchedFiles, baseSizes))
       var newFiles = writeTouched(result, touched,
@@ -951,7 +953,7 @@ final class AcidTable private (
                 // files (older build) into an overlap partition — the
                 // redo of that partition must then take whole-partition
                 // scope, exactly like the outer loop's expansion
-                val overlap = expandForLegacy(overlap0, newSnapAll)
+                val (overlap, overlapLegacy) = expandForLegacy(overlap0, newSnapAll)
                 val (staleFiles, keptFiles) = newFiles.partition(f =>
                   overlap.exists(c => fileInCell(f._1, c)))
                 staleFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f._1)))
@@ -966,13 +968,13 @@ final class AcidTable private (
                 newFiles = keptFiles ++ writeTouched(redone, overlap,
                   if (outputBounded) inputBytes(newSnapFiles, sizesOf(newBaseLines))
                   else Long.MaxValue,
-                  coarseParts.intersect(overlap.map(_.part).toSet))
+                  (coarseParts ++ overlapLegacy).intersect(overlap.map(_.part).toSet))
                 // a legacy expansion widened the rewrite beyond the
                 // original touched set — the published #touched and the
                 // carried-file exclusion must widen with it
                 touched = expandForLegacy(
                   (touched.filterNot(t => overlap.exists(o =>
-                    o.part == t.part && o.bucket < 0)) ++ overlap).distinct, Nil)
+                    o.part == t.part && o.bucket < 0)) ++ overlap).distinct, Nil)._1
                 publishBase = newBase
               }
             } else {
@@ -1072,16 +1074,28 @@ final class AcidTable private (
   /** A cell set is only sound against a file list with no bucketless files
     * in its partitions: removing a bucketless file from the manifest while
     * rewriting one bucket would drop the file's OTHER buckets' rows. Any
-    * partition holding such a file escalates to whole-partition scope (its
-    * rewrite then re-buckets the partition — self-healing, one commit per
-    * legacy partition).
+    * partition holding such a file escalates to whole-partition scope.
+    *
+    * The second component names the partitions escalated BECAUSE of
+    * existing bucketless files (as opposed to cells the caller already
+    * declared whole-partition). Their rewrites KEEP the bucketless layout:
+    * a partition that went coarse under a dense commit is typically fed by
+    * dense commits, and bouncing it back to numBuckets files on every
+    * interleaved small write churns tiny files for OCC granularity the
+    * workload isn't using. Restoring per-bucket file groups is
+    * [[compact]]'s job — its cells are intrinsically whole-partition, not
+    * legacy-escalated, so it still folds partitions INTO bucketed layout.
     */
-  private def expandForLegacy(cells: Seq[FileCell], files: Seq[String]): Seq[FileCell] =
-    cells.groupBy(_.part).flatMap { case (p, pc) =>
-      val legacy = pc.exists(_.bucket < 0) ||
+  private def expandForLegacy(
+      cells: Seq[FileCell], files: Seq[String]): (Seq[FileCell], Set[String]) = {
+    val grouped = cells.groupBy(_.part).map { case (p, pc) =>
+      val fromFiles =
         files.exists(f => f.startsWith(partDir(p) + "/") && fileBucketOf(f).isEmpty)
-      if (legacy) Seq(FileCell(p, -1)) else pc.distinct
-    }.toSeq
+      val legacy = fromFiles || pc.exists(_.bucket < 0)
+      (p, if (legacy) Seq(FileCell(p, -1)) else pc.distinct, fromFiles)
+    }
+    (grouped.flatMap(_._2).toSeq, grouped.collect { case (p, _, true) => p }.toSet)
+  }
 
   /** Write the touched partitions' rows as new parquet files and move them
     * into the stable per-partition directories (invisible until the
