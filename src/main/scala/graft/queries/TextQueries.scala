@@ -1173,6 +1173,51 @@ object TextQueries {
         FROM cand
         WHERE bit_count(xor(sh_a, sh_b)) <= 3
         ORDER BY doc_a, doc_b
+      """)),
+
+    // ---- C43 benchmark decontamination (train-vs-eval n-gram overlap) ----------
+    // The standard pre-training hygiene pass: flag training documents whose
+    // n-gram sets overlap a held-out benchmark/eval suite (here the
+    // deterministic doc_id % 10 == 7 slice stands in for the eval corpus).
+    // Scale shape: the eval suite is tiny relative to a 100 TB corpus, so
+    // its DISTINCT shingle-hash set BROADCASTS — the training side is one
+    // map-local pass (explode → broadcast hash join → partial agg); no
+    // corpus-wide shuffle keyed by shingle ever happens.
+    Q(
+      "q_dedup_decontaminate",
+      (s, dir) => {
+        val sh = hashedShingleSets(s, dir)
+        val bench = sh.filter(col("doc_id") % 10 === 7)
+          .select(explode(col("hs")).as("h")).distinct()
+          .withColumn("hit", lit(1L))
+        sh.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .join(broadcast(bench), Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("overlap_ratio",
+            round(col("n_hit").cast("double") / col("n_shingles"), 6))
+          .withColumn("contaminated",
+            col("n_hit").cast("double") / col("n_shingles") >= 0.5)
+          .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+            col("overlap_ratio"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform($sqlShingles, x -> ${sqlPolyHash("x")})) AS hv
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+        bench AS (SELECT DISTINCT unnest(hv) AS h FROM sh WHERE doc_id % 10 = 7),
+        train AS (SELECT doc_id, unnest(hv) AS h FROM sh WHERE doc_id % 10 <> 7)
+        SELECT t.doc_id,
+               count(*) AS n_shingles,
+               count(b.h) AS n_hit,
+               round(CAST(count(b.h) AS DOUBLE) / count(*), 6) AS overlap_ratio,
+               (CAST(count(b.h) AS DOUBLE) / count(*)) >= 0.5 AS contaminated
+        FROM train t LEFT JOIN bench b ON t.h = b.h
+        GROUP BY t.doc_id ORDER BY doc_id
       """))
   )
 }

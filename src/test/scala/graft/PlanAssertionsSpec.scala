@@ -156,4 +156,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"no map-side partial aggregation in:\n$p")
   }
+
+  test("decontamination probes the eval set via broadcast, never shuffling the corpus by shingle") {
+    // the eval suite is tiny vs a 100 TB training corpus: its distinct
+    // shingle set must BROADCAST so the training side stays one map-local
+    // pass (explode → broadcast join → partial agg). A sort-merge join
+    // here would shuffle every (doc, shingle) row of the corpus by hash —
+    // the exact corpus-wide exchange this operator's shape exists to avoid
+    val p = plan("q_dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-set probe is not a broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side got shuffled by shingle (SMJ present):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial aggregation of per-doc hit counts:\n$p")
+  }
 }
