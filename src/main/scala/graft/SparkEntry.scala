@@ -20,7 +20,7 @@ object SparkEntry {
       WindowSetQueries.all ++ FunctionQueries.all ++ SourceQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       AcidQueries.all ++ StreamingQueries.all ++ ExtraQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ SampleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

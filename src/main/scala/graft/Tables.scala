@@ -13,19 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects. We read it as a long (legacy conf, set in
-    * [[Sessions]]) and truncate to microseconds — the exact same truncation
-    * DuckDB performs on `CAST(ts_ns AS TIMESTAMP)`, keeping oracle parity.
+  /** `events.parquet` has shipped with two `ts` layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (rejected by Spark's vectorized
+    * reader — read as a long via the legacy conf and truncated to micros,
+    * the same truncation DuckDB performs on `CAST(ts_ns AS TIMESTAMP)`) and
+    * plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+    * TIMESTAMP_NTZ). Both normalize to a session-UTC TIMESTAMP column so
+    * every downstream query and its DuckDB oracle see identical instants
+    * regardless of which generation is on disk.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      // integral `div`, NOT floor(x / 1000.0): epoch-nanos ≈ 1.7e18 exceed
-      // double's 2^53 exact range, so the double-division floor drifts by
-      // ±1 µs from DuckDB's exact ns→µs truncation
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integral `div`, NOT floor(x / 1000.0): epoch-nanos ≈ 1.7e18 exceed
+        // double's 2^53 exact range, so the double-division floor drifts by
+        // ±1 µs from DuckDB's exact ns→µs truncation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // wall-clock reinterpreted in the (always-UTC) session zone: the
+        // same instants the nanos layout produced
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+
+/** Data-mixture operators for a training-data pipeline: deterministic
+  * corpus sampling and mixture planning (language/domain rebalancing is the
+  * step between curation and tokenization in every large-scale LLM data
+  * pipeline), plus corpus-frequency boilerplate detection (the CCNet-style
+  * "drop text fragments that appear in a large fraction of documents"
+  * filter; see Wenzek et al., CCNet, arXiv:1911.00359 — adapted from
+  * line-frequency to shingle-frequency because this corpus is single-line).
+  *
+  * Sampling here is HASH-deterministic, not `rand()`-based, on purpose:
+  * at 100 TB a sample must be reproducible run-to-run and engine-to-engine
+  * (the DuckDB oracle recomputes the very same selection bit-for-bit), must
+  * not depend on partitioning or row order, and must survive a re-run after
+  * ingest appends (previously-kept documents stay kept). All selection
+  * arithmetic is integer-only ([[TextHash.polyHash]] < 2^30, counts are
+  * BIGINT) so no float rounding can flip a keep decision between engines.
+  *
+  * Scale shape: every query scans the corpus ONCE; per-group statistics are
+  * tiny (one row per language) and come back as broadcasts, so the corpus
+  * itself is never shuffled by a sampler — the only corpus-wide exchange in
+  * this file is the boilerplate document-frequency aggregation, which is
+  * partial-aggregated map-side (distinct shingles per doc ≪ corpus bytes).
+  */
+object SampleQueries {
+
+  /** Deterministic per-document sampling key. Salted so the sampling
+    * stream is independent of the fingerprint/minhash streams built from
+    * the same text (`polyHash` is also the `q_text_fingerprint` hash; a
+    * shared stream would correlate the sample with dedup decisions).
+    */
+  private def sampleKey = TextHash.polyHash(concat(lit("smp:"), col("text")))
+
+  private def sqlSampleKey: String =
+    TextQueries.sqlPolyHash("'smp:' || text")
+
+  def all: Seq[Q] = Seq(
+
+    // ---- C50 mixture rebalance: Bernoulli rejection sampling ------------
+    // Equalize the language mixture: keep each document of language L with
+    // probability min_count / count(L), decided by an integer hash test
+    // (key mod count(L) < min_count). Expected kept-count is min_count per
+    // language; en (218 of 500 docs at sf0.01) is downsampled ~3.4x, the
+    // smallest language passes whole. Corpus scan -> two broadcast joins
+    // (per-lang counts: 5 rows; global min: 1 row) -> filter. No corpus
+    // shuffle, no sort: the same plan at 100 TB moves only the scan.
+    Q(
+      "q_sample_lang_rebalance",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val budget = counts.agg(min(col("cnt")).as("min_cnt"))
+        d.join(broadcast(counts), "lang")
+          .join(broadcast(budget))
+          .filter(sampleKey % col("cnt") < col("min_cnt"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""
+        WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+             m AS (SELECT MIN(cnt) AS min_cnt FROM c)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+        WHERE (${sqlSampleKey}) % c.cnt < m.min_cnt
+      """)),
+
+    // ---- C50 mixture plan: per-language token budgets -------------------
+    // The planning half of rebalancing: per-language document and token
+    // counts, the uniform token budget (the smallest language's total), and
+    // the integer keep-rate (permille) a downstream sampler would apply.
+    // Integer division on BIGINTs keeps both engines bit-identical. One
+    // corpus scan, map-side token counting, 5-row aggregate.
+    Q(
+      "q_mixture_plan",
+      (s, dir) => {
+        val per = Tables.documents(s, dir)
+          .select(col("lang"),
+            size(split(trim(col("text")), " ")).cast("long").as("ntok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+        val budget = per.agg(min(col("n_tokens")).as("token_budget"))
+        per.join(broadcast(budget))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("token_budget"),
+            expr("(token_budget * 1000) div n_tokens").as("keep_permille"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang),
+        m AS (SELECT MIN(n_tokens) AS token_budget FROM per)
+        SELECT lang, n_docs, n_tokens, token_budget,
+               CAST((token_budget * 1000) // n_tokens AS BIGINT) AS keep_permille
+        FROM per CROSS JOIN m
+      """)),
+
+    // ---- C52 fixed-stride token chunking --------------------------------
+    // Pretraining prep: split each document into overlapping fixed-size
+    // token windows (size 32, stride 24 → 8-token overlap), the step that
+    // turns variable-length documents into model-sized training examples.
+    // Pure per-row generator work — explode of a computed start sequence,
+    // zero shuffles, trivially map-parallel at any corpus size. Tail
+    // fragments shorter than 8 tokens are dropped (they carry mostly
+    // overlap). chunk_id is the window ordinal, offsets are 1-based token
+    // positions.
+    Q(
+      "q_text_chunk",
+      (s, dir) => {
+        val C = 32; val S = 24; val minLen = 8
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        d.select(col("doc_id"), col("w"),
+            explode(sequence(lit(1), greatest(size(col("w")), lit(1)), lit(S))).as("s0"))
+          .select(col("doc_id"),
+            expr(s"(s0 - 1) div $S").cast("long").as("chunk_id"),
+            col("s0").cast("long").as("tok_start"),
+            concat_ws(" ", slice(col("w"), col("s0"), lit(C))).as("chunk_text"),
+            least(size(col("w")) - col("s0") + 1, lit(C)).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") >= minLen)
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        st AS (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 24)) AS s0 FROM w)
+        SELECT doc_id, CAST((s0 - 1) // 24 AS BIGINT) AS chunk_id, CAST(s0 AS BIGINT) AS tok_start,
+               array_to_string(list_slice(w, s0, s0 + 31), ' ') AS chunk_text,
+               CAST(least(len(w) - s0 + 1, 32) AS BIGINT) AS n_tokens
+        FROM st WHERE least(len(w) - s0 + 1, 32) >= 8
+      """)),
+
+    // ---- C52 deterministic context-window packing -----------------------
+    // The packing PLAN for concatenating documents into fixed token
+    // windows (B = 256): within each (lang, source) shard, documents are
+    // laid out in doc_id order and each gets its running token offset —
+    // bin = which context window its first token lands in,
+    // offset = position inside that window. One window-function pass:
+    // the shuffle carries (shard key, doc_id, ntok), never text. At 100 TB
+    // the shard key is exactly this (lang, source)-style composite — each
+    // shard sorts independently, no global order needed.
+    Q(
+      "q_pack_context",
+      (s, dir) => {
+        val B = 256
+        val w = Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            size(split(trim(col("text")), " ")).cast("long").as("ntok"))
+          .withColumn("cum0", coalesce(sum(col("ntok")).over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("source"), col("ntok"),
+            expr(s"cum0 div $B").as("bin"),
+            (col("cum0") % B).as("bin_offset"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, source,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok,
+                 CAST(COALESCE(SUM(len(string_split(trim(text), ' ')))
+                   OVER (PARTITION BY lang, source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+          FROM documents)
+        SELECT doc_id, lang, source, ntok, cum0 // 256 AS bin, cum0 % 256 AS bin_offset
+        FROM t
+      """)),
+
+    // ---- C51 corpus-frequency boilerplate detection ---------------------
+    // CCNet-style boilerplate: a shingle (word bigram, distinct per doc)
+    // occurring in > 1/16 of all documents is boilerplate; each document is
+    // scored by the fraction of its distinct shingles that are boilerplate.
+    // Two corpus passes over the exploded shingles: (1) document-frequency
+    // hash aggregate (map-side partial: the shuffle carries one row per
+    // DISTINCT shingle per task, and text shingle vocabularies saturate —
+    // 916 shingles at sf0.01, 931 at sf0.1); (2) mark-and-score, where the
+    // boilerplate set (high-df by construction, so small) broadcasts and
+    // the per-doc aggregate partial-collapses to one row per document
+    // before its shuffle. Nothing corpus-sized is ever exchanged.
+    Q(
+      "q_text_boilerplate",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val sh = d.select(col("doc_id"),
+          explode(TextHash.wordShingles(col("text"), 2)).as("sh"))
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val nDocs = d.agg(count(lit(1)).as("n_docs"))
+        val boiler = dfreq.join(broadcast(nDocs))
+          .filter(col("df") * 16 > col("n_docs"))
+          .select(col("sh"), lit(1).as("is_b"))
+        sh.join(broadcast(boiler), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"), count(col("is_b")).as("n_boiler"))
+          .withColumn("boiler_ratio",
+            round(col("n_boiler").cast("double") / col("n_shingles"), 4))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> w[i] || ' ' || w[i + 1]))) AS sh
+          FROM w),
+        dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        b AS (SELECT sh FROM dfreq CROSS JOIN n WHERE df * 16 > n_docs)
+        SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS n_boiler,
+               round(CAST(COUNT(b.sh) AS DOUBLE) / COUNT(*), 4) AS boiler_ratio
+        FROM sh s LEFT JOIN b ON s.sh = b.sh
+        GROUP BY s.doc_id
+      """))
+  )
+}

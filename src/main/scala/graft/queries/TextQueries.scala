@@ -27,7 +27,7 @@ object TextQueries {
   private val P = TextHash.P
 
   /** DuckDB rendering of [[TextHash.polyHash]] over an arbitrary SQL expr. */
-  private def sqlPolyHash(e: String): String =
+  private[queries] def sqlPolyHash(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, x) -> (acc * 31 + x) % $P)""".stripMargin

@@ -171,4 +171,32 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"no map-side partial aggregation of per-doc hit counts:\n$p")
   }
+
+  test("lang rebalance never shuffles or sorts the corpus: stats join back as broadcasts") {
+    // the per-language counts (5 rows) and the global min (1 row) must
+    // come back to the corpus scan as broadcasts — at 100 TB the sampler
+    // is a single map-local filter pass; a sort-merge join here would
+    // shuffle the whole corpus by lang (5 hot partitions, to boot)
+    val p = plan("q_sample_lang_rebalance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-lang counts not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled by lang (SMJ present):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("boilerplate scoring broadcasts the high-df shingle set and partial-aggregates per doc") {
+    // document frequency saturates a text corpus's shingle vocabulary, so
+    // the boilerplate set is small by construction → it must broadcast to
+    // the mark-and-score pass, and the per-doc aggregate must collapse
+    // map-side so the final shuffle carries one row per document, not one
+    // per (doc, shingle)
+    val p = plan("q_text_boilerplate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"boilerplate set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the mark join (SMJ present):\n$p")
+    assert("partial_count".r.findAllIn(p).nonEmpty || p.contains("partial count"),
+      s"no map-side partial aggregation:\n$p")
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the data-mixture operators (SampleQueries): deterministic
+  * hash sampling must be reproducible and partitioning-independent, the
+  * rebalance must actually flatten the language mixture, and the mixture
+  * plan's integer arithmetic must be self-consistent. (Cross-engine
+  * equality is the driver's oracle gate; these pin the Spark-side
+  * properties a refactor could silently lose.)
+  */
+class SampleQueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("lang rebalance: kept counts concentrate near the smallest language") {
+    val d = Tables.documents(spark, sf)
+    val perLang = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = perLang.values.min
+
+    val kept = run("q_sample_lang_rebalance").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    perLang.keys.foreach { lang =>
+      val k = kept.getOrElse(lang, 0L)
+      assert(k <= perLang(lang), s"$lang kept more than exists")
+      // Bernoulli with expectation = minCnt per language; allow wide
+      // (±60%) slack so only a broken rate, not hash variance, fails
+      assert(k >= (minCnt * 0.4).toLong && k <= (minCnt * 1.6).toLong,
+        s"$lang kept $k, expected ≈$minCnt (all langs: $kept)")
+    }
+  }
+
+  test("rebalance selection is deterministic and partitioning-independent") {
+    val a = run("q_sample_lang_rebalance").collect().map(_.toString).sorted
+    val b = run("q_sample_lang_rebalance").repartition(13).collect()
+      .map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("mixture plan: budget is the smallest language's tokens; permille consistent") {
+    val rows = run("q_mixture_plan").collect()
+    val tokens = rows.map(r => r.getAs[Long]("n_tokens"))
+    val budget = rows.head.getAs[Long]("token_budget")
+    assert(budget == tokens.min)
+    rows.foreach { r =>
+      val exp = budget * 1000 / r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("keep_permille") == exp)
+      assert(r.getAs[Long]("keep_permille") <= 1000)
+    }
+    // exactly the language inventory, once each
+    assert(rows.map(_.getAs[String]("lang")).distinct.length == rows.length)
+  }
+
+  test("boilerplate: every doc scored once, ratio = n_boiler/n_shingles in [0,1]") {
+    val rows = run("q_text_boilerplate").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "docs with ≥2 words must all be scored")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles"); val b = r.getAs[Long]("n_boiler")
+      assert(b >= 0 && b <= n)
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(math.abs(ratio - math.round(b.toDouble / n * 10000) / 10000.0) < 1e-9)
+    }
+    // the threshold must be non-degenerate on this corpus
+    assert(rows.exists(_.getAs[Long]("n_boiler") > 0))
+  }
+
+  test("token chunks: sizes within [8,32] and every token of a doc is covered") {
+    val chunks = run("q_text_chunk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text")))
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (_, _, n, text) =>
+      assert(n >= 8 && n <= 32)
+      assert(text.split(" ").length.toLong == n, "chunk_text length must equal n_tokens")
+    }
+    // stride 24 < size 32, and tails shorter than the 8-token overlap are
+    // dropped only when the previous window already covers them → the
+    // union of [tok_start, tok_start+n) must cover 1..ntok exactly
+    val ntok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val covered = cs.flatMap(c => c._2 until (c._2 + c._3)).toSet
+      assert(covered == (1L to ntok(doc)).toSet,
+        s"doc $doc: chunk union ${covered.size} tokens, doc has ${ntok(doc)}")
+    }
+  }
+
+  test("context packing: offsets are running token sums within each shard") {
+    val rows = run("q_pack_context").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("ntok"),
+        r.getAs[Long]("bin"), r.getAs[Long]("bin_offset")))
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, shard) =>
+      val inOrder = shard.sortBy(_._3)
+      var cum = 0L
+      inOrder.foreach { case (_, _, _, ntok, bin, off) =>
+        assert(bin == cum / 256 && off == cum % 256,
+          s"expected bin=${cum / 256} offset=${cum % 256}, got $bin/$off")
+        cum += ntok
+      }
+    }
+  }
+}
