@@ -167,6 +167,46 @@ object SampleQueries {
         FROM t
       """)),
 
+    // ---- C51 unigram-LM surprisal scoring (CCNet-style LM filter) -------
+    // Mean per-token surprisal under the corpus's own unigram model — the
+    // language-model quality filter of CCNet (arXiv:1911.00359 §3.3),
+    // with the LM reduced to unigrams so the DuckDB oracle can recompute
+    // it exactly. Per-token surprisal ln(T/count) is quantized to BIGINT
+    // micro-nats BEFORE summing: a raw double sum is partial-aggregation-
+    // order-dependent (nondeterministic run-to-run on a real cluster);
+    // the fixed-point sum is exact in any order, then one integer divide
+    // per doc. Vocab (31 terms here) broadcasts; at real-corpus vocab
+    // sizes (1e8) the same query degrades gracefully to a shuffled
+    // term join while the per-doc aggregate stays map-partial.
+    Q(
+      "q_text_lm_score",
+      (s, dir) => {
+        val terms = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+        val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = terms.agg(count(lit(1)).cast("double").as("tot"))
+        terms.join(broadcast(vocab), "term")
+          .join(broadcast(total))
+          .select(col("doc_id"),
+            round(log(col("tot") / col("cnt")) * 1e6).cast("long").as("micro"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("ntok"), sum(col("micro")).as("sum_micro"))
+          .select(col("doc_id"), col("ntok"),
+            expr("sum_micro div ntok").as("mean_micronats"))
+      },
+      Some("""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        c AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+        t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM terms),
+        tok AS (
+          SELECT doc_id, CAST(round(ln(t.tot / c.cnt) * 1000000) AS BIGINT) AS micro
+          FROM terms JOIN c USING (term) CROSS JOIN t)
+        SELECT doc_id, COUNT(*) AS ntok,
+               CAST(SUM(micro) // COUNT(*) AS BIGINT) AS mean_micronats
+        FROM tok GROUP BY doc_id
+      """)),
+
     // ---- C51 corpus-frequency boilerplate detection ---------------------
     // CCNet-style boilerplate: a shingle (word bigram, distinct per doc)
     // occurring in > 1/16 of all documents is boilerplate; each document is

@@ -185,6 +185,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("lm scoring joins the vocab as a broadcast and partial-aggregates per doc") {
+    // the unigram vocab is tiny vs the token stream: it must broadcast so
+    // the token explode never shuffles by term, and the per-doc surprisal
+    // sum must collapse map-side (one row per doc crosses the wire)
+    val p = plan("q_text_lm_score")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream shuffled by term (SMJ present):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
   test("boilerplate scoring broadcasts the high-df shingle set and partial-aggregates per doc") {
     // document frequency saturates a text corpus's shingle vocabulary, so
     // the boilerplate set is small by construction → it must broadcast to

@@ -71,6 +71,19 @@ class SampleQueriesSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_boiler") > 0))
   }
 
+  test("lm score: all docs scored, surprisal positive and below the rarest-term bound") {
+    val rows = run("q_text_lm_score").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    // upper bound: a doc of only hapax terms scores ln(T/1) micro-nats
+    val totalTokens = rows.map(_.getAs[Long]("ntok")).sum
+    val bound = (math.log(totalTokens.toDouble) * 1e6).toLong
+    rows.foreach { r =>
+      val m = r.getAs[Long]("mean_micronats")
+      assert(m > 0 && m <= bound, s"mean surprisal $m outside (0, $bound]")
+    }
+  }
+
   test("token chunks: sizes within [8,32] and every token of a doc is covered") {
     val chunks = run("q_text_chunk").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
