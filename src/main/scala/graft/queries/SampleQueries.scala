@@ -16,17 +16,22 @@ import graft.functions.TextHash
   *
   * Sampling here is HASH-deterministic, not `rand()`-based, on purpose:
   * at 100 TB a sample must be reproducible run-to-run and engine-to-engine
-  * (the DuckDB oracle recomputes the very same selection bit-for-bit), must
-  * not depend on partitioning or row order, and must survive a re-run after
-  * ingest appends (previously-kept documents stay kept). All selection
-  * arithmetic is integer-only ([[TextHash.polyHash]] < 2^30, counts are
-  * BIGINT) so no float rounding can flip a keep decision between engines.
+  * (the DuckDB oracle recomputes the very same selection bit-for-bit) and
+  * must not depend on partitioning or row order — the keep decision is a
+  * pure function of (text, per-group budget). Note the budgets themselves
+  * are corpus statistics: re-running after ingest appends keeps the sample
+  * reproducible only if the budgets are pinned from the planning run
+  * (`q_mixture_plan`'s output), not recomputed. All selection arithmetic
+  * is integer-only ([[TextHash.polyHash]] < 2^30, counts are BIGINT) so no
+  * float rounding can flip a keep decision between engines.
   *
-  * Scale shape: every query scans the corpus ONCE; per-group statistics are
-  * tiny (one row per language) and come back as broadcasts, so the corpus
-  * itself is never shuffled by a sampler — the only corpus-wide exchange in
-  * this file is the boilerplate document-frequency aggregation, which is
-  * partial-aggregated map-side (distinct shingles per doc ≪ corpus bytes).
+  * Scale shape: per-group statistics are tiny (one row per language) and
+  * come back as broadcasts, so the corpus is never SHUFFLED by a sampler
+  * or filter — the stats pass does mean the corpus is scanned twice
+  * (narrow-projected: the stats scan reads only the grouping/token
+  * columns), the price of corpus-relative thresholds. The only corpus-wide
+  * exchanges in this file are document-frequency/vocab aggregations, all
+  * partial-aggregated map-side (distinct terms per task ≪ corpus bytes).
   */
 object SampleQueries {
 
@@ -105,9 +110,10 @@ object SampleQueries {
     // turns variable-length documents into model-sized training examples.
     // Pure per-row generator work — explode of a computed start sequence,
     // zero shuffles, trivially map-parallel at any corpus size. Tail
-    // fragments shorter than 8 tokens are dropped (they carry mostly
-    // overlap). chunk_id is the window ordinal, offsets are 1-based token
-    // positions.
+    // fragments shorter than 8 tokens are dropped — EXCEPT a document's
+    // first window, which is always kept, so a short document yields one
+    // small chunk rather than vanishing from the training set. chunk_id
+    // is the window ordinal, offsets are 1-based token positions.
     Q(
       "q_text_chunk",
       (s, dir) => {
@@ -121,7 +127,7 @@ object SampleQueries {
             col("s0").cast("long").as("tok_start"),
             concat_ws(" ", slice(col("w"), col("s0"), lit(C))).as("chunk_text"),
             least(size(col("w")) - col("s0") + 1, lit(C)).cast("long").as("n_tokens"))
-          .filter(col("n_tokens") >= minLen)
+          .filter(col("n_tokens") >= minLen || col("tok_start") === 1)
       },
       Some("""
         WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -129,7 +135,7 @@ object SampleQueries {
         SELECT doc_id, CAST((s0 - 1) // 24 AS BIGINT) AS chunk_id, CAST(s0 AS BIGINT) AS tok_start,
                array_to_string(list_slice(w, s0, s0 + 31), ' ') AS chunk_text,
                CAST(least(len(w) - s0 + 1, 32) AS BIGINT) AS n_tokens
-        FROM st WHERE least(len(w) - s0 + 1, 32) >= 8
+        FROM st WHERE least(len(w) - s0 + 1, 32) >= 8 OR s0 = 1
       """)),
 
     // ---- C52 deterministic context-window packing -----------------------
@@ -175,9 +181,14 @@ object SampleQueries {
     // micro-nats BEFORE summing: a raw double sum is partial-aggregation-
     // order-dependent (nondeterministic run-to-run on a real cluster);
     // the fixed-point sum is exact in any order, then one integer divide
-    // per doc. Vocab (31 terms here) broadcasts; at real-corpus vocab
-    // sizes (1e8) the same query degrades gracefully to a shuffled
-    // term join while the per-doc aggregate stays map-partial.
+    // per doc. (The quantization fixes AGGREGATION order, not the
+    // transcendental: cross-engine parity still assumes Math.log and
+    // DuckDB's ln round identically — the same assumption q_text_tfidf
+    // already makes; a 1-ulp ln divergence landing within an ulp of a .5
+    // boundary would flip one micro-nat.) Vocab (31 terms here)
+    // broadcasts; at real-corpus vocab sizes (1e8) the same query
+    // degrades gracefully to a shuffled term join while the per-doc
+    // aggregate stays map-partial.
     Q(
       "q_text_lm_score",
       (s, dir) => {

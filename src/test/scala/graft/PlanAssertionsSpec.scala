@@ -208,7 +208,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"boilerplate set not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"corpus shuffled for the mark join (SMJ present):\n$p")
-    assert("partial_count".r.findAllIn(p).nonEmpty || p.contains("partial count"),
+    assert(p.contains("partial_count") || p.contains("partial count"),
       s"no map-side partial aggregation:\n$p")
+  }
+
+  test("mixture plan joins its 1-row budget as a broadcast, never a sort-merge") {
+    val p = plan("q_mixture_plan")
+    assert(!p.contains("SortMergeJoin"), s"budget join regrew a shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"token counting must partial-aggregate map-side:\n$p")
+  }
+
+  test("token chunking is a pure generator pass: no exchange anywhere in the plan") {
+    // chunking is per-row explode work — ANY Exchange here means a
+    // refactor made the corpus move for a map-local transformation
+    val p = plan("q_text_chunk")
+    Seq("Exchange", "ShuffleQueryStage", "AQEShuffleRead").foreach(m =>
+      assert(!p.contains(m), s"chunker grew a shuffle ($m):\n$p"))
+  }
+
+  test("context packing shuffles once, by the shard key, for its window pass") {
+    val p = plan("q_pack_context")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shard-key exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"packing must not global-sort:\n$p")
   }
 }

@@ -36,10 +36,13 @@ class SampleQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("rebalance selection is deterministic and partitioning-independent") {
+  test("rebalance selection is deterministic across runs") {
+    // (partitioning-independence follows from the keep decision being a
+    // pure row function of text and the broadcast budgets — there is no
+    // partition-dependent input to regress; this pins run-to-run
+    // determinism, which rand()-based sampling would break)
     val a = run("q_sample_lang_rebalance").collect().map(_.toString).sorted
-    val b = run("q_sample_lang_rebalance").repartition(13).collect()
-      .map(_.toString).sorted
+    val b = run("q_sample_lang_rebalance").collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
 
@@ -77,7 +80,8 @@ class SampleQueriesSpec extends AnyFunSuite {
     assert(rows.length == nDocs)
     // upper bound: a doc of only hapax terms scores ln(T/1) micro-nats
     val totalTokens = rows.map(_.getAs[Long]("ntok")).sum
-    val bound = (math.log(totalTokens.toDouble) * 1e6).toLong
+    // round, not truncate: an all-hapax doc scores round(ln(T)*1e6) exactly
+    val bound = math.round(math.log(totalTokens.toDouble) * 1e6)
     rows.foreach { r =>
       val m = r.getAs[Long]("mean_micronats")
       assert(m > 0 && m <= bound, s"mean surprisal $m outside (0, $bound]")
@@ -89,8 +93,10 @@ class SampleQueriesSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
         r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text")))
     assert(chunks.nonEmpty)
-    chunks.foreach { case (_, _, n, text) =>
-      assert(n >= 8 && n <= 32)
+    chunks.foreach { case (_, s0, n, text) =>
+      // a doc's first window is kept whatever its size (short docs must
+      // not vanish); later windows are only kept at >= 8 tokens
+      assert(n <= 32 && (n >= 8 || s0 == 1L))
       assert(text.split(" ").length.toLong == n, "chunk_text length must equal n_tokens")
     }
     // stride 24 < size 32, and tails shorter than the 8-token overlap are
@@ -99,11 +105,34 @@ class SampleQueriesSpec extends AnyFunSuite {
     val ntok = Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+    val byDoc = chunks.groupBy(_._1)
+    // no document may vanish from the chunked output
+    assert(byDoc.keySet == ntok.keySet,
+      s"docs without chunks: ${ntok.keySet -- byDoc.keySet}")
+    byDoc.foreach { case (doc, cs) =>
       val covered = cs.flatMap(c => c._2 until (c._2 + c._3)).toSet
       assert(covered == (1L to ntok(doc)).toSet,
         s"doc $doc: chunk union ${covered.size} tokens, doc has ${ntok(doc)}")
     }
+  }
+
+  test("chunking keeps a short document as one small chunk instead of dropping it") {
+    // the shipped testdata has no <8-token docs, so pin the edge on a
+    // synthetic corpus: a 3-token doc must yield exactly its first window
+    val dir = java.nio.file.Files.createTempDirectory("chunk-short-").toString
+    import spark.implicits._
+    Seq(
+      (1L, "a b c", "en", "srcX", 5L),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "), "en", "srcX", 120L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_text_chunk")(spark, dir).collect()
+    val short = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(short.length == 1 && short.head.getAs[Long]("n_tokens") == 3L
+      && short.head.getAs[String]("chunk_text") == "a b c")
+    // the 40-token doc gets windows at 1 and 25 (tail 25..40 has 16 >= 8)
+    val long = out.filter(_.getAs[Long]("doc_id") == 2L).map(_.getAs[Long]("tok_start")).sorted
+    assert(long.sameElements(Array(1L, 25L)), s"got starts ${long.toSeq}")
   }
 
   test("context packing: offsets are running token sums within each shard") {
