@@ -219,24 +219,27 @@ object SampleQueries {
       """)),
 
     // ---- C51 corpus-frequency boilerplate detection ---------------------
-    // CCNet-style boilerplate: a shingle (word bigram, distinct per doc)
-    // occurring in > 1/16 of all documents is boilerplate; each document is
-    // scored by the fraction of its distinct shingles that are boilerplate.
-    // Two corpus passes over the exploded shingles: (1) document-frequency
-    // hash aggregate (map-side partial: the shuffle carries one row per
-    // DISTINCT shingle per task, and text shingle vocabularies saturate —
-    // 916 shingles at sf0.01, 931 at sf0.1); (2) mark-and-score, where the
-    // boilerplate set (high-df by construction, so small) broadcasts and
-    // the per-doc aggregate partial-collapses to one row per document
-    // before its shuffle. Nothing corpus-sized is ever exchanged.
+    // CCNet-style boilerplate: a shingle (word bigram, distinct per doc,
+    // identified by its 30-bit [[TextHash.polyHash]]) occurring in > 1/16
+    // of all documents is boilerplate; each document is scored by the
+    // fraction of its distinct shingles that are boilerplate. Reads the
+    // STORED shingle-signature table ([[TextQueries.hashedShingleSets]])
+    // instead of re-shingling text — the same amortize-the-corpus-pass
+    // protocol every dedup query uses, so both passes here explode a
+    // stored long array, never rebuild strings. Pass shapes: (1)
+    // document-frequency hash aggregate (map-side partial: shingle
+    // vocabularies saturate — 916 hashes at sf0.01, 931 at sf0.1);
+    // (2) mark-and-score, where the boilerplate set (high-df by
+    // construction, so small) broadcasts and the per-doc aggregate
+    // partial-collapses to one row per document before its shuffle.
+    // Nothing corpus-sized is ever exchanged.
     Q(
       "q_text_boilerplate",
       (s, dir) => {
-        val d = Tables.documents(s, dir)
-        val sh = d.select(col("doc_id"),
-          explode(TextHash.wordShingles(col("text"), 2)).as("sh"))
+        val sigs = TextQueries.hashedShingleSets(s, dir)
+        val sh = sigs.select(col("doc_id"), explode(col("hs")).as("sh"))
         val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        val nDocs = d.agg(count(lit(1)).as("n_docs"))
+        val nDocs = sigs.agg(count(lit(1)).as("n_docs"))
         val boiler = dfreq.join(broadcast(nDocs))
           .filter(col("df") * 16 > col("n_docs"))
           .select(col("sh"), lit(1).as("is_b"))
@@ -246,12 +249,11 @@ object SampleQueries {
           .withColumn("boiler_ratio",
             round(col("n_boiler").cast("double") / col("n_shingles"), 4))
       },
-      Some("""
+      Some(s"""
         WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         sh AS (
-          SELECT doc_id, unnest(list_distinct(list_transform(
-                   range(1, greatest(len(w) - 1, 0) + 1),
-                   i -> w[i] || ' ' || w[i + 1]))) AS sh
+          SELECT doc_id, unnest(list_transform(${TextQueries.sqlShingles},
+                   x -> ${TextQueries.sqlPolyHash("x")})) AS sh
           FROM w),
         dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
         n AS (SELECT COUNT(*) AS n_docs FROM documents),

@@ -33,7 +33,7 @@ object TextQueries {
        |  (acc, x) -> (acc * 31 + x) % $P)""".stripMargin
 
   /** DuckDB rendering of distinct word-bigram shingles of `trim(text)`. */
-  private val sqlShingles =
+  private[queries] val sqlShingles =
     """list_distinct(list_transform(
       |   range(1, greatest(len(w) - 1, 0) + 1),
       |   i -> w[i] || ' ' || w[i + 1]))""".stripMargin
