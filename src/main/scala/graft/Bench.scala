@@ -40,7 +40,8 @@ object Bench {
     if (name.startsWith("acid_harness")) "harness"
     else if (name.startsWith("q_stream")) "stream"
     else if (name.startsWith("q_dedup_simhash")) "simhash"
-    else if (name.startsWith("q_dedup") || name == "prep_shingle_signatures") "dedup"
+    else if (name.startsWith("q_dedup") || name == "prep_shingle_signatures"
+      || name == "q_text_boilerplate") "dedup" // reads the signature store
     else if (name.startsWith("q_acid") || name.startsWith("q_sql")) "acid"
     else if (name.startsWith("q_join")) "join"
     else if (name.startsWith("q_agg")) "agg"
