@@ -25,6 +25,18 @@ class TablesSpec extends AnyFunSuite {
     assert(df.selectExpr("hour(ts)").limit(1).collect().nonEmpty)
   }
 
+  test("order/shipment dates load as temporal types, whatever the physical layout") {
+    // o_orderdate/l_shipdate have shipped as timestamp[ms] and
+    // timestamp[us] ntz across generations; every date function the
+    // queries use (year, date_trunc, comparisons) works on any temporal
+    // type — an int64-epoch generation would not, and must fail here
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    val temporal = Set[org.apache.spark.sql.types.DataType](
+      TimestampType, TimestampNTZType, DateType)
+    assert(temporal.contains(Tables.orders(spark, sf).schema("o_orderdate").dataType))
+    assert(temporal.contains(Tables.lineitem(spark, sf).schema("l_shipdate").dataType))
+  }
+
   test("key columns keep their declared integral types across generations") {
     assert(Tables.events(spark, sf).schema("event_id").dataType == LongType)
     assert(Tables.documents(spark, sf).schema("doc_id").dataType == LongType)
