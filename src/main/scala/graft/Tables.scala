@@ -35,7 +35,12 @@ object Tables {
         // wall-clock reinterpreted in the (always-UTC) session zone: the
         // same instants the nanos layout produced
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // fail LOUDLY on the next testdata-generation drift instead of
+        // letting an unrecognized layout surface as downstream mismatches
+        sys.error(s"events.ts: unhandled parquet layout $other — " +
+          "normalize it here (see TablesSpec temporal-loading pins)")
     }
   }
 

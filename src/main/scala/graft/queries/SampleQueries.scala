@@ -195,7 +195,9 @@ object SampleQueries {
         val terms = Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
         val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-        val total = terms.agg(count(lit(1)).cast("double").as("tot"))
+        // total token count folds out of the vocab aggregate (sum of term
+        // counts) — one fewer corpus scan than re-counting the explode
+        val total = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
         terms.join(broadcast(vocab), "term")
           .join(broadcast(total))
           .select(col("doc_id"),
@@ -209,7 +211,7 @@ object SampleQueries {
         WITH terms AS (
           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         c AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
-        t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM terms),
+        t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c),
         tok AS (
           SELECT doc_id, CAST(round(ln(t.tot / c.cnt) * 1000000) AS BIGINT) AS micro
           FROM terms JOIN c USING (term) CROSS JOIN t)
@@ -252,8 +254,8 @@ object SampleQueries {
       Some(s"""
         WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         sh AS (
-          SELECT doc_id, unnest(list_transform(${TextQueries.sqlShingles},
-                   x -> ${TextQueries.sqlPolyHash("x")})) AS sh
+          SELECT doc_id, unnest(list_sort(list_distinct(list_transform(${TextQueries.sqlShingles},
+                   x -> ${TextQueries.sqlPolyHash("x")})))) AS sh
           FROM w),
         dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
         n AS (SELECT COUNT(*) AS n_docs FROM documents),

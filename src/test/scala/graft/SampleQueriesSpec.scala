@@ -119,20 +119,28 @@ class SampleQueriesSpec extends AnyFunSuite {
   test("chunking keeps a short document as one small chunk instead of dropping it") {
     // the shipped testdata has no <8-token docs, so pin the edge on a
     // synthetic corpus: a 3-token doc must yield exactly its first window
-    val dir = java.nio.file.Files.createTempDirectory("chunk-short-").toString
-    import spark.implicits._
-    Seq(
-      (1L, "a b c", "en", "srcX", 5L),
-      (2L, (1 to 40).map(i => s"w$i").mkString(" "), "en", "srcX", 120L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q_text_chunk")(spark, dir).collect()
-    val short = out.filter(_.getAs[Long]("doc_id") == 1L)
-    assert(short.length == 1 && short.head.getAs[Long]("n_tokens") == 3L
-      && short.head.getAs[String]("chunk_text") == "a b c")
-    // the 40-token doc gets windows at 1 and 25 (tail 25..40 has 16 >= 8)
-    val long = out.filter(_.getAs[Long]("doc_id") == 2L).map(_.getAs[Long]("tok_start")).sorted
-    assert(long.sameElements(Array(1L, 25L)), s"got starts ${long.toSeq}")
+    val dirPath = java.nio.file.Files.createTempDirectory("chunk-short-")
+    val dir = dirPath.toString
+    try {
+      import spark.implicits._
+      Seq(
+        (1L, "a b c", "en", "srcX", 5L),
+        (2L, (1 to 40).map(i => s"w$i").mkString(" "), "en", "srcX", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("q_text_chunk")(spark, dir).collect()
+      val short = out.filter(_.getAs[Long]("doc_id") == 1L)
+      assert(short.length == 1 && short.head.getAs[Long]("n_tokens") == 3L
+        && short.head.getAs[String]("chunk_text") == "a b c")
+      // the 40-token doc gets windows at 1 and 25 (tail 25..40 has 16 >= 8)
+      val long = out.filter(_.getAs[Long]("doc_id") == 2L).map(_.getAs[Long]("tok_start")).sorted
+      assert(long.sameElements(Array(1L, 25L)), s"got starts ${long.toSeq}")
+    } finally {
+      // don't leak a temp tree per run (the repo otherwise cleans its stores)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("context packing: offsets are running token sums within each shard") {
