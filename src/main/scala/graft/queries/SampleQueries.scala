@@ -40,10 +40,15 @@ object SampleQueries {
     * the same text (`polyHash` is also the `q_text_fingerprint` hash; a
     * shared stream would correlate the sample with dedup decisions).
     */
-  private def sampleKey = TextHash.polyHash(concat(lit("smp:"), col("text")))
+  private def saltedKey(salt: String) =
+    TextHash.polyHash(concat(lit(salt), col("text")))
 
-  private def sqlSampleKey: String =
-    TextQueries.sqlPolyHash("'smp:' || text")
+  private def sqlSaltedKey(salt: String): String =
+    TextQueries.sqlPolyHash(s"'$salt' || text")
+
+  private def sampleKey = saltedKey("smp:")
+
+  private def sqlSampleKey: String = sqlSaltedKey("smp:")
 
   def all: Seq[Q] = Seq(
 
@@ -102,6 +107,44 @@ object SampleQueries {
         SELECT lang, n_docs, n_tokens, token_budget,
                CAST((token_budget * 1000) // n_tokens AS BIGINT) AS keep_permille
         FROM per CROSS JOIN m
+      """)),
+
+    // ---- C50 temperature-weighted mixture sampling ----------------------
+    // The practical generalization of the uniform rebalance: real pipelines
+    // rarely equalize groups outright — they sample group g with
+    // probability ∝ p_g^α (temperature flattening, as in multilingual
+    // pretraining mixtures; α < 1 upweights the tail). Per-(lang, source)
+    // domain cells, α = 1/2: keep rate q_g = (n_min/n_g)^(1-α) =
+    // sqrt(n_min/n_g), normalized so the smallest cell passes whole, and
+    // the expected kept count sqrt(n_min·n_g) is the geometric mean of
+    // "equalized" and "unchanged". α = 1/2 is chosen deliberately: IEEE 754
+    // requires division and sqrt to be CORRECTLY rounded, so the
+    // per-million-quantized keep rate is bit-identical in any compliant
+    // engine — no pow() library variance can flip a keep decision. The
+    // keep test itself is the same integer rule as the rebalance:
+    // salted_hash % 1e6 < keep_ppm, a pure row function of (text,
+    // broadcast stats). Same 100 TB shape: two broadcast joins onto the
+    // corpus scan, no corpus shuffle, no sort.
+    Q(
+      "q_sample_temperature",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val counts = d.groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+        val budget = counts.agg(min(col("cnt")).as("min_cnt"))
+        d.join(broadcast(counts), Seq("lang", "source"))
+          .join(broadcast(budget))
+          .withColumn("keep_ppm",
+            round(sqrt(col("min_cnt").cast("double") / col("cnt")) * 1e6).cast("long"))
+          .filter(saltedKey("tsmp:") % 1000000L < col("keep_ppm"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""
+        WITH c AS (SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source),
+             m AS (SELECT MIN(cnt) AS min_cnt FROM c)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN c ON d.lang = c.lang AND d.source = c.source CROSS JOIN m
+        WHERE (${sqlSaltedKey("tsmp:")}) % 1000000
+              < CAST(round(sqrt(CAST(m.min_cnt AS DOUBLE) / c.cnt) * 1000000) AS BIGINT)
       """)),
 
     // ---- C52 fixed-stride token chunking --------------------------------

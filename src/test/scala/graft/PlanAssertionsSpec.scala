@@ -185,6 +185,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("temperature sampling never shuffles the corpus: cell stats join back as broadcasts") {
+    // same contract as the uniform rebalance: per-(lang, source) counts
+    // and the 1-row min must broadcast so the sampler stays one map-local
+    // filter pass over the corpus scan at any scale
+    val p = plan("q_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-cell counts not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled by (lang, source) (SMJ present):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("lm scoring joins the vocab as a broadcast and partial-aggregates per doc") {
     // the unigram vocab is tiny vs the token stream: it must broadcast so
     // the token explode never shuffles by term, and the per-doc surprisal

@@ -46,6 +46,42 @@ class SampleQueriesSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("temperature sampling: kept counts track the geometric mean sqrt(min*n) per cell") {
+    val d = Tables.documents(spark, sf)
+    val perCell = d.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val minCnt = perCell.values.min
+
+    val kept = run("q_sample_temperature").groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    perCell.foreach { case (cell, n) =>
+      assert(kept.getOrElse(cell, 0L) <= n, s"$cell kept more than exists")
+    }
+    // per-cell counts are 1-6 docs at this SF — Bernoulli noise swamps any
+    // per-cell bound, so pin the statistic where it concentrates: total
+    // kept vs the summed expectation Σ sqrt(min·n_g) (n≈500 trials)
+    val total = kept.values.sum.toDouble
+    val expected = perCell.values.map(n => math.sqrt(minCnt.toDouble * n)).sum
+    assert(total >= expected * 0.6 && total <= expected * 1.4,
+      s"total kept $total, expected ≈$expected")
+    // α=1/2 must sit strictly between equalize-all and keep-all overall
+    assert(total > minCnt * perCell.size && total < perCell.values.sum,
+      s"total kept $total outside (equalized ${minCnt * perCell.size}, full ${perCell.values.sum})")
+  }
+
+  test("temperature selection is deterministic and independent of the rebalance stream") {
+    val a = run("q_sample_temperature").collect().map(_.toString).sorted
+    val b = run("q_sample_temperature").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // different salt ⇒ not the same doc set as the uniform rebalance
+    // (statistically: identical streams would make the two samples nest)
+    val reb = run("q_sample_lang_rebalance").collect().map(_.getAs[Long]("doc_id")).toSet
+    val tmp = a.map(_.split(",")(0).stripPrefix("[")).map(_.toLong).toSet
+    assert((tmp -- reb).nonEmpty && (reb -- tmp).nonEmpty,
+      "temperature sample nests inside the rebalance sample — salts collided")
+  }
+
   test("mixture plan: budget is the smallest language's tokens; permille consistent") {
     val rows = run("q_mixture_plan").collect()
     val tokens = rows.map(r => r.getAs[Long]("n_tokens"))
