@@ -101,7 +101,8 @@ object Bench {
       parsed: Map[String, Double],
       reps: Map[String, Seq[Double]],
       canary: Seq[Double],
-      harness: String) {
+      harness: String,
+      content: String) {
     def failed: Boolean = rc != 0 || parsed.isEmpty
     def canaryMin: Double = if (canary.isEmpty) Double.MaxValue else canary.min
   }
@@ -116,6 +117,72 @@ object Bench {
     */
   private val CanaryTolerance = 1.5
   private val CanaryAbsFloorSec = 0.35
+
+  /** Per-ENTRY contamination triggers (round-7 verdict #1). The
+    * family-level canary defense has a blind spot: a load transient that
+    * starts after a child's first canary and ends before its last poisons
+    * individual entries while both family canaries read healthy. Two
+    * complementary per-entry tells, each re-running the entry once at
+    * family END (when the transient has most likely passed), the cleaner
+    * (lower-median) triple becoming official:
+    *
+    *  1. REP SPREAD — contamination arriving or leaving mid-entry makes
+    *     reps of a deterministic plan diverge (round-7:
+    *     q_dedup_minhash_lsh [11.19, 5.90, 0.83] vs 1.39 s isolated).
+    *     Trip: max/min > EntrySpreadRatio AND max−min > EntrySpreadAbsSec
+    *     (the absolute floor keeps micro-entries from tripping on
+    *     scheduler noise).
+    *  2. HOT NEIGHBOR CANARIES — a transient covering the whole entry
+    *     inflates all reps EQUALLY and spread sees nothing (round-7:
+    *     q_agg_weighted_avg [2.25, 2.25, 2.25] vs 0.54 s isolated), so a
+    *     single-shot micro-canary runs BETWEEN entries; an entry whose
+    *     surrounding canaries are BOTH hot (min(before, after) beyond the
+    *     family tolerances vs the child's best canary) ran in a loaded
+    *     window whatever its spread says.
+    *
+    * Entries still spread/hot after their re-run are named in
+    * `contaminated_entries` so the judge knows which medians to distrust
+    * without re-adjudicating from raw rep arrays.
+    */
+  private val EntrySpreadRatio = 3.0
+  private val EntrySpreadAbsSec = 0.5
+
+  private[graft] def isSpread(ts: Seq[Double]): Boolean = {
+    val ok = ts.filter(_ >= 0)
+    ok.size >= 2 && ok.max / math.max(ok.min, 1e-9) > EntrySpreadRatio &&
+      (ok.max - ok.min) > EntrySpreadAbsSec
+  }
+
+  /** Hot-neighbor-canary rule: the entry's environment reading is the MIN
+    * of its surrounding micro-canaries (one clean neighbor acquits), hot
+    * when beyond the same ratio+absolute tolerances the family rule uses,
+    * relative to the best canary the child has seen.
+    */
+  private[graft] def isHotWindow(before: Double, after: Double, best: Double): Boolean = {
+    val env = math.min(before, after)
+    env > best * CanaryTolerance && env - best > CanaryAbsFloorSec
+  }
+
+  private def medianOf(ts: Seq[Double]): Double = {
+    val ok = ts.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+  }
+
+  /** BASELINE.md round-7 dedup candidate-volume constants (the
+    * quadratic-growth gate, round-7 verdict #4). A same-SF count above
+    * 2× its reference means a candidate generator regressed its shape
+    * (hot bucket, broken prefix order) — flagged in the bench JSON, where
+    * the orchestrator and judge see it every round, not only when someone
+    * remembers to run DedupTrend by hand.
+    */
+  private val DedupCandidateBaseline: Map[String, Map[String, Long]] = Map(
+    "sf0.001" -> Map("simhash_cand" -> 3879L, "minhash_cand" -> 1551L,
+      "jaccard_cand" -> 9353L, "containment_cand" -> 7528L),
+    "sf0.01" -> Map("simhash_cand" -> 4929L, "minhash_cand" -> 1478L,
+      "jaccard_cand" -> 10008L, "containment_cand" -> 8006L),
+    "sf0.1" -> Map("simhash_cand" -> 427435L, "minhash_cand" -> 175358L,
+      "jaccard_cand" -> 1146196L, "containment_cand" -> 937028L))
+  private val DedupCandidateTolerance = 2.0
 
   private def orchestrate(): Unit = {
     val groups = allEntries.groupBy(groupOf)
@@ -155,7 +222,7 @@ object Bench {
       val content =
         if (Files.exists(outFile)) new String(Files.readAllBytes(outFile), "UTF-8") else ""
       FamilyRun(rc, parseQueryTimes(content), parseRepArrays(content),
-        parseCanary(content), parseHarnessBlock(content))
+        parseCanary(content), parseHarnessBlock(content), content)
     }
 
     val order = GroupOrder.filter(groups.contains)
@@ -216,8 +283,27 @@ object Bench {
     val rerunPart =
       if (reruns.isEmpty) ""
       else s""","reran_families":[${reruns.map("\"" + _ + "\"").mkString(",")}]"""
+    // pass-through of child-level self-diagnosis: per-entry re-runs,
+    // entries whose reps stayed wide (distrust those medians), and the
+    // dedup candidate-volume gate
+    def strArr(key: String): Seq[String] =
+      order.flatMap(g => parseStringArray(runs(g).content, key))
+    def arrPart(key: String): String = {
+      val v = strArr(key)
+      if (v.isEmpty) "" else s""","$key":[${v.map("\"" + _ + "\"").mkString(",")}]"""
+    }
+    val dedupCand = order.map(g => parseRawObject(runs(g).content, "dedup_candidates"))
+      .find(_.nonEmpty).map(o => s""","dedup_candidates":$o""").getOrElse("")
+    // union the children's per-entry canary objects (entry names are
+    // globally unique, so concatenating the objects' members is a merge)
+    val entryCanaries = order
+      .map(g => parseRawObject(runs(g).content, "entry_canaries"))
+      .filter(_.length > 2).map(o => o.substring(1, o.length - 1))
+    val entryCanaryPart =
+      if (entryCanaries.isEmpty) ""
+      else s""","entry_canaries":{${entryCanaries.mkString(",")}}"""
     emit(merged, sfDir, harnessJson,
-      s""","reps":$repsJson,"canary":$canaryJson$rerunPart$failedPart""")
+      s""","reps":$repsJson,"canary":$canaryJson$rerunPart${arrPart("reran_entries")}${arrPart("contaminated_entries")}$entryCanaryPart$dedupCand${arrPart("dedup_candidate_breaches")}$failedPart""")
     if (failedFamilies.nonEmpty) sys.exit(1)
   }
 
@@ -255,6 +341,18 @@ object Bench {
     """"canary":\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .map(_.group(1).split(',').iterator.filter(_.nonEmpty).map(_.toDouble).toSeq)
       .getOrElse(Nil)
+
+  /** Extract a flat string array `"key":["a","b"]` by key. */
+  private[graft] def parseStringArray(json: String, key: String): Seq[String] =
+    (java.util.regex.Pattern.quote("\"" + key + "\":") + """\[([^\]]*)\]""").r
+      .findFirstMatchIn(json)
+      .map(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
+
+  /** Extract a flat object `"key":{...}` verbatim by key (no nesting). */
+  private[graft] def parseRawObject(json: String, key: String): String =
+    (java.util.regex.Pattern.quote("\"" + key + "\":") + """(\{[^{}]*\})""").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
 
   // ------------------------------------------------------------------ child
 
@@ -336,17 +434,26 @@ object Bench {
     // canaries ACROSS families to find children that ran in a loaded
     // window (round-6 verdict #1). min-of-3 so one GC pause can't flag a
     // healthy child.
-    def canaryRun(): Double = {
+    def canaryOnce(): Double = {
       val w = spark.read.parquet(s"$sfDir/nation.parquet")
-      (1 to 3).map { _ =>
-        time {
-          w.groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
-            .join(w.select(col("n_regionkey")).distinct(), "n_regionkey")
-            .write.format("noop").mode("overwrite").save()
-        }
-      }.min
+      time {
+        w.groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+          .join(w.select(col("n_regionkey")).distinct(), "n_regionkey")
+          .write.format("noop").mode("overwrite").save()
+      }
     }
+    def canaryRun(): Double = (1 to 3).map(_ => canaryOnce()).min
     val canaryStart = canaryRun()
+    // every canary sample this child takes, for the best-canary reference
+    // of the per-entry hot-window rule
+    val canarySamples = scala.collection.mutable.ArrayBuffer[Double](canaryStart)
+    // per-entry neighbor canaries: one single-shot canary BETWEEN entries;
+    // entry i's window is (canary after entry i-1, canary after entry i)
+    val entryEnv = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    var prevCanary = canaryStart
+    def microCanary(): Double = {
+      val c = canaryOnce(); canarySamples += c; c
+    }
 
     // The shingle-signature table is shared corpus infrastructure (computed
     // once per corpus in production, read by every dedup job), so its build
@@ -360,30 +467,25 @@ object Bench {
     val needsSignatures =
       selected("prep_shingle_signatures") || benchQueries.exists(q =>
         q._1.startsWith("q_dedup") && !q._1.startsWith("q_dedup_simhash"))
+    def prepReps(): Seq[Double] = (1 to reps).map { _ =>
+      spark.catalog.clearCache()
+      graft.queries.TextQueries.clearShingleCache()
+      time { graft.queries.TextQueries.materializeSignatures(spark, sfDir) }
+    }
     if (selected("prep_shingle_signatures")) {
-      val times = (1 to reps).map { _ =>
-        spark.catalog.clearCache()
-        graft.queries.TextQueries.clearShingleCache()
-        time { graft.queries.TextQueries.materializeSignatures(spark, sfDir) }
-      }
+      val times = prepReps()
       repArrays("prep_shingle_signatures") = times
-      val sorted = times.sorted
-      results("prep_shingle_signatures") = sorted(sorted.size / 2)
+      results("prep_shingle_signatures") = medianOf(times)
+      val c = microCanary()
+      entryEnv("prep_shingle_signatures") = (prevCanary, c)
+      prevCanary = c
     } else if (needsSignatures) {
       graft.queries.TextQueries.materializeSignatures(spark, sfDir)
     }
 
-    benchQueries.foreach { case (name, fn) =>
-      // untimed warm rep: the FIRST execution of a query in a fresh JVM
-      // pays its whole-stage-codegen compilation and JIT warmup (fork
-      // isolation moved every family into a fresh JVM, so without this the
-      // first timed rep absorbs one-time compilation cost and the median
-      // no longer matches the isolated steady state the judge re-measures)
-      spark.catalog.clearCache()
-      graft.queries.TextQueries.clearShingleCache()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () } // the timed loop reports the failure
-      val times = (1 to reps).map { _ =>
+    def timedReps(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
+      (1 to reps).map { _ =>
         spark.catalog.clearCache()
         graft.queries.TextQueries.clearShingleCache()
         var failed = false
@@ -395,11 +497,90 @@ object Bench {
         }
         if (failed) -1.0 else sec
       }
+
+    benchQueries.foreach { case (name, fn) =>
+      // untimed warm rep: the FIRST execution of a query in a fresh JVM
+      // pays its whole-stage-codegen compilation and JIT warmup (fork
+      // isolation moved every family into a fresh JVM, so without this the
+      // first timed rep absorbs one-time compilation cost and the median
+      // no longer matches the isolated steady state the judge re-measures)
+      spark.catalog.clearCache()
+      graft.queries.TextQueries.clearShingleCache()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // the timed loop reports the failure
+      val times = timedReps(name, fn)
       repArrays(name) = times
-      val ok = times.filter(_ >= 0).sorted
-      results(name) = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      results(name) = medianOf(times)
+      val c = microCanary()
+      entryEnv(name) = (prevCanary, c)
+      prevCanary = c
+    }
+
+    // Per-entry contamination re-run (see EntrySpreadRatio scaladoc):
+    // entries whose reps spread wide OR whose neighbor canaries were both
+    // hot re-run once now, at family END — the remaining entries all
+    // finished, so a mid-family load transient has had its longest chance
+    // to pass — and the lower-median triple becomes official. Harness
+    // entries are excluded (a 60-txn rep is itself minutes; its conflict
+    // telemetry, not the spread rule, is its noise diagnostic).
+    val reranEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val contaminatedEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rerunners: Map[String, () => Seq[Double]] =
+      benchQueries.map { case (n, fn) => n -> (() => timedReps(n, fn)) }.toMap ++
+        (if (selected("prep_shingle_signatures"))
+          Map("prep_shingle_signatures" -> (() => prepReps()))
+        else Map.empty)
+    def hotEnv(name: String): Boolean = entryEnv.get(name).exists { case (b, a) =>
+      isHotWindow(b, a, canarySamples.min)
+    }
+    repArrays.keys.toSeq.foreach { name =>
+      if (rerunners.contains(name) && (isSpread(repArrays(name)) || hotEnv(name))) {
+        System.err.println(s"[bench] entry '$name' reps " +
+          repArrays(name).map(t => f"$t%.2f").mkString("[", ",", "]") +
+          s" env=${entryEnv.get(name).map(p => f"(${p._1}%.2f,${p._2}%.2f)").getOrElse("?")}" +
+          " flagged (spread or hot window) - re-running at family end")
+        val cb = microCanary()
+        val again = rerunners(name)()
+        val ca = microCanary()
+        reranEntries += name
+        if (medianOf(again) < medianOf(repArrays(name))) {
+          repArrays(name) = again
+          results(name) = medianOf(again)
+          entryEnv(name) = (cb, ca)
+        }
+        if (isSpread(repArrays(name)) || hotEnv(name)) contaminatedEntries += name
+      }
     }
     spark.catalog.clearCache()
+
+    // Dedup candidate-volume gate (round-7 verdict #4): count the candidate
+    // pairs each banded/prefix generator would feed its verifier and flag
+    // any same-SF count over 2x its BASELINE.md reference. Untimed — it is
+    // a regression gate, not a bench entry; runs in the child that already
+    // holds the signature store.
+    val dedupCandJson: String =
+      if (!benchQueries.exists(q =>
+        q._1.startsWith("q_dedup") && !q._1.startsWith("q_dedup_simhash"))) ""
+      else try {
+        val c = graft.queries.DedupTrend.counts(spark, sfDir)
+        val sfKey = Paths.get(sfDir).getFileName.toString
+        val breaches = DedupCandidateBaseline.get(sfKey).toSeq.flatMap(_.flatMap {
+          case (k, base) =>
+            val v = c.getOrElse(k, 0L)
+            if (v > base * DedupCandidateTolerance)
+              Some(f"$k:${v.toDouble / base}%.1fx") else None
+        })
+        breaches.foreach(b => System.err.println(
+          s"[bench] DEDUP CANDIDATE BREACH $b vs BASELINE.md - " +
+            "a candidate generator regressed its shape"))
+        val counts = Seq("docs", "simhash_cand", "minhash_cand",
+          "jaccard_cand", "containment_cand")
+          .filter(c.contains).map(k => s""""$k":${c(k)}""").mkString("{", ",", "}")
+        s""","dedup_candidates":$counts""" + (if (breaches.isEmpty) ""
+          else s""","dedup_candidate_breaches":[${breaches.map("\"" + _ + "\"").mkString(",")}]""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dedup candidate gate failed: $e"); ""
+      }
 
     // ACID harness throughput: 60 txns, 2 writers / 2 verifying readers
     // (BASELINE.md workload shape at reduced txn budget). Same protocol as
@@ -480,7 +661,19 @@ object Bench {
     val repsJson = repArrays.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    def namesPart(key: String, v: Seq[String]): String =
+      if (v.isEmpty) "" else s""","$key":[${v.map("\"" + _ + "\"").mkString(",")}]"""
+    // per-entry neighbor canaries: the judge's direct evidence for which
+    // entries ran in a loaded window (and the input of the hot-window rule)
+    val entryCanaryPart =
+      if (entryEnv.isEmpty) ""
+      else ""","entry_canaries":""" + entryEnv.map { case (k, (b, a)) =>
+        "\"" + k + "\":[" + f"$b%.3f,$a%.3f" + "]"
+      }.mkString("{", ",", "}")
     emit(results, sfDir, harnessJson,
-      f""","reps":$repsJson,"canary":[$canaryStart%.3f,$canaryEnd%.3f]""")
+      f""","reps":$repsJson,"canary":[$canaryStart%.3f,$canaryEnd%.3f]""" +
+        namesPart("reran_entries", reranEntries.toSeq) +
+        namesPart("contaminated_entries", contaminatedEntries.toSeq) +
+        entryCanaryPart + dedupCandJson)
   }
 }
