@@ -343,7 +343,9 @@ object SimilarityQueries {
     // shuffle), then exact verification with the codegen FloatDotProduct.
     // (P=4, L=8, probe≤1) is verified LOSSLESS on this corpus at sf0.001
     // and sf0.01 (EmbedDedupSpec asserts equality with the all-pairs
-    // witness); measured recall at sf0.1 is 429/441 = 97.3%. On a real
+    // witness); measured recall at sf0.1 is 429/441 = 97.3%, gated at a
+    // DECLARED ≥0.95 floor by SimilarityRecallSpec (a re-tune that costs
+    // bench-SF recall fails that spec, not silently). On a real
     // near-dup corpus (duplicates at cosine ≥0.8 against a ~0.4 bulk) the
     // identical pipeline prunes candidates by orders of magnitude; at THIS
     // corpus's in-bulk 0.42 threshold no family prunes losslessly (see the
