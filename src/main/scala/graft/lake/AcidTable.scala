@@ -297,7 +297,8 @@ final class AcidTable private (
       // a DISTRIBUTED batch can dwarf the files it rewrites — the
       // input-byte write-sizing heuristic only holds when the added rows
       // are metadata-scale
-      outputBounded = isMetadataScale(b))
+      outputBounded = isMetadataScale(b),
+      localResultOf = localUpsertKernel(b, keys))
   }
 
   /** Whether `df` reduces to a small driver-side LocalRelation — the
@@ -427,7 +428,8 @@ final class AcidTable private (
       resultOf = snapT =>
         if (allOrderable) windowMerge(snapT, src, updateCols)
         else joinMerge(snapT, src, keys, updateCols),
-      outputBounded = isMetadataScale(src))
+      outputBounded = isMetadataScale(src),
+      localResultOf = localMergeKernel(src, updateCols))
   }
 
   /** Single-pass MERGE: tag target rows 0 and source rows 1, then align
@@ -533,7 +535,10 @@ final class AcidTable private (
             .select(col(partitionCol).as("__p"), bucketExpr.as("__b")).distinct()
             .collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
         },
-      resultOf = snapT => antiByKeys(snapT, keysDf))
+      resultOf = snapT => antiByKeys(snapT, keysDf),
+      localResultOf = localKeySet(keysDf).map(ks =>
+        (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) =>
+          carryMinusKeys(snapRows, ks)))
   }
 
   /** Register the CURRENT snapshot as a temp view (reference A13 surface). */
@@ -846,7 +851,14 @@ final class AcidTable private (
       touchedOf: (DataFrame, Seq[String]) => Seq[FileCell],
       resultOf: DataFrame => DataFrame,
       globalScope: Boolean = false,
-      outputBounded: Boolean = true): Long = {
+      outputBounded: Boolean = true,
+      localResultOf: Option[Seq[org.apache.spark.sql.catalyst.InternalRow] =>
+        Seq[org.apache.spark.sql.catalyst.InternalRow]] = None): Long = {
+    // driver fast-path eligibility for a given rewrite volume (see the
+    // fast-path section): kernel available, schema safe, input bounded
+    def fastEligible(bytes: Long): Boolean =
+      localResultOf.isDefined && fastSchemaOk && AcidTable.localCommitEnabled &&
+        bytes <= AcidTable.FastPathMaxBytes
     var attempt = 0
     while (true) {
       val base = latestVersion()
@@ -878,10 +890,13 @@ final class AcidTable private (
       var touched = touched0
       val coarseParts = denseParts ++ legacyParts
       val touchedFiles = files.filter(f => touched.exists(c => fileInCell(f, c)))
-      val result = resultOf(snapshotFromFiles(touchedFiles, baseSizes))
-      var newFiles = writeTouched(result, touched,
-        if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue,
-        coarseParts)
+      val inB = if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue
+      var newFiles =
+        if (fastEligible(inB))
+          fastWriteTouched(localResultOf.get(readRowsLocal(touchedFiles)),
+            touched, coarseParts)
+        else writeTouched(resultOf(snapshotFromFiles(touchedFiles, baseSizes)),
+          touched, inB, coarseParts)
       beforePublishHook()
       // inner publish loop: losing the version race does NOT force a full
       // recompute under `stablePartitions` (partition placement a pure
@@ -963,12 +978,22 @@ final class AcidTable private (
                 // (e.g. a merge's not-matched inserts for other cells) —
                 // restrict to the overlap cells; the non-overlap rows are
                 // already covered by keptFiles
-                val redone = resultOf(snapshotFromFiles(newSnapFiles, sizesOf(newBaseLines)))
-                  .filter(cellFilter(overlap))
-                newFiles = keptFiles ++ writeTouched(redone, overlap,
+                val redoInB =
                   if (outputBounded) inputBytes(newSnapFiles, sizesOf(newBaseLines))
-                  else Long.MaxValue,
-                  (coarseParts ++ overlapLegacy).intersect(overlap.map(_.part).toSet))
+                  else Long.MaxValue
+                val redoCoarse =
+                  (coarseParts ++ overlapLegacy).intersect(overlap.map(_.part).toSet)
+                val redoneFiles =
+                  if (fastEligible(redoInB))
+                    fastWriteTouched(
+                      localResultOf.get(readRowsLocal(newSnapFiles))
+                        .filter(rowInCells(overlap)),
+                      overlap, redoCoarse)
+                  else writeTouched(
+                    resultOf(snapshotFromFiles(newSnapFiles, sizesOf(newBaseLines)))
+                      .filter(cellFilter(overlap)),
+                    overlap, redoInB, redoCoarse)
+                newFiles = keptFiles ++ redoneFiles
                 // a legacy expansion widened the rewrite beyond the
                 // original touched set — the published #touched and the
                 // carried-file exclusion must widen with it
@@ -1232,6 +1257,248 @@ final class AcidTable private (
     moved.toSeq
   }
 
+  // ------------------------------------------ driver-side commit fast path --
+  //
+  // A transactional commit's row work is microseconds; the distributed
+  // write stack around it is ~200 ms of fixed cost (measured round 8,
+  // tools/ProfilePlanning: ~25 ms Catalyst + ~100 ms job scheduling +
+  // ~100+ ms FileFormatWriter/committer machinery for a 3-row batch). When
+  // a commit is METADATA-SCALE — driver-local batch, touched input under
+  // FastPathMaxBytes, schema inside LocalParquetIO's no-conf-variant type
+  // set — the same read-merge-write runs entirely on the driver: touched
+  // files are read through Spark's own parquet converters, the op's row
+  // kernel (the driver image of its DataFrame formulation) produces the
+  // replacement rows, and one file per cell is written back. No job, no
+  // Catalyst, no committer. Anything bigger takes the distributed plan
+  // unchanged — the gate is the SAME inputBytes heuristic that already
+  // sizes write parallelism, so at 100 TB (file groups ≫ the gate) every
+  // commit is distributed and the fast path never sees a row. The OCC
+  // protocol is untouched: fast-written files are invisible until the
+  // manifest publishes, and conflict re-merge/redo work identically.
+  //
+  // Equivalence between each kernel and its DataFrame formulation is
+  // pinned by CommitFastPathSpec (randomized op streams, snapshot compare
+  // after every op) and end-to-end by the harness's expectation oracle.
+
+  /** What data files physically store: the table schema minus the
+    * partition column (which lives in the directory name). ALL-NULLABLE on
+    * purpose: the distributed writer's plans (unions, windows) erase
+    * non-null guarantees, so its files carry `optional` fields — and a
+    * `required` parquet field fed a null (e.g. a null-PK row in a table
+    * declared non-null) writes a silently CORRUPT page. Spark reads
+    * parquet as nullable regardless, so the two writers stay
+    * indistinguishable.
+    */
+  private lazy val dataFileSchema =
+    StructType(schema.fields.filterNot(_.name == partitionCol)
+      .map(_.copy(nullable = true)))
+  private lazy val dataFieldIdx: Array[Int] =
+    dataFileSchema.fieldNames.map(schema.fieldIndex)
+  private lazy val partFieldIdx: Int = schema.fieldIndex(partitionCol)
+  private lazy val pkFieldIdx: Int = schema.fieldIndex(pkCol)
+
+  /** Schema eligibility for the driver commit path: every column type
+    * encodes identically under any session conf, and the partition column
+    * is a STRING (driver file routing renders partition values with
+    * `String.valueOf`, exact only for strings — the same rendering
+    * [[cellsBy]] already bakes into FileCell).
+    */
+  private lazy val fastSchemaOk =
+    org.apache.spark.sql.graft.LocalParquetIO.supportedSchema(schema) &&
+      schema(partitionCol).dataType == StringType
+
+  private def rowPart(r: org.apache.spark.sql.catalyst.InternalRow): String =
+    String.valueOf(r.get(partFieldIdx, schema(partFieldIdx).dataType))
+
+  private def rowBucket(r: org.apache.spark.sql.catalyst.InternalRow): Int =
+    driverBucketOf(r.get(pkFieldIdx, schema(pkFieldIdx).dataType))
+
+  /** Driver image of [[cellFilter]]: rows belonging to any of `cells`. */
+  private def rowInCells(cells: Seq[FileCell])
+      : org.apache.spark.sql.catalyst.InternalRow => Boolean = {
+    val whole = cells.filter(_.bucket < 0).map(_.part).toSet
+    val bucketed = cells.filter(_.bucket >= 0).groupBy(_.part)
+      .map { case (p, cs) => p -> cs.map(_.bucket).toSet }
+    r => {
+      val p = rowPart(r)
+      whole.contains(p) || bucketed.get(p).exists(_.contains(rowBucket(r)))
+    }
+  }
+
+  /** Driver-side scan of manifest-relative files: per-file parquet read
+    * with the data-file schema (absent evolved columns surface as NULL,
+    * like the distributed scan) plus partition-value injection from the
+    * directory name — the row-level image of [[snapshotFromFiles]].
+    */
+  private def readRowsLocal(files: Seq[String])
+      : Seq[org.apache.spark.sql.catalyst.InternalRow] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    files.foreach { f =>
+      val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol="))
+      val pvInternal = org.apache.spark.unsafe.types.UTF8String.fromString(pv)
+      org.apache.spark.sql.graft.LocalParquetIO
+        .read(dataRoot.resolve(f).toFile, dataFileSchema, spark)
+        .foreach { dr =>
+          val full = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            schema.length)
+          var i = 0
+          while (i < dataFieldIdx.length) {
+            full.update(dataFieldIdx(i), dr.get(i, dataFileSchema(i).dataType))
+            i += 1
+          }
+          full.update(partFieldIdx, pvInternal)
+          out += full
+        }
+    }
+    out.toSeq
+  }
+
+  /** Driver image of [[writeTouched]]: route rows to (partition, bucket)
+    * cells exactly as the dynamic-partition writer would (coarse
+    * partitions bucketless, same loud stray-cell guard), one file per
+    * non-empty cell, written straight to its final invisible-until-
+    * published name — no tmp dir, no move pass.
+    */
+  private def fastWriteTouched(
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      touched: Seq[FileCell],
+      coarseParts: Set[String]): Seq[(String, Long)] = {
+    if (touched.isEmpty) return Nil
+    val t0 = System.nanoTime()
+    val commitId = UUID.randomUUID().toString
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.catalyst.InternalRow]]
+    rows.foreach { r =>
+      val p = rowPart(r)
+      val b = if (coarseParts.contains(p)) -1 else rowBucket(r)
+      groups.getOrElseUpdate((p, b),
+        scala.collection.mutable.ArrayBuffer.empty) += r
+    }
+    val stray = groups.keys.filterNot { case (p, b) =>
+      touched.exists(c => c.part == p && (c.bucket < 0 || c.bucket == b))
+    }
+    require(stray.isEmpty,
+      s"commit produced rows outside its touched cells: ${stray.mkString(", ")}")
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    groups.toSeq.sortBy(_._1).foreach { case ((p, b), rs) =>
+      Files.createDirectories(dataRoot.resolve(partDir(p)))
+      val prefix = if (b < 0) "" else bucketPrefix(b)
+      val rel = s"${partDir(p)}/${prefix}c-$commitId-0.parquet"
+      val dataRows = rs.map { r =>
+        val dr = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          dataFileSchema.length)
+        var i = 0
+        while (i < dataFieldIdx.length) {
+          dr.update(i, r.get(dataFieldIdx(i), dataFileSchema(i).dataType))
+          i += 1
+        }
+        dr
+      }
+      val bytes = org.apache.spark.sql.graft.LocalParquetIO
+        .write(dataRoot.resolve(rel).toFile, dataFileSchema, dataRows, spark)
+      moved += (rel -> bytes)
+    }
+    AcidTable.writeCallNanos.addAndGet(System.nanoTime() - t0)
+    moved.toSeq
+  }
+
+  /** Driver-local key set of a key batch, under the same soundness
+    * conditions as [[antiByKeys]]'s `InSet` shortcut (exact type match +
+    * value-equality-safe internal representation).
+    */
+  private def localKeySet(keys: DataFrame): Option[Set[Any]] = {
+    val sameType = org.apache.spark.sql.graft.PlanShim.sameType(
+      keys.schema.head.dataType, schema(pkCol).dataType)
+    if (sameType && hashSafeInternal(schema(pkCol).dataType))
+      org.apache.spark.sql.graft.PlanShim.smallLocalColumn(keys, maxRows = 10000)
+    else None
+  }
+
+  /** Rows of a driver-local batch in exact table-schema order and types,
+    * or None (→ distributed path).
+    */
+  private def localRowsInSchemaOrder(df: DataFrame)
+      : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+    org.apache.spark.sql.graft.PlanShim.smallLocalRelation(df, maxRows = 10000)
+      .flatMap { case (attrs, rows) =>
+        val sameOrder = attrs.map(_.name) == schema.fieldNames.toSeq
+        val sameTypes = sameOrder && attrs.zip(schema.fields).forall { case (a, f) =>
+          org.apache.spark.sql.graft.PlanShim.sameType(a.dataType, f.dataType)
+        }
+        if (sameTypes) Some(rows) else None
+      }
+
+  /** Driver image of `antiByKeys(snapT, keys)`: null PKs carried, null
+    * keys match nothing. */
+  private def carryMinusKeys(
+      snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      keys: Set[Any]): Seq[org.apache.spark.sql.catalyst.InternalRow] = {
+    val nonNull = keys.filter(_ != null)
+    val pkType = schema(pkFieldIdx).dataType
+    snapRows.filter { r =>
+      val k = r.get(pkFieldIdx, pkType)
+      k == null || !nonNull.contains(k)
+    }
+  }
+
+  /** Driver image of the upsert result `antiByKeys(snapT, keys) ∪ b`. */
+  private def localUpsertKernel(b: DataFrame, keys: DataFrame)
+      : Option[Seq[org.apache.spark.sql.catalyst.InternalRow] =>
+        Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+    for {
+      ks <- localKeySet(keys)
+      rows <- localRowsInSchemaOrder(b)
+    } yield (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) =>
+      carryMinusKeys(snapRows, ks) ++ rows
+
+  /** Driver image of [[windowMerge]] over an already-deduped source:
+    * matched targets take `updateCols` from their source row, unmatched
+    * targets carry, unmatched (and null-PK) source rows insert.
+    */
+  private def localMergeKernel(src: DataFrame, updateCols: Seq[String])
+      : Option[Seq[org.apache.spark.sql.catalyst.InternalRow] =>
+        Seq[org.apache.spark.sql.catalyst.InternalRow]] = {
+    if (!hashSafeInternal(schema(pkFieldIdx).dataType)) return None
+    localRowsInSchemaOrder(src).map { srcRows =>
+      val pkType = schema(pkFieldIdx).dataType
+      val types = schema.fields.map(_.dataType)
+      val updIdx = schema.fieldNames.map(updateCols.contains)
+      (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) => {
+        val srcByPk = new java.util.HashMap[
+          Any, org.apache.spark.sql.catalyst.InternalRow]
+        srcRows.foreach { s =>
+          val k = s.get(pkFieldIdx, pkType)
+          if (k != null) srcByPk.put(k, s)
+        }
+        val carryPks = new java.util.HashSet[Any]
+        val updated = snapRows.map { r =>
+          val k = r.get(pkFieldIdx, pkType)
+          if (k != null) carryPks.add(k)
+          val s = if (k == null) null else srcByPk.get(k)
+          if (s == null) r
+          else {
+            val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              schema.length)
+            var i = 0
+            while (i < schema.length) {
+              out.update(i, (if (updIdx(i)) s else r).get(i, types(i)))
+              i += 1
+            }
+            out
+          }
+        }
+        val inserts = srcRows.filter { s =>
+          val k = s.get(pkFieldIdx, pkType)
+          k == null || !carryPks.contains(k)
+        }
+        updated ++ inserts
+      }
+    }
+  }
+
   private def manifestLines(v: Long): Seq[String] = {
     val lines = Files.readAllLines(commitsDir.resolve(manifestFileName(v)), StandardCharsets.UTF_8)
     lines.toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
@@ -1393,6 +1660,20 @@ object AcidTable {
   private[graft] def resetCommitTimers(): Unit = {
     writeCallNanos.set(0); moveNanos.set(0); publishNanos.set(0)
   }
+
+  /** Kill switch for the driver-side commit fast path (tests compare the
+    * two formulations; operators can force the distributed path).
+    */
+  @volatile var localCommitEnabled: Boolean =
+    !sys.props.get("graft.acid.localCommit").contains("false")
+
+  /** Rewrite-volume gate for the driver commit path: compressed input
+    * bytes above this always take the distributed plan. Compressed parquet
+    * inflates ~5-10× in memory, so 4 MiB bounds the driver working set to
+    * a few tens of MB — transactional commits are KB-scale; compaction and
+    * bulk loads never qualify anyway (outputBounded/inputBytes).
+    */
+  val FastPathMaxBytes: Long = 4L * 1024 * 1024
 
   /** (table path, version) → `#ts=` commit time. Manifests are immutable
     * once published; invalidated when a table directory is re-created.

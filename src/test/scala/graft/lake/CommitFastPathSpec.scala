@@ -143,6 +143,23 @@ class CommitFastPathSpec extends AnyFunSuite {
         .sortBy(x => String.valueOf(x._1) + x._2))
   }
 
+  test("schema evolution under the driver fast path: old files surface NULL, both writers mix") {
+    // files written BEFORE addColumns lack the new column; the fast
+    // reader must surface it as NULL (like the distributed scan) and the
+    // evolved table's fast writes must read back through the distributed
+    // snapshot — a history mixing pre/post-evolution, driver/executor
+    // files is the realistic steady state
+    val t = newTable("evolve")
+    t.upsert(batchDf(Seq(("a", "p0", "1"), ("b", "p1", "2"))))
+    val t2 = t.addColumns(Seq(StructField("tag", StringType)))
+    import spark.implicits._
+    t2.upsert(Seq(("b", "p1", "2x", "tag-b"), ("c", "p2", "3", "tag-c"))
+      .toDF("pk", "part", "v", "tag"))
+    val out = t2.snapshot().collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSeq.sortBy(_._1)
+    assert(out === Seq(("a", "1", null), ("b", "2x", "tag-b"), ("c", "3", "tag-c")))
+  }
+
   test("steady-state commit sizing reads sizes from manifests, not the filesystem") {
     // the #sizes= manifest header must make inputBytes() stat-free for
     // any file written after table creation — on an object store each
@@ -157,11 +174,13 @@ class CommitFastPathSpec extends AnyFunSuite {
       s"${AcidTable.sizeStatFallbacks.get()} filesystem stats on the commit path")
   }
 
-  test("a hinted transactional commit launches exactly one Spark job") {
+  test("a hinted transactional commit launches ZERO jobs (driver fast path); one when disabled") {
     // AQE re-plans each shuffle as its own job — correct for cluster-scale
     // queries, noise for a 3-row commit; the harness writer sessions
     // disable it (Harness.scala harnessSession) and this gate pins the
-    // job budget under the same conf
+    // job budget under the same conf. With the round-8 driver commit path
+    // a metadata-scale commit runs NO job at all; with the path disabled
+    // the distributed budget stays exactly one.
     val session = org.apache.spark.sql.graft.PlanShim.cloneSession(spark)
     session.conf.set("spark.sql.adaptive.enabled", "false")
     val t = AcidTable.create(
@@ -190,11 +209,18 @@ class CommitFastPathSpec extends AnyFunSuite {
         Thread.sleep(500)
         jobs.get()
       }
-      assert(counted(t.upsert(b(("c", "p2", "9")), Some(Seq("p2")))) === 1, "upsert")
-      assert(counted(t.merge(b(("c", "p2", "10")), updateCols = Seq("v"), Some(Seq("p2")))) === 1,
+      assert(counted(t.upsert(b(("c", "p2", "9")), Some(Seq("p2")))) === 0, "upsert")
+      assert(counted(t.merge(b(("c", "p2", "10")), updateCols = Seq("v"), Some(Seq("p2")))) === 0,
         "merge")
-      assert(counted(t.delete(b(("c", "p2", "")).select("pk", "part"), Some(Seq("p2")))) === 1,
+      assert(counted(t.delete(b(("c", "p2", "")).select("pk", "part"), Some(Seq("p2")))) === 0,
         "delete")
+      AcidTable.localCommitEnabled = false
+      try {
+        // distributed warm rep for this session state, then count
+        t.upsert(b(("d", "p3", "1")), Some(Seq("p3")))
+        assert(counted(t.upsert(b(("d", "p3", "2")), Some(Seq("p3")))) === 1,
+          "upsert (fast path disabled)")
+      } finally AcidTable.localCommitEnabled = true
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
