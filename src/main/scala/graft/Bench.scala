@@ -589,7 +589,8 @@ object Bench {
     // a RE-MERGE lost the publish race but kept its partition output
     // (manifest union redone, cheap); a REDO recomputed against the new
     // snapshot (real wasted work).
-    case class HarnessRep(sec: Double, remerge: Long, redo: Long, committed: Int)
+    case class HarnessRep(sec: Double, remerge: Long, redo: Long, committed: Int,
+        remergeMs: Double, redoMs: Double)
     var harnessStats = List.empty[HarnessRep]
     def runHarness(txns: Int): HarnessRep = {
       spark.catalog.clearCache()
@@ -606,7 +607,8 @@ object Bench {
         committed = r.committedTransactions
       }
       HarnessRep(sec, graft.lake.AcidTable.conflictRemergeCount,
-        graft.lake.AcidTable.conflictRedoCount, committed)
+        graft.lake.AcidTable.conflictRedoCount, committed,
+        graft.lake.AcidTable.conflictRemergeMs, graft.lake.AcidTable.conflictRedoMs)
     }
     if (runsHarness) {
       // one untimed FULL-SIZE warm pass: commit-path codegen, the
@@ -649,6 +651,12 @@ object Bench {
         parts += f""""txn1000_txn_per_sec":${h.committed / h.sec}%.2f"""
         parts += s""""txn1000_conflicts_remerge":${h.remerge}"""
         parts += s""""txn1000_conflicts_redo":${h.redo}"""
+        // retry-latency split (round-7 verdict #8): total wall ms spent in
+        // conflict retries by class, and per-committed-txn — the number
+        // that says whether re-merge latency or redo work bounds txn/s
+        parts += f""""txn1000_remerge_ms":${h.remergeMs}%.0f"""
+        parts += f""""txn1000_redo_ms":${h.redoMs}%.0f"""
+        parts += f""""txn1000_remerge_ms_per_txn":${h.remergeMs / math.max(1, h.committed)}%.2f"""
       }
       s"{${parts.mkString(",")}}"
     }

@@ -937,6 +937,13 @@ final class AcidTable private (
             attempt += 1
             if (attempt > MaxRetries)
               throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
+            // retry-latency telemetry (round-7 verdict #8): time from
+            // losing the race to being ready for the next publish attempt,
+            // attributed to the conflict class taken below — INCLUDING the
+            // jittered backoff, which is real wall time a conflicted txn
+            // spends. This is what tells whether re-merge latency (cheap
+            // path, high count) or redo work bounds txn/s.
+            val tRetry = System.nanoTime()
             // capped exponential backoff with jitter: without it a writer
             // that keeps losing the publish race can starve behind a
             // faster peer until the retry budget drains (observed in the
@@ -954,6 +961,7 @@ final class AcidTable private (
               val overlap0 = touched.filter(t => intervening.exists(cellsOverlap(t, _)))
               if (overlap0.isEmpty) {
                 AcidTable.conflictRemergeCounter.incrementAndGet()
+                AcidTable.conflictRemergeNanos.addAndGet(System.nanoTime() - tRetry)
                 publishBase = newBase // fast path: re-merge manifests only
               } else {
                 AcidTable.conflictRedoCounter.incrementAndGet()
@@ -1001,11 +1009,13 @@ final class AcidTable private (
                   (touched.filterNot(t => overlap.exists(o =>
                     o.part == t.part && o.bucket < 0)) ++ overlap).distinct, Nil)._1
                 publishBase = newBase
+                AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - tRetry)
               }
             } else {
               AcidTable.conflictRedoCounter.incrementAndGet()
               // full redo: drop our orphaned files, re-apply on the new snapshot
               newFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f._1)))
+              AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - tRetry)
               done = true
             }
         }
@@ -1628,10 +1638,19 @@ object AcidTable {
     */
   private[graft] val conflictRemergeCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val conflictRedoCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  // wall time spent in conflict retries (backoff + snapshot re-read +
+  // recompute), by class — see the commitLoop catch block
+  private[graft] val conflictRemergeNanos = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val conflictRedoNanos = new java.util.concurrent.atomic.AtomicLong(0)
   def conflictRemergeCount: Long = conflictRemergeCounter.get()
   def conflictRedoCount: Long = conflictRedoCounter.get()
+  def conflictRemergeMs: Double = conflictRemergeNanos.get() / 1e6
+  def conflictRedoMs: Double = conflictRedoNanos.get() / 1e6
   def conflictCount: Long = conflictRemergeCount + conflictRedoCount
-  def resetConflictCount(): Unit = { conflictRemergeCounter.set(0); conflictRedoCounter.set(0) }
+  def resetConflictCount(): Unit = {
+    conflictRemergeCounter.set(0); conflictRedoCounter.set(0)
+    conflictRemergeNanos.set(0); conflictRedoNanos.set(0)
+  }
 
   /** Metadata-I/O telemetry (spec-checked): commit-log resolution must be
     * O(1) probes per [[AcidTable.latestVersion]] and O(log n) header reads
