@@ -291,14 +291,29 @@ final class AcidTable private (
     // commit latency is bounded by job round-trips (measured: the distinct()
     // here cost a 2-stage broadcast-build job per commit), not by data.
     val keys = n.select(pkCol)
+    // ONE optimizer walk for the whole driver-side commit: the batch's
+    // local rows feed the kernel, the key set, the touched cells, and the
+    // metadata-scale decision. Before this, each was its own DataFrame
+    // plan (4-5 analyzer+optimizer runs ≈ 15-30 ms per commit).
+    val bLocal = localRowsInSchemaOrder(b)
+    val localKernel =
+      if (!hashSafeInternal(schema(pkCol).dataType)) None
+      else bLocal.map { rows =>
+        // key-set parity with `keys` (= n's pks): precombine only dedups,
+        // so b's pk SET equals n's; carryMinusKeys drops nulls like InSet
+        val ks: Set[Any] =
+          rows.map(_.get(pkFieldIdx, schema(pkFieldIdx).dataType)).toSet
+        (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) =>
+          carryMinusKeys(snapRows, ks) ++ rows
+      }
     commitLoop(
-      touchedOf = (snap, _) => cellsBy(snap, b, keys, hint),
+      touchedOf = (snap, _) => localCellsOf(bLocal).getOrElse(cellsBy(snap, b, keys, hint)),
       resultOf = snapT => antiByKeys(snapT, keys).unionByName(b),
       // a DISTRIBUTED batch can dwarf the files it rewrites — the
       // input-byte write-sizing heuristic only holds when the added rows
       // are metadata-scale
-      outputBounded = isMetadataScale(b),
-      localResultOf = localUpsertKernel(b, keys))
+      outputBounded = bLocal.isDefined || isMetadataScale(b),
+      localResultOf = localKernel)
   }
 
   /** Whether `df` reduces to a small driver-side LocalRelation — the
@@ -420,16 +435,19 @@ final class AcidTable private (
       case None if allOrderable => dedupByPk(n)
       case None => requireUniquePks(n); n
     }
+    // one optimizer walk shared by kernel, touched cells, and the
+    // metadata-scale decision (see upsert)
+    val srcLocal = localRowsInSchemaOrder(src)
     commitLoop(
-      touchedOf = (snap, _) => cellsBy(snap, src, keys, hint),
+      touchedOf = (snap, _) => localCellsOf(srcLocal).getOrElse(cellsBy(snap, src, keys, hint)),
       // sound on the touched subset: touched covers every matched PK's
       // current partition (via hint contract or discovery), so any src key
       // absent from snapT is absent from the whole table.
       resultOf = snapT =>
         if (allOrderable) windowMerge(snapT, src, updateCols)
         else joinMerge(snapT, src, keys, updateCols),
-      outputBounded = isMetadataScale(src),
-      localResultOf = localMergeKernel(src, updateCols))
+      outputBounded = srcLocal.isDefined || isMetadataScale(src),
+      localResultOf = localMergeKernel(srcLocal, updateCols))
   }
 
   /** Single-pass MERGE: tag target rows 0 and source rows 1, then align
@@ -521,22 +539,47 @@ final class AcidTable private (
     // the anti-join broadcast needs no Spark job; the join dedups internally
     val keysDf = keysWithPartitions.select(pkCol)
     val hint = checkedHint(partitionsHint)
+    // one optimizer walk over the key batch's (pk[, partition]) columns,
+    // shared by the kernel's key set and the touched-cell computation
+    val kSel =
+      if (hasPart) keysWithPartitions.select(col(pkCol), col(partitionCol))
+      else keysWithPartitions.select(col(pkCol))
+    val kLocal = org.apache.spark.sql.graft.PlanShim
+      .smallLocalRelation(kSel, maxRows = 10000)
+      .filter { case (attrs, _) =>
+        org.apache.spark.sql.graft.PlanShim.sameType(
+          attrs.head.dataType, schema(pkCol).dataType) &&
+          hashSafeInternal(schema(pkCol).dataType)
+      }
+    val localKeys: Option[Set[Any]] = kLocal.map { case (attrs, rows) =>
+      rows.map(_.get(0, attrs.head.dataType)).toSet
+    }
+    val localCells: Option[Seq[FileCell]] =
+      if (stablePartitions && hasPart)
+        kLocal.map { case (attrs, rows) =>
+          rows.map(r => FileCell(
+            String.valueOf(r.get(1, attrs(1).dataType)),
+            driverBucketOf(r.get(0, attrs.head.dataType)))).distinct
+        }
+      else None
     commitLoop(
       touchedOf = (snap, _) =>
-        if (stablePartitions && hasPart)
-          // the caller's (pk, partition) rows are the batch: same job-free
-          // plan-read (or single distinct job) as an upsert's own rows
-          cellsBy(snap, keysWithPartitions.select(col(partitionCol), col(pkCol)),
-            keysDf, hint)
-        else hint.map(_.map(FileCell(_, -1))).getOrElse {
-          // matched rows can live in any partition, but always in their
-          // pk's bucket (a pure function of the key)
-          snap.join(keysDf, Seq(pkCol), "left_semi")
-            .select(col(partitionCol).as("__p"), bucketExpr.as("__b")).distinct()
-            .collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
+        localCells.getOrElse {
+          if (stablePartitions && hasPart)
+            // the caller's (pk, partition) rows are the batch: same job-free
+            // plan-read (or single distinct job) as an upsert's own rows
+            cellsBy(snap, keysWithPartitions.select(col(partitionCol), col(pkCol)),
+              keysDf, hint)
+          else hint.map(_.map(FileCell(_, -1))).getOrElse {
+            // matched rows can live in any partition, but always in their
+            // pk's bucket (a pure function of the key)
+            snap.join(keysDf, Seq(pkCol), "left_semi")
+              .select(col(partitionCol).as("__p"), bucketExpr.as("__b")).distinct()
+              .collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
+          }
         },
       resultOf = snapT => antiByKeys(snapT, keysDf),
-      localResultOf = localKeySet(keysDf).map(ks =>
+      localResultOf = localKeys.map(ks =>
         (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) =>
           carryMinusKeys(snapRows, ks)))
   }
@@ -1348,8 +1391,13 @@ final class AcidTable private (
       val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol="))
       val pvInternal = org.apache.spark.unsafe.types.UTF8String.fromString(pv)
-      org.apache.spark.sql.graft.LocalParquetIO
-        .read(dataRoot.resolve(f).toFile, dataFileSchema, spark)
+      val abs = dataRoot.resolve(f).toString
+      AcidTable.cachedFileRows(abs, dataFileSchema).getOrElse {
+        val rs = org.apache.spark.sql.graft.LocalParquetIO
+          .read(new File(abs), dataFileSchema, spark)
+        AcidTable.cacheFileRows(abs, dataFileSchema, rs)
+        rs
+      }
         .foreach { dr =>
           val full = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             schema.length)
@@ -1409,22 +1457,13 @@ final class AcidTable private (
       }
       val bytes = org.apache.spark.sql.graft.LocalParquetIO
         .write(dataRoot.resolve(rel).toFile, dataFileSchema, dataRows, spark)
+      // the rows just written ARE the file's contents — cache them so the
+      // next commit touching this file group skips the parquet read
+      AcidTable.cacheFileRows(dataRoot.resolve(rel).toString, dataFileSchema, dataRows.toSeq)
       moved += (rel -> bytes)
     }
     AcidTable.writeCallNanos.addAndGet(System.nanoTime() - t0)
     moved.toSeq
-  }
-
-  /** Driver-local key set of a key batch, under the same soundness
-    * conditions as [[antiByKeys]]'s `InSet` shortcut (exact type match +
-    * value-equality-safe internal representation).
-    */
-  private def localKeySet(keys: DataFrame): Option[Set[Any]] = {
-    val sameType = org.apache.spark.sql.graft.PlanShim.sameType(
-      keys.schema.head.dataType, schema(pkCol).dataType)
-    if (sameType && hashSafeInternal(schema(pkCol).dataType))
-      org.apache.spark.sql.graft.PlanShim.smallLocalColumn(keys, maxRows = 10000)
-    else None
   }
 
   /** Rows of a driver-local batch in exact table-schema order and types,
@@ -1454,25 +1493,27 @@ final class AcidTable private (
     }
   }
 
-  /** Driver image of the upsert result `antiByKeys(snapT, keys) ∪ b`. */
-  private def localUpsertKernel(b: DataFrame, keys: DataFrame)
-      : Option[Seq[org.apache.spark.sql.catalyst.InternalRow] =>
-        Seq[org.apache.spark.sql.catalyst.InternalRow]] =
-    for {
-      ks <- localKeySet(keys)
-      rows <- localRowsInSchemaOrder(b)
-    } yield (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) =>
-      carryMinusKeys(snapRows, ks) ++ rows
+  /** The [[cellsBy]] stable-partitions result computed straight from a
+    * batch's local rows — same FileCell rendering, no extra plan walk.
+    * None (→ [[cellsBy]]) when the batch is not driver-local or partition
+    * placement is not a pure key function.
+    */
+  private def localCellsOf(
+      rows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]]): Option[Seq[FileCell]] =
+    if (!stablePartitions) None
+    else rows.map(_.map(r => FileCell(rowPart(r), rowBucket(r))).distinct)
 
   /** Driver image of [[windowMerge]] over an already-deduped source:
     * matched targets take `updateCols` from their source row, unmatched
     * targets carry, unmatched (and null-PK) source rows insert.
     */
-  private def localMergeKernel(src: DataFrame, updateCols: Seq[String])
+  private def localMergeKernel(
+      srcLocal: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]],
+      updateCols: Seq[String])
       : Option[Seq[org.apache.spark.sql.catalyst.InternalRow] =>
         Seq[org.apache.spark.sql.catalyst.InternalRow]] = {
     if (!hashSafeInternal(schema(pkFieldIdx).dataType)) return None
-    localRowsInSchemaOrder(src).map { srcRows =>
+    srcLocal.map { srcRows =>
       val pkType = schema(pkFieldIdx).dataType
       val types = schema.fields.map(_.dataType)
       val updIdx = schema.fieldNames.map(updateCols.contains)
@@ -1685,6 +1726,41 @@ object AcidTable {
     */
   @volatile var localCommitEnabled: Boolean =
     !sys.props.get("graft.acid.localCommit").contains("false")
+
+  /** Row cache for the driver fast path, keyed by (absolute file path,
+    * data-file schema). SOUND because data files are immutable and
+    * uniquely named (UUID per commit): an entry can go stale only by the
+    * file being vacuumed, after which no manifest references it. The
+    * schema in the key isolates pre-/post-evolution reads of the same
+    * file. Writers populate it with the rows they just wrote (zero extra
+    * IO), so a steady-state transactional commit re-reading its own file
+    * group skips parquet reader init entirely. LRU-bounded by total rows.
+    */
+  private val FileRowCacheMaxRows = 500000L
+  private object fileRowCache {
+    private val map = new java.util.LinkedHashMap[
+      (String, StructType), Seq[org.apache.spark.sql.catalyst.InternalRow]](64, 0.75f, true)
+    private var totalRows = 0L
+    def get(key: (String, StructType))
+        : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+      synchronized(Option(map.get(key)))
+    def put(key: (String, StructType),
+        rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): Unit = synchronized {
+      val prev = map.put(key, rows)
+      totalRows += rows.size - (if (prev == null) 0 else prev.size)
+      val it = map.entrySet().iterator()
+      while (totalRows > FileRowCacheMaxRows && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { totalRows -= e.getValue.size; it.remove() }
+      }
+    }
+  }
+  private[lake] def cachedFileRows(path: String, schema: StructType)
+      : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+    fileRowCache.get((path, schema))
+  private[lake] def cacheFileRows(path: String, schema: StructType,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): Unit =
+    fileRowCache.put((path, schema), rows)
 
   /** Rewrite-volume gate for the driver commit path: compressed input
     * bytes above this always take the distributed plan. Compressed parquet

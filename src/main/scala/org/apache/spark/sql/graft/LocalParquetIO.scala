@@ -82,8 +82,14 @@ object LocalParquetIO {
       conf
     })
 
-  private final class WriterBuilder(path: Path, conf: Configuration)
-      extends ParquetWriter.Builder[InternalRow, WriterBuilder](path) {
+  // java.nio-backed parquet files, NOT Hadoop Path IO: the Hadoop local
+  // filesystem is a ChecksumFileSystem — every write doubles into a .crc
+  // sidecar and every open pays FS-cache and stat overhead, none of which
+  // a driver-local commit file needs (the distributed write path's staged
+  // files lose their sidecars at the staging move anyway, so files from
+  // the two writers are indistinguishable on disk).
+  private final class WriterBuilder(out: org.apache.parquet.io.OutputFile)
+      extends ParquetWriter.Builder[InternalRow, WriterBuilder](out) {
     override def self(): WriterBuilder = this
     override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
       new ParquetWriteSupport
@@ -96,7 +102,8 @@ object LocalParquetIO {
       rows: Iterable[InternalRow],
       spark: SparkSession): Long = {
     val conf = ioConf(spark, schema, forWrite = true)
-    val writer = new WriterBuilder(new Path(file.toURI), conf)
+    val writer = new WriterBuilder(
+      new org.apache.parquet.io.LocalOutputFile(file.toPath))
       .withConf(conf)
       // Spark's session default codec; matches what the distributed writer
       // would produce for the same session
@@ -108,8 +115,9 @@ object LocalParquetIO {
     file.length()
   }
 
-  private final class ReaderBuilder(path: Path, support: ReadSupport[InternalRow])
-      extends ParquetReader.Builder[InternalRow](path) {
+  private final class ReaderBuilder(
+      in: org.apache.parquet.io.InputFile, support: ReadSupport[InternalRow])
+      extends ParquetReader.Builder[InternalRow](in) {
     override def getReadSupport: ReadSupport[InternalRow] = support
   }
 
@@ -127,7 +135,8 @@ object LocalParquetIO {
       true, // schema pruning path expects the caller's exact requested schema
       RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
       RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
-    val reader = new ReaderBuilder(new Path(file.toURI), support)
+    val reader = new ReaderBuilder(
+      new org.apache.parquet.io.LocalInputFile(file.toPath), support)
       .withConf(conf)
       .build()
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
