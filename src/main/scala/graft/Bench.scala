@@ -473,6 +473,14 @@ object Bench {
       time { graft.queries.TextQueries.materializeSignatures(spark, sfDir) }
     }
     if (selected("prep_shingle_signatures")) {
+      // untimed warm build, same contract as the query entries' warm rep:
+      // the first build in a fresh JVM pays whole-stage-codegen + JIT for
+      // the shingle-hash pipeline (~2x), which is one-time cost, not the
+      // steady-state build cost this entry reports
+      spark.catalog.clearCache()
+      graft.queries.TextQueries.clearShingleCache()
+      try graft.queries.TextQueries.materializeSignatures(spark, sfDir)
+      catch { case _: Throwable => () }
       val times = prepReps()
       repArrays("prep_shingle_signatures") = times
       results("prep_shingle_signatures") = medianOf(times)
