@@ -381,7 +381,11 @@ final class AcidTable private (
     */
   def overwrite(batch: DataFrame): Long = {
     val b = precombine(normalize(batch))
+    // driver kernel: full replace ignores the old snapshot rows entirely
+    val bLocal = localRowsInSchemaOrder(b)
     commitLoop(
+      localResultOf = bLocal.map(rows =>
+        (_: Seq[org.apache.spark.sql.catalyst.InternalRow]) => rows),
       // overwrite's touched set is a function of the GLOBAL file list
       // (every existing partition must be replaced or emptied), so the
       // partition-local conflict fast paths are unsound for it: an
@@ -653,7 +657,13 @@ final class AcidTable private (
           // most numBuckets files, each still subject to targetFileBytes
           .map(FileCell(_, -1)).toSeq
       },
-      // identity rewrite: same rows, re-bucketed into per-cell files
+      // identity rewrite: same rows, re-bucketed into per-cell files.
+      // The driver kernel is identity too — when the partitions being
+      // folded fit the byte gate the whole compaction is a driver-side
+      // read+rewrite (small tables); above it, the distributed rewrite
+      outputBounded = true,
+      localResultOf = Some(
+        (rows: Seq[org.apache.spark.sql.catalyst.InternalRow]) => rows),
       resultOf = snapT => snapT)
   }
 
