@@ -131,7 +131,10 @@ object LocalParquetIO {
     val conf = ioConf(spark, schema, forWrite = false)
     val support = new ParquetReadSupport(
       None, // no INT96 conversion timezone needed: timestamps are gated out
-      true, // schema pruning path expects the caller's exact requested schema
+      // false = the parquet-mr record-reader construction Spark itself
+      // uses in ParquetFileFormat's non-vectorized path — this reader IS
+      // that path minus the job
+      enableVectorizedReader = false,
       RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
       RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
     val reader = new ReaderBuilder(
