@@ -241,6 +241,35 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 full-replace overwrite (INSERT OVERWRITE semantics) -----------------
+    // One atomic commit replaces the ENTIRE table: partitions absent from
+    // the new batch must vanish (p0 here), not merely lose matched rows —
+    // the distinction between overwrite and a big upsert. The oracle
+    // replays the final state directly.
+    Q(
+      "q_acid_overwrite",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t.upsert(base)
+        t.overwrite(base.filter(col("pk").cast("long") % 2 === 1)
+          .withColumn("val", col("val") * 100))
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+               'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+               CAST(n_regionkey AS DOUBLE) * 100 AS val
+        FROM nation WHERE n_nationkey % 2 = 1
+        ORDER BY pk
+      """)),
+
     // ---- C5 schema evolution: add-column without data rewrite -------------------
     // Rows written before the evolution lack the column physically; the
     // explicit-schema snapshot scan surfaces them as NULL — the Delta/Hudi

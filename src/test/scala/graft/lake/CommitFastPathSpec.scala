@@ -64,19 +64,20 @@ class CommitFastPathSpec extends AnyFunSuite {
         // duplicate PKs within a batch are the precombine-relevant case
         (s"k$k", s"p${k % 4}", f"v${rnd.nextInt(100000)}%06d")
       }
-    (1 to 15).foreach { i =>
+    (1 to 18).foreach { i =>
       val rows = genRows(3 + rnd.nextInt(4))
       val local = batchDf(rows)
       // repartition makes the batch non-local: localPrecombine and the
       // InSet key extraction both bail to the Window / anti-join plans
       val forced = batchDf(rows).repartition(3)
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 => fast.upsert(local); dist.upsert(forced)
         case 1 => fast.merge(local, updateCols = Seq("v"))
                   dist.merge(forced, updateCols = Seq("v"))
         case 2 =>
           fast.delete(batchDf(rows).select("pk", "part"))
           dist.delete(batchDf(rows).select("pk", "part").repartition(3))
+        case 3 => fast.overwrite(local); dist.overwrite(forced)
       }
       assert(sortedState(fast) === sortedState(dist), s"diverged after op $i")
     }
