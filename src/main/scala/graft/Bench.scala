@@ -551,7 +551,9 @@ object Bench {
         val again = rerunners(name)()
         val ca = microCanary()
         reranEntries += name
-        if (medianOf(again) < medianOf(repArrays(name))) {
+        // a re-run that itself FAILED (all reps -1 → median -1) must never
+        // replace a valid measurement
+        if (medianOf(again) >= 0 && medianOf(again) < medianOf(repArrays(name))) {
           repArrays(name) = again
           results(name) = medianOf(again)
           entryEnv(name) = (cb, ca)

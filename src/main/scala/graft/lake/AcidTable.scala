@@ -913,6 +913,12 @@ final class AcidTable private (
       localResultOf.isDefined && fastSchemaOk && AcidTable.localCommitEnabled &&
         bytes <= AcidTable.FastPathMaxBytes
     var attempt = 0
+    // full-redo retry clock: set when a lost race forces the OUTER loop to
+    // recompute everything; closed (and charged to conflictRedoNanos) at
+    // the next publish success or the next conflict — so the telemetry
+    // covers the recompute itself, not just the backoff (the partial-redo
+    // branch recomputes inline and charges its own window)
+    var fullRedoSince = -1L
     while (true) {
       val base = latestVersion()
       val baseLines = if (base < 0) Nil else manifestLines(base)
@@ -984,6 +990,8 @@ final class AcidTable private (
           val carriedSizes = sizesOf(publishLines).view.filterKeys(carriedSet.contains).toMap
           publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
             carriedSizes ++ newFiles)
+          if (fullRedoSince > 0)
+            AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - fullRedoSince)
           return publishBase + 1
         } catch {
           case _: FileAlreadyExistsException =>
@@ -997,6 +1005,11 @@ final class AcidTable private (
             // spends. This is what tells whether re-merge latency (cheap
             // path, high count) or redo work bounds txn/s.
             val tRetry = System.nanoTime()
+            if (fullRedoSince > 0) {
+              // the previous conflict's full-redo window ends here
+              AcidTable.conflictRedoNanos.addAndGet(tRetry - fullRedoSince)
+              fullRedoSince = -1L
+            }
             // capped exponential backoff with jitter: without it a writer
             // that keeps losing the publish race can starve behind a
             // faster peer until the retry budget drains (observed in the
@@ -1066,9 +1079,12 @@ final class AcidTable private (
               }
             } else {
               AcidTable.conflictRedoCounter.incrementAndGet()
-              // full redo: drop our orphaned files, re-apply on the new snapshot
+              // full redo: drop our orphaned files, re-apply on the new
+              // snapshot. The clock stays open across the outer-loop
+              // recompute (see fullRedoSince) — charging only the backoff
+              // here would understate exactly the most expensive class
               newFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f._1)))
-              AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - tRetry)
+              fullRedoSince = tRetry
               done = true
             }
         }
@@ -1403,9 +1419,10 @@ final class AcidTable private (
       val pvInternal = org.apache.spark.unsafe.types.UTF8String.fromString(pv)
       val abs = dataRoot.resolve(f).toString
       AcidTable.cachedFileRows(abs, dataFileSchema).getOrElse {
+        val file = new File(abs)
         val rs = org.apache.spark.sql.graft.LocalParquetIO
-          .read(new File(abs), dataFileSchema, spark)
-        AcidTable.cacheFileRows(abs, dataFileSchema, rs)
+          .read(file, dataFileSchema, spark)
+        AcidTable.cacheFileRows(abs, dataFileSchema, rs, file.length())
         rs
       }
         .foreach { dr =>
@@ -1469,7 +1486,8 @@ final class AcidTable private (
         .write(dataRoot.resolve(rel).toFile, dataFileSchema, dataRows, spark)
       // the rows just written ARE the file's contents — cache them so the
       // next commit touching this file group skips the parquet read
-      AcidTable.cacheFileRows(dataRoot.resolve(rel).toString, dataFileSchema, dataRows.toSeq)
+      AcidTable.cacheFileRows(dataRoot.resolve(rel).toString, dataFileSchema,
+        dataRows.toSeq, bytes)
       moved += (rel -> bytes)
     }
     AcidTable.writeCallNanos.addAndGet(System.nanoTime() - t0)
@@ -1477,7 +1495,11 @@ final class AcidTable private (
   }
 
   /** Rows of a driver-local batch in exact table-schema order and types,
-    * or None (→ distributed path).
+    * or None (→ distributed path). A NULL partition value also bails: the
+    * fast path's `String.valueOf` rendering would silently write the row
+    * under partition "null", where the distributed writer routes it to
+    * `__HIVE_DEFAULT_PARTITION__` and the stray-cell guard fails the
+    * commit LOUDLY — falling back preserves that loud failure.
     */
   private def localRowsInSchemaOrder(df: DataFrame)
       : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
@@ -1487,7 +1509,7 @@ final class AcidTable private (
         val sameTypes = sameOrder && attrs.zip(schema.fields).forall { case (a, f) =>
           org.apache.spark.sql.graft.PlanShim.sameType(a.dataType, f.dataType)
         }
-        if (sameTypes) Some(rows) else None
+        if (sameTypes && rows.forall(!_.isNullAt(partFieldIdx))) Some(rows) else None
       }
 
   /** Driver image of `antiByKeys(snapT, keys)`: null PKs carried, null
@@ -1746,22 +1768,34 @@ object AcidTable {
     * IO), so a steady-state transactional commit re-reading its own file
     * group skips parquet reader init entirely. LRU-bounded by total rows.
     */
-  private val FileRowCacheMaxRows = 500000L
+  // LRU bound is CHARGED BYTES, not rows: wide rows (KB-scale strings are
+  // inside the supported type set) would blow a row-count bound's implied
+  // memory budget by orders of magnitude. Each entry is charged its
+  // source-file bytes × an in-memory inflation factor (decoded
+  // InternalRows vs encoded+compressed parquet, conservatively 8×), so
+  // the 256 MiB charge cap bounds the heap at roughly that figure.
+  private val FileRowCacheMaxChargedBytes = 256L * 1024 * 1024
+  private val FileRowCacheInflation = 8L
   private object fileRowCache {
-    private val map = new java.util.LinkedHashMap[
-      (String, StructType), Seq[org.apache.spark.sql.catalyst.InternalRow]](64, 0.75f, true)
-    private var totalRows = 0L
+    private final case class Entry(
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow], charged: Long)
+    private val map =
+      new java.util.LinkedHashMap[(String, StructType), Entry](64, 0.75f, true)
+    private var totalCharged = 0L
     def get(key: (String, StructType))
         : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
-      synchronized(Option(map.get(key)))
+      synchronized(Option(map.get(key)).map(_.rows))
     def put(key: (String, StructType),
-        rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): Unit = synchronized {
-      val prev = map.put(key, rows)
-      totalRows += rows.size - (if (prev == null) 0 else prev.size)
+        rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+        fileBytes: Long): Unit = synchronized {
+      val charged = math.max(1L, fileBytes) * FileRowCacheInflation
+      if (charged > FileRowCacheMaxChargedBytes) return // never cache a monster
+      val prev = map.put(key, Entry(rows, charged))
+      totalCharged += charged - (if (prev == null) 0L else prev.charged)
       val it = map.entrySet().iterator()
-      while (totalRows > FileRowCacheMaxRows && it.hasNext) {
+      while (totalCharged > FileRowCacheMaxChargedBytes && it.hasNext) {
         val e = it.next()
-        if (e.getKey != key) { totalRows -= e.getValue.size; it.remove() }
+        if (e.getKey != key) { totalCharged -= e.getValue.charged; it.remove() }
       }
     }
   }
@@ -1769,8 +1803,8 @@ object AcidTable {
       : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
     fileRowCache.get((path, schema))
   private[lake] def cacheFileRows(path: String, schema: StructType,
-      rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): Unit =
-    fileRowCache.put((path, schema), rows)
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow], fileBytes: Long): Unit =
+    fileRowCache.put((path, schema), rows, fileBytes)
 
   /** Rewrite-volume gate for the driver commit path: compressed input
     * bytes above this always take the distributed plan. Compressed parquet

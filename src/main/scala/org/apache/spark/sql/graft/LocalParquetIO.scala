@@ -44,15 +44,26 @@ object LocalParquetIO {
   def supportedSchema(schema: StructType): Boolean =
     schema.fields.forall(f => supportedType(f.dataType))
 
-  /** One immutable Configuration per (session, schema) carrying everything
-    * the two support classes read at init. Parquet's support objects
-    * mutate nothing in it, so concurrent readers/writers can share it.
+  /** One immutable Configuration per distinct (schema, direction, conf
+    * values) carrying everything the two support classes read at init.
+    * Parquet's support objects mutate nothing in it, so concurrent
+    * readers/writers can share it.
     */
+  // Keyed by the VALUES the built conf depends on, never the SparkSession:
+  // a session-keyed cache would strongly retain every cloned session (the
+  // harness clones one per writer thread) for process lifetime.
+  private final case class ConfKey(
+      schema: StructType, forWrite: Boolean,
+      binaryAsString: Boolean, int96AsTimestamp: Boolean, caseSensitive: Boolean)
+
   private val confCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, StructType, Boolean), Configuration]
+    new java.util.concurrent.ConcurrentHashMap[ConfKey, Configuration]
 
   private def ioConf(spark: SparkSession, schema: StructType, forWrite: Boolean): Configuration =
-    confCache.computeIfAbsent((spark, schema, forWrite), _ => {
+    confCache.computeIfAbsent(ConfKey(schema, forWrite,
+      spark.sessionState.conf.isParquetBinaryAsString,
+      spark.sessionState.conf.isParquetINT96AsTimestamp,
+      spark.sessionState.conf.caseSensitiveAnalysis), _ => {
       val conf = spark.sessionState.newHadoopConf()
       // Spark's schema converters read these keys UNCONDITIONALLY from the
       // task-side conf (prepareWrite/buildReaderWithPartitionValues set

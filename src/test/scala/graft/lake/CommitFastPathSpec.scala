@@ -217,10 +217,19 @@ class CommitFastPathSpec extends AnyFunSuite {
         "delete")
       AcidTable.localCommitEnabled = false
       try {
-        // distributed warm rep for this session state, then count
+        // distributed warm reps for this session state, then count — the
+        // one-job budget must hold for ALL THREE commit kinds whenever the
+        // fast path is ineligible (big input, unsupported schema, kill
+        // switch), because that budget is what bounds txn/s there
         t.upsert(b(("d", "p3", "1")), Some(Seq("p3")))
-        assert(counted(t.upsert(b(("d", "p3", "2")), Some(Seq("p3")))) === 1,
+        t.merge(b(("d", "p3", "2")), updateCols = Seq("v"), Some(Seq("p3")))
+        t.delete(b(("x", "p3", "")).select("pk", "part"), Some(Seq("p3")))
+        assert(counted(t.upsert(b(("d", "p3", "3")), Some(Seq("p3")))) === 1,
           "upsert (fast path disabled)")
+        assert(counted(t.merge(b(("d", "p3", "4")), updateCols = Seq("v"), Some(Seq("p3")))) === 1,
+          "merge (fast path disabled)")
+        assert(counted(t.delete(b(("d", "p3", "")).select("pk", "part"), Some(Seq("p3")))) === 1,
+          "delete (fast path disabled)")
       } finally AcidTable.localCommitEnabled = true
     } finally spark.sparkContext.removeSparkListener(listener)
   }
