@@ -109,6 +109,44 @@ object SampleQueries {
         FROM per CROSS JOIN m
       """)),
 
+    // ---- C50 exact-budget mixture sampling ------------------------------
+    // The Bernoulli rebalance yields an EXPECTED count per group; real
+    // mixture plans often demand an EXACT quota ("exactly K documents per
+    // language"). Deterministic exact sampling: rank each language's
+    // documents by a salted hash (ties by doc_id — a total order) and keep
+    // the first min_cnt. Same reproducibility contract as the other
+    // samplers: the selection is a pure function of corpus content.
+    // Shape: the rank pass shuffles ONLY (doc_id, lang, source, key) —
+    // text is consumed by the hash before the exchange — one narrow
+    // hash-partition by group. At 100 TB with few huge groups, the rank
+    // refines to a two-pass threshold scheme (per-group k-th-smallest key
+    // via a quantile sketch, then a map-side filter, with an exact
+    // boundary fix-up pass); the window form here is the exact,
+    // oracle-checkable witness of that semantics.
+    Q(
+      "q_sample_exact_budget",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val budget = counts.agg(min(col("cnt")).as("min_cnt"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))
+        d.select(col("doc_id"), col("lang"), col("source"),
+            saltedKey("xsmp:").as("k"))
+          .withColumn("rn", row_number().over(w))
+          .join(broadcast(budget))
+          .filter(col("rn") <= col("min_cnt"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""
+        WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+             m AS (SELECT MIN(cnt) AS min_cnt FROM c),
+             t AS (SELECT doc_id, lang, source,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY (${sqlSaltedKey("xsmp:")}), doc_id) AS rn
+                   FROM documents)
+        SELECT doc_id, lang, source FROM t CROSS JOIN m WHERE rn <= min_cnt
+      """)),
+
     // ---- C50 temperature-weighted mixture sampling ----------------------
     // The practical generalization of the uniform rebalance: real pipelines
     // rarely equalize groups outright — they sample group g with

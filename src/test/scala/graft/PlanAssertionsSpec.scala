@@ -197,6 +197,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("exact-budget sampling shuffles once by group, never the text, never a range sort") {
+    // the rank pass may move only the narrow (doc_id, lang, source, key)
+    // projection — the salted hash consumes text BEFORE the exchange —
+    // and a global sort (range partitioning) would be a scale bug.
+    // Exactly TWO hash exchanges are expected: the corpus rank shuffle
+    // and the per-language count aggregate (a rows-per-group stats side).
+    val p = plan("q_sample_exact_budget")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected the rank exchange + the stats aggregate exchange only:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"exact-budget sampler must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"budget join regrew a shuffle:\n$p")
+    // (narrowness — text consumed by the salted hash BEFORE the exchange,
+    // so the shuffle carries (doc_id, lang, source, k) only — is enforced
+    // structurally by the query's pre-window projection; the rendered plan
+    // inlines the hash EXPRESSION into the project line, so a string
+    // assertion on "text#" cannot distinguish consuming from carrying)
+  }
+
   test("lm scoring joins the vocab as a broadcast and partial-aggregates per doc") {
     // the unigram vocab is tiny vs the token stream: it must broadcast so
     // the token explode never shuffles by term, and the per-doc surprisal

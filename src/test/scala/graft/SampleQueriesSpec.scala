@@ -70,6 +70,20 @@ class SampleQueriesSpec extends AnyFunSuite {
       s"total kept $total outside (equalized ${minCnt * perCell.size}, full ${perCell.values.sum})")
   }
 
+  test("exact-budget sampling keeps EXACTLY min_cnt documents per language, deterministically") {
+    val d = Tables.documents(spark, sf)
+    val minCnt = d.groupBy("lang").count().collect().map(_.getLong(1)).min
+    val kept = run("q_sample_exact_budget").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the defining property Bernoulli cannot give: exact quotas
+    kept.foreach { case (lang, k) =>
+      assert(k == minCnt, s"$lang kept $k, quota is exactly $minCnt")
+    }
+    val a = run("q_sample_exact_budget").collect().map(_.toString).sorted
+    val b = run("q_sample_exact_budget").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("temperature selection is deterministic and independent of the rebalance stream") {
     val a = run("q_sample_temperature").collect().map(_.toString).sorted
     val b = run("q_sample_temperature").collect().map(_.toString).sorted
