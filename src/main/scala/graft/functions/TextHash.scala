@@ -22,6 +22,12 @@ object TextHash {
     * h = fold(h * 31 + code(ch)) mod P. The canonical "document
     * fingerprint" (rolling hash) of the north-star text-analysis surface.
     *
+    * Served by the native codegen expression
+    * [[org.apache.spark.sql.graft.PolyHashExpr]] (one unboxed loop over
+    * the UTF-8 bytes, round-8); bit-identical to the HOF formulation
+    * below, which remains the cross-engine SEMANTIC definition and the
+    * equivalence witness (`PolyHashExprSpec` pins them together).
+    *
     * DuckDB equivalent:
     * {{{
     * list_reduce(list_prepend(0::BIGINT,
@@ -30,6 +36,12 @@ object TextHash {
     * }}}
     */
   def polyHash(c: Column): Column =
+    org.apache.spark.sql.graft.PolyHashExpr.column(c)
+
+  /** The original whole-stage-codegen'd HOF formulation of [[polyHash]] —
+    * the executable spec the native expression is verified against.
+    */
+  private[graft] def polyHashHof(c: Column): Column =
     aggregate(
       // Spark's split(s, "") yields a trailing "" (Java split limit -1);
       // DuckDB's does not — drop empties so both fold the same sequence.
