@@ -507,11 +507,12 @@ object PipelineQueries {
                  CAST(positional_eq_count(
                    transform(embedding, x -> CAST(round(x * 10) AS BIGINT)),
                    transform(reverse(embedding), x -> CAST(round(x * 10) AS BIGINT))
-                 ) AS BIGINT) AS palindromic_dims
+                 ) AS BIGINT) AS palindromic_dims,
+                 poly_hash(CAST(vec_id AS STRING)) AS id_hash
           FROM embeddings_ext WHERE vec_id < 50 ORDER BY vec_id
         """)
       },
-      Some("""
+      Some(s"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         q AS (SELECT vec_id,
                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10) AS BIGINT)) AS qv
@@ -521,7 +522,8 @@ object PipelineQueries {
                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'), 4) AS self_dot,
                CAST(len(list_intersect(list_distinct(q.qv), list_distinct(q.qv[1:32]))) AS BIGINT) AS half_overlap,
                CAST(list_sum(list_transform(range(1, 65),
-                 i -> CASE WHEN q.qv[i] = q.qv[65 - i] THEN 1 ELSE 0 END)) AS BIGINT) AS palindromic_dims
+                 i -> CASE WHEN q.qv[i] = q.qv[65 - i] THEN 1 ELSE 0 END)) AS BIGINT) AS palindromic_dims,
+               (${TextQueries.sqlPolyHash("CAST(e.vec_id AS VARCHAR)")}) AS id_hash
         FROM e JOIN q ON e.vec_id = q.vec_id
         ORDER BY e.vec_id
       """)),

@@ -5,9 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL registration of the library's native Catalyst expressions (SURVEY
-  * §4.4 / M7): `float_dot`, `sorted_intersect_count`, `positional_eq_count`
-  * become plain SQL functions, so `spark.sql("...")` users get the same
-  * codegen'd hot paths as the DataFrame API.
+  * §4.4 / M7): `float_dot`, `sorted_intersect_count`,
+  * `positional_eq_count`, and `poly_hash` become plain SQL functions, so
+  * `spark.sql("...")` users get the same codegen'd hot paths as the
+  * DataFrame API.
   *
   * Two entry points, same registrations:
   *  - [[GraftExtensions]] for the declarative route
@@ -28,7 +29,10 @@ object GraftFunctions {
         (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))),
       (FunctionIdentifier("positional_eq_count"),
         new ExpressionInfo(classOf[PositionalEqCount].getName, "positional_eq_count"),
-        (args: Seq[Expression]) => PositionalEqCount(args(0), args(1))))
+        (args: Seq[Expression]) => PositionalEqCount(args(0), args(1))),
+      (FunctionIdentifier("poly_hash"),
+        new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
+        (args: Seq[Expression]) => PolyHashExpr(args(0))))
 
   /** Idempotently register on a live session (overwrites are harmless —
     * same builder). */
