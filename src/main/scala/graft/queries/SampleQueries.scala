@@ -185,6 +185,44 @@ object SampleQueries {
               < CAST(round(sqrt(CAST(m.min_cnt AS DOUBLE) / c.cnt) * 1000000) AS BIGINT)
       """)),
 
+    // ---- C50 deterministic global shuffle into training shards ----------
+    // The step between curation and tokenization that destroys source /
+    // language locality: every document hashes to one of 8 shards and each
+    // shard is ordered by the salted hash — a deterministic "global
+    // shuffle", reproducible run-to-run and engine-to-engine (a rand()-
+    // keyed repartition is neither). pos is the document's ordinal within
+    // its shard; ntok rides along so a shard reader can budget context
+    // windows without touching text.
+    // Shape: ONE hash exchange by shard carrying only (doc_id, ntok, k) —
+    // the salted hash consumes text map-side — and a per-shard sort; no
+    // global (range) sort exists anywhere. At 100 TB the shard count
+    // scales with the cluster and each shard orders independently: this is
+    // the standard shuffle-shard writer layout.
+    Q(
+      "q_sample_shards",
+      (s, dir) => {
+        val NS = 8
+        val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("ntok"),
+            saltedKey("shrd:").as("k"))
+          .withColumn("shard", col("k") % NS)
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"), col("ntok"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok,
+                 (${sqlSaltedKey("shrd:")}) AS k
+          FROM documents)
+        SELECT doc_id, k % 8 AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT) AS pos,
+               ntok
+        FROM t
+      """)),
+
     // ---- C52 fixed-stride token chunking --------------------------------
     // Pretraining prep: split each document into overlapping fixed-size
     // token windows (size 32, stride 24 → 8-token overlap), the step that

@@ -43,6 +43,49 @@ object SimilarityQueries {
   private val DEDUP_L = 8
   private val BLOCKS = 16
 
+  /** Fixed-codebook coarse quantizer shared by `q_sim_topk_ivf` and
+    * `q_dedup_semantic`: every vector is assigned to its max-cosine cell
+    * among the 64 deterministic codebook vectors (`vec_id < 64`). The
+    * codebook broadcasts (O(k) regardless of corpus size) and the argmax
+    * is a hash aggregation with map-side partial combine, so the k
+    * candidate rows per vector collapse back to one row BEFORE any
+    * shuffle. Ties go to the lower centroid id; the IEEE op sequence is
+    * identical in both engines so assignment matches bit-for-bit
+    * ([[sqlAssignedCtes]] is the lock-step DuckDB rendering).
+    */
+  private def cellAssigned(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val cent = e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_vec"),
+        col("nrm").as("c_nrm"))
+    e.join(broadcast(cent), lit(true))
+      .withColumn("c_cos",
+        VectorOps.dot(col("embedding"), col("c_vec")) / (col("nrm") * col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"),
+        // max cosine, ties toward the lower centroid id
+        max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id"))).as("cell"))
+  }
+
+  /** DuckDB rendering of [[cellAssigned]] as CTEs `e`, `cent`, `assigned`
+    * — shared by the IVF and semantic-dedup oracles so the assignment
+    * semantics cannot drift between them. */
+  private def sqlAssignedCtes: String = s"""
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM e WHERE vec_id < 64),
+        assigned AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, cent.cent_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${VectorOps.sqlCosine("e.embedding", "cent.c_vec", DIM)} DESC,
+                              cent.cent_id) AS crk
+            FROM e CROSS JOIN cent)
+          WHERE crk = 1)"""
+
   def all: Seq[Q] = Seq(
     // ---- C44 brute-force cosine top-k for a fixed query set ---------------------
     Q(
@@ -194,21 +237,7 @@ object SimilarityQueries {
     Q(
       "q_sim_topk_ivf",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"),
-            VectorOps.norm(col("embedding")).as("nrm"))
-        val cent = e.filter(col("vec_id") < 64)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("c_vec"),
-            col("nrm").as("c_nrm"))
-        val assigned = e.join(broadcast(cent), lit(true))
-          .withColumn("c_cos",
-            VectorOps.dot(col("embedding"), col("c_vec")) / (col("nrm") * col("c_nrm")))
-          .groupBy(col("vec_id"))
-          .agg(
-            first(col("embedding")).as("embedding"),
-            first(col("nrm")).as("nrm"),
-            // max cosine, ties toward the lower centroid id
-            max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id"))).as("cell"))
+        val assigned = cellAssigned(s, dir)
         val queries = assigned.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("nrm").as("q_nrm"), col("cell"))
@@ -224,16 +253,7 @@ object SimilarityQueries {
           .orderBy(col("q_id"), col("rk"))
       },
       Some(s"""
-        WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        cent AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM e WHERE vec_id < 64),
-        assigned AS (
-          SELECT vec_id, embedding, cell FROM (
-            SELECT e.vec_id, e.embedding, cent.cent_id AS cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${VectorOps.sqlCosine("e.embedding", "cent.c_vec", DIM)} DESC,
-                              cent.cent_id) AS crk
-            FROM e CROSS JOIN cent)
-          WHERE crk = 1),
+        WITH $sqlAssignedCtes,
         q AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM assigned WHERE vec_id < 8),
         scored AS (
           SELECT q.q_id, a.vec_id, a.cell,
@@ -460,6 +480,56 @@ object SimilarityQueries {
         JOIN e eb ON eb.vec_id = c.vec_b
         WHERE round(${VectorOps.sqlCosine("ea.embedding", "eb.embedding", DIM)}, 6) >= 0.42
         ORDER BY vec_a, vec_b
+      """)),
+
+    // ---- C43 semantic dedup: cluster-then-prune (SemDeDup-style) ---------------
+    // The embedding-space analogue of keep-one-per-cluster curation (Abbas
+    // et al., "SemDeDup: Data-efficient learning at web-scale through
+    // semantic deduplication", arXiv:2303.09540): assign every vector to a
+    // coarse cluster, search near-duplicates only WITHIN each cluster, and
+    // keep one representative per duplicate relation. Deterministic keep
+    // rule: a vector is dropped iff some SMALLER vec_id in its cell is
+    // within the cosine threshold (the reproducible version of SemDeDup's
+    // keep-one policy; deliberately NOT a transitive closure — connected-
+    // component resolution is q_dedup_clusters' job). Within-cell search is
+    // approximate BY DESIGN — cross-cell near-dups are unseen, the price
+    // SemDeDup pays for bounding the quadratic; both engines compute the
+    // identical approximation so the gate is exact.
+    // Scale shape: the codebook broadcasts (O(k) rows regardless of corpus
+    // size), assignment partial-aggregates map-side (one row per vector
+    // crosses the wire), and the pair search shuffles by CELL only — cells
+    // bound the quadratic at ~(n/k)² per cell vs n² global, which is
+    // exactly the trade this operator exists for. The final keep-flag join
+    // is corpus-keyed but moves only (vec_id, cell) pairs, never vectors.
+    Q(
+      "q_dedup_semantic",
+      (s, dir) => {
+        val a = cellAssigned(s, dir).persist()
+        val l = a.select(col("cell"), col("vec_id").as("ida"),
+          col("embedding").as("va"), col("nrm").as("na"))
+        val r = a.select(col("cell"), col("vec_id").as("idb"),
+          col("embedding").as("vb"), col("nrm").as("nb"))
+        val dropped = l.join(r, Seq("cell"))
+          .filter(col("ida") < col("idb"))
+          .withColumn("cos", round(
+            VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+          .filter(col("cos") >= 0.42)
+          .select(col("idb").as("vec_id")).distinct()
+        a.join(dropped.withColumn("drp", lit(1L)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), col("drp").isNull.as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH $sqlAssignedCtes,
+        pairs AS (
+          SELECT a.vec_id AS ida, b.vec_id AS idb
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(${VectorOps.sqlCosine("a.embedding", "b.embedding", DIM)}, 6) >= 0.42),
+        d AS (SELECT DISTINCT idb AS vec_id FROM pairs)
+        SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+        FROM assigned a LEFT JOIN d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id
       """))
   )
 }

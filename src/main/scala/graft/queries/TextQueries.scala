@@ -1218,6 +1218,144 @@ object TextQueries {
                (CAST(count(b.h) AS DOUBLE) / count(*)) >= 0.5 AS contaminated
         FROM train t LEFT JOIN bench b ON t.h = b.h
         GROUP BY t.doc_id ORDER BY doc_id
+      """)),
+
+    // ---- C43 duplicated-span coverage (substring-dedup metric) ------------------
+    // How much of each document is covered by corpus-duplicated spans —
+    // the document-level metric behind exact substring deduplication (Lee
+    // et al., "Deduplicating Training Data Makes Language Models Better",
+    // arXiv:2107.06499), computed at token-8-gram granularity instead of
+    // suffix-array byte ranges so the DuckDB oracle can recompute it
+    // exactly. A span is "duplicated" when its 8-gram occurs ≥2 times in
+    // the whole corpus (within- or cross-document); a document's
+    // dup_ratio is the fraction of its token positions covered by at
+    // least one duplicated span.
+    // Scale shape: the span stream is a map-side generator pass (explode
+    // of start offsets; the 8-gram is hashed by the codegen PolyHash
+    // before anything moves), the occurrence count is a partial-aggregated
+    // hash aggregate on span hashes, and coverage union is per-document
+    // (distinct positions, partial-agg). The dup-span mark join is keyed
+    // by span hash — unlike the boilerplate set (high-df ⇒ small by
+    // construction) the df≥2 span set GROWS with corpus duplication, so
+    // no broadcast is claimed: at 100 TB this is an honest shuffled
+    // equi-join on 8-byte keys, the same shape Lee et al.'s distributed
+    // implementations use.
+    Q(
+      "q_text_span_dedup",
+      (s, dir) => {
+        val N = 8
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+          .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("ntok"))
+        // docs shorter than N contribute no spans (sequence(1, n<1) would
+        // DESCEND in Spark — same guard as TextHash.wordShingles)
+        val spans = base.filter(col("ntok") >= N)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), (col("ntok") - (N - 1)).cast("int"))).as("i"),
+            col("w"))
+          .select(col("doc_id"), col("i"),
+            TextHash.polyHash(concat_ws(" ", slice(col("w"), col("i"), lit(N)))).as("h"))
+          .persist() // feeds both the occurrence count and the mark join
+        val dup = spans.groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("h"))
+        val covered = spans.join(dup, "h")
+          .select(col("doc_id"), explode(sequence(col("i"), col("i") + (N - 1))).as("pos"))
+          .groupBy("doc_id").agg(countDistinct(col("pos")).as("dup_tokens"))
+        base.select(col("doc_id"), col("ntok"))
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ntok"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("ntok"), 4)
+              .as("dup_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        base AS (SELECT doc_id, w, len(w) AS ntok FROM w),
+        st AS (SELECT doc_id, w,
+                      unnest(range(1, greatest(ntok - 7, 0) + 1)) AS i
+               FROM base),
+        sp AS (SELECT doc_id, i,
+                      ${sqlPolyHash("array_to_string(list_slice(w, i, i + 7), ' ')")} AS h
+               FROM st),
+        dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
+        hits AS (SELECT s.doc_id, s.i FROM sp s JOIN dup d ON s.h = d.h),
+        cov AS (SELECT doc_id, unnest(range(i, i + 8)) AS pos FROM hits),
+        cc AS (SELECT doc_id, COUNT(DISTINCT pos) AS dup_tokens FROM cov GROUP BY doc_id)
+        SELECT b.doc_id, CAST(b.ntok AS BIGINT) AS ntok,
+               CAST(COALESCE(cc.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(CAST(COALESCE(cc.dup_tokens, 0) AS DOUBLE) / b.ntok, 4) AS dup_ratio
+        FROM base b LEFT JOIN cc USING (doc_id)
+        ORDER BY doc_id
+      """)),
+
+    // ---- C45 BM25 retrieval scoring (Okapi BM25) -------------------------------
+    // Classic sparse retrieval over the corpus: Okapi BM25 (Robertson &
+    // Spärck Jones probabilistic relevance framework) for a fixed 3-term
+    // query, k1 = 1.2, b = 0.75, returning the top-25 documents. The
+    // training-pipeline use is query-targeted corpus inspection ("show me
+    // what the corpus says about X") and retrieval-based data selection.
+    // Cross-engine float parity: every constant is a shared decimal
+    // LITERAL (never derived arithmetic — 1.2 + 1.0 rounds a ulp away
+    // from literal 2.2), per-term contributions are summed in fixed
+    // left-assoc query order, df/dl/N are exact integer-valued doubles,
+    // and avgdl = sum_dl / n_docs is one correctly-rounded division in
+    // both engines. ln shares q_text_tfidf's correctly-rounded-log
+    // assumption; scores round to 6 dp.
+    // Scale shape: corpus stats (N, Σdl, one df per query term) come back
+    // as a 1-row broadcast, tf is a map-side codegen filter per term, and
+    // the global top-k is orderBy+limit → TakeOrderedAndProject (per-
+    // partition heaps + driver merge of k rows, never a full sort); the
+    // rank window then runs on the bounded k-row result, not the corpus.
+    Q(
+      "q_text_bm25",
+      (s, dir) => {
+        val terms = Seq("spark", "merge", "vector")
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+          .select(col("doc_id"), col("w"), size(col("w")).cast("double").as("dl"))
+        val statAggs =
+          count(lit(1)).cast("double").as("n_docs") +:
+            (sum(col("dl")).as("sum_dl") +:
+              terms.map(t => sum(when(array_contains(col("w"), t), 1L).otherwise(0L))
+                .cast("double").as(s"df_$t")))
+        val stats = d.agg(statAggs.head, statAggs.tail: _*)
+        val avgdl = col("sum_dl") / col("n_docs")
+        val contribs = terms.map { t =>
+          val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+          val idf = log((col("n_docs") - col(s"df_$t") + lit(0.5))
+            / (col(s"df_$t") + lit(0.5)) + lit(1.0))
+          (idf * (tf * lit(2.2))) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+        }
+        val scored = d.join(broadcast(stats))
+          .select(col("doc_id"), round(contribs.reduce(_ + _), 6).as("score"))
+        scored.orderBy(col("score").desc, col("doc_id")).limit(25)
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("score"), col("rk"))
+          .orderBy(col("rk"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        d AS (SELECT doc_id, w, CAST(len(w) AS DOUBLE) AS dl FROM w),
+        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl,
+                      CAST(SUM(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+                      CAST(SUM(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge,
+                      CAST(SUM(CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector
+               FROM d),
+        sc AS (SELECT doc_id, round(
+                 ${Seq("spark", "merge", "vector").map(t =>
+                   s"""ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+                      * (CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) * 2.2)
+                      / (CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))""")
+                   .mkString(" + ")}, 6) AS score
+               FROM d CROSS JOIN st),
+        top AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25)
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        FROM top ORDER BY rk
       """))
   )
 }

@@ -38,5 +38,25 @@ class EmbedDedupSpec extends AnyFunSuite {
       val lsh = rows("q_dedup_embed_cosine_lsh", sf)
       assert(lsh == witness)
     }
+
+    test(s"semantic dedup keep rule = within-cell restriction of the witness at $sf") {
+      // q_dedup_semantic drops vector b iff some a < b in the SAME CELL has
+      // cos(a, b) >= 0.42. The all-pairs witness restricted to same-cell
+      // pairs is therefore the exact reference for the drop set, and the
+      // difference (witness pairs straddling cells) is the approximation
+      // SemDeDup-style clustering declares.
+      val out = SparkEntry.queries("q_dedup_semantic")(spark, s"/root/testdata/$sf")
+        .collect().map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getLong(r.fieldIndex("cell")), r.getBoolean(r.fieldIndex("kept"))))
+      val cell = out.map(t => t._1 -> t._2).toMap
+      val dropped = witness.filter { case (a, b, _) => cell(a) == cell(b) }
+        .map(_._2).toSet
+      out.foreach { case (id, _, kept) =>
+        assert(kept == !dropped.contains(id),
+          s"vec $id kept=$kept disagrees with the within-cell pair relation")
+      }
+      // the threshold/clustering must be non-degenerate on this corpus
+      assert(dropped.nonEmpty, "no within-cell near-dup pairs — test lost its teeth")
+    }
   }
 }

@@ -266,4 +266,54 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"),
       s"packing must not global-sort:\n$p")
   }
+
+  test("shard shuffle moves one narrow hash exchange, never a range sort") {
+    // the deterministic global shuffle carries (doc_id, ntok, k) through
+    // exactly one hash exchange by shard — the salted hash consumes text
+    // map-side; a range exchange would mean a global sort snuck in
+    val p = plan("q_sample_shards")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the shard exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"shard shuffle must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("bm25 broadcasts its 1-row stats and takes the top-k with a bounded heap") {
+    // corpus stats come back as a broadcast (never a shuffle of the
+    // corpus), and the global top-25 must be TakeOrderedAndProject —
+    // per-partition heaps + a k-row driver merge — not a full sort
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a full sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"stats join regrew a shuffle or cartesian:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("span dedup partial-aggregates its counts; no cartesian anywhere") {
+    // the occurrence count and the per-doc coverage count must both
+    // collapse map-side (the explode streams are corpus×spans-sized), and
+    // the dup-span mark join must ride equi-join keys — a cartesian here
+    // is the n² failure this operator's banded cousins exist to avoid
+    val p = plan("q_text_span_dedup")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span mark join lost its equi keys:\n$p")
+  }
+
+  test("semantic dedup bounds its pair search by cell equi-join, codebook broadcast") {
+    // the only nested-loop allowed is the O(k)-codebook assignment
+    // broadcast; the within-cell pair search must be an equi join on cell
+    // (a cartesian = the unbounded n² SemDeDup exists to avoid), and the
+    // assignment argmax must partial-aggregate map-side
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"pair search went cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"codebook assignment lost its broadcast:\n$p")
+    assert(p.contains("partial_first") || p.contains("partial first")
+      || p.contains("partial_max_by") || p.contains("HashAggregate"),
+      s"assignment argmax not aggregated:\n$p")
+  }
 }

@@ -193,6 +193,30 @@ class SampleQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("shard shuffle: exact partition of the corpus, contiguous pos per shard, deterministic") {
+    val rows = run("q_sample_shards").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Long]("ntok")))
+    val nDocs = Tables.documents(spark, sf).count()
+    // a shuffle is a PERMUTATION: every doc appears exactly once
+    assert(rows.length.toLong == nDocs)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (shard, g) =>
+      assert(shard >= 0 && shard < 8, s"shard $shard out of range")
+      // pos is a contiguous 1..n ordinal within the shard
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length.toLong),
+        s"shard $shard positions not contiguous")
+    }
+    // all 8 shards populated and no shard hogs the corpus (hash balance)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L until 8L).toSet, s"empty shards: $sizes")
+    assert(sizes.values.max < nDocs / 2, s"degenerate shard balance: $sizes")
+    // deterministic run-to-run (the whole point vs rand()-keyed shuffles)
+    val again = run("q_sample_shards").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSet == again.toSet)
+  }
+
   test("context packing: offsets are running token sums within each shard") {
     val rows = run("q_pack_context").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
