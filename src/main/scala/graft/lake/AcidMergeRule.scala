@@ -161,14 +161,19 @@ case class AcidMergeCommand(
   }
 }
 
-/** Driver-orchestrated UPDATE: read the snapshot, keep the rows matching
-  * the condition, apply the SET expressions, and upsert the result — the
-  * primary keys are unchanged, so the transactional upsert replaces
-  * exactly the targeted rows.
+/** Driver-orchestrated UPDATE, routed through [[AcidTable.update]] — the
+  * group-based row-level rewrite whose matched set is rediscovered inside
+  * the OCC commit loop. (The earlier snapshot→filter→SET→upsert
+  * translation here read the snapshot BEFORE the upsert's commit loop: a
+  * conflicting commit between read and publish retried the upsert with
+  * values computed from the stale read — a lost update. `AcidTable.update`
+  * re-runs the whole rewrite against the fresh snapshot on conflict.)
   *
   * All SET expressions are evaluated in ONE projection against the
   * original snapshot row (SQL UPDATE semantics): `SET a = b, b = a`
   * swaps, because neither RHS observes the other assignment's result.
+  * Column resolution (case-insensitivity, duplicate rejection) lives in
+  * [[AcidTable.update]] so the text and catalog front-ends cannot drift.
   */
 case class AcidUpdateCommand(
     acid: AcidTable,
@@ -176,28 +181,9 @@ case class AcidUpdateCommand(
     conditionSql: Option[String]) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, expr}
-    val snap = acid.snapshot()
-    val targeted = conditionSql.map(c => snap.filter(expr(c))).getOrElse(snap)
-    // resolve SET columns the way Spark resolves attributes (the session
-    // resolver — case-insensitive by default, so `SET V = 1` targets `v`),
-    // and reject duplicates instead of letting the last one win silently
-    // (SQL engines error on `SET v = 1, v = 2`)
-    val resolver = session.sessionState.conf.resolver
-    val resolved = sets.map { case (c, e) =>
-      snap.columns.find(resolver(_, c)) match {
-        case Some(actual) => actual -> e
-        case None => throw new IllegalArgumentException(
-          s"UPDATE SET references unknown column: $c")
-      }
-    }
-    val dupes = resolved.map(_._1).groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
-    require(dupes.isEmpty,
-      s"duplicate assignment in UPDATE SET: ${dupes.mkString(",")}")
-    val byCol = resolved.toMap
-    val updated = targeted.select(
-      snap.columns.map(c => byCol.get(c).map(e => expr(e).as(c)).getOrElse(col(c))).toIndexedSeq: _*)
-    acid.upsert(updated)
+    import org.apache.spark.sql.functions.{expr, lit}
+    acid.update(sets.map { case (c, e) => c -> expr(e) },
+      conditionSql.map(expr).getOrElse(lit(true)))
     Seq.empty
   }
 }

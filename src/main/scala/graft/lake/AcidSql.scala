@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, In, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanShim
 import org.apache.spark.sql.types.StructType
 
@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.StructType
   *  - `INSERT INTO t SELECT …` / `VALUES …`
   *    → [[AcidTable.upsert]] (Hudi append with a record key IS an upsert,
   *    which is exactly how the reference's insert path behaves)
+  *  - `UPDATE t SET c = expr … [WHERE cond]`
+  *    → [[AcidTable.update]] (group-based row-level rewrite; the matched
+  *    set is rediscovered inside the OCC commit loop, so retried commits
+  *    never apply values computed from a stale snapshot)
   *
   * The USING source resolves through the session analyzer, so temp views
   * registered the way the reference registers them work unchanged.
@@ -54,6 +58,20 @@ object AcidSql {
           case other => fail(s"expected exactly WHEN NOT MATCHED THEN INSERT (full row), got: $other")
         }
         t.merge(src, updateCols)
+
+      case u: UpdateTable =>
+        // UPDATE t SET c = expr … [WHERE cond] → AcidTable.update (the
+        // group-based row-level rewrite; matched rows rediscovered inside
+        // the OCC loop). Qualifiers are stripped: a single-table UPDATE's
+        // references are unambiguous, and the snapshot they resolve
+        // against carries bare column names.
+        val t = resolveTable(tables, u.table)
+        val assigns = u.assignments.map(a =>
+          assignedCol(a) -> PlanShim.columnOf(stripQualifiers(a.value)))
+        val cond = u.condition
+          .map(e => PlanShim.columnOf(stripQualifiers(e)))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        t.update(assigns, cond)
 
       case DeleteFromTable(target, condition) =>
         val t = resolveTable(tables, target)
@@ -95,6 +113,11 @@ object AcidSql {
   private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, child) => stripAlias(child)
     case other => other
+  }
+
+  private def stripQualifiers(e: Expression): Expression = e.transform {
+    case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+      UnresolvedAttribute(Seq(a.nameParts.last))
   }
 
   private def lookup(tables: Map[String, AcidTable], r: UnresolvedRelation): Option[AcidTable] = {

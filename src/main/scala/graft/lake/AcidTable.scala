@@ -524,6 +524,66 @@ final class AcidTable private (
     hint.map(_.distinct)
   }
 
+  /** Conditional UPDATE (SQL `UPDATE t SET … WHERE …`) as a group-based
+    * row-level rewrite: rows matching `condition` are rewritten with
+    * `assignments` applied; everything else in the touched file groups is
+    * carried unchanged. The matched rows are REDISCOVERED from the
+    * current snapshot inside the commit loop — on an OCC retry whose
+    * intervening commit overlaps our file groups, the partial-redo branch
+    * re-runs `resultOf` against the fresh snapshot, so concurrent changes
+    * to the rows we update are never overwritten with values computed
+    * from a stale read (no lost updates — the failure mode of the naive
+    * read-then-merge translation, whose source rows are frozen at the
+    * first read).
+    *
+    * Conflict scope is the file group (Hudi-style OCC): an intervening
+    * DISJOINT-cell commit resolves as a manifest re-merge with the
+    * predicate's matched set pinned at our read snapshot — i.e. snapshot-
+    * isolation semantics for predicate writes, the same level Hudi/Delta
+    * give UPDATE, not full predicate serializability.
+    *
+    * The primary-key and partition columns cannot be assigned (the
+    * standard lakehouse restriction; an identity-changing update is a
+    * delete + insert).
+    *
+    * Scale shape: discovery scans the snapshot once for matched
+    * (partition, bucket) cells; only those file groups are read and
+    * rewritten — commit cost is proportional to what the predicate
+    * touches, not to table size.
+    */
+  def update(assignments: Seq[(String, Column)], condition: Column): Long = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    // resolve SET columns the way Spark resolves attributes (the session
+    // resolver — case-insensitive by default, so `SET V = 1` targets `v`),
+    // and reject duplicates instead of letting the last one win silently
+    // (SQL engines error on `SET v = 1, v = 2`)
+    val resolver = spark.sessionState.conf.resolver
+    val resolved = assignments.map { case (c, v) =>
+      schema.fieldNames.find(resolver(_, c)).getOrElse(throw new IllegalArgumentException(
+        s"UPDATE SET references unknown column: $c")) -> v
+    }
+    val dupes = resolved.map(_._1).groupBy(identity)
+      .collect { case (c, vs) if vs.size > 1 => c }
+    require(dupes.isEmpty, s"duplicate assignment in UPDATE SET: ${dupes.mkString(",")}")
+    resolved.foreach { case (n, _) =>
+      require(n != pkCol && n != partitionCol,
+        s"cannot UPDATE key/partition column '$n' (use delete + insert)")
+    }
+    val byName = resolved.toMap
+    commitLoop(
+      touchedOf = (snap, _) => snap.filter(condition)
+        .select(col(partitionCol).as("__p"), bucketExpr.as("__b"))
+        .distinct().collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq,
+      resultOf = snapT => snapT.select(schema.fieldNames.map { f =>
+        byName.get(f) match {
+          // WHERE NULL keeps the row unchanged (SQL three-valued filter)
+          case Some(v) => when(condition, v).otherwise(col(f)).as(f)
+          case None => col(f)
+        }
+      }: _*),
+      outputBounded = false)
+  }
+
   /** Delete by key set (reference A8, as a left-anti join — the reference's
     * string-built `IN` list had the no-delimiter bug §8-B3).
     */

@@ -151,7 +151,7 @@ object AcidQueries {
         FROM region ORDER BY pk
       """)),
 
-    // ---- C5 SQL text surface: INSERT INTO / MERGE INTO / DELETE FROM ------------
+    // ---- C5 SQL text surface: INSERT / MERGE / UPDATE / DELETE ------------------
     // The reference's writers emit literal SQL (TransactionWriter.java:
     // 153-175); AcidSql parses the same text with Spark's parser and
     // routes the reference's statement shapes to the transactional ops.
@@ -181,6 +181,8 @@ object AcidQueries {
             |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.val) VALUES (s.pk, s.part, s.val)
             |""".stripMargin)
         graft.lake.AcidSql.execute(s, reg,
+          "UPDATE acid.t SET val = val + 0.5 WHERE part = 'p1'")
+        graft.lake.AcidSql.execute(s, reg,
           "DELETE FROM acid.t WHERE pk IN ('3', '9', '15')")
         t.snapshot().orderBy(col("pk"))
       },
@@ -191,7 +193,7 @@ object AcidQueries {
                  CAST(n_regionkey AS DOUBLE) AS val
           FROM nation)
         SELECT pk, part,
-               CASE WHEN CAST(pk AS BIGINT) % 2 = 0 THEN val * 10 ELSE val END AS val
+               CASE WHEN CAST(pk AS BIGINT) % 2 = 0 THEN val * 10 ELSE val + 0.5 END AS val
         FROM base WHERE pk NOT IN ('3', '9', '15')
         ORDER BY pk
       """)),
@@ -226,6 +228,7 @@ object AcidQueries {
                 |WHEN MATCHED THEN UPDATE SET t.val = s.val
                 |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.val) VALUES (s.pk, s.part, s.val)
                 |""".stripMargin)
+        s.sql("UPDATE graft.acid.t SET val = val + 0.5 WHERE part = 'p1'")
         s.sql("DELETE FROM graft.acid.t WHERE pk IN ('3', '9', '15')")
         s.sql("SELECT * FROM graft.acid.t ORDER BY pk")
       },
@@ -236,7 +239,7 @@ object AcidQueries {
                  CAST(n_regionkey AS DOUBLE) AS val
           FROM nation)
         SELECT pk, part,
-               CASE WHEN CAST(pk AS BIGINT) % 2 = 0 THEN val * 10 ELSE val END AS val
+               CASE WHEN CAST(pk AS BIGINT) % 2 = 0 THEN val * 10 ELSE val + 0.5 END AS val
         FROM base WHERE pk NOT IN ('3', '9', '15')
         ORDER BY pk
       """)),

@@ -530,6 +530,93 @@ object SimilarityQueries {
         SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
         FROM assigned a LEFT JOIN d ON a.vec_id = d.vec_id
         ORDER BY a.vec_id
-      """))
+      """)),
+
+    // ---- C44 k-means codebook training (Lloyd iterations) ----------------------
+    // The trained version of the fixed IVF codebook: two Lloyd iterations
+    // from the deterministic seed (vec_id < 8), then the final cell
+    // assignment. Real IVF/SemDeDup pipelines train their coarse
+    // quantizer exactly like this; two fixed iterations keep the oracle a
+    // finite CTE chain while exercising the full train loop shape.
+    // Determinism across engines and partitionings: the E-step's argmax
+    // is the IVF assignment sequence (identical IEEE ops both engines);
+    // the M-step mean-pools each centroid component in FIXED POINT —
+    // quantize to integer millionths, sum exactly (order-free), divide
+    // once — then casts back to FLOAT (one correctly-rounded cast) so the
+    // next E-step runs the same codegen float-dot kernel in both engines.
+    // A float mean summed in float would be partial-agg-order-dependent;
+    // this is the q_embed_centroid convention applied inside a loop.
+    // Scale shape per iteration: codebook broadcasts (O(k)); assignment
+    // partial-aggregates map-side (k candidate rows per vector collapse
+    // before the shuffle); the M-step shuffles (cell, dim, int64) triples
+    // only — never vectors. The corpus is scanned once per E-step from
+    // the persisted projection.
+    Q(
+      "q_embed_kmeans",
+      (s, dir) => {
+        val K = 8
+        val e = Tables.embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"))
+          .persist()
+        def assign(cent: org.apache.spark.sql.DataFrame) =
+          e.join(broadcast(cent), lit(true))
+            .withColumn("c_cos",
+              VectorOps.dot(col("embedding"), col("c_vec")) / (col("nrm") * col("c_nrm")))
+            .groupBy(col("vec_id"))
+            .agg(first(col("embedding")).as("embedding"),
+              max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id"))).as("cell"),
+              max(col("c_cos")).as("cos"))
+        def recenter(assigned: org.apache.spark.sql.DataFrame) =
+          assigned
+            .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+            .withColumn("q", round(col("v").cast("double") * 1e6).cast("long"))
+            .groupBy(col("cell"), col("pos"))
+            .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+            .select(col("cell"), col("pos"),
+              (col("sq").cast("double") / (col("n").cast("double") * 1e6))
+                .cast("float").as("c"))
+            .groupBy(col("cell"))
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+              x => x.getField("c")).as("c_vec"))
+            .select(col("cell").as("cent_id"), col("c_vec"),
+              VectorOps.norm(col("c_vec")).as("c_nrm"))
+        val seed = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_vec"),
+            col("nrm").as("c_nrm"))
+        val trained = recenter(assign(recenter(assign(seed))))
+        assign(trained)
+          .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def sqlAssign(cent: String, a: String) = s"""
+          $a AS (SELECT vec_id, embedding, cell, cos FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+                   ${VectorOps.sqlCosine("e.embedding", "c.c_vec", DIM)} AS cos,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${VectorOps.sqlCosine("e.embedding", "c.c_vec", DIM)} DESC,
+                              c.cent_id) AS rk
+            FROM e CROSS JOIN $cent c) WHERE rk = 1)"""
+        def sqlRecenter(a: String, cent: String) = s"""
+          ${cent}_s AS (SELECT cell, i - 1 AS pos, COUNT(*) AS n,
+                 SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e6) AS BIGINT)) AS sq
+               FROM $a, range(1, ${DIM + 1}) r(i) GROUP BY 1, 2),
+          $cent AS (SELECT cell AS cent_id,
+                 list(CAST(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS FLOAT)
+                      ORDER BY pos) AS c_vec
+               FROM ${cent}_s GROUP BY cell)"""
+        s"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        cent0 AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM e WHERE vec_id < 8),
+        ${sqlAssign("cent0", "a1")},
+        ${sqlRecenter("a1", "cent1")},
+        ${sqlAssign("cent1", "a2")},
+        ${sqlRecenter("a2", "cent2")},
+        ${sqlAssign("cent2", "a3")}
+        SELECT vec_id, cell, round(cos, 6) AS cos FROM a3 ORDER BY vec_id
+        """
+      })
   )
 }

@@ -108,6 +108,12 @@ object PlanShim {
     * must hold Catalyst-internal values ([[smallLocalColumn]] provides
     * them).
     */
+  /** An arbitrary catalyst Expression as a user-facing Column — for the
+    * SQL front-end's UPDATE assignments/condition, which must resolve
+    * against the target snapshot like any user Column. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   def inSet(column: org.apache.spark.sql.Column, values: Set[Any]): org.apache.spark.sql.Column = {
     val expr = org.apache.spark.sql.classic.ExpressionUtils.expression(column)
     org.apache.spark.sql.classic.ExpressionUtils.column(

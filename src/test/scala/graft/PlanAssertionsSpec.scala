@@ -316,4 +316,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       || p.contains("partial_max_by") || p.contains("HashAggregate"),
       s"assignment argmax not aggregated:\n$p")
   }
+
+  test("kmeans E-steps broadcast the codebook; M-steps shuffle (cell, dim) triples only") {
+    // every E-step joins an O(k) codebook — broadcast nested loop, never a
+    // cartesian — and the argmax collapses map-side; the M-step's
+    // component sums are ordinary partial+final hash aggregation. A
+    // range exchange anywhere would mean a global sort snuck into the
+    // train loop.
+    val p = plan("q_embed_kmeans")
+    assert(!p.contains("CartesianProduct"), s"E-step went cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"codebook lost its broadcast:\n$p")
+    // exactly ONE range exchange is legitimate: the final presentation
+    // ORDER BY vec_id — a second one would mean a global sort inside the
+    // train loop itself
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+      s"global sort inside the train loop:\n$p")
+    assert("partial_max_by".r.findAllIn(p).size >= 1,
+      s"E-step argmax lost its map-side partial:\n$p")
+  }
 }

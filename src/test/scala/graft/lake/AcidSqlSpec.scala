@@ -60,6 +60,60 @@ class AcidSqlSpec extends AnyFunSuite {
       == Seq("R2", "R4"))
   }
 
+  test("UPDATE text: conditional assignment, qualified names, no-match no-op") {
+    val (t, reg) = freshTable()
+    Seq(("R1", "P0", "v1"), ("R2", "P1", "v2"), ("R3", "P0", "v3"))
+      .toDF("primaryKeyValue", "partitionKeyValue", "dataValue")
+      .createOrReplaceTempView("upd_src")
+    AcidSql.execute(spark, reg, "INSERT INTO acid.records SELECT * FROM upd_src")
+
+    // expression assignment + predicate, with alias-qualified references
+    AcidSql.execute(spark, reg,
+      """UPDATE acid.records r SET r.dataValue = concat(r.dataValue, '!')
+        |WHERE r.partitionKeyValue = 'P0'""".stripMargin)
+    val after = t.snapshot().orderBy("primaryKeyValue")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(after == Seq("R1" -> "v1!", "R2" -> "v2", "R3" -> "v3!"))
+
+    // a predicate matching nothing commits a no-op, content unchanged
+    val v = AcidSql.execute(spark, reg,
+      "UPDATE acid.records SET dataValue = 'x' WHERE primaryKeyValue = 'NOPE'")
+    assert(v > 0)
+    assert(t.snapshot().orderBy("primaryKeyValue")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq == after)
+
+    // key/partition assignments are rejected loudly
+    val e = intercept[IllegalArgumentException](AcidSql.execute(spark, reg,
+      "UPDATE acid.records SET primaryKeyValue = 'R9' WHERE dataValue = 'v2'"))
+    assert(e.getMessage.contains("key/partition"))
+  }
+
+  test("UPDATE recomputes from the fresh snapshot on an OCC conflict (no lost update)") {
+    val (t, reg) = freshTable()
+    Seq(("R1", "P0", "1"), ("R2", "P0", "2"))
+      .toDF("primaryKeyValue", "partitionKeyValue", "dataValue")
+      .createOrReplaceTempView("upd_cc_src")
+    AcidSql.execute(spark, reg, "INSERT INTO acid.records SELECT * FROM upd_cc_src")
+
+    // interleave: just before OUR update publishes, a second handle
+    // rewrites R1 — the update's first computation (from dataValue='1')
+    // is now stale; the OCC retry must re-derive from '100', not publish
+    // the value computed off the stale read
+    t.beforePublishHook = () => {
+      t.beforePublishHook = () => ()
+      val session = spark.newSession()
+      val t2 = AcidTable.open(session, t.path)
+      t2.upsert(session.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row("R1", "P0", "100")), schema))
+    }
+    AcidSql.execute(spark, reg,
+      "UPDATE acid.records SET dataValue = concat(dataValue, '+') WHERE partitionKeyValue = 'P0'")
+    val got = t.snapshot().orderBy("primaryKeyValue")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(got == Seq("R1" -> "100+", "R2" -> "2+"),
+      s"lost update: $got (a stale-read translation would give R1 -> 1+)")
+  }
+
   test("reference DDL text lifecycle: CREATE SCHEMA / CREATE TABLE / DROP TABLE") {
     val wh = Files.createTempDirectory("acid-sql-wh-").toString
     val sess = new AcidSqlSession(spark, wh)
