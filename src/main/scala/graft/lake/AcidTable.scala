@@ -767,6 +767,58 @@ final class AcidTable private (
     removed
   }
 
+  /** Roll the table back to an earlier version as a NEW commit (the
+    * Delta `RESTORE VERSION AS OF` / Hudi savepoint-restore analog): the
+    * restored manifest's files are re-linked into a fresh version —
+    * metadata-only, no data is copied or rewritten, and history after
+    * `toVersion` stays intact for audit (restore is itself one more
+    * commit, not a history rewrite).
+    *
+    * Conflict scope is deliberately WHOLE-TABLE (every partition present
+    * in either the restored or the replaced state): restore invalidates
+    * arbitrary concurrent work, so any racing commit must redo against
+    * the post-restore snapshot rather than re-merge its cells on top.
+    *
+    * Fails loudly when the target's manifest was archived or any of its
+    * data files were vacuumed — a restore that silently resurrected a
+    * gutted manifest would publish a corrupt table.
+    */
+  def restore(toVersion: Long): Long = {
+    val lines =
+      try manifestLines(toVersion)
+      catch {
+        case _: java.nio.file.NoSuchFileException => throw new IllegalArgumentException(
+          s"cannot restore to v$toVersion: manifest missing (never existed or archived by vacuum)")
+      }
+    val files = dataLinesOf(lines)
+    val sizes = sizesOf(lines)
+    val missing = files.filterNot(f => Files.exists(dataRoot.resolve(f)))
+    require(missing.isEmpty,
+      s"cannot restore to v$toVersion: ${missing.size} data files vacuumed" +
+        s" (first: ${missing.headOption.getOrElse("")})")
+    def partOf(f: String) = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol="))
+    var attempt = 0
+    while (true) {
+      val base = latestVersion()
+      require(toVersion <= base, s"restore target v$toVersion does not exist (latest: v$base)")
+      val baseFiles = dataLinesOf(manifestLines(base))
+      val touched = (files ++ baseFiles).map(partOf).distinct.map(FileCell(_, -1))
+      try {
+        publish(base + 1, files, touched, sizes)
+        return base + 1
+      } catch {
+        case _: FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > MaxRetries)
+            throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(64) + 1)
+      }
+    }
+    -1L // unreachable
+  }
+
   // ------------------------------------------------------------ internals --
 
   private def normalize(df: DataFrame): DataFrame = {

@@ -151,6 +151,40 @@ object AcidQueries {
         FROM region ORDER BY pk
       """)),
 
+    // ---- C5 RESTORE: roll back to an earlier version as a new commit ------------
+    // The Delta RESTORE / Hudi savepoint-restore analog: re-link v0's
+    // files into a fresh commit (metadata-only, no data copied), with
+    // post-restore history intact — the table keeps accepting commits on
+    // top, which the final upsert proves. The oracle replays the net
+    // state: the original rows plus the one post-restore change.
+    Q(
+      "q_acid_restore",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        val v0 = t.upsert(base)
+        t.upsert(base.withColumn("val", col("val") + 100)) // v1 rewrites all
+        t.delete(base.filter(col("pk").cast("long") < 10)
+          .select("pk").collect().map(_.getString(0)).toSeq) // v2 deletes some
+        t.restore(v0) // v3: back to the original content
+        // the restored table stays writable: one more change on top
+        t.upsert(base.filter(col("pk") === "0").withColumn("val", col("val") + 1))
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+               'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+               CAST(n_regionkey AS DOUBLE)
+                 + CASE WHEN n_nationkey = 0 THEN 1 ELSE 0 END AS val
+        FROM nation ORDER BY pk
+      """)),
+
     // ---- C5 SQL text surface: INSERT / MERGE / UPDATE / DELETE ------------------
     // The reference's writers emit literal SQL (TransactionWriter.java:
     // 153-175); AcidSql parses the same text with Spark's parser and

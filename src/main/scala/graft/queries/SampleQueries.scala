@@ -223,6 +223,34 @@ object SampleQueries {
         FROM t
       """)),
 
+    // ---- C50 curriculum phase assignment (quality-quantile ordering) ----
+    // Curriculum data ordering: within each language, documents are
+    // ranked by the shared corpus quality score ([[TextQueries
+    // .qualityScore]] — ONE definition with q_text_quality and the
+    // curation pipeline, so the phases cannot drift from the filter) and
+    // split into 4 equal-depth phases (ntile) — low-quality phases train
+    // first / get downweighted, the standard curriculum shape. The
+    // (quality, doc_id) order is total, so phase boundaries are
+    // deterministic in both engines.
+    // Shape: one narrow hash exchange by lang for the rank pass — the
+    // window input is (doc_id, lang, quality), text is consumed by the
+    // quality score map-side; no global sort.
+    Q(
+      "q_sample_curriculum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), TextQueries.qualityScore.as("quality"))
+          .withColumn("phase", ntile(4).over(w).cast("long"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w, text FROM documents),
+        q AS (SELECT doc_id, lang, ${TextQueries.sqlQualityExpr("w", "text")} AS quality FROM w)
+        SELECT doc_id, lang, quality,
+               CAST(ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS BIGINT) AS phase
+        FROM q
+      """)),
+
     // ---- C52 fixed-stride token chunking --------------------------------
     // Pretraining prep: split each document into overlapping fixed-size
     // token windows (size 32, stride 24 → 8-token overlap), the step that

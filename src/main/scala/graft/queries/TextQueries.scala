@@ -54,7 +54,7 @@ object TextQueries {
 
   /** DuckDB rendering of [[qualityScore]] given token-list and text
     * column names. */
-  private def sqlQualityExpr(w: String, text: String): String =
+  private[queries] def sqlQualityExpr(w: String, text: String): String =
     s"""round(least(CAST(len($w) AS DOUBLE) / 100.0, 1.0) * 0.5
        |      + (1.0 - CAST(len(list_filter($w, x -> x IN ('the', 'a', 'data', 'row'))) AS DOUBLE)
        |             / CAST(len($w) AS DOUBLE)) * 0.3

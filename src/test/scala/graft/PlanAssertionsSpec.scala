@@ -317,6 +317,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"assignment argmax not aggregated:\n$p")
   }
 
+  test("curriculum ranking shuffles once by lang; quality is consumed map-side") {
+    // the ntile pass may move only (doc_id, lang, quality) — the quality
+    // score consumes text BEFORE the exchange — and phases come from ONE
+    // hash exchange by language; a range exchange would be a global sort
+    val p = plan("q_sample_curriculum")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the lang rank exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"curriculum must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("kmeans E-steps broadcast the codebook; M-steps shuffle (cell, dim) triples only") {
     // every E-step joins an O(k) codebook — broadcast nested loop, never a
     // cartesian — and the argmax collapses map-side; the M-step's

@@ -217,6 +217,26 @@ class SampleQueriesSpec extends AnyFunSuite {
     assert(rows.map(t => (t._1, t._2, t._3)).toSet == again.toSet)
   }
 
+  test("curriculum: 4 near-equal phases per language, ordered by quality") {
+    val rows = run("q_sample_curriculum").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("phase"),
+        r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == nDocs)
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      val byPhase = g.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(byPhase.keySet == Set(1L, 2L, 3L, 4L), s"$lang phases: $byPhase")
+      // ntile: equal-depth buckets, sizes differing by at most one
+      assert(byPhase.values.max - byPhase.values.min <= 1, s"$lang sizes: $byPhase")
+      // phase order respects quality order (ties may straddle boundaries)
+      (1L to 3L).foreach { ph =>
+        assert(g.filter(_._2 == ph).map(_._3).max
+          <= g.filter(_._2 == ph + 1).map(_._3).min,
+          s"$lang: phase $ph quality exceeds phase ${ph + 1}")
+      }
+    }
+  }
+
   test("context packing: offsets are running token sums within each shard") {
     val rows = run("q_pack_context").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),

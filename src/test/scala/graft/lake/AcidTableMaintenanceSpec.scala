@@ -156,6 +156,39 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     assert(t.snapshot(t.latestVersion()).count() == 1)
   }
 
+  test("restore rolls back as a new commit: content reverts, history stays, table writable") {
+    val t = newTable()
+    val v0 = t.upsert(df(Record("R1", "P0", "a0"), Record("R2", "P1", "b0")))
+    val v1 = t.upsert(df(Record("R1", "P0", "a1"), Record("R3", "P0", "c1")))
+    t.delete(Seq("R2"))
+
+    val vr = t.restore(v0)
+    assert(vr == t.latestVersion(), "restore must publish a NEW version")
+    assert(vr > v1)
+    // content is exactly v0 again
+    def state() = t.snapshot().as[Record].collect()
+      .map(r => r.primaryKeyValue -> r.dataValue).sorted.toSeq
+    assert(state() == Seq("R1" -> "a0", "R2" -> "b0"))
+    // history after the restore point is audit-intact (no rewrite)
+    assert(t.snapshot(v1).as[Record].collect().map(_.primaryKeyValue).sorted.toSeq
+      == Seq("R1", "R2", "R3"))
+    // and the table keeps accepting commits on top of the restore
+    t.upsert(df(Record("R4", "P1", "d0")))
+    assert(state() == Seq("R1" -> "a0", "R2" -> "b0", "R4" -> "d0"))
+  }
+
+  test("restore refuses a vacuumed target and an unknown version, loudly") {
+    val t = newTable()
+    val v0 = t.upsert(df(Record("R1", "P0", "a0")))
+    t.upsert(df(Record("R1", "P0", "a1"))) // v1 rewrites R1's file group
+    t.upsert(df(Record("R1", "P0", "a2"))) // v2
+    // retire v0's files and archive its manifest
+    t.vacuum(keepVersions = 1, graceMillis = 0L)
+    val e = intercept[IllegalArgumentException](t.restore(v0))
+    assert(e.getMessage.contains("restore"), e.getMessage)
+    intercept[IllegalArgumentException](t.restore(t.latestVersion() + 10))
+  }
+
   test("vacuum archives the timeline: _commits stays bounded, horizon fails loudly") {
     val t = newTable()
     (0 until 10).foreach { i =>
