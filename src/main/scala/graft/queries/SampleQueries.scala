@@ -367,6 +367,84 @@ object SampleQueries {
         FROM tok GROUP BY doc_id
       """)),
 
+    // ---- C51 interpolated-bigram LM surprisal (the unigram filter's -----
+    // next rung): mean per-token surprisal under a Jelinek-Mercer-
+    // interpolated bigram model built from the corpus itself —
+    // P(w₂|w₁) = 0.75·c(w₁w₂)/c(w₁) + 0.25·c(w₂)/T, the first token
+    // scored by the unigram P(w₁) = c(w₁)/T. Same determinism contract
+    // as q_text_lm_score: per-token surprisal quantized to BIGINT
+    // micro-nats BEFORE summing (partial-agg-order-independent), one
+    // integer divide per doc; interpolation weights are shared decimal
+    // literals, and every division is a single correctly-rounded IEEE op
+    // in both engines.
+    // Shape: the transition stream is a map-side zip of two array slices
+    // (no self-join to build bigrams); unigram and bigram tables are
+    // corpus-bounded aggregates that broadcast back (31 words / ≤961
+    // bigrams here; at web-corpus bigram vocab the same query degrades
+    // to shuffled term joins while the per-doc aggregate stays
+    // map-partial, as the unigram comment declares).
+    Q(
+      "q_text_lm_bigram",
+      (s, dir) => {
+        val warr = Tables.documents(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        val toks = warr.select(col("doc_id"), explode(col("w")).as("t"))
+        val uni = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+        val tot = uni.agg(sum(col("cnt")).cast("double").as("bigT"))
+        val pairs = warr.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("w"), lit(1), size(col("w")) - 1),
+            slice(col("w"), lit(2), size(col("w")) - 1),
+            (a, b) => struct(a.as("p"), b.as("c")))).as("pc"))
+          .select(col("doc_id"), col("pc.p").as("p"), col("pc.c").as("c"))
+        val big = pairs.groupBy("p", "c").agg(count(lit(1)).as("cb"))
+        val transMicro = pairs
+          .join(broadcast(big), Seq("p", "c"))
+          .join(broadcast(uni.select(col("t").as("p"), col("cnt").as("cp"))), Seq("p"))
+          .join(broadcast(uni.select(col("t").as("c"), col("cnt").as("cc"))), Seq("c"))
+          .join(broadcast(tot))
+          .select(col("doc_id"),
+            round(-log(lit(0.75) * (col("cb").cast("double") / col("cp"))
+              + lit(0.25) * (col("cc").cast("double") / col("bigT"))) * 1e6)
+              .cast("long").as("micro"))
+        val firstMicro = warr
+          .select(col("doc_id"), element_at(col("w"), 1).as("c"))
+          .join(broadcast(uni.select(col("t").as("c"), col("cnt").as("cc"))), Seq("c"))
+          .join(broadcast(tot))
+          .select(col("doc_id"),
+            round(-log(col("cc").cast("double") / col("bigT")) * 1e6)
+              .cast("long").as("micro"))
+        transMicro.unionByName(firstMicro)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("ntok"), sum(col("micro")).as("sum_micro"))
+          .select(col("doc_id"), col("ntok"),
+            expr("sum_micro div ntok").as("mean_micronats"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        toks AS (SELECT doc_id, unnest(w) AS t FROM d),
+        uni AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS bigT FROM uni),
+        pairs AS (SELECT doc_id, w[i.i - 1] AS p, w[i.i] AS c
+                  FROM d, unnest(range(2, len(w) + 1)) AS i(i)),
+        big AS (SELECT p, c, COUNT(*) AS cb FROM pairs GROUP BY p, c),
+        tm AS (SELECT pr.doc_id,
+                 CAST(round(-ln(0.75 * (CAST(b.cb AS DOUBLE) / up.cnt)
+                   + 0.25 * (CAST(uc.cnt AS DOUBLE) / t.bigT)) * 1000000) AS BIGINT) AS micro
+               FROM pairs pr
+               JOIN big b ON b.p = pr.p AND b.c = pr.c
+               JOIN uni up ON up.t = pr.p
+               JOIN uni uc ON uc.t = pr.c
+               CROSS JOIN tot t),
+        fm AS (SELECT d.doc_id,
+                 CAST(round(-ln(CAST(u.cnt AS DOUBLE) / t.bigT) * 1000000) AS BIGINT) AS micro
+               FROM d JOIN uni u ON u.t = d.w[1] CROSS JOIN tot t),
+        allm AS (SELECT * FROM tm UNION ALL SELECT * FROM fm)
+        SELECT doc_id, COUNT(*) AS ntok,
+               CAST(SUM(micro) // COUNT(*) AS BIGINT) AS mean_micronats
+        FROM allm GROUP BY doc_id
+      """)),
+
     // ---- C51 corpus-frequency boilerplate detection ---------------------
     // CCNet-style boilerplate: a shingle (word bigram, distinct per doc,
     // identified by its 30-bit [[TextHash.polyHash]]) occurring in > 1/16

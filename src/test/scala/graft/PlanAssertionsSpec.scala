@@ -317,6 +317,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"assignment argmax not aggregated:\n$p")
   }
 
+  test("bigram LM joins its model tables as broadcasts and partial-aggregates per doc") {
+    // same contract as the unigram scorer: uni/bigram tables broadcast so
+    // the transition stream never shuffles by term, and the per-doc
+    // micro-nat sum collapses map-side
+    val p = plan("q_text_lm_bigram")
+    assert(p.contains("BroadcastHashJoin"), s"model tables not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"transition stream shuffled by term (SMJ present):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
   test("curriculum ranking shuffles once by lang; quality is consumed map-side") {
     // the ntile pass may move only (doc_id, lang, quality) — the quality
     // score consumes text BEFORE the exchange — and phases come from ONE

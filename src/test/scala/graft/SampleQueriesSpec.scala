@@ -138,6 +138,28 @@ class SampleQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM: all docs scored over all tokens; fits better than the unigram LM") {
+    val bi = run("q_text_lm_bigram").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ntok"), r.getAs[Long]("mean_micronats")))).toMap
+    val un = run("q_text_lm_score").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ntok"), r.getAs[Long]("mean_micronats")))).toMap
+    assert(bi.keySet == un.keySet, "both LMs must score the same documents")
+    // the bigram scorer covers every token: first token (unigram term) +
+    // one transition per remaining token
+    bi.foreach { case (doc, (ntok, m)) =>
+      assert(ntok == un(doc)._1, s"doc $doc token coverage differs")
+      assert(m > 0, s"doc $doc surprisal must be positive")
+    }
+    // a corpus-trained interpolated bigram must beat the unigram fit in
+    // aggregate (that's what conditioning buys; per-doc it may lose)
+    val biMean = bi.values.map(_._2).sum / bi.size
+    val unMean = un.values.map(_._2).sum / un.size
+    assert(biMean < unMean,
+      s"bigram LM ($biMean micro-nats) did not improve on unigram ($unMean)")
+  }
+
   test("token chunks: sizes within [8,32] and every token of a doc is covered") {
     val chunks = run("q_text_chunk").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
