@@ -30,15 +30,17 @@ class AcidTablePropertySpec extends AnyFunSuite {
   final case class Upsert(rows: List[Record]) extends Op
   final case class Merge(rows: List[Record]) extends Op
   final case class Delete(keys: List[String]) extends Op
+  final case class Update(part: String, suffix: String) extends Op
 
   private def genRecord(rnd: Random): Record = {
     val k = rnd.nextInt(20)
     Record(s"R$k", s"P${k % 3}", f"v${rnd.nextInt(1000000)}%07d")
   }
 
-  private def genOp(rnd: Random): Op = rnd.nextInt(9) match {
+  private def genOp(rnd: Random): Op = rnd.nextInt(11) match {
     case n if n < 4 => Upsert(List.fill(3)(genRecord(rnd)))
     case n if n < 7 => Merge(List.fill(3)(genRecord(rnd)))
+    case n if n < 9 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
     case _ => Delete(List.fill(2)(s"R${rnd.nextInt(20)}"))
   }
 
@@ -58,6 +60,10 @@ class AcidTablePropertySpec extends AnyFunSuite {
           case None => m + (r.primaryKeyValue -> r)
         }
       }
+    case Update(part, suffix) => model.map { case (k, r) =>
+      if (r.partitionKeyValue == part) k -> r.copy(dataValue = r.dataValue + suffix)
+      else k -> r
+    }
     case Delete(keys) => model -- keys
   }
 
@@ -73,6 +79,10 @@ class AcidTablePropertySpec extends AnyFunSuite {
         op match {
           case Upsert(rows) => t.upsert(spark.createDataset(rows).toDF())
           case Merge(rows) => t.merge(spark.createDataset(rows).toDF(), Seq("dataValue"))
+          case Update(part, suffix) =>
+            import org.apache.spark.sql.functions.{col, concat, lit}
+            t.update(Seq("dataValue" -> concat(col("dataValue"), lit(suffix))),
+              col("partitionKeyValue") === part)
           case Delete(keys) => t.delete(keys)
         }
         model = applyModel(model, op)
