@@ -108,7 +108,8 @@ object StreamingQueries {
     * wait for AvailableNow to drain, and return the sink table.
     */
   private def runStream(
-      s: SparkSession, dir: String, mode: OutputMode)(
+      s: SparkSession, dir: String, mode: OutputMode,
+      statePartitions: Int = 4)(
       transform: DataFrame => DataFrame): DataFrame = {
     val src = chunkedEventsDir(s, dir)
     val schema = s.read.parquet(src).schema
@@ -122,11 +123,15 @@ object StreamingQueries {
     // per-batch fixed cost. Size state parallelism to the stream instead;
     // the partition count binds at checkpoint creation, so setting it just
     // for the start of this query is safe and local. On a real cluster
-    // this is the same knob, sized to state volume ÷ target store size.
+    // this is the same knob, sized to state volume ÷ target store size —
+    // which is why it is a PER-QUERY parameter: the interval joins carry
+    // ~270k candidate pairs of state at the bench SF and win from more
+    // stores, while the small keyed aggregations would only pay the
+    // per-store fixed cost.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
         transform(stream).writeStream
           .format("memory").queryName(name)
           .outputMode(mode)
@@ -343,7 +348,7 @@ object StreamingQueries {
     Q(
       "q_stream_stream_join",
       (s, dir) =>
-        runStream(s, dir, OutputMode.Append()) { ev =>
+        runStream(s, dir, OutputMode.Append(), statePartitions = 8) { ev =>
           val views = ev.filter(col("event_type") === "view")
             .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
             .withWatermark("view_ts", "2 hours")
@@ -378,7 +383,7 @@ object StreamingQueries {
     Q(
       "q_stream_stream_left_join",
       (s, dir) =>
-        runStream(s, dir, OutputMode.Append()) { ev =>
+        runStream(s, dir, OutputMode.Append(), statePartitions = 8) { ev =>
           val views = ev.filter(col("event_type") === "view")
             .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
             .withWatermark("view_ts", "2 hours")
