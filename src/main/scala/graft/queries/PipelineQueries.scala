@@ -485,6 +485,48 @@ object PipelineQueries {
         FROM j WHERE rn = 1 ORDER BY p_id
       """)),
 
+    // ---- native as-of join with tolerance (merge_asof parity) -------------------
+    // The staleness-bounded point-in-time lookup (pandas
+    // `merge_asof(tolerance=...)`): each purchase gets its most recent
+    // same-user view ONLY when that view is within 1 hour — older context
+    // is stale and must not attach. Same single forward-merge exec as
+    // q_join_asof_native (tolerance filters at emission: the buffered
+    // candidate is already the most recent qualifying row, so if IT is
+    // too old, nothing qualifies); the oracle is the window formulation
+    // restricted to the 1-hour band.
+    Q(
+      "q_join_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val r = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+            col("ts").as("v_ts"))
+        org.apache.spark.sql.graft.AsOfJoin.join(l, r,
+            l("user_id"), r("v_user"), l("p_ts"), r("v_ts"), r("v_id"),
+            toleranceMicros = Some(3600L * 1000000L))
+          .select(col("p_id"), col("user_id"),
+            coalesce(col("v_id"), lit(-1L)).as("ctx_view_id"),
+            coalesce(unix_timestamp(col("v_ts")), lit(-1L)).as("ctx_view_ts"))
+          .orderBy(col("p_id"))
+      },
+      Some("""
+        WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT user_id AS v_user, event_id AS v_id, CAST(ts AS TIMESTAMP) AS v_ts
+              FROM events WHERE event_type = 'view'),
+        j AS (SELECT p.p_id, p.user_id, v.v_id, v.v_ts,
+                row_number() OVER (PARTITION BY p.p_id
+                  ORDER BY v.v_ts DESC, v.v_id DESC) AS rn
+              FROM p LEFT JOIN v ON v.v_user = p.user_id AND v.v_ts <= p.p_ts
+                AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR)
+        SELECT p_id, user_id,
+               coalesce(v_id, -1) AS ctx_view_id,
+               coalesce(CAST(floor(epoch(v_ts)) AS BIGINT), -1) AS ctx_view_ts
+        FROM j WHERE rn = 1 ORDER BY p_id
+      """)),
+
     // ---- SQL extension surface: native expressions as SQL functions -------------
     // The library's codegen'd Catalyst expressions registered through the
     // FunctionRegistry (declaratively via

@@ -36,7 +36,8 @@ case class AsOfJoinPlan(
     rightKey: Expression,
     leftTs: Expression,
     rightTs: Expression,
-    rightTie: Expression) extends BinaryNode {
+    rightTie: Expression,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -51,7 +52,19 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTs: Expression,
     rightTs: Expression,
-    rightTie: Expression) extends BinaryExecNode {
+    rightTie: Expression,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
+
+  // tolerance compares ts values numerically: timestamps are Long
+  // microseconds internally, integral types are themselves — anything
+  // else cannot take a tolerance
+  require(toleranceMicros.isEmpty || (leftTs.dataType match {
+    case org.apache.spark.sql.types.TimestampType
+       | org.apache.spark.sql.types.TimestampNTZType
+       | org.apache.spark.sql.types.LongType
+       | org.apache.spark.sql.types.IntegerType => true
+    case _ => false
+  }), s"as-of tolerance requires a timestamp/integral ts column, got ${leftTs.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -68,7 +81,14 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
 
+  private def toMicros(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case other => sys.error(s"non-numeric as-of ts value: $other")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val tol = toleranceMicros
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val lKeyB = BindReferences.bindReference(leftKey, left.output)
@@ -123,7 +143,16 @@ case class AsOfJoinExec(
             }
           }
         }
-        proj(joined(lRow, if (matchRow != null) matchRow else nullRight))
+        // tolerance: the buffered candidate is the MOST RECENT right row
+        // <= lt, so if it is older than the bound no other row qualifies —
+        // emitting null here is exactly merge_asof(tolerance=...) semantics
+        val withinTol = matchRow != null && tol.forall { t =>
+          lt != null && {
+            val mt = rTsB.eval(matchRow)
+            mt != null && toMicros(lt) - toMicros(mt) <= t
+          }
+        }
+        proj(joined(lRow, if (withinTol) matchRow else nullRight))
       }
     }
   }
@@ -139,8 +168,8 @@ case class AsOfJoinExec(
 object AsOfJoinStrategy extends Strategy {
   import org.apache.spark.sql.execution.SparkPlan
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, tol) :: Nil
     case _ => Nil
   }
 }
@@ -150,11 +179,18 @@ object AsOfJoin {
     * equal key and `rightTs <= leftTs` (ties by greatest `rightTie`).
     * Column names must not collide across sides.
     */
+  /** As-of join with a match-staleness bound (pandas
+    * `merge_asof(tolerance=...)` parity): a candidate older than
+    * `toleranceMicros` before the left ts yields nulls instead. The merge
+    * pass is unchanged — tolerance filters at emission, since the
+    * buffered candidate is already the most recent qualifying row.
+    */
   def join(
       left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTs: Column, rightTs: Column,
-      rightTie: Column): DataFrame = {
+      rightTie: Column,
+      toleranceMicros: Option[Long]): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -164,7 +200,14 @@ object AsOfJoin {
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       ExpressionUtils.expression(leftKey), ExpressionUtils.expression(rightKey),
       ExpressionUtils.expression(leftTs), ExpressionUtils.expression(rightTs),
-      ExpressionUtils.expression(rightTie))
+      ExpressionUtils.expression(rightTie), toleranceMicros)
     Dataset.ofRows(spark, plan)
   }
+
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTs: Column, rightTs: Column,
+      rightTie: Column): DataFrame =
+    join(left, right, leftKey, rightKey, leftTs, rightTs, rightTie, None)
 }

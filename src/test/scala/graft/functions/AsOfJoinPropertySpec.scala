@@ -49,4 +49,37 @@ class AsOfJoinPropertySpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial (nKeys=$nKeys) diverged from model")
     }
   }
+
+  test("tolerance-bounded as-of equals the model with the staleness filter applied") {
+    val rnd = new Random(777)
+    (1 to 8).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(30)
+      // tolerance in seconds over a 0..500 s timeline — tight enough that
+      // it regularly nulls matches the unbounded join would keep
+      val tolSec = 1L + rnd.nextInt(60)
+      val left = List.fill(50 + rnd.nextInt(200))(
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(500).toLong), rnd.nextLong()))
+      val right = List.fill(rnd.nextInt(300))(
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(500).toLong), rnd.nextLong()))
+
+      val expected = left.map { case (k, lt, lid) =>
+        val candidates = right.filter { case (rk, rt, _) =>
+          rk == k && !rt.after(lt) && lt.getTime - rt.getTime <= tolSec * 1000L }
+        val best = if (candidates.isEmpty) -1L
+          else candidates.maxBy { case (_, rt, rid) => (rt.getTime, rid) }._3
+        (lid, best)
+      }.sortBy(_._1)
+
+      val lDf = left.toDF("k", "lts", "lid")
+      val rDf = right.toDF("rk", "rts", "rid")
+      val got = AsOfJoin.join(lDf, rDf,
+          lDf("k"), rDf("rk"), lDf("lts"), rDf("rts"), rDf("rid"),
+          toleranceMicros = Some(tolSec * 1000000L))
+        .select(col("lid"), coalesce(col("rid"), lit(-1L)).as("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+      assert(got == expected,
+        s"trial $trial (nKeys=$nKeys, tol=${tolSec}s) diverged from model")
+    }
+  }
 }
