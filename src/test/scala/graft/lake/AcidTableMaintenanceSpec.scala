@@ -177,6 +177,22 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     assert(state() == Seq("R1" -> "a0", "R2" -> "b0", "R4" -> "d0"))
   }
 
+  test("CDC across a restore surfaces the reverted rows as row-level changes") {
+    val t = newTable()
+    val v0 = t.upsert(df(Record("R1", "P0", "a0"), Record("R2", "P1", "b0")))
+    t.upsert(df(Record("R1", "P0", "a1"))) // v1 rewrites R1
+    val v2 = t.delete(Seq("R2"))           // v2 drops R2
+    val v3 = t.restore(v0)
+    // incremental consumers see the rollback as ordinary row changes:
+    // R1 reverts (delete a1 + insert a0) and R2 reappears
+    val changes = t.changesBetween(v2, v3).collect().map(r =>
+      (r.getAs[String]("primaryKeyValue"), r.getAs[String]("dataValue"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(changes == Set(
+      ("R1", "a1", "delete"), ("R1", "a0", "insert"), ("R2", "b0", "insert")),
+      s"got $changes")
+  }
+
   test("restore refuses a vacuumed target and an unknown version, loudly") {
     val t = newTable()
     val v0 = t.upsert(df(Record("R1", "P0", "a0")))
