@@ -284,8 +284,30 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
         override def sqlContext: SQLContext = context
         override def schema: StructType = required
         override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+          // a pure PK equality/IN among the pushed conjuncts routes the
+          // read through the bucket-pruned point-lookup path: the file
+          // list shrinks to the keys' hash buckets BEFORE the scan plan
+          // exists, so `SELECT … WHERE pk = 'x'` on a 100 TB table reads
+          // O(1) file groups — declaratively, with no API change for the
+          // SQL user. A partition conjunct narrows the pruning further.
+          // All pushed filters are still re-applied below (the lookup
+          // already filters by key; re-filtering is idempotent), so
+          // correctness never depends on the pruning.
+          val pkKeys = pushed.collectFirst {
+            case sources.In(a, vs) if a == acid.pkCol => vs.toSeq.map(String.valueOf)
+            case sources.EqualTo(a, v) if a == acid.pkCol && v != null => Seq(String.valueOf(v))
+          }
+          val partHint = pushed.collectFirst {
+            case sources.In(a, vs) if a == acid.partitionCol => vs.toSeq.map(String.valueOf)
+            case sources.EqualTo(a, v) if a == acid.partitionCol && v != null =>
+              Seq(String.valueOf(v))
+          }
+          val base = pkKeys match {
+            case Some(ks) => acid.lookup(ks, partHint, version.getOrElse(-1L))
+            case None => acid.snapshot(version.getOrElse(-1L))
+          }
           val filtered = pushed.flatMap(AcidScanBuilder.toColumn)
-            .foldLeft(acid.snapshot(version.getOrElse(-1L)))((df, c) => df.filter(c))
+            .foldLeft(base)((df, c) => df.filter(c))
           filtered.select(required.fieldNames.map(col).toSeq: _*).rdd
         }
       }.asInstanceOf[T]

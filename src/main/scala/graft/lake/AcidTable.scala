@@ -233,6 +233,86 @@ final class AcidTable private (
     }
   }
 
+  /** Point-lookup read: the pinned (default latest) snapshot restricted to
+    * `keys`, scanning ONLY the data files that can hold them. Because the
+    * bucket is a pure function of the PK (`Murmur3(pk) % numBuckets`, the
+    * file-group layout every commit writes), a key's rows can live only in
+    * files whose name carries its bucket — so the scan list prunes to
+    * |buckets(keys)| / numBuckets of the snapshot BEFORE any Spark plan
+    * exists, from manifest strings alone (no listing, no stats, no
+    * file-footer reads). With `partitionsHint` (when the caller knows the
+    * keys' partitions) the list prunes to the named partitions' matching
+    * bucket files: O(#cells) file groups regardless of table size — the
+    * property that makes a point read on a 100 TB table touch a handful of
+    * files. Bucketless legacy files prune by partition only (they can hold
+    * any bucket — same conservatism as [[fileInCell]]); a non-string or
+    * non-hash-safe PK type skips bucket pruning and scans the (partition-
+    * pruned) snapshot. The row filter itself is an `isInCollection` set
+    * test pushed into the scan. Point lookups are read-only: no commit, no
+    * OCC interaction, snapshot isolation from the pinned manifest.
+    */
+  def lookup(
+      keys: Seq[String],
+      partitionsHint: Option[Seq[String]] = None,
+      version: Long = -1L): DataFrame = {
+    AcidTable.lookupScans.incrementAndGet()
+    val typed = typedKeys(keys)
+    if (typed.isEmpty) return snapshotFromFiles(Nil)
+    val files = lookupFiles(keys, partitionsHint, version)
+    val v = if (version >= 0) version else latestVersion()
+    val sizes = if (v >= 0) sizesOf(manifestLines(v)) else Map.empty[String, Long]
+    // keys cast to the PK's type (not the column to string) so the In set
+    // test stays on the bare scan column and pushes into the parquet read
+    snapshotFromFiles(files, sizes).filter(col(pkCol).isInCollection(typed))
+  }
+
+  /** `keys` rendered in the PK's external type; a key unparseable for a
+    * numeric PK matches no row and drops out (mirroring the join semantics
+    * `delete(keys.toDF)` would give it).
+    */
+  private def typedKeys(keys: Seq[String]): Seq[Any] =
+    keys.flatMap(k => scala.util.Try(castKeyTo(k)).toOption)
+
+  /** The pruned manifest-relative file list a [[lookup]] of `keys` scans —
+    * factored out so the file-skipping contract is directly assertable
+    * (LookupSpec) without instrumenting the scan.
+    */
+  private[graft] def lookupFiles(
+      keys: Seq[String],
+      partitionsHint: Option[Seq[String]] = None,
+      version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else latestVersion()
+    if (v < 0 || keys.isEmpty) return Nil
+    val all = readManifest(v)
+    val byPart = partitionsHint match {
+      case Some(ps) => all.filter(f => ps.exists(p => f.startsWith(partDir(p) + "/")))
+      case None => all
+    }
+    if (!hashSafeInternal(schema(pkCol).dataType)) byPart
+    else {
+      // the same internal-row hash the writers bucket by — driver and data
+      // can never disagree on a key's cell
+      val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema(pkCol).dataType)
+      val buckets: Set[Int] =
+        typedKeys(keys).map(k => driverBucketOf(toInternal(k))).toSet
+      byPart.filter(f => fileBucketOf(f).forall(buckets.contains))
+    }
+  }
+
+  /** A string key rendered in the PK column's external type (the
+    * `delete(Seq[String])` convention extended to typed PKs).
+    */
+  private def castKeyTo(k: String): Any = schema(pkCol).dataType match {
+    case StringType => k
+    case org.apache.spark.sql.types.LongType => k.toLong
+    case org.apache.spark.sql.types.IntegerType => k.toInt
+    case org.apache.spark.sql.types.ShortType => k.toShort
+    case org.apache.spark.sql.types.ByteType => k.toByte
+    case other => throw new IllegalArgumentException(
+      s"lookup keys as strings unsupported for PK type $other")
+  }
+
   /** Scan of an explicit manifest-relative file list (a pinned snapshot or
     * any partition-subset of one). Planned ENTIRELY from manifest metadata
     * ([[org.apache.spark.sql.graft.ManifestScan]]): partition values are
@@ -1847,6 +1927,10 @@ object AcidTable {
   private[graft] val latestProbes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val manifestHeaderReads = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val sizeStatFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Reads routed through the bucket-pruned [[AcidTable.lookup]] path —
+    * lets tests assert that a PK-filtered catalog SELECT actually took the
+    * point-lookup route rather than a full snapshot scan. */
+  private[graft] val lookupScans = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] def resetMetaIoCounters(): Unit = {
     metaDirListings.set(0); latestProbes.set(0); manifestHeaderReads.set(0)
     sizeStatFallbacks.set(0)

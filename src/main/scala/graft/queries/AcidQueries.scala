@@ -57,6 +57,48 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 point lookup: bucket-pruned keyed read ------------------------------
+    // The keyed read path: after two upserts (insert + partial update), look
+    // up a fixed key set through [[AcidTable.lookup]] — which prunes the
+    // scan list to the keys' hash buckets from manifest strings alone
+    // before any Spark plan exists (LookupSpec asserts the skipping
+    // contract; this gate asserts the VALUES). The oracle replays the
+    // mutations and filters the same keys. One absent key ("100000") and
+    // one deleted key ("7") prove misses stay misses through the pruned
+    // scan.
+    Q(
+      "q_acid_point_lookup",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.customer(s, dir)
+          .filter(col("c_custkey") < 1000)
+          .select(
+            col("c_custkey").cast("string").as("pk"),
+            concat(lit("p"), (col("c_nationkey") % 4).cast("string")).as("part"),
+            col("c_acctbal").as("val"))
+        t.upsert(base)
+        t.upsert(base.filter(col("pk").cast("long") % 3 === 0)
+          .withColumn("val", col("val") + 100))
+        t.delete(Seq("7"))
+        t.lookup(Seq("3", "7", "56", "120", "333", "999", "100000"))
+          .orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS pk,
+                 'p' || CAST(c_nationkey % 4 AS VARCHAR) AS part,
+                 c_acctbal AS val
+          FROM customer WHERE c_custkey < 1000)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN val + 100 ELSE val END AS val
+        FROM base
+        WHERE pk IN ('3', '56', '120', '333', '999')
+        ORDER BY pk
+      """)),
+
     // ---- C5 CDC diff between committed versions ---------------------------------
     Q(
       "q_acid_cdc_diff",

@@ -445,6 +445,168 @@ object SampleQueries {
         FROM allm GROUP BY doc_id
       """)),
 
+    // ---- C50 DSIR importance resampling (domain-matched selection) ------
+    // Data Selection via Importance Resampling (Xie et al.,
+    // arXiv:2302.03169): score every raw document by how much more likely
+    // its hashed-unigram features are under a TARGET domain's distribution
+    // than under the raw corpus's, then keep the documents the target
+    // distribution favors. Target here = the `src0` slice (standing in for
+    // "quality domain" the way DSIR uses Wikipedia+books); features =
+    // unigrams hashed into 128 buckets by [[TextHash.polyHash]] % 128 (the
+    // paper's hashed n-gram reduction, which is what makes the model
+    // 128 numbers instead of a vocabulary). Bucket models are add-1
+    // smoothed; the per-token log ratio
+    //   ln( ((ct+1)·(Tr+128)) / ((cr+1)·(Tt+128)) )
+    // is formed from EXACT BIGINT cross-products (< 2^45, exact in double
+    // — one correctly-rounded divide + one ln per bucket), quantized to
+    // BIGINT micro-nats per token before summing so the per-doc total is
+    // partial-aggregation-order-independent, like every scorer in this
+    // file. The paper resamples with Gumbel noise; the deterministic
+    // variant here keeps documents with positive total log ratio ("more
+    // target-like than raw"), which is reproducible engine-to-engine.
+    // Shape: both bucket models are 128-row aggregates (map-side partial,
+    // then broadcast); the corpus is scanned once for stats and once for
+    // scoring, never shuffled except the (doc_id, micro) per-doc aggregate
+    // which partial-collapses to one row per document. At 100 TB nothing
+    // grows but the scans: the model stays 128 rows.
+    Q(
+      "q_sample_dsir",
+      (s, dir) => {
+        val NB = 128
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            explode(split(trim(col("text")), " ")).as("term"))
+          .withColumn("b", TextHash.polyHash(col("term")) % NB)
+        val tgt = toks.filter(col("source") === "src0")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+        val model = raw.join(tgt, Seq("b"), "left")
+          .na.fill(0L, Seq("ct"))
+        val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+        val scored = model.join(broadcast(totals))
+          .select(col("b"),
+            round(log(((col("ct") + 1) * (col("tr") + NB)).cast("double")
+              / ((col("cr") + 1) * (col("tt") + NB)).cast("double")) * 1e6)
+              .cast("long").as("micro"))
+        toks.join(broadcast(scored), Seq("b"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("ntok"), sum(col("micro")).as("dsir_micro"))
+          .withColumn("keep", (col("dsir_micro") > 0).cast("int"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, source,
+                 (${TextQueries.sqlPolyHash("term")}) % 128 AS b
+          FROM (SELECT doc_id, lang, source,
+                       unnest(string_split(trim(text), ' ')) AS term
+                FROM documents)),
+        raw AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY b),
+        tgt AS (SELECT b, COUNT(*) AS ct FROM toks WHERE source = 'src0' GROUP BY b),
+        model AS (SELECT r.b, COALESCE(t.ct, 0) AS ct, r.cr
+                  FROM raw r LEFT JOIN tgt t ON r.b = t.b),
+        tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM model),
+        sc AS (SELECT b,
+                 CAST(round(ln(CAST((ct + 1) * (tr + 128) AS DOUBLE)
+                   / CAST((cr + 1) * (tt + 128) AS DOUBLE)) * 1000000) AS BIGINT) AS micro
+               FROM model CROSS JOIN tot)
+        SELECT k.doc_id, k.lang, COUNT(*) AS ntok,
+               CAST(SUM(sc.micro) AS BIGINT) AS dsir_micro,
+               CAST(SUM(sc.micro) > 0 AS INTEGER) AS keep
+        FROM toks k JOIN sc ON k.b = sc.b
+        GROUP BY k.doc_id, k.lang
+      """)),
+
+    // ---- C51 trained quality classifier (Naive Bayes, train/apply split) -
+    // The GPT-3/LLaMA-style QUALITY CLASSIFIER filter: train a model on a
+    // labeled slice, apply it to the whole corpus. Labels come from the
+    // shared heuristic ([[TextQueries.qualityScore]] >= 0.5 — the same
+    // single definition the curation pipeline uses, so the classifier's
+    // training signal cannot drift from the filter it refines); the
+    // training slice is doc_id % 10 < 3 (a 30% labeled sample — the
+    // realistic setup where labels exist for a fraction and the model
+    // generalizes the judgment). The model is multinomial Naive Bayes with
+    // add-1 smoothing over the TRAIN vocabulary V:
+    //   score(d) = ln(Npos/Nneg) + Σ_tok ln( ((cpos+1)·(Tneg+V)) /
+    //                                        ((cneg+1)·(Tpos+V)) )
+    // OOV tokens take the (cpos=cneg=0) constant via the left join's
+    // coalesce — no token is silently skipped. All ratios are formed from
+    // exact BIGINT cross-products (< 2^45, exact in double), one
+    // correctly-rounded divide + ln each, quantized to micro-nats per
+    // token BEFORE the per-doc sum (partial-agg-order-independent), prior
+    // added as one more integer.
+    // Shape: the model is a train-vocab aggregate (map-side partial,
+    // broadcast back — at web scale this becomes a shuffled term join
+    // while the per-doc aggregate stays map-partial, as q_text_lm_score
+    // declares); the corpus itself is never shuffled.
+    Q(
+      "q_text_quality_nb",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val labeled = d.filter(col("doc_id") % 10 < 3)
+          .select(col("doc_id"),
+            (TextQueries.qualityScore >= 0.5).cast("int").as("pos"),
+            split(trim(col("text")), " ").as("w"))
+        val classCounts = labeled.agg(
+          sum(col("pos")).as("n_pos"),
+          sum(lit(1) - col("pos")).as("n_neg"))
+        val trainToks = labeled.select(col("pos"), explode(col("w")).as("term"))
+        val termCounts = trainToks.groupBy("term").agg(
+          sum(col("pos")).as("cpos"),
+          sum(lit(1) - col("pos")).as("cneg"))
+        val sizes = termCounts.agg(
+          sum(col("cpos")).as("tpos"), sum(col("cneg")).as("tneg"),
+          count(lit(1)).as("v"))
+        val termMicro = termCounts.join(broadcast(sizes))
+          .select(col("term"),
+            round(log(((col("cpos") + 1) * (col("tneg") + col("v"))).cast("double")
+              / ((col("cneg") + 1) * (col("tpos") + col("v"))).cast("double")) * 1e6)
+              .cast("long").as("micro"))
+        val oovMicro = sizes.select(
+          round(log((col("tneg") + col("v")).cast("double")
+            / (col("tpos") + col("v")).cast("double")) * 1e6)
+            .cast("long").as("oov_micro"))
+        val priorMicro = classCounts.select(
+          round(log(col("n_pos").cast("double") / col("n_neg").cast("double")) * 1e6)
+            .cast("long").as("prior_micro"))
+        d.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+          .join(broadcast(termMicro), Seq("term"), "left")
+          .join(broadcast(oovMicro))
+          .select(col("doc_id"), coalesce(col("micro"), col("oov_micro")).as("m"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("ntok"), sum(col("m")).as("sum_micro"))
+          .join(broadcast(priorMicro))
+          .select(col("doc_id"), col("ntok"),
+            (col("prior_micro") + col("sum_micro")).as("nb_micro"))
+          .withColumn("pred_quality", (col("nb_micro") > 0).cast("int"))
+      },
+      Some(s"""
+        WITH lw AS (SELECT doc_id, string_split(trim(text), ' ') AS w, text
+                    FROM documents WHERE doc_id % 10 < 3),
+        lab AS (SELECT doc_id, w,
+                  CAST(${TextQueries.sqlQualityExpr("w", "text")} >= 0.5 AS INTEGER) AS pos
+                FROM lw),
+        cls AS (SELECT SUM(pos) AS n_pos, SUM(1 - pos) AS n_neg FROM lab),
+        tt AS (SELECT pos, unnest(w) AS term FROM lab),
+        tc AS (SELECT term, SUM(pos) AS cpos, SUM(1 - pos) AS cneg FROM tt GROUP BY term),
+        sz AS (SELECT SUM(cpos) AS tpos, SUM(cneg) AS tneg, COUNT(*) AS v FROM tc),
+        tm AS (SELECT term,
+                 CAST(round(ln(CAST((cpos + 1) * (tneg + v) AS DOUBLE)
+                   / CAST((cneg + 1) * (tpos + v) AS DOUBLE)) * 1000000) AS BIGINT) AS micro
+               FROM tc CROSS JOIN sz),
+        oov AS (SELECT CAST(round(ln(CAST(tneg + v AS DOUBLE)
+                   / CAST(tpos + v AS DOUBLE)) * 1000000) AS BIGINT) AS oov_micro FROM sz),
+        pri AS (SELECT CAST(round(ln(CAST(n_pos AS DOUBLE)
+                   / CAST(n_neg AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro FROM cls),
+        dt AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        sc AS (SELECT d.doc_id, COALESCE(tm.micro, o.oov_micro) AS m
+               FROM dt d LEFT JOIN tm ON d.term = tm.term CROSS JOIN oov o)
+        SELECT doc_id, COUNT(*) AS ntok,
+               CAST(p.prior_micro + SUM(m) AS BIGINT) AS nb_micro,
+               CAST((p.prior_micro + SUM(m)) > 0 AS INTEGER) AS pred_quality
+        FROM sc CROSS JOIN pri p
+        GROUP BY doc_id, p.prior_micro
+      """)),
+
     // ---- C51 corpus-frequency boilerplate detection ---------------------
     // CCNet-style boilerplate: a shingle (word bigram, distinct per doc,
     // identified by its 30-bit [[TextHash.polyHash]]) occurring in > 1/16

@@ -216,6 +216,32 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // assertion on "text#" cannot distinguish consuming from carrying)
   }
 
+  test("DSIR scoring broadcasts the 128-bucket models and partial-aggregates per doc") {
+    // the hashed-feature importance model is 128 rows by construction —
+    // it must come back to the token stream as a broadcast (never shuffle
+    // the corpus by bucket), and the per-doc log-ratio sum must collapse
+    // map-side so the final shuffle carries one row per document
+    val p = plan("q_sample_dsir")
+    assert(p.contains("BroadcastHashJoin"), s"bucket model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream shuffled by bucket (SMJ present):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("NB classifier broadcasts the trained model and partial-aggregates per doc") {
+    // the train-vocab log-odds table, the OOV constant, and the prior are
+    // model-sized — all must broadcast to the scoring pass so the corpus
+    // token stream is never shuffled by term; the per-doc score collapses
+    // map-side (one row per doc crosses the wire)
+    val p = plan("q_text_quality_nb")
+    assert(p.contains("BroadcastHashJoin"), s"model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream shuffled by term (SMJ present):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
   test("lm scoring joins the vocab as a broadcast and partial-aggregates per doc") {
     // the unigram vocab is tiny vs the token stream: it must broadcast so
     // the token explode never shuffles by term, and the per-doc surprisal

@@ -111,6 +111,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("a PK-filtered SELECT routes through the bucket-pruned lookup path") {
+    freshCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.pts (pk STRING, part STRING, v DOUBLE)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    (0 until 32).map(i => (s"k$i", s"p${i % 2}", i.toDouble))
+      .toDF("pk", "part", "v").createOrReplaceTempView("pts_src")
+    spark.sql("INSERT INTO graft.db.pts SELECT * FROM pts_src")
+
+    // pk = literal → lookup (bucket-pruned file list), value correct
+    val before = AcidTable.lookupScans.get()
+    val one = spark.sql("SELECT v FROM graft.db.pts WHERE pk = 'k7'").collect()
+    assert(one.map(_.getDouble(0)).toSeq == Seq(7.0))
+    assert(AcidTable.lookupScans.get() > before,
+      "pk = 'k7' did not take the point-lookup route")
+
+    // pk IN (...) AND part = … → lookup with the partition hint, still exact
+    val before2 = AcidTable.lookupScans.get()
+    val two = spark.sql(
+      "SELECT pk, v FROM graft.db.pts WHERE pk IN ('k2', 'k4') AND part = 'p0' ORDER BY pk")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(two == Seq("k2" -> 2.0, "k4" -> 4.0))
+    assert(AcidTable.lookupScans.get() > before2)
+
+    // a non-PK filter keeps the full snapshot route (no false pruning)
+    val before3 = AcidTable.lookupScans.get()
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.pts WHERE v >= 16").collect()
+      .head.getLong(0) == 16)
+    assert(AcidTable.lookupScans.get() == before3,
+      "a non-PK filter must not pretend to be a point lookup")
+    spark.sql("DROP TABLE graft.db.pts")
+  }
+
   test("concurrent INSERT INTO through the catalog keeps every row (OCC)") {
     // four sessions, each with its own GraftCatalog instance, hammer the
     // SAME warehouse path — isolation comes from the manifest OCC commit,
