@@ -541,26 +541,34 @@ object Bench {
     def hotEnv(name: String): Boolean = entryEnv.get(name).exists { case (b, a) =>
       isHotWindow(b, a, canarySamples.min)
     }
-    repArrays.keys.toSeq.foreach { name =>
-      if (rerunners.contains(name) && (isSpread(repArrays(name)) || hotEnv(name))) {
-        System.err.println(s"[bench] entry '$name' reps " +
-          repArrays(name).map(t => f"$t%.2f").mkString("[", ",", "]") +
-          s" env=${entryEnv.get(name).map(p => f"(${p._1}%.2f,${p._2}%.2f)").getOrElse("?")}" +
-          " flagged (spread or hot window) - re-running at family end")
-        val cb = microCanary()
-        val again = rerunners(name)()
-        val ca = microCanary()
-        reranEntries += name
-        // a re-run that itself FAILED (all reps -1 → median -1) must never
-        // replace a valid measurement
-        if (medianOf(again) >= 0 && medianOf(again) < medianOf(repArrays(name))) {
-          repArrays(name) = again
-          results(name) = medianOf(again)
-          entryEnv(name) = (cb, ca)
-        }
-        if (isSpread(repArrays(name)) || hotEnv(name)) contaminatedEntries += name
+    def flagged(name: String): Boolean = isSpread(repArrays(name)) || hotEnv(name)
+    def rerunOnce(name: String, attempt: Int): Unit = {
+      System.err.println(s"[bench] entry '$name' reps " +
+        repArrays(name).map(t => f"$t%.2f").mkString("[", ",", "]") +
+        s" env=${entryEnv.get(name).map(p => f"(${p._1}%.2f,${p._2}%.2f)").getOrElse("?")}" +
+        s" flagged (spread or hot window) - re-run #$attempt at family end")
+      val cb = microCanary()
+      val again = rerunners(name)()
+      val ca = microCanary()
+      if (!reranEntries.contains(name)) reranEntries += name
+      // a re-run that itself FAILED (all reps -1 → median -1) must never
+      // replace a valid measurement
+      if (medianOf(again) >= 0 && medianOf(again) < medianOf(repArrays(name))) {
+        repArrays(name) = again
+        results(name) = medianOf(again)
+        entryEnv(name) = (cb, ca)
       }
     }
+    val stillFlagged = repArrays.keys.toSeq.filter(n =>
+      rerunners.contains(n) && flagged(n))
+    stillFlagged.foreach(rerunOnce(_, 1))
+    // SECOND chance (round-8 verdict #4): an entry still flagged after its
+    // first re-run gets one more isolated rep pass at the VERY end of the
+    // suite — after every other re-run finished, so the transient has had
+    // its longest possible chance to pass. Only an entry dirty after both
+    // passes is named contaminated.
+    stillFlagged.filter(flagged).foreach(rerunOnce(_, 2))
+    stillFlagged.filter(flagged).foreach(contaminatedEntries += _)
     spark.catalog.clearCache()
 
     // Dedup candidate-volume gate (round-7 verdict #4): count the candidate

@@ -290,10 +290,17 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
           // exists, so `SELECT … WHERE pk = 'x'` on a 100 TB table reads
           // O(1) file groups — declaratively, with no API change for the
           // SQL user. A partition conjunct narrows the pruning further.
-          // All pushed filters are still re-applied below (the lookup
-          // already filters by key; re-filtering is idempotent), so
-          // correctness never depends on the pruning.
-          val pkKeys = pushed.collectFirst {
+          // All pushed filters are re-applied below, but that only guards
+          // against FALSE POSITIVES (rows the pruning let through that the
+          // predicate rejects) — it cannot restore rows living in files the
+          // bucket/partition pruning excluded. Row completeness therefore
+          // DOES depend on lookupFiles' pruning being conservative and on
+          // lookup's key parsing covering the PK type; keep both sound.
+          // routing gate: only PK types castKeyTo parses take the lookup
+          // path — for any other type (DATE/TIMESTAMP/DECIMAL/…) the
+          // String.valueOf rendering of the literal is not guaranteed to
+          // round-trip, so those reads keep the full snapshot+filter plan
+          val pkKeys = if (!acid.keyCastSupported) None else pushed.collectFirst {
             case sources.In(a, vs) if a == acid.pkCol => vs.toSeq.map(String.valueOf)
             case sources.EqualTo(a, v) if a == acid.pkCol && v != null => Seq(String.valueOf(v))
           }

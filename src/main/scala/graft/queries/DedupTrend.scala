@@ -98,8 +98,10 @@ object DedupTrend {
     println(s"""{"sf":"$dir","docs":${c("docs")},"simhash_cand":${c("simhash_cand")},""" +
       s""""minhash_cand":${c("minhash_cand")},"jaccard_cand":${c("jaccard_cand")},""" +
       s""""containment_cand":${c("containment_cand")}}""")
-    spark.stop()
+    // caches must be released while the context is still alive — unpersist
+    // after stop() throws (SparkContext already shut down)
     TextQueries.clearShingleCache()
     TextQueries.cleanupSignatureStores()
+    spark.stop()
   }
 }

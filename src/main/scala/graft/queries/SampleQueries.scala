@@ -565,8 +565,11 @@ object SampleQueries {
           round(log((col("tneg") + col("v")).cast("double")
             / (col("tpos") + col("v")).cast("double")) * 1e6)
             .cast("long").as("oov_micro"))
+        // Laplace-smoothed prior: a single-class labeled slice (possible on
+        // a skewed corpus) must yield a finite prior, not ±Infinity — whose
+        // BIGINT cast diverges between Spark (saturate) and DuckDB (error)
         val priorMicro = classCounts.select(
-          round(log(col("n_pos").cast("double") / col("n_neg").cast("double")) * 1e6)
+          round(log((col("n_pos") + 1).cast("double") / (col("n_neg") + 1).cast("double")) * 1e6)
             .cast("long").as("prior_micro"))
         d.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
           .join(broadcast(termMicro), Seq("term"), "left")
@@ -595,8 +598,8 @@ object SampleQueries {
                FROM tc CROSS JOIN sz),
         oov AS (SELECT CAST(round(ln(CAST(tneg + v AS DOUBLE)
                    / CAST(tpos + v AS DOUBLE)) * 1000000) AS BIGINT) AS oov_micro FROM sz),
-        pri AS (SELECT CAST(round(ln(CAST(n_pos AS DOUBLE)
-                   / CAST(n_neg AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro FROM cls),
+        pri AS (SELECT CAST(round(ln(CAST(n_pos + 1 AS DOUBLE)
+                   / CAST(n_neg + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro FROM cls),
         dt AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         sc AS (SELECT d.doc_id, COALESCE(tm.micro, o.oov_micro) AS m
                FROM dt d LEFT JOIN tm ON d.term = tm.term CROSS JOIN oov o)

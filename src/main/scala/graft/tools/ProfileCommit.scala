@@ -138,6 +138,21 @@ object ProfileCommit {
     val mergeJobs = jobCount.get().toDouble / nTxn
     val mergeJobMs = jobNanos.get().toDouble / 1e6 / nTxn
 
+    // 7. predicate UPDATE (SQL `UPDATE … SET … WHERE …` shape): with the
+    //    driver kernel this is discovery + rewrite with zero Spark jobs at
+    //    metadata scale; the round-8 gap was ~10× an upsert here
+    jobCount.set(0); jobNanos.set(0)
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val updMs = timed(nTxn) {
+      val k = rnd.nextInt(100)
+      t.update(
+        Seq("v" -> concat_ws("-", lit("upd"), col("v"))),
+        condition = col("pk") === s"key-$k")
+    }
+    Thread.sleep(500)
+    val updJobs = jobCount.get().toDouble / nTxn
+    val updJobMs = jobNanos.get().toDouble / 1e6 / nTxn
+
     // --- write-path variants: what inside the 3-row partitioned parquet
     //     write costs what ---
     val flatMs = timed(nTxn) {
@@ -175,7 +190,7 @@ object ProfileCommit {
       batch().coalesce(1).write.mode("overwrite").parquet(tmp.resolve("x").toString)
     }
 
-    println(f"""{"upsert_ms":$upsertMs%.1f,"upsert_jobs":$upsertJobs%.2f,"upsert_job_ms":$upsertJobMs%.1f,"upsert_write_ms":$upsertWriteMs%.1f,"upsert_move_ms":$upsertMoveMs%.1f,"upsert_publish_ms":$upsertPublishMs%.1f,"merge_ms":$mergeMs%.1f,"merge_jobs":$mergeJobs%.2f,"merge_job_ms":$mergeJobMs%.1f,"delete_jobs":$deleteJobs%.2f,"noop3row_ms":$noopMs%.1f,"parquet3row_ms":$pqMs%.1f,"snapshot_ms":$snapMs%.1f,"delete_ms":$delMs%.1f,"flat_ms":$flatMs%.1f,"onetask_ms":$oneTaskMs%.1f,"committer_v2_ms":$v2Ms%.1f,"csv_part_ms":$csvMs%.1f,"shuffle_noop_ms":$shufNoopMs%.1f,"bare_parquet_ms":$bareParquetMs%.1f}""")
+    println(f"""{"upsert_ms":$upsertMs%.1f,"upsert_jobs":$upsertJobs%.2f,"upsert_job_ms":$upsertJobMs%.1f,"upsert_write_ms":$upsertWriteMs%.1f,"upsert_move_ms":$upsertMoveMs%.1f,"upsert_publish_ms":$upsertPublishMs%.1f,"merge_ms":$mergeMs%.1f,"merge_jobs":$mergeJobs%.2f,"merge_job_ms":$mergeJobMs%.1f,"update_ms":$updMs%.1f,"update_jobs":$updJobs%.2f,"update_job_ms":$updJobMs%.1f,"delete_jobs":$deleteJobs%.2f,"noop3row_ms":$noopMs%.1f,"parquet3row_ms":$pqMs%.1f,"snapshot_ms":$snapMs%.1f,"delete_ms":$delMs%.1f,"flat_ms":$flatMs%.1f,"onetask_ms":$oneTaskMs%.1f,"committer_v2_ms":$v2Ms%.1f,"csv_part_ms":$csvMs%.1f,"shuffle_noop_ms":$shufNoopMs%.1f,"bare_parquet_ms":$bareParquetMs%.1f}""")
     spark.stop()
   }
 }

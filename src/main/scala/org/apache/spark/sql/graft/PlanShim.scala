@@ -22,6 +22,12 @@ object PlanShim {
   def logical(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.logical
 
+  /** The ANALYZED (resolved, pre-optimization) plan — for extracting the
+    * resolved expressions a driver-side interpreted kernel will evaluate
+    * (the optimizer could fold them away on an empty relation). */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
   /** `SparkSession.cloneSession()` (private[sql]): an isolated session
     * state INITIALIZED FROM the parent — conf, temp views, and registered
     * functions are inherited at clone time, then diverge. This is the

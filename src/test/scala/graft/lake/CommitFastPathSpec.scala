@@ -64,13 +64,13 @@ class CommitFastPathSpec extends AnyFunSuite {
         // duplicate PKs within a batch are the precombine-relevant case
         (s"k$k", s"p${k % 4}", f"v${rnd.nextInt(100000)}%06d")
       }
-    (1 to 18).foreach { i =>
+    (1 to 22).foreach { i =>
       val rows = genRows(3 + rnd.nextInt(4))
       val local = batchDf(rows)
       // repartition makes the batch non-local: localPrecombine and the
       // InSet key extraction both bail to the Window / anti-join plans
       val forced = batchDf(rows).repartition(3)
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => fast.upsert(local); dist.upsert(forced)
         case 1 => fast.merge(local, updateCols = Seq("v"))
                   dist.merge(forced, updateCols = Seq("v"))
@@ -78,6 +78,21 @@ class CommitFastPathSpec extends AnyFunSuite {
           fast.delete(batchDf(rows).select("pk", "part"))
           dist.delete(batchDf(rows).select("pk", "part").repartition(3))
         case 3 => fast.overwrite(local); dist.overwrite(forced)
+        case 4 =>
+          // predicate UPDATE: same statement through the driver kernel and
+          // (kill switch off) the distributed projection — the round-9
+          // kernel must be value-identical including the WHERE-NULL
+          // three-valued-filter carry
+          import org.apache.spark.sql.functions.{col, concat, lit, when}
+          val cut = f"v0${rnd.nextInt(9)}0000"
+          val assigns = Seq("v" -> concat(lit(s"u$i-"), col("v")))
+          val cond = col("v") < lit(cut) &&
+            when(col("pk") === s"k${rnd.nextInt(30)}", lit(null).cast("boolean"))
+              .otherwise(lit(true))
+          fast.update(assigns, cond)
+          AcidTable.localCommitEnabled = false
+          try dist.update(assigns, cond)
+          finally AcidTable.localCommitEnabled = true
       }
       assert(sortedState(fast) === sortedState(dist), s"diverged after op $i")
     }
@@ -215,6 +230,16 @@ class CommitFastPathSpec extends AnyFunSuite {
         "merge")
       assert(counted(t.delete(b(("c", "p2", "")).select("pk", "part"), Some(Seq("p2")))) === 0,
         "delete")
+      locally {
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        t.upsert(b(("e", "p2", "5")), Some(Seq("p2")))
+        // warm the UPDATE path (kernel build + first write), then count:
+        // discovery AND rewrite must both stay on the driver
+        t.update(Seq("v" -> concat(lit("w"), col("v"))), col("pk") === "e")
+        assert(counted(
+          t.update(Seq("v" -> concat(lit("u"), col("v"))), col("pk") === "e")) === 0,
+          "update")
+      }
       AcidTable.localCommitEnabled = false
       try {
         // distributed warm reps for this session state, then count — the

@@ -110,6 +110,49 @@ class LookupSpec extends AnyFunSuite {
     assert(t.lookup(Seq("garbage")).count() == 0)
   }
 
+  test("unsupported PK types (DATE) fall back to a filtered snapshot, never empty") {
+    val ds = StructType(Seq(
+      StructField("d", DateType),
+      StructField("part", StringType),
+      StructField("v", LongType)))
+    val t = AcidTable.create(spark, tmp(), ds, "d", "part",
+      stablePartitions = true, numBuckets = 8)
+    val rows = (1 to 20).map(i =>
+      (java.sql.Date.valueOf(f"2024-01-$i%02d"), s"P${i % 2}", i.toLong))
+    t.upsert(rows.toDF("d", "part", "v"))
+    assert(!t.keyCastSupported)
+    // lookup by the date's canonical string rendering returns the row (the
+    // pre-fix behavior silently returned an EMPTY DataFrame here)
+    val got = t.lookup(Seq("2024-01-07")).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(7L))
+    // pruning degrades to the conservative partition-level list, not to
+    // an empty (rows-losing) bucket intersection
+    assert(t.lookupFiles(Seq("2024-01-07")).size == t.snapshot().inputFiles.length)
+    val hinted = t.lookup(Seq("2024-01-07"), partitionsHint = Some(Seq("P1"))).collect()
+    assert(hinted.map(_.getLong(2)).toSeq == Seq(7L))
+  }
+
+  test("SQL pk-equality on an unsupported PK type returns rows (no lookup routing)") {
+    val ds = StructType(Seq(
+      StructField("d", DateType),
+      StructField("part", StringType),
+      StructField("v", LongType)))
+    val dir = tmp()
+    val t = AcidTable.create(spark, dir, ds, "d", "part",
+      stablePartitions = true, numBuckets = 8)
+    t.upsert((1 to 10).map(i =>
+      (java.sql.Date.valueOf(f"2024-02-$i%02d"), s"P${i % 2}", i.toLong))
+      .toDF("d", "part", "v"))
+    val sb = new AcidScanBuilder(t)
+    sb.pushFilters(Array(org.apache.spark.sql.sources.EqualTo(
+      "d", java.sql.Date.valueOf("2024-02-03"))))
+    val scan = sb.build().asInstanceOf[org.apache.spark.sql.connector.read.V1Scan]
+      .toV1TableScan[org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan](spark.sqlContext)
+    val rows = scan.buildScan().collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(3L))
+  }
+
   test("lookup is snapshot-pinned: a concurrent commit does not leak in") {
     val t = mkTable(buckets = 8)
     val v = t.latestVersion()
