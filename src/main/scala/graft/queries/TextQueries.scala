@@ -162,7 +162,15 @@ object TextQueries {
     * expensive part of the whole build).
     */
   private def shingleBasePlan(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    shingleBaseOf(s, Tables.documents(s, dir))
+
+  /** The base-signature pipeline over ANY `(doc_id, lang, text)` frame —
+    * shared by the dir-reading build above and the CDC-incremental
+    * maintenance path (`q_dedup_signature_incremental`), so the increment
+    * runs the exact production hashing, not a re-implementation.
+    */
+  private[graft] def shingleBaseOf(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
       // the corpus parquet is one small file → one input partition, and
       // the interpreted shingle hashing below is the most expensive map in
       // the dedup family — round-robin the docs first so it runs on every
@@ -200,6 +208,70 @@ object TextQueries {
         expr("transform(slice(hdp, 1, ds div 2 + 1), x -> x & 4294967295)"),
         array().cast("array<bigint>")))
       .drop("hdp")
+  }
+
+  /** Oracle-comparable digest of a signature frame `(doc_id, lang, sz,
+    * hs, ds, hd)`. hd_ord is a POSITION-WEIGHTED digest of the df-ordered
+    * column (the stored `ds div 2 + 1` prefix — all any consumer probes):
+    * with hs pinned by sum/extrema, it pins both that hd holds the right
+    * tokens and that their ORDER is the declared (df asc, tok asc) order
+    * the prefix-filter joins rely on. Shared by the store gate
+    * (`q_dedup_signature_table`) and the CDC-incremental gate so the two
+    * cannot drift.
+    */
+  private def signatureDigest(sig: DataFrame): DataFrame = {
+    val hdOrd = when(size(col("hd")) === 0, lit(0L)).otherwise(
+      aggregate(
+        zip_with(col("hd"), sequence(lit(1), size(col("hd"))),
+          (h, i) => (h * i.cast("long")) % lit(P)),
+        lit(0L), (acc, x) => acc + x))
+    sig.select(col("doc_id"), col("lang"),
+      col("sz").cast("long").as("sz"), col("ds").cast("long").as("ds"),
+      aggregate(col("hs"), lit(0L), (acc, x) => acc + x).as("hs_sum"),
+      array_min(col("hs")).as("hs_min"), array_max(col("hs")).as("hs_max"),
+      hdOrd.as("hd_ord"))
+  }
+
+  /** CDC-incremental maintenance of the stored BASE signature table
+    * (round-8 verdict #5 — the composition gap between the C5 and C43
+    * families): starting from the full build at `fromVersion` of `t` (an
+    * ACID `(doc_id, lang, text)` documents table), fold each commit's
+    * row-level changes ([[graft.lake.AcidTable.changesBetween]]) into the
+    * store — retract every `delete` image's doc_id, shingle-hash ONLY the
+    * `insert` images. Each step is staged to parquet like
+    * [[materializeSignatures]] stages the full build (the store is
+    * durable corpus infrastructure, and the staged file is what the next
+    * increment reads). Returns the maintained base frame at `toVersion`.
+    *
+    * 100 TB shape: per increment the expensive interpreted shingle pass
+    * runs over the CHANGED documents only; the carry is a broadcast-able
+    * anti-join on the retracted ids against the stored base. The
+    * corpus-global df-ordered `hd` column is NOT incrementally
+    * maintainable (any insert can shift every df) and is not stored
+    * per-increment — consumers re-derive it from the maintained base via
+    * [[withHd]], the cheap columnar stage of the two-stage build.
+    */
+  private[graft] def maintainSignatureBase(
+      s: SparkSession,
+      t: graft.lake.AcidTable,
+      stage: java.nio.file.Path,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val basePath = stage.resolve(s"base-v$fromVersion").toString
+    shingleBaseOf(s, t.snapshot(fromVersion)).write.mode("overwrite").parquet(basePath)
+    var base = s.read.parquet(basePath)
+    (fromVersion until toVersion).foreach { v =>
+      val cdc = t.changesBetween(v, v + 1)
+      val dels = cdc.filter(col("_change_type") === "delete").select(col("doc_id"))
+      val ins = cdc.filter(col("_change_type") === "insert")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val next = base.join(dels, Seq("doc_id"), "left_anti")
+        .unionByName(shingleBaseOf(s, ins))
+      val nextPath = stage.resolve(s"base-v${v + 1}").toString
+      next.write.mode("overwrite").parquet(nextPath)
+      base = s.read.parquet(nextPath)
+    }
+    base
   }
 
   private val persistedBases = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -897,28 +969,68 @@ object TextQueries {
       "q_dedup_signature_table",
       (s, dir) => {
         val path = signatureStores.getOrElse(dir, materializeSignatures(s, dir))
-        // hd_ord is a POSITION-WEIGHTED digest of the df-ordered column
-        // (the stored `ds div 2 + 1` prefix — all any consumer probes):
-        // with hs pinned by sum/extrema, it pins both that hd holds the
-        // right tokens and that their ORDER is the declared (df asc,
-        // tok asc) order the prefix-filter joins rely on.
-        val hdOrd = when(size(col("hd")) === 0, lit(0L)).otherwise(
-          aggregate(
-            zip_with(col("hd"), sequence(lit(1), size(col("hd"))),
-              (h, i) => (h * i.cast("long")) % lit(P)),
-            lit(0L), (acc, x) => acc + x))
-        s.read.parquet(path)
-          .select(col("doc_id"), col("lang"),
-            col("sz").cast("long").as("sz"), col("ds").cast("long").as("ds"),
-            aggregate(col("hs"), lit(0L), (acc, x) => acc + x).as("hs_sum"),
-            array_min(col("hs")).as("hs_min"), array_max(col("hs")).as("hs_max"),
-            hdOrd.as("hd_ord"))
-          .orderBy(col("doc_id"))
+        signatureDigest(s.read.parquet(path)).orderBy(col("doc_id"))
       },
       Some(s"""
         WITH hv AS (
           SELECT doc_id, lang, list_transform($sqlShingles, x -> ${sqlPolyHash("x")}) AS hv
           FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents)),
+        sh AS (SELECT doc_id, lang, len(hv) AS sz, list_sort(list_distinct(hv)) AS hs FROM hv),
+        tok AS (SELECT doc_id, unnest(hs) AS tok FROM sh),
+        dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        hdt AS (SELECT t.doc_id, list(t.tok ORDER BY d.df, t.tok) AS hd
+                FROM tok t JOIN dfreq d ON t.tok = d.tok GROUP BY t.doc_id)
+        SELECT s.doc_id, s.lang, s.sz, len(s.hs) AS ds,
+               CAST(coalesce(list_sum(s.hs), 0) AS BIGINT) AS hs_sum,
+               list_min(s.hs) AS hs_min, list_max(s.hs) AS hs_max,
+               CAST(coalesce(list_sum(list_transform(range(1, len(s.hs) // 2 + 2),
+                      i -> (i * h.hd[i]) % $P)), 0) AS BIGINT) AS hd_ord
+        FROM sh s LEFT JOIN hdt h ON s.doc_id = h.doc_id ORDER BY s.doc_id
+      """)),
+
+    // ---- C5×C43 CDC-incremental signature maintenance ---------------------------
+    // The production protocol a 100 TB corpus actually runs: the corpus
+    // lives in an ACID table, the signature store was built ONCE, and each
+    // new corpus version maintains the store from the table's row-level
+    // CDC instead of re-shingling everything. This gate drives a realistic
+    // history — a standing corpus, then an ingest+revision commit, then a
+    // takedown delete — maintains the store through changesBetween, and
+    // digests the result; the DuckDB oracle computes the FULL REBUILD at
+    // the final state, so a green row IS the incremental≡rebuild proof.
+    Q(
+      "q_dedup_signature_incremental",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, StringType => SStr, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", SStr),
+          StructField("text", SStr)))
+        val stage = java.nio.file.Files.createTempDirectory("graft-incsig-")
+        val t = graft.lake.AcidTable.create(s, stage.resolve("t").toString,
+          schema, "doc_id", "lang", stablePartitions = true)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        // v1: the standing corpus (everything except the incoming batch)
+        val v1 = t.upsert(docs.filter(col("doc_id") % 7 =!= 3))
+        // increment 1: the batch arrives AND a slice of standing docs is
+        // revised (WHEN order = the oracle's CASE order)
+        t.upsert(docs.filter(col("doc_id") % 7 === 3 || col("doc_id") % 11 === 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 3, concat(col("text"), lit(" delta")))
+              .otherwise(concat(col("text"), lit(" rev2")))))
+        // increment 2: a takedown slice is deleted
+        t.delete(docs.filter(col("doc_id") % 13 === 5).select(col("doc_id")))
+        val maintained = maintainSignatureBase(s, t, stage, v1, t.latestVersion())
+        signatureDigest(withHd(maintained)).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH finaldocs AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 7 = 3 THEN text || ' delta'
+                      WHEN doc_id % 11 = 0 THEN text || ' rev2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 13 <> 5),
+        hv AS (
+          SELECT doc_id, lang, list_transform($sqlShingles, x -> ${sqlPolyHash("x")}) AS hv
+          FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM finaldocs)),
         sh AS (SELECT doc_id, lang, len(hv) AS sz, list_sort(list_distinct(hv)) AS hs FROM hv),
         tok AS (SELECT doc_id, unnest(hs) AS tok FROM sh),
         dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
