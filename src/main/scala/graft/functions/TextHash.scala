@@ -49,6 +49,15 @@ object TextHash {
       lit(0L),
       (acc, ch) => (acc * lit(31L) + ascii(ch).cast("long")) % lit(P))
 
+  /** Greedy longest-match subword piece COUNT of a word over the fixed
+    * vocabulary (WordPiece inference rule) — served by the native codegen
+    * expression [[org.apache.spark.sql.graft.SubwordCountExpr]]; the
+    * DuckDB counterpart is a recursive CTE over the same vocabulary
+    * (rendered from the SAME list, `SampleQueries.sqlSubwordCtes`).
+    */
+  def subwordCount(c: Column): Column =
+    org.apache.spark.sql.graft.SubwordCountExpr.column(c)
+
   /** MinHash permutation j applied to a precomputed element hash h:
     * ((2j+1)·h + 7919·j) mod P. Odd multiplier, P prime → a proper
     * permutation family with fixed "seeds" derivable in plain SQL.

@@ -35,6 +35,30 @@ import graft.functions.TextHash
   */
 object SampleQueries {
 
+  /** DuckDB replay of the greedy longest-match subword tokenizer: a
+    * recursive CTE advancing a cursor through each DISTINCT corpus word,
+    * consuming the longest vocabulary piece at every position (1-char
+    * fallback) — exactly [[org.apache.spark.sql.graft.SubwordCountExpr]]'s
+    * scan. `wc(wd, sub)` is the per-word piece count consumers join. The
+    * VALUES list is rendered FROM the Scala vocabulary so the two engines
+    * cannot drift.
+    */
+  private[queries] val sqlSubwordCtes: String = {
+    val vals = org.apache.spark.sql.graft.SubwordCountExpr.Vocab
+      .map(p => s"('$p')").mkString(",")
+    s"""WITH RECURSIVE vocab(p) AS (VALUES $vals),
+       |steps(wd, pos, cnt) AS (
+       |  SELECT wd, 1, 0 FROM (SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS wd
+       |                        FROM documents)
+       |  UNION ALL
+       |  SELECT wd,
+       |         pos + COALESCE((SELECT MAX(len(v.p)) FROM vocab v
+       |                         WHERE substr(steps.wd, steps.pos, len(v.p)) = v.p), 1),
+       |         cnt + 1
+       |  FROM steps WHERE pos <= len(wd)),
+       |wc AS (SELECT wd, MAX(cnt) AS sub FROM steps GROUP BY wd)""".stripMargin
+  }
+
   /** Deterministic per-document sampling key. Salted so the sampling
     * stream is independent of the fingerprint/minhash streams built from
     * the same text (`polyHash` is also the `q_text_fingerprint` hash; a
@@ -316,6 +340,78 @@ object SampleQueries {
                    OVER (PARTITION BY lang, source ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
           FROM documents)
+        SELECT doc_id, lang, source, ntok, cum0 // 256 AS bin, cum0 % 256 AS bin_offset
+        FROM t
+      """)),
+
+    // ---- C52 SUBWORD-budget chunking + packing (round-8 verdict #6) -----
+    // The whitespace-token gates above keep the window/generator shapes
+    // honest, but pretraining budgets SUBWORD tokens. These two entries
+    // re-run the same chunk/pack plans with token counts from the native
+    // greedy longest-match tokenizer ([[TextHash.subwordCount]], fixed
+    // broadcast-vocabulary WordPiece inference); DuckDB replays the exact
+    // greedy match with a recursive CTE over the SAME vocabulary, so a
+    // green row pins tokenizer semantics end-to-end, not just plumbing.
+    // Plan shape is unchanged from the word gates: the tokenizer runs
+    // inside whole-stage codegen per row (chunking stays zero-shuffle;
+    // packing's only exchange still carries (shard, doc_id, ntok)).
+    Q(
+      "q_text_chunk_subword",
+      (s, dir) => {
+        val C = 32; val S = 24; val minSub = 10
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        d.select(col("doc_id"), col("w"),
+            explode(sequence(lit(1), greatest(size(col("w")), lit(1)), lit(S))).as("s0"))
+          .select(col("doc_id"),
+            expr(s"(s0 - 1) div $S").cast("long").as("chunk_id"),
+            col("s0").cast("long").as("tok_start"),
+            size(slice(col("w"), col("s0"), lit(C))).cast("long").as("n_words"),
+            aggregate(
+              transform(slice(col("w"), col("s0"), lit(C)), wd => TextHash.subwordCount(wd)),
+              lit(0L), (acc, x) => acc + x).as("n_subtok"))
+          .filter(col("n_subtok") >= minSub || col("tok_start") === 1)
+      },
+      Some(s"""
+        $sqlSubwordCtes,
+        w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        st AS (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 24)) AS s0 FROM w),
+        cw AS (SELECT doc_id, s0, unnest(list_slice(w, s0, s0 + 31)) AS wd FROM st),
+        cs AS (SELECT c.doc_id, c.s0, COUNT(*) AS n_words, SUM(wc.sub) AS n_subtok
+               FROM cw c JOIN wc ON wc.wd = c.wd GROUP BY 1, 2)
+        SELECT doc_id, CAST((s0 - 1) // 24 AS BIGINT) AS chunk_id,
+               CAST(s0 AS BIGINT) AS tok_start,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_subtok AS BIGINT) AS n_subtok
+        FROM cs WHERE n_subtok >= 10 OR s0 = 1
+      """)),
+
+    Q(
+      "q_pack_context_subword",
+      (s, dir) => {
+        val B = 256
+        val w = Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            aggregate(
+              transform(split(trim(col("text")), " "), wd => TextHash.subwordCount(wd)),
+              lit(0L), (acc, x) => acc + x).as("ntok"))
+          .withColumn("cum0", coalesce(sum(col("ntok")).over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("source"), col("ntok"),
+            expr(s"cum0 div $B").as("bin"),
+            (col("cum0") % B).as("bin_offset"))
+      },
+      Some(s"""
+        $sqlSubwordCtes,
+        dt AS (SELECT doc_id, lang, source, unnest(string_split(trim(text), ' ')) AS wd
+               FROM documents),
+        nt AS (SELECT dt.doc_id, dt.lang, dt.source, CAST(SUM(wc.sub) AS BIGINT) AS ntok
+               FROM dt JOIN wc ON wc.wd = dt.wd GROUP BY 1, 2, 3),
+        t AS (SELECT doc_id, lang, source, ntok,
+                     CAST(COALESCE(SUM(ntok) OVER (PARTITION BY lang, source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+              FROM nt)
         SELECT doc_id, lang, source, ntok, cum0 // 256 AS bin, cum0 % 256 AS bin_offset
         FROM t
       """)),

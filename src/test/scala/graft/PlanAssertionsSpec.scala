@@ -293,6 +293,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"packing must not global-sort:\n$p")
   }
 
+  test("subword chunking/packing keep the word gates' plan shapes exactly") {
+    // the tokenizer is a per-row codegen expression — budget realism must
+    // not cost a single extra exchange over the whitespace formulations
+    val c = plan("q_text_chunk_subword")
+    Seq("Exchange", "ShuffleQueryStage", "AQEShuffleRead").foreach(m =>
+      assert(!c.contains(m), s"subword chunker grew a shuffle ($m):\n$c"))
+    val p = plan("q_pack_context_subword")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shard-key exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"packing must not global-sort:\n$p")
+  }
+
   test("shard shuffle moves one narrow hash exchange, never a range sort") {
     // the deterministic global shuffle carries (doc_id, ntok, k) through
     // exactly one hash exchange by shard — the salted hash consumes text
