@@ -24,6 +24,18 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.isSpread(Seq(-1.0, 2.0, 7.0)))
   }
 
+  test("stream entries use the tighter 1.8 spread trigger (round-8 verdict #3)") {
+    // the BENCH_r08 q_stream_stream_join vector sat under the generic 3.0
+    // trigger while reading 1.5x isolated truth — it must trip at 1.8
+    val r08ssj = Seq(9.3, 8.6, 5.0)
+    assert(!Bench.isSpread(r08ssj))
+    assert(Bench.isSpread(r08ssj, Bench.spreadRatioFor("q_stream_stream_join")))
+    // a clean stream triple (observed spread <= 1.4) must not re-run
+    assert(!Bench.isSpread(Seq(5.6, 5.0, 4.7), Bench.spreadRatioFor("q_stream_stream_join")))
+    // batch entries keep the generic ratio
+    assert(Bench.spreadRatioFor("q_agg_rollup") === 3.0)
+  }
+
   test("hot-window rule catches uniformly-inflated entries that spread cannot") {
     // q_agg_weighted_avg round-7 shape: all reps equally inflated
     // ([2.25, 2.25, 2.25] vs 0.54 s isolated — zero spread), so the
