@@ -177,8 +177,11 @@ object TextQueries {
       // core instead of one (the same single-task cliff the embed-LSH
       // query had; negligible shuffle, per-doc results unchanged)
       .repartition(s.sparkContext.defaultParallelism)
+      // native one-pass shingle hashing (round 9) — bit-equivalent to
+      // transform(TextHash.wordShingles(text, 2), polyHash), the HOF
+      // semantic definition the oracle replays (ShingleHashExprSpec)
       .select(col("doc_id"), col("lang"),
-        transform(TextHash.wordShingles(col("text"), 2), x => TextHash.polyHash(x)).as("hv"))
+        org.apache.spark.sql.graft.ShingleHashExpr.column(col("text")).as("hv"))
       .select(col("doc_id"), col("lang"), size(col("hv")).as("sz"),
         array_sort(array_distinct(col("hv"))).as("hs"))
       .withColumn("ds", size(col("hs")))
