@@ -550,7 +550,11 @@ object PipelineQueries {
                    transform(embedding, x -> CAST(round(x * 10) AS BIGINT)),
                    transform(reverse(embedding), x -> CAST(round(x * 10) AS BIGINT))
                  ) AS BIGINT) AS palindromic_dims,
-                 poly_hash(CAST(vec_id AS STRING)) AS id_hash
+                 poly_hash(CAST(vec_id AS STRING)) AS id_hash,
+                 subword_count(concat('table', CAST(vec_id AS STRING), 'scan')) AS sub_cnt,
+                 aggregate(shingle_hashes(concat('w', CAST(vec_id AS STRING),
+                   ' x w', CAST(vec_id AS STRING))), CAST(0 AS BIGINT),
+                   (acc, x) -> acc + x) AS sh_sum
           FROM embeddings_ext WHERE vec_id < 50 ORDER BY vec_id
         """)
       },
@@ -565,7 +569,12 @@ object PipelineQueries {
                CAST(len(list_intersect(list_distinct(q.qv), list_distinct(q.qv[1:32]))) AS BIGINT) AS half_overlap,
                CAST(list_sum(list_transform(range(1, 65),
                  i -> CASE WHEN q.qv[i] = q.qv[65 - i] THEN 1 ELSE 0 END)) AS BIGINT) AS palindromic_dims,
-               (${TextQueries.sqlPolyHash("CAST(e.vec_id AS VARCHAR)")}) AS id_hash
+               (${TextQueries.sqlPolyHash("CAST(e.vec_id AS VARCHAR)")}) AS id_hash,
+               CAST(2 + length(CAST(e.vec_id AS VARCHAR)) AS BIGINT) AS sub_cnt,
+               (SELECT CAST(list_sum(list_transform(${TextQueries.sqlShingles},
+                  x -> ${TextQueries.sqlPolyHash("x")})) AS BIGINT)
+                FROM (SELECT string_split('w' || CAST(e.vec_id AS VARCHAR)
+                  || ' x w' || CAST(e.vec_id AS VARCHAR), ' ') AS w)) AS sh_sum
         FROM e JOIN q ON e.vec_id = q.vec_id
         ORDER BY e.vec_id
       """)),

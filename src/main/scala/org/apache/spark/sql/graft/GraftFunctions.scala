@@ -32,7 +32,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => PositionalEqCount(args(0), args(1))),
       (FunctionIdentifier("poly_hash"),
         new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
-        (args: Seq[Expression]) => PolyHashExpr(args(0))))
+        (args: Seq[Expression]) => PolyHashExpr(args(0))),
+      (FunctionIdentifier("subword_count"),
+        new ExpressionInfo(classOf[SubwordCountExpr].getName, "subword_count"),
+        (args: Seq[Expression]) => SubwordCountExpr(args(0))),
+      (FunctionIdentifier("shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashExpr].getName, "shingle_hashes"),
+        (args: Seq[Expression]) => ShingleHashExpr(args(0))))
 
   /** Idempotently register on a live session (overwrites are harmless —
     * same builder). */
