@@ -181,23 +181,42 @@ object BaselineBench {
       hv.select(col("doc_id"), simhash.as("simhash")).orderBy(col("doc_id"))
     }
 
+    // the round-8 graft formulation of the signature base build (HOF
+    // shingle construction, native per-shingle hash) — what the round-9
+    // one-pass ShingleHashExpr replaced
+    def stockShingleBase: DataFrame =
+      pq("documents").repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          transform(TextHash.wordShingles(col("text"), 2),
+            x => TextHash.polyHash(x)).as("hv"))
+        .select(col("doc_id"), col("lang"), size(col("hv")).as("sz"),
+          array_sort(array_distinct(col("hv"))).as("hs"))
+        .withColumn("ds", size(col("hs")))
+
     // ---- pairs --------------------------------------------------------------
 
-    // (label, graft entry from SparkEntry, stock formulation)
-    val pairs: Seq[(String, String, () => DataFrame)] = Seq(
-      ("filter_project", "q_filter_project", () => stockFilterProject),
-      ("join_star", "q_join_star", () => stockJoinStar),
-      ("agg_pricing_summary", "q_agg_pricing_summary", () => stockPricingSummary),
-      ("sort_topk", "q_sort_topk", () => stockSortTopk),
-      ("topk_per_group", "q_topk_per_group", () => stockTopkPerGroup),
-      ("sim_topk_brute", "q_sim_topk_brute", () => stockSimTopkBrute),
-      ("embed_cosine_blocked", "q_dedup_embed_cosine_blocked", () => stockEmbedBlocked),
-      ("ngram_jaccard", "q_dedup_ngram_jaccard", () => stockNgramJaccard),
-      ("simhash", "q_dedup_simhash", () => stockSimhash),
+    def entry(name: String): () => DataFrame =
+      () => SparkEntry.queries(name)(spark, sfDir)
+
+    // (label, graft formulation, stock formulation)
+    val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("filter_project", entry("q_filter_project"), () => stockFilterProject),
+      ("join_star", entry("q_join_star"), () => stockJoinStar),
+      ("agg_pricing_summary", entry("q_agg_pricing_summary"), () => stockPricingSummary),
+      ("sort_topk", entry("q_sort_topk"), () => stockSortTopk),
+      ("topk_per_group", entry("q_topk_per_group"), () => stockTopkPerGroup),
+      ("sim_topk_brute", entry("q_sim_topk_brute"), () => stockSimTopkBrute),
+      ("embed_cosine_blocked", entry("q_dedup_embed_cosine_blocked"), () => stockEmbedBlocked),
+      ("ngram_jaccard", entry("q_dedup_ngram_jaccard"), () => stockNgramJaccard),
+      ("simhash", entry("q_dedup_simhash"), () => stockSimhash),
+      // the signature-store corpus pass: round-9 one-pass codegen vs the
+      // interpreted HOF shingle chain it replaced
+      ("shingle_build",
+        () => graft.queries.TextQueries.shingleBaseOf(spark, pq("documents")),
+        () => stockShingleBase),
       // the native as-of plan vs the stock window formulation (both are
       // declared queries — the stock side here is q_join_asof itself)
-      ("asof_join", "q_join_asof_native",
-        () => SparkEntry.queries("q_join_asof")(spark, sfDir)))
+      ("asof_join", entry("q_join_asof_native"), entry("q_join_asof")))
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -224,8 +243,8 @@ object BaselineBench {
 
     println("| pair | graft sec | stock sec | ratio graft/stock |")
     println("|---|---|---|---|")
-    val rows = pairs.map { case (label, graftName, stock) =>
-      val g = median(() => SparkEntry.queries(graftName)(spark, sfDir))
+    val rows = pairs.map { case (label, graft, stock) =>
+      val g = median(graft)
       val s0 = median(stock)
       println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
       (label, g, s0)
