@@ -416,6 +416,58 @@ object SampleQueries {
         FROM t
       """)),
 
+    // ---- C52 packing EXECUTION ------------------------------------------
+    // The step after the packing plan: materialize each context window —
+    // the shard's documents concatenated in doc_id order into their
+    // assigned bin (the example stream a trainer actually reads). Output
+    // is digest-shaped (doc/token counts + polyHash of the packed text)
+    // so the oracle pins content AND order, not just membership.
+    // Scale shape: text crosses the cluster EXACTLY ONCE — the (lang,
+    // source) window exchange carries it, and the per-bin aggregate reuses
+    // that partitioning ((lang, source) clusters (lang, source, bin), so
+    // EnsureRequirements inserts no second exchange; plan-gated). The
+    // in-bin order is pinned by sort_array over (doc_id, text) structs,
+    // not by collect_list's arrival order, so the digest is partitioning-
+    // independent — the property that makes it reproducible on a cluster.
+    Q(
+      "q_pack_execute",
+      (s, dir) => {
+        val B = 256
+        val w = Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"),
+            aggregate(
+              transform(split(trim(col("text")), " "), wd => TextHash.subwordCount(wd)),
+              lit(0L), (acc, x) => acc + x).as("ntok"))
+          .withColumn("cum0", coalesce(sum(col("ntok")).over(w), lit(0L)))
+          .withColumn("bin", expr(s"cum0 div $B"))
+          .groupBy(col("lang"), col("source"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("ntok_sum"),
+            TextHash.polyHash(concat_ws(" ",
+              expr("transform(sort_array(collect_list(struct(doc_id, text))), x -> x.text)")))
+              .as("pack_hash"))
+      },
+      Some(s"""
+        $sqlSubwordCtes,
+        dt AS (SELECT doc_id, lang, source, unnest(string_split(trim(text), ' ')) AS wd
+               FROM documents),
+        nt AS (SELECT dt.doc_id, dt.lang, dt.source, CAST(SUM(wc.sub) AS BIGINT) AS ntok
+               FROM dt JOIN wc ON wc.wd = dt.wd GROUP BY 1, 2, 3),
+        b AS (SELECT doc_id, lang, source, ntok,
+                     CAST(COALESCE(SUM(ntok) OVER (PARTITION BY lang, source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       // 256 AS bin
+              FROM nt)
+        SELECT b.lang, b.source, b.bin, COUNT(*) AS n_docs,
+               CAST(SUM(b.ntok) AS BIGINT) AS ntok_sum,
+               (${TextQueries.sqlPolyHash("string_agg(d.text, ' ' ORDER BY b.doc_id)")}) AS pack_hash
+        FROM b JOIN documents d ON d.doc_id = b.doc_id
+        GROUP BY 1, 2, 3
+      """)),
+
     // ---- C51 unigram-LM surprisal scoring (CCNet-style LM filter) -------
     // Mean per-token surprisal under the corpus's own unigram model — the
     // language-model quality filter of CCNet (arXiv:1911.00359 §3.3),

@@ -293,6 +293,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"packing must not global-sort:\n$p")
   }
 
+  test("packing execution shuffles text ONCE: the bin aggregate reuses the window exchange") {
+    // (lang, source) hash partitioning clusters (lang, source, bin), so
+    // EnsureRequirements must not insert a second exchange between the
+    // window pass and the per-bin aggregate — text crosses the cluster
+    // exactly once
+    val p = plan("q_pack_execute")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"packed text must cross exactly one exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
+  }
+
   test("subword chunking/packing keep the word gates' plan shapes exactly") {
     // the tokenizer is a per-row codegen expression — budget realism must
     // not cost a single extra exchange over the whitespace formulations
