@@ -174,6 +174,16 @@ class CommitFastPathSpec extends AnyFunSuite {
     val out = t2.snapshot().collect()
       .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSeq.sortBy(_._1)
     assert(out === Seq(("a", "1", null), ("b", "2x", "tag-b"), ("c", "3", "tag-c")))
+
+    // predicate UPDATE through the evolved handle: a row living in a
+    // PRE-evolution file (no `tag` column on disk) must be assignable, and
+    // a NULL-tag predicate must evaluate with three-valued semantics on
+    // the kernel path exactly as distributed
+    import org.apache.spark.sql.functions.{col, lit}
+    t2.update(Seq("tag" -> lit("backfilled")), col("tag").isNull)
+    val out2 = t2.snapshot().collect()
+      .map(r => (r.getString(0), r.getString(3))).toSeq.sortBy(_._1)
+    assert(out2 === Seq(("a", "backfilled"), ("b", "tag-b"), ("c", "tag-c")))
   }
 
   test("steady-state commit sizing reads sizes from manifests, not the filesystem") {
