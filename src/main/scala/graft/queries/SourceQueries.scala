@@ -84,6 +84,53 @@ object SourceQueries {
       },
       Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey")),
 
+    // ---- C2 XML roundtrip with explicit schema (built-in since Spark 4) -------
+    Q(
+      "q_src_xml",
+      (s, dir) => {
+        val out = tmpDir("graft_xml")
+        Tables.nation(s, dir).write.mode("overwrite")
+          .option("rootTag", "nations").option("rowTag", "nation")
+          .format("xml").save(out)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        s.read.schema(schema).option("rowTag", "nation").format("xml").load(out)
+          .orderBy(col("n_nationkey"))
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // ---- C2 binaryFile source (the raw-bytes ingest path multimodal sits on) --
+    // One file per nation row, content = the row's name bytes — read back
+    // through format("binaryFile") and digested (UTF-8 decode + polyHash +
+    // length), so the gate pins path recovery, content bytes, and length
+    // metadata against a pure SQL reconstruction.
+    Q(
+      "q_src_binaryfile",
+      (s, dir) => {
+        val out = tmpDir("graft_bin")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+          .collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"n${r.getInt(0)}%03d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        s.read.format("binaryFile").load(out)
+          .select(
+            regexp_extract(col("path"), "n(\\d+)\\.bin$", 1).cast("int").as("n_nationkey"),
+            col("length").as("n_bytes"),
+            graft.functions.TextHash.polyHash(decode(col("content"), "UTF-8"))
+              .as("name_hash"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some(s"""
+        SELECT n_nationkey, CAST(strlen(n_name) AS BIGINT) AS n_bytes,
+               (${TextQueries.sqlPolyHash("n_name")}) AS name_hash
+        FROM nation ORDER BY n_nationkey
+      """)),
+
     // ---- C3 partitioned parquet sink + read-back -----------------------------
     Q(
       "q_sink_partitioned",
