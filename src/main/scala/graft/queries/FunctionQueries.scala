@@ -285,6 +285,33 @@ object FunctionQueries {
         FROM events GROUP BY event_type ORDER BY event_type
       """)),
 
+    // ---- C36+ VARIANT semi-structured type (Spark 4) --------------------------
+    // The open-format semi-structured path: JSON → parse_json → VARIANT →
+    // typed variant_get extraction. The roundtrip must reproduce the
+    // source values exactly (shortest-round-trip double printing +
+    // variant numeric parsing), and a missing path must be NULL, not an
+    // error — pinned against a pure relational reconstruction.
+    Q(
+      "q_fn_variant",
+      (s, dir) => {
+        Tables.orders(s, dir).filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey"),
+            parse_json(to_json(struct(
+              col("o_custkey"), col("o_totalprice"), col("o_orderstatus")))).as("v"))
+          .select(col("o_orderkey"),
+            expr("variant_get(v, '$.o_custkey', 'bigint')").as("custkey"),
+            expr("variant_get(v, '$.o_totalprice', 'double')").as("price"),
+            expr("variant_get(v, '$.o_orderstatus', 'string')").as("status"),
+            expr("try_variant_get(v, '$.missing', 'string')").as("absent"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderstatus AS status, CAST(NULL AS VARCHAR) AS absent
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+      """)),
+
     // ---- C47 Scala UDF (row-scalar) -----------------------------------------------------
     Q(
       "q_fn_udf",
