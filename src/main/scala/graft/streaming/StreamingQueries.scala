@@ -36,6 +36,7 @@ object StreamingQueries {
 
   private val nameCounter = new AtomicInteger(0)
   private val chunkCache = TrieMap.empty[String, String]
+  private val lateChunkCache = TrieMap.empty[String, String]
 
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -104,14 +105,63 @@ object StreamingQueries {
     f.delete(); ()
   }
 
+  /** Chunked replay WITH LATE DATA: the deterministic slice
+    * `event_id % 50 == 7` (minus the stream's final row, so the on-time
+    * max — and therefore the watermark — is unchanged by the withholding)
+    * is REMOVED from its time-ordered position and arrives as a fifth
+    * chunk after everything else. By then the watermark has advanced to
+    * max(ts) − delay, so the withheld rows straddle it: the older ones
+    * must be DROPPED as late, the recent ones accepted — the semantics
+    * the all-in-order replay above can never exercise.
+    */
+  private def lateChunkedEventsDir(s: SparkSession, dir: String): String =
+    lateChunkCache.getOrElseUpdate(dir, {
+      val out = Files.createTempDirectory("graft-stream-late-")
+      val ev = Tables.events(s, dir)
+        .withColumn("__rn", row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+      val n = ev.count()
+      val isLate = col("event_id") % 50 === 7 && col("__rn") < n
+      def writeChunk(df: DataFrame, k: Int): Unit = {
+        val tmp = out.resolve(s"tmp-$k")
+        df.drop("__rn").coalesce(1).write.parquet(tmp.toString)
+        val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet written for chunk $k"))
+        val dest = out.resolve(f"chunk-$k%02d.parquet")
+        Files.move(part.toPath, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L + k * 1000L))
+        deleteRecursively(tmp)
+      }
+      // chunks 0-3: the on-time rows at their global-rank quartiles (the
+      // same boundaries as the in-order replay, minus the withheld slice)
+      (0 until 4).foreach { k =>
+        val lo = k * n / 4 + 1
+        val hi = (k + 1) * n / 4
+        writeChunk(ev.filter(!isLate && col("__rn").between(lo, hi)), k)
+      }
+      // watermark-carrier chunk: a REPEAT of the stream's max-ts row.
+      // Spark propagates a watermark update with (at least) one batch of
+      // lag — measured on 4.1.2: the watermark operative in batch k is
+      // from batch k-2's data. This batch adds no new output (the dedup
+      // drops the repeated event_id) and no new max; it exists so that by
+      // the time the late chunk runs, the watermark REACHED max(ts) −
+      // delay whatever the engine's exact propagation lag (1 or 2
+      // batches), keeping the gate's drop boundary pinned to declared
+      // semantics instead of a lag quirk.
+      writeChunk(ev.filter(col("__rn") === n), 4)
+      writeChunk(ev.filter(isLate), 5)
+      out.toString
+    })
+
   /** Run a streaming transform over the chunked events to a memory sink,
     * wait for AvailableNow to drain, and return the sink table.
     */
   private def runStream(
       s: SparkSession, dir: String, mode: OutputMode,
-      statePartitions: Int = 4)(
+      statePartitions: Int = 4,
+      lateReplay: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame = {
-    val src = chunkedEventsDir(s, dir)
+    val src = if (lateReplay) lateChunkedEventsDir(s, dir) else chunkedEventsDir(s, dir)
     val schema = s.read.parquet(src).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -322,6 +372,37 @@ object StreamingQueries {
                                      ORDER BY ts, event_id) AS rn
            FROM events)
         WHERE rn = 1 ORDER BY user_id, event_type
+      """)),
+
+    // ---- C39 watermark LATE-DATA semantics (the drop rule itself) ---------------
+    // The in-order replay can never drop a row, so this gate runs the
+    // late replay: the withheld slice arrives LAST, after the watermark
+    // has advanced to max(ts) − 72 h. Through watermarked dropDuplicates
+    // (accepted rows emit immediately in append mode — unlike a windowed
+    // agg, whose never-emitted open windows would make acceptance
+    // unobservable), a withheld row older than the watermark MUST vanish
+    // and a recent one MUST appear. The oracle replays the exact rule:
+    // on-time rows ∪ withheld rows with ts ≥ on-time-max − 72 h.
+    Q(
+      "q_stream_late_drop",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Append(), lateReplay = true) { ev =>
+          ev.withWatermark("ts", "72 hours")
+            .dropDuplicates("event_id")
+        }.select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_s"))
+          .orderBy(col("event_id")),
+      Some("""
+        WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                          row_number() OVER (ORDER BY ts, event_id) AS rn,
+                          count(*) OVER () AS n
+                   FROM events),
+        flagged AS (SELECT *, (event_id % 50 = 7 AND rn < n) AS is_late FROM e),
+        mx AS (SELECT max(ts) AS m FROM flagged WHERE NOT is_late)
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM flagged, mx
+        WHERE NOT is_late OR ts >= m - INTERVAL 72 HOUR
+        ORDER BY event_id
       """)),
 
     // ---- C40 stream-static broadcast join ---------------------------------------
