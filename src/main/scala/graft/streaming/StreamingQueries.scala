@@ -405,6 +405,46 @@ object StreamingQueries {
         ORDER BY event_id
       """)),
 
+    // ---- C39 late data MERGING into an open windowed aggregate ------------------
+    // The other side of the drop rule: an accepted late row must UPDATE
+    // the aggregate state of its still-open window. Update mode makes
+    // that observable — the memory sink collects every per-batch emission
+    // of a changed window, so max(n) per window over all emissions IS the
+    // final count including the late merges (counts only grow). The
+    // aggregation drop rule keys on the WINDOW END (a late row whose
+    // window closed is dropped; one whose 1-hour window end is still
+    // above the watermark merges), which the oracle replays — including
+    // the watermark-carrier repeat of the max row, which an aggregation
+    // (unlike the dedup gate) genuinely counts twice.
+    Q(
+      "q_stream_late_window_update",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Update(), lateReplay = true) { ev =>
+          ev.withWatermark("ts", "72 hours")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+        }.groupBy(unix_timestamp(col("window.start")).as("ws"), col("event_type"))
+          .agg(max(col("n")).as("n"))
+          .orderBy(col("ws"), col("event_type")),
+      Some("""
+        WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                          row_number() OVER (ORDER BY ts, event_id) AS rn,
+                          count(*) OVER () AS n,
+                          event_id % 50 = 7 AS flag
+                   FROM events),
+        flagged AS (SELECT *, (flag AND rn < n) AS is_late FROM e),
+        mx AS (SELECT max(ts) AS m FROM flagged WHERE NOT is_late),
+        kept AS (SELECT event_type, ts FROM flagged, mx
+                 WHERE NOT is_late
+                    OR CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 + 3600
+                       > CAST(floor(epoch(m)) AS BIGINT) - 259200
+                 UNION ALL
+                 SELECT event_type, ts FROM flagged WHERE rn = n)
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS ws,
+               event_type, COUNT(*) AS n
+        FROM kept GROUP BY 1, 2 ORDER BY ws, event_type
+      """)),
+
     // ---- C40 stream-static broadcast join ---------------------------------------
     Q(
       "q_stream_static_join",
