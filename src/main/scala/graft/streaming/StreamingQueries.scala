@@ -73,7 +73,9 @@ object StreamingQueries {
     * its untimed warmup so chunking cost doesn't land on whichever
     * streaming query happens to run first.
     */
-  def warm(s: SparkSession, dir: String): Unit = { chunkedEventsDir(s, dir); () }
+  def warm(s: SparkSession, dir: String): Unit = {
+    chunkedEventsDir(s, dir); lateChunkedEventsDir(s, dir); ()
+  }
 
   /** Write `events` as 4 time-ordered chunk files with increasing mtimes. */
   private def chunkedEventsDir(s: SparkSession, dir: String): String =
