@@ -861,6 +861,29 @@ final class AcidTable private (
     AcidTable.open(spark, path)
   }
 
+  /** Drop non-key columns — metadata-only, like [[addColumns]]: readers
+    * stop projecting the columns immediately (the scan's explicit schema
+    * simply no longer requests them; parquet clipping ignores the extra
+    * on-disk fields), and new commits write files without them. The BYTES
+    * remain in existing data files until their file groups are rewritten —
+    * run [[compact]] after the drop for a physical purge (the GDPR-shaped
+    * "column removal means the data is gone" requirement; spec-pinned by
+    * `DropColumnSpec` reading the rewritten files' parquet schemas).
+    * Schema is table-global (handle-scoped), as for addColumns: time
+    * travel reads history through the CURRENT schema.
+    */
+  def dropColumns(names: Seq[String]): AcidTable = {
+    names.foreach { n =>
+      require(schema.fieldNames.contains(n), s"column $n does not exist")
+      require(n != pkCol && n != partitionCol && !precombineCol.contains(n),
+        s"cannot drop key/partition/precombine column '$n'")
+    }
+    val next = StructType(schema.fields.filterNot(f => names.contains(f.name)))
+    AcidTable.writeMeta(path, next, pkCol, partitionCol, precombineCol, stablePartitions,
+      numBuckets)
+    AcidTable.open(spark, path)
+  }
+
   /** CDC-style diff between two committed versions: every row added and
     * every row removed (an update appears as remove+insert of the two row
     * images). Consumers use this for incremental downstream processing

@@ -349,6 +349,44 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 schema evolution: DROP column + physical purge ----------------------
+    // The other direction (round 9): dropColumns is metadata-only (readers
+    // stop projecting instantly; old files keep the bytes), and compact()
+    // afterwards is the PHYSICAL purge — the GDPR-shaped removal. The gate
+    // drives drop → post-drop upsert (new files born without the column)
+    // → full compaction, and the oracle replays the surviving relation;
+    // DropColumnSpec additionally pins that the rewritten files' parquet
+    // schemas no longer carry the column at all.
+    Q(
+      "q_acid_drop_column",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType), StructField("tag", StringType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"),
+          concat(lit("t"), col("n_nationkey").cast("string")).as("tag"))
+        t.upsert(base)
+        val t2 = t.dropColumns(Seq("tag"))
+        t2.upsert(base.drop("tag").filter(col("pk").cast("long") % 3 === 0)
+          .withColumn("val", col("val") + 10))
+        t2.compact(0)
+        t2.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN val + 10 ELSE val END AS val
+        FROM base ORDER BY pk
+      """)),
+
     // ---- C5 schema evolution: add-column without data rewrite -------------------
     // Rows written before the evolution lack the column physically; the
     // explicit-schema snapshot scan surfaces them as NULL — the Delta/Hudi
