@@ -227,14 +227,23 @@ final class AcidV2Table(
     }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    AcidV2Table.pkKeys(filters, acid.pkCol).isDefined
+    AcidV2Table.pkKeys(filters, acid.pkCol).isDefined ||
+      filters.forall(f => AcidScanBuilder.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(version.isEmpty, "cannot delete from a time-travelled table")
-    val keys = AcidV2Table.pkKeys(filters, acid.pkCol).getOrElse(
-      throw new IllegalArgumentException(
-        s"DELETE needs ${acid.pkCol} IN (…) or ${acid.pkCol} = …, got ${filters.mkString(", ")}"))
-    acid.delete(keys)
+    AcidV2Table.pkKeys(filters, acid.pkCol) match {
+      // pure pk-list DELETEs keep the bucket-pruned key path
+      case Some(keys) => acid.delete(keys)
+      case None =>
+        // arbitrary predicate DELETE (round 9): every pushed filter must
+        // translate — a silently dropped conjunct would delete MORE rows
+        // than the statement asked for
+        val cols = filters.toSeq.map(f => AcidScanBuilder.toColumn(f).getOrElse(
+          throw new IllegalArgumentException(
+            s"DELETE condition not translatable: $f")))
+        acid.deleteWhere(cols.reduceOption(_ && _).getOrElse(lit(true)))
+    }
     ()
   }
 }

@@ -75,7 +75,12 @@ object AcidSql {
 
       case DeleteFromTable(target, condition) =>
         val t = resolveTable(tables, target)
-        t.delete(keysFrom(condition, t.pkCol))
+        // the reference's pk-list shape keeps its bucket-pruned key path;
+        // any other WHERE becomes a predicate delete (round 9)
+        keysFromOpt(condition, t.pkCol) match {
+          case Some(keys) => t.delete(keys)
+          case None => t.deleteWhere(PlanShim.columnOf(stripQualifiers(condition)))
+        }
 
       case i: InsertIntoStatement =>
         val t = resolveTable(tables, i.table)
@@ -145,14 +150,18 @@ object AcidSql {
     case _ => false
   }
 
-  private def keysFrom(cond: Expression, pk: String): Seq[String] = cond match {
-    case In(attr, values) if lastName(attr) == pk =>
-      values.map {
-        case Literal(v, _) => String.valueOf(v)
-        case other => fail(s"DELETE keys must be literals, got: ${other.sql}")
-      }
-    case EqualTo(attr, Literal(v, _)) if lastName(attr) == pk => Seq(String.valueOf(v))
-    case other => fail(s"DELETE condition must be $pk IN (…) or $pk = …, got: ${other.sql}")
+  private def keysFromOpt(cond: Expression, pk: String): Option[Seq[String]] = cond match {
+    case In(attr, values) if nameOf(attr).contains(pk) &&
+        values.forall(_.isInstanceOf[Literal]) =>
+      Some(values.map { case Literal(v, _) => String.valueOf(v) })
+    case EqualTo(attr, Literal(v, _)) if nameOf(attr).contains(pk) =>
+      Some(Seq(String.valueOf(v)))
+    case _ => None
+  }
+
+  private def nameOf(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last)
+    case _ => None
   }
 }
 

@@ -720,6 +720,59 @@ final class AcidTable private (
       })
   }
 
+  /** Predicate DELETE (SQL `DELETE FROM t WHERE …` beyond the pk-list
+    * shape): rows matching `condition` are removed, everything else in the
+    * touched file groups is carried. Same discovery shape, OCC semantics,
+    * and driver-kernel gating as [[update]]; a NULL condition keeps the
+    * row (SQL three-valued filter), and a DELETE's output volume is
+    * always bounded by the files it rewrites.
+    */
+  def deleteWhere(condition: Column): Long = {
+    val pred = driverPredicate(condition)
+    commitLoop(
+      touchedOf = (snap, files) => {
+        val local = pred.flatMap { p =>
+          if (!driverScaleFiles(files)) None
+          else scala.util.Try {
+            readRowsLocal(files).filter(p)
+              .map(r => FileCell(rowPart(r), rowBucket(r))).distinct
+          }.toOption
+        }
+        local.getOrElse {
+          snap.filter(condition)
+            .select(col(partitionCol).as("__p"), bucketExpr.as("__b"))
+            .distinct().collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
+        }
+      },
+      resultOf = snapT => snapT.filter(!coalesce(condition, lit(false))),
+      outputBounded = true,
+      localResultOf = pred.map(p =>
+        (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) => snapRows.filterNot(p)))
+  }
+
+  /** The interpreted driver image of a WHERE predicate over the table
+    * schema, or None when the row kernel can't honor it (nondeterminism,
+    * subqueries, unsupported physical schema). NULL evaluates to false —
+    * the SQL filter rule both [[update]]'s carry and [[deleteWhere]] need.
+    */
+  private def driverPredicate(condition: Column)
+      : Option[org.apache.spark.sql.catalyst.InternalRow => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.{Predicate, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+    if (!fastSchemaOk) return None
+    scala.util.Try {
+      val empty = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      org.apache.spark.sql.graft.PlanShim.analyzed(empty.filter(condition)) match {
+        case LFilter(cond, rel: LocalRelation)
+            if cond.deterministic && !SubqueryExpression.hasSubquery(cond) =>
+          val pred = Predicate.create(cond, rel.output)
+          pred.initialize(0)
+          Some((r: org.apache.spark.sql.catalyst.InternalRow) => pred.eval(r))
+        case _ => None
+      }
+    }.toOption.flatten
+  }
+
   /** The driver image of the UPDATE projection and its WHERE predicate:
     * `projCols` / `condition` resolved against an empty relation with the
     * table's exact schema (so name resolution matches the snapshot path),

@@ -349,6 +349,43 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 predicate DELETE (round 9) ------------------------------------------
+    // DELETE FROM … WHERE <arbitrary predicate> — the row-level delete
+    // shape beyond the reference's pk-list, through BOTH the API and the
+    // SQL-text front-end in one history; a NULL predicate keeps the row
+    // (three-valued filter), and the driver kernel handles both
+    // statements at metadata scale. The oracle replays the surviving set.
+    Q(
+      "q_acid_delete_where",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t.upsert(base)
+        // API predicate delete (driver kernel path)
+        t.deleteWhere(col("val") >= 4.0 && col("part") === "p0")
+        // SQL-text predicate delete (routed through the same deleteWhere)
+        graft.lake.AcidSql.execute(s, Map("t" -> t),
+          "DELETE FROM t WHERE CAST(pk AS BIGINT) % 5 = 1")
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation)
+        SELECT pk, part, val FROM base
+        WHERE NOT (val >= 4.0 AND part = 'p0')
+          AND NOT (CAST(pk AS BIGINT) % 5 = 1)
+        ORDER BY pk
+      """)),
+
     // ---- C5 schema evolution: DROP column + physical purge ----------------------
     // The other direction (round 9): dropColumns is metadata-only (readers
     // stop projecting instantly; old files keep the bytes), and compact()

@@ -154,11 +154,19 @@ class AcidSqlSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { sess.table("acid.records") }
   }
 
-  test("unsupported statement shapes fail loudly, not silently") {
-    val (_, reg) = freshTable()
-    assertThrows[IllegalArgumentException] {
-      AcidSql.execute(spark, reg, "DELETE FROM acid.records WHERE dataValue = 'x'")
-    }
+  test("unsupported statement shapes fail loudly; non-pk DELETE is a predicate delete") {
+    val (t, reg) = freshTable()
+    // round 9: a non-pk WHERE is no longer rejected — it routes to
+    // AcidTable.deleteWhere with SQL filter semantics
+    t.upsert({
+      import spark.implicits._
+      Seq(("K1", "P0", "x"), ("K2", "P1", "y"))
+        .toDF("primaryKeyValue", "partitionKeyValue", "dataValue")
+    })
+    AcidSql.execute(spark, reg, "DELETE FROM acid.records WHERE dataValue = 'x'")
+    assert(t.snapshot().select("primaryKeyValue").collect().map(_.getString(0)).toSeq
+      .sorted.lastOption.contains("K2"))
+    assert(t.snapshot().filter(org.apache.spark.sql.functions.col("dataValue") === "x").count() == 0)
     assertThrows[IllegalArgumentException] {
       AcidSql.execute(spark, reg, "SELECT 1")
     }

@@ -70,7 +70,7 @@ class CommitFastPathSpec extends AnyFunSuite {
       // repartition makes the batch non-local: localPrecombine and the
       // InSet key extraction both bail to the Window / anti-join plans
       val forced = batchDf(rows).repartition(3)
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 => fast.upsert(local); dist.upsert(forced)
         case 1 => fast.merge(local, updateCols = Seq("v"))
                   dist.merge(forced, updateCols = Seq("v"))
@@ -92,6 +92,18 @@ class CommitFastPathSpec extends AnyFunSuite {
           fast.update(assigns, cond)
           AcidTable.localCommitEnabled = false
           try dist.update(assigns, cond)
+          finally AcidTable.localCommitEnabled = true
+        case 5 =>
+          // predicate DELETE: kernel filter vs distributed filter, with a
+          // WHERE-NULL branch (NULL keeps the row)
+          import org.apache.spark.sql.functions.{col, lit, when}
+          val cut = f"v0${rnd.nextInt(9)}0000"
+          val cond = col("v") >= lit(cut) &&
+            when(col("pk") === s"k${rnd.nextInt(30)}", lit(null).cast("boolean"))
+              .otherwise(lit(true))
+          fast.deleteWhere(cond)
+          AcidTable.localCommitEnabled = false
+          try dist.deleteWhere(cond)
           finally AcidTable.localCommitEnabled = true
       }
       assert(sortedState(fast) === sortedState(dist), s"diverged after op $i")

@@ -173,15 +173,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.cc.t").collect().head.getLong(0) == 20L)
   }
 
-  test("non-PK deletes and unsupported merges fail loudly, not silently") {
+  test("non-PK deletes route to the predicate path; unsupported merges fail loudly") {
     freshCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db2")
     spark.sql("""CREATE TABLE graft.db2.t (pk STRING, part STRING, v DOUBLE)
                 |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
-    Seq(("a", "p0", 1.0)).toDF("pk", "part", "v").createOrReplaceTempView("cat_src2")
+    Seq(("a", "p0", 1.0), ("b", "p1", 5.0), ("c", "p0", 9.0))
+      .toDF("pk", "part", "v").createOrReplaceTempView("cat_src2")
     spark.sql("INSERT INTO graft.db2.t SELECT * FROM cat_src2")
-    // DELETE on a non-key column cannot be a metadata delete → rejected
-    intercept[Throwable] { spark.sql("DELETE FROM graft.db2.t WHERE v > 0") }
+    // round 9: a non-key DELETE is a predicate delete (AcidTable.deleteWhere)
+    spark.sql("DELETE FROM graft.db2.t WHERE v > 4.0")
+    assert(spark.sql("SELECT pk FROM graft.db2.t ORDER BY pk")
+      .collect().map(_.getString(0)).toSeq === Seq("a"))
+    // restore the rows the merge assertions below operate on
+    spark.sql("INSERT INTO graft.db2.t SELECT * FROM cat_src2 WHERE pk <> 'a'")
     // MERGE without the full-row INSERT branch → rejected by the rule
     intercept[Throwable] {
       spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
