@@ -31,17 +31,19 @@ class AcidTablePropertySpec extends AnyFunSuite {
   final case class Merge(rows: List[Record]) extends Op
   final case class Delete(keys: List[String]) extends Op
   final case class Update(part: String, suffix: String) extends Op
+  final case class DeleteWhere(part: String, cut: String) extends Op
 
   private def genRecord(rnd: Random): Record = {
     val k = rnd.nextInt(20)
     Record(s"R$k", s"P${k % 3}", f"v${rnd.nextInt(1000000)}%07d")
   }
 
-  private def genOp(rnd: Random): Op = rnd.nextInt(11) match {
+  private def genOp(rnd: Random): Op = rnd.nextInt(12) match {
     case n if n < 4 => Upsert(List.fill(3)(genRecord(rnd)))
     case n if n < 7 => Merge(List.fill(3)(genRecord(rnd)))
     case n if n < 9 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
-    case _ => Delete(List.fill(2)(s"R${rnd.nextInt(20)}"))
+    case n if n < 11 => Delete(List.fill(2)(s"R${rnd.nextInt(20)}"))
+    case _ => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
   }
 
   /** Model of the precombine rule: greatest (dataValue, then tie-break by
@@ -65,6 +67,9 @@ class AcidTablePropertySpec extends AnyFunSuite {
       else k -> r
     }
     case Delete(keys) => model -- keys
+    case DeleteWhere(part, cut) => model.filterNot { case (_, r) =>
+      r.partitionKeyValue == part && r.dataValue < cut
+    }
   }
 
   test("CONCURRENT churn-partition commits serialize: snapshot == model in version order") {
@@ -100,11 +105,12 @@ class AcidTablePropertySpec extends AnyFunSuite {
             }
             start.await()
             (1 to opsPerThread).foreach { _ =>
-              val op = rnd.nextInt(10) match {
+              val op = rnd.nextInt(11) match {
                 case n if n < 4 => Upsert(List.fill(3)(churnRecord()))
-                case n if n < 7 => Merge(List.fill(3)(churnRecord()))
-                case n if n < 9 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
-                case _ => Delete(List.fill(2)(s"R${rnd.nextInt(12)}"))
+                case n if n < 6 => Merge(List.fill(3)(churnRecord()))
+                case n if n < 8 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
+                case n if n < 10 => Delete(List.fill(2)(s"R${rnd.nextInt(12)}"))
+                case _ => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
               }
               val v = op match {
                 case Upsert(rows) => t.upsert(spark.createDataset(rows).toDF())
@@ -114,6 +120,9 @@ class AcidTablePropertySpec extends AnyFunSuite {
                   t.update(Seq("dataValue" -> concat(col("dataValue"), lit(suffix))),
                     col("partitionKeyValue") === part)
                 case Delete(keys) => t.delete(keys)
+                case DeleteWhere(part, cut) =>
+                  import org.apache.spark.sql.functions.{col, lit}
+                  t.deleteWhere(col("partitionKeyValue") === part && col("dataValue") < lit(cut))
               }
               committed.add((v, op))
             }
@@ -155,6 +164,9 @@ class AcidTablePropertySpec extends AnyFunSuite {
             t.update(Seq("dataValue" -> concat(col("dataValue"), lit(suffix))),
               col("partitionKeyValue") === part)
           case Delete(keys) => t.delete(keys)
+          case DeleteWhere(part, cut) =>
+            import org.apache.spark.sql.functions.{col, lit}
+            t.deleteWhere(col("partitionKeyValue") === part && col("dataValue") < lit(cut))
         }
         model = applyModel(model, op)
       }
