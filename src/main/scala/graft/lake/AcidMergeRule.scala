@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -30,30 +30,37 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           require(keyEquality(m.mergeCondition, acid.pkCol),
             s"MERGE condition must be t.${acid.pkCol} = s.${acid.pkCol}," +
               s" got: ${m.mergeCondition.sql}")
-          val targetAliases = aliasNames(m.targetTable)
-          val check = requireIdentityAssignment(targetAliases) _
-          val updateCols = m.matchedActions match {
-            case Seq(UpdateAction(None, assigns, _)) =>
-              assigns.foreach(check)
-              assigns.map(assignedCol)
-            case other =>
-              throw new IllegalArgumentException(
-                s"expected exactly WHEN MATCHED THEN UPDATE SET …, got: $other")
+          if (m.matchedActions == Seq(DeleteAction(None)) &&
+              m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty) {
+            // MERGE … WHEN MATCHED THEN DELETE (round 9): delete by the
+            // source's key set — the bucket-pruned key path, not a rewrite
+            AcidMergeDeleteCommand(acid, m.sourceTable)
+          } else {
+            val targetAliases = aliasNames(m.targetTable)
+            val check = requireIdentityAssignment(targetAliases) _
+            val updateCols = m.matchedActions match {
+              case Seq(UpdateAction(None, assigns, _)) =>
+                assigns.foreach(check)
+                assigns.map(assignedCol)
+              case other =>
+                throw new IllegalArgumentException(
+                  s"expected WHEN MATCHED THEN UPDATE SET … (or THEN DELETE), got: $other")
+            }
+            m.notMatchedActions match {
+              case Seq(InsertAction(None, assigns)) =>
+                assigns.foreach(check)
+                val cols = assigns.map(assignedCol).toSet
+                require(acid.schema.fieldNames.forall(cols.contains),
+                  s"MERGE insert must cover the full schema" +
+                    s" ${acid.schema.fieldNames.mkString(",")}, got $cols")
+              case other =>
+                throw new IllegalArgumentException(
+                  s"expected exactly WHEN NOT MATCHED THEN INSERT (full row), got: $other")
+            }
+            require(m.notMatchedBySourceActions.isEmpty,
+              "WHEN NOT MATCHED BY SOURCE is not supported")
+            AcidMergeCommand(acid, m.sourceTable, updateCols)
           }
-          m.notMatchedActions match {
-            case Seq(InsertAction(None, assigns)) =>
-              assigns.foreach(check)
-              val cols = assigns.map(assignedCol).toSet
-              require(acid.schema.fieldNames.forall(cols.contains),
-                s"MERGE insert must cover the full schema" +
-                  s" ${acid.schema.fieldNames.mkString(",")}, got $cols")
-            case other =>
-              throw new IllegalArgumentException(
-                s"expected exactly WHEN NOT MATCHED THEN INSERT (full row), got: $other")
-          }
-          require(m.notMatchedBySourceActions.isEmpty,
-            "WHEN NOT MATCHED BY SOURCE is not supported")
-          AcidMergeCommand(acid, m.sourceTable, updateCols)
       }
 
     case u: UpdateTable =>
@@ -157,6 +164,19 @@ case class AcidMergeCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     acid.merge(PlanShim.ofRows(session, source), updateCols)
+    Seq.empty
+  }
+}
+
+/** `MERGE … WHEN MATCHED THEN DELETE` — the source's key set IS the
+  * delete set; routed through the same anti-join/key-set delete every
+  * other front-end uses. */
+case class AcidMergeDeleteCommand(
+    acid: AcidTable,
+    source: LogicalPlan) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    acid.delete(PlanShim.ofRows(session, source))
     Seq.empty
   }
 }

@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, In, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanShim
 import org.apache.spark.sql.types.StructType
 
@@ -46,18 +46,27 @@ object AcidSql {
         val src = PlanShim.ofRows(spark, stripAlias(m.sourceTable))
         requireShape(keyEquality(m.mergeCondition, t.pkCol),
           s"MERGE condition must be t.${t.pkCol} = s.${t.pkCol}, got: ${m.mergeCondition.sql}")
-        val updateCols = m.matchedActions match {
-          case Seq(UpdateAction(None, assigns, _)) => assigns.map(assignedCol)
-          case other => fail(s"expected exactly WHEN MATCHED THEN UPDATE SET …, got: $other")
+        (m.matchedActions, m.notMatchedActions) match {
+          case (Seq(DeleteAction(None)), Seq()) =>
+            // MERGE … WHEN MATCHED THEN DELETE (round 9): removing the
+            // target rows whose pk appears in the source IS delete by the
+            // source's key set — the bucket-pruned key path, not a rewrite
+            t.delete(src)
+          case _ =>
+            val updateCols = m.matchedActions match {
+              case Seq(UpdateAction(None, assigns, _)) => assigns.map(assignedCol)
+              case other => fail(
+                s"expected WHEN MATCHED THEN UPDATE SET … (or THEN DELETE), got: $other")
+            }
+            m.notMatchedActions match {
+              case Seq(InsertAction(None, assigns)) =>
+                val cols = assigns.map(assignedCol).toSet
+                requireShape(t.schema.fieldNames.forall(cols.contains),
+                  s"MERGE insert must cover the full schema ${t.schema.fieldNames.mkString(",")}, got $cols")
+              case other => fail(s"expected exactly WHEN NOT MATCHED THEN INSERT (full row), got: $other")
+            }
+            t.merge(src, updateCols)
         }
-        m.notMatchedActions match {
-          case Seq(InsertAction(None, assigns)) =>
-            val cols = assigns.map(assignedCol).toSet
-            requireShape(t.schema.fieldNames.forall(cols.contains),
-              s"MERGE insert must cover the full schema ${t.schema.fieldNames.mkString(",")}, got $cols")
-          case other => fail(s"expected exactly WHEN NOT MATCHED THEN INSERT (full row), got: $other")
-        }
-        t.merge(src, updateCols)
 
       case u: UpdateTable =>
         // UPDATE t SET c = expr … [WHERE cond] → AcidTable.update (the

@@ -372,6 +372,13 @@ object AcidQueries {
         // SQL-text predicate delete (routed through the same deleteWhere)
         graft.lake.AcidSql.execute(s, Map("t" -> t),
           "DELETE FROM t WHERE CAST(pk AS BIGINT) % 5 = 1")
+        // MERGE … WHEN MATCHED THEN DELETE — the third delete shape: the
+        // source's key set IS the delete set (bucket-pruned key path)
+        base.filter(col("pk").cast("long") >= 20)
+          .createOrReplaceTempView("acid_mdel_src")
+        graft.lake.AcidSql.execute(s, Map("t" -> t),
+          """MERGE INTO t USING (SELECT * FROM acid_mdel_src) s
+            |ON t.pk = s.pk WHEN MATCHED THEN DELETE""".stripMargin)
         t.snapshot().orderBy(col("pk"))
       },
       Some("""
@@ -383,6 +390,7 @@ object AcidQueries {
         SELECT pk, part, val FROM base
         WHERE NOT (val >= 4.0 AND part = 'p0')
           AND NOT (CAST(pk AS BIGINT) % 5 = 1)
+          AND NOT (CAST(pk AS BIGINT) >= 20)
         ORDER BY pk
       """)),
 

@@ -187,6 +187,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq === Seq("a"))
     // restore the rows the merge assertions below operate on
     spark.sql("INSERT INTO graft.db2.t SELECT * FROM cat_src2 WHERE pk <> 'a'")
+    // round 9: MERGE … WHEN MATCHED THEN DELETE = delete by source keys
+    Seq(("b", "p1", 0.0)).toDF("pk", "part", "v").createOrReplaceTempView("cat_mdel")
+    spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_mdel) s
+                |ON t.pk = s.pk WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT pk FROM graft.db2.t ORDER BY pk")
+      .collect().map(_.getString(0)).toSeq === Seq("a", "c"))
+    spark.sql("INSERT INTO graft.db2.t SELECT * FROM cat_src2 WHERE pk = 'b'")
     // MERGE without the full-row INSERT branch → rejected by the rule
     intercept[Throwable] {
       spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
