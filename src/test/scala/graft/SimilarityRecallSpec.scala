@@ -33,6 +33,41 @@ class SimilarityRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ shortlist+rerank keeps recall >= 0.75 vs the exact scan at the bench SF") {
+    // The PQ gate's two-stage shape (ADC top-100 shortlist → exact
+    // rerank) stands on the shortlist not losing the true neighbors:
+    // measured 0.84 at sf0.1 / 0.86 at sf0.01 when written (M=8, K=16,
+    // SHORT=100). A codebook, seeding, or quantization regression
+    // collapses this toward the random SHORT/n floor (~0.05) — the 0.75
+    // floor leaves tuning headroom, not brokenness headroom. The witness
+    // is the same integer-L2 exact ranking the rerank stage uses, so the
+    // comparison isolates exactly the shortlist's loss.
+    val dir = "/root/testdata/sf0.1"
+    val pq = SparkEntry.queries("q_sim_topk_pq")(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("vec_id"))))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    // exact integer-L2 witness over the same quantized vectors
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val qe = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+    val d2 = aggregate(zip_with(col("qq"), col("q"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    val exact = qe.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      .crossJoin(qe)
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("vec_id"))))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    assert(exact.keySet == pq.keySet, "query sets differ")
+    val recalls = exact.map { case (q, e) => pq(q).intersect(e).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.75, f"PQ recall@5 $mean%.3f below the 0.75 floor (per-query: $recalls)")
+  }
+
   test("embed-LSH near-dup keeps recall >= 0.95 vs the blocked exact witness at the bench SF") {
     // Round-7 verdict #2: the LSH path is lossless at the oracle SFs
     // (sf0.001/sf0.01 — EmbedDedupSpec asserts set equality), but the bench
