@@ -293,6 +293,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"packing must not global-sort:\n$p")
   }
 
+  test("PQ lifecycle: codebooks broadcast, the corpus never self-joins") {
+    // every join in train/encode/ADC has a broadcast O(M·K) or O(queries)
+    // side; a CartesianProduct or sort-merge self-join here means the
+    // formulation regressed to something that cannot run at corpus scale
+    val p = plan("q_sim_topk_pq")
+    assert(!p.contains("CartesianProduct"), s"PQ grew a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"PQ shuffled a join side:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in PQ plan:\n$p")
+  }
+
   test("packing execution shuffles text ONCE: the bin aggregate reuses the window exchange") {
     // (lang, source) hash partitioning clusters (lang, source, bin), so
     // EnsureRequirements must not insert a second exchange between the
