@@ -227,12 +227,12 @@ final class AcidV2Table(
     }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    AcidV2Table.pkKeys(filters, acid.pkCol).isDefined ||
+    AcidV2Table.pkKeys(filters, acid).isDefined ||
       filters.forall(f => AcidScanBuilder.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(version.isEmpty, "cannot delete from a time-travelled table")
-    AcidV2Table.pkKeys(filters, acid.pkCol) match {
+    AcidV2Table.pkKeys(filters, acid) match {
       // pure pk-list DELETEs keep the bucket-pruned key path
       case Some(keys) => acid.delete(keys)
       case None =>
@@ -250,13 +250,28 @@ final class AcidV2Table(
 
 object AcidV2Table {
   /** Primary-key values from a DELETE condition, if the condition is a
-    * pure PK filter (the reference's only DELETE shape). */
-  private[lake] def pkKeys(filters: Array[Filter], pk: String): Option[Seq[String]] =
+    * pure PK filter (the reference's only DELETE shape). Gated exactly
+    * like the scan path (round-9 ADVICE): only PK types whose string
+    * rendering round-trips (`keyCastSupported`) may take the string-key
+    * route — DATE/TIMESTAMP/DECIMAL PKs fall through to the typed
+    * `deleteWhere` predicate path. NULL literals are dropped, never
+    * rendered: `pk = NULL` / `pk IN (NULL)` match no row in SQL, whereas
+    * `String.valueOf(null)` would delete a row whose string pk is
+    * literally "null".
+    */
+  private[lake] def pkKeys(filters: Array[Filter], acid: AcidTable): Option[Seq[String]] = {
+    if (!acid.keyCastSupported) return None
+    val pk = acid.pkCol
     filters.toSeq match {
-      case Seq(sources.In(a, vs)) if a == pk => Some(vs.toSeq.map(String.valueOf))
-      case Seq(sources.EqualTo(a, v)) if a == pk => Some(Seq(String.valueOf(v)))
+      case Seq(sources.In(a, vs)) if a == pk =>
+        Some(vs.toSeq.filter(_ != null).map(String.valueOf))
+      case Seq(sources.EqualTo(a, v)) if a == pk && v != null =>
+        Some(Seq(String.valueOf(v)))
+      case Seq(sources.EqualTo(a, null)) if a == pk =>
+        Some(Nil) // pk = NULL matches nothing
       case _ => None
     }
+  }
 }
 
 /** Scan builder bridging to the snapshot DataFrame: required-column pruning

@@ -86,7 +86,7 @@ object AcidSql {
         val t = resolveTable(tables, target)
         // the reference's pk-list shape keeps its bucket-pruned key path;
         // any other WHERE becomes a predicate delete (round 9)
-        keysFromOpt(condition, t.pkCol) match {
+        keysFromOpt(condition, t) match {
           case Some(keys) => t.delete(keys)
           case None => t.deleteWhere(PlanShim.columnOf(stripQualifiers(condition)))
         }
@@ -159,13 +159,23 @@ object AcidSql {
     case _ => false
   }
 
-  private def keysFromOpt(cond: Expression, pk: String): Option[Seq[String]] = cond match {
-    case In(attr, values) if nameOf(attr).contains(pk) &&
-        values.forall(_.isInstanceOf[Literal]) =>
-      Some(values.map { case Literal(v, _) => String.valueOf(v) })
-    case EqualTo(attr, Literal(v, _)) if nameOf(attr).contains(pk) =>
-      Some(Seq(String.valueOf(v)))
-    case _ => None
+  /** Key list for the bucket-pruned DELETE fast path — gated like
+    * [[AcidV2Table.pkKeys]] (round-9 ADVICE): non-castable PK types and
+    * NULL literals fall through to the typed predicate path instead of a
+    * lossy `String.valueOf` rendering (`pk = NULL` must match nothing,
+    * not the string "null").
+    */
+  private def keysFromOpt(cond: Expression, t: AcidTable): Option[Seq[String]] = {
+    if (!t.keyCastSupported) return None
+    val pk = t.pkCol
+    cond match {
+      case In(attr, values) if nameOf(attr).contains(pk) &&
+          values.forall(_.isInstanceOf[Literal]) =>
+        Some(values.collect { case Literal(v, _) if v != null => String.valueOf(v) })
+      case EqualTo(attr, Literal(v, _)) if nameOf(attr).contains(pk) =>
+        Some(if (v == null) Nil else Seq(String.valueOf(v)))
+      case _ => None
+    }
   }
 
   private def nameOf(e: Expression): Option[String] = e match {

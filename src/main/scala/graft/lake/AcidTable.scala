@@ -60,7 +60,15 @@ final class AcidTable private (
     val partitionCol: String,
     val precombineCol: Option[String],
     val stablePartitions: Boolean,
-    val numBuckets: Int) {
+    val numBuckets: Int,
+    /** Names dropped by [[dropColumns]] whose BYTES may still live in data
+      * files (the metadata-only drop). [[addColumns]] refuses to re-add
+      * them until [[purgeDroppedColumns]] completes — otherwise the
+      * name-based parquet scan would resurrect the old on-disk values
+      * instead of surfacing NULL (round-9 ADVICE: the GDPR-purge story
+      * must not silently un-delete data).
+      */
+    val droppedCols: Seq[String] = Nil) {
 
   import AcidTable._
 
@@ -656,6 +664,7 @@ final class AcidTable private (
     */
   def update(assignments: Seq[(String, Column)], condition: Column): Long = {
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    requireDeterministicCondition(condition, "UPDATE")
     // resolve SET columns the way Spark resolves attributes (the session
     // resolver — case-insensitive by default, so `SET V = 1` targets `v`),
     // and reject duplicates instead of letting the last one win silently
@@ -726,8 +735,18 @@ final class AcidTable private (
     * and driver-kernel gating as [[update]]; a NULL condition keeps the
     * row (SQL three-valued filter), and a DELETE's output volume is
     * always bounded by the files it rewrites.
+    *
+    * SI caveat (as for [[update]]): under `stablePartitions` a conflicted
+    * predicate DELETE resolves a DISJOINT-cell race as a manifest
+    * re-merge with the matched set pinned at the read snapshot — rows a
+    * concurrent commit inserted into untouched cells that happen to match
+    * the predicate survive (phantoms). That is snapshot-isolation
+    * semantics for predicate writes, the level Hudi/Delta give DELETE,
+    * not predicate serializability; spec-pinned by
+    * `AcidTablePropertySpec`'s stable-partitions deleteWhere race case.
     */
   def deleteWhere(condition: Column): Long = {
+    requireDeterministicCondition(condition, "DELETE")
     val pred = driverPredicate(condition)
     commitLoop(
       touchedOf = (snap, files) => {
@@ -748,6 +767,36 @@ final class AcidTable private (
       outputBounded = true,
       localResultOf = pred.map(p =>
         (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) => snapRows.filterNot(p)))
+  }
+
+  /** Loud up-front rejection of nondeterministic or subquery-bearing
+    * predicates for the group-based row-level ops (round-9 ADVICE):
+    * `update`/`deleteWhere` evaluate `condition` twice on the distributed
+    * path (touched-cell discovery, then resultOf), so a nondeterministic
+    * WHERE (`rand() < 0.5`) could match different rows in the two
+    * evaluations — leaving matching rows in un-rewritten cells or
+    * tripping the stray-cell guard nondeterministically. Spark's own
+    * DELETE rejects such conditions up front; so do we, instead of only
+    * disqualifying the driver kernel. Analysis failures pass through —
+    * the op's own execution will surface them with a better error.
+    */
+  private def requireDeterministicCondition(condition: Column, op: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    scala.util.Try {
+      val empty = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      org.apache.spark.sql.graft.PlanShim.analyzed(empty.filter(condition)) match {
+        case LFilter(cond, _) =>
+          require(cond.deterministic,
+            s"$op condition must be deterministic, got: ${cond.sql}")
+          require(!SubqueryExpression.hasSubquery(cond),
+            s"$op condition may not contain a subquery: ${cond.sql}")
+        case _ => ()
+      }
+    } match {
+      case scala.util.Failure(e: IllegalArgumentException) => throw e
+      case _ => ()
+    }
   }
 
   /** The interpreted driver image of a WHERE predicate over the table
@@ -906,11 +955,19 @@ final class AcidTable private (
     * handle (this handle keeps the old schema).
     */
   def addColumns(newFields: Seq[StructField]): AcidTable = {
-    newFields.foreach(f => require(!schema.fieldNames.contains(f.name),
-      s"column ${f.name} already exists"))
+    newFields.foreach { f =>
+      require(!schema.fieldNames.contains(f.name), s"column ${f.name} already exists")
+      // a re-added name would resolve BY NAME against pre-drop parquet
+      // files and resurrect the old values instead of reading NULL —
+      // breaking both the add-column contract (new column = NULL for old
+      // rows) and the purge story (data believed removed reappears)
+      require(!droppedCols.contains(f.name),
+        s"column ${f.name} was dropped but its bytes may still live in data files; " +
+          "run purgeDroppedColumns() (full rewrite) before re-adding the name")
+    }
     val evolved = StructType(schema.fields ++ newFields.map(_.copy(nullable = true)))
     AcidTable.writeMeta(path, evolved, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets)
+      numBuckets, droppedCols)
     AcidTable.open(spark, path)
   }
 
@@ -932,8 +989,30 @@ final class AcidTable private (
         s"cannot drop key/partition/precombine column '$n'")
     }
     val next = StructType(schema.fields.filterNot(f => names.contains(f.name)))
+    // record the names in the meta ledger: re-adding one is blocked until
+    // a physical purge rewrites every live file (see addColumns)
     AcidTable.writeMeta(path, next, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets)
+      numBuckets, (droppedCols ++ names).distinct)
+    AcidTable.open(spark, path)
+  }
+
+  /** Physically purge dropped columns' bytes and clear the re-add ledger:
+    * a full-table rewrite (`compact(0)` — every partition with a file
+    * folds into fresh per-bucket files written WITHOUT the dropped
+    * columns), then the meta ledger empties so the names become available
+    * to [[addColumns]] again. The ledger clear happens strictly AFTER the
+    * rewrite commit publishes — a crash in between leaves the ledger
+    * conservative (re-add still blocked), never unsound. Multi-writer
+    * caveat: a writer holding a pre-drop handle that commits after the
+    * purge re-introduces the column's bytes — schema changes require the
+    * same writer-coordination discipline as Delta/Hudi (handles should be
+    * re-opened after evolution); the snapshot scan still never projects
+    * such bytes unless the name is re-added.
+    */
+  def purgeDroppedColumns(): AcidTable = {
+    if (droppedCols.nonEmpty) compact(0)
+    AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
+      numBuckets, Nil)
     AcidTable.open(spark, path)
   }
 
@@ -2266,7 +2345,8 @@ object AcidTable {
       partitionCol: String,
       precombineCol: Option[String],
       stablePartitions: Boolean,
-      numBuckets: Int = 16): Unit = {
+      numBuckets: Int = 16,
+      droppedCols: Seq[String] = Nil): Unit = {
     val props = new java.util.Properties()
     props.setProperty("schemaDdl", schema.toDDL)
     props.setProperty("pkCol", pkCol)
@@ -2276,6 +2356,11 @@ object AcidTable {
     // every writer of the table must agree on the cell layout — the bucket
     // count rides the table metadata, never a session config
     props.setProperty("numBuckets", numBuckets.toString)
+    // dropped-column ledger (URL-encoded names, comma-joined): names whose
+    // bytes may still live in data files; addColumns refuses them
+    if (droppedCols.nonEmpty)
+      props.setProperty("droppedCols",
+        droppedCols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
     val tmp = Paths.get(path, s".meta-tmp-${UUID.randomUUID()}")
     val out = Files.newOutputStream(tmp)
     try props.store(out, "graft AcidTable metadata") finally out.close()
@@ -2296,7 +2381,9 @@ object AcidTable {
       props.getProperty("partitionCol"),
       Option(props.getProperty("precombineCol")),
       "true" == props.getProperty("stablePartitions"),
-      Option(props.getProperty("numBuckets")).map(_.toInt).getOrElse(16))
+      Option(props.getProperty("numBuckets")).map(_.toInt).getOrElse(16),
+      Option(props.getProperty("droppedCols")).map(_.split(',').toSeq
+        .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8"))).getOrElse(Nil))
   }
 
   private def deleteRecursively(f: File): Unit = {

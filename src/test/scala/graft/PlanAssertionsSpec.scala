@@ -301,6 +301,30 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"PQ grew a cartesian:\n$p")
     assert(!p.contains("SortMergeJoin"), s"PQ shuffled a join side:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in PQ plan:\n$p")
+    // BOTH rank filters (ADC shortlist srk<=100 and exact rerank rk<=5)
+    // must push down as WindowGroupLimit bounded heaps — partial+final per
+    // window, so 4 operators. Without the push-down the per-query rank is
+    // a full sort of the per-query candidate set in ONE task per query,
+    // and final-stage parallelism collapses to the query count (round-9
+    // verdict #2).
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4,
+      s"shortlist/rerank ranks lost their WindowGroupLimit push-down:\n$p")
+  }
+
+  test("ANN shortlist ranks all run as pushed-down WindowGroupLimit bounded heaps") {
+    // every shortlist formulation ranks with row_number().over(query
+    // window) + a rank filter; Spark rewrites that to WindowGroupLimit
+    // (per-partition bounded heap below the exchange) only while the
+    // filter stays a literal bound directly over the window — the gate
+    // catches a refactor that breaks the rewrite (e.g. ranking through a
+    // non-pushable expression), which would re-sort each query's whole
+    // candidate set in a single task
+    for (q <- Seq("q_sim_topk_brute", "q_sim_topk_lsh", "q_sim_topk_sq8",
+        "q_sim_topk_ivf")) {
+      val p = plan(q)
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+        s"$q lost its WindowGroupLimit push-down:\n$p")
+    }
   }
 
   test("packing execution shuffles text ONCE: the bin aggregate reuses the window exchange") {

@@ -66,4 +66,37 @@ class DropColumnSpec extends AnyFunSuite {
     assert(t2.snapshot().orderBy("pk").collect().map(_.getString(2)).toSeq
       === Seq("u1", "2", "3", "4"))
   }
+
+  test("re-adding a dropped name is blocked until purge (no value resurrection)") {
+    // round-9 ADVICE (medium): drop('tag') → addColumns('tag') used to
+    // resurrect the old on-disk values through name-based parquet
+    // resolution. Now the drop records the name in the meta ledger,
+    // addColumns rejects it, and only purgeDroppedColumns() (full rewrite
+    // + ledger clear) frees the name — after which the re-added column
+    // reads NULL everywhere, the documented add-column contract.
+    val dir = Files.createTempDirectory("drop-readd-").resolve("t").toString
+    val t = AcidTable.create(spark, dir, schema, "pk", "part", stablePartitions = true)
+    t.upsert(Seq(("a", "p0", "1", "s-a"), ("b", "p1", "2", "s-b"))
+      .toDF("pk", "part", "v", "secret"))
+    val t2 = t.dropColumns(Seq("secret"))
+    assert(t2.droppedCols === Seq("secret"))
+    // the ledger survives re-open
+    assert(AcidTable.open(spark, dir).droppedCols === Seq("secret"))
+    val e = intercept[IllegalArgumentException](
+      t2.addColumns(Seq(StructField("secret", StringType))))
+    assert(e.getMessage.contains("purgeDroppedColumns"))
+    // unrelated adds stay allowed while the ledger is non-empty
+    val t3 = t2.addColumns(Seq(StructField("other", StringType)))
+    assert(t3.droppedCols === Seq("secret"))
+    val purged = t3.purgeDroppedColumns()
+    assert(purged.droppedCols.isEmpty)
+    assert(purged.snapshot().inputFiles.toSeq
+      .forall(f => !spark.read.parquet(f).schema.fieldNames.contains("secret")),
+      "purge left a live file carrying the dropped column")
+    val readded = purged.addColumns(Seq(StructField("secret", StringType)))
+    // the re-added column is NULL for every pre-existing row — never the
+    // pre-drop values
+    assert(readded.snapshot().orderBy("pk").collect()
+      .map(r => r.getAs[String]("secret")).toSeq === Seq(null, null))
+  }
 }
