@@ -30,36 +30,55 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           require(keyEquality(m.mergeCondition, acid.pkCol),
             s"MERGE condition must be t.${acid.pkCol} = s.${acid.pkCol}," +
               s" got: ${m.mergeCondition.sql}")
-          if (m.matchedActions == Seq(DeleteAction(None)) &&
-              m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty) {
-            // MERGE … WHEN MATCHED THEN DELETE (round 9): delete by the
-            // source's key set — the bucket-pruned key path, not a rewrite
-            AcidMergeDeleteCommand(acid, m.sourceTable)
-          } else {
-            val targetAliases = aliasNames(m.targetTable)
-            val check = requireIdentityAssignment(targetAliases) _
-            val updateCols = m.matchedActions match {
-              case Seq(UpdateAction(None, assigns, _)) =>
-                assigns.foreach(check)
-                assigns.map(assignedCol)
-              case other =>
-                throw new IllegalArgumentException(
-                  s"expected WHEN MATCHED THEN UPDATE SET … (or THEN DELETE), got: $other")
-            }
-            m.notMatchedActions match {
-              case Seq(InsertAction(None, assigns)) =>
-                assigns.foreach(check)
-                val cols = assigns.map(assignedCol).toSet
-                require(acid.schema.fieldNames.forall(cols.contains),
-                  s"MERGE insert must cover the full schema" +
-                    s" ${acid.schema.fieldNames.mkString(",")}, got $cols")
-              case other =>
-                throw new IllegalArgumentException(
-                  s"expected exactly WHEN NOT MATCHED THEN INSERT (full row), got: $other")
-            }
-            require(m.notMatchedBySourceActions.isEmpty,
-              "WHEN NOT MATCHED BY SOURCE is not supported")
-            AcidMergeCommand(acid, m.sourceTable, updateCols)
+          require(m.notMatchedBySourceActions.isEmpty,
+            "WHEN NOT MATCHED BY SOURCE is not supported")
+          val targetAliases = aliasNames(m.targetTable)
+          val check = requireIdentityAssignment(targetAliases) _
+          def requireFullInsert(assigns: Seq[Assignment]): Unit = {
+            val cols = assigns.map(assignedCol).toSet
+            require(acid.schema.fieldNames.forall(cols.contains),
+              s"MERGE insert must cover the full schema" +
+                s" ${acid.schema.fieldNames.mkString(",")}, got $cols")
+          }
+          (m.matchedActions, m.notMatchedActions) match {
+            case (Seq(DeleteAction(None)), Seq()) =>
+              // MERGE … WHEN MATCHED THEN DELETE (round 9): delete by the
+              // source's key set — the bucket-pruned key path, not a rewrite
+              AcidMergeDeleteCommand(acid, m.sourceTable)
+            case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins))) =>
+              // the unconditional reference shape keeps the fast
+              // window-merge formulation (and its driver kernel)
+              assigns.foreach(check)
+              ins.foreach(check)
+              requireFullInsert(ins)
+              AcidMergeCommand(acid, m.sourceTable, assigns.map(assignedCol))
+            case (matchedActions, notMatchedActions) =>
+              // conditional / multi-clause MERGE (round 10): clause
+              // conditions are re-qualified onto the canonical t/s
+              // aliases and carried as SQL text across the command
+              // boundary (the AcidUpdateCommand convention) — they
+              // re-resolve at run time against mergeConditional's joined
+              // pair, so the command stays a plain serializable value
+              val sql = requalifiedSql(m, targetAliases) _
+              val matched = matchedActions.map {
+                case UpdateAction(c, assigns, _) =>
+                  assigns.foreach(check)
+                  AcidMergeConditionalCommand.Clause(
+                    c.map(sql), Some(assigns.map(assignedCol)))
+                case DeleteAction(c) =>
+                  AcidMergeConditionalCommand.Clause(c.map(sql), None)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported WHEN MATCHED action: $other")
+              }
+              val notMatched = notMatchedActions.map {
+                case InsertAction(c, assigns) =>
+                  assigns.foreach(check) // reordered/transformed VALUES reject
+                  requireFullInsert(assigns)
+                  c.map(sql)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported WHEN NOT MATCHED action: $other")
+              }
+              AcidMergeConditionalCommand(acid, m.sourceTable, matched, notMatched)
           }
       }
 
@@ -150,6 +169,37 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case EqualTo(l, r) => colName(l) == pk && colName(r) == pk
     case _ => false
   }
+
+  /** A clause condition rendered as SQL with its column references
+    * re-qualified onto the canonical `t`/`s` aliases. Resolved attributes
+    * classify by the MERGE node's own output sets; unresolved ones by the
+    * statement's alias names. Bare unresolved names fail loudly — target
+    * and source share the schema, so they are ambiguous by construction.
+    */
+  private def requalifiedSql(m: MergeIntoTable, targetAliases: Set[String])(
+      e: Expression): String = {
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    val sourceAliases = subAliases(m.sourceTable)
+    e.transform {
+      case a: Attribute if tOut.contains(a) => UnresolvedAttribute(Seq("t", a.name))
+      case a: Attribute if sOut.contains(a) => UnresolvedAttribute(Seq("s", a.name))
+      case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+        val q = a.nameParts.init.last.toLowerCase
+        if (targetAliases.contains(q)) UnresolvedAttribute(Seq("t", a.nameParts.last))
+        else if (sourceAliases.contains(q)) UnresolvedAttribute(Seq("s", a.nameParts.last))
+        else throw new IllegalArgumentException(
+          s"unknown qualifier '$q' in MERGE clause condition: ${a.sql}")
+      case a: UnresolvedAttribute => throw new IllegalArgumentException(
+        "MERGE clause conditions must qualify column references with the " +
+          s"target or source alias, got bare: ${a.sql}")
+    }.sql
+  }
+
+  private def subAliases(p: LogicalPlan): Set[String] = p match {
+    case SubqueryAlias(id, child) => subAliases(child) + id.name.toLowerCase
+    case _ => Set.empty
+  }
 }
 
 /** Driver-orchestrated MERGE: the source plan re-analyzes through the
@@ -179,6 +229,36 @@ case class AcidMergeDeleteCommand(
     acid.delete(PlanShim.ofRows(session, source))
     Seq.empty
   }
+}
+
+/** Conditional / multi-clause MERGE through the catalog front-end:
+  * clause conditions travel as re-qualified SQL text and re-resolve at
+  * run time against [[AcidTable.mergeConditional]]'s `t`/`s` pair join.
+  */
+case class AcidMergeConditionalCommand(
+    acid: AcidTable,
+    source: LogicalPlan,
+    matched: Seq[AcidMergeConditionalCommand.Clause],
+    notMatched: Seq[Option[String]]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    acid.mergeConditional(
+      PlanShim.ofRows(session, source),
+      matched.map {
+        case AcidMergeConditionalCommand.Clause(c, Some(cols)) =>
+          MergeMatchedClause.Update(c.map(expr), cols)
+        case AcidMergeConditionalCommand.Clause(c, None) =>
+          MergeMatchedClause.Delete(c.map(expr))
+      },
+      notMatched.map(_.map(expr)))
+    Seq.empty
+  }
+}
+
+object AcidMergeConditionalCommand {
+  /** `updateCols` Some = UPDATE SET of those columns; None = DELETE. */
+  final case class Clause(conditionSql: Option[String], updateCols: Option[Seq[String]])
 }
 
 /** Driver-orchestrated UPDATE, routed through [[AcidTable.update]] — the

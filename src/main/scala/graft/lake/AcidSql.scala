@@ -46,26 +46,49 @@ object AcidSql {
         val src = PlanShim.ofRows(spark, stripAlias(m.sourceTable))
         requireShape(keyEquality(m.mergeCondition, t.pkCol),
           s"MERGE condition must be t.${t.pkCol} = s.${t.pkCol}, got: ${m.mergeCondition.sql}")
+        requireShape(m.notMatchedBySourceActions.isEmpty,
+          "WHEN NOT MATCHED BY SOURCE is not supported")
         (m.matchedActions, m.notMatchedActions) match {
           case (Seq(DeleteAction(None)), Seq()) =>
             // MERGE … WHEN MATCHED THEN DELETE (round 9): removing the
             // target rows whose pk appears in the source IS delete by the
             // source's key set — the bucket-pruned key path, not a rewrite
             t.delete(src)
-          case _ =>
-            val updateCols = m.matchedActions match {
-              case Seq(UpdateAction(None, assigns, _)) => assigns.map(assignedCol)
-              case other => fail(
-                s"expected WHEN MATCHED THEN UPDATE SET … (or THEN DELETE), got: $other")
+          case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins))) =>
+            // the reference's one unconditional shape keeps the fast
+            // window-merge formulation (and its driver kernel)
+            val cols = ins.map(assignedCol).toSet
+            requireShape(t.schema.fieldNames.forall(cols.contains),
+              s"MERGE insert must cover the full schema ${t.schema.fieldNames.mkString(",")}, got $cols")
+            t.merge(src, assigns.map(assignedCol))
+          case (matchedActions, notMatchedActions) =>
+            // conditional / multi-clause MERGE (round 10): WHEN MATCHED
+            // [AND cond] THEN UPDATE/DELETE, first-match-wins, plus
+            // conditional full-row inserts → AcidTable.mergeConditional
+            val tAl = aliasNamesOf(m.targetTable)
+            val sAl = aliasNamesOf(m.sourceTable)
+            requireShape((tAl intersect sAl).isEmpty,
+              s"target and source aliases overlap: ${(tAl intersect sAl).mkString(",")}")
+            def cond(e: Expression): org.apache.spark.sql.Column =
+              PlanShim.columnOf(requalify(e, tAl, sAl))
+            val matched = matchedActions.map {
+              case UpdateAction(c, assigns, _) =>
+                assigns.foreach(requireIdentityAssign(tAl))
+                MergeMatchedClause.Update(c.map(cond), assigns.map(assignedCol))
+              case DeleteAction(c) => MergeMatchedClause.Delete(c.map(cond))
+              case other => fail(s"unsupported WHEN MATCHED action: $other")
             }
-            m.notMatchedActions match {
-              case Seq(InsertAction(None, assigns)) =>
+            val notMatched = notMatchedActions.map {
+              case InsertAction(c, assigns) =>
+                assigns.foreach(requireIdentityAssign(tAl)) // no reordered VALUES
                 val cols = assigns.map(assignedCol).toSet
                 requireShape(t.schema.fieldNames.forall(cols.contains),
-                  s"MERGE insert must cover the full schema ${t.schema.fieldNames.mkString(",")}, got $cols")
-              case other => fail(s"expected exactly WHEN NOT MATCHED THEN INSERT (full row), got: $other")
+                  s"MERGE insert must cover the full schema" +
+                    s" ${t.schema.fieldNames.mkString(",")}, got $cols")
+                c.map(cond)
+              case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
             }
-            t.merge(src, updateCols)
+            t.mergeConditional(src, matched, notMatched)
         }
 
       case u: UpdateTable =>
@@ -132,6 +155,50 @@ object AcidSql {
   private def stripQualifiers(e: Expression): Expression = e.transform {
     case a: UnresolvedAttribute if a.nameParts.size > 1 =>
       UnresolvedAttribute(Seq(a.nameParts.last))
+  }
+
+  /** Alias names a statement can qualify a plan's columns with: every
+    * `SubqueryAlias` on the chain plus the relation's own last name part.
+    * Lower-cased (MERGE qualifiers resolve case-insensitively). */
+  private def aliasNamesOf(p: LogicalPlan): Set[String] = p match {
+    case SubqueryAlias(id, child) => aliasNamesOf(child) + id.name.toLowerCase
+    case r: UnresolvedRelation => Set(r.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
+  }
+
+  /** Rewrite a clause condition's column qualifiers onto the canonical
+    * `t`/`s` aliases [[AcidTable.mergeConditional]] joins under.
+    * Unqualified references fail loudly — target and source share the
+    * full schema, so every bare name is ambiguous by construction. */
+  private def requalify(
+      e: Expression, targetAliases: Set[String], sourceAliases: Set[String]): Expression =
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+        val q = a.nameParts.init.last.toLowerCase
+        if (targetAliases.contains(q)) UnresolvedAttribute(Seq("t", a.nameParts.last))
+        else if (sourceAliases.contains(q)) UnresolvedAttribute(Seq("s", a.nameParts.last))
+        else fail(s"unknown qualifier '$q' in MERGE clause condition: ${a.sql}")
+      case a: UnresolvedAttribute =>
+        fail("MERGE clause conditions must qualify column references with the " +
+          s"target or source alias, got bare: ${a.sql}")
+    }
+
+  /** Conditional-clause SET values must be the same-named SOURCE column —
+    * [[AcidTable.mergeConditional]] executes updates as same-named column
+    * copies, so a transformed or target-qualified value would silently run
+    * as the identity mapping (the check [[AcidMergeRule]] already applies
+    * on the catalog path). */
+  private def requireIdentityAssign(targetAliases: Set[String])(a: Assignment): Unit = {
+    val key = assignedCol(a)
+    val ok = a.value match {
+      case attr: UnresolvedAttribute =>
+        attr.nameParts.last == key &&
+          attr.nameParts.init.lastOption.forall(q => !targetAliases.contains(q.toLowerCase))
+      case _ => false
+    }
+    requireShape(ok,
+      s"MERGE assignment for '$key' must be the same-named SOURCE column" +
+        s" (t.$key = s.$key), got: ${a.value.sql}")
   }
 
   private def lookup(tables: Map[String, AcidTable], r: UnresolvedRelation): Option[AcidTable] = {

@@ -545,11 +545,7 @@ final class AcidTable private (
     // the winner rule cannot order (maps) have NO deterministic winner:
     // duplicate PKs there fail loudly instead of silently depending on
     // the physical formulation.
-    val src = precombineCol match {
-      case Some(_) => precombine(n)
-      case None if allOrderable => dedupByPk(n)
-      case None => requireUniquePks(n); n
-    }
+    val src = dedupedSource(n)
     // one optimizer walk shared by kernel, touched cells, and the
     // metadata-scale decision (see upsert)
     val srcLocal = localRowsInSchemaOrder(src)
@@ -563,6 +559,113 @@ final class AcidTable private (
         else joinMerge(snapT, src, keys, updateCols),
       outputBounded = srcLocal.isDefined || isMetadataScale(src),
       localResultOf = localMergeKernel(srcLocal, updateCols))
+  }
+
+  /** Conditional / multi-clause MERGE (the standard Delta/Hudi/Iceberg SQL
+    * surface beyond the reference's one shape): `WHEN MATCHED [AND cond]
+    * THEN UPDATE SET <same-named source cols> | DELETE`, multiple clauses
+    * evaluated FIRST-MATCH-WINS per target row, plus `WHEN NOT MATCHED
+    * [AND cond] THEN INSERT <full row>` clauses. A matched row that
+    * satisfies no clause carries unchanged; an unmatched source row
+    * inserts iff some insert clause's condition holds (full-row inserts
+    * make first-match-wins collapse to OR over the insert conditions).
+    * Clause conditions are `Column`s over the joined pair: target columns
+    * as `t.<name>`, source columns as `s.<name>` (insert conditions may
+    * reference `s.*` only — there is no target row). A NULL condition
+    * means the clause is not taken (SQL three-valued clause guard).
+    *
+    * Same OCC scope, source dedup, and touched-cell discovery as
+    * [[merge]]; the formulation is the join one (a first-match-wins
+    * clause chain has no single max-struct image for the window plan),
+    * with the pair join shuffling only the touched subset. No driver
+    * kernel: conditional merges always take the distributed plan.
+    */
+  def mergeConditional(
+      source: DataFrame,
+      matched: Seq[MergeMatchedClause],
+      notMatched: Seq[Option[Column]],
+      partitionsHint: Option[Seq[String]] = None): Long = {
+    matched.foreach {
+      case MergeMatchedClause.Update(_, cols) =>
+        cols.foreach { c =>
+          require(schema.fieldNames.contains(c), s"MERGE SET references unknown column: $c")
+          require(c != pkCol && c != partitionCol,
+            s"cannot MERGE-update key/partition column '$c'")
+        }
+      case MergeMatchedClause.Delete(_) => ()
+    }
+    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE needs at least one clause")
+    val n = normalize(source)
+    val hint = checkedHint(partitionsHint)
+    val keys = n.select(pkCol)
+    val src = dedupedSource(n)
+    val srcLocal = localRowsInSchemaOrder(src)
+    commitLoop(
+      touchedOf = (snap, _) => localCellsOf(srcLocal).getOrElse(cellsBy(snap, src, keys, hint)),
+      resultOf = snapT => clauseMerge(snapT, src, matched, notMatched),
+      outputBounded = srcLocal.isDefined || isMetadataScale(src))
+  }
+
+  /** The first-match-wins clause formulation over a `t`/`s` aliased pair
+    * join. `__gidx` is the 0-based index of the first matched clause whose
+    * condition holds (−1 = carry); rows landing on a DELETE clause drop,
+    * rows landing on an UPDATE clause project that clause's columns from
+    * the source, everything else carries. Unmatched source rows insert
+    * through the OR of the insert-clause conditions.
+    */
+  private def clauseMerge(
+      snapT: DataFrame,
+      src: DataFrame,
+      matched: Seq[MergeMatchedClause],
+      notMatched: Seq[Option[Column]]): DataFrame = {
+    val idxName = "__graft_clause"
+    val pairs = snapT.as("t").join(src.as("s"),
+      col(s"t.$pkCol") === col(s"s.$pkCol"), "left_outer")
+    val isMatched = col(s"s.$pkCol").isNotNull
+    val idxCol = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+      case (acc, (cl, i)) =>
+        acc.when(isMatched && coalesce(cl.condition.getOrElse(lit(true)), lit(false)), lit(i))
+    }.otherwise(lit(-1))
+    val deleteIdxs = matched.zipWithIndex.collect {
+      case (MergeMatchedClause.Delete(_), i) => i
+    }
+    val tagged = pairs.withColumn(idxName, idxCol)
+    val kept =
+      if (deleteIdxs.isEmpty) tagged
+      else tagged.filter(!col(idxName).isInCollection(deleteIdxs))
+    val updated = kept.select(schema.fieldNames.map { f =>
+      matched.zipWithIndex.foldLeft(when(lit(false), col(s"t.$f"))) {
+        case (acc, (MergeMatchedClause.Update(_, cols), i)) if cols.contains(f) =>
+          acc.when(col(idxName) === i, col(s"s.$f"))
+        case (acc, _) => acc
+      }.otherwise(col(s"t.$f")).as(f)
+    }: _*)
+    val inserts =
+      if (notMatched.isEmpty) None
+      else {
+        val cond = notMatched
+          .map(c => coalesce(c.getOrElse(lit(true)), lit(false)))
+          .reduce(_ || _)
+        Some(src.as("s").join(snapT.select(col(pkCol)), Seq(pkCol), "left_anti")
+          .filter(cond)
+          .select(schema.fieldNames.map(col): _*))
+      }
+    inserts.fold(updated)(updated.unionByName(_))
+  }
+
+  /** Source preparation shared by [[merge]] and [[mergeConditional]]: one
+    * deterministic winner per PK (precombine rule, or greatest remaining-
+    * columns tuple for precombine-less orderable schemas; unorderable
+    * schemas require unique PKs loudly).
+    */
+  private def dedupedSource(n: DataFrame): DataFrame = {
+    val allOrderable = schema.fields.forall(f =>
+      org.apache.spark.sql.graft.PlanShim.orderable(f.dataType))
+    precombineCol match {
+      case Some(_) => precombine(n)
+      case None if allOrderable => dedupByPk(n)
+      case None => requireUniquePks(n); n
+    }
   }
 
   /** Single-pass MERGE: tag target rows 0 and source rows 1, then align
@@ -2161,6 +2264,19 @@ final class AcidTable private (
 }
 
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** One `WHEN MATCHED [AND condition]` clause of a conditional MERGE
+  * ([[AcidTable.mergeConditional]]). `condition` is over the `t`/`s`
+  * aliased pair; None = unconditional. Update clauses copy the named
+  * same-named source columns (the engine's one update shape, as
+  * [[AcidTable.merge]]).
+  */
+sealed trait MergeMatchedClause { def condition: Option[Column] }
+object MergeMatchedClause {
+  final case class Update(condition: Option[Column], updateCols: Seq[String])
+      extends MergeMatchedClause
+  final case class Delete(condition: Option[Column]) extends MergeMatchedClause
+}
 
 object AcidTable {
 

@@ -320,6 +320,74 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 conditional / multi-clause MERGE (round 10) -------------------------
+    // The standard Delta/Hudi/Iceberg MERGE surface beyond the reference's
+    // one shape: `WHEN MATCHED AND <cond> THEN UPDATE`, a second
+    // `WHEN MATCHED AND <cond> THEN DELETE` clause (first-match-wins), and
+    // a CONDITIONAL full-row insert — through the SQL-text front-end
+    // (AcidSql → AcidTable.mergeConditional; the catalog path and the
+    // DataFrame API are pinned equivalent in ConditionalMergeSpec). The
+    // oracle replays the clause algebra: k>=15 rows update from the
+    // source, of the rest the val>=2 rows delete, unmatched source keys
+    // insert iff < 103.
+    Q(
+      "q_sql_acid_merge_conditional",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val reg = Map("acid.t" -> t, "t" -> t)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t.upsert(base)
+        Tables.nation(s, dir).select(
+            col("n_nationkey").cast("string").as("pk"),
+            concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+            col("n_nationkey").cast("double").as("val"))
+          .unionByName(s.range(100, 103).select(
+            col("id").cast("string").as("pk"),
+            concat(lit("p"), (col("id") % 2).cast("string")).as("part"),
+            col("id").cast("double").as("val")))
+          .unionByName(s.range(103, 105).select(
+            col("id").cast("string").as("pk"),
+            concat(lit("p"), (col("id") % 2).cast("string")).as("part"),
+            col("id").cast("double").as("val")))
+          .createOrReplaceTempView("acid_cmerge_src")
+        graft.lake.AcidSql.execute(s, reg,
+          """MERGE INTO acid.t tgt
+            |USING (SELECT * FROM acid_cmerge_src) src
+            |ON tgt.pk = src.pk
+            |WHEN MATCHED AND src.val >= 15 THEN UPDATE SET tgt.val = src.val
+            |WHEN MATCHED AND tgt.val >= 2 THEN DELETE
+            |WHEN NOT MATCHED AND src.val < 103 THEN
+            |  INSERT (tgt.pk, tgt.part, tgt.val) VALUES (src.pk, src.part, src.val)
+            |""".stripMargin)
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val,
+                 n_nationkey AS k
+          FROM nation),
+        kept AS (
+          SELECT pk, part,
+                 CASE WHEN k >= 15 THEN CAST(k AS DOUBLE) ELSE val END AS val
+          FROM base WHERE k >= 15 OR val < 2),
+        ins AS (
+          SELECT CAST(k AS VARCHAR) AS pk,
+                 'p' || CAST(k % 2 AS VARCHAR) AS part,
+                 CAST(k AS DOUBLE) AS val
+          FROM range(100, 103) r(k))
+        SELECT pk, part, val FROM kept
+        UNION ALL SELECT pk, part, val FROM ins
+        ORDER BY pk
+      """)),
+
     // ---- C5 full-replace overwrite (INSERT OVERWRITE semantics) -----------------
     // One atomic commit replaces the ENTIRE table: partitions absent from
     // the new batch must vanish (p0 here), not merely lose matched rows —

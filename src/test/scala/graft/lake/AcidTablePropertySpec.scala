@@ -32,18 +32,46 @@ class AcidTablePropertySpec extends AnyFunSuite {
   final case class Delete(keys: List[String]) extends Op
   final case class Update(part: String, suffix: String) extends Op
   final case class DeleteWhere(part: String, cut: String) extends Op
+  /** Conditional multi-clause merge (round 10): per source row,
+    * first-match-wins over [UPDATE if s.dataValue >= cut,
+    * DELETE if t.dataValue < cut], insert unmatched rows iff
+    * s.dataValue >= cut. */
+  final case class CondMerge(rows: List[Record], cut: String) extends Op
 
   private def genRecord(rnd: Random): Record = {
     val k = rnd.nextInt(20)
     Record(s"R$k", s"P${k % 3}", f"v${rnd.nextInt(1000000)}%07d")
   }
 
-  private def genOp(rnd: Random): Op = rnd.nextInt(12) match {
+  private def genOp(rnd: Random): Op = rnd.nextInt(14) match {
     case n if n < 4 => Upsert(List.fill(3)(genRecord(rnd)))
     case n if n < 7 => Merge(List.fill(3)(genRecord(rnd)))
     case n if n < 9 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
     case n if n < 11 => Delete(List.fill(2)(s"R${rnd.nextInt(20)}"))
-    case _ => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
+    case n if n < 12 => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
+    case _ => CondMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(9)}00000")
+  }
+
+  /** Execute `op` against the table (shared by the serial and concurrent
+    * streams so the two can never drift). */
+  private def applyOp(t: AcidTable, op: Op): Long = op match {
+    case Upsert(rows) => t.upsert(spark.createDataset(rows).toDF())
+    case Merge(rows) => t.merge(spark.createDataset(rows).toDF(), Seq("dataValue"))
+    case Update(part, suffix) =>
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      t.update(Seq("dataValue" -> concat(col("dataValue"), lit(suffix))),
+        col("partitionKeyValue") === part)
+    case Delete(keys) => t.delete(keys)
+    case DeleteWhere(part, cut) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      t.deleteWhere(col("partitionKeyValue") === part && col("dataValue") < lit(cut))
+    case CondMerge(rows, cut) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      t.mergeConditional(spark.createDataset(rows).toDF(),
+        matched = Seq(
+          MergeMatchedClause.Update(Some(col("s.dataValue") >= lit(cut)), Seq("dataValue")),
+          MergeMatchedClause.Delete(Some(col("t.dataValue") < lit(cut)))),
+        notMatched = Seq(Some(col("s.dataValue") >= lit(cut))))
   }
 
   /** Model of the precombine rule: greatest (dataValue, then tie-break by
@@ -70,6 +98,17 @@ class AcidTablePropertySpec extends AnyFunSuite {
     case DeleteWhere(part, cut) => model.filterNot { case (_, r) =>
       r.partitionKeyValue == part && r.dataValue < cut
     }
+    case CondMerge(rows, cut) =>
+      dedupe(rows).foldLeft(model) { (m, r) =>
+        m.get(r.primaryKeyValue) match {
+          case Some(old) =>
+            if (r.dataValue >= cut) m + (r.primaryKeyValue -> old.copy(dataValue = r.dataValue))
+            else if (old.dataValue < cut) m - r.primaryKeyValue
+            else m
+          case None =>
+            if (r.dataValue >= cut) m + (r.primaryKeyValue -> r) else m
+        }
+      }
   }
 
   test("CONCURRENT churn-partition commits serialize: snapshot == model in version order") {
@@ -105,26 +144,15 @@ class AcidTablePropertySpec extends AnyFunSuite {
             }
             start.await()
             (1 to opsPerThread).foreach { _ =>
-              val op = rnd.nextInt(11) match {
+              val op = rnd.nextInt(13) match {
                 case n if n < 4 => Upsert(List.fill(3)(churnRecord()))
                 case n if n < 6 => Merge(List.fill(3)(churnRecord()))
                 case n if n < 8 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
                 case n if n < 10 => Delete(List.fill(2)(s"R${rnd.nextInt(12)}"))
-                case _ => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
+                case n if n < 11 => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
+                case _ => CondMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(9)}00000")
               }
-              val v = op match {
-                case Upsert(rows) => t.upsert(spark.createDataset(rows).toDF())
-                case Merge(rows) => t.merge(spark.createDataset(rows).toDF(), Seq("dataValue"))
-                case Update(part, suffix) =>
-                  import org.apache.spark.sql.functions.{col, concat, lit}
-                  t.update(Seq("dataValue" -> concat(col("dataValue"), lit(suffix))),
-                    col("partitionKeyValue") === part)
-                case Delete(keys) => t.delete(keys)
-                case DeleteWhere(part, cut) =>
-                  import org.apache.spark.sql.functions.{col, lit}
-                  t.deleteWhere(col("partitionKeyValue") === part && col("dataValue") < lit(cut))
-              }
-              committed.add((v, op))
+              committed.add((applyOp(t, op), op))
             }
           } catch { case e: Throwable => failures.add(e) }
         }, s"churn-writer-$tid")
@@ -279,18 +307,7 @@ class AcidTablePropertySpec extends AnyFunSuite {
         "primaryKeyValue", "partitionKeyValue", precombineCol = Some("dataValue"))
       var model = Map.empty[String, Record]
       ops.foreach { op =>
-        op match {
-          case Upsert(rows) => t.upsert(spark.createDataset(rows).toDF())
-          case Merge(rows) => t.merge(spark.createDataset(rows).toDF(), Seq("dataValue"))
-          case Update(part, suffix) =>
-            import org.apache.spark.sql.functions.{col, concat, lit}
-            t.update(Seq("dataValue" -> concat(col("dataValue"), lit(suffix))),
-              col("partitionKeyValue") === part)
-          case Delete(keys) => t.delete(keys)
-          case DeleteWhere(part, cut) =>
-            import org.apache.spark.sql.functions.{col, lit}
-            t.deleteWhere(col("partitionKeyValue") === part && col("dataValue") < lit(cut))
-        }
+        applyOp(t, op)
         model = applyModel(model, op)
       }
       val actual = t.snapshot().as[Record].collect().map(r => r.primaryKeyValue -> r).toMap

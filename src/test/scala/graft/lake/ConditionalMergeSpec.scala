@@ -1,0 +1,171 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Conditional / multi-clause MERGE (round-10): `WHEN MATCHED AND <cond>
+  * THEN UPDATE/DELETE` with first-match-wins clause order, and conditional
+  * full-row inserts — through the DataFrame API, the SQL-text front-end
+  * (AcidSql), and the catalog front-end (AcidMergeRule). All three must
+  * produce the same state for the same statement.
+  */
+class ConditionalMergeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("pk", StringType), StructField("part", StringType),
+    StructField("v", LongType)))
+
+  private def freshTable(): AcidTable = {
+    val t = AcidTable.create(spark,
+      Files.createTempDirectory("cmerge-").resolve("t").toString,
+      schema, "pk", "part", stablePartitions = true)
+    t.upsert(Seq(
+      ("a", "p0", 1L), ("b", "p0", 5L), ("c", "p1", 10L), ("d", "p1", 50L))
+      .toDF("pk", "part", "v"))
+    t
+  }
+
+  private def source = Seq(
+    ("a", "p0", 100L), // matches clause 1 (s.v >= 100) -> update
+    ("b", "p0", 2L),   // matches clause 2 (t.v > s.v)  -> delete
+    ("c", "p1", 30L),  // matches no clause (10 < 30 < 100) -> carry
+    ("x", "p2", 7L),   // unmatched, s.v < 10           -> insert
+    ("y", "p2", 99L))  // unmatched, s.v >= 10          -> not inserted
+    .toDF("pk", "part", "v")
+
+  private val expected = Set(
+    ("a", "p0", 100L), // updated
+    ("c", "p1", 10L),  // carried (clause conditions failed)
+    ("d", "p1", 50L),  // untouched
+    ("x", "p2", 7L))   // conditionally inserted
+
+  private def state(t: AcidTable): Set[(String, String, Long)] =
+    t.snapshot().collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+  test("API: first-match-wins update/delete clauses + conditional insert") {
+    val t = freshTable()
+    t.mergeConditional(source,
+      matched = Seq(
+        MergeMatchedClause.Update(Some(col("s.v") >= 100), Seq("v")),
+        MergeMatchedClause.Delete(Some(col("t.v") > col("s.v")))),
+      notMatched = Seq(Some(col("s.v") < 10)))
+    assert(state(t) === expected)
+  }
+
+  test("API: clause order decides — swapped clauses give the other outcome") {
+    val t = freshTable()
+    // now the delete clause comes FIRST: row 'a' (t.v=1 < s.v=100) does
+    // not match it, still updates; but a row matching BOTH must take the
+    // first clause. Seed 'e' so both clauses match it: t.v=500 > s.v=200
+    // and s.v >= 100.
+    t.upsert(Seq(("e", "p0", 500L)).toDF("pk", "part", "v"))
+    val src = source.unionByName(Seq(("e", "p0", 200L)).toDF("pk", "part", "v"))
+    t.mergeConditional(src,
+      matched = Seq(
+        MergeMatchedClause.Delete(Some(col("t.v") > col("s.v"))),
+        MergeMatchedClause.Update(Some(col("s.v") >= 100), Seq("v"))),
+      notMatched = Seq(Some(col("s.v") < 10)))
+    // 'e' deleted (first clause wins), 'b' deleted, 'a' updated
+    assert(state(t) === expected)
+  }
+
+  test("API: NULL clause condition skips the clause (three-valued guard)") {
+    val t = freshTable()
+    // v IS NULL in source for 'a' -> s.v >= 100 is NULL -> clause skipped,
+    // next clause (unconditional update of part... none) -> carry
+    val src = Seq(("a", "p0", Option.empty[java.lang.Long])).toDF("pk", "part", "v")
+      .select(col("pk"), col("part"), col("v").cast("long"))
+    t.mergeConditional(src,
+      matched = Seq(MergeMatchedClause.Update(Some(col("s.v") >= 100), Seq("v"))),
+      notMatched = Nil)
+    assert(state(t) === Set(
+      ("a", "p0", 1L), ("b", "p0", 5L), ("c", "p1", 10L), ("d", "p1", 50L)))
+  }
+
+  test("SQL text front-end: conditional clauses route to mergeConditional") {
+    val t = freshTable()
+    val reg = Map("acid.t" -> t, "t" -> t)
+    source.createOrReplaceTempView("cmerge_src")
+    AcidSql.execute(spark, reg,
+      """MERGE INTO acid.t tgt
+        |USING (SELECT * FROM cmerge_src) src
+        |ON tgt.pk = src.pk
+        |WHEN MATCHED AND src.v >= 100 THEN UPDATE SET tgt.v = src.v
+        |WHEN MATCHED AND tgt.v > src.v THEN DELETE
+        |WHEN NOT MATCHED AND src.v < 10 THEN
+        |  INSERT (tgt.pk, tgt.part, tgt.v) VALUES (src.pk, src.part, src.v)
+        |""".stripMargin)
+    assert(state(t) === expected)
+  }
+
+  test("SQL text front-end: bare column references in clause conditions fail loudly") {
+    val t = freshTable()
+    val reg = Map("t" -> t)
+    source.createOrReplaceTempView("cmerge_src2")
+    val e = intercept[IllegalArgumentException](AcidSql.execute(spark, reg,
+      """MERGE INTO t tgt USING (SELECT * FROM cmerge_src2) src ON tgt.pk = src.pk
+        |WHEN MATCHED AND v >= 100 THEN UPDATE SET tgt.v = src.v
+        |WHEN NOT MATCHED THEN INSERT (tgt.pk, tgt.part, tgt.v)
+        |  VALUES (src.pk, src.part, src.v)
+        |""".stripMargin))
+    assert(e.getMessage.contains("qualify"))
+  }
+
+  test("clauses recompute from the fresh snapshot on an OCC conflict (no lost update)") {
+    // the delete clause reads the TARGET value (t.v < 50). Just before our
+    // merge publishes, a second handle rewrites the same row to v=100 —
+    // same cell, so the conflict takes the redo path and resultOf re-runs
+    // against the fresh snapshot: the clause must see 100 and spare the
+    // row. A stale-read implementation (clauses frozen at the first read,
+    // where v=1 < 50) would delete it.
+    val t = AcidTable.create(spark,
+      Files.createTempDirectory("cmerge-occ-").resolve("t").toString,
+      schema, "pk", "part", stablePartitions = true)
+    t.upsert(Seq(("a", "p0", 1L)).toDF("pk", "part", "v"))
+    t.beforePublishHook = () => {
+      t.beforePublishHook = () => ()
+      AcidTable.open(spark, t.path)
+        .upsert(Seq(("a", "p0", 100L)).toDF("pk", "part", "v"))
+    }
+    t.mergeConditional(Seq(("a", "p0", 0L)).toDF("pk", "part", "v"),
+      matched = Seq(MergeMatchedClause.Delete(Some(col("t.v") < 50))),
+      notMatched = Nil)
+    assert(state(t) === Set(("a", "p0", 100L)),
+      "conditional merge applied a clause decision computed from a stale read")
+  }
+
+  test("catalog front-end: conditional MERGE via spark.sql against GraftCatalog") {
+    val wh = Files.createTempDirectory("cmerge-cat-").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cm")
+    spark.sql("""CREATE TABLE graft.cm.t (pk STRING, part STRING, v BIGINT)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    Seq(("a", "p0", 1L), ("b", "p0", 5L), ("c", "p1", 10L), ("d", "p1", 50L))
+      .toDF("pk", "part", "v").createOrReplaceTempView("cm_base")
+    spark.sql("INSERT INTO graft.cm.t SELECT * FROM cm_base")
+    source.createOrReplaceTempView("cm_src")
+    spark.sql(
+      """MERGE INTO graft.cm.t tgt
+        |USING (SELECT * FROM cm_src) src
+        |ON tgt.pk = src.pk
+        |WHEN MATCHED AND src.v >= 100 THEN UPDATE SET tgt.v = src.v
+        |WHEN MATCHED AND tgt.v > src.v THEN DELETE
+        |WHEN NOT MATCHED AND src.v < 10 THEN
+        |  INSERT (tgt.pk, tgt.part, tgt.v) VALUES (src.pk, src.part, src.v)
+        |""".stripMargin)
+    val got = spark.sql("SELECT * FROM graft.cm.t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    spark.sql("DROP TABLE graft.cm.t")
+  }
+}

@@ -194,12 +194,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT pk FROM graft.db2.t ORDER BY pk")
       .collect().map(_.getString(0)).toSeq === Seq("a", "c"))
     spark.sql("INSERT INTO graft.db2.t SELECT * FROM cat_src2 WHERE pk = 'b'")
-    // MERGE without the full-row INSERT branch → rejected by the rule
-    intercept[Throwable] {
-      spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
-                  |ON t.pk = s.pk
-                  |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
-    }
+    // round 10: MERGE without an INSERT branch is the update-only shape
+    // (valid Delta/Hudi SQL) — it updates matched rows and inserts
+    // nothing, through the conditional-merge path
+    spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
+                |ON t.pk = s.pk
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    assert(spark.sql("SELECT pk, v FROM graft.db2.t ORDER BY pk")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      === Seq(("a", 1.0), ("b", 5.0), ("c", 9.0)),
+      "update-only merge must update matched rows and insert nothing")
     // transformed UPDATE value: executing it as the identity copy would
     // silently return wrong data → must be rejected up front
     intercept[Throwable] {
