@@ -262,6 +262,67 @@ object StreamingQueries {
         FROM picked WHERE pick = 1 ORDER BY event_id
       """)),
 
+    // ---- C5 streaming CHANGE-FEED source (round 10) -----------------------------
+    // The read side of the CDC surface: an AcidTable consumed as a
+    // Structured Streaming source of version-ordered row images (Delta
+    // readChangeFeed semantics). This gate drives a 3-commit corpus
+    // lifecycle — standing corpus, ingest+revision, takedown delete —
+    // then drains the change feed one VERSION per micro-batch
+    // (admission-control sizing) into a memory sink. The DuckDB oracle
+    // recomputes every version's insert/delete row images from the same
+    // modular slices, so a green row pins the stream's content, its
+    // version attribution, AND the delete+insert pairing of revisions.
+    Q(
+      "q_acid_stream_cdc",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, StringType => SStr, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", SStr),
+          StructField("text", SStr)))
+        val t = graft.lake.AcidTable.create(s,
+          Files.createTempDirectory("acid-cdc-").resolve("t").toString,
+          schema, "doc_id", "lang", stablePartitions = true)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        t.upsert(docs.filter(col("doc_id") % 7 =!= 3))
+        t.upsert(docs.filter(col("doc_id") % 7 === 3 || col("doc_id") % 11 === 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 3, concat(col("text"), lit(" delta")))
+              .otherwise(concat(col("text"), lit(" rev2")))))
+        t.delete(docs.filter(col("doc_id") % 13 === 5).select(col("doc_id")))
+        val name = s"graft_cdc_${nameCounter.incrementAndGet()}"
+        val q = graft.lake.AcidCdc.readStream(s, t.path, maxVersionsPerBatch = Some(1L))
+          .writeStream.format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .orderBy(col("_commit_version"), col("_change_type"), col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, text FROM documents),
+        v0 AS (SELECT doc_id, lang, text, 'insert' AS _change_type,
+                      CAST(0 AS BIGINT) AS _commit_version
+               FROM d WHERE doc_id % 7 <> 3),
+        v1ins AS (SELECT doc_id, lang,
+                         CASE WHEN doc_id % 7 = 3 THEN text || ' delta'
+                              ELSE text || ' rev2' END AS text,
+                         'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+                  FROM d WHERE doc_id % 7 = 3 OR doc_id % 11 = 0),
+        v1del AS (SELECT doc_id, lang, text, 'delete' AS _change_type,
+                         CAST(1 AS BIGINT) AS _commit_version
+                  FROM d WHERE doc_id % 7 <> 3 AND doc_id % 11 = 0),
+        v2del AS (SELECT doc_id, lang,
+                         CASE WHEN doc_id % 7 = 3 THEN text || ' delta'
+                              WHEN doc_id % 11 = 0 THEN text || ' rev2'
+                              ELSE text END AS text,
+                         'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+                  FROM d WHERE doc_id % 13 = 5)
+        SELECT * FROM v0
+        UNION ALL SELECT * FROM v1ins
+        UNION ALL SELECT * FROM v1del
+        UNION ALL SELECT * FROM v2del
+        ORDER BY _commit_version, _change_type, doc_id
+      """)),
+
     // ---- C37 tumbling window aggregation with watermark -------------------------
     Q(
       "q_stream_tumbling",
