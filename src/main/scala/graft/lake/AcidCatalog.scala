@@ -335,7 +335,16 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
           }
           val base = pkKeys match {
             case Some(ks) => acid.lookup(ks, partHint, version.getOrElse(-1L))
-            case None => acid.snapshot(version.getOrElse(-1L))
+            case None =>
+              // clustered-range route (round 10): integral range conjuncts
+              // among the pushed filters prune the file list through the
+              // per-file cluster statistics a clustered compact() recorded
+              // — files without stats are always kept, and every filter is
+              // re-applied below, so this is pure file skipping, never a
+              // semantic change
+              val bounds = AcidScanBuilder.rangeBounds(pushed)
+              if (bounds.nonEmpty) acid.snapshotRange(bounds, version.getOrElse(-1L))
+              else acid.snapshot(version.getOrElse(-1L))
           }
           val filtered = pushed.flatMap(AcidScanBuilder.toColumn)
             .foldLeft(base)((df, c) => df.filter(c))
@@ -346,6 +355,35 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
 }
 
 object AcidScanBuilder {
+
+  /** Closed per-column [lo, hi] ranges implied by the pushed TOP-LEVEL
+    * conjuncts, for INTEGRAL literal values only (the types cluster
+    * statistics are recorded in). Multiple conjuncts on one column
+    * intersect. Conservative by construction: anything not understood
+    * contributes no bound.
+    */
+  private[lake] def rangeBounds(pushed: Array[Filter]): Map[String, (Long, Long)] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case n: java.lang.Long => Some(n.longValue())
+      case n: java.lang.Integer => Some(n.longValue())
+      case n: java.lang.Short => Some(n.longValue())
+      case n: java.lang.Byte => Some(n.longValue())
+      case _ => None
+    }
+    pushed.toSeq.flatMap {
+      case sources.GreaterThan(a, v) =>
+        longOf(v).filter(_ < Long.MaxValue).map(x => a -> (x + 1, Long.MaxValue))
+      case sources.GreaterThanOrEqual(a, v) => longOf(v).map(x => a -> (x, Long.MaxValue))
+      case sources.LessThan(a, v) =>
+        longOf(v).filter(_ > Long.MinValue).map(x => a -> (Long.MinValue, x - 1))
+      case sources.LessThanOrEqual(a, v) => longOf(v).map(x => a -> (Long.MinValue, x))
+      case sources.EqualTo(a, v) => longOf(v).map(x => a -> (x, x))
+      case _ => None
+    }.groupBy(_._1).map { case (c, bs) =>
+      c -> bs.map(_._2).reduce((p, q) => (math.max(p._1, q._1), math.min(p._2, q._2)))
+    }
+  }
+
   /** Best-effort v1 Filter → Column translation; untranslatable filters
     * stay residual (Spark evaluates them post-scan). */
   private[lake] def toColumn(f: Filter): Option[Column] = f match {

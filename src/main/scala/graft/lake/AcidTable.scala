@@ -1154,30 +1154,200 @@ final class AcidTable private (
     * new version. The COW write path emits one file per touched partition
     * per commit, so long-running tables need this (at 100 TB this is the
     * background optimize job every lakehouse runs).
+    *
+    * With `clusterBy` (round 10 — the Delta `OPTIMIZE ZORDER BY` / Hudi
+    * clustering analog), EVERY partition holding a file is rewritten with
+    * its rows ordered by the clustering key — one integral column sorts
+    * directly, two interleave into a Morton (Z-order) key — rolled into
+    * `targetFileBytes`-sized PARTITION-SCOPE files, and each output
+    * file's per-column min/max ranges are recorded in the table's
+    * `_cluster.properties` sidecar. Consecutive files then cover tight,
+    * near-disjoint key ranges, so a range predicate on EITHER clustered
+    * column prunes the file list before any Spark plan exists
+    * ([[rangePrunedFiles]] / the catalog scan's range route) — the
+    * mechanism that turns a 100 TB scan-with-predicate into a handful of
+    * file groups. Trade-offs, stated: clustered files are bucketless, so
+    * keyed commits into a clustered partition escalate to
+    * whole-partition OCC scope until a plain `compact()` re-buckets it;
+    * and Morton bits interleave the dims' low 16 bits, so locality (not
+    * correctness — stats are true min/max) degrades for ranges wider
+    * than 2^16.
     */
-  def compact(maxFilesPerPartition: Int = 4): Long = {
-    commitLoop(
+  def compact(maxFilesPerPartition: Int = 4, clusterBy: Seq[String] = Nil): Long = {
+    clusterBy.foreach { c =>
+      require(schema.fieldNames.contains(c), s"cluster column $c does not exist")
+      require(c != partitionCol, "clustering on the partition column is redundant " +
+        "(directory-level pruning already covers it)")
+      require(integralType(schema(c).dataType),
+        s"cluster column $c must be an integral type, got ${schema(c).dataType}")
+    }
+    require(clusterBy.size <= 2, "clusterBy supports one column (sort) or two (Morton)")
+    val v = commitLoop(
       touchedOf = (_, files) => {
         val byPartition = files.groupBy(f => f.takeWhile(_ != '/'))
-        byPartition.filter(_._2.size > maxFilesPerPartition).keys
+        val selected =
+          if (clusterBy.nonEmpty) byPartition.keys // layout op: every partition
+          else byPartition.filter(_._2.size > maxFilesPerPartition).keys
+        selected
           .map(d =>
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .unescapePathName(d.stripPrefix(s"$partitionCol=")))
           // whole-partition scope: compaction's point is folding the
-          // partition's accumulated per-commit files; the rewrite emits
-          // one file per NON-EMPTY BUCKET (the file-group layout keyed
-          // commits rely on), so post-compaction a partition holds at
-          // most numBuckets files, each still subject to targetFileBytes
+          // partition's accumulated per-commit files; the plain rewrite
+          // emits one file per NON-EMPTY BUCKET (the file-group layout
+          // keyed commits rely on), so post-compaction a partition holds
+          // at most numBuckets files, each still subject to
+          // targetFileBytes; the clustered rewrite instead range-rolls
+          // bucketless files in cluster-key order
           .map(FileCell(_, -1)).toSeq
       },
-      // identity rewrite: same rows, re-bucketed into per-cell files.
+      // identity rewrite: same rows, re-laid-out.
       // The driver kernel is identity too — when the partitions being
       // folded fit the byte gate the whole compaction is a driver-side
-      // read+rewrite (small tables); above it, the distributed rewrite
+      // read+rewrite (small tables); above it, the distributed rewrite.
+      // A clustered rewrite always takes the distributed path (the sort
+      // and size-rolling live in the write plan).
       outputBounded = true,
-      localResultOf = Some(
-        (rows: Seq[org.apache.spark.sql.catalyst.InternalRow]) => rows),
-      resultOf = snapT => snapT)
+      localResultOf =
+        if (clusterBy.nonEmpty) None
+        else Some((rows: Seq[org.apache.spark.sql.catalyst.InternalRow]) => rows),
+      resultOf = snapT => snapT,
+      sortCols = clusterBy.map(clusterSortExpr(clusterBy)),
+      forceCoarse = clusterBy.nonEmpty)
+    if (clusterBy.nonEmpty && v >= 0) recordClusterStats(v, clusterBy)
+    v
+  }
+
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
+  /** The write-order key of a clustered rewrite: a single column sorts on
+    * its value; two columns interleave their low 16 bits into a Morton
+    * key (the q_layout_zorder construction, widened to 16 bits/dim).
+    */
+  private def clusterSortExpr(clusterBy: Seq[String])(c: String): Column =
+    if (clusterBy.size == 1) col(c).cast("long")
+    else {
+      val dims = clusterBy.map(d => pmod(col(d).cast("long"), lit(1L << 16)))
+      Seq.tabulate(16) { b =>
+        dims.zipWithIndex.map { case (d, i) =>
+          (shiftright(d, b) % 2) * lit(1L << (2 * b + i))
+        }.reduce(_ + _)
+      }.reduce(_ + _)
+    }
+
+  // ------------------------------------------------ clustering statistics --
+  //
+  // Per-file min/max ranges of the clustering columns, kept in a sidecar
+  // (`_cluster.properties`) keyed by manifest-relative file name. Sound
+  // because data files are IMMUTABLE and uniquely named: an entry can
+  // never go stale, only orphan (its file vacuumed — harmless). Readers
+  // prune conservatively: a file with no recorded range is always kept.
+
+  private def clusterStatsPath: Path = Paths.get(path, ClusterStatsFile)
+
+  /** rel file → cluster column → (min, max). Empty when never clustered. */
+  private[graft] def readClusterStats(): Map[String, Map[String, (Long, Long)]] = {
+    if (!Files.exists(clusterStatsPath)) return Map.empty
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(clusterStatsPath)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames().asScala.map { k =>
+      val rel = java.net.URLDecoder.decode(k, "UTF-8")
+      val cols = props.getProperty(k).split(';').iterator.filter(_.nonEmpty).flatMap { ent =>
+        ent.split(':') match {
+          case Array(c, lo, hi) => scala.util.Try(
+            java.net.URLDecoder.decode(c, "UTF-8") -> (lo.toLong, hi.toLong)).toOption
+          case _ => None
+        }
+      }.toMap
+      rel -> cols
+    }.toMap
+  }
+
+  private def writeClusterStats(merged: Map[String, Map[String, (Long, Long)]]): Unit = {
+    val props = new java.util.Properties()
+    merged.foreach { case (rel, cols) =>
+      props.setProperty(
+        java.net.URLEncoder.encode(rel, "UTF-8"),
+        cols.map { case (c, (lo, hi)) =>
+          s"${java.net.URLEncoder.encode(c, "UTF-8")}:$lo:$hi"
+        }.mkString(";"))
+    }
+    val tmp = Paths.get(path, s".cluster-tmp-${UUID.randomUUID()}")
+    val out = Files.newOutputStream(tmp)
+    try props.store(out, "graft cluster statistics") finally out.close()
+    Files.move(tmp, clusterStatsPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** One distributed pass over the clustered version's files recording
+    * per-file min/max of the clustering columns (basename-keyed: every
+    * data file name carries a commit UUID, so basenames are unique).
+    * Null-only files record no range for that column and stay unprunable
+    * — conservative, and a range predicate can't match their rows anyway.
+    */
+  private def recordClusterStats(version: Long, clusterBy: Seq[String]): Unit = {
+    val files = readManifest(version)
+    if (files.isEmpty) return
+    val byBasename = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    val aggs = clusterBy.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__min_$c"), max(col(c).cast("long")).as(s"__max_$c")))
+    val stats = spark.read.schema(dataFileSchema)
+      .parquet(files.map(f => dataRoot.resolve(f).toString): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val entries = stats.flatMap { r =>
+      val uri = r.getAs[String]("__file")
+      val base = uri.substring(uri.lastIndexOf('/') + 1)
+      byBasename.get(base).map { rel =>
+        rel -> clusterBy.flatMap { c =>
+          val lo = r.getAs[java.lang.Long](s"__min_$c")
+          val hi = r.getAs[java.lang.Long](s"__max_$c")
+          if (lo == null || hi == null) None
+          else Some(c -> (lo.longValue(), hi.longValue()))
+        }.toMap
+      }
+    }.toMap
+    writeClusterStats(readClusterStats() ++ entries)
+  }
+
+  /** The file subset of `version`'s manifest that can hold rows matching
+    * the per-column closed ranges in `bounds` — files whose recorded
+    * cluster range misses a bound are skipped; files without stats are
+    * kept (conservative). The assertable core of clustered-scan pruning
+    * (the LookupSpec technique).
+    */
+  private[graft] def rangePrunedFiles(
+      bounds: Map[String, (Long, Long)], version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else latestVersion()
+    if (v < 0) return Nil
+    val all = readManifest(v)
+    if (bounds.isEmpty) return all
+    val stats = readClusterStats()
+    all.filter { f =>
+      stats.get(f).forall(cols => bounds.forall { case (c, (lo, hi)) =>
+        cols.get(c).forall { case (fmin, fmax) => fmax >= lo && fmin <= hi }
+      })
+    }
+  }
+
+  /** Snapshot restricted to files that can match the given per-column
+    * closed ranges — the read face of clustered compaction. The caller
+    * still applies its row predicate; this only shrinks the scanned file
+    * list (exactly how partition pruning composes with a partition
+    * filter).
+    */
+  def snapshotRange(bounds: Map[String, (Long, Long)], version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else latestVersion()
+    if (v < 0) return snapshotFromFiles(Nil)
+    snapshotFromFiles(rangePrunedFiles(bounds, v), sizesOf(manifestLines(v)))
   }
 
   /** Garbage-collect data files no manifest ≤ `keepVersions` back still
@@ -1471,7 +1641,13 @@ final class AcidTable private (
       globalScope: Boolean = false,
       outputBounded: Boolean = true,
       localResultOf: Option[Seq[org.apache.spark.sql.catalyst.InternalRow] =>
-        Seq[org.apache.spark.sql.catalyst.InternalRow]] = None): Long = {
+        Seq[org.apache.spark.sql.catalyst.InternalRow]] = None,
+      // clustered-compaction hooks: order rows inside each written
+      // partition by these expressions, and write every touched partition
+      // partition-scope (bucketless) so size-rolling yields range-disjoint
+      // files
+      sortCols: Seq[Column] = Nil,
+      forceCoarse: Boolean = false): Long = {
     // driver fast-path eligibility for a given rewrite volume (see the
     // fast-path section): kernel available, schema safe, input bounded
     def fastEligible(bytes: Long): Boolean =
@@ -1512,7 +1688,8 @@ final class AcidTable private (
       val (touched0, legacyParts) = expandForLegacy(
         rawCells.map(c => if (denseParts(c.part)) FileCell(c.part, -1) else c).distinct, files)
       var touched = touched0
-      val coarseParts = denseParts ++ legacyParts
+      val coarseParts =
+        if (forceCoarse) touched.map(_.part).toSet else denseParts ++ legacyParts
       val touchedFiles = files.filter(f => touched.exists(c => fileInCell(f, c)))
       val inB = if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue
       var newFiles =
@@ -1520,7 +1697,7 @@ final class AcidTable private (
           fastWriteTouched(localResultOf.get(readRowsLocal(touchedFiles)),
             touched, coarseParts)
         else writeTouched(resultOf(snapshotFromFiles(touchedFiles, baseSizes)),
-          touched, inB, coarseParts)
+          touched, inB, coarseParts, sortCols)
       beforePublishHook()
       // inner publish loop: losing the version race does NOT force a full
       // recompute under `stablePartitions` (partition placement a pure
@@ -1631,7 +1808,7 @@ final class AcidTable private (
                   else writeTouched(
                     resultOf(snapshotFromFiles(newSnapFiles, sizesOf(newBaseLines)))
                       .filter(cellFilter(overlap)),
-                    overlap, redoInB, redoCoarse)
+                    overlap, redoInB, redoCoarse, sortCols)
                 newFiles = keptFiles ++ redoneFiles
                 // a legacy expansion widened the rewrite beyond the
                 // original touched set — the published #touched and the
@@ -1803,7 +1980,8 @@ final class AcidTable private (
       result: DataFrame,
       touched: Seq[FileCell],
       inBytes: Long = Long.MaxValue,
-      coarseParts: Set[String] = Set.empty): Seq[(String, Long)] = {
+      coarseParts: Set[String] = Set.empty,
+      sortCols: Seq[Column] = Nil): Seq[(String, Long)] = {
     if (touched.isEmpty) return Nil
     val commitId = UUID.randomUUID().toString
     val tmp = Paths.get(path, s"_tmp-$commitId")
@@ -1844,8 +2022,18 @@ final class AcidTable private (
       if (inBytes < targetFileBytes) withBucket.coalesce(1)
       else withBucket.repartition(math.max(touched.size, 1),
         col(partitionCol), col(BucketDir))
+    // clustered rewrite: order each write task's rows by (partition,
+    // bucket-dir, cluster key). The prefix matches the dynamic-partition
+    // writer's required ordering, so FileFormatWriter inserts no extra
+    // sort and maxRecordsPerFile rolling yields files covering
+    // CONSECUTIVE cluster-key ranges — the property the per-file min/max
+    // stats turn into pruning.
+    val ordered =
+      if (sortCols.isEmpty) shaped
+      else shaped.sortWithinPartitions(
+        (col(partitionCol) +: col(BucketDir) +: sortCols): _*)
     val t0 = System.nanoTime()
-    shaped
+    ordered
       .write.option("maxRecordsPerFile", recordsPerFile)
       // The tmp dir is private to this commit and the MANIFEST is the
       // atomic publish point, so the two-phase job commit (v1: task dir →
@@ -2414,6 +2602,7 @@ object AcidTable {
   private val DataDir = "data"
   private val MetaFile = "_meta.properties"
   private val LatestHint = "_latest.hint"
+  private[lake] val ClusterStatsFile = "_cluster.properties"
   // generous: under a FIFO local scheduler a writer queued behind reader
   // scans can lose many consecutive publish races; the jittered backoff
   // breaks the phase-lock, the budget bounds pathological livelock

@@ -320,6 +320,43 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 clustered compaction (round 10) -------------------------------------
+    // compact(clusterBy = x, y): every partition rewrites with rows in
+    // Morton (Z-order) key order, rolled into size-targeted bucketless
+    // files whose per-column min/max ranges land in the table's cluster
+    // statistics — so a range predicate on EITHER dimension prunes the
+    // FILE LIST before any plan exists (AcidTableMaintenanceSpec asserts
+    // the skip; this gate pins the end-to-end correctness of the
+    // clustered table under a range read). The oracle replays the final
+    // content filter directly.
+    Q(
+      "q_acid_compact_cluster",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", LongType), StructField("part", StringType),
+          StructField("x", LongType), StructField("y", LongType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        t.targetFileBytes = 64L * 1024
+        t.upsert(Tables.orders(s, dir).select(
+          col("o_orderkey").cast("long").as("pk"),
+          concat(lit("p"), (col("o_custkey") % 2).cast("string")).as("part"),
+          (col("o_custkey") % 512).cast("long").as("x"),
+          (col("o_orderkey") % 512).cast("long").as("y")))
+        t.compact(clusterBy = Seq("x", "y"))
+        t.snapshotRange(Map("x" -> (32L, 96L)))
+          .filter(col("x").between(32, 96))
+          .orderBy(col("pk"))
+      },
+      Some("""
+        SELECT CAST(o_orderkey AS BIGINT) AS pk,
+               'p' || CAST(o_custkey % 2 AS VARCHAR) AS part,
+               CAST(o_custkey % 512 AS BIGINT) AS x,
+               CAST(o_orderkey % 512 AS BIGINT) AS y
+        FROM orders
+        WHERE o_custkey % 512 BETWEEN 32 AND 96
+        ORDER BY pk
+      """)),
+
     // ---- C5 conditional / multi-clause MERGE (round 10) -------------------------
     // The standard Delta/Hudi/Iceberg MERGE surface beyond the reference's
     // one shape: `WHEN MATCHED AND <cond> THEN UPDATE`, a second

@@ -235,4 +235,72 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 2)
     assert(t.versionAt(2000L) == 10L)
   }
+
+  test("clustered compaction: range-disjoint files, stats recorded, range scan skips files") {
+    import org.apache.spark.sql.functions.col
+    val cschema = StructType(Seq(
+      StructField("pk", LongType), StructField("part", StringType),
+      StructField("x", LongType), StructField("y", LongType)))
+    val t = AcidTable.create(spark,
+      Files.createTempDirectory("acid-cluster-").resolve("t").toString,
+      cschema, "pk", "part", stablePartitions = true)
+    // small target so the single partition must roll into several files
+    t.targetFileBytes = 4096L
+    val rows = (0L until 2000L).map(i => (i, "P0", (i * 37) % 512, (i * 91) % 512))
+    t.upsert(rows.toDF("pk", "part", "x", "y"))
+    // cluster-key validation is loud
+    intercept[IllegalArgumentException](t.compact(clusterBy = Seq("nope")))
+    intercept[IllegalArgumentException](t.compact(clusterBy = Seq("part")))
+    val v = t.compact(clusterBy = Seq("x", "y"))
+    t.vacuum(keepVersions = 1, graceMillis = 0L)
+    val all = t.rangePrunedFiles(Map.empty, v)
+    assert(all.size > 3, s"expected a multi-file clustered layout, got ${all.size}")
+    // every live file has recorded stats for both dims
+    val stats = t.readClusterStats()
+    assert(all.forall(f => stats.get(f).exists(m => m.contains("x") && m.contains("y"))),
+      "clustered compaction must record min/max for every output file")
+    // THE gate: a narrow range on either clustered dim skips files
+    val prunedX = t.rangePrunedFiles(Map("x" -> (0L, 40L)), v)
+    assert(prunedX.size < all.size,
+      s"x-range scan did not skip files: ${prunedX.size} of ${all.size}")
+    val prunedY = t.rangePrunedFiles(Map("y" -> (0L, 40L)), v)
+    assert(prunedY.size < all.size,
+      s"y-range scan did not skip files: ${prunedY.size} of ${all.size}")
+    // pruning is sound: the pruned scan + row filter equals the full scan
+    val expect = rows.filter(r => r._3 <= 40).map(_._1).sorted
+    val got = t.snapshotRange(Map("x" -> (0L, 40L)), v)
+      .filter(col("x") <= 40).select("pk").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === expect)
+    assert(t.snapshot().count() === 2000)
+  }
+
+  test("catalog range scan takes the stats-pruned route declaratively") {
+    import org.apache.spark.sql.functions.col
+    val cschema = StructType(Seq(
+      StructField("pk", LongType), StructField("part", StringType),
+      StructField("x", LongType), StructField("y", LongType)))
+    val wh = Files.createTempDirectory("acid-cluster-cat-").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    val t = AcidTable.create(spark, s"$wh/cl/t", cschema, "pk", "part",
+      stablePartitions = true)
+    t.targetFileBytes = 4096L
+    val rows = (0L until 2000L).map(i => (i, "P0", (i * 37) % 512, (i * 91) % 512))
+    t.upsert(rows.toDF("pk", "part", "x", "y"))
+    t.compact(clusterBy = Seq("x"))
+    // SQL range predicate: result correct AND the scan touched fewer
+    // files than the snapshot holds (bounds derived from pushed filters)
+    val df = spark.sql("SELECT pk FROM graft.cl.t WHERE x >= 100 AND x <= 140")
+    val got = df.collect().map(_.getLong(0)).sorted
+    val expect = rows.filter(r => r._3 >= 100 && r._3 <= 140).map(_._1).sorted
+    assert(got.toSeq === expect)
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString().linesIterator).mkString
+    val liveFiles = t.rangePrunedFiles(Map.empty).size
+    val prunedFiles = t.rangePrunedFiles(Map("x" -> (100L, 140L))).size
+    assert(prunedFiles < liveFiles,
+      s"stats route kept all $liveFiles files for the catalog range scan")
+    spark.sql("DROP TABLE graft.cl.t")
+  }
 }
