@@ -259,15 +259,20 @@ class SampleQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("context packing: offsets are running token sums within each shard") {
+  test("context packing: offsets are running token sums within each sub-shard") {
     val rows = run("q_pack_context").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
-        r.getAs[Long]("doc_id"), r.getAs[Long]("ntok"),
+        r.getAs[Long]("shard"), r.getAs[Long]("doc_id"), r.getAs[Long]("ntok"),
         r.getAs[Long]("bin"), r.getAs[Long]("bin_offset")))
-    rows.groupBy(t => (t._1, t._2)).foreach { case (_, shard) =>
-      val inOrder = shard.sortBy(_._3)
+    // round 10: the packing stream is (lang, source, shard) — budgets
+    // must stay exact within each salted sub-shard
+    val groups = rows.groupBy(t => (t._1, t._2, t._3))
+    assert(groups.size > rows.map(t => (t._1, t._2)).distinct.size,
+      "sub-sharding should split (lang, source) cells into multiple streams")
+    groups.foreach { case (_, shard) =>
+      val inOrder = shard.sortBy(_._4)
       var cum = 0L
-      inOrder.foreach { case (_, _, _, ntok, bin, off) =>
+      inOrder.foreach { case (_, _, _, _, ntok, bin, off) =>
         assert(bin == cum / 256 && off == cum % 256,
           s"expected bin=${cum / 256} offset=${cum % 256}, got $bin/$off")
         cum += ntok
