@@ -114,18 +114,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `ALTER TABLE … ADD COLUMNS` → manifest-only schema evolution
     * ([[AcidTable.addColumns]]: old files surface the column as NULL, no
-    * data rewrite). Other table changes are rejected loudly. */
+    * data rewrite); `ALTER TABLE … DROP COLUMN(S)` → [[AcidTable
+    * .dropColumns]] (metadata-only; bytes purge on compaction, and the
+    * dropped-name ledger blocks re-adding until then). Other table
+    * changes are rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
-        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
-      case other =>
-        throw new UnsupportedOperationException(s"unsupported table change: $other")
-    }
     val t = loadTable(ident).asInstanceOf[AcidV2Table]
-    new AcidV2Table(t.acid.addColumns(adds), ident)
+    val evolved = changes.foldLeft(t.acid) { (acid, change) =>
+      change match {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames.length == 1,
+            s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
+          acid.addColumns(Seq(
+            org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
+              nullable = true)))
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames.length == 1,
+            s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
+          acid.dropColumns(Seq(d.fieldNames.head))
+        case other =>
+          throw new UnsupportedOperationException(s"unsupported table change: $other")
+      }
+    }
+    new AcidV2Table(evolved, ident)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -97,6 +97,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE graft.db.accounts ADD COLUMNS (tag STRING)")
     assert(spark.sql("SELECT tag FROM graft.db.accounts").collect().forall(_.isNullAt(0)))
 
+    // ALTER TABLE DROP COLUMN: metadata-only drop + re-add blocked by the
+    // dropped-name ledger (round 10) — then restore the column for the
+    // overwrite below via the physical purge
+    spark.sql("ALTER TABLE graft.db.accounts DROP COLUMN tag")
+    assert(!spark.sql("SELECT * FROM graft.db.accounts").columns.contains("tag"))
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.db.accounts ADD COLUMNS (tag STRING)")
+    }
+    AcidTable.open(spark, s"$wh/db/accounts").purgeDroppedColumns()
+    spark.sql("ALTER TABLE graft.db.accounts ADD COLUMNS (tag STRING)")
+    assert(spark.sql("SELECT tag FROM graft.db.accounts").collect().forall(_.isNullAt(0)))
+
     // INSERT OVERWRITE replaces the whole table in one commit
     Seq(("z", "p1", 99.0, "fresh")).toDF("pk", "part", "v", "tag")
       .createOrReplaceTempView("cat_ovw")
