@@ -30,8 +30,6 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           require(keyEquality(m.mergeCondition, acid.pkCol),
             s"MERGE condition must be t.${acid.pkCol} = s.${acid.pkCol}," +
               s" got: ${m.mergeCondition.sql}")
-          require(m.notMatchedBySourceActions.isEmpty,
-            "WHEN NOT MATCHED BY SOURCE is not supported")
           val targetAliases = aliasNames(m.targetTable)
           val check = requireIdentityAssignment(targetAliases) _
           def requireFullInsert(assigns: Seq[Assignment]): Unit = {
@@ -40,19 +38,19 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               s"MERGE insert must cover the full schema" +
                 s" ${acid.schema.fieldNames.mkString(",")}, got $cols")
           }
-          (m.matchedActions, m.notMatchedActions) match {
-            case (Seq(DeleteAction(None)), Seq()) =>
+          (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
+            case (Seq(DeleteAction(None)), Seq(), Seq()) =>
               // MERGE … WHEN MATCHED THEN DELETE (round 9): delete by the
               // source's key set — the bucket-pruned key path, not a rewrite
               AcidMergeDeleteCommand(acid, m.sourceTable)
-            case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins))) =>
+            case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins)), Seq()) =>
               // the unconditional reference shape keeps the fast
               // window-merge formulation (and its driver kernel)
               assigns.foreach(check)
               ins.foreach(check)
               requireFullInsert(ins)
               AcidMergeCommand(acid, m.sourceTable, assigns.map(assignedCol))
-            case (matchedActions, notMatchedActions) =>
+            case (matchedActions, notMatchedActions, nmbsActions) =>
               // conditional / multi-clause MERGE (round 10): clause
               // conditions are re-qualified onto the canonical t/s
               // aliases and carried as SQL text across the command
@@ -78,7 +76,16 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 case other => throw new IllegalArgumentException(
                   s"unsupported WHEN NOT MATCHED action: $other")
               }
-              AcidMergeConditionalCommand(acid, m.sourceTable, matched, notMatched)
+              // round 10: full-sync deletes of target rows absent from the
+              // source; UPDATE shapes are rejected (mergeConditional's
+              // same-named-source-copy contract would null the row)
+              val nmbs = nmbsActions.map {
+                case DeleteAction(c) =>
+                  AcidMergeConditionalCommand.Clause(c.map(sql), None)
+                case other => throw new IllegalArgumentException(
+                  s"WHEN NOT MATCHED BY SOURCE supports only DELETE, got: $other")
+              }
+              AcidMergeConditionalCommand(acid, m.sourceTable, matched, notMatched, nmbs)
           }
       }
 
@@ -239,19 +246,23 @@ case class AcidMergeConditionalCommand(
     acid: AcidTable,
     source: LogicalPlan,
     matched: Seq[AcidMergeConditionalCommand.Clause],
-    notMatched: Seq[Option[String]]) extends LeafRunnableCommand {
+    notMatched: Seq[Option[String]],
+    notMatchedBySource: Seq[AcidMergeConditionalCommand.Clause] = Nil)
+    extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
+    def toClause(c: AcidMergeConditionalCommand.Clause): MergeMatchedClause = c match {
+      case AcidMergeConditionalCommand.Clause(cond, Some(cols)) =>
+        MergeMatchedClause.Update(cond.map(expr), cols)
+      case AcidMergeConditionalCommand.Clause(cond, None) =>
+        MergeMatchedClause.Delete(cond.map(expr))
+    }
     acid.mergeConditional(
       PlanShim.ofRows(session, source),
-      matched.map {
-        case AcidMergeConditionalCommand.Clause(c, Some(cols)) =>
-          MergeMatchedClause.Update(c.map(expr), cols)
-        case AcidMergeConditionalCommand.Clause(c, None) =>
-          MergeMatchedClause.Delete(c.map(expr))
-      },
-      notMatched.map(_.map(expr)))
+      matched.map(toClause),
+      notMatched.map(_.map(expr)),
+      notMatchedBySource = notMatchedBySource.map(toClause))
     Seq.empty
   }
 }

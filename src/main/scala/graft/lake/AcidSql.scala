@@ -46,22 +46,20 @@ object AcidSql {
         val src = PlanShim.ofRows(spark, stripAlias(m.sourceTable))
         requireShape(keyEquality(m.mergeCondition, t.pkCol),
           s"MERGE condition must be t.${t.pkCol} = s.${t.pkCol}, got: ${m.mergeCondition.sql}")
-        requireShape(m.notMatchedBySourceActions.isEmpty,
-          "WHEN NOT MATCHED BY SOURCE is not supported")
-        (m.matchedActions, m.notMatchedActions) match {
-          case (Seq(DeleteAction(None)), Seq()) =>
+        (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
+          case (Seq(DeleteAction(None)), Seq(), Seq()) =>
             // MERGE … WHEN MATCHED THEN DELETE (round 9): removing the
             // target rows whose pk appears in the source IS delete by the
             // source's key set — the bucket-pruned key path, not a rewrite
             t.delete(src)
-          case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins))) =>
+          case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins)), Seq()) =>
             // the reference's one unconditional shape keeps the fast
             // window-merge formulation (and its driver kernel)
             val cols = ins.map(assignedCol).toSet
             requireShape(t.schema.fieldNames.forall(cols.contains),
               s"MERGE insert must cover the full schema ${t.schema.fieldNames.mkString(",")}, got $cols")
             t.merge(src, assigns.map(assignedCol))
-          case (matchedActions, notMatchedActions) =>
+          case (matchedActions, notMatchedActions, nmbsActions) =>
             // conditional / multi-clause MERGE (round 10): WHEN MATCHED
             // [AND cond] THEN UPDATE/DELETE, first-match-wins, plus
             // conditional full-row inserts → AcidTable.mergeConditional
@@ -88,7 +86,14 @@ object AcidSql {
                 c.map(cond)
               case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
             }
-            t.mergeConditional(src, matched, notMatched)
+            // round 10: WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+            // (the full-sync shape); UPDATE is rejected in mergeConditional
+            val nmbs = nmbsActions.map {
+              case DeleteAction(c) => MergeMatchedClause.Delete(c.map(cond))
+              case other => fail(
+                s"WHEN NOT MATCHED BY SOURCE supports only DELETE, got: $other")
+            }
+            t.mergeConditional(src, matched, notMatched, notMatchedBySource = nmbs)
         }
 
       case u: UpdateTable =>

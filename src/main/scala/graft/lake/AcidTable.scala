@@ -584,7 +584,8 @@ final class AcidTable private (
       source: DataFrame,
       matched: Seq[MergeMatchedClause],
       notMatched: Seq[Option[Column]],
-      partitionsHint: Option[Seq[String]] = None): Long = {
+      partitionsHint: Option[Seq[String]] = None,
+      notMatchedBySource: Seq[MergeMatchedClause] = Nil): Long = {
     matched.foreach {
       case MergeMatchedClause.Update(_, cols) =>
         cols.foreach { c =>
@@ -594,15 +595,51 @@ final class AcidTable private (
         }
       case MergeMatchedClause.Delete(_) => ()
     }
-    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE needs at least one clause")
+    // NOT MATCHED BY SOURCE supports DELETE clauses only: the engine's one
+    // update shape copies same-named SOURCE columns, which are NULL for an
+    // unmatched target row — executing that would silently null the row
+    notMatchedBySource.foreach {
+      case MergeMatchedClause.Delete(_) => ()
+      case other => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED BY SOURCE supports only DELETE clauses, got: $other")
+    }
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE needs at least one clause")
+    // NMBS clause conditions reference target columns (t.*); they must be
+    // deterministic for the same two-evaluation reason as deleteWhere
+    val nmbsCond: Option[Column] = notMatchedBySource match {
+      case Nil => None
+      case cs => Some(cs.map(c => coalesce(c.condition.getOrElse(lit(true)), lit(false)))
+        .reduce(_ || _))
+    }
+    nmbsCond.foreach(c => requireDeterministicCondition(
+      org.apache.spark.sql.graft.PlanShim.columnOf(
+        org.apache.spark.sql.graft.PlanShim.exprOf(c).transform {
+          // validated against the bare schema: strip the t qualifier
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.size > 1 =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.nameParts.last))
+        }), "MERGE NOT MATCHED BY SOURCE"))
     val n = normalize(source)
     val hint = checkedHint(partitionsHint)
     val keys = n.select(pkCol)
     val src = dedupedSource(n)
     val srcLocal = localRowsInSchemaOrder(src)
     commitLoop(
-      touchedOf = (snap, _) => localCellsOf(srcLocal).getOrElse(cellsBy(snap, src, keys, hint)),
-      resultOf = snapT => clauseMerge(snapT, src, matched, notMatched),
+      touchedOf = (snap, _) => {
+        val srcCells = localCellsOf(srcLocal).getOrElse(cellsBy(snap, src, keys, hint))
+        // NMBS-deletable rows live in cells the source never names: one
+        // predicate-discovery scan (the deleteWhere shape) finds every
+        // cell holding a row any NMBS condition could match — commit cost
+        // stays proportional to the predicate's reach, not table size
+        val nmbsCells = nmbsCond.map { c =>
+          snap.as("t").filter(c)
+            .select(col(partitionCol).as("__p"), bucketExpr.as("__b"))
+            .distinct().collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
+        }.getOrElse(Nil)
+        (srcCells ++ nmbsCells).distinct
+      },
+      resultOf = snapT => clauseMerge(snapT, src, matched, notMatched, notMatchedBySource),
       outputBounded = srcLocal.isDefined || isMetadataScale(src))
   }
 
@@ -617,7 +654,8 @@ final class AcidTable private (
       snapT: DataFrame,
       src: DataFrame,
       matched: Seq[MergeMatchedClause],
-      notMatched: Seq[Option[Column]]): DataFrame = {
+      notMatched: Seq[Option[Column]],
+      notMatchedBySource: Seq[MergeMatchedClause] = Nil): DataFrame = {
     val idxName = "__graft_clause"
     val pairs = snapT.as("t").join(src.as("s"),
       col(s"t.$pkCol") === col(s"s.$pkCol"), "left_outer")
@@ -629,10 +667,23 @@ final class AcidTable private (
     val deleteIdxs = matched.zipWithIndex.collect {
       case (MergeMatchedClause.Delete(_), i) => i
     }
+    // NOT MATCHED BY SOURCE deletes: an unmatched TARGET row drops when
+    // any clause condition holds (all NMBS clauses are deletes, so
+    // first-match-wins collapses to OR); conditions see the target row
+    // under `t` and a NULL source side, the SQL clause-guard semantics
+    val nmbsDrop: Column = notMatchedBySource match {
+      case Nil => lit(false)
+      case cs => !isMatched &&
+        cs.map(c => coalesce(c.condition.getOrElse(lit(true)), lit(false))).reduce(_ || _)
+    }
     val tagged = pairs.withColumn(idxName, idxCol)
-    val kept =
-      if (deleteIdxs.isEmpty) tagged
-      else tagged.filter(!col(idxName).isInCollection(deleteIdxs))
+    val kept = {
+      val afterMatched =
+        if (deleteIdxs.isEmpty) tagged
+        else tagged.filter(!col(idxName).isInCollection(deleteIdxs))
+      if (notMatchedBySource.isEmpty) afterMatched
+      else afterMatched.filter(!nmbsDrop)
+    }
     val updated = kept.select(schema.fieldNames.map { f =>
       matched.zipWithIndex.foldLeft(when(lit(false), col(s"t.$f"))) {
         case (acc, (MergeMatchedClause.Update(_, cols), i)) if cols.contains(f) =>

@@ -320,6 +320,66 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 full-sync MERGE: NOT MATCHED BY SOURCE (round 10) -------------------
+    // The table-synchronization shape: update matched rows, insert new
+    // source rows, and DELETE target rows the source no longer carries
+    // (guarded by a target-side condition) — `WHEN NOT MATCHED BY SOURCE
+    // [AND cond] THEN DELETE`, through the SQL-text front-end (catalog
+    // path pinned equivalent in ConditionalMergeSpec). The oracle replays
+    // the clause algebra: k%3<>1 rows update to val+100, absent rows
+    // (k%3=1) delete iff val>=1, keys 100-102 insert.
+    Q(
+      "q_sql_acid_merge_sync",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val reg = Map("acid.t" -> t, "t" -> t)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t.upsert(base)
+        base.filter(col("pk").cast("long") % 3 =!= 1)
+          .withColumn("val", col("val") + 100)
+          .unionByName(s.range(100, 103).select(
+            col("id").cast("string").as("pk"),
+            concat(lit("p"), (col("id") % 2).cast("string")).as("part"),
+            col("id").cast("double").as("val")))
+          .createOrReplaceTempView("acid_sync_src")
+        graft.lake.AcidSql.execute(s, reg,
+          """MERGE INTO acid.t tgt
+            |USING (SELECT * FROM acid_sync_src) src
+            |ON tgt.pk = src.pk
+            |WHEN MATCHED THEN UPDATE SET tgt.val = src.val
+            |WHEN NOT MATCHED THEN
+            |  INSERT (tgt.pk, tgt.part, tgt.val) VALUES (src.pk, src.part, src.val)
+            |WHEN NOT MATCHED BY SOURCE AND tgt.val >= 1 THEN DELETE
+            |""".stripMargin)
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val,
+                 n_nationkey AS k
+          FROM nation),
+        kept AS (
+          SELECT pk, part,
+                 CASE WHEN k % 3 <> 1 THEN val + 100 ELSE val END AS val
+          FROM base WHERE k % 3 <> 1 OR val < 1),
+        ins AS (
+          SELECT CAST(k AS VARCHAR) AS pk,
+                 'p' || CAST(k % 2 AS VARCHAR) AS part,
+                 CAST(k AS DOUBLE) AS val
+          FROM range(100, 103) r(k))
+        SELECT pk, part, val FROM kept
+        UNION ALL SELECT pk, part, val FROM ins
+        ORDER BY pk
+      """)),
+
     // ---- C5 clustered compaction (round 10) -------------------------------------
     // compact(clusterBy = x, y): every partition rewrites with rows in
     // Morton (Z-order) key order, rolled into size-targeted bucketless

@@ -120,6 +120,10 @@ object PlanShim {
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** The catalyst expression behind a user Column (inverse of columnOf). */
+  def exprOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   def inSet(column: org.apache.spark.sql.Column, values: Set[Any]): org.apache.spark.sql.Column = {
     val expr = org.apache.spark.sql.classic.ExpressionUtils.expression(column)
     org.apache.spark.sql.classic.ExpressionUtils.column(

@@ -37,19 +37,24 @@ class AcidTablePropertySpec extends AnyFunSuite {
     * DELETE if t.dataValue < cut], insert unmatched rows iff
     * s.dataValue >= cut. */
   final case class CondMerge(rows: List[Record], cut: String) extends Op
+  /** Full-sync merge (round 10): update matched, insert unmatched source
+    * rows, and DELETE target rows absent from the source whose dataValue
+    * is below the cut (WHEN NOT MATCHED BY SOURCE … THEN DELETE). */
+  final case class SyncMerge(rows: List[Record], cut: String) extends Op
 
   private def genRecord(rnd: Random): Record = {
     val k = rnd.nextInt(20)
     Record(s"R$k", s"P${k % 3}", f"v${rnd.nextInt(1000000)}%07d")
   }
 
-  private def genOp(rnd: Random): Op = rnd.nextInt(14) match {
+  private def genOp(rnd: Random): Op = rnd.nextInt(15) match {
     case n if n < 4 => Upsert(List.fill(3)(genRecord(rnd)))
     case n if n < 7 => Merge(List.fill(3)(genRecord(rnd)))
     case n if n < 9 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
     case n if n < 11 => Delete(List.fill(2)(s"R${rnd.nextInt(20)}"))
     case n if n < 12 => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
-    case _ => CondMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(9)}00000")
+    case n if n < 14 => CondMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(9)}00000")
+    case _ => SyncMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(3)}00000")
   }
 
   /** Execute `op` against the table (shared by the serial and concurrent
@@ -72,6 +77,12 @@ class AcidTablePropertySpec extends AnyFunSuite {
           MergeMatchedClause.Update(Some(col("s.dataValue") >= lit(cut)), Seq("dataValue")),
           MergeMatchedClause.Delete(Some(col("t.dataValue") < lit(cut)))),
         notMatched = Seq(Some(col("s.dataValue") >= lit(cut))))
+    case SyncMerge(rows, cut) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      t.mergeConditional(spark.createDataset(rows).toDF(),
+        matched = Seq(MergeMatchedClause.Update(None, Seq("dataValue"))),
+        notMatched = Seq(None),
+        notMatchedBySource = Seq(MergeMatchedClause.Delete(Some(col("t.dataValue") < lit(cut)))))
   }
 
   /** Model of the precombine rule: greatest (dataValue, then tie-break by
@@ -109,6 +120,16 @@ class AcidTablePropertySpec extends AnyFunSuite {
             if (r.dataValue >= cut) m + (r.primaryKeyValue -> r) else m
         }
       }
+    case SyncMerge(rows, cut) =>
+      val d = dedupe(rows)
+      val srcKeys = d.map(_.primaryKeyValue).toSet
+      val upserted = d.foldLeft(model) { (m, r) =>
+        m.get(r.primaryKeyValue) match {
+          case Some(old) => m + (r.primaryKeyValue -> old.copy(dataValue = r.dataValue))
+          case None => m + (r.primaryKeyValue -> r)
+        }
+      }
+      upserted.filterNot { case (k, r) => !srcKeys.contains(k) && r.dataValue < cut }
   }
 
   test("CONCURRENT churn-partition commits serialize: snapshot == model in version order") {
@@ -144,13 +165,14 @@ class AcidTablePropertySpec extends AnyFunSuite {
             }
             start.await()
             (1 to opsPerThread).foreach { _ =>
-              val op = rnd.nextInt(13) match {
+              val op = rnd.nextInt(14) match {
                 case n if n < 4 => Upsert(List.fill(3)(churnRecord()))
                 case n if n < 6 => Merge(List.fill(3)(churnRecord()))
                 case n if n < 8 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
                 case n if n < 10 => Delete(List.fill(2)(s"R${rnd.nextInt(12)}"))
                 case n if n < 11 => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
-                case _ => CondMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(9)}00000")
+                case n if n < 13 => CondMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(9)}00000")
+                case _ => SyncMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(3)}00000")
               }
               committed.add((applyOp(t, op), op))
             }

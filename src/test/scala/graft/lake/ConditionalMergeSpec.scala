@@ -119,6 +119,65 @@ class ConditionalMergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("qualify"))
   }
 
+  test("NOT MATCHED BY SOURCE deletes unmatched target rows (full-sync shape)") {
+    val t = freshTable() // a 1, b 5, c 10, d 50 — source covers a, b, c
+    t.mergeConditional(source,
+      matched = Seq(MergeMatchedClause.Update(None, Seq("v"))),
+      notMatched = Nil,
+      // 'd' (v=50) is absent from the source: delete it iff v >= 20
+      notMatchedBySource = Seq(MergeMatchedClause.Delete(Some(col("t.v") >= 20))))
+    assert(state(t) === Set(("a", "p0", 100L), ("b", "p0", 2L), ("c", "p1", 30L)),
+      "unmatched target row matching the NMBS condition must be deleted")
+    // the condition guards: re-seed d with a small value, sync again — kept
+    t.upsert(Seq(("d", "p1", 5L)).toDF("pk", "part", "v"))
+    t.mergeConditional(source,
+      matched = Seq(MergeMatchedClause.Update(None, Seq("v"))),
+      notMatched = Nil,
+      notMatchedBySource = Seq(MergeMatchedClause.Delete(Some(col("t.v") >= 20))))
+    assert(state(t).contains(("d", "p1", 5L)))
+    // UPDATE clauses are rejected: the same-named-source-copy contract
+    // would silently null the row
+    intercept[IllegalArgumentException](t.mergeConditional(source,
+      matched = Nil, notMatched = Nil,
+      notMatchedBySource = Seq(MergeMatchedClause.Update(None, Seq("v")))))
+  }
+
+  test("NOT MATCHED BY SOURCE through both SQL front-ends") {
+    // text front-end
+    val t = freshTable()
+    val reg = Map("t" -> t)
+    source.createOrReplaceTempView("cmerge_nmbs_src")
+    AcidSql.execute(spark, reg,
+      """MERGE INTO t tgt USING (SELECT * FROM cmerge_nmbs_src) src
+        |ON tgt.pk = src.pk
+        |WHEN MATCHED THEN UPDATE SET tgt.v = src.v
+        |WHEN NOT MATCHED BY SOURCE AND tgt.v >= 20 THEN DELETE
+        |""".stripMargin)
+    assert(state(t) === Set(("a", "p0", 100L), ("b", "p0", 2L), ("c", "p1", 30L)))
+    // catalog front-end
+    val wh = Files.createTempDirectory("cmerge-nmbs-cat-").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nm")
+    spark.sql("""CREATE TABLE graft.nm.t (pk STRING, part STRING, v BIGINT)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    Seq(("a", "p0", 1L), ("b", "p0", 5L), ("c", "p1", 10L), ("d", "p1", 50L))
+      .toDF("pk", "part", "v").createOrReplaceTempView("nm_base")
+    spark.sql("INSERT INTO graft.nm.t SELECT * FROM nm_base")
+    source.createOrReplaceTempView("nm_src")
+    spark.sql(
+      """MERGE INTO graft.nm.t tgt USING (SELECT * FROM nm_src) src
+        |ON tgt.pk = src.pk
+        |WHEN MATCHED THEN UPDATE SET tgt.v = src.v
+        |WHEN NOT MATCHED BY SOURCE AND tgt.v >= 20 THEN DELETE
+        |""".stripMargin)
+    val got = spark.sql("SELECT * FROM graft.nm.t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("a", "p0", 100L), ("b", "p0", 2L), ("c", "p1", 30L)))
+    spark.sql("DROP TABLE graft.nm.t")
+  }
+
   test("clauses recompute from the fresh snapshot on an OCC conflict (no lost update)") {
     // the delete clause reads the TARGET value (t.v < 50). Just before our
     // merge publishes, a second handle rewrites the same row to v=100 —
