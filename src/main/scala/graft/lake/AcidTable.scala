@@ -424,7 +424,8 @@ final class AcidTable private (
       // input-byte write-sizing heuristic only holds when the added rows
       // are metadata-scale
       outputBounded = bLocal.isDefined || isMetadataScale(b),
-      localResultOf = localKernel)
+      localResultOf = localKernel,
+      opName = "UPSERT")
   }
 
   /** Whether `df` reduces to a small driver-side LocalRelation — the
@@ -517,7 +518,8 @@ final class AcidTable private (
         (existing ++ incoming).distinct.map(FileCell(_, -1))
       },
       resultOf = _ => b,
-      outputBounded = isMetadataScale(b))
+      outputBounded = isMetadataScale(b),
+      opName = "OVERWRITE")
   }
 
   /** MERGE INTO (reference A7): on PK match update `updateCols` from the
@@ -558,7 +560,8 @@ final class AcidTable private (
         if (allOrderable) windowMerge(snapT, src, updateCols)
         else joinMerge(snapT, src, keys, updateCols),
       outputBounded = srcLocal.isDefined || isMetadataScale(src),
-      localResultOf = localMergeKernel(srcLocal, updateCols))
+      localResultOf = localMergeKernel(srcLocal, updateCols),
+      opName = "MERGE")
   }
 
   /** Conditional / multi-clause MERGE (the standard Delta/Hudi/Iceberg SQL
@@ -640,7 +643,8 @@ final class AcidTable private (
         (srcCells ++ nmbsCells).distinct
       },
       resultOf = snapT => clauseMerge(snapT, src, matched, notMatched, notMatchedBySource),
-      outputBounded = srcLocal.isDefined || isMetadataScale(src))
+      outputBounded = srcLocal.isDefined || isMetadataScale(src),
+      opName = "MERGE")
   }
 
   /** The first-match-wins clause formulation over a `t`/`s` aliased pair
@@ -880,7 +884,8 @@ final class AcidTable private (
       localResultOf = kernel.map { case (_, proj) =>
         (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) =>
           snapRows.map(r => proj(r))
-      })
+      },
+      opName = "UPDATE")
   }
 
   /** Predicate DELETE (SQL `DELETE FROM t WHERE …` beyond the pk-list
@@ -920,7 +925,8 @@ final class AcidTable private (
       resultOf = snapT => snapT.filter(!coalesce(condition, lit(false))),
       outputBounded = true,
       localResultOf = pred.map(p =>
-        (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) => snapRows.filterNot(p)))
+        (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) => snapRows.filterNot(p)),
+      opName = "DELETE")
   }
 
   /** Loud up-front rejection of nondeterministic or subquery-bearing
@@ -1096,7 +1102,8 @@ final class AcidTable private (
       resultOf = snapT => antiByKeys(snapT, keysDf),
       localResultOf = localKeys.map(ks =>
         (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) =>
-          carryMinusKeys(snapRows, ks)))
+          carryMinusKeys(snapRows, ks)),
+      opName = "DELETE")
   }
 
   /** Register the CURRENT snapshot as a temp view (reference A13 surface). */
@@ -1168,6 +1175,32 @@ final class AcidTable private (
     AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
       numBuckets, Nil)
     AcidTable.open(spark, path)
+  }
+
+  /** Commit timeline (the `DESCRIBE HISTORY` / Hudi-timeline surface):
+    * one row per RETAINED version — version, operation label (the `#op=`
+    * audit header; "WRITE" for manifests predating it), publish
+    * timestamp, live file count, touched-cell count, and total data
+    * bytes. Metadata-only: O(retained versions) manifest reads on the
+    * driver, bounded by vacuum's timeline archival — never a data scan.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion()
+    val rows =
+      if (latest < 0) Seq.empty
+      else (oldestRetainedVersion(latest) to latest).map { v =>
+        val lines = manifestLines(v)
+        val op = lines.find(_.startsWith("#op="))
+          .map(l => java.net.URLDecoder.decode(l.stripPrefix("#op="), "UTF-8"))
+          .getOrElse("WRITE")
+        val files = dataLinesOf(lines)
+        val bytes = sizesOf(lines).values.sum
+        (v, op, commitTime(v), files.size.toLong,
+          readTouched(v).map(_.size.toLong).getOrElse(-1L), bytes)
+      }
+    rows.toDF("version", "operation", "timestamp_ms", "n_files", "n_touched_cells",
+      "total_bytes")
   }
 
   /** CDC-style diff between two committed versions: every row added and
@@ -1264,7 +1297,8 @@ final class AcidTable private (
         else Some((rows: Seq[org.apache.spark.sql.catalyst.InternalRow]) => rows),
       resultOf = snapT => snapT,
       sortCols = clusterBy.map(clusterSortExpr(clusterBy)),
-      forceCoarse = clusterBy.nonEmpty)
+      forceCoarse = clusterBy.nonEmpty,
+      opName = if (clusterBy.nonEmpty) "CLUSTER" else "COMPACT")
     if (clusterBy.nonEmpty && v >= 0) recordClusterStats(v, clusterBy)
     v
   }
@@ -1479,7 +1513,7 @@ final class AcidTable private (
       val baseFiles = dataLinesOf(manifestLines(base))
       val touched = (files ++ baseFiles).map(partOf).distinct.map(FileCell(_, -1))
       try {
-        publish(base + 1, files, touched, sizes)
+        publish(base + 1, files, touched, sizes, "RESTORE")
         return base + 1
       } catch {
         case _: FileAlreadyExistsException =>
@@ -1698,7 +1732,9 @@ final class AcidTable private (
       // partition-scope (bucketless) so size-rolling yields range-disjoint
       // files
       sortCols: Seq[Column] = Nil,
-      forceCoarse: Boolean = false): Long = {
+      forceCoarse: Boolean = false,
+      // audit label the publish stamps into the manifest (#op= header)
+      opName: String = "WRITE"): Long = {
     // driver fast-path eligibility for a given rewrite volume (see the
     // fast-path section): kernel available, schema safe, input bounded
     def fastEligible(bytes: Long): Boolean =
@@ -1782,7 +1818,7 @@ final class AcidTable private (
           val carriedSet = carried.toSet
           val carriedSizes = sizesOf(publishLines).view.filterKeys(carriedSet.contains).toMap
           publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
-            carriedSizes ++ newFiles)
+            carriedSizes ++ newFiles, opName)
           if (fullRedoSince > 0)
             AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - fullRedoSince)
           return publishBase + 1
@@ -2466,14 +2502,16 @@ final class AcidTable private (
       v: Long,
       files: Seq[String],
       touched: Seq[FileCell],
-      sizes: Map[String, Long] = Map.empty): Unit = {
+      sizes: Map[String, Long] = Map.empty,
+      op: String = ""): Unit = {
     val t0 = System.nanoTime()
-    try publishImpl(v, files, touched, sizes)
+    try publishImpl(v, files, touched, sizes, op)
     finally AcidTable.publishNanos.addAndGet(System.nanoTime() - t0)
   }
 
   private def publishImpl(
-      v: Long, files: Seq[String], touched: Seq[FileCell], sizes: Map[String, Long]): Unit = {
+      v: Long, files: Seq[String], touched: Seq[FileCell], sizes: Map[String, Long],
+      op: String): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val encoded = touched.map(c =>
       java.net.URLEncoder.encode(c.part, "UTF-8") +
@@ -2489,10 +2527,13 @@ final class AcidTable private (
     // same); paths are URL-encoded, so ':' and ',' cannot collide
     val sizeHeader = files.flatMap(f => sizes.get(f).map(b =>
       s"${java.net.URLEncoder.encode(f, "UTF-8")}:$b"))
+    // the operation name rides the manifest as an audit header — the
+    // timeline surface history() renders (DESCRIBE HISTORY analog)
+    val opHeader = if (op.isEmpty) Nil else Seq(s"#op=${java.net.URLEncoder.encode(op, "UTF-8")}")
     val body = (Seq(
       s"#ts=$ts",
       s"#touched=${encoded.mkString(",")}",
-      s"#sizes=${sizeHeader.mkString(",")}") ++ files).mkString("\n")
+      s"#sizes=${sizeHeader.mkString(",")}") ++ opHeader ++ files).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()

@@ -320,6 +320,49 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 commit-timeline audit surface (round 10) ----------------------------
+    // DESCRIBE HISTORY analog: every commit stamps its operation label
+    // into the manifest (#op= header) and history() renders the retained
+    // timeline — version, operation, live-file count, touched-cell count
+    // — from metadata alone (no data scan). The lifecycle here is fully
+    // deterministic (nation is the fixed 25-row TPC-H table at every SF;
+    // cells come from Murmur3 bucketing), so the oracle is the literal
+    // expected timeline: the gate pins that every operation class stamps
+    // the right label and that file/cell accounting stays exact.
+    Q(
+      "q_acid_history",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        val v0 = t.upsert(base)
+        t.update(Seq("val" -> (col("val") + 1)), col("part") === "p1")
+        t.deleteWhere(col("val") < 2)
+        t.compact(0)
+        t.restore(v0)
+        t.history()
+          .select(col("version"), col("operation"), col("n_files"),
+            col("n_touched_cells"))
+          .orderBy(col("version"))
+      },
+      Some("""
+        SELECT CAST(version AS BIGINT) AS version, operation,
+               CAST(n_files AS BIGINT) AS n_files,
+               CAST(n_touched_cells AS BIGINT) AS n_touched_cells
+        FROM (VALUES (0, 'UPSERT', 19, 19),
+                     (1, 'UPDATE', 19, 11),
+                     (2, 'DELETE', 17, 5),
+                     (3, 'COMPACT', 17, 2),
+                     (4, 'RESTORE', 19, 2))
+          AS h(version, operation, n_files, n_touched_cells)
+        ORDER BY version
+      """)),
+
     // ---- C5 full-sync MERGE: NOT MATCHED BY SOURCE (round 10) -------------------
     // The table-synchronization shape: update matched rows, insert new
     // source rows, and DELETE target rows the source no longer carries

@@ -303,4 +303,23 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
       s"stats route kept all $liveFiles files for the catalog range scan")
     spark.sql("DROP TABLE graft.cl.t")
   }
+
+  test("history() renders the op-labelled timeline and respects archival") {
+    import org.apache.spark.sql.functions.col
+    val t = newTable()
+    t.upsert(df(Record("R1", "P0", "v1")))
+    t.delete(Seq("R1"))
+    t.upsert(df(Record("R2", "P0", "v2")))
+    t.merge(df(Record("R2", "P0", "v3")), Seq("dataValue"))
+    val h = t.history().orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(h.toSeq === Seq(0L -> "UPSERT", 1L -> "DELETE", 2L -> "UPSERT", 3L -> "MERGE"))
+    // timestamps monotone, counts populated
+    val ts = t.history().orderBy("version").collect().map(_.getLong(2))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // archival trims the timeline's PREFIX and history follows
+    t.vacuum(keepVersions = 2, graceMillis = 0L)
+    val after = t.history().select(col("version")).collect().map(_.getLong(0))
+    assert(after.toSeq === Seq(2L, 3L))
+  }
 }
