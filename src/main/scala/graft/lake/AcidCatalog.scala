@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.internal.SQLConf
@@ -296,6 +296,21 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
   private var required: StructType = acid.schema
   private var pushed: Array[Filter] = Array.empty
 
+  /** Pure PK equality/IN among the pushed conjuncts (the point-lookup
+    * route), gated on `keyCastSupported` exactly like the scan itself. */
+  private def pushedPkKeys: Option[Seq[String]] =
+    if (!acid.keyCastSupported) None
+    else pushed.collectFirst {
+      case sources.In(a, vs) if a == acid.pkCol => vs.toSeq.map(String.valueOf)
+      case sources.EqualTo(a, v) if a == acid.pkCol && v != null => Seq(String.valueOf(v))
+    }
+
+  private def pushedPartHint: Option[Seq[String]] = pushed.collectFirst {
+    case sources.In(a, vs) if a == acid.partitionCol => vs.toSeq.map(String.valueOf)
+    case sources.EqualTo(a, v) if a == acid.partitionCol && v != null =>
+      Seq(String.valueOf(v))
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (e.g. count(*)) still needs one column to scan
     required = if (requiredSchema.fields.isEmpty) StructType(acid.schema.take(1))
@@ -310,8 +325,30 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan with SupportsReportStatistics {
     override def readSchema(): StructType = required
+
+    /** Manifest-driven size estimate for Catalyst's join planning: the
+      * PRUNED file list's bytes from the `#sizes=` commit header — so a
+      * dimension-sized ACID table (or a point-lookup/range-pruned slice of
+      * a huge one) auto-broadcasts in SQL joins with no hint, while an
+      * unpruned 100 TB scan reports its true size and never does. Without
+      * this, DSv2 falls back to `defaultSizeInBytes` (Long.MaxValue) and
+      * every join over the catalog degrades to sort-merge. Metadata-only:
+      * one manifest read, no file listing, no Spark job at plan time.
+      */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+      val v = version.getOrElse(acid.latestVersion())
+      val files = pushedPkKeys match {
+        case Some(ks) => acid.lookupFiles(ks, pushedPartHint, v)
+        case None => acid.rangePrunedFiles(AcidScanBuilder.rangeBounds(pushed), v)
+      }
+      val bytes = acid.filesBytes(files, v)
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
@@ -335,17 +372,8 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
           // path — for any other type (DATE/TIMESTAMP/DECIMAL/…) the
           // String.valueOf rendering of the literal is not guaranteed to
           // round-trip, so those reads keep the full snapshot+filter plan
-          val pkKeys = if (!acid.keyCastSupported) None else pushed.collectFirst {
-            case sources.In(a, vs) if a == acid.pkCol => vs.toSeq.map(String.valueOf)
-            case sources.EqualTo(a, v) if a == acid.pkCol && v != null => Seq(String.valueOf(v))
-          }
-          val partHint = pushed.collectFirst {
-            case sources.In(a, vs) if a == acid.partitionCol => vs.toSeq.map(String.valueOf)
-            case sources.EqualTo(a, v) if a == acid.partitionCol && v != null =>
-              Seq(String.valueOf(v))
-          }
-          val base = pkKeys match {
-            case Some(ks) => acid.lookup(ks, partHint, version.getOrElse(-1L))
+          val base = pushedPkKeys match {
+            case Some(ks) => acid.lookup(ks, pushedPartHint, version.getOrElse(-1L))
             case None =>
               // clustered-range route (round 10): integral range conjuncts
               // among the pushed filters prune the file list through the

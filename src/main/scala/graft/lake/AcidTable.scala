@@ -1203,6 +1203,27 @@ final class AcidTable private (
       "total_bytes")
   }
 
+  /** Bytes the given manifest files occupy, from the manifest's `#sizes=`
+    * header alone (one stat fallback per pre-header file, counted like the
+    * write-sizing fallback). The planner-statistics surface: scan size
+    * estimates come from commit metadata, never from listing or footer-
+    * probing a 100 TB table's object store.
+    */
+  private[lake] def filesBytes(files: Seq[String], version: Long): Long = {
+    val sizes = if (version >= 0) readSizes(version) else Map.empty[String, Long]
+    files.iterator.map(f => sizes.getOrElse(f, {
+      AcidTable.sizeStatFallbacks.incrementAndGet()
+      dataRoot.resolve(f).toFile.length()
+    })).sum
+  }
+
+  /** Total live bytes of the pinned (default latest) snapshot, from
+    * manifest metadata alone. */
+  def liveBytes(version: Long = -1L): Long = {
+    val v = if (version >= 0) version else latestVersion()
+    if (v < 0) 0L else filesBytes(readManifest(v), v)
+  }
+
   /** CDC-style diff between two committed versions: every row added and
     * every row removed (an update appears as remove+insert of the two row
     * images). Consumers use this for incremental downstream processing

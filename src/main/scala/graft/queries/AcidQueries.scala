@@ -728,6 +728,47 @@ object AcidQueries {
                  CAST(0 AS BIGINT) AS seq, o_totalprice AS val
           FROM orders WHERE o_orderkey BETWEEN 200 AND 210)
         SELECT pk, part, seq, val FROM merged ORDER BY pk
+      """)),
+
+    // ---- C5 manifest statistics drive join planning (round 10) ------------------
+    // The DSv2 scan reports its PRUNED size from the manifest's #sizes=
+    // header (SupportsReportStatistics), so a dimension-sized ACID table
+    // auto-broadcasts in a SQL join with NO hint — without the stats, DSv2
+    // falls back to defaultSizeInBytes (Long.MaxValue) and every join over
+    // the catalog becomes a sort-merge. The broadcast itself is asserted
+    // in PlanAssertionsSpec; this gate pins the VALUES of the stats-planned
+    // join against DuckDB.
+    Q(
+      "q_sql_acid_stats_join",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.lake.GraftCatalog].getName)
+        s.conf.set("spark.sql.graft.warehouse", scratch())
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+        s.sql("""CREATE TABLE graft.stats.dim (pk STRING, part STRING, nation_name STRING)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+        Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_name").as("nation_name"))
+          .createOrReplaceTempView("stats_dim_src")
+        s.sql("INSERT INTO graft.stats.dim SELECT * FROM stats_dim_src")
+        Tables.customer(s, dir).createOrReplaceTempView("stats_fact_cust")
+        s.sql("""SELECT d.nation_name,
+                |       COUNT(*) AS n_cust,
+                |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+                |FROM stats_fact_cust c
+                |JOIN graft.stats.dim d ON CAST(c.c_nationkey AS STRING) = d.pk
+                |GROUP BY d.nation_name
+                |ORDER BY d.nation_name""".stripMargin)
+      },
+      Some("""
+        SELECT n.n_name AS nation_name,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1
       """))
   )
 }

@@ -54,7 +54,15 @@ object GraftFunctions {
     // MERGE INTO over GraftCatalog tables (SURVEY M6) — must run during
     // resolution, before Spark's row-level-operation rewrite rejects the
     // v1-write table
-    ext.injectResolutionRule(session => graft.lake.AcidMergeRule(session))
+    // manifest-driven scan statistics across the V1Scan bridge (round 10):
+    // the swap must run AFTER "Early Filter and Projection Push-Down" (the
+    // pre-CBO batch precedes it in Spark 4.1), so it rides the session's
+    // extraOptimizations ("User Provided Optimizers", post-pushdown,
+    // pre-planning) — installed from the same per-session factory hook
+    ext.injectResolutionRule { session =>
+      AcidScanStatsRule.install(session)
+      graft.lake.AcidMergeRule(session)
+    }
   }
 }
 

@@ -311,6 +311,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"shortlist/rerank ranks lost their WindowGroupLimit push-down:\n$p")
   }
 
+  test("ACID catalog join broadcasts the dim side from manifest statistics, no hint") {
+    // the DSv2 scan reports its pruned manifest bytes via
+    // SupportsReportStatistics; without it every catalog relation
+    // estimates at defaultSizeInBytes (Long.MaxValue) and this join
+    // degrades to sort-merge — the silent 100×-at-scale regression this
+    // gate exists to catch (exact estimate values are pinned in
+    // GraftCatalogSpec)
+    val p = plan("q_sql_acid_stats_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"catalog dim join did not broadcast from manifest stats:\n$p")
+  }
+
   test("ANN shortlist ranks all run as pushed-down WindowGroupLimit bounded heaps") {
     // every shortlist formulation ranks with row_number().over(query
     // window) + a rank filter; Spark rewrites that to WindowGroupLimit

@@ -247,6 +247,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM graft.db2.t").collect().head.getDouble(0) == 1.0)
   }
 
+  test("scan statistics come from the manifest: pruned sizes reach the planner") {
+    val wh = freshCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.st")
+    spark.sql("""CREATE TABLE graft.st.d (pk STRING, part STRING, v DOUBLE)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    (0 until 64).map(i => (s"k$i", s"p${i % 2}", i.toDouble))
+      .toDF("pk", "part", "v").createOrReplaceTempView("st_src")
+    spark.sql("INSERT INTO graft.st.d SELECT * FROM st_src")
+    val acid = AcidTable.open(spark, s"$wh/st/d")
+    val total = acid.liveBytes()
+    assert(total > 0)
+
+    def scanSize(sql: String): BigInt =
+      spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.sizeInBytes
+      }.head
+
+    // full scan: the estimate is the manifest's live bytes, not DSv2's
+    // defaultSizeInBytes fallback (Long.MaxValue = never broadcastable)
+    assert(scanSize("SELECT * FROM graft.st.d") == BigInt(total))
+    // pk-filtered scan: the estimate shrinks to the pruned buckets' bytes
+    val pruned = scanSize("SELECT * FROM graft.st.d WHERE pk = 'k7'")
+    assert(pruned > 0 && pruned < BigInt(total),
+      s"pk-pruned estimate $pruned should be a strict subset of $total")
+    // end-to-end: the dimension-sized table auto-broadcasts with NO hint
+    spark.range(0, 10000).selectExpr("concat('k', id % 64) AS fk", "id AS x")
+      .createOrReplaceTempView("st_fact")
+    val joined = spark.sql(
+      "SELECT d.pk, count(*) AS n FROM st_fact f JOIN graft.st.d d ON f.fk = d.pk GROUP BY d.pk")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"manifest stats did not drive a broadcast:\n$plan")
+    spark.sql("DROP TABLE graft.st.d")
+  }
+
   test("UPDATE SET evaluates all assignments against the old row (swap works)") {
     freshCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
