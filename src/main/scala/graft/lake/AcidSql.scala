@@ -272,9 +272,27 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
   def table(name: String): AcidTable =
     tables.getOrElse(name, throw new IllegalArgumentException(s"unknown table $name"))
 
+  // `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` — Delta's
+  // clone statement is not in Spark's grammar, so this one shape is
+  // recognized textually before the parser (same trade-off as Delta's own
+  // pre-DSv2 SQL front-end)
+  private val CloneStmt =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+
   /** Execute one DDL or DML statement; DDL returns 0, DML the committed
     * version. */
-  def execute(sql: String): Long = PlanShim.parse(spark, sql) match {
+  def execute(sql: String): Long = sql match {
+    case CloneStmt(dst, src, ver) =>
+      val srcT = table(src)
+      val clone = srcT.cloneTo(
+        (warehouseDir +: dst.split('.').toSeq).mkString("/"),
+        Option(ver).map(_.toLong).getOrElse(-1L))
+      register(dst.split('.').toSeq, clone)
+      0L
+    case _ => executeParsed(sql)
+  }
+
+  private def executeParsed(sql: String): Long = PlanShim.parse(spark, sql) match {
     case _: CreateNamespace => 0L // schemas are directories under the warehouse
 
     case ct: CreateTable =>

@@ -1548,6 +1548,57 @@ final class AcidTable private (
     -1L // unreachable
   }
 
+  /** Zero-copy snapshot clone — the SHALLOW CLONE surface (Delta's
+    * `CREATE TABLE … SHALLOW CLONE src [VERSION AS OF n]`). The clone is a
+    * fully independent [[AcidTable]] whose v0 manifest references the
+    * pinned snapshot's data bytes WITHOUT copying them: every live file is
+    * hard-linked into the clone's data root (the local-FS form of a
+    * by-reference manifest — on an object store the same design records
+    * absolute URIs; either way the clone costs O(files) metadata, not
+    * O(bytes) data, which is what makes dev/test forks of a 100 TB table
+    * instant). Divergence is free in both directions: writes to the clone
+    * produce new files under the clone's root and never touch the source;
+    * vacuum on either side unlinks only its own directory entries, and the
+    * shared inodes survive until BOTH sides stop referencing them (link
+    * count — the storage layer's reference count). The dropped-column
+    * ledger and cluster statistics travel with the clone: the purge
+    * obligation follows the bytes, and file-skipping keeps working on the
+    * cloned layout. The `#sizes=` header is carried over verbatim, so the
+    * clone's scans and commit sizing stat nothing.
+    */
+  def cloneTo(destPath: String, version: Long = -1L): AcidTable = {
+    val v = if (version >= 0) version else latestVersion()
+    AcidTable.create(spark, destPath, schema, pkCol, partitionCol, precombineCol,
+      stablePartitions = stablePartitions, numBuckets = numBuckets)
+    if (droppedCols.nonEmpty)
+      AcidTable.writeMeta(destPath, schema, pkCol, partitionCol, precombineCol,
+        stablePartitions, numBuckets, droppedCols)
+    val dest = AcidTable.open(spark, destPath)
+    if (v < 0) return dest // empty source → empty clone
+    val lines = manifestLines(v)
+    val files = dataLinesOf(lines)
+    val destData = Paths.get(destPath, DataDir)
+    files.foreach { f =>
+      val src = dataRoot.resolve(f)
+      val dst = destData.resolve(f)
+      Files.createDirectories(dst.getParent)
+      // hard link = zero-copy shared inode; cross-filesystem clones (no
+      // link support) degrade to a copy rather than failing
+      try Files.createLink(dst, src)
+      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst); ()
+      }
+    }
+    if (Files.exists(clusterStatsPath))
+      Files.copy(clusterStatsPath, Paths.get(destPath, ClusterStatsFile))
+    val touched = files.map(f =>
+      FileCell(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol=")), -1))
+      .distinct
+    dest.publish(0L, files, touched, sizesOf(lines), "CLONE")
+    dest
+  }
+
   // ------------------------------------------------------------ internals --
 
   private def normalize(df: DataFrame): DataFrame = {

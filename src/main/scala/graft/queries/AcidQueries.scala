@@ -769,6 +769,59 @@ object AcidQueries {
                CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---- C5 zero-copy SHALLOW CLONE (round 10) ----------------------------------
+    // cloneTo hard-links the pinned snapshot's files into an independent
+    // table (O(files) metadata, no data copied); both sides then diverge:
+    // the clone deletes + upserts, the SOURCE deletes different rows
+    // AFTER the clone was taken. The result is both final snapshots side
+    // by side; the oracle replays the fork — identical prefix lineage,
+    // independent suffixes. Zero-copy itself (shared inodes, vacuum
+    // independence) is pinned in CloneSpec.
+    Q(
+      "q_acid_clone",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t.upsert(base)
+        t.upsert(base.filter(col("pk").cast("long") % 5 === 0)
+          .withColumn("val", col("val") + 10))
+        val c = t.cloneTo(scratch())
+        c.delete(Seq("1", "2"))
+        c.upsert(base.filter(col("pk").cast("long") % 3 === 0)
+          .withColumn("val", lit(0.0)))
+        t.deleteWhere(col("pk").cast("long") % 7 === 0)
+        c.snapshot().withColumn("side", lit("clone"))
+          .unionByName(t.snapshot().withColumn("side", lit("source")))
+          .orderBy(col("side"), col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation),
+        v1 AS (
+          SELECT pk, part,
+                 CASE WHEN CAST(pk AS BIGINT) % 5 = 0 THEN val + 10 ELSE val END AS val
+          FROM base),
+        clone_final AS (
+          SELECT pk, part,
+                 CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN 0.0 ELSE val END AS val
+          FROM v1 WHERE pk NOT IN ('1', '2')),
+        source_final AS (
+          SELECT pk, part, val FROM v1 WHERE CAST(pk AS BIGINT) % 7 <> 0)
+        SELECT pk, part, val, 'clone' AS side FROM clone_final
+        UNION ALL
+        SELECT pk, part, val, 'source' AS side FROM source_final
+        ORDER BY side, pk
       """))
   )
 }
