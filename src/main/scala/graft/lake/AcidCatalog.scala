@@ -49,6 +49,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  // enables ALTER TABLE … ADD/DROP CONSTRAINT routing (Spark 4.1 DSv2
+  // constraints framework)
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
 
   private def warehouse: String =
@@ -132,6 +138,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(d.fieldNames.length == 1,
             s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
           acid.dropColumns(Seq(d.fieldNames.head))
+        case a: TableChange.AddConstraint =>
+          a.constraint() match {
+            case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              acid.addConstraint(chk.name(), chk.predicateSql())
+            case other =>
+              throw new UnsupportedOperationException(
+                s"only CHECK constraints are supported, got: $other")
+          }
+        case d: TableChange.DropConstraint =>
+          if (d.ifExists() && !acid.checkConstraints.exists(_._1.equalsIgnoreCase(d.name())))
+            acid
+          else acid.dropConstraint(d.name())
         case other =>
           throw new UnsupportedOperationException(s"unsupported table change: $other")
       }
@@ -209,6 +227,13 @@ final class AcidV2Table(
     ident.toString + version.map(v => s"@v$v").getOrElse("")
 
   override def schema(): StructType = acid.schema
+
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    acid.checkConstraints.map { case (n, sqlE) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sqlE).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

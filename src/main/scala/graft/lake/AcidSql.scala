@@ -278,6 +278,13 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
   // pre-DSv2 SQL front-end)
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  // Delta's constraint DDL shapes, handled textually like CloneStmt (the
+  // predicate text goes to AcidTable.addConstraint verbatim; validation
+  // and determinism checks happen there)
+  private val AddConstraintStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   /** Execute one DDL or DML statement; DDL returns 0, DML the committed
     * version. */
@@ -288,6 +295,12 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
         (warehouseDir +: dst.split('.').toSeq).mkString("/"),
         Option(ver).map(_.toLong).getOrElse(-1L))
       register(dst.split('.').toSeq, clone)
+      0L
+    case AddConstraintStmt(tn, cn, pred) =>
+      register(tn.split('.').toSeq, table(tn).addConstraint(cn, pred))
+      0L
+    case DropConstraintStmt(tn, cn) =>
+      register(tn.split('.').toSeq, table(tn).dropConstraint(cn))
       0L
     case _ => executeParsed(sql)
   }

@@ -68,7 +68,16 @@ final class AcidTable private (
       * instead of surfacing NULL (round-9 ADVICE: the GDPR-purge story
       * must not silently un-delete data).
       */
-    val droppedCols: Seq[String] = Nil) {
+    val droppedCols: Seq[String] = Nil,
+    /** CHECK constraints as (name, predicate SQL), in declaration order.
+      * SQL CHECK semantics: a row violates only when the predicate
+      * evaluates FALSE (NULL passes). Enforced on EVERY write path — the
+      * distributed writer evaluates them inline (no extra job), the
+      * driver fast path through compiled interpreted predicates (no
+      * Spark job) — and validated against the existing snapshot when
+      * added. See [[addConstraint]].
+      */
+    val checkConstraints: Seq[(String, String)] = Nil) {
 
   import AcidTable._
 
@@ -1128,7 +1137,7 @@ final class AcidTable private (
     }
     val evolved = StructType(schema.fields ++ newFields.map(_.copy(nullable = true)))
     AcidTable.writeMeta(path, evolved, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, droppedCols)
+      numBuckets, droppedCols, checkConstraints)
     AcidTable.open(spark, path)
   }
 
@@ -1152,8 +1161,17 @@ final class AcidTable private (
     val next = StructType(schema.fields.filterNot(f => names.contains(f.name)))
     // record the names in the meta ledger: re-adding one is blocked until
     // a physical purge rewrites every live file (see addColumns)
+    // a constraint referencing a dropped column would fail every later
+    // write's analysis — reject the drop while one depends on the name
+    names.foreach { n =>
+      checkConstraints.foreach { case (cn, ce) =>
+        require(!referencedCols(ce).contains(n.toLowerCase),
+          s"cannot drop column '$n': CHECK constraint '$cn' references it " +
+            s"(DROP CONSTRAINT $cn first)")
+      }
+    }
     AcidTable.writeMeta(path, next, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, (droppedCols ++ names).distinct)
+      numBuckets, (droppedCols ++ names).distinct, checkConstraints)
     AcidTable.open(spark, path)
   }
 
@@ -1173,9 +1191,69 @@ final class AcidTable private (
   def purgeDroppedColumns(): AcidTable = {
     if (droppedCols.nonEmpty) compact(0)
     AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, Nil)
+      numBuckets, Nil, checkConstraints)
     AcidTable.open(spark, path)
   }
+
+  /** Add a CHECK constraint (Delta's `ALTER TABLE … ADD CONSTRAINT name
+    * CHECK (expr)` semantics): the predicate must be deterministic and
+    * subquery-free, every EXISTING row must satisfy it (one validation
+    * scan — rows where it evaluates FALSE; NULL passes, per SQL CHECK),
+    * and every subsequent write on any path fails loudly if a written row
+    * violates it. Enforcement is inline: the distributed writer evaluates
+    * the predicate inside the write projection (zero extra jobs per
+    * commit), the driver fast path through compiled interpreted row
+    * predicates (zero Spark jobs) — a constraint costs nothing but the
+    * predicate's evaluation over rows that were being written anyway.
+    */
+  def addConstraint(name: String, predicateSql: String): AcidTable = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be alphanumeric: '$name'")
+    require(!checkConstraints.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint '$name' already exists")
+    val c = expr(predicateSql)
+    requireDeterministicCondition(c, s"ADD CONSTRAINT $name CHECK")
+    val violations = snapshot().filter(!coalesce(c, lit(true))).limit(1).count()
+    require(violations == 0,
+      s"cannot add CHECK constraint '$name': existing rows violate ($predicateSql)")
+    AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
+      numBuckets, droppedCols, checkConstraints :+ (name -> predicateSql))
+    AcidTable.open(spark, path)
+  }
+
+  def dropConstraint(name: String): AcidTable = {
+    require(checkConstraints.exists(_._1.equalsIgnoreCase(name)),
+      s"no CHECK constraint named '$name'")
+    AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
+      numBuckets, droppedCols, checkConstraints.filterNot(_._1.equalsIgnoreCase(name)))
+    AcidTable.open(spark, path)
+  }
+
+  /** Lower-cased column names a constraint predicate references (parsed,
+    * unresolved — used to keep DROP COLUMN from orphaning a constraint). */
+  private def referencedCols(predicateSql: String): Set[String] =
+    // parse straight to the catalyst AST (functions.expr wraps the text in
+    // a lazily-parsed column node that a tree collect would see as opaque)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parseExpression(predicateSql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last.toLowerCase
+      }.toSet
+
+  /** Interpreted CHECK predicates for the driver fast path (NULL passes —
+    * coalesced to true). None when any constraint can't compile to a row
+    * kernel; the fast path is then ineligible and the distributed writer's
+    * inline guard stays authoritative — enforcement is never skipped.
+    */
+  private lazy val constraintGuards
+      : Option[Seq[(String, org.apache.spark.sql.catalyst.InternalRow => Boolean)]] =
+    if (checkConstraints.isEmpty) Some(Nil)
+    else {
+      val gs = checkConstraints.map { case (n, sqlE) =>
+        driverPredicate(coalesce(expr(sqlE), lit(true))).map(n -> _)
+      }
+      if (gs.forall(_.isDefined)) Some(gs.flatten) else None
+    }
 
   /** Commit timeline (the `DESCRIBE HISTORY` / Hudi-timeline surface):
     * one row per RETAINED version — version, operation label (the `#op=`
@@ -1570,9 +1648,9 @@ final class AcidTable private (
     val v = if (version >= 0) version else latestVersion()
     AcidTable.create(spark, destPath, schema, pkCol, partitionCol, precombineCol,
       stablePartitions = stablePartitions, numBuckets = numBuckets)
-    if (droppedCols.nonEmpty)
+    if (droppedCols.nonEmpty || checkConstraints.nonEmpty)
       AcidTable.writeMeta(destPath, schema, pkCol, partitionCol, precombineCol,
-        stablePartitions, numBuckets, droppedCols)
+        stablePartitions, numBuckets, droppedCols, checkConstraints)
     val dest = AcidTable.open(spark, destPath)
     if (v < 0) return dest // empty source → empty clone
     val lines = manifestLines(v)
@@ -1811,7 +1889,10 @@ final class AcidTable private (
     // fast-path section): kernel available, schema safe, input bounded
     def fastEligible(bytes: Long): Boolean =
       localResultOf.isDefined && fastSchemaOk && AcidTable.localCommitEnabled &&
-        bytes <= AcidTable.FastPathMaxBytes
+        bytes <= AcidTable.FastPathMaxBytes &&
+        // a constraint the row kernel can't compile forces the distributed
+        // path, where the inline raise_error guard enforces it
+        constraintGuards.isDefined
     var attempt = 0
     // full-redo retry clock: set when a lost race forces the OUTER loop to
     // recompute everything; closed (and charged to conflictRedoNanos) at
@@ -2172,11 +2253,27 @@ final class AcidTable private (
     // size-rolled files with no bucket prefix. Everything else keeps the
     // per-bucket file-group layout. (Comparison is on the STRING partition
     // value, the same rendering FileCell.part carries.)
+    // CHECK enforcement, distributed path: the constraint predicates ride
+    // the write projection itself — wrapped around the PK column, whose
+    // value they leave untouched when satisfied — so a violating row
+    // fails its write task (and with it the commit) with the constraint's
+    // name and key, at ZERO extra jobs and zero extra columns. NULL
+    // passes (SQL CHECK three-valued semantics).
+    val checked =
+      if (checkConstraints.isEmpty) result
+      else {
+        val guard = checkConstraints.foldRight(col(pkCol)) { case ((n, sqlE), acc) =>
+          when(not(coalesce(expr(sqlE), lit(true))),
+            raise_error(concat(lit(s"CHECK constraint '$n' violated by row $pkCol="),
+              coalesce(col(pkCol).cast("string"), lit("NULL"))))).otherwise(acc)
+        }
+        result.withColumn(pkCol, guard)
+      }
     val bucketCol =
       if (coarseParts.isEmpty) bucketExpr
       else when(col(partitionCol).cast("string").isin(coarseParts.toSeq: _*), lit(-1))
         .otherwise(bucketExpr)
-    val withBucket = result.withColumn(BucketDir, bucketCol)
+    val withBucket = checked.withColumn(BucketDir, bucketCol)
     val shaped =
       if (inBytes < targetFileBytes) withBucket.coalesce(1)
       else withBucket.repartition(math.max(touched.size, 1),
@@ -2363,6 +2460,18 @@ final class AcidTable private (
       touched: Seq[FileCell],
       coarseParts: Set[String]): Seq[(String, Long)] = {
     if (touched.isEmpty) return Nil
+    // CHECK enforcement, driver fast path: the compiled interpreted
+    // predicates over the rows being written — zero Spark jobs, loud
+    // failure. `.get` is safe AND deliberate: fastEligible gates on
+    // constraintGuards.isDefined, and if that invariant ever breaks this
+    // must fail, not skip enforcement.
+    constraintGuards.get.foreach { case (n, ok) =>
+      rows.foreach { r =>
+        if (!ok(r)) throw new IllegalStateException(
+          s"CHECK constraint '$n' violated by row $pkCol=" +
+            String.valueOf(r.get(pkFieldIdx, schema(pkFieldIdx).dataType)))
+      }
+    }
     val t0 = System.nanoTime()
     val commitId = UUID.randomUUID().toString
     val groups = scala.collection.mutable.LinkedHashMap
@@ -2815,7 +2924,8 @@ object AcidTable {
       precombineCol: Option[String],
       stablePartitions: Boolean,
       numBuckets: Int = 16,
-      droppedCols: Seq[String] = Nil): Unit = {
+      droppedCols: Seq[String] = Nil,
+      constraints: Seq[(String, String)] = Nil): Unit = {
     val props = new java.util.Properties()
     props.setProperty("schemaDdl", schema.toDDL)
     props.setProperty("pkCol", pkCol)
@@ -2830,6 +2940,14 @@ object AcidTable {
     if (droppedCols.nonEmpty)
       props.setProperty("droppedCols",
         droppedCols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
+    // CHECK constraints (URL-encoded `name:exprSql` pairs, comma-joined,
+    // declaration order preserved)
+    if (constraints.nonEmpty)
+      props.setProperty("checkConstraints",
+        constraints.map { case (n, e) =>
+          java.net.URLEncoder.encode(n, "UTF-8") + ":" +
+            java.net.URLEncoder.encode(e, "UTF-8")
+        }.mkString(","))
     val tmp = Paths.get(path, s".meta-tmp-${UUID.randomUUID()}")
     val out = Files.newOutputStream(tmp)
     try props.store(out, "graft AcidTable metadata") finally out.close()
@@ -2852,7 +2970,13 @@ object AcidTable {
       "true" == props.getProperty("stablePartitions"),
       Option(props.getProperty("numBuckets")).map(_.toInt).getOrElse(16),
       Option(props.getProperty("droppedCols")).map(_.split(',').toSeq
-        .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8"))).getOrElse(Nil))
+        .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8"))).getOrElse(Nil),
+      Option(props.getProperty("checkConstraints")).map(_.split(',').toSeq
+        .filter(_.nonEmpty).map { ent =>
+          val i = ent.indexOf(':')
+          (java.net.URLDecoder.decode(ent.substring(0, i), "UTF-8"),
+            java.net.URLDecoder.decode(ent.substring(i + 1), "UTF-8"))
+        }).getOrElse(Nil))
   }
 
   private def deleteRecursively(f: File): Unit = {

@@ -822,6 +822,45 @@ object AcidQueries {
         UNION ALL
         SELECT pk, part, val, 'source' AS side FROM source_final
         ORDER BY side, pk
+      """)),
+
+    // ---- C5 CHECK constraints (round 10) ----------------------------------------
+    // ALTER TABLE ADD CONSTRAINT … CHECK: validated against existing rows
+    // at add time, enforced inline on every write path afterwards. The
+    // lifecycle commits a valid base, adds the constraint, PROVES a
+    // violating commit is rejected without publishing (the oracle never
+    // sees it), then lands a valid update. Front-end coverage and the
+    // fast-path/distributed enforcement split live in ConstraintSpec.
+    Q(
+      "q_acid_constraints",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t0 = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t0.upsert(base)
+        val t = t0.addConstraint("val_bound", "val >= 0.0 AND val < 100.0")
+        val rejected = scala.util.Try(
+          t.upsert(base.filter(col("pk").cast("long") % 2 === 0)
+            .withColumn("val", lit(-1.0)))).isFailure
+        require(rejected, "violating commit must fail")
+        t.upsert(base.filter(col("pk").cast("long") % 3 === 0)
+          .withColumn("val", col("val") + 50))
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN val + 50 ELSE val END AS val
+        FROM base ORDER BY pk
       """))
   )
 }
