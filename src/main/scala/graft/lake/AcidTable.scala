@@ -400,7 +400,11 @@ final class AcidTable private (
     * otherwise matched PKs may live in partitions outside the batch and
     * discovery must consult the snapshot.
     */
-  def upsert(batch: DataFrame, partitionsHint: Option[Seq[String]] = None): Long = {
+  def upsert(batch: DataFrame, partitionsHint: Option[Seq[String]] = None): Long =
+    upsertOp(batch, partitionsHint, "UPSERT")
+
+  private[lake] def upsertOp(
+      batch: DataFrame, partitionsHint: Option[Seq[String]], opName: String): Long = {
     val n = normalize(batch)
     val b = precombine(n)
     val hint = checkedHint(partitionsHint)
@@ -434,7 +438,44 @@ final class AcidTable private (
       // are metadata-scale
       outputBounded = bLocal.isDefined || isMetadataScale(b),
       localResultOf = localKernel,
-      opName = "UPSERT")
+      opName = opName)
+  }
+
+  /** Transactionally idempotent streaming upsert — the Delta
+    * `txnAppId`/`txnVersion` design: the (stream, batch) identity rides
+    * the commit manifest's `#op=` header, so the dedup record and the
+    * data commit are ONE atomic publish. A restarted query that replays
+    * batches at or below the recorded high-water mark is skipped entirely
+    * (no re-commit, no duplicate work), which upgrades Structured
+    * Streaming's at-least-once replay into exactly-once table state even
+    * when the writer crashed between commit and checkpoint. Recovery
+    * reads only retained manifests newest-first (metadata-scale, bounded
+    * by vacuum's archival — a stream that has been down longer than the
+    * retention window re-commits idempotently by key, the same fallback
+    * Delta documents).
+    */
+  def streamUpsert(batch: DataFrame, streamId: String, batchId: Long): Long = {
+    val last = lastStreamBatch(streamId)
+    if (batchId <= last) return latestVersion()
+    upsertOp(batch, None,
+      s"STREAM:${java.net.URLEncoder.encode(streamId, "UTF-8")}:$batchId")
+  }
+
+  /** Highest committed batch id for `streamId` among retained manifests,
+    * -1 when none. */
+  def lastStreamBatch(streamId: String): Long = {
+    val latest = latestVersion()
+    if (latest < 0) return -1L
+    val prefix = s"STREAM:${java.net.URLEncoder.encode(streamId, "UTF-8")}:"
+    (latest to oldestRetainedVersion(latest) by -1).iterator
+      .flatMap { v =>
+        scala.util.Try(manifestLines(v)).toOption.toSeq.flatMap(
+          _.find(_.startsWith("#op=")).toSeq
+            .map(l => java.net.URLDecoder.decode(l.stripPrefix("#op="), "UTF-8"))
+            .filter(_.startsWith(prefix))
+            .flatMap(op => scala.util.Try(op.stripPrefix(prefix).toLong).toOption))
+      }
+      .nextOption().getOrElse(-1L)
   }
 
   /** Whether `df` reduces to a small driver-side LocalRelation — the

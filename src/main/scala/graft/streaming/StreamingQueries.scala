@@ -323,6 +323,67 @@ object StreamingQueries {
         ORDER BY _commit_version, _change_type, doc_id
       """)),
 
+    // ---- C5 native streaming SINK with exactly-once batch ledger (round 10) -----
+    // The write side as a first-class format: the same chunked-events
+    // replay as q_acid_stream_ingest, but through
+    // writeStream.format("graft-acid") — one transactional upsert per
+    // micro-batch with the (stream, batch) identity stamped INTO the
+    // commit manifest (Delta txnAppId/txnVersion). The stream then runs a
+    // SECOND time from the same checkpoint: nothing may re-commit, so a
+    // green row additionally pins restart idempotence at the value level
+    // (version-level skipping is pinned in AcidStreamSinkSpec).
+    Q(
+      "q_acid_stream_sink",
+      (s, dir) => {
+        val src = chunkedEventsDir(s, dir)
+        val schema = s.read.parquet(src).schema
+        val t = graft.lake.AcidTable.create(s,
+          Files.createTempDirectory("acid-sink-").resolve("t").toString,
+          schema, pkCol = "event_id", partitionCol = "event_type",
+          precombineCol = Some("ts"), stablePartitions = true)
+        val ckpt = Files.createTempDirectory("acid-sink-ckpt-").toString
+        def runOnce(): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .writeStream.format("graft-acid")
+            .option("path", t.path)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce()
+        val vOnce = t.latestVersion()
+        runOnce() // restart from the same checkpoint: no new commits
+        require(t.latestVersion() == vOnce,
+          "checkpoint restart re-committed a replayed batch")
+        t.snapshot()
+          .select(col("event_id"), expr("unix_micros(ts)").as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+                 row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
+                 count(*) OVER () AS n
+          FROM events),
+        chunked AS (
+          SELECT *, CASE WHEN rn <= n // 4 THEN 0
+                         WHEN rn <= (2 * n) // 4 THEN 1
+                         WHEN rn <= (3 * n) // 4 THEN 2
+                         ELSE 3 END AS chunk
+          FROM ev),
+        picked AS (
+          SELECT event_id, ts_us, user_id, event_type, value, props,
+                 row_number() OVER (PARTITION BY event_id
+                   ORDER BY chunk DESC, ts_us DESC, user_id DESC,
+                            event_type DESC, value DESC, props DESC) AS pick
+          FROM chunked)
+        SELECT event_id, ts_us, user_id, event_type, value, props
+        FROM picked WHERE pick = 1 ORDER BY event_id
+      """)),
+
     // ---- C37 tumbling window aggregation with watermark -------------------------
     Q(
       "q_stream_tumbling",
