@@ -384,6 +384,62 @@ object StreamingQueries {
         FROM picked WHERE pick = 1 ORDER BY event_id
       """)),
 
+    // ---- C5 live table-to-table pipeline: CDC source → transform → ACID sink ----
+    // The full lakehouse loop with NO foreachBatch glue: table A's change
+    // feed streams version-by-version (maxVersionsPerBatch=1) through a
+    // derived-column transform into table B via the graft-acid sink, each
+    // micro-batch an exactly-once transactional upsert. Lifecycle is
+    // inserts + revisions (the derived-table pattern; takedown deletes
+    // need a merge-with-delete consumer, which is the batch CDC path).
+    // The oracle computes B's final derived state straight from the
+    // documents table.
+    Q(
+      "q_acid_pipeline_live",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, StringType => SStr, StructField, StructType}
+        val aSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", SStr),
+          StructField("text", SStr)))
+        val a = graft.lake.AcidTable.create(s,
+          Files.createTempDirectory("pipe-a-").resolve("t").toString,
+          aSchema, "doc_id", "lang", stablePartitions = true)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        a.upsert(docs.filter(col("doc_id") % 7 =!= 3))
+        a.upsert(docs.filter(col("doc_id") % 7 === 3 || col("doc_id") % 11 === 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 3, concat(col("text"), lit(" delta")))
+              .otherwise(concat(col("text"), lit(" rev2")))))
+        val bSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", SStr),
+          StructField("text_len", LongType)))
+        val b = graft.lake.AcidTable.create(s,
+          Files.createTempDirectory("pipe-b-").resolve("t").toString,
+          bSchema, "doc_id", "lang", stablePartitions = true)
+        val q = graft.lake.AcidCdc.readStream(s, a.path, maxVersionsPerBatch = Some(1L))
+          .filter(col("_change_type") === "insert")
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("text_len"))
+          .writeStream.format("graft-acid")
+          .option("path", b.path)
+          .option("checkpointLocation",
+            Files.createTempDirectory("pipe-ckpt-").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        b.snapshot().orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, text FROM documents),
+        final AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 7 = 3 THEN text || ' delta'
+                      WHEN doc_id % 11 = 0 THEN text || ' rev2'
+                      ELSE text END AS text
+          FROM d)
+        SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len
+        FROM final ORDER BY doc_id
+      """)),
+
     // ---- C37 tumbling window aggregation with watermark -------------------------
     Q(
       "q_stream_tumbling",
