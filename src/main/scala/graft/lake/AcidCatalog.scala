@@ -138,6 +138,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(d.fieldNames.length == 1,
             s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
           acid.dropColumns(Seq(d.fieldNames.head))
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames.length == 1,
+            s"nested RENAME COLUMN is not supported: ${r.fieldNames.mkString(".")}")
+          acid.renameColumn(r.fieldNames.head, r.newName)
         case a: TableChange.AddConstraint =>
           a.constraint() match {
             case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>

@@ -285,6 +285,8 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintStmt =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val RenameColStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
 
   /** Execute one DDL or DML statement; DDL returns 0, DML the committed
     * version. */
@@ -301,6 +303,9 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
       0L
     case DropConstraintStmt(tn, cn) =>
       register(tn.split('.').toSeq, table(tn).dropConstraint(cn))
+      0L
+    case RenameColStmt(tn, o, n) =>
+      register(tn.split('.').toSeq, table(tn).renameColumn(o, n))
       0L
     case _ => executeParsed(sql)
   }

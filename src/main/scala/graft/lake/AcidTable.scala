@@ -77,7 +77,15 @@ final class AcidTable private (
       * Spark job) — and validated against the existing snapshot when
       * added. See [[addConstraint]].
       */
-    val checkConstraints: Seq[(String, String)] = Nil) {
+    val checkConstraints: Seq[(String, String)] = Nil,
+    /** Column-rename mapping: current name → every PRIOR name whose bytes
+      * may still live in data files written before the rename(s).
+      * Metadata-only renames (Delta column-mapping semantics on a
+      * name-based format): the snapshot scan reads current+prior names
+      * and coalesces, so no data rewrites; [[purgeDroppedColumns]]
+      * physically rewrites and clears the map. See [[renameColumn]].
+      */
+    val renamedCols: Map[String, Seq[String]] = Map.empty) {
 
   import AcidTable._
 
@@ -382,9 +390,30 @@ final class AcidTable private (
         org.apache.spark.sql.graft.ManifestScan.ManifestFile(
           dataRoot.resolve(f).toString, pv, size)
       }
-      org.apache.spark.sql.graft.ManifestScan
-        .dataFrame(spark, schema, partitionCol, dataRoot.toString, mf)
-        .select(schema.fieldNames.map(col): _*) // canonical column order
+      if (renamedCols.isEmpty) {
+        org.apache.spark.sql.graft.ManifestScan
+          .dataFrame(spark, schema, partitionCol, dataRoot.toString, mf)
+          .select(schema.fieldNames.map(col): _*) // canonical column order
+      } else {
+        // outstanding metadata-only renames: request current AND prior
+        // names from the scan (a file carries exactly one of them — the
+        // dropped-name ledger guarantees no file holds both) and coalesce
+        // back to the current name. Files predating the rename resolve
+        // through the prior name; files written after it through the
+        // current one. Pushdown on a renamed column stays above the scan
+        // until purgeDroppedColumns() rewrites — the documented cost of a
+        // zero-rewrite rename on a name-based format.
+        val extended = StructType(schema.fields.flatMap(f =>
+          f +: renamedCols.getOrElse(f.name, Nil).map(p =>
+            StructField(p, f.dataType, nullable = true))))
+        org.apache.spark.sql.graft.ManifestScan
+          .dataFrame(spark, extended, partitionCol, dataRoot.toString, mf)
+          .select(schema.fields.map { f =>
+            val priors = renamedCols.getOrElse(f.name, Nil)
+            if (priors.isEmpty) col(f.name)
+            else coalesce((f.name +: priors).map(col): _*).as(f.name)
+          }: _*)
+      }
     }
 
   // --------------------------------------------------------------- writes --
@@ -1178,7 +1207,7 @@ final class AcidTable private (
     }
     val evolved = StructType(schema.fields ++ newFields.map(_.copy(nullable = true)))
     AcidTable.writeMeta(path, evolved, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, droppedCols, checkConstraints)
+      numBuckets, droppedCols, checkConstraints, renamedCols)
     AcidTable.open(spark, path)
   }
 
@@ -1212,7 +1241,7 @@ final class AcidTable private (
       }
     }
     AcidTable.writeMeta(path, next, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, (droppedCols ++ names).distinct, checkConstraints)
+      numBuckets, (droppedCols ++ names).distinct, checkConstraints, renamedCols)
     AcidTable.open(spark, path)
   }
 
@@ -1230,9 +1259,48 @@ final class AcidTable private (
     * such bytes unless the name is re-added.
     */
   def purgeDroppedColumns(): AcidTable = {
-    if (droppedCols.nonEmpty) compact(0)
+    if (droppedCols.nonEmpty || renamedCols.nonEmpty) compact(0)
     AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, Nil, checkConstraints)
+      numBuckets, Nil, checkConstraints, Map.empty)
+    AcidTable.open(spark, path)
+  }
+
+  /** Metadata-only column RENAME (Delta column-mapping semantics on a
+    * name-based format): no data rewrite — the snapshot scan reads
+    * current AND prior names and coalesces (a data file carries exactly
+    * one of them), so a 100 TB table renames in one meta write. The costs
+    * until a physical rewrite, both documented and bounded:
+    * filter pushdown on the renamed column stays above the scan, and the
+    * driver fast path yields to the distributed writer (its name-based
+    * local reader can't coalesce). [[purgeDroppedColumns]] rewrites every
+    * live file under the current names and clears the map, restoring
+    * both. The old name joins the dropped-name ledger — re-adding it
+    * before the purge would resurrect the renamed column's bytes.
+    * Key/partition/precombine columns keep their structural names;
+    * constraints referencing the old name must be dropped first (their
+    * predicate text would silently stop matching).
+    */
+  def renameColumn(oldName: String, newName: String): AcidTable = {
+    require(schema.fieldNames.contains(oldName), s"column $oldName does not exist")
+    require(!schema.fieldNames.contains(newName), s"column $newName already exists")
+    require(oldName != pkCol && oldName != partitionCol && !precombineCol.contains(oldName),
+      s"cannot rename key/partition/precombine column '$oldName'")
+    require(!droppedCols.contains(newName),
+      s"column $newName was dropped/renamed-away but its bytes may still live in " +
+        "data files; run purgeDroppedColumns() before reusing the name")
+    checkConstraints.foreach { case (cn, ce) =>
+      require(!referencedCols(ce).contains(oldName.toLowerCase),
+        s"cannot rename column '$oldName': CHECK constraint '$cn' references it " +
+          s"(DROP CONSTRAINT $cn first)")
+    }
+    val next = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    // the new name inherits the old name's whole alias chain (a→b→c reads
+    // files carrying a OR b), and the old name's bytes block its reuse
+    val priors = (oldName +: renamedCols.getOrElse(oldName, Nil)).distinct
+    val nextRenames = (renamedCols - oldName) + (newName -> priors)
+    AcidTable.writeMeta(path, next, pkCol, partitionCol, precombineCol, stablePartitions,
+      numBuckets, (droppedCols :+ oldName).distinct, checkConstraints, nextRenames)
     AcidTable.open(spark, path)
   }
 
@@ -1258,7 +1326,7 @@ final class AcidTable private (
     require(violations == 0,
       s"cannot add CHECK constraint '$name': existing rows violate ($predicateSql)")
     AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, droppedCols, checkConstraints :+ (name -> predicateSql))
+      numBuckets, droppedCols, checkConstraints :+ (name -> predicateSql), renamedCols)
     AcidTable.open(spark, path)
   }
 
@@ -1266,7 +1334,8 @@ final class AcidTable private (
     require(checkConstraints.exists(_._1.equalsIgnoreCase(name)),
       s"no CHECK constraint named '$name'")
     AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, droppedCols, checkConstraints.filterNot(_._1.equalsIgnoreCase(name)))
+      numBuckets, droppedCols, checkConstraints.filterNot(_._1.equalsIgnoreCase(name)),
+      renamedCols)
     AcidTable.open(spark, path)
   }
 
@@ -1689,9 +1758,9 @@ final class AcidTable private (
     val v = if (version >= 0) version else latestVersion()
     AcidTable.create(spark, destPath, schema, pkCol, partitionCol, precombineCol,
       stablePartitions = stablePartitions, numBuckets = numBuckets)
-    if (droppedCols.nonEmpty || checkConstraints.nonEmpty)
+    if (droppedCols.nonEmpty || checkConstraints.nonEmpty || renamedCols.nonEmpty)
       AcidTable.writeMeta(destPath, schema, pkCol, partitionCol, precombineCol,
-        stablePartitions, numBuckets, droppedCols, checkConstraints)
+        stablePartitions, numBuckets, droppedCols, checkConstraints, renamedCols)
     val dest = AcidTable.open(spark, destPath)
     if (v < 0) return dest // empty source → empty clone
     val lines = manifestLines(v)
@@ -2434,7 +2503,12 @@ final class AcidTable private (
     */
   private lazy val fastSchemaOk =
     org.apache.spark.sql.graft.LocalParquetIO.supportedSchema(schema) &&
-      schema(partitionCol).dataType == StringType
+      schema(partitionCol).dataType == StringType &&
+      // outstanding renames: old files carry prior column names the
+      // driver's name-based parquet reader would silently surface as NULL
+      // — the distributed path's coalescing scan stays authoritative
+      // until purgeDroppedColumns() rewrites (which clears the map)
+      renamedCols.isEmpty
 
   private def rowPart(r: org.apache.spark.sql.catalyst.InternalRow): String =
     String.valueOf(r.get(partFieldIdx, schema(partFieldIdx).dataType))
@@ -2966,7 +3040,8 @@ object AcidTable {
       stablePartitions: Boolean,
       numBuckets: Int = 16,
       droppedCols: Seq[String] = Nil,
-      constraints: Seq[(String, String)] = Nil): Unit = {
+      constraints: Seq[(String, String)] = Nil,
+      renamedCols: Map[String, Seq[String]] = Map.empty): Unit = {
     val props = new java.util.Properties()
     props.setProperty("schemaDdl", schema.toDDL)
     props.setProperty("pkCol", pkCol)
@@ -2988,6 +3063,13 @@ object AcidTable {
         constraints.map { case (n, e) =>
           java.net.URLEncoder.encode(n, "UTF-8") + ":" +
             java.net.URLEncoder.encode(e, "UTF-8")
+        }.mkString(","))
+    // rename mapping (`current:prior1|prior2`, all URL-encoded)
+    if (renamedCols.nonEmpty)
+      props.setProperty("renamedCols",
+        renamedCols.toSeq.sortBy(_._1).map { case (n, ps) =>
+          java.net.URLEncoder.encode(n, "UTF-8") + ":" +
+            ps.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("|")
         }.mkString(","))
     val tmp = Paths.get(path, s".meta-tmp-${UUID.randomUUID()}")
     val out = Files.newOutputStream(tmp)
@@ -3017,7 +3099,14 @@ object AcidTable {
           val i = ent.indexOf(':')
           (java.net.URLDecoder.decode(ent.substring(0, i), "UTF-8"),
             java.net.URLDecoder.decode(ent.substring(i + 1), "UTF-8"))
-        }).getOrElse(Nil))
+        }).getOrElse(Nil),
+      Option(props.getProperty("renamedCols")).map(_.split(',').toSeq
+        .filter(_.nonEmpty).map { ent =>
+          val i = ent.indexOf(':')
+          java.net.URLDecoder.decode(ent.substring(0, i), "UTF-8") ->
+            ent.substring(i + 1).split('|').toSeq.filter(_.nonEmpty)
+              .map(java.net.URLDecoder.decode(_, "UTF-8"))
+        }.toMap).getOrElse(Map.empty))
   }
 
   private def deleteRecursively(f: File): Unit = {

@@ -861,6 +861,44 @@ object AcidQueries {
         SELECT pk, part,
                CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN val + 50 ELSE val END AS val
         FROM base ORDER BY pk
+      """)),
+
+    // ---- C5 metadata-only RENAME COLUMN (round 10) ------------------------------
+    // Zero-rewrite rename: files written before the rename carry the old
+    // name, files after it the new one, and the coalescing snapshot scan
+    // reads both through the current name. The lifecycle mixes pre-rename
+    // data, post-rename inserts, AND a post-rename UPDATE (whose rewrite
+    // must read old-name bytes correctly before writing new-name files);
+    // zero-data-movement and the purge path are pinned in
+    // RenameColumnSpec.
+    Q(
+      "q_acid_rename_column",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t0 = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t0.upsert(base.filter(col("pk").cast("long") < 15))
+        val t = t0.renameColumn("val", "score")
+        t.upsert(base.filter(col("pk").cast("long") >= 15)
+          .withColumnRenamed("val", "score"))
+        t.update(Seq("score" -> (col("score") * 2)),
+          col("pk").cast("long") % 4 === 1)
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 4 = 1 THEN val * 2 ELSE val END AS score
+        FROM base ORDER BY pk
       """))
   )
 }
