@@ -114,7 +114,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(partCols.size == 1,
       s"exactly one identity partition column expected, got ${partitions.mkString(",")}")
     val t = AcidTable.create(spark, tablePath(ident), schema, pk, partCols.head,
-      props.get("preCombinedField"))
+      props.get("preCombinedField"),
+      numBuckets = props.get("numBuckets").map(_.toInt).getOrElse(32))
     new AcidV2Table(t, ident)
   }
 

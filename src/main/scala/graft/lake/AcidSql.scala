@@ -287,6 +287,15 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val RenameColStmt =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  // Delta's maintenance statements: OPTIMIZE bin-packs (optionally
+  // Z-ordering by the named columns), VACUUM garbage-collects beyond the
+  // retention window. RETAIN … VERSIONS keeps manifest-count retention
+  // (our timeline unit); grace stays at the API default so a VACUUM next
+  // to live commits is as safe as the programmatic call.
+  private val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val VacuumStmt =
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
 
   /** Execute one DDL or DML statement; DDL returns 0, DML the committed
     * version. */
@@ -307,6 +316,16 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     case RenameColStmt(tn, o, n) =>
       register(tn.split('.').toSeq, table(tn).renameColumn(o, n))
       0L
+    case OptimizeStmt(tn, zorder) =>
+      // plain OPTIMIZE folds only genuinely fragmented partitions (the
+      // compact() threshold) — an idempotent no-op on a healthy layout,
+      // never a full-table rewrite; ZORDER BY is the explicit layout op
+      // and rewrites every partition by design
+      table(tn).compact(
+        clusterBy = Option(zorder).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil))
+    case VacuumStmt(tn, retain) =>
+      table(tn).vacuum(keepVersions = Option(retain).map(_.toInt).getOrElse(2)).toLong
     case _ => executeParsed(sql)
   }
 
@@ -324,7 +343,8 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
       require(partCols.size == 1, s"exactly one partition column expected, got $partCols")
       val t = AcidTable.create(spark,
         (warehouseDir +: nameParts).mkString("/"),
-        StructType(cols), pk, partCols.head, precombine)
+        StructType(cols), pk, partCols.head, precombine,
+        numBuckets = props.get("numBuckets").map(_.toInt).getOrElse(32))
       register(nameParts, t)
       0L
 
@@ -345,11 +365,17 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     case _ => AcidSql.execute(spark, tables.toMap, sql)
   }
 
+  private val DescribeHistoryStmt =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+
   /** Execute a read statement (SELECT text) over the session's tables —
     * completes the reference's text lifecycle: DDL, DML, and now the
-    * reader's literal `SELECT * FROM db.table`. */
-  def query(sql: String): org.apache.spark.sql.DataFrame =
-    AcidSql.query(spark, tables.toMap, sql)
+    * reader's literal `SELECT * FROM db.table` (plus the timeline surface
+    * `DESCRIBE HISTORY db.table`). */
+  def query(sql: String): org.apache.spark.sql.DataFrame = sql match {
+    case DescribeHistoryStmt(tn) => table(tn).history()
+    case _ => AcidSql.query(spark, tables.toMap, sql)
+  }
 
   private def register(nameParts: Seq[String], t: AcidTable): Unit = {
     tables(nameParts.mkString(".")) = t

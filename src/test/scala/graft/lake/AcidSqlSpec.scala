@@ -174,4 +174,46 @@ class AcidSqlSpec extends AnyFunSuite {
       AcidSql.execute(spark, reg, "DELETE FROM unknown.tbl WHERE primaryKeyValue = 'a'")
     }
   }
+
+  test("maintenance statements: OPTIMIZE [ZORDER BY], VACUUM RETAIN, DESCRIBE HISTORY") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("acid-sql-maint-").toString
+    val sess = new AcidSqlSession(spark, wh)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS db")
+    // numBuckets=2 so repeated inserts ACCUMULATE files per (part, bucket)
+    // cell — the state OPTIMIZE exists to fold
+    sess.execute("""CREATE TABLE db.m (pk STRING, part STRING, v BIGINT)
+                   |USING hudi PARTITIONED BY (part)
+                   |TBLPROPERTIES ('primaryKey' = 'pk', 'numBuckets' = '2')""".stripMargin)
+    (0 until 4).foreach { k =>
+      (0 until 16).map(i => (s"k$k-$i", s"p${i % 2}", (k * 16 + i).toLong))
+        .toDF("pk", "part", "v").createOrReplaceTempView(s"m_rows_$k")
+      sess.execute(s"INSERT INTO db.m SELECT * FROM m_rows_$k")
+    }
+    val t = sess.table("db.m")
+    val filesBefore = t.snapshot().inputFiles.length
+
+    // OPTIMIZE dispatches to compact: file count never grows, rows exact
+    // (COW cells are already one file each here — true folding of
+    // fragmented cells is pinned in AcidTableMaintenanceSpec)
+    sess.execute("OPTIMIZE db.m")
+    assert(sess.table("db.m").snapshot().inputFiles.length <= filesBefore)
+    assert(sess.query("SELECT count(*) AS n FROM db.m").head().getLong(0) == 64L)
+
+    // OPTIMIZE ZORDER BY records per-file cluster stats for range pruning
+    sess.execute("OPTIMIZE db.m ZORDER BY (v)")
+    assert(sess.table("db.m").readClusterStats().nonEmpty)
+
+    // DESCRIBE HISTORY renders the op-labelled timeline
+    val ops = sess.query("DESCRIBE HISTORY db.m")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(ops.count(_ == "COMPACT") == 1 && ops.count(_ == "CLUSTER") == 1, ops)
+
+    // VACUUM RETAIN n VERSIONS trims data beyond retention (grace keeps
+    // just-written files; retention math is pinned in the maintenance
+    // spec — here the statement must parse, dispatch, and return a count)
+    val removed = sess.execute("VACUUM db.m RETAIN 2 VERSIONS")
+    assert(removed >= 0)
+    assert(sess.query("SELECT count(*) AS n FROM db.m").head().getLong(0) == 64L)
+  }
 }
