@@ -1314,6 +1314,12 @@ final class AcidTable private (
     * commit), the driver fast path through compiled interpreted row
     * predicates (zero Spark jobs) — a constraint costs nothing but the
     * predicate's evaluation over rows that were being written anyway.
+    *
+    * Multi-writer caveat (same discipline as schema evolution): a writer
+    * holding a handle opened BEFORE the constraint was added enforces the
+    * constraints its handle knows — re-open handles after constraint DDL,
+    * exactly as after add/drop/rename column. Spec-pinned in
+    * ConstraintSpec.
     */
   def addConstraint(name: String, predicateSql: String): AcidTable = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),

@@ -320,6 +320,78 @@ class AcidTablePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent rename: writers on pre-rename handles; old-name bytes surface under the new name") {
+    // Round-10: renameColumn is metadata-only, so a writer holding a
+    // PRE-RENAME handle keeps committing files that carry the old column
+    // name. Contract under interleaving: no rows lost or duplicated, the
+    // final schema carries the new name, and every value — written before
+    // OR after the rename, through either handle generation — reads
+    // through the new name (the coalescing scan's whole point).
+    (1 to 2).foreach { seed =>
+      val path = Files.createTempDirectory("acid-rn-race-").resolve("t").toString
+      val rnSchema = StructType(Seq(
+        StructField("primaryKeyValue", StringType),
+        StructField("partitionKeyValue", StringType),
+        StructField("dataValue", StringType),
+        StructField("tag", StringType)))
+      AcidTable.create(spark, path, rnSchema,
+        "primaryKeyValue", "partitionKeyValue", precombineCol = Some("dataValue"),
+        stablePartitions = true)
+      val committed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, List[Record], String)]
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val writers = (0 until 2).map { tid =>
+        new Thread(() => {
+          try {
+            val t = AcidTable.open(spark, path) // pre-rename handle: carries `tag`
+            val rnd = new Random(seed * 131L + tid)
+            start.await()
+            (1 to 4).foreach { k =>
+              val rows = List.fill(3) {
+                val kk = rnd.nextInt(15)
+                Record(s"R$kk", s"P${kk % 3}", f"v${rnd.nextInt(1000000)}%07d")
+              }
+              val tag = s"t$tid-$k"
+              val df = spark.createDataset(rows).toDF()
+                .withColumn("tag", org.apache.spark.sql.functions.lit(tag))
+              val v = t.upsert(df)
+              committed.add((v, rows, tag))
+            }
+          } catch { case e: Throwable => failures.add(e) }
+        }, s"rn-writer-$tid")
+      }
+      val renamer = new Thread(() => {
+        try {
+          start.await()
+          Thread.sleep(30) // land mid-stream
+          AcidTable.open(spark, path).renameColumn("tag", "label")
+          ()
+        } catch { case e: Throwable => failures.add(e) }
+      }, "renamer")
+      (writers :+ renamer).foreach(_.start())
+      start.countDown()
+      (writers :+ renamer).foreach(_.join(120000))
+      assert(failures.isEmpty, s"seed $seed: thread died: ${failures.peek()}")
+      val history = committed.toArray(Array.empty[(Long, List[Record], String)])
+        .toSeq.sortBy(_._1)
+      assert(history.map(_._1).distinct.size === history.size)
+      // model: (content record, tag) per key, in version order
+      val model = history.foldLeft(Map.empty[String, (Record, String)]) {
+        case (m, (_, rows, tag)) =>
+          m ++ dedupe(rows).map(r => r.primaryKeyValue -> (r, tag))
+      }
+      val finalT = AcidTable.open(spark, path)
+      assert(finalT.schema.fieldNames.toSeq ===
+        Seq("primaryKeyValue", "partitionKeyValue", "dataValue", "label"),
+        s"seed $seed: unexpected final schema")
+      val snap = finalT.snapshot().collect()
+      val actual = snap.map(r => r.getString(0) ->
+        (Record(r.getString(0), r.getString(1), r.getString(2)), r.getString(3))).toMap
+      assert(actual == model,
+        s"seed $seed: values lost across the rename (old-name bytes must read through the new name)")
+    }
+  }
+
   test("serial random op sequences: snapshot == model (8 seeded runs)") {
     (1 to 8).foreach { seed =>
       val rnd = new Random(seed * 1000L + 7)

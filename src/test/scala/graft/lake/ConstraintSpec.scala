@@ -114,6 +114,22 @@ class ConstraintSpec extends AnyFunSuite {
     intercept[Exception] { sc.upsert(Seq(("z", "p0", -1.0)).toDF("pk", "part", "v")) }
   }
 
+  test("handle-scoped enforcement: a pre-constraint handle is the documented caveat") {
+    val t = mkTable()
+    t.upsert(Seq(("a", "p0", 1.0)).toDF("pk", "part", "v"))
+    val stale = AcidTable.open(spark, t.path) // opened BEFORE the constraint
+    val fresh = t.addConstraint("v_pos", "v > 0.0")
+    // the stale handle enforces what it knows (nothing) — the documented
+    // multi-writer caveat, same as schema evolution's handle discipline
+    stale.upsert(Seq(("b", "p0", -1.0)).toDF("pk", "part", "v"))
+    assert(stale.snapshot().count() == 2)
+    // a fresh handle enforces; re-opened handles see the constraint
+    intercept[Exception] {
+      AcidTable.open(spark, t.path).upsert(Seq(("c", "p0", -2.0)).toDF("pk", "part", "v"))
+    }
+    assert(fresh.checkConstraints.nonEmpty)
+  }
+
   test("AcidSqlSession text: ALTER TABLE ADD/DROP CONSTRAINT") {
     val wh = Files.createTempDirectory("graft-ck-wh-").toString
     val sess = new AcidSqlSession(spark, wh)
