@@ -32,6 +32,8 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               s" got: ${m.mergeCondition.sql}")
           val targetAliases = aliasNames(m.targetTable)
           val check = requireIdentityAssignment(targetAliases) _
+          def isIdentity(a: Assignment): Boolean =
+            scala.util.Try { check(a); true }.getOrElse(false)
           def requireFullInsert(assigns: Seq[Assignment]): Unit = {
             val cols = assigns.map(assignedCol).toSet
             require(acid.schema.fieldNames.forall(cols.contains),
@@ -43,10 +45,12 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               // MERGE … WHEN MATCHED THEN DELETE (round 9): delete by the
               // source's key set — the bucket-pruned key path, not a rewrite
               AcidMergeDeleteCommand(acid, m.sourceTable)
-            case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins)), Seq()) =>
-              // the unconditional reference shape keeps the fast
-              // window-merge formulation (and its driver kernel)
-              assigns.foreach(check)
+            case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins)), Seq())
+                if assigns.forall(isIdentity) =>
+              // the unconditional IDENTITY shape keeps the fast
+              // window-merge formulation (and its driver kernel);
+              // transformed SET values route through the expression-clause
+              // path below (round 10b)
               ins.foreach(check)
               requireFullInsert(ins)
               AcidMergeCommand(acid, m.sourceTable, assigns.map(assignedCol))
@@ -59,10 +63,16 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               // pair, so the command stays a plain serializable value
               val sql = requalifiedSql(m, targetAliases) _
               val matched = matchedActions.map {
-                case UpdateAction(c, assigns, _) =>
-                  assigns.foreach(check)
+                case UpdateAction(c, assigns, _) if assigns.forall(isIdentity) =>
                   AcidMergeConditionalCommand.Clause(
                     c.map(sql), Some(assigns.map(assignedCol)))
+                case UpdateAction(c, assigns, _) =>
+                  // round 10b: arbitrary SET expressions over the t/s
+                  // pre-image — re-qualified and carried as SQL text like
+                  // clause conditions
+                  AcidMergeConditionalCommand.Clause(
+                    c.map(sql), None,
+                    Some(assigns.map(a => assignedCol(a) -> sql(a.value))))
                 case DeleteAction(c) =>
                   AcidMergeConditionalCommand.Clause(c.map(sql), None)
                 case other => throw new IllegalArgumentException(
@@ -253,9 +263,12 @@ case class AcidMergeConditionalCommand(
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
     def toClause(c: AcidMergeConditionalCommand.Clause): MergeMatchedClause = c match {
-      case AcidMergeConditionalCommand.Clause(cond, Some(cols)) =>
+      case AcidMergeConditionalCommand.Clause(cond, Some(cols), _) =>
         MergeMatchedClause.Update(cond.map(expr), cols)
-      case AcidMergeConditionalCommand.Clause(cond, None) =>
+      case AcidMergeConditionalCommand.Clause(cond, None, Some(assigns)) =>
+        MergeMatchedClause.UpdateExprs(cond.map(expr),
+          assigns.map { case (col, e) => col -> expr(e) })
+      case AcidMergeConditionalCommand.Clause(cond, None, None) =>
         MergeMatchedClause.Delete(cond.map(expr))
     }
     acid.mergeConditional(
@@ -268,8 +281,13 @@ case class AcidMergeConditionalCommand(
 }
 
 object AcidMergeConditionalCommand {
-  /** `updateCols` Some = UPDATE SET of those columns; None = DELETE. */
-  final case class Clause(conditionSql: Option[String], updateCols: Option[Seq[String]])
+  /** `updateCols` Some = identity UPDATE SET of those columns;
+    * `assignSql` Some = expression UPDATE SET (re-qualified SQL per
+    * column, round 10b); both None = DELETE. */
+  final case class Clause(
+      conditionSql: Option[String],
+      updateCols: Option[Seq[String]],
+      assignSql: Option[Seq[(String, String)]] = None)
 }
 
 /** Driver-orchestrated UPDATE, routed through [[AcidTable.update]] — the

@@ -46,15 +46,23 @@ object AcidSql {
         val src = PlanShim.ofRows(spark, stripAlias(m.sourceTable))
         requireShape(keyEquality(m.mergeCondition, t.pkCol),
           s"MERGE condition must be t.${t.pkCol} = s.${t.pkCol}, got: ${m.mergeCondition.sql}")
+        val tAl = aliasNamesOf(m.targetTable)
+        val sAl = aliasNamesOf(m.sourceTable)
+        def isIdentity(a: Assignment): Boolean =
+          scala.util.Try { requireIdentityAssign(tAl)(a); true }.getOrElse(false)
         (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
           case (Seq(DeleteAction(None)), Seq(), Seq()) =>
             // MERGE … WHEN MATCHED THEN DELETE (round 9): removing the
             // target rows whose pk appears in the source IS delete by the
             // source's key set — the bucket-pruned key path, not a rewrite
             t.delete(src)
-          case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins)), Seq()) =>
-            // the reference's one unconditional shape keeps the fast
-            // window-merge formulation (and its driver kernel)
+          case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins)), Seq())
+              if assigns.forall(isIdentity) =>
+            // the reference's one unconditional IDENTITY shape keeps the
+            // fast window-merge formulation (and its driver kernel);
+            // transformed SET values fall through to the expression-clause
+            // path below (round 10b — previously they would have silently
+            // executed as identity copies)
             val cols = ins.map(assignedCol).toSet
             requireShape(t.schema.fieldNames.forall(cols.contains),
               s"MERGE insert must cover the full schema ${t.schema.fieldNames.mkString(",")}, got $cols")
@@ -62,17 +70,19 @@ object AcidSql {
           case (matchedActions, notMatchedActions, nmbsActions) =>
             // conditional / multi-clause MERGE (round 10): WHEN MATCHED
             // [AND cond] THEN UPDATE/DELETE, first-match-wins, plus
-            // conditional full-row inserts → AcidTable.mergeConditional
-            val tAl = aliasNamesOf(m.targetTable)
-            val sAl = aliasNamesOf(m.sourceTable)
+            // conditional full-row inserts → AcidTable.mergeConditional.
+            // Round 10b: UPDATE SET values may be arbitrary expressions
+            // over the t/s pre-image (requalified like clause conditions).
             requireShape((tAl intersect sAl).isEmpty,
               s"target and source aliases overlap: ${(tAl intersect sAl).mkString(",")}")
             def cond(e: Expression): org.apache.spark.sql.Column =
               PlanShim.columnOf(requalify(e, tAl, sAl))
             val matched = matchedActions.map {
-              case UpdateAction(c, assigns, _) =>
-                assigns.foreach(requireIdentityAssign(tAl))
+              case UpdateAction(c, assigns, _) if assigns.forall(isIdentity) =>
                 MergeMatchedClause.Update(c.map(cond), assigns.map(assignedCol))
+              case UpdateAction(c, assigns, _) =>
+                MergeMatchedClause.UpdateExprs(c.map(cond),
+                  assigns.map(a => assignedCol(a) -> cond(a.value)))
               case DeleteAction(c) => MergeMatchedClause.Delete(c.map(cond))
               case other => fail(s"unsupported WHEN MATCHED action: $other")
             }

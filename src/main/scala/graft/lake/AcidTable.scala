@@ -675,7 +675,39 @@ final class AcidTable private (
           require(c != pkCol && c != partitionCol,
             s"cannot MERGE-update key/partition column '$c'")
         }
+      case MergeMatchedClause.UpdateExprs(_, assigns) =>
+        val names = assigns.map(_._1)
+        require(names.map(_.toLowerCase).distinct.size == names.size,
+          s"duplicate MERGE SET column in one clause: ${names.mkString(", ")}")
+        names.foreach { c =>
+          require(schema.fieldNames.contains(c), s"MERGE SET references unknown column: $c")
+          require(c != pkCol && c != partitionCol,
+            s"cannot MERGE-update key/partition column '$c'")
+        }
       case MergeMatchedClause.Delete(_) => ()
+    }
+    // expression assignments: resolve once against an empty t/s pair —
+    // unknown references and type errors surface HERE, and the resolved
+    // expressions must be deterministic and subquery-free (resultOf can
+    // re-evaluate on conflict redo, the update/deleteWhere argument)
+    locally {
+      val exprClauses = matched.collect { case u: MergeMatchedClause.UpdateExprs => u }
+      if (exprClauses.nonEmpty) {
+        import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+        val e1 = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        val e2 = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        val pair = e1.as("t").join(e2.as("s"), lit(false), "left_outer")
+        exprClauses.foreach(_.assignments.foreach { case (c, v) =>
+          val analyzed = org.apache.spark.sql.graft.PlanShim.analyzed(
+            pair.select(v.cast(schema(c).dataType)))
+          analyzed.expressions.foreach { e =>
+            require(e.deterministic,
+              s"MERGE SET $c must be deterministic, got: ${e.sql}")
+            require(!SubqueryExpression.hasSubquery(e),
+              s"MERGE SET $c may not contain a subquery: ${e.sql}")
+          }
+        })
+      }
     }
     // NOT MATCHED BY SOURCE supports DELETE clauses only: the engine's one
     // update shape copies same-named SOURCE columns, which are NULL for an
@@ -771,6 +803,13 @@ final class AcidTable private (
       matched.zipWithIndex.foldLeft(when(lit(false), col(s"t.$f"))) {
         case (acc, (MergeMatchedClause.Update(_, cols), i)) if cols.contains(f) =>
           acc.when(col(idxName) === i, col(s"s.$f"))
+        case (acc, (MergeMatchedClause.UpdateExprs(_, assigns), i))
+            if assigns.exists(_._1.equalsIgnoreCase(f)) =>
+          // arbitrary RHS over the pair's pre-image, cast to the column's
+          // declared type (ANSI store assignment) so the rewrite cannot
+          // drift the table schema
+          val v = assigns.find(_._1.equalsIgnoreCase(f)).get._2
+          acc.when(col(idxName) === i, v.cast(schema(f).dataType))
         case (acc, _) => acc
       }.otherwise(col(s"t.$f")).as(f)
     }: _*)
@@ -2855,6 +2894,14 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   */
 sealed trait MergeMatchedClause { def condition: Option[Column] }
 object MergeMatchedClause {
+  /** UPDATE with arbitrary assignment expressions (round 10b): every RHS
+    * evaluates over the `t`/`s` pair's PRE-image (both sides' original
+    * values — `SET t.v = t.v + s.v` and the keep-target `SET t.v = t.v`
+    * both mean what SQL says). Values cast to the column's declared type
+    * (ANSI store-assignment); must be deterministic and subquery-free.
+    */
+  final case class UpdateExprs(condition: Option[Column], assignments: Seq[(String, Column)])
+      extends MergeMatchedClause
   final case class Update(condition: Option[Column], updateCols: Seq[String])
       extends MergeMatchedClause
   final case class Delete(condition: Option[Column]) extends MergeMatchedClause

@@ -899,6 +899,54 @@ object AcidQueries {
         SELECT pk, part,
                CASE WHEN CAST(pk AS BIGINT) % 4 = 1 THEN val * 2 ELSE val END AS score
         FROM base ORDER BY pk
+      """)),
+
+    // ---- C5 MERGE with transformed SET expressions (round 10b) ------------------
+    // Completes the modern MERGE grammar: UPDATE SET values are arbitrary
+    // expressions over the t/s PRE-image, first-match-wins across
+    // conditional expression clauses — through the catalog front-end
+    // (spark.sql → AcidMergeRule → UpdateExprs). Previously rejected by
+    // all three front-ends; pre-image semantics and the other front-ends
+    // are pinned in ConditionalMergeSpec/GraftCatalogSpec.
+    Q(
+      "q_sql_acid_merge_transform",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.lake.GraftCatalog].getName)
+        s.conf.set("spark.sql.graft.warehouse", scratch())
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mx")
+        s.sql("""CREATE TABLE graft.mx.t (pk STRING, part STRING, val DOUBLE)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        base.createOrReplaceTempView("mx_base")
+        s.sql("INSERT INTO graft.mx.t SELECT * FROM mx_base")
+        base.filter(col("pk").cast("long") % 2 === 0)
+          .withColumn("val", col("val") + 1)
+          .createOrReplaceTempView("mx_src")
+        s.sql("""MERGE INTO graft.mx.t t
+                |USING (SELECT * FROM mx_src) s
+                |ON t.pk = s.pk
+                |WHEN MATCHED AND t.val >= 3.0 THEN UPDATE SET t.val = t.val + s.val * 10
+                |WHEN MATCHED THEN UPDATE SET t.val = t.val
+                |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.val)
+                |VALUES (s.pk, s.part, s.val)""".stripMargin)
+        s.sql("SELECT * FROM graft.mx.t ORDER BY pk")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 2 = 0 AND val >= 3.0
+                    THEN val + (val + 1) * 10
+                    ELSE val END AS val
+        FROM base ORDER BY pk
       """))
   )
 }

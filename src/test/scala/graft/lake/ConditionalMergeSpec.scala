@@ -227,4 +227,74 @@ class ConditionalMergeSpec extends AnyFunSuite {
     assert(got === expected)
     spark.sql("DROP TABLE graft.cm.t")
   }
+
+  test("expression assignments (round 10b): RHS over the t/s pre-image, all front-ends") {
+    // API: t.v + s.v, and a literal — both see the PRE-image
+    val t1 = freshTable()
+    t1.mergeConditional(source,
+      matched = Seq(
+        MergeMatchedClause.UpdateExprs(Some(col("s.v") >= 100),
+          Seq("v" -> (col("t.v") + col("s.v")))),
+        MergeMatchedClause.UpdateExprs(None, Seq("v" -> lit(0L)))),
+      notMatched = Nil)
+    assert(state(t1) === Set(
+      ("a", "p0", 101L), // 1 + 100 (clause 1)
+      ("b", "p0", 0L), ("c", "p1", 0L), // clause 2 literal
+      ("d", "p1", 50L))) // unmatched by source: carried
+
+    // nondeterministic RHS rejected up front
+    val t2 = freshTable()
+    intercept[IllegalArgumentException] {
+      t2.mergeConditional(source,
+        matched = Seq(MergeMatchedClause.UpdateExprs(None,
+          Seq("v" -> (rand() * 100).cast("long")))),
+        notMatched = Nil)
+    }
+    // unknown column / key assignment rejected
+    intercept[IllegalArgumentException] {
+      t2.mergeConditional(source,
+        matched = Seq(MergeMatchedClause.UpdateExprs(None, Seq("nope" -> lit(1L)))),
+        notMatched = Nil)
+    }
+    intercept[IllegalArgumentException] {
+      t2.mergeConditional(source,
+        matched = Seq(MergeMatchedClause.UpdateExprs(None, Seq("pk" -> lit("z")))),
+        notMatched = Nil)
+    }
+
+    // text front-end: transformed SET routes to the expression clause
+    val t3 = freshTable()
+    val reg = Map("acid.t" -> t3, "t" -> t3)
+    source.createOrReplaceTempView("cmerge_expr_src")
+    AcidSql.execute(spark, reg,
+      """MERGE INTO acid.t tgt
+        |USING (SELECT * FROM cmerge_expr_src) src
+        |ON tgt.pk = src.pk
+        |WHEN MATCHED THEN UPDATE SET tgt.v = tgt.v + src.v * 2
+        |WHEN NOT MATCHED AND src.v < 10 THEN
+        |  INSERT (tgt.pk, tgt.part, tgt.v) VALUES (src.pk, src.part, src.v)
+        |""".stripMargin)
+    assert(state(t3) === Set(
+      ("a", "p0", 201L),  // 1 + 100*2
+      ("b", "p0", 9L),    // 5 + 2*2
+      ("c", "p1", 70L),   // 10 + 30*2
+      ("d", "p1", 50L),   // unmatched by source
+      ("x", "p2", 7L)))   // conditional insert
+
+    // unconditional transformed SET + full insert also works through the
+    // text path (previously it would have MISCOMPILED as an identity copy)
+    val t4 = freshTable()
+    val reg4 = Map("acid.t" -> t4, "t" -> t4)
+    AcidSql.execute(spark, reg4,
+      """MERGE INTO acid.t tgt
+        |USING (SELECT * FROM cmerge_expr_src) src
+        |ON tgt.pk = src.pk
+        |WHEN MATCHED THEN UPDATE SET tgt.v = src.v * 10
+        |WHEN NOT MATCHED THEN
+        |  INSERT (tgt.pk, tgt.part, tgt.v) VALUES (src.pk, src.part, src.v)
+        |""".stripMargin)
+    assert(state(t4) === Set(
+      ("a", "p0", 1000L), ("b", "p0", 20L), ("c", "p1", 300L),
+      ("d", "p1", 50L), ("x", "p2", 7L), ("y", "p2", 99L)))
+  }
 }

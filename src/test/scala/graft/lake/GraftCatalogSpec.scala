@@ -216,17 +216,19 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
       === Seq(("a", 1.0), ("b", 5.0), ("c", 9.0)),
       "update-only merge must update matched rows and insert nothing")
-    // transformed UPDATE value: executing it as the identity copy would
-    // silently return wrong data → must be rejected up front
-    intercept[Throwable] {
-      spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
-                  |ON t.pk = s.pk
-                  |WHEN MATCHED THEN UPDATE SET t.v = s.v * 2
-                  |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
-                  |VALUES (s.pk, s.part, s.v)""".stripMargin)
-    }
-    // reordered INSERT values (s.part into t.pk): same silent-corruption
-    // risk → rejected
+    // round 10b: transformed UPDATE values EXECUTE (expression clauses
+    // over the t/s pre-image) — previously rejected
+    spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
+                |ON t.pk = s.pk
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v * 2
+                |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
+                |VALUES (s.pk, s.part, s.v)""".stripMargin)
+    assert(spark.sql("SELECT pk, v FROM graft.db2.t ORDER BY pk")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      === Seq(("a", 2.0), ("b", 10.0), ("c", 18.0)),
+      "transformed SET must evaluate the expression, not copy s.v")
+    // reordered INSERT values (s.part into t.pk): still the
+    // silent-corruption class → rejected
     intercept[Throwable] {
       spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
                   |ON t.pk = s.pk
@@ -234,17 +236,26 @@ class GraftCatalogSpec extends AnyFunSuite {
                   |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
                   |VALUES (s.part, s.pk, s.v)""".stripMargin)
     }
-    // TARGET-qualified RHS (`t.v = t.v`, "keep the target value"): passes a
-    // name-only check but would execute as a copy from s.v — the exact
-    // silent-wrong-data class this validation exists for → rejected
-    intercept[Throwable] {
-      spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
-                  |ON t.pk = s.pk
-                  |WHEN MATCHED THEN UPDATE SET t.v = t.v
-                  |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
-                  |VALUES (s.pk, s.part, s.v)""".stripMargin)
-    }
-    assert(spark.sql("SELECT v FROM graft.db2.t").collect().head.getDouble(0) == 1.0)
+    // round 10b: TARGET-qualified RHS (`t.v = t.v`, "keep the target
+    // value") now means what SQL says — the pre-image target value
+    spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
+                |ON t.pk = s.pk
+                |WHEN MATCHED THEN UPDATE SET t.v = t.v
+                |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
+                |VALUES (s.pk, s.part, s.v)""".stripMargin)
+    assert(spark.sql("SELECT pk, v FROM graft.db2.t ORDER BY pk")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      === Seq(("a", 2.0), ("b", 10.0), ("c", 18.0)),
+      "t.v = t.v must keep the target value")
+    // mixed pre-image semantics: every RHS sees the ORIGINAL pair
+    spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
+                |ON t.pk = s.pk
+                |WHEN MATCHED AND t.v > 15.0 THEN UPDATE SET t.v = t.v + s.v
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    assert(spark.sql("SELECT pk, v FROM graft.db2.t ORDER BY pk")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      === Seq(("a", 1.0), ("b", 5.0), ("c", 27.0)),
+      "first-match-wins with expression clauses over the pre-image")
   }
 
   test("scan statistics come from the manifest: pruned sizes reach the planner") {
