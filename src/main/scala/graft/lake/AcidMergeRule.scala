@@ -87,13 +87,16 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   s"unsupported WHEN NOT MATCHED action: $other")
               }
               // round 10: full-sync deletes of target rows absent from the
-              // source; UPDATE shapes are rejected (mergeConditional's
-              // same-named-source-copy contract would null the row)
+              // source; round 10b adds expression UPDATE clauses (t-only
+              // references, validated in mergeConditional)
               val nmbs = nmbsActions.map {
                 case DeleteAction(c) =>
                   AcidMergeConditionalCommand.Clause(c.map(sql), None)
+                case UpdateAction(c, assigns, _) =>
+                  AcidMergeConditionalCommand.Clause(c.map(sql), None,
+                    Some(assigns.map(a => assignedCol(a) -> sql(a.value))))
                 case other => throw new IllegalArgumentException(
-                  s"WHEN NOT MATCHED BY SOURCE supports only DELETE, got: $other")
+                  s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
               }
               AcidMergeConditionalCommand(acid, m.sourceTable, matched, notMatched, nmbs)
           }

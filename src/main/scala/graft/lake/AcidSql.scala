@@ -97,11 +97,15 @@ object AcidSql {
               case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
             }
             // round 10: WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
-            // (the full-sync shape); UPDATE is rejected in mergeConditional
+            // (the full-sync shape); round 10b adds expression UPDATE
+            // clauses (t-only references, validated in mergeConditional)
             val nmbs = nmbsActions.map {
               case DeleteAction(c) => MergeMatchedClause.Delete(c.map(cond))
+              case UpdateAction(c, assigns, _) =>
+                MergeMatchedClause.UpdateExprs(c.map(cond),
+                  assigns.map(a => assignedCol(a) -> cond(a.value)))
               case other => fail(
-                s"WHEN NOT MATCHED BY SOURCE supports only DELETE, got: $other")
+                s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
             }
             t.mergeConditional(src, matched, notMatched, notMatchedBySource = nmbs)
         }

@@ -709,13 +709,43 @@ final class AcidTable private (
         })
       }
     }
-    // NOT MATCHED BY SOURCE supports DELETE clauses only: the engine's one
-    // update shape copies same-named SOURCE columns, which are NULL for an
-    // unmatched target row — executing that would silently null the row
+    // NOT MATCHED BY SOURCE supports DELETE and EXPRESSION-UPDATE clauses
+    // (round 10b). The identity-update shape stays rejected: it copies
+    // same-named SOURCE columns, which are NULL for an unmatched target
+    // row — executing it would silently null the row. Expression
+    // assignments must reference the TARGET only (the source side does
+    // not exist for these rows) — validated by resolving against a bare
+    // `t`-aliased empty frame, so an `s.` reference fails loudly here.
     notMatchedBySource.foreach {
       case MergeMatchedClause.Delete(_) => ()
+      case MergeMatchedClause.UpdateExprs(_, assigns) =>
+        val names = assigns.map(_._1)
+        require(names.map(_.toLowerCase).distinct.size == names.size,
+          s"duplicate MERGE SET column in one clause: ${names.mkString(", ")}")
+        names.foreach { c =>
+          require(schema.fieldNames.contains(c), s"MERGE SET references unknown column: $c")
+          require(c != pkCol && c != partitionCol,
+            s"cannot MERGE-update key/partition column '$c'")
+        }
+        val emptyT = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+        assigns.foreach { case (c, v) =>
+          val analyzed =
+            try org.apache.spark.sql.graft.PlanShim.analyzed(
+              emptyT.as("t").select(v.cast(schema(c).dataType)))
+            catch { case e: Throwable => throw new IllegalArgumentException(
+              s"NOT MATCHED BY SOURCE SET $c must reference target columns only: ${e.getMessage}")
+            }
+          analyzed.expressions.foreach { e =>
+            require(e.deterministic,
+              s"NOT MATCHED BY SOURCE SET $c must be deterministic, got: ${e.sql}")
+            require(!SubqueryExpression.hasSubquery(e),
+              s"NOT MATCHED BY SOURCE SET $c may not contain a subquery")
+          }
+        }
       case other => throw new IllegalArgumentException(
-        s"WHEN NOT MATCHED BY SOURCE supports only DELETE clauses, got: $other")
+        s"WHEN NOT MATCHED BY SOURCE supports DELETE and expression UPDATE" +
+          s" clauses, got: $other")
     }
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one clause")
@@ -782,25 +812,29 @@ final class AcidTable private (
     val deleteIdxs = matched.zipWithIndex.collect {
       case (MergeMatchedClause.Delete(_), i) => i
     }
-    // NOT MATCHED BY SOURCE deletes: an unmatched TARGET row drops when
-    // any clause condition holds (all NMBS clauses are deletes, so
-    // first-match-wins collapses to OR); conditions see the target row
-    // under `t` and a NULL source side, the SQL clause-guard semantics
-    val nmbsDrop: Column = notMatchedBySource match {
-      case Nil => lit(false)
-      case cs => !isMatched &&
-        cs.map(c => coalesce(c.condition.getOrElse(lit(true)), lit(false))).reduce(_ || _)
+    // NOT MATCHED BY SOURCE: its own first-match-wins index over the
+    // unmatched TARGET rows (conditions see the target under `t` and a
+    // NULL source side, the SQL clause-guard semantics). DELETE-indexed
+    // rows drop; expression-UPDATE-indexed rows project their t-only
+    // assignments below; everything else carries.
+    val nmbsIdxName = "__graft_nmbs"
+    val nmbsIdxCol = notMatchedBySource.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+      case (acc, (cl, i)) =>
+        acc.when(!isMatched && coalesce(cl.condition.getOrElse(lit(true)), lit(false)), lit(i))
+    }.otherwise(lit(-1))
+    val nmbsDeleteIdxs = notMatchedBySource.zipWithIndex.collect {
+      case (MergeMatchedClause.Delete(_), i) => i
     }
-    val tagged = pairs.withColumn(idxName, idxCol)
+    val tagged = pairs.withColumn(idxName, idxCol).withColumn(nmbsIdxName, nmbsIdxCol)
     val kept = {
       val afterMatched =
         if (deleteIdxs.isEmpty) tagged
         else tagged.filter(!col(idxName).isInCollection(deleteIdxs))
-      if (notMatchedBySource.isEmpty) afterMatched
-      else afterMatched.filter(!nmbsDrop)
+      if (nmbsDeleteIdxs.isEmpty) afterMatched
+      else afterMatched.filter(!col(nmbsIdxName).isInCollection(nmbsDeleteIdxs))
     }
     val updated = kept.select(schema.fieldNames.map { f =>
-      matched.zipWithIndex.foldLeft(when(lit(false), col(s"t.$f"))) {
+      val withMatched = matched.zipWithIndex.foldLeft(when(lit(false), col(s"t.$f"))) {
         case (acc, (MergeMatchedClause.Update(_, cols), i)) if cols.contains(f) =>
           acc.when(col(idxName) === i, col(s"s.$f"))
         case (acc, (MergeMatchedClause.UpdateExprs(_, assigns), i))
@@ -810,6 +844,13 @@ final class AcidTable private (
           // drift the table schema
           val v = assigns.find(_._1.equalsIgnoreCase(f)).get._2
           acc.when(col(idxName) === i, v.cast(schema(f).dataType))
+        case (acc, _) => acc
+      }
+      notMatchedBySource.zipWithIndex.foldLeft(withMatched) {
+        case (acc, (MergeMatchedClause.UpdateExprs(_, assigns), i))
+            if assigns.exists(_._1.equalsIgnoreCase(f)) =>
+          val v = assigns.find(_._1.equalsIgnoreCase(f)).get._2
+          acc.when(col(nmbsIdxName) === i, v.cast(schema(f).dataType))
         case (acc, _) => acc
       }.otherwise(col(s"t.$f")).as(f)
     }: _*)

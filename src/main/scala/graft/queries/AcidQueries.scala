@@ -947,6 +947,51 @@ object AcidQueries {
                     THEN val + (val + 1) * 10
                     ELSE val END AS val
         FROM base ORDER BY pk
+      """)),
+
+    // ---- C5 NOT MATCHED BY SOURCE expression UPDATE (round 10b) -----------------
+    // The "mark stale" full-sync pattern: target rows absent from the
+    // source get a t-only expression update (here val → -val) while
+    // matched rows take the source image — through the catalog front-end;
+    // front-end parity and rejections are pinned in ConditionalMergeSpec.
+    Q(
+      "q_sql_acid_merge_nmbs_update",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.lake.GraftCatalog].getName)
+        s.conf.set("spark.sql.graft.warehouse", scratch())
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.nmu")
+        s.sql("""CREATE TABLE graft.nmu.t (pk STRING, part STRING, val DOUBLE)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        base.createOrReplaceTempView("nmu_base")
+        s.sql("INSERT INTO graft.nmu.t SELECT * FROM nmu_base")
+        base.filter(col("pk").cast("long") % 3 === 0)
+          .withColumn("val", col("val") + 100)
+          .createOrReplaceTempView("nmu_src")
+        s.sql("""MERGE INTO graft.nmu.t t
+                |USING (SELECT * FROM nmu_src) s
+                |ON t.pk = s.pk
+                |WHEN MATCHED THEN UPDATE SET t.val = s.val
+                |WHEN NOT MATCHED BY SOURCE AND t.val > 0.0
+                |  THEN UPDATE SET t.val = t.val * -1""".stripMargin)
+        s.sql("SELECT * FROM graft.nmu.t ORDER BY pk")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN val + 100
+                    WHEN val > 0.0 THEN val * -1
+                    ELSE val END AS val
+        FROM base ORDER BY pk
       """))
   )
 }

@@ -297,4 +297,74 @@ class ConditionalMergeSpec extends AnyFunSuite {
       ("a", "p0", 1000L), ("b", "p0", 20L), ("c", "p1", 300L),
       ("d", "p1", 50L), ("x", "p2", 7L), ("y", "p2", 99L)))
   }
+
+  test("NOT MATCHED BY SOURCE expression UPDATE (round 10b): mark stale rows, all front-ends") {
+    // API: rows absent from the source get a t-only expression update —
+    // the "mark stale" pattern Delta's NMBS UPDATE exists for
+    val t1 = freshTable()
+    t1.mergeConditional(
+      Seq(("a", "p0", 100L)).toDF("pk", "part", "v"),
+      matched = Seq(MergeMatchedClause.Update(None, Seq("v"))),
+      notMatched = Nil,
+      notMatchedBySource = Seq(
+        MergeMatchedClause.Delete(Some(col("t.v") >= 50)),
+        MergeMatchedClause.UpdateExprs(None, Seq("v" -> (col("t.v") * -1)))))
+    assert(state(t1) === Set(
+      ("a", "p0", 100L), // matched update
+      ("b", "p0", -5L),  // NMBS expr update (second clause)
+      ("c", "p1", -10L), // NMBS expr update
+      /* d deleted: NMBS delete clause first-match (t.v=50 >= 50) */ ))
+
+    // source-side reference in an NMBS assignment fails loudly (the rows
+    // have no source image)
+    intercept[IllegalArgumentException] {
+      freshTable().mergeConditional(
+        Seq(("a", "p0", 1L)).toDF("pk", "part", "v"),
+        matched = Nil, notMatched = Nil,
+        notMatchedBySource = Seq(
+          MergeMatchedClause.UpdateExprs(None, Seq("v" -> col("s.v")))))
+    }
+    // identity Update (source-copy shape) stays rejected for NMBS
+    intercept[IllegalArgumentException] {
+      freshTable().mergeConditional(
+        Seq(("a", "p0", 1L)).toDF("pk", "part", "v"),
+        matched = Nil, notMatched = Nil,
+        notMatchedBySource = Seq(MergeMatchedClause.Update(None, Seq("v"))))
+    }
+
+    // text front-end
+    val t2 = freshTable()
+    val reg = Map("acid.t" -> t2, "t" -> t2)
+    Seq(("a", "p0", 100L)).toDF("pk", "part", "v")
+      .createOrReplaceTempView("nmbs_upd_src")
+    AcidSql.execute(spark, reg,
+      """MERGE INTO acid.t tgt
+        |USING (SELECT * FROM nmbs_upd_src) src
+        |ON tgt.pk = src.pk
+        |WHEN MATCHED THEN UPDATE SET tgt.v = src.v
+        |WHEN NOT MATCHED BY SOURCE AND tgt.v < 50 THEN UPDATE SET tgt.v = tgt.v + 1000
+        |""".stripMargin)
+    assert(state(t2) === Set(
+      ("a", "p0", 100L), ("b", "p0", 1005L), ("c", "p1", 1010L), ("d", "p1", 50L)))
+
+    // catalog front-end
+    val wh = Files.createTempDirectory("cmerge-nmbs-upd-").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nu")
+    spark.sql("""CREATE TABLE graft.nu.t (pk STRING, part STRING, v BIGINT)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    Seq(("a", "p0", 1L), ("b", "p0", 5L)).toDF("pk", "part", "v")
+      .createOrReplaceTempView("nu_seed")
+    spark.sql("INSERT INTO graft.nu.t SELECT * FROM nu_seed")
+    Seq(("a", "p0", 9L)).toDF("pk", "part", "v").createOrReplaceTempView("nu_src")
+    spark.sql("""MERGE INTO graft.nu.t t USING (SELECT * FROM nu_src) s
+                |ON t.pk = s.pk
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.v = t.v * 100""".stripMargin)
+    assert(spark.sql("SELECT pk, v FROM graft.nu.t ORDER BY pk")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a", 9L), ("b", 500L)))
+    spark.sql("DROP TABLE graft.nu.t")
+  }
 }
