@@ -46,12 +46,11 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               // source's key set — the bucket-pruned key path, not a rewrite
               AcidMergeDeleteCommand(acid, m.sourceTable)
             case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins)), Seq())
-                if assigns.forall(isIdentity) =>
+                if assigns.forall(isIdentity) && ins.forall(isIdentity) =>
               // the unconditional IDENTITY shape keeps the fast
               // window-merge formulation (and its driver kernel);
               // transformed SET values route through the expression-clause
               // path below (round 10b)
-              ins.foreach(check)
               requireFullInsert(ins)
               AcidMergeCommand(acid, m.sourceTable, assigns.map(assignedCol))
             case (matchedActions, notMatchedActions, nmbsActions) =>
@@ -79,10 +78,15 @@ case class AcidMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   s"unsupported WHEN MATCHED action: $other")
               }
               val notMatched = notMatchedActions.map {
-                case InsertAction(c, assigns) =>
-                  assigns.foreach(check) // reordered/transformed VALUES reject
+                case InsertAction(c, assigns) if assigns.forall(isIdentity) =>
                   requireFullInsert(assigns)
-                  c.map(sql)
+                  AcidMergeConditionalCommand.Insert(c.map(sql), None)
+                case InsertAction(c, assigns) =>
+                  // round 10b: reordered / transformed / partial VALUES —
+                  // per-column expressions over the source, carried as
+                  // re-qualified SQL (validated in mergeClauses)
+                  AcidMergeConditionalCommand.Insert(c.map(sql),
+                    Some(assigns.map(a => assignedCol(a) -> sql(a.value))))
                 case other => throw new IllegalArgumentException(
                   s"unsupported WHEN NOT MATCHED action: $other")
               }
@@ -259,7 +263,7 @@ case class AcidMergeConditionalCommand(
     acid: AcidTable,
     source: LogicalPlan,
     matched: Seq[AcidMergeConditionalCommand.Clause],
-    notMatched: Seq[Option[String]],
+    notMatched: Seq[AcidMergeConditionalCommand.Insert],
     notMatchedBySource: Seq[AcidMergeConditionalCommand.Clause] = Nil)
     extends LeafRunnableCommand {
 
@@ -274,10 +278,11 @@ case class AcidMergeConditionalCommand(
       case AcidMergeConditionalCommand.Clause(cond, None, None) =>
         MergeMatchedClause.Delete(cond.map(expr))
     }
-    acid.mergeConditional(
+    acid.mergeClauses(
       PlanShim.ofRows(session, source),
       matched.map(toClause),
-      notMatched.map(_.map(expr)),
+      notMatched.map(i => MergeInsertClause(i.conditionSql.map(expr),
+        i.assignSql.map(_.map { case (c, e) => c -> expr(e) }))),
       notMatchedBySource = notMatchedBySource.map(toClause))
     Seq.empty
   }
@@ -291,6 +296,11 @@ object AcidMergeConditionalCommand {
       conditionSql: Option[String],
       updateCols: Option[Seq[String]],
       assignSql: Option[Seq[(String, String)]] = None)
+  /** `assignSql` None = identity full-row insert; Some = per-column
+    * expression VALUES (round 10b). */
+  final case class Insert(
+      conditionSql: Option[String],
+      assignSql: Option[Seq[(String, String)]])
 }
 
 /** Driver-orchestrated UPDATE, routed through [[AcidTable.update]] — the

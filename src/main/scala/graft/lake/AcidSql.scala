@@ -57,7 +57,7 @@ object AcidSql {
             // source's key set — the bucket-pruned key path, not a rewrite
             t.delete(src)
           case (Seq(UpdateAction(None, assigns, _)), Seq(InsertAction(None, ins)), Seq())
-              if assigns.forall(isIdentity) =>
+              if assigns.forall(isIdentity) && ins.forall(isIdentity) =>
             // the reference's one unconditional IDENTITY shape keeps the
             // fast window-merge formulation (and its driver kernel);
             // transformed SET values fall through to the expression-clause
@@ -87,13 +87,18 @@ object AcidSql {
               case other => fail(s"unsupported WHEN MATCHED action: $other")
             }
             val notMatched = notMatchedActions.map {
-              case InsertAction(c, assigns) =>
-                assigns.foreach(requireIdentityAssign(tAl)) // no reordered VALUES
+              case InsertAction(c, assigns) if assigns.forall(isIdentity) =>
                 val cols = assigns.map(assignedCol).toSet
                 requireShape(t.schema.fieldNames.forall(cols.contains),
                   s"MERGE insert must cover the full schema" +
                     s" ${t.schema.fieldNames.mkString(",")}, got $cols")
-                c.map(cond)
+                MergeInsertClause(c.map(cond), None)
+              case InsertAction(c, assigns) =>
+                // round 10b: reordered / transformed / partial VALUES —
+                // per-column expressions over the source (validated in
+                // mergeClauses: key+partition covered, s-only references)
+                MergeInsertClause(c.map(cond),
+                  Some(assigns.map(a => assignedCol(a) -> cond(a.value))))
               case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
             }
             // round 10: WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
@@ -107,7 +112,7 @@ object AcidSql {
               case other => fail(
                 s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
             }
-            t.mergeConditional(src, matched, notMatched, notMatchedBySource = nmbs)
+            t.mergeClauses(src, matched, notMatched, notMatchedBySource = nmbs)
         }
 
       case u: UpdateTable =>

@@ -667,6 +667,22 @@ final class AcidTable private (
       matched: Seq[MergeMatchedClause],
       notMatched: Seq[Option[Column]],
       partitionsHint: Option[Seq[String]] = None,
+      notMatchedBySource: Seq[MergeMatchedClause] = Nil): Long =
+    mergeClauses(source, matched, notMatched.map(MergeInsertClause(_, None)),
+      partitionsHint, notMatchedBySource)
+
+  /** [[mergeConditional]] with the full insert-clause grammar (round
+    * 10b): `WHEN NOT MATCHED [AND cond] THEN INSERT` clauses may carry
+    * per-column expression assignments over the source — reordered or
+    * transformed VALUES, and PARTIAL column lists (unassigned non-key
+    * columns insert NULL; the key and partition columns must be
+    * assigned). First-match-wins across insert clauses.
+    */
+  def mergeClauses(
+      source: DataFrame,
+      matched: Seq[MergeMatchedClause],
+      notMatched: Seq[MergeInsertClause],
+      partitionsHint: Option[Seq[String]] = None,
       notMatchedBySource: Seq[MergeMatchedClause] = Nil): Long = {
     matched.foreach {
       case MergeMatchedClause.Update(_, cols) =>
@@ -764,11 +780,43 @@ final class AcidTable private (
               if a.nameParts.size > 1 =>
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.nameParts.last))
         }), "MERGE NOT MATCHED BY SOURCE"))
+    // insert-clause expression assignments (round 10b): distinct names,
+    // key+partition covered, source-only references, deterministic —
+    // resolved once against a bare `s`-aliased empty frame
+    notMatched.foreach {
+      case MergeInsertClause(_, Some(assigns)) =>
+        val names = assigns.map(_._1)
+        require(names.map(_.toLowerCase).distinct.size == names.size,
+          s"duplicate MERGE INSERT column: ${names.mkString(", ")}")
+        names.foreach(c => require(schema.fieldNames.contains(c),
+          s"MERGE INSERT references unknown column: $c"))
+        Seq(pkCol, partitionCol).foreach(k =>
+          require(names.exists(_.equalsIgnoreCase(k)),
+            s"MERGE INSERT must assign the '$k' column"))
+        val emptyS = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+        assigns.foreach { case (c, v) =>
+          val analyzed =
+            try org.apache.spark.sql.graft.PlanShim.analyzed(
+              emptyS.as("s").select(v.cast(schema(c).dataType)))
+            catch { case e: Throwable => throw new IllegalArgumentException(
+              s"MERGE INSERT value for $c must reference source columns only: ${e.getMessage}")
+            }
+          analyzed.expressions.foreach { e =>
+            require(e.deterministic,
+              s"MERGE INSERT value for $c must be deterministic, got: ${e.sql}")
+            require(!SubqueryExpression.hasSubquery(e),
+              s"MERGE INSERT value for $c may not contain a subquery")
+          }
+        }
+      case _ => ()
+    }
     val n = normalize(source)
     val hint = checkedHint(partitionsHint)
     val keys = n.select(pkCol)
     val src = dedupedSource(n)
     val srcLocal = localRowsInSchemaOrder(src)
+    val hasExprInserts = notMatched.exists(_.assignments.isDefined)
     commitLoop(
       touchedOf = (snap, _) => {
         val srcCells = localCellsOf(srcLocal).getOrElse(cellsBy(snap, src, keys, hint))
@@ -781,7 +829,16 @@ final class AcidTable private (
             .select(col(partitionCol).as("__p"), bucketExpr.as("__b"))
             .distinct().collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
         }.getOrElse(Nil)
-        (srcCells ++ nmbsCells).distinct
+        // expression inserts can send a row to any cell their assignments
+        // compute — discover the INSERT IMAGES' cells (one batch-scale
+        // projection over the unmatched source rows, never a table scan)
+        val imageCells =
+          if (!hasExprInserts) Nil
+          else insertImages(snap, src, notMatched).map { img =>
+            img.select(col(partitionCol).cast("string").as("__p"), bucketExpr.as("__b"))
+              .distinct().collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
+          }.getOrElse(Nil)
+        (srcCells ++ nmbsCells ++ imageCells).distinct
       },
       resultOf = snapT => clauseMerge(snapT, src, matched, notMatched, notMatchedBySource),
       outputBounded = srcLocal.isDefined || isMetadataScale(src),
@@ -795,11 +852,47 @@ final class AcidTable private (
     * the source, everything else carries. Unmatched source rows insert
     * through the OR of the insert-clause conditions.
     */
+  /** The transformed/reordered/partial INSERT images: unmatched source
+    * rows routed through the first-match-wins insert-clause chain, each
+    * projected to the table schema (identity clauses take the source row,
+    * expression clauses their assignments — unassigned columns NULL).
+    * None when there are no insert clauses. Shared by [[clauseMerge]]
+    * (the rows to append) and touched-cell discovery (where they land).
+    */
+  private def insertImages(
+      snapT: DataFrame,
+      src: DataFrame,
+      notMatched: Seq[MergeInsertClause]): Option[DataFrame] = {
+    if (notMatched.isEmpty) return None
+    val insIdxName = "__graft_ins"
+    // anti-join on the bare pk, THEN alias as `s` so both bare and
+    // s-qualified references resolve in clause conditions and assignments
+    val unmatched = src.join(snapT.select(col(pkCol)), Seq(pkCol), "left_anti")
+      .select(schema.fieldNames.map(col): _*).as("s")
+    val insIdx = notMatched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+      case (acc, (cl, i)) =>
+        acc.when(coalesce(cl.condition.getOrElse(lit(true)), lit(false)), lit(i))
+    }.otherwise(lit(-1))
+    val tagged = unmatched.withColumn(insIdxName, insIdx).filter(col(insIdxName) >= 0)
+    Some(tagged.select(schema.fieldNames.map { f =>
+      notMatched.zipWithIndex.foldLeft(
+        when(lit(false), lit(null).cast(schema(f).dataType))) {
+        case (acc, (MergeInsertClause(_, Some(assigns)), i)) =>
+          val v = assigns.find(_._1.equalsIgnoreCase(f))
+            .map(_._2.cast(schema(f).dataType))
+            .getOrElse(lit(null).cast(schema(f).dataType))
+          acc.when(col(insIdxName) === i, v)
+        case (acc, (MergeInsertClause(_, None), i)) =>
+          acc.when(col(insIdxName) === i, col(s"s.$f"))
+      }.otherwise(lit(null).cast(schema(f).dataType)).as(f)
+    }: _*))
+  }
+
   private def clauseMerge(
       snapT: DataFrame,
       src: DataFrame,
       matched: Seq[MergeMatchedClause],
-      notMatched: Seq[Option[Column]],
+      notMatched: Seq[MergeInsertClause],
       notMatchedBySource: Seq[MergeMatchedClause] = Nil): DataFrame = {
     val idxName = "__graft_clause"
     val pairs = snapT.as("t").join(src.as("s"),
@@ -854,17 +947,7 @@ final class AcidTable private (
         case (acc, _) => acc
       }.otherwise(col(s"t.$f")).as(f)
     }: _*)
-    val inserts =
-      if (notMatched.isEmpty) None
-      else {
-        val cond = notMatched
-          .map(c => coalesce(c.getOrElse(lit(true)), lit(false)))
-          .reduce(_ || _)
-        Some(src.as("s").join(snapT.select(col(pkCol)), Seq(pkCol), "left_anti")
-          .filter(cond)
-          .select(schema.fieldNames.map(col): _*))
-      }
-    inserts.fold(updated)(updated.unionByName(_))
+    insertImages(snapT, src, notMatched).fold(updated)(updated.unionByName(_))
   }
 
   /** Source preparation shared by [[merge]] and [[mergeConditional]]: one
@@ -2947,6 +3030,16 @@ object MergeMatchedClause {
       extends MergeMatchedClause
   final case class Delete(condition: Option[Column]) extends MergeMatchedClause
 }
+
+/** One `WHEN NOT MATCHED [AND cond] THEN INSERT` clause. `assignments`
+  * None = the identity full-row insert (the source row as-is);
+  * Some = per-column expressions over the source (`s.*`) — reordered,
+  * transformed, or PARTIAL column lists (unassigned non-key columns
+  * insert NULL), round 10b. First-match-wins across clauses.
+  */
+final case class MergeInsertClause(
+    condition: Option[Column],
+    assignments: Option[Seq[(String, Column)]])
 
 object AcidTable {
 

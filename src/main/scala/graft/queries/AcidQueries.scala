@@ -992,6 +992,67 @@ object AcidQueries {
                     WHEN val > 0.0 THEN val * -1
                     ELSE val END AS val
         FROM base ORDER BY pk
+      """)),
+
+    // ---- C5 MERGE expression INSERT clauses (round 10b) -------------------------
+    // Reordered / transformed / conditional INSERT VALUES through the
+    // catalog: unmatched orders-derived rows route first-match-wins into
+    // either a transformed insert (computed pk prefix, constant
+    // partition, scaled value) or the identity insert. Touched-cell
+    // discovery follows the INSERT IMAGES (the transformed rows land in a
+    // partition the raw source never names).
+    Q(
+      "q_sql_acid_merge_insert_expr",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.lake.GraftCatalog].getName)
+        s.conf.set("spark.sql.graft.warehouse", scratch())
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.ie")
+        s.sql("""CREATE TABLE graft.ie.t (pk STRING, part STRING, val DOUBLE)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        base.createOrReplaceTempView("ie_base")
+        s.sql("INSERT INTO graft.ie.t SELECT * FROM ie_base")
+        Tables.orders(s, dir).filter(col("o_orderkey") < 40)
+          .select(
+            col("o_orderkey").cast("string").as("pk"),
+            lit("px").as("part"),
+            col("o_totalprice").as("val"))
+          .createOrReplaceTempView("ie_src")
+        s.sql("""MERGE INTO graft.ie.t t
+                |USING (SELECT * FROM ie_src) s
+                |ON t.pk = s.pk
+                |WHEN NOT MATCHED AND s.val < 100000.0 THEN
+                |  INSERT (t.pk, t.part, t.val)
+                |  VALUES (concat('lo-', s.pk), 'pLow', s.val / 2)
+                |WHEN NOT MATCHED THEN
+                |  INSERT (t.pk, t.part, t.val) VALUES (s.pk, s.part, s.val)""".stripMargin)
+        s.sql("SELECT * FROM graft.ie.t ORDER BY pk")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation),
+        src AS (
+          SELECT CAST(o_orderkey AS VARCHAR) AS pk, 'px' AS part,
+                 o_totalprice AS val
+          FROM orders WHERE o_orderkey < 40),
+        unmatched AS (
+          SELECT * FROM src WHERE pk NOT IN (SELECT pk FROM base)),
+        inserted AS (
+          SELECT CASE WHEN val < 100000.0 THEN 'lo-' || pk ELSE pk END AS pk,
+                 CASE WHEN val < 100000.0 THEN 'pLow' ELSE part END AS part,
+                 CASE WHEN val < 100000.0 THEN val / 2 ELSE val END AS val
+          FROM unmatched)
+        SELECT pk, part, val FROM base
+        UNION ALL SELECT pk, part, val FROM inserted
+        ORDER BY pk
       """))
   )
 }

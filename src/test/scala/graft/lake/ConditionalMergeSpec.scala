@@ -298,6 +298,57 @@ class ConditionalMergeSpec extends AnyFunSuite {
       ("d", "p1", 50L), ("x", "p2", 7L), ("y", "p2", 99L)))
   }
 
+  test("expression INSERT clauses (round 10b): transformed/partial, first-match-wins, cells follow images") {
+    val t = freshTable() // a, b, c, d
+    val src = Seq(("n1", "px", 3L), ("n2", "px", 30L)).toDF("pk", "part", "v")
+    t.mergeClauses(src,
+      matched = Nil,
+      notMatched = Seq(
+        // clause 1: small rows insert TRANSFORMED — computed pk, a
+        // partition the raw source never names (cells must follow the
+        // IMAGE, not the source row), scaled value
+        MergeInsertClause(Some(col("s.v") < 10),
+          Some(Seq(
+            "pk" -> concat(lit("lo-"), col("s.pk")),
+            "part" -> lit("pLow"),
+            "v" -> (col("s.v") * 100)))),
+        // clause 2: PARTIAL insert — v unassigned → NULL
+        MergeInsertClause(None,
+          Some(Seq("pk" -> col("s.pk"), "part" -> col("s.part"))))))
+    val rows = t.snapshot().collect()
+      .map(r => r.getString(0) -> (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(rows("lo-n1") === (("pLow", Some(300L))), s"transformed insert wrong: $rows")
+    assert(rows("n2") === (("px", None)), s"partial insert must NULL unassigned cols: $rows")
+    assert(rows.keySet === Set("a", "b", "c", "d", "lo-n1", "n2"))
+
+    // key/partition must be assigned; target references rejected
+    intercept[IllegalArgumentException] {
+      freshTable().mergeClauses(src, Nil,
+        notMatched = Seq(MergeInsertClause(None, Some(Seq("v" -> lit(1L))))))
+    }
+    intercept[IllegalArgumentException] {
+      freshTable().mergeClauses(src, Nil,
+        notMatched = Seq(MergeInsertClause(None, Some(Seq(
+          "pk" -> col("s.pk"), "part" -> col("s.part"), "v" -> col("t.v"))))))
+    }
+
+    // text front-end: reordered VALUES execute as written
+    val t2 = freshTable()
+    val reg = Map("acid.t" -> t2, "t" -> t2)
+    Seq(("n9", "pz", 5L)).toDF("pk", "part", "v")
+      .createOrReplaceTempView("ins_expr_src")
+    AcidSql.execute(spark, reg,
+      """MERGE INTO acid.t tgt
+        |USING (SELECT * FROM ins_expr_src) src
+        |ON tgt.pk = src.pk
+        |WHEN NOT MATCHED THEN INSERT (tgt.pk, tgt.part, tgt.v)
+        |  VALUES (src.part, src.pk, src.v * 7)
+        |""".stripMargin)
+    assert(state(t2).contains(("pz", "n9", 35L)),
+      "reordered/transformed VALUES must insert columns as written")
+  }
+
   test("NOT MATCHED BY SOURCE expression UPDATE (round 10b): mark stale rows, all front-ends") {
     // API: rows absent from the source get a t-only expression update —
     // the "mark stale" pattern Delta's NMBS UPDATE exists for

@@ -227,15 +227,18 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
       === Seq(("a", 2.0), ("b", 10.0), ("c", 18.0)),
       "transformed SET must evaluate the expression, not copy s.v")
-    // reordered INSERT values (s.part into t.pk): still the
-    // silent-corruption class → rejected
-    intercept[Throwable] {
-      spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
-                  |ON t.pk = s.pk
-                  |WHEN MATCHED THEN UPDATE SET t.v = s.v
-                  |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
-                  |VALUES (s.part, s.pk, s.v)""".stripMargin)
-    }
+    // round 10b: reordered INSERT values EXECUTE as written (expression
+    // inserts) — s.part into t.pk means exactly that
+    Seq(("zz", "p9", 7.0)).toDF("pk", "part", "v").createOrReplaceTempView("cat_reord")
+    spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_reord) s
+                |ON t.pk = s.pk
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT (t.pk, t.part, t.v)
+                |VALUES (s.part, s.pk, s.v)""".stripMargin)
+    assert(spark.sql("SELECT part FROM graft.db2.t WHERE pk = 'p9'")
+      .collect().map(_.getString(0)).toSeq === Seq("zz"),
+      "reordered VALUES must insert the columns as written")
+    spark.sql("DELETE FROM graft.db2.t WHERE pk = 'p9'")
     // round 10b: TARGET-qualified RHS (`t.v = t.v`, "keep the target
     // value") now means what SQL says — the pre-image target value
     spark.sql("""MERGE INTO graft.db2.t t USING (SELECT * FROM cat_src2) s
