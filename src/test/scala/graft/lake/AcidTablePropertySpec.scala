@@ -41,20 +41,26 @@ class AcidTablePropertySpec extends AnyFunSuite {
     * rows, and DELETE target rows absent from the source whose dataValue
     * is below the cut (WHEN NOT MATCHED BY SOURCE … THEN DELETE). */
   final case class SyncMerge(rows: List[Record], cut: String) extends Op
+  /** Expression merge (round 10b): matched rows take an EXPRESSION update
+    * (dataValue = concat of target and source pre-images, truncated to
+    * keep strings bounded); unmatched source rows insert through an
+    * expression clause that rewrites dataValue to a marker prefix. */
+  final case class ExprMerge(rows: List[Record]) extends Op
 
   private def genRecord(rnd: Random): Record = {
     val k = rnd.nextInt(20)
     Record(s"R$k", s"P${k % 3}", f"v${rnd.nextInt(1000000)}%07d")
   }
 
-  private def genOp(rnd: Random): Op = rnd.nextInt(15) match {
+  private def genOp(rnd: Random): Op = rnd.nextInt(16) match {
     case n if n < 4 => Upsert(List.fill(3)(genRecord(rnd)))
     case n if n < 7 => Merge(List.fill(3)(genRecord(rnd)))
     case n if n < 9 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
     case n if n < 11 => Delete(List.fill(2)(s"R${rnd.nextInt(20)}"))
     case n if n < 12 => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
     case n if n < 14 => CondMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(9)}00000")
-    case _ => SyncMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(3)}00000")
+    case n if n < 15 => SyncMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(3)}00000")
+    case _ => ExprMerge(List.fill(3)(genRecord(rnd)))
   }
 
   /** Execute `op` against the table (shared by the serial and concurrent
@@ -83,6 +89,16 @@ class AcidTablePropertySpec extends AnyFunSuite {
         matched = Seq(MergeMatchedClause.Update(None, Seq("dataValue"))),
         notMatched = Seq(None),
         notMatchedBySource = Seq(MergeMatchedClause.Delete(Some(col("t.dataValue") < lit(cut)))))
+    case ExprMerge(rows) =>
+      import org.apache.spark.sql.functions.{col, concat, lit, substring}
+      t.mergeClauses(spark.createDataset(rows).toDF(),
+        matched = Seq(MergeMatchedClause.UpdateExprs(None, Seq(
+          "dataValue" -> substring(
+            concat(col("t.dataValue"), lit("+"), col("s.dataValue")), 1, 24)))),
+        notMatched = Seq(MergeInsertClause(None, Some(Seq(
+          "primaryKeyValue" -> col("s.primaryKeyValue"),
+          "partitionKeyValue" -> col("s.partitionKeyValue"),
+          "dataValue" -> concat(lit("ins:"), col("s.dataValue")))))))
   }
 
   /** Model of the precombine rule: greatest (dataValue, then tie-break by
@@ -130,6 +146,15 @@ class AcidTablePropertySpec extends AnyFunSuite {
         }
       }
       upserted.filterNot { case (k, r) => !srcKeys.contains(k) && r.dataValue < cut }
+    case ExprMerge(rows) =>
+      dedupe(rows).foldLeft(model) { (m, r) =>
+        m.get(r.primaryKeyValue) match {
+          case Some(old) => m + (r.primaryKeyValue -> old.copy(
+            dataValue = (old.dataValue + "+" + r.dataValue).take(24)))
+          case None => m + (r.primaryKeyValue -> r.copy(
+            dataValue = "ins:" + r.dataValue))
+        }
+      }
   }
 
   test("CONCURRENT churn-partition commits serialize: snapshot == model in version order") {
@@ -165,14 +190,15 @@ class AcidTablePropertySpec extends AnyFunSuite {
             }
             start.await()
             (1 to opsPerThread).foreach { _ =>
-              val op = rnd.nextInt(14) match {
+              val op = rnd.nextInt(15) match {
                 case n if n < 4 => Upsert(List.fill(3)(churnRecord()))
                 case n if n < 6 => Merge(List.fill(3)(churnRecord()))
                 case n if n < 8 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
                 case n if n < 10 => Delete(List.fill(2)(s"R${rnd.nextInt(12)}"))
                 case n if n < 11 => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
                 case n if n < 13 => CondMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(9)}00000")
-                case _ => SyncMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(3)}00000")
+                case n if n < 14 => SyncMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(3)}00000")
+                case _ => ExprMerge(List.fill(3)(churnRecord()))
               }
               committed.add((applyOp(t, op), op))
             }
