@@ -817,6 +817,31 @@ final class AcidTable private (
     val src = dedupedSource(n)
     val srcLocal = localRowsInSchemaOrder(src)
     val hasExprInserts = notMatched.exists(_.assignments.isDefined)
+    // with expression inserts the clause CONDITIONS participate in
+    // touched-cell discovery (first-match routing decides where images
+    // land) and are re-evaluated in resultOf — a nondeterministic
+    // condition could route rows outside the discovered cells, so reject
+    // it up front (identity-only inserts stay in the source rows' cells
+    // regardless of conditions and need no such gate)
+    if (hasExprInserts) {
+      import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+      val emptyS = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      notMatched.flatMap(_.condition).foreach { c =>
+        val analyzed =
+          try org.apache.spark.sql.graft.PlanShim.analyzed(
+            emptyS.as("s").filter(coalesce(c, lit(false))))
+          catch { case e: Throwable => throw new IllegalArgumentException(
+            s"MERGE INSERT condition must reference source columns only: ${e.getMessage}")
+          }
+        analyzed.expressions.foreach { e =>
+          require(e.deterministic,
+            s"MERGE INSERT condition must be deterministic with expression" +
+              s" inserts, got: ${e.sql}")
+          require(!SubqueryExpression.hasSubquery(e),
+            "MERGE INSERT condition may not contain a subquery")
+        }
+      }
+    }
     commitLoop(
       touchedOf = (snap, _) => {
         val srcCells = localCellsOf(srcLocal).getOrElse(cellsBy(snap, src, keys, hint))
