@@ -1503,16 +1503,20 @@ final class AcidTable private (
     * predicates (zero Spark jobs) — a constraint costs nothing but the
     * predicate's evaluation over rows that were being written anyway.
     *
-    * Multi-writer caveat (same discipline as schema evolution): a writer
-    * holding a handle opened BEFORE the constraint was added enforces the
-    * constraints its handle knows — re-open handles after constraint DDL,
-    * exactly as after add/drop/rename column. Spec-pinned in
-    * ConstraintSpec.
+    * Enforcement is TABLE-level, not handle-scoped (round 10b): every
+    * commit re-reads the constraint list from the meta, so a writer
+    * holding a handle opened BEFORE the constraint was added still
+    * enforces it on its next commit — one small properties read per
+    * commit, the local analog of Delta reading table metadata per
+    * transaction. Residual race (same as Delta): a commit IN FLIGHT while
+    * the constraint's validation scan runs can land a violating row the
+    * validation never saw. Spec-pinned in ConstraintSpec.
     */
   def addConstraint(name: String, predicateSql: String): AcidTable = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"constraint name must be alphanumeric: '$name'")
-    require(!checkConstraints.exists(_._1.equalsIgnoreCase(name)),
+    val cur = liveConstraints()
+    require(!cur.exists(_._1.equalsIgnoreCase(name)),
       s"constraint '$name' already exists")
     val c = expr(predicateSql)
     requireDeterministicCondition(c, s"ADD CONSTRAINT $name CHECK")
@@ -1520,15 +1524,16 @@ final class AcidTable private (
     require(violations == 0,
       s"cannot add CHECK constraint '$name': existing rows violate ($predicateSql)")
     AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, droppedCols, checkConstraints :+ (name -> predicateSql), renamedCols)
+      numBuckets, droppedCols, cur :+ (name -> predicateSql), renamedCols)
     AcidTable.open(spark, path)
   }
 
   def dropConstraint(name: String): AcidTable = {
-    require(checkConstraints.exists(_._1.equalsIgnoreCase(name)),
+    val cur = liveConstraints()
+    require(cur.exists(_._1.equalsIgnoreCase(name)),
       s"no CHECK constraint named '$name'")
     AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, droppedCols, checkConstraints.filterNot(_._1.equalsIgnoreCase(name)),
+      numBuckets, droppedCols, cur.filterNot(_._1.equalsIgnoreCase(name)),
       renamedCols)
     AcidTable.open(spark, path)
   }
@@ -1544,20 +1549,47 @@ final class AcidTable private (
           a.nameParts.last.toLowerCase
       }.toSet
 
-  /** Interpreted CHECK predicates for the driver fast path (NULL passes —
-    * coalesced to true). None when any constraint can't compile to a row
-    * kernel; the fast path is then ineligible and the distributed writer's
-    * inline guard stays authoritative — enforcement is never skipped.
+  /** The TABLE's current CHECK constraints, re-read from the meta on
+    * every commit — enforcement is table-level, not handle-scoped: a
+    * writer holding a handle opened before `ALTER TABLE ADD CONSTRAINT`
+    * still enforces the constraint on its next commit (Delta reads table
+    * metadata per transaction the same way; here it is one small
+    * properties read). Falls back to this handle's list only if the meta
+    * vanishes mid-call (table being dropped — the commit will fail on the
+    * manifest anyway).
     */
-  private lazy val constraintGuards
-      : Option[Seq[(String, org.apache.spark.sql.catalyst.InternalRow => Boolean)]] =
-    if (checkConstraints.isEmpty) Some(Nil)
+  private def liveConstraints(): Seq[(String, String)] =
+    try AcidTable.readConstraints(path)
+    catch { case _: java.io.IOException => checkConstraints }
+
+  /** Interpreted CHECK predicates for the driver fast path (NULL passes —
+    * coalesced to true), compiled per DISTINCT constraint list and cached.
+    * None when any constraint can't compile to a row kernel; the fast
+    * path is then ineligible and the distributed writer's inline guard
+    * stays authoritative — enforcement is never skipped.
+    */
+  private val guardCacheRef = new java.util.concurrent.atomic.AtomicReference[
+    (Seq[(String, String)],
+      Option[Seq[(String, org.apache.spark.sql.catalyst.InternalRow => Boolean)]])](null)
+
+  private def constraintGuardsFor(cs: Seq[(String, String)])
+      : Option[Seq[(String, org.apache.spark.sql.catalyst.InternalRow => Boolean)]] = {
+    val cached = guardCacheRef.get()
+    if (cached != null && cached._1 == cs) cached._2
     else {
-      val gs = checkConstraints.map { case (n, sqlE) =>
-        driverPredicate(coalesce(expr(sqlE), lit(true))).map(n -> _)
-      }
-      if (gs.forall(_.isDefined)) Some(gs.flatten) else None
+      val gs =
+        if (cs.isEmpty) Some(Nil)
+        else {
+          val opts = cs.map { case (n, sqlE) =>
+            driverPredicate(coalesce(expr(sqlE), lit(true))).map(n -> _)
+          }
+          if (opts.forall(_.isDefined)) Some(opts.flatten)
+          else None
+        }
+      guardCacheRef.set((cs, gs))
+      gs
     }
+  }
 
   /** Commit timeline (the `DESCRIBE HISTORY` / Hudi-timeline surface):
     * one row per RETAINED version — version, operation label (the `#op=`
@@ -2195,8 +2227,9 @@ final class AcidTable private (
       localResultOf.isDefined && fastSchemaOk && AcidTable.localCommitEnabled &&
         bytes <= AcidTable.FastPathMaxBytes &&
         // a constraint the row kernel can't compile forces the distributed
-        // path, where the inline raise_error guard enforces it
-        constraintGuards.isDefined
+        // path, where the inline raise_error guard enforces it (LIVE list:
+        // the commit-time meta read, so stale handles still enforce)
+        constraintGuardsFor(liveConstraints()).isDefined
     var attempt = 0
     // full-redo retry clock: set when a lost race forces the OUTER loop to
     // recompute everything; closed (and charged to conflictRedoNanos) at
@@ -2563,10 +2596,11 @@ final class AcidTable private (
     // fails its write task (and with it the commit) with the constraint's
     // name and key, at ZERO extra jobs and zero extra columns. NULL
     // passes (SQL CHECK three-valued semantics).
+    val liveCs = liveConstraints()
     val checked =
-      if (checkConstraints.isEmpty) result
+      if (liveCs.isEmpty) result
       else {
-        val guard = checkConstraints.foldRight(col(pkCol)) { case ((n, sqlE), acc) =>
+        val guard = liveCs.foldRight(col(pkCol)) { case ((n, sqlE), acc) =>
           when(not(coalesce(expr(sqlE), lit(true))),
             raise_error(concat(lit(s"CHECK constraint '$n' violated by row $pkCol="),
               coalesce(col(pkCol).cast("string"), lit("NULL"))))).otherwise(acc)
@@ -2771,10 +2805,11 @@ final class AcidTable private (
     if (touched.isEmpty) return Nil
     // CHECK enforcement, driver fast path: the compiled interpreted
     // predicates over the rows being written — zero Spark jobs, loud
-    // failure. `.get` is safe AND deliberate: fastEligible gates on
-    // constraintGuards.isDefined, and if that invariant ever breaks this
-    // must fail, not skip enforcement.
-    constraintGuards.get.foreach { case (n, ok) =>
+    // failure, against the LIVE (meta-read) constraint list. `.get` is
+    // safe AND deliberate: fastEligible gates on the guards compiling,
+    // and if that invariant ever breaks this must fail, not skip
+    // enforcement.
+    constraintGuardsFor(liveConstraints()).get.foreach { case (n, ok) =>
       rows.foreach { r =>
         if (!ok(r)) throw new IllegalStateException(
           s"CHECK constraint '$n' violated by row $pkCol=" +
@@ -3306,12 +3341,7 @@ object AcidTable {
       Option(props.getProperty("numBuckets")).map(_.toInt).getOrElse(16),
       Option(props.getProperty("droppedCols")).map(_.split(',').toSeq
         .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8"))).getOrElse(Nil),
-      Option(props.getProperty("checkConstraints")).map(_.split(',').toSeq
-        .filter(_.nonEmpty).map { ent =>
-          val i = ent.indexOf(':')
-          (java.net.URLDecoder.decode(ent.substring(0, i), "UTF-8"),
-            java.net.URLDecoder.decode(ent.substring(i + 1), "UTF-8"))
-        }).getOrElse(Nil),
+      parseConstraints(props),
       Option(props.getProperty("renamedCols")).map(_.split(',').toSeq
         .filter(_.nonEmpty).map { ent =>
           val i = ent.indexOf(':')
@@ -3319,6 +3349,24 @@ object AcidTable {
             ent.substring(i + 1).split('|').toSeq.filter(_.nonEmpty)
               .map(java.net.URLDecoder.decode(_, "UTF-8"))
         }.toMap).getOrElse(Map.empty))
+  }
+
+  private[lake] def parseConstraints(props: java.util.Properties): Seq[(String, String)] =
+    Option(props.getProperty("checkConstraints")).map(_.split(',').toSeq
+      .filter(_.nonEmpty).map { ent =>
+        val i = ent.indexOf(':')
+        (java.net.URLDecoder.decode(ent.substring(0, i), "UTF-8"),
+          java.net.URLDecoder.decode(ent.substring(i + 1), "UTF-8"))
+      }).getOrElse(Nil)
+
+  /** The table's CURRENT constraint list from `_meta.properties` — the
+    * commit-time metadata read that makes CHECK enforcement table-level
+    * rather than handle-scoped. */
+  private[lake] def readConstraints(path: String): Seq[(String, String)] = {
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(Paths.get(path, MetaFile))
+    try props.load(in) finally in.close()
+    parseConstraints(props)
   }
 
   private def deleteRecursively(f: File): Unit = {

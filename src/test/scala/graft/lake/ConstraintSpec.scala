@@ -114,20 +114,25 @@ class ConstraintSpec extends AnyFunSuite {
     intercept[Exception] { sc.upsert(Seq(("z", "p0", -1.0)).toDF("pk", "part", "v")) }
   }
 
-  test("handle-scoped enforcement: a pre-constraint handle is the documented caveat") {
+  test("table-level enforcement: a pre-constraint handle still enforces (commit-time meta read)") {
     val t = mkTable()
     t.upsert(Seq(("a", "p0", 1.0)).toDF("pk", "part", "v"))
     val stale = AcidTable.open(spark, t.path) // opened BEFORE the constraint
     val fresh = t.addConstraint("v_pos", "v > 0.0")
-    // the stale handle enforces what it knows (nothing) — the documented
-    // multi-writer caveat, same as schema evolution's handle discipline
-    stale.upsert(Seq(("b", "p0", -1.0)).toDF("pk", "part", "v"))
-    assert(stale.snapshot().count() == 2)
-    // a fresh handle enforces; re-opened handles see the constraint
+    // round 10b: every commit re-reads the constraint list from the meta,
+    // so even the STALE handle enforces — constraints are table facts,
+    // not handle opinions (the Delta metadata-per-transaction model)
     intercept[Exception] {
-      AcidTable.open(spark, t.path).upsert(Seq(("c", "p0", -2.0)).toDF("pk", "part", "v"))
+      stale.upsert(Seq(("b", "p0", -1.0)).toDF("pk", "part", "v"))
     }
-    assert(fresh.checkConstraints.nonEmpty)
+    assert(stale.snapshot().count() == 1)
+    // a valid write through the stale handle still lands
+    stale.upsert(Seq(("b", "p0", 2.0)).toDF("pk", "part", "v"))
+    assert(stale.snapshot().count() == 2)
+    // dropping through ANOTHER handle lifts enforcement for all handles
+    fresh.dropConstraint("v_pos")
+    stale.upsert(Seq(("c", "p0", -3.0)).toDF("pk", "part", "v"))
+    assert(stale.snapshot().count() == 3)
   }
 
   test("AcidSqlSession text: ALTER TABLE ADD/DROP CONSTRAINT") {
