@@ -110,6 +110,62 @@ object SampleQueries {
         WHERE (${sqlSampleKey}) % c.cnt < m.min_cnt
       """)),
 
+    // ---- C50 epoch-based data repetition --------------------------------
+    // The multi-epoch strategy for under-represented data (the Gopher/
+    // Chinchilla-era recipe: repeat rare languages rather than starve
+    // them): equalize every language to the LARGEST language's token
+    // volume by integer epoch counts — full_epochs = budget div tokens
+    // per language, plus one extra fractional epoch per document decided
+    // by a deterministic salted-hash permille draw, so expected repeated
+    // tokens hit the budget exactly. Output is the materialized
+    // repetition plan: one row per (document, epoch). Integer arithmetic
+    // throughout (div/mod/permille) keeps both engines bit-identical;
+    // the corpus moves through a scan + two broadcast joins + a
+    // generator — no corpus shuffle (plan-gated).
+    Q(
+      "q_sample_epochs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(split(trim(col("text")), " ")).cast("long").as("ntok"))
+        val per = d.groupBy("lang").agg(sum(col("ntok")).as("lang_tokens"))
+        val budget = per.agg(max(col("lang_tokens")).as("token_budget"))
+        d.join(broadcast(per), "lang").join(broadcast(budget))
+          .select(col("doc_id"), col("lang"),
+            expr("token_budget div lang_tokens").as("full_epochs"),
+            expr("((token_budget % lang_tokens) * 1000) div lang_tokens")
+              .as("frac_permille"),
+            (saltedKey("epo:") % 1000).as("draw"))
+          .withColumn("n_copies",
+            (col("full_epochs") +
+              when(col("draw") < col("frac_permille"), 1).otherwise(0)).cast("long"))
+          .select(col("doc_id"), col("lang"),
+            explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+          .orderBy(col("doc_id"), col("epoch"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang, text,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok
+          FROM documents),
+        per AS (SELECT lang, SUM(ntok) AS lang_tokens FROM d GROUP BY lang),
+        m AS (SELECT MAX(lang_tokens) AS token_budget FROM per),
+        j AS (
+          SELECT d.doc_id, d.lang,
+                 token_budget // lang_tokens AS full_epochs,
+                 ((token_budget % lang_tokens) * 1000) // lang_tokens AS frac_permille,
+                 (${sqlSaltedKey("epo:")}) % 1000 AS draw
+          FROM d JOIN per ON d.lang = per.lang CROSS JOIN m),
+        c AS (
+          SELECT doc_id, lang,
+                 CAST(full_epochs + CASE WHEN draw < frac_permille THEN 1 ELSE 0 END
+                      AS BIGINT) AS n_copies
+          FROM j)
+        SELECT doc_id, lang,
+               CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+        FROM c ORDER BY doc_id, epoch
+      """)),
+
     // ---- C50 mixture plan: per-language token budgets -------------------
     // The planning half of rebalancing: per-language document and token
     // counts, the uniform token budget (the smallest language's total), and

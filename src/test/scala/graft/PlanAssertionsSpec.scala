@@ -185,6 +185,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("epoch repetition never shuffles the corpus: budget stats broadcast, generator map-side") {
+    // the per-language token sums (5 rows) and the 1-row budget join back
+    // to the corpus scan as broadcasts, and the epoch explosion is a
+    // map-side generator over that scan — the repetition plan for a
+    // 100 TB corpus is one filterless map pass; an SMJ or cartesian here
+    // would shuffle the whole corpus by lang
+    val p = plan("q_sample_epochs")
+    assert(p.contains("BroadcastHashJoin"), s"budget stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled by lang (SMJ):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("Generate"), s"epoch explosion lost its generator:\n$p")
+  }
+
   test("temperature sampling never shuffles the corpus: cell stats join back as broadcasts") {
     // same contract as the uniform rebalance: per-(lang, source) counts
     // and the 1-row min must broadcast so the sampler stays one map-local
