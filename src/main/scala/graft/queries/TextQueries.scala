@@ -699,6 +699,48 @@ object TextQueries {
         FROM documents ORDER BY doc_id
       """)),
 
+    // ---- C45/C52 tokenizer vocabulary INDUCTION (round 10b) ---------------------
+    // The training half of the subword story (SubwordCountExpr is the
+    // INFERENCE half over a fixed vocabulary): induce the top-K candidate
+    // wordpieces by corpus frequency — every character n-gram (length
+    // 2..6) of every word occurrence, counted across the corpus, top 64
+    // by (count DESC, gram ASC — a total order, so the cut is
+    // deterministic). This is the frequency-scoring pass every
+    // WordPiece/BPE vocabulary build starts from. Shape: two generators
+    // (words, then gram positions×lengths) feeding codegen partial+final
+    // hash aggregation over narrow (gram) rows — text never shuffles —
+    // then a 64-row TakeOrdered. At 100 TB the gram aggregation is the
+    // same map-side-combine shape as term frequency; the explosion factor
+    // (~5 lengths × word length) is bandwidth, not shuffle width.
+    Q(
+      "q_text_vocab_induct",
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(trim(col("text")), " ")).as("wd"))
+          .filter(length(col("wd")) >= 2)
+        val grams = words
+          .select(col("wd"), explode(expr("sequence(1, length(wd))")).as("pos"))
+          .select(col("wd"), col("pos"), explode(expr("sequence(2, 6)")).as("len"))
+          .select(expr("substring(wd, pos, len)").as("gram"), col("len"))
+          .filter(length(col("gram")) === col("len"))
+        grams.groupBy("gram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram"))
+          .limit(64)
+      },
+      Some("""
+        WITH words AS (
+          SELECT unnest(string_split(trim(text), ' ')) AS wd FROM documents),
+        w2 AS (SELECT wd FROM words WHERE len(wd) >= 2),
+        grams AS (
+          SELECT substr(wd, pos, l) AS gram, l
+          FROM w2,
+               LATERAL (SELECT unnest(generate_series(1, len(wd))) AS pos) p,
+               LATERAL (SELECT unnest(generate_series(2, 6)) AS l) q
+          WHERE len(substr(wd, pos, l)) = l)
+        SELECT gram, COUNT(*) AS n FROM grams
+        GROUP BY gram ORDER BY n DESC, gram LIMIT 64
+      """)),
+
     // ---- C45 repetition / boilerplate filter (Gopher-style) ---------------------
     // The standard LLM-corpus quality gate: flag documents dominated by a
     // single token or bigram. Shape: explode → codegen'd partial+final

@@ -198,6 +198,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"epoch explosion lost its generator:\n$p")
   }
 
+  test("vocabulary induction: map-side gram combine, 64-row bounded top-k") {
+    // the gram explosion must fold through partial (map-side) hash
+    // aggregation — only (gram, partial count) rows cross the exchange,
+    // never text — and the final cut must be a TakeOrderedAndProject
+    // bounded heap, not a full sort of the gram space
+    val p = plan("q_text_vocab_induct")
+    assert(p.contains("HashAggregate"), s"gram counting lost hash aggregation:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut regressed to a full sort:\n$p")
+  }
+
   test("temperature sampling never shuffles the corpus: cell stats join back as broadcasts") {
     // same contract as the uniform rebalance: per-(lang, source) counts
     // and the 1-row min must broadcast so the sampler stays one map-local
