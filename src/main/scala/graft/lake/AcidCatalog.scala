@@ -233,6 +233,22 @@ final class AcidV2Table(
 
   override def schema(): StructType = acid.schema
 
+  /** Table metadata as DSv2 properties — `SHOW TBLPROPERTIES graft.ns.t`
+    * and DESCRIBE surfaces read these (pk/partition/precombine/bucket
+    * layout plus the declared constraints). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.LinkedHashMap[String, String]()
+    m.put("primaryKey", acid.pkCol)
+    m.put("partitionColumn", acid.partitionCol)
+    acid.precombineCol.foreach(m.put("preCombinedField", _))
+    m.put("numBuckets", acid.numBuckets.toString)
+    m.put("stablePartitions", acid.stablePartitions.toString)
+    acid.checkConstraints.foreach { case (n, e) =>
+      m.put(s"constraint.$n", s"CHECK ($e)")
+    }
+    m
+  }
+
   override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     acid.checkConstraints.map { case (n, sqlE) =>
       org.apache.spark.sql.connector.catalog.constraints.Constraint

@@ -63,6 +63,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     // catalog metadata surface
     assert(spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSeq
       == Seq("accounts"))
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.accounts").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("primaryKey").contains("pk") &&
+      props.get("partitionColumn").contains("part") &&
+      props.contains("numBuckets"), s"missing table properties: $props")
 
     // SQL time travel: version 0 is the post-insert state, before the
     // merge updated 'a' and before 'b' was deleted
