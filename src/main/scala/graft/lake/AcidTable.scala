@@ -52,6 +52,19 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 private[lake] final case class FileCell(part: String, bucket: Int)
 
+/** One inline deletion-vector entry (merge-on-read delete): the row whose
+  * primary key renders as `key` is deleted from file-group cell (`part`,
+  * `bucket`) WITHOUT rewriting the cell's data files. Entries ride the
+  * manifest's `#dvs=` header; readers apply them as a scan filter; the
+  * first later commit that rewrites the cell materializes them (drops the
+  * entries, writes the cell from the DV-applied snapshot). Safety of the
+  * key-based form rests on one invariant: any commit that can place key
+  * `key` back into this cell necessarily TOUCHES the cell (bucket is a
+  * pure function of the key), so a live entry never coexists with a
+  * post-entry row for its key in its cell.
+  */
+private[lake] final case class DvEntry(part: String, bucket: Int, key: String)
+
 final class AcidTable private (
     val spark: SparkSession,
     val path: String,
@@ -254,7 +267,7 @@ final class AcidTable private (
     if (v < 0) snapshotFromFiles(Nil)
     else {
       val lines = manifestLines(v)
-      snapshotFromFiles(dataLinesOf(lines), sizesOf(lines))
+      applyDvs(snapshotFromFiles(dataLinesOf(lines), sizesOf(lines)), dvsOf(lines))
     }
   }
 
@@ -284,23 +297,24 @@ final class AcidTable private (
     // resolve the version ONCE so the file list and the size map come from
     // the same manifest even if a commit lands mid-call
     val v = if (version >= 0) version else latestVersion()
+    val vLines = if (v >= 0) manifestLines(v) else Nil
+    val dvs = dvsOf(vLines)
     if (!keyCastSupported) {
       // PK type outside castKeyTo's set (DATE/TIMESTAMP/DECIMAL/…): the
       // string keys can't be rendered as typed literals, so skip bucket
       // pruning and filter the (partition-pruned) snapshot by the PK's
       // string rendering — never return empty for a type we can't parse
       val files = lookupFiles(keys, partitionsHint, v)
-      val sizes = if (v >= 0) sizesOf(manifestLines(v)) else Map.empty[String, Long]
-      return snapshotFromFiles(files, sizes)
+      return applyDvs(snapshotFromFiles(files, sizesOf(vLines)), dvs)
         .filter(col(pkCol).cast(StringType).isInCollection(keys))
     }
     val typed = typedKeys(keys)
     if (typed.isEmpty) return snapshotFromFiles(Nil)
     val files = lookupFiles(keys, partitionsHint, v)
-    val sizes = if (v >= 0) sizesOf(manifestLines(v)) else Map.empty[String, Long]
     // keys cast to the PK's type (not the column to string) so the In set
     // test stays on the bare scan column and pushes into the parquet read
-    snapshotFromFiles(files, sizes).filter(col(pkCol).isInCollection(typed))
+    applyDvs(snapshotFromFiles(files, sizesOf(vLines)), dvs)
+      .filter(col(pkCol).isInCollection(typed))
   }
 
   /** Whether [[castKeyTo]] can render string keys in the PK's type — the
@@ -414,6 +428,34 @@ final class AcidTable private (
             else coalesce((f.name +: priors).map(col): _*).as(f.name)
           }: _*)
       }
+    }
+
+  /** Hide rows deleted by live deletion-vector entries. Cell-scoped: an
+    * entry hides only rows of ITS (partition, key) pair — a later
+    * re-insert of the key into a DIFFERENT partition is untouched, and a
+    * re-insert into the same cell cannot coexist with a live entry (the
+    * commit that inserted it rewrote the cell and dropped the entry). The
+    * filter is a narrow per-row predicate — no join, no exchange — so the
+    * read-side cost of an outstanding MOR delete is a codegen'd set test.
+    */
+  private def applyDvs(df: DataFrame, dvs: Seq[DvEntry]): DataFrame =
+    if (dvs.isEmpty) df
+    else {
+      val hidden = dvs.groupBy(_.part).map { case (p, es) =>
+        val keys = es.flatMap(e => scala.util.Try(castKeyTo(e.key)).toOption)
+        col(partitionCol) === lit(p) && col(pkCol).isInCollection(keys)
+      }.reduce(_ || _)
+      df.filter(!coalesce(hidden, lit(false)))
+    }
+
+  /** Driver image of [[applyDvs]] for the local fast-path row reads. */
+  private def dvRowFilter(dvs: Seq[DvEntry])
+      : org.apache.spark.sql.catalyst.InternalRow => Boolean =
+    if (dvs.isEmpty) _ => true
+    else {
+      val byPart = dvs.groupBy(_.part).map { case (p, es) => p -> es.map(_.key).toSet }
+      r => !byPart.get(rowPart(r)).exists(_.contains(
+        String.valueOf(r.get(pkFieldIdx, schema(pkFieldIdx).dataType))))
     }
 
   // --------------------------------------------------------------- writes --
@@ -1373,6 +1415,82 @@ final class AcidTable private (
       opName = "DELETE")
   }
 
+  /** Merge-on-read delete: commit the matched keys as inline deletion-
+    * vector entries (the manifest's `#dvs=` header) instead of rewriting
+    * their file-group cells — O(keys) metadata and ZERO data I/O, which
+    * is what turns a point delete on a 100 TB table from a multi-GB
+    * file-group rewrite into a KB-scale commit (Delta deletion vectors /
+    * Hudi MOR delete blocks, in the inline small-DV form). Readers apply
+    * live entries as a narrow scan filter; the first later commit that
+    * touches an entry's cell (upsert, merge, update, compact, …)
+    * rewrites the cell from the DV-applied snapshot and drops the entry,
+    * so deletes materialize lazily and [[compact]] sweeps any stragglers.
+    *
+    * OCC: the commit declares the entries' cells as touched — concurrent
+    * writers on those cells conflict and resolve exactly as against a
+    * COW delete; this op itself resolves its own lost races by full
+    * recompute (re-resolving the keys against the new snapshot), which
+    * is cheap because the whole statement is metadata-scale.
+    *
+    * Falls back to the COW [[delete]] when the key set exceeds
+    * [[AcidTable.MorMaxKeys]] or the PK type cannot round-trip a string
+    * key. Keys with no live row commit nothing (a no-op returns the
+    * current version) — absent-key entries would pin dead weight into
+    * every later manifest.
+    */
+  def deleteVectored(keys: Seq[String]): Long = {
+    import spark.implicits._
+    deleteVectored(keys.toDF(pkCol))
+  }
+
+  def deleteVectored(keysWithPartitions: DataFrame): Long = {
+    if (!keyCastSupported || !hashSafeInternal(schema(pkCol).dataType))
+      return delete(keysWithPartitions)
+    val sel = keysWithPartitions.select(col(pkCol).cast(StringType).as("__k"))
+      .na.drop().distinct().limit(AcidTable.MorMaxKeys + 1).collect()
+    if (sel.length > AcidTable.MorMaxKeys) return delete(keysWithPartitions)
+    val keyStrings = sel.map(_.getString(0)).toSeq
+    if (keyStrings.isEmpty) return latestVersion()
+    val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema(pkCol).dataType)
+    var attempt = 0
+    while (true) {
+      val base = latestVersion()
+      if (base < 0) return base // empty table: nothing to delete
+      val baseLines = manifestLines(base)
+      val baseDvs = dvsOf(baseLines)
+      // resolve the keys' LIVE cells against the DV-applied base snapshot:
+      // a bucket-pruned scan (lookupFiles) whose result is ≤ |keys| rows.
+      // Only keys that currently match a live row become entries.
+      val pairs = applyDvs(
+        snapshotFromFiles(lookupFiles(keyStrings, None, base), sizesOf(baseLines)), baseDvs)
+        .filter(col(pkCol).cast(StringType).isInCollection(keyStrings))
+        .select(col(partitionCol).cast(StringType), col(pkCol).cast(StringType))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.distinct
+      if (pairs.isEmpty) return base // no live row matches: no-op, no commit
+      val entries = pairs.map { case (p, k) =>
+        DvEntry(p, driverBucketOf(toInternal(castKeyTo(k))), k)
+      }
+      val touched = entries.map(e => FileCell(e.part, e.bucket)).distinct
+      try {
+        // data files and sizes carry verbatim — this commit rewrites
+        // nothing, so prior entries (even of our own cells) stay live
+        publish(base + 1, dataLinesOf(baseLines), touched, sizesOf(baseLines),
+          "DELETE_DV", (baseDvs ++ entries).distinct)
+        return base + 1
+      } catch {
+        case _: FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > MaxRetries)
+            throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
+          AcidTable.conflictRedoCounter.incrementAndGet()
+          val cap = math.min(1L << math.min(attempt, 8), 256L)
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap * 2) + 1)
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Register the CURRENT snapshot as a temp view (reference A13 surface). */
   def registerView(name: String): Unit = snapshot().createOrReplaceTempView(name)
 
@@ -1650,20 +1768,32 @@ final class AcidTable private (
     // files), so only the differing partitions' files are scanned and
     // anti-joined — at 100 TB the diff cost is proportional to what
     // changed between the versions, not to table size.
-    val fromFiles = if (fromVersion < 0) Nil else readManifest(fromVersion)
-    val toFiles = if (toVersion < 0) Nil else readManifest(toVersion)
+    val fromLines = if (fromVersion < 0) Nil else manifestLines(fromVersion)
+    val toLines = if (toVersion < 0) Nil else manifestLines(toVersion)
+    val fromFiles = dataLinesOf(fromLines)
+    val toFiles = dataLinesOf(toLines)
+    val fromDvs = dvsOf(fromLines)
+    val toDvs = dvsOf(toLines)
     def byPartition(fs: Seq[String]): Map[String, Set[String]] =
       fs.groupBy(_.takeWhile(_ != '/')).map { case (k, v) => k -> v.toSet }
+    // a MOR delete changes a partition's visible rows WITHOUT changing its
+    // file set — a partition whose deletion-vector entries differ between
+    // the versions diffs like one whose files do
+    def dvByPartition(dvs: Seq[DvEntry]): Map[String, Set[DvEntry]] =
+      dvs.groupBy(e => partDir(e.part)).map { case (k, v) => k -> v.toSet }
     val fromP = byPartition(fromFiles)
     val toP = byPartition(toFiles)
-    val changed = (fromP.keySet ++ toP.keySet)
-      .filter(p => fromP.getOrElse(p, Set.empty) != toP.getOrElse(p, Set.empty))
-    val from = snapshotFromFiles(
+    val fromD = dvByPartition(fromDvs)
+    val toD = dvByPartition(toDvs)
+    val changed = (fromP.keySet ++ toP.keySet ++ fromD.keySet ++ toD.keySet)
+      .filter(p => fromP.getOrElse(p, Set.empty) != toP.getOrElse(p, Set.empty) ||
+        fromD.getOrElse(p, Set.empty) != toD.getOrElse(p, Set.empty))
+    val from = applyDvs(snapshotFromFiles(
       fromFiles.filter(f => changed.contains(f.takeWhile(_ != '/'))),
-      if (fromVersion < 0) Map.empty else readSizes(fromVersion))
-    val to = snapshotFromFiles(
+      sizesOf(fromLines)), fromDvs)
+    val to = applyDvs(snapshotFromFiles(
       toFiles.filter(f => changed.contains(f.takeWhile(_ != '/'))),
-      if (toVersion < 0) Map.empty else readSizes(toVersion))
+      sizesOf(toLines)), toDvs)
     to.exceptAll(from).withColumn("_change_type", lit("insert"))
       .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
   }
@@ -1701,12 +1831,19 @@ final class AcidTable private (
         s"cluster column $c must be an integral type, got ${schema(c).dataType}")
     }
     require(clusterBy.size <= 2, "clusterBy supports one column (sort) or two (Morton)")
+    // partitions holding outstanding MOR-delete entries get swept even
+    // below the small-file threshold: compaction is the straggler
+    // materializer for deletion vectors (read once before the loop — a
+    // concurrent MOR delete landing mid-compaction keeps its entries,
+    // correctly, via the carried-DV rule)
+    val dvParts = readDvs(latestVersion()).map(e => partDir(e.part)).toSet
     val v = commitLoop(
       touchedOf = (_, files) => {
         val byPartition = files.groupBy(f => f.takeWhile(_ != '/'))
         val selected =
           if (clusterBy.nonEmpty) byPartition.keys // layout op: every partition
-          else byPartition.filter(_._2.size > maxFilesPerPartition).keys
+          else byPartition.filter(kv =>
+            kv._2.size > maxFilesPerPartition || dvParts.contains(kv._1)).keys
         selected
           .map(d =>
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -1867,7 +2004,8 @@ final class AcidTable private (
   def snapshotRange(bounds: Map[String, (Long, Long)], version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return snapshotFromFiles(Nil)
-    snapshotFromFiles(rangePrunedFiles(bounds, v), sizesOf(manifestLines(v)))
+    val lines = manifestLines(v)
+    applyDvs(snapshotFromFiles(rangePrunedFiles(bounds, v), sizesOf(lines)), dvsOf(lines))
   }
 
   /** Garbage-collect data files no manifest ≤ `keepVersions` back still
@@ -1948,7 +2086,9 @@ final class AcidTable private (
       val baseFiles = dataLinesOf(manifestLines(base))
       val touched = (files ++ baseFiles).map(partOf).distinct.map(FileCell(_, -1))
       try {
-        publish(base + 1, files, touched, sizes, "RESTORE")
+        // the restored state includes the target version's outstanding MOR
+        // deletes — without them the restore would resurrect DV'd rows
+        publish(base + 1, files, touched, sizes, "RESTORE", dvsOf(lines))
         return base + 1
       } catch {
         case _: FileAlreadyExistsException =>
@@ -2009,7 +2149,9 @@ final class AcidTable private (
       FileCell(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol=")), -1))
       .distinct
-    dest.publish(0L, files, touched, sizesOf(lines), "CLONE")
+    // outstanding MOR deletes travel with the pinned snapshot (inline
+    // entries: nothing extra to link)
+    dest.publish(0L, files, touched, sizesOf(lines), "CLONE", dvsOf(lines))
     dest
   }
 
@@ -2244,7 +2386,13 @@ final class AcidTable private (
       // parsed from the SAME read as `files`; consumed by both the scan
       // planner (stat-free manifest scans) and the write-sizing heuristic
       val baseSizes = sizesOf(baseLines)
-      val rawCells = touchedOf(snapshotFromFiles(files, baseSizes), files)
+      // outstanding MOR deletes: every pre-image this commit reads — the
+      // discovery snapshot, the distributed rewrite input, the driver
+      // fast-path rows — must be DV-applied, or a rewrite of a DV'd cell
+      // would resurrect its deleted rows. Publishing then DROPS the
+      // touched cells' entries (the rewrite materialized them).
+      val baseDvs = dvsOf(baseLines)
+      val rawCells = touchedOf(applyDvs(snapshotFromFiles(files, baseSizes), baseDvs), files)
       // Dense distributed batches defeat the point of fine-grained cells:
       // a commit touching most of a partition's buckets conflicts with any
       // concurrent writer in that partition regardless of scope, yet pays
@@ -2271,9 +2419,11 @@ final class AcidTable private (
       val inB = if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue
       var newFiles =
         if (fastEligible(inB))
-          fastWriteTouched(localResultOf.get(readRowsLocal(touchedFiles)),
+          fastWriteTouched(
+            localResultOf.get(readRowsLocal(touchedFiles).filter(dvRowFilter(baseDvs))),
             touched, coarseParts)
-        else writeTouched(resultOf(snapshotFromFiles(touchedFiles, baseSizes)),
+        else writeTouched(
+          resultOf(applyDvs(snapshotFromFiles(touchedFiles, baseSizes), baseDvs)),
           touched, inB, coarseParts, sortCols)
       beforePublishHook()
       // inner publish loop: losing the version race does NOT force a full
@@ -2307,8 +2457,15 @@ final class AcidTable private (
           // reader's commit sizing needs no filesystem stats at all
           val carriedSet = carried.toSet
           val carriedSizes = sizesOf(publishLines).view.filterKeys(carriedSet.contains).toMap
+          // DV entries of cells this commit rewrote are materialized (the
+          // rewrite read the DV-applied pre-image); entries of untouched
+          // cells carry forward — including any a concurrent MOR delete
+          // added since our base (its cells are disjoint, or we'd have
+          // taken the conflict path)
+          val carriedDvs = dvsOf(publishLines).filterNot(e =>
+            touched.exists(c => c.part == e.part && (c.bucket < 0 || c.bucket == e.bucket)))
           publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
-            carriedSizes ++ newFiles, opName)
+            carriedSizes ++ newFiles, opName, carriedDvs)
           if (fullRedoSince > 0)
             AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - fullRedoSince)
           return publishBase + 1
@@ -2376,14 +2533,20 @@ final class AcidTable private (
                   else Long.MaxValue
                 val redoCoarse =
                   (coarseParts ++ overlapLegacy).intersect(overlap.map(_.part).toSet)
+                // the new base may carry DV entries (an intervening MOR
+                // delete on our cells is exactly an overlap) — the redo's
+                // pre-image applies them like the outer loop's does
+                val redoDvs = dvsOf(newBaseLines)
                 val redoneFiles =
                   if (fastEligible(redoInB))
                     fastWriteTouched(
-                      localResultOf.get(readRowsLocal(newSnapFiles))
+                      localResultOf.get(
+                        readRowsLocal(newSnapFiles).filter(dvRowFilter(redoDvs)))
                         .filter(rowInCells(overlap)),
                       overlap, redoCoarse)
                   else writeTouched(
-                    resultOf(snapshotFromFiles(newSnapFiles, sizesOf(newBaseLines)))
+                    resultOf(applyDvs(
+                      snapshotFromFiles(newSnapFiles, sizesOf(newBaseLines)), redoDvs))
                       .filter(cellFilter(overlap)),
                     overlap, redoInB, redoCoarse, sortCols)
                 newFiles = keptFiles ++ redoneFiles
@@ -2979,6 +3142,29 @@ final class AcidTable private (
       case None => Map.empty
     }
 
+  /** Live deletion-vector entries of a manifest (`#dvs=` header); empty
+    * for manifests without the header (no outstanding MOR deletes).
+    */
+  private def dvsOf(lines: Seq[String]): Seq[DvEntry] =
+    lines.find(_.startsWith("#dvs=")) match {
+      case Some(line) =>
+        val csv = line.stripPrefix("#dvs=")
+        if (csv.isEmpty) Nil
+        else csv.split(',').toSeq.flatMap { s =>
+          s.split('|') match {
+            case Array(p, b, k) => scala.util.Try(DvEntry(
+              java.net.URLDecoder.decode(p, "UTF-8"), b.toInt,
+              java.net.URLDecoder.decode(k, "UTF-8"))).toOption
+            case _ => None
+          }
+        }
+      case None => Nil
+    }
+
+  private def readDvs(v: Long): Seq[DvEntry] =
+    if (v < 0) Nil
+    else scala.util.Try(manifestLines(v)).map(dvsOf).getOrElse(Nil)
+
   /** Partition values the commit that produced version `v` rewrote
     * (recorded as a `#touched=` header). Values are URL-encoded in the
     * header so arbitrary partition values survive the comma separator.
@@ -3028,15 +3214,16 @@ final class AcidTable private (
       files: Seq[String],
       touched: Seq[FileCell],
       sizes: Map[String, Long] = Map.empty,
-      op: String = ""): Unit = {
+      op: String = "",
+      dvs: Seq[DvEntry] = Nil): Unit = {
     val t0 = System.nanoTime()
-    try publishImpl(v, files, touched, sizes, op)
+    try publishImpl(v, files, touched, sizes, op, dvs)
     finally AcidTable.publishNanos.addAndGet(System.nanoTime() - t0)
   }
 
   private def publishImpl(
       v: Long, files: Seq[String], touched: Seq[FileCell], sizes: Map[String, Long],
-      op: String): Unit = {
+      op: String, dvs: Seq[DvEntry]): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val encoded = touched.map(c =>
       java.net.URLEncoder.encode(c.part, "UTF-8") +
@@ -3055,10 +3242,20 @@ final class AcidTable private (
     // the operation name rides the manifest as an audit header — the
     // timeline surface history() renders (DESCRIBE HISTORY analog)
     val opHeader = if (op.isEmpty) Nil else Seq(s"#op=${java.net.URLEncoder.encode(op, "UTF-8")}")
+    // live deletion-vector entries (merge-on-read deletes, [[deleteVectored]]):
+    // carried in the manifest itself — the inline small-DV form of Delta's
+    // deletion vectors, so DV lifecycle (restore, clone, vacuum, time
+    // travel) follows the manifest with no sidecar-file bookkeeping.
+    // '|' cannot collide: URL-encoding maps a literal '|' to %7C.
+    val dvHeader =
+      if (dvs.isEmpty) Nil
+      else Seq("#dvs=" + dvs.map(e =>
+        java.net.URLEncoder.encode(e.part, "UTF-8") + "|" + e.bucket + "|" +
+          java.net.URLEncoder.encode(e.key, "UTF-8")).mkString(","))
     val body = (Seq(
       s"#ts=$ts",
       s"#touched=${encoded.mkString(",")}",
-      s"#sizes=${sizeHeader.mkString(",")}") ++ opHeader ++ files).mkString("\n")
+      s"#sizes=${sizeHeader.mkString(",")}") ++ opHeader ++ dvHeader ++ files).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()
@@ -3218,6 +3415,16 @@ object AcidTable {
     * bulk loads never qualify anyway (outputBounded/inputBytes).
     */
   val FastPathMaxBytes: Long = 4L * 1024 * 1024
+
+  /** Per-statement key cap for [[AcidTable.deleteVectored]]'s inline
+    * (manifest-header) deletion vectors. Above it the COW delete is the
+    * right tool anyway: a delete large enough to blow this cap is
+    * rewriting a meaningful fraction of its cells' bytes, so the
+    * metadata-only win disappears while every reader would keep paying
+    * the filter. 4096 keys ≈ tens of KB of header — the same order as
+    * Delta's inline-DV threshold.
+    */
+  val MorMaxKeys: Int = 4096
 
   /** (table path, version) → `#ts=` commit time. Manifests are immutable
     * once published; invalidated when a table directory is re-created.

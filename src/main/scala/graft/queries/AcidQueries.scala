@@ -602,6 +602,49 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 merge-on-read delete: deletion vectors (round 10) -------------------
+    // deleteVectored commits its matched keys as inline manifest DV
+    // entries — ZERO data I/O, the Delta-deletion-vector / Hudi-MOR form
+    // of a point delete. Readers hide entries via a codegen'd scan
+    // filter; the next commit touching an entry's cell materializes it
+    // (so the re-insert of a deleted key below sees the DV-applied
+    // pre-image, never the stale row); compact() sweeps the stragglers
+    // so the final state carries no entries at all. The oracle replays
+    // the surviving relation; DeletionVectorSpec pins the zero-rewrite /
+    // materialization / sweep mechanics on the manifests themselves.
+    Q(
+      "q_acid_delete_vectored",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t.upsert(base)
+        // metadata-only MOR delete; the absent key commits no entry
+        t.deleteVectored(Seq("3", "7", "11", "999"))
+        // re-insert one deleted key: the rewrite materializes its cell's
+        // entry first, so the NEW row survives (not the stale pre-delete one)
+        t.upsert(base.filter(col("pk") === "7").withColumn("val", lit(99.0)))
+        // compaction sweeps the remaining entries' partitions
+        t.compact(0)
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation)
+        SELECT pk, part,
+               CASE WHEN pk = '7' THEN CAST(99.0 AS DOUBLE) ELSE val END AS val
+        FROM base WHERE pk NOT IN ('3', '11')
+        ORDER BY pk
+      """)),
+
     // ---- C5 schema evolution: DROP column + physical purge ----------------------
     // The other direction (round 9): dropColumns is metadata-only (readers
     // stop projecting instantly; old files keep the bytes), and compact()

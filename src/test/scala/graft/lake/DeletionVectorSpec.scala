@@ -1,0 +1,173 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Record
+
+/** Merge-on-read deletes via inline deletion vectors
+  * ([[AcidTable.deleteVectored]]): a point delete commits O(keys)
+  * metadata (the `#dvs=` manifest header) and rewrites NO data files;
+  * readers hide the entries; any later commit touching an entry's cell
+  * materializes it. These tests pin the full lifecycle: zero-rewrite
+  * commit, time travel, lookup, re-insert, compaction sweep, CDC diff,
+  * restore, clone, COW fallback, and a writer race.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("primaryKeyValue", StringType),
+    StructField("partitionKeyValue", StringType),
+    StructField("dataValue", StringType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("dv-spec-").resolve("t").toString
+
+  private def df(rs: Record*) = spark.createDataset(rs).toDF()
+
+  private def manifestText(t: AcidTable, v: Long): String =
+    new String(Files.readAllBytes(
+      Paths.get(t.path, "_commits", f"v$v%012d.txt")), StandardCharsets.UTF_8)
+
+  private def dataLines(t: AcidTable, v: Long): Seq[String] =
+    manifestText(t, v).linesIterator.filterNot(_.startsWith("#")).filter(_.nonEmpty).toSeq
+
+  private def dvHeader(t: AcidTable, v: Long): Option[String] =
+    manifestText(t, v).linesIterator.find(_.startsWith("#dvs="))
+
+  private def seeded(n: Int = 8): (AcidTable, Long) = {
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    val v = t.upsert(df((1 to n).map(i => Record(s"R$i", s"P${i % 2}", s"v$i")): _*))
+    (t, v)
+  }
+
+  test("deleteVectored hides the row without rewriting any data file") {
+    val (t, v0) = seeded()
+    val v1 = t.deleteVectored(Seq("R3"))
+    assert(v1 == v0 + 1)
+    // zero data I/O: the new manifest references the SAME files
+    assert(dataLines(t, v1) == dataLines(t, v0))
+    assert(dvHeader(t, v1).exists(_.contains("R3")))
+    val rows = t.snapshot().as[Record].collect()
+    assert(rows.length == 7 && !rows.exists(_.primaryKeyValue == "R3"))
+    // time travel: the pre-delete version still shows the row
+    assert(t.snapshot(v0).as[Record].collect().exists(_.primaryKeyValue == "R3"))
+    // lookup respects the entry; other keys unaffected
+    assert(t.lookup(Seq("R3")).count() == 0)
+    assert(t.lookup(Seq("R4")).count() == 1)
+  }
+
+  test("a commit touching the entry's cell materializes it; other cells' entries survive") {
+    val (t, _) = seeded()
+    // R1 lives in P1, R2 in P0 — two distinct cells
+    val v1 = t.deleteVectored(Seq("R1", "R2"))
+    assert(dvHeader(t, v1).exists(h => h.contains("R1") && h.contains("R2")))
+    // re-insert R1: the upsert touches R1's cell, so its entry drops and
+    // the new row is visible; R2's entry (another cell) stays live
+    val v2 = t.upsert(df(Record("R1", "P1", "reborn")))
+    val h2 = dvHeader(t, v2).getOrElse("")
+    assert(!h2.contains("R1"), s"R1 entry not materialized: $h2")
+    assert(h2.contains("R2"), s"R2 entry lost: $h2")
+    val rows = t.snapshot().as[Record].collect()
+    assert(rows.exists(r => r.primaryKeyValue == "R1" && r.dataValue == "reborn"))
+    assert(!rows.exists(_.primaryKeyValue == "R2"))
+  }
+
+  test("compact sweeps partitions with entries even below the small-file threshold") {
+    val (t, _) = seeded()
+    t.deleteVectored(Seq("R5"))
+    // one file per touched cell so far — well under maxFilesPerPartition
+    val vc = t.compact(maxFilesPerPartition = 100)
+    assert(vc >= 0, "compact must run for the DV partition")
+    assert(dvHeader(t, vc).isEmpty, s"entries survived compaction: ${dvHeader(t, vc)}")
+    val rows = t.snapshot().as[Record].collect()
+    assert(rows.length == 7 && !rows.exists(_.primaryKeyValue == "R5"))
+  }
+
+  test("changesBetween reports the MOR delete once; materialization adds nothing") {
+    val (t, v0) = seeded()
+    val v1 = t.deleteVectored(Seq("R6"))
+    val d1 = t.changesBetween(v0, v1).collect()
+    assert(d1.length == 1)
+    assert(d1.head.getAs[String]("_change_type") == "delete")
+    assert(d1.head.getAs[String]("primaryKeyValue") == "R6")
+    // an upsert of ANOTHER key in R6's partition materializes the entry —
+    // the CDC diff of that commit must NOT re-report R6's delete
+    val v2 = t.upsert(df(Record("R9", "P0", "v9")))
+    val d2 = t.changesBetween(v1, v2).collect()
+    assert(d2.forall(_.getAs[String]("primaryKeyValue") != "R6"), d2.mkString(";"))
+    assert(d2.exists(r => r.getAs[String]("primaryKeyValue") == "R9" &&
+      r.getAs[String]("_change_type") == "insert"))
+  }
+
+  test("update/deleteWhere over a table with live entries do not resurrect rows") {
+    val (t, _) = seeded()
+    t.deleteVectored(Seq("R7"))
+    // R7 is in P1; update every P1 row — rewrites R7's cell from the
+    // DV-applied pre-image
+    val vu = t.update(Seq("dataValue" -> lit("upd")),
+      col("partitionKeyValue") === "P1")
+    assert(dvHeader(t, vu).isEmpty)
+    val rows = t.snapshot().as[Record].collect()
+    assert(!rows.exists(_.primaryKeyValue == "R7"), "deleted row resurrected by UPDATE")
+    assert(rows.filter(_.partitionKeyValue == "P1").forall(_.dataValue == "upd"))
+  }
+
+  test("restore before/after the entry; clone carries it") {
+    val (t, v0) = seeded()
+    val v1 = t.deleteVectored(Seq("R4"))
+    // clone of the DV version hides the row in the clone
+    val c = t.cloneTo(Files.createTempDirectory("dv-clone-").resolve("c").toString)
+    assert(c.snapshot().count() == 7)
+    assert(c.lookup(Seq("R4")).count() == 0)
+    // restore source to the pre-delete version: row resurrects
+    t.restore(v0)
+    assert(t.snapshot().count() == 8)
+    // restore forward to the DV version's state: hidden again
+    t.restore(v1)
+    assert(t.snapshot().count() == 7)
+  }
+
+  test("no-op and fallback: absent keys commit nothing; big key sets take the COW path") {
+    val (t, v0) = seeded()
+    val v1 = t.deleteVectored(Seq("NOPE"))
+    assert(v1 == v0, "absent-key delete must not commit")
+    assert(dvHeader(t, v0).isEmpty)
+    // COW fallback: over MorMaxKeys distinct keys → data files rewritten
+    val many = (1 to (AcidTable.MorMaxKeys + 1)).map(i => s"K$i")
+    val big = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    big.upsert(df((1 to 6).map(i => Record(s"K$i", "P0", s"v$i")): _*))
+    val vb = big.deleteVectored(many)
+    assert(dvHeader(big, vb).isEmpty, "COW fallback must not write entries")
+    assert(big.snapshot().count() == 0)
+  }
+
+  test("a deleteVectored racing an upsert of the same key never shows the stale value") {
+    val (t, _) = seeded()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (1 to 10).foreach { i =>
+        t.upsert(df(Record("RX", "P0", s"old$i")))
+        val del = pool.submit(new Runnable {
+          def run(): Unit = { t.deleteVectored(Seq("RX")); () }
+        })
+        val ups = pool.submit(new Runnable {
+          def run(): Unit = { t.upsert(df(Record("RX", "P0", s"new$i"))); () }
+        })
+        del.get(); ups.get()
+        val vals = t.lookup(Seq("RX")).as[Record].collect().map(_.dataValue).toSeq
+        // version order decides: delete-last → absent; upsert-last → new$i.
+        // The OLD pre-race value must never survive both commits.
+        assert(vals.isEmpty || vals == Seq(s"new$i"), s"round $i saw $vals")
+      }
+    } finally pool.shutdown()
+  }
+}
