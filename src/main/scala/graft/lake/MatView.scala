@@ -1,0 +1,395 @@
+package graft.lake
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.{Properties, UUID}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One aggregate of a materialized view definition: `func` is one of
+  * `count` / `sum` / `avg` / `min` / `max`, `input` the source column
+  * (`*` allowed only for `count`), `name` the output column. `sum` and
+  * `avg` keep a (sum, non-null-count) state pair so SQL null semantics
+  * survive incremental maintenance (a group whose non-null count returns
+  * to zero reads as NULL, exactly like a recompute).
+  */
+final case class MvAgg(name: String, func: String, input: String)
+
+/** Incrementally-maintained materialized aggregate view over an
+  * [[AcidTable]] — the lakehouse `CREATE MATERIALIZED VIEW … GROUP BY`
+  * surface with delta-driven refresh (the classic incremental
+  * view-maintenance algebra over the table's CDC feed).
+  *
+  * '''Why this is the 100 TB shape.''' A view refresh never re-aggregates
+  * the source: it reads [[AcidTable.changesBetween]] (cost ∝ what changed
+  * between the reflected and current source versions — partition-diffed,
+  * not table-sized) and folds the per-group signed deltas into the stored
+  * state. For self-maintainable aggregates (`count`/`sum`/`avg`) no
+  * source file is read AT ALL; for `min`/`max` (not delete-maintainable
+  * from deltas alone) only the CHANGED GROUPS' source rows are
+  * re-aggregated, via a semi-join the optimizer broadcasts. The state
+  * itself is an [[AcidTable]] keyed by an encoded group key and
+  * partitioned by its hash, so applying a small delta is a bucket-pruned
+  * point merge that rides the driver fast path — a trickle refresh is a
+  * metadata-scale commit, not a shuffle.
+  *
+  * '''Atomicity & exactly-once.''' Each refresh is ONE state-table commit
+  * whose `#op=` header records the source version it reflects
+  * (`MVREFRESH:<v>` — the streaming sink's txn-marker design, see
+  * [[AcidTable.streamUpsert]]). The delta application and the high-water
+  * mark are a single atomic publish: a crash between computing and
+  * committing re-reads the same delta; a crash after committing finds the
+  * marker and skips. Groups whose row count returns to zero are written
+  * as `__mv_cnt = 0` TOMBSTONES (filtered by [[read]]) rather than
+  * deleted, which keeps the whole refresh a single upsert commit and
+  * lets a reappearing group overwrite its tombstone in place.
+  *
+  * Maintenance is single-maintainer (one refresher at a time — the
+  * Delta/DLT contract); a per-JVM lock serializes same-process callers
+  * and the version marker makes retries idempotent. Readers are never
+  * blocked: [[read]] is a plain snapshot scan at any time.
+  *
+  * Limits (documented, validated up front): `sum`/`avg` inputs must be
+  * exact numeric types (integral or DECIMAL) — incremental
+  * subtract-on-delete over floating point would drift from a recompute,
+  * so DOUBLE/FLOAT measures must go through `min`/`max`/`count` or a
+  * decimal cast in the view definition. `avg` reads back as exact-sum /
+  * count (DOUBLE for integral sums).
+  *
+  * Reference anchor: the reference harness verifies snapshot aggregation
+  * consistency under concurrent DML (reference `core/` expectation
+  * algebra); this is that surface productized as a maintained derived
+  * table.
+  */
+final class MatView private (
+    val spark: SparkSession,
+    val viewPath: String,
+    val source: AcidTable,
+    val groupCols: Seq[String],
+    val aggs: Seq[MvAgg],
+    val numParts: Int,
+    val createBase: Long,
+    stateSchemaDdl: String) {
+
+  // lazy: create() builds a pre-state probe instance to derive the state
+  // schema from the aggregation plan before the state table exists
+  lazy val state: AcidTable = AcidTable.open(spark, MatView.statePath(viewPath))
+
+  private lazy val stateSchema: StructType = StructType.fromDDL(stateSchemaDdl)
+
+  private def incrementalOk: Boolean =
+    aggs.forall(a => a.func != "min" && a.func != "max")
+
+  // ----------------------------------------------------------- expressions --
+
+  /** Injective string encoding of the group tuple: NULL → a lone U+0000
+    * (URL-encoded values can never contain it), values URL-encoded so the
+    * U+0001 separator can't collide. The encoding is the state table's PK,
+    * so group identity, bucket routing, and partition placement all derive
+    * from one deterministic rendering.
+    */
+  private def keyExpr: Column =
+    if (groupCols.isEmpty) lit("")
+    else concat_ws("\u0001", groupCols.map(g =>
+      when(col(g).isNull, lit("\u0000"))
+        .otherwise(url_encode(col(g).cast(StringType)))): _*)
+
+  private def withKeyPart(df: DataFrame): DataFrame = {
+    val keyed = df.withColumn("__mv_key", keyExpr)
+    keyed.withColumn("__mv_part",
+      pmod(xxhash64(col("__mv_key")), lit(numParts.toLong)).cast(StringType))
+  }
+
+  /** Full-compute state aggregates — the recompute path's (and the
+    * initial materialization's) single source of truth for state values.
+    */
+  private def stateAggExprs: Seq[Column] =
+    aggs.flatMap {
+      case MvAgg(n, "count", "*") => Seq(count(lit(1)).as(n))
+      case MvAgg(n, "count", c)   => Seq(count(col(c)).as(n))
+      case MvAgg(n, "sum", c) =>
+        Seq(sum(col(c)).as(s"${n}__s"), count(col(c)).as(s"${n}__n"))
+      case MvAgg(n, "avg", c) =>
+        Seq(sum(col(c)).as(s"${n}__s"), count(col(c)).as(s"${n}__n"))
+      case MvAgg(n, "min", c) => Seq(min(col(c)).as(n))
+      case MvAgg(n, "max", c) => Seq(max(col(c)).as(n))
+      case a => throw new IllegalArgumentException(s"unsupported aggregate: $a")
+    } :+ count(lit(1)).as("__mv_cnt")
+
+  /** Cast every produced column to the frozen state schema (agg result
+    * types vary with the formulation — e.g. decimal sums widen again when
+    * a delta multiplies by the sign — so the commit conforms, once, here).
+    */
+  private[lake] def conformed(df: DataFrame): DataFrame =
+    df.select(stateSchema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+
+  private[lake] def fullState(rows: DataFrame): DataFrame = {
+    val aggd = rows.groupBy(groupCols.map(col): _*)
+      .agg(stateAggExprs.head, stateAggExprs.tail: _*)
+    withKeyPart(aggd)
+  }
+
+  // ------------------------------------------------------------------ read --
+
+  /** The view's current contents: group columns + one column per declared
+    * aggregate, exactly the `GROUP BY` result the definition denotes
+    * (`avg` = exact sum / non-null count; empty groups absent).
+    */
+  def read(): DataFrame = {
+    val live = state.snapshot().filter(col("__mv_cnt") > 0)
+    val outs = aggs.map {
+      case MvAgg(n, "count", _) => col(n)
+      case MvAgg(n, "sum", _)   => col(s"${n}__s").as(n)
+      case MvAgg(n, "avg", _) =>
+        when(col(s"${n}__n") === 0, lit(null))
+          .otherwise(col(s"${n}__s").cast(DoubleType) / col(s"${n}__n")).as(n)
+      case MvAgg(n, _, _) => col(n)
+    }
+    live.select(groupCols.map(col) ++ outs: _*)
+  }
+
+  /** Source version the view currently reflects: the highest
+    * `MVREFRESH:<v>` commit marker among the state table's retained
+    * manifests, falling back to the creation-time base. The marker rides
+    * the SAME commit as the delta it applied, so this read can never
+    * observe a half-applied refresh.
+    */
+  def appliedVersion(): Long = {
+    val latest = state.latestVersion()
+    if (latest < 0) return createBase
+    val ops = state.history().select("version", "operation").collect()
+    ops.iterator
+      .filter(_.getString(1).startsWith("MVREFRESH:"))
+      .map(r => r.getString(1).stripPrefix("MVREFRESH:").toLong)
+      .foldLeft(createBase)(math.max)
+  }
+
+  // --------------------------------------------------------------- refresh --
+
+  /** Advance the view to the source's current version. Returns the source
+    * version now reflected. No-op (no commit) when already current or the
+    * version range nets to zero changes.
+    */
+  def refresh(): Long = MatView.lockFor(viewPath).synchronized {
+    val srcV = source.latestVersion()
+    val fromV = appliedVersion()
+    if (srcV <= fromV) return fromV
+    val delta = source.changesBetween(fromV, srcV)
+    if (delta.isEmpty) return fromV // net-zero range: nothing to fold
+    val newRows =
+      if (incrementalOk) incrementalRows(delta)
+      else recomputeRows(delta, srcV)
+    state.upsertOp(conformed(newRows), None, s"MVREFRESH:$srcV")
+    srcV
+  }
+
+  /** Delta-only maintenance (count/sum/avg): fold per-group SIGNED deltas
+    * into the stored state. Reads NOTHING from the source table — the
+    * only data touched is the delta itself and the touched groups' state
+    * rows (a bucket-pruned point lookup when the group set is small
+    * enough to ship as keys, a key semi-join over the view — never the
+    * source — otherwise).
+    */
+  private def incrementalRows(delta: DataFrame): DataFrame = {
+    val sgn = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
+    val dExprs = aggs.flatMap {
+      case MvAgg(n, "count", "*") => Seq(sum(sgn).as(n))
+      case MvAgg(n, "count", c) =>
+        Seq(sum(when(col(c).isNotNull, sgn).otherwise(lit(0))).as(n))
+      case MvAgg(n, f, c) if f == "sum" || f == "avg" =>
+        Seq(sum(when(col(c).isNotNull, col(c) * sgn)).as(s"${n}__s"),
+          sum(when(col(c).isNotNull, sgn).otherwise(lit(0))).as(s"${n}__n"))
+      case a => throw new IllegalStateException(s"non-incremental aggregate: $a")
+    } :+ sum(sgn).as("__mv_cnt")
+    val d = withKeyPart(delta.groupBy(groupCols.map(col): _*)
+      .agg(dExprs.head, dExprs.tail: _*))
+
+    val stateCols = stateSchema.fieldNames.toSeq
+      .filterNot(c => c == "__mv_key" || c == "__mv_part" || groupCols.contains(c))
+    // touched groups' current state: ship the keys for a bucket-pruned
+    // point lookup when few; above the cap, semi-join the view by key
+    // (the view is #groups-sized — still never the source table)
+    val keyRows = d.select("__mv_key").limit(MatView.MaxLookupKeys + 1).collect()
+    val old0 =
+      if (keyRows.length <= MatView.MaxLookupKeys)
+        state.lookup(keyRows.map(_.getString(0)).toSeq)
+      else state.snapshot().join(d.select("__mv_key"), Seq("__mv_key"), "left_semi")
+    val old = old0.select(col("__mv_key") +:
+      stateCols.map(c => col(c).as(s"__o_$c")): _*)
+
+    val merged = d.join(old, Seq("__mv_key"), "left_outer")
+    val folded = aggs.flatMap {
+      case MvAgg(n, "count", _) =>
+        Seq((coalesce(col(s"__o_$n"), lit(0L)) + col(n)).as(n))
+      case MvAgg(n, f, _) if f == "sum" || f == "avg" =>
+        val nn = coalesce(col(s"__o_${n}__n"), lit(0L)) + col(s"${n}__n")
+        // null-normalize: a group whose non-null count returns to 0 reads
+        // back as SQL NULL, bit-identical to a recompute
+        Seq(when(nn === 0, lit(null))
+          .otherwise(coalesce(col(s"__o_${n}__s"), lit(0)) +
+            coalesce(col(s"${n}__s"), lit(0))).as(s"${n}__s"),
+          nn.as(s"${n}__n"))
+      case a => throw new IllegalStateException(s"non-incremental aggregate: $a")
+    } :+ (coalesce(col("__o___mv_cnt"), lit(0L)) + col("__mv_cnt")).as("__mv_cnt")
+    merged.select(groupCols.map(col) ++ folded ++
+      Seq(col("__mv_key"), col("__mv_part")): _*)
+  }
+
+  /** Group-targeted recompute (min/max present: a delete can evict the
+    * stored extremum, which deltas alone cannot repair). Only the CHANGED
+    * groups' source rows are re-aggregated — a key semi-join the
+    * optimizer broadcasts when the group set is small — so cost tracks
+    * the delta's group reach, not source size. Changed groups with no
+    * surviving rows become tombstones.
+    */
+  private def recomputeRows(delta: DataFrame, srcV: Long): DataFrame = {
+    val touched = withKeyPart(
+      delta.select(groupCols.map(col): _*).distinct())
+    val snap = source.snapshot(srcV).withColumn("__mv_key", keyExpr)
+    val live = fullState(
+      snap.join(touched.select("__mv_key"), Seq("__mv_key"), "left_semi")
+        .drop("__mv_key"))
+    val gone = touched.join(live.select("__mv_key"), Seq("__mv_key"), "left_anti")
+    val tombCols = stateSchema.fields.toSeq.map { f =>
+      if (groupCols.contains(f.name) || f.name == "__mv_key" || f.name == "__mv_part")
+        col(f.name)
+      else if (f.name == "__mv_cnt" || aggs.exists(a =>
+        (a.func == "count" && a.name == f.name)))
+        lit(0L).cast(f.dataType).as(f.name)
+      else if (f.name.endsWith("__n")) lit(0L).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    live.unionByName(gone.select(tombCols: _*), allowMissingColumns = false)
+  }
+}
+
+object MatView {
+
+  /** Key-count cap for shipping touched groups as a point-lookup key list;
+    * larger deltas switch to the semi-join formulation. Same order as the
+    * `InSet` pushdown sweet spot.
+    */
+  val MaxLookupKeys: Int = 65536
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
+
+  private[lake] def statePath(viewPath: String): String =
+    new File(viewPath, "state").toString
+  private def propsPath(viewPath: String) =
+    Paths.get(viewPath, "_mv.properties")
+
+  private val Funcs = Set("count", "sum", "avg", "min", "max")
+
+  /** Define + initially materialize a view over `source`. The state table
+    * is created under `viewPath/state`; the definition (group columns,
+    * aggregates, creation base version) persists in
+    * `viewPath/_mv.properties` for [[open]].
+    */
+  def create(
+      spark: SparkSession,
+      source: AcidTable,
+      viewPath: String,
+      groupCols: Seq[String],
+      aggs: Seq[MvAgg],
+      numParts: Int = 16,
+      numBuckets: Int = 32): MatView = {
+    require(aggs.nonEmpty, "materialized view needs at least one aggregate")
+    require(numParts > 0, "numParts must be positive")
+    groupCols.foreach(g => require(source.schema.fieldNames.contains(g),
+      s"group column $g not in source schema"))
+    val names = aggs.map(_.name)
+    require(names.map(_.toLowerCase).distinct.size == names.size,
+      s"duplicate aggregate names: ${names.mkString(", ")}")
+    // state columns derive from agg names (`x`, `x__s`, `x__n`) — keep the
+    // namespace collision-free with group columns and the internal prefix
+    names.foreach { n =>
+      require(!groupCols.contains(n), s"aggregate name collides with group column: $n")
+      require(!n.startsWith("__mv"), s"aggregate name may not start with __mv: $n")
+    }
+    aggs.foreach { a =>
+      require(Funcs.contains(a.func), s"unsupported aggregate function: ${a.func}")
+      if (a.input == "*")
+        require(a.func == "count", s"${a.func}(*) is not a thing; name a column")
+      else {
+        require(source.schema.fieldNames.contains(a.input),
+          s"aggregate input ${a.input} not in source schema")
+        val dt = source.schema(a.input).dataType
+        if (a.func == "sum" || a.func == "avg") dt match {
+          case ByteType | ShortType | IntegerType | LongType | _: DecimalType => ()
+          case other => throw new IllegalArgumentException(
+            s"${a.func}(${a.input}): incremental maintenance needs an exact " +
+              s"numeric type (integral or DECIMAL), got $other — cast in the " +
+              "source or use min/max/count")
+        }
+      }
+    }
+    val root = new File(viewPath)
+    if (root.exists()) deleteRecursively(root)
+    Files.createDirectories(root.toPath)
+
+    val v0 = source.latestVersion()
+    // freeze the state schema from the aggregation plan itself (sum/count
+    // result types are Spark's business, not re-derived per refresh);
+    // the probe instance never touches its (lazy, not-yet-created) state
+    val probe = new MatView(spark, viewPath, source, groupCols, aggs, numParts,
+      v0, "__probe STRING")
+    val stateSchema = probe.fullState(source.snapshot(v0).limit(0)).schema
+    AcidTable.create(spark, statePath(viewPath), stateSchema,
+      "__mv_key", "__mv_part", stablePartitions = true, numBuckets = numBuckets)
+    writeProps(viewPath, source.path, groupCols, aggs, numParts, v0, stateSchema)
+    val mv = open(spark, viewPath)
+    if (v0 >= 0) {
+      val init = mv.conformed(mv.fullState(source.snapshot(v0)))
+      if (!init.isEmpty) mv.state.upsertOp(init, None, s"MVREFRESH:$v0")
+    }
+    mv
+  }
+
+  def open(spark: SparkSession, viewPath: String): MatView = {
+    val props = new Properties()
+    val in = Files.newInputStream(propsPath(viewPath))
+    try props.load(in) finally in.close()
+    val source = AcidTable.open(spark, props.getProperty("sourcePath"))
+    val groupCols = Option(props.getProperty("groupCols")).map(_.split(',').toSeq
+      .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8"))).getOrElse(Nil)
+    val aggs = props.getProperty("aggs").split(',').toSeq.filter(_.nonEmpty).map { s =>
+      val Array(n, f, c) = s.split(':')
+      MvAgg(java.net.URLDecoder.decode(n, "UTF-8"), f,
+        java.net.URLDecoder.decode(c, "UTF-8"))
+    }
+    new MatView(spark, viewPath, source, groupCols, aggs,
+      props.getProperty("numParts").toInt,
+      props.getProperty("createBase").toLong,
+      props.getProperty("stateSchemaDdl"))
+  }
+
+  private def writeProps(
+      viewPath: String, sourcePath: String, groupCols: Seq[String],
+      aggs: Seq[MvAgg], numParts: Int, base: Long, stateSchema: StructType): Unit = {
+    val props = new Properties()
+    props.setProperty("sourcePath", sourcePath)
+    props.setProperty("groupCols",
+      groupCols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
+    props.setProperty("aggs", aggs.map(a =>
+      java.net.URLEncoder.encode(a.name, "UTF-8") + ":" + a.func + ":" +
+        java.net.URLEncoder.encode(a.input, "UTF-8")).mkString(","))
+    props.setProperty("numParts", numParts.toString)
+    props.setProperty("createBase", base.toString)
+    props.setProperty("stateSchemaDdl", stateSchema.toDDL)
+    val tmp = Paths.get(viewPath, s".mv-tmp-${UUID.randomUUID()}")
+    val out = Files.newOutputStream(tmp)
+    try props.store(out, "graft MatView definition") finally out.close()
+    Files.move(tmp, propsPath(viewPath),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

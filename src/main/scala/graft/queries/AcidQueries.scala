@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.lake.AcidTable
+import graft.lake.{AcidTable, MatView, MvAgg}
 
 /** ACID table layer exercised as oracle-checked queries (SURVEY §2C C5):
   * each query creates a real [[AcidTable]] in a scratch directory, drives
@@ -643,6 +643,136 @@ object AcidQueries {
                CASE WHEN pk = '7' THEN CAST(99.0 AS DOUBLE) ELSE val END AS val
         FROM base WHERE pk NOT IN ('3', '11')
         ORDER BY pk
+      """)),
+
+    // ---- C5 materialized view: incremental maintenance (round 10) ---------------
+    // CREATE MATERIALIZED VIEW … GROUP BY with delta-driven refresh: each
+    // refresh folds the source's CDC feed (changesBetween) into the
+    // stored per-group state — NO source re-aggregation, refresh cost ∝
+    // changed rows. The gate drives update / predicate-delete / MOR-
+    // delete / insert commits with a refresh after each, then reads the
+    // view; the oracle recomputes the same GROUP BY over the replayed
+    // final relation, so any drift in the incremental algebra (signed
+    // fold, tombstones, null measures) hash-mismatches. MatViewSpec pins
+    // the mechanics (exactly-once markers, tombstone resurrection, NULL
+    // group keys, both maintenance strategies).
+    Q(
+      "q_acid_matview_incremental",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("grp", StringType),
+          StructField("price", DecimalType(18, 2)), StructField("ck", LongType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part",
+          stablePartitions = true)
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey").cast("string").as("pk"),
+          concat(lit("p"), (col("o_orderkey") % 4).cast("string")).as("part"),
+          col("o_orderpriority").as("grp"),
+          Qdsl.dec2(col("o_totalprice")).as("price"),
+          col("o_custkey").cast("long").as("ck"))
+        t.upsert(base)
+        val mv = MatView.create(s, t, scratch(), Seq("grp"), Seq(
+          MvAgg("cnt", "count", "*"), MvAgg("rev", "sum", "price"),
+          MvAgg("avgck", "avg", "ck")))
+        // update a tenth of the rows in place
+        t.upsert(base.filter(col("pk").cast("long") % 10 === 0)
+          .withColumn("price", Qdsl.dec2(col("price") * 2)))
+        mv.refresh()
+        // predicate delete
+        t.deleteWhere(col("pk").cast("long") < 100)
+        mv.refresh()
+        // merge-on-read delete (deletion vectors: zero data I/O on source)
+        t.deleteVectored(Seq("101", "102", "103"))
+        mv.refresh()
+        // brand-new group
+        t.upsert(base.filter(col("pk").cast("long") < 50)
+          .withColumn("pk", (col("pk").cast("long") + 1000000).cast("string"))
+          .withColumn("grp", lit("9-NEW")))
+        mv.refresh()
+        mv.read().select(col("grp"), col("cnt"),
+          col("rev").cast("double").as("rev"), col("avgck"))
+          .orderBy(col("grp"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderpriority AS grp,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 o_custkey AS ck
+          FROM orders),
+        upd AS (
+          SELECT k, grp,
+                 CASE WHEN k % 10 = 0 THEN CAST(price * 2 AS DECIMAL(18,2))
+                      ELSE price END AS price, ck
+          FROM base),
+        surv AS (
+          SELECT * FROM upd WHERE k >= 100 AND k NOT IN (101, 102, 103)),
+        ins AS (
+          SELECT k + 1000000 AS k, '9-NEW' AS grp, price, ck
+          FROM base WHERE k < 50),
+        fin AS (
+          SELECT * FROM surv UNION ALL SELECT * FROM ins)
+        SELECT grp, COUNT(*) AS cnt,
+               CAST(SUM(price) AS DOUBLE) AS rev,
+               CAST(SUM(ck) AS DOUBLE) / COUNT(ck) AS avgck
+        FROM fin GROUP BY grp ORDER BY grp
+      """)),
+
+    // ---- C5 materialized view: min/max via group-targeted recompute -------------
+    // min/max are not delete-maintainable from deltas alone (a delete can
+    // evict the stored extremum), so those views re-aggregate ONLY the
+    // changed groups' source rows — cost tracks the delta's group reach,
+    // never table size. The gate evicts maxima by predicate delete, then
+    // inserts a new global extremum, refreshing in between.
+    Q(
+      "q_acid_matview_minmax",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("grp", StringType),
+          StructField("price", DecimalType(18, 2)), StructField("ck", LongType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part",
+          stablePartitions = true)
+        val base = Tables.orders(s, dir).filter(col("o_orderkey") < 4000).select(
+          col("o_orderkey").cast("string").as("pk"),
+          concat(lit("p"), (col("o_orderkey") % 4).cast("string")).as("part"),
+          col("o_orderstatus").as("grp"),
+          Qdsl.dec2(col("o_totalprice")).as("price"),
+          col("o_custkey").cast("long").as("ck"))
+        t.upsert(base)
+        val mv = MatView.create(s, t, scratch(), Seq("grp"), Seq(
+          MvAgg("cnt", "count", "*"), MvAgg("mx", "max", "price"),
+          MvAgg("mn", "min", "ck")))
+        // evict maxima: every price above the threshold goes away
+        t.deleteWhere(col("price") > 300000.0)
+        mv.refresh()
+        // new extremum in one group
+        t.upsert(base.limit(0).unionByName(s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row("9000001", "p1", "O",
+              new java.math.BigDecimal("999999.99"), 1L)),
+          schema)))
+        mv.refresh()
+        mv.read().select(col("grp"), col("cnt"),
+          col("mx").cast("double").as("mx"), col("mn"))
+          .orderBy(col("grp"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderstatus AS grp,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 o_custkey AS ck
+          FROM orders WHERE o_orderkey < 4000),
+        surv AS (SELECT * FROM base WHERE price <= 300000.0),
+        fin AS (
+          SELECT * FROM surv
+          UNION ALL
+          SELECT 9000001, 'O', CAST(999999.99 AS DECIMAL(18,2)), 1),
+        agg AS (
+          SELECT grp, COUNT(*) AS cnt, CAST(MAX(price) AS DOUBLE) AS mx,
+                 MIN(ck) AS mn
+          FROM fin GROUP BY grp)
+        SELECT grp, cnt, mx, mn FROM agg ORDER BY grp
       """)),
 
     // ---- C5 schema evolution: DROP column + physical purge ----------------------

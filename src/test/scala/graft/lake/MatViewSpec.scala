@@ -1,0 +1,252 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Incrementally-maintained materialized views ([[MatView]]): after every
+  * refresh the view must read bit-identically to a from-scratch GROUP BY
+  * over the source snapshot — across upserts, updates, key deletes,
+  * predicate deletes, MOR (deletion-vector) deletes, and overwrites; with
+  * exactly-once refresh markers, tombstoned-then-resurrected groups, NULL
+  * group keys distinct from the string "null", and both maintenance
+  * strategies (delta-fold and min/max group recompute).
+  */
+class MatViewSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("pk", StringType), StructField("part", StringType),
+    StructField("grp", StringType), StructField("val", LongType),
+    StructField("dec", DecimalType(18, 2))))
+
+  private def tmp(pfx: String): String =
+    Files.createTempDirectory(s"mv-$pfx-").resolve("t").toString
+
+  private def rows(ts: (String, String, String, java.lang.Long, String)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ts.map { case (pk, part, g, v, d) =>
+        org.apache.spark.sql.Row(pk, part, g,
+          v,
+          if (d == null) null else new java.math.BigDecimal(d))
+      }, 2),
+      schema)
+
+  private def seeded(pfx: String): AcidTable = {
+    val t = AcidTable.create(spark, tmp(pfx), schema, "pk", "part",
+      stablePartitions = true)
+    t.upsert(rows(
+      ("k1", "p0", "a", 10L, "1.50"), ("k2", "p1", "a", 20L, "2.50"),
+      ("k3", "p0", "b", 30L, "3.00"), ("k4", "p1", "b", null, null),
+      ("k5", "p0", null, 50L, "5.25"), ("k6", "p1", "c", 60L, "6.00")))
+    t
+  }
+
+  /** The oracle: recompute the same aggregates directly over the source. */
+  private def expect(t: AcidTable): Seq[(String, Long, Option[Long], Option[BigDecimal])] =
+    t.snapshot().groupBy($"grp")
+      .agg(count(lit(1)).as("cnt"), sum($"val").as("sv"), sum($"dec").as("sd"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(BigDecimal(r.getDecimal(3)))))
+      .toSeq.sortBy(x => Option(x._1))
+
+  private def got(mv: MatView): Seq[(String, Long, Option[Long], Option[BigDecimal])] =
+    mv.read().collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(BigDecimal(r.getDecimal(3)))))
+      .toSeq.sortBy(x => Option(x._1))
+
+  private def aggsCSD = Seq(
+    MvAgg("cnt", "count", "*"), MvAgg("sv", "sum", "val"), MvAgg("sd", "sum", "dec"))
+
+  test("initial materialization equals a direct GROUP BY (incl. NULL group key)") {
+    val t = seeded("init")
+    val mv = MatView.create(spark, t, tmp("init-v"), Seq("grp"), aggsCSD)
+    assert(got(mv) === expect(t))
+    assert(mv.appliedVersion() === t.latestVersion())
+  }
+
+  test("incremental refresh tracks upsert, update, delete, deleteWhere, DV delete") {
+    val t = seeded("incr")
+    val mv = MatView.create(spark, t, tmp("incr-v"), Seq("grp"), aggsCSD)
+    // new group + new member of existing group
+    t.upsert(rows(("k7", "p0", "d", 70L, "7.00"), ("k8", "p1", "a", 80L, "8.00")))
+    mv.refresh(); assert(got(mv) === expect(t))
+    // update: group migration (k3 moves b -> a) and value change
+    t.upsert(rows(("k3", "p0", "a", 31L, "3.10")))
+    mv.refresh(); assert(got(mv) === expect(t))
+    // key delete
+    t.delete(Seq("k2"))
+    mv.refresh(); assert(got(mv) === expect(t))
+    // predicate delete
+    t.deleteWhere(col("val") >= 70L)
+    mv.refresh(); assert(got(mv) === expect(t))
+    // merge-on-read delete (deletion vector — no file rewrite on source)
+    t.deleteVectored(Seq("k5"))
+    mv.refresh(); assert(got(mv) === expect(t))
+    // view never read the source: state history carries only MVREFRESH ops
+    val ops = mv.state.history().select("operation").collect().map(_.getString(0))
+    assert(ops.forall(_.startsWith("MVREFRESH:")), ops.mkString(","))
+  }
+
+  test("several source commits between refreshes fold as one net delta") {
+    val t = seeded("batch")
+    val mv = MatView.create(spark, t, tmp("batch-v"), Seq("grp"), aggsCSD)
+    t.upsert(rows(("k9", "p0", "e", 90L, "9.00")))
+    t.upsert(rows(("k9", "p0", "e", 91L, "9.10"))) // churn: update same key
+    t.delete(Seq("k1"))
+    t.upsert(rows(("k1", "p0", "a", 11L, "1.10"))) // resurrect within range
+    val v = mv.refresh()
+    assert(v === t.latestVersion())
+    assert(got(mv) === expect(t))
+    // exactly one refresh commit for the whole range
+    val marks = mv.state.history().select("operation").collect()
+      .map(_.getString(0)).count(_ == s"MVREFRESH:$v")
+    assert(marks === 1)
+  }
+
+  test("group emptied then resurrected: tombstone hides, reappearance overwrites") {
+    val t = seeded("tomb")
+    val mv = MatView.create(spark, t, tmp("tomb-v"), Seq("grp"), aggsCSD)
+    t.delete(Seq("k6")) // group c had exactly one member
+    mv.refresh()
+    assert(!got(mv).exists(_._1 == "c"))
+    // the tombstone row physically exists with __mv_cnt = 0
+    val tomb = mv.state.snapshot().filter(col("__mv_cnt") === 0).collect()
+    assert(tomb.length === 1)
+    t.upsert(rows(("k6", "p1", "c", 61L, "6.10"), ("k7", "p0", "c", 1L, "0.10")))
+    mv.refresh()
+    assert(got(mv) === expect(t))
+  }
+
+  test("refresh is exactly-once: no-op when current, marker survives reopen") {
+    val t = seeded("once")
+    val mvPath = tmp("once-v")
+    val mv = MatView.create(spark, t, mvPath, Seq("grp"), aggsCSD)
+    val sv = mv.state.latestVersion()
+    assert(mv.refresh() === t.latestVersion())
+    assert(mv.state.latestVersion() === sv) // no new commit
+    // reopen from disk: definition + high-water mark persist
+    val re = MatView.open(spark, mvPath)
+    assert(re.appliedVersion() === t.latestVersion())
+    t.upsert(rows(("k9", "p1", "a", 5L, "0.50")))
+    re.refresh()
+    assert(got(re) === expect(t))
+  }
+
+  test("NULL group key is its own group, distinct from the string literal") {
+    val t = seeded("null")
+    t.upsert(rows(("kN", "p0", "null", 7L, "0.70"))) // the STRING "null"
+    val mv = MatView.create(spark, t, tmp("null-v"), Seq("grp"), aggsCSD)
+    val g = got(mv)
+    assert(g.exists(x => x._1 == null && x._2 == 1L && x._3.contains(50L)))
+    assert(g.exists(x => x._1 == "null" && x._2 == 1L && x._3.contains(7L)))
+    assert(g === expect(t))
+  }
+
+  test("multi-column grouping: separator cannot conflate adjacent values") {
+    val t = AcidTable.create(spark, tmp("mc"), schema, "pk", "part",
+      stablePartitions = true)
+    // ("ab","c") vs ("a","bc") must be different groups
+    t.upsert(rows(
+      ("x1", "p0", "ab", 1L, "1.00"), ("x2", "p0", "a", 2L, "2.00")))
+    val t2rows = Seq(("x1", "ab", "c"), ("x2", "a", "bc"))
+    // grp carries col1; part carries col2 (both group columns)
+    val mv = MatView.create(spark, t, tmp("mc-v"), Seq("grp", "part"),
+      Seq(MvAgg("cnt", "count", "*"), MvAgg("sv", "sum", "val")))
+    val g = mv.read().collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(g.toSet === Set(("ab", "p0", 1L), ("a", "p0", 1L)))
+    assert(t2rows.nonEmpty) // silence unused
+  }
+
+  test("min/max views repair evicted extrema via group-targeted recompute") {
+    val t = seeded("mm")
+    val mv = MatView.create(spark, t, tmp("mm-v"), Seq("grp"),
+      Seq(MvAgg("cnt", "count", "*"), MvAgg("mx", "max", "val"),
+        MvAgg("mn", "min", "val")))
+    def exp() = t.snapshot().groupBy($"grp")
+      .agg(count(lit(1)), max($"val"), min($"val")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSeq.sortBy(x => Option(x._1))
+    def act() = mv.read().collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSeq.sortBy(x => Option(x._1))
+    assert(act() === exp())
+    // delete the current max of group a -> stored max must FALL
+    t.delete(Seq("k2")) // (a, 20) was max of a
+    mv.refresh(); assert(act() === exp())
+    // delete an entire group; then grow one
+    t.deleteWhere(col("grp") === "b")
+    t.upsert(rows(("k9", "p0", "a", 99L, "9.90")))
+    mv.refresh(); assert(act() === exp())
+  }
+
+  test("avg reads as exact-sum over count; all-null group reads NULL") {
+    val t = seeded("avg")
+    val mv = MatView.create(spark, t, tmp("avg-v"), Seq("grp"),
+      Seq(MvAgg("av", "avg", "val"), MvAgg("cnt", "count", "val")))
+    val byGrp = mv.read().collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byGrp("a") === Some(15.0))
+    assert(byGrp("b") === Some(30.0)) // k4's null val excluded from count
+    // group with ONLY null measures: delete k3 so b = {k4(null)}
+    t.delete(Seq("k3"))
+    mv.refresh()
+    val byGrp2 = mv.read().collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byGrp2("b") === None) // SQL avg of no non-null values
+  }
+
+  test("double sums are rejected up front (drift vs recompute)") {
+    val t = AcidTable.create(spark, tmp("dbl"),
+      StructType(Seq(StructField("pk", StringType),
+        StructField("part", StringType), StructField("d", DoubleType))),
+      "pk", "part")
+    val e = intercept[IllegalArgumentException] {
+      MatView.create(spark, t, tmp("dbl-v"), Seq("part"),
+        Seq(MvAgg("s", "sum", "d")))
+    }
+    assert(e.getMessage.contains("exact numeric"))
+    // min/max over double is fine (recompute path)
+    MatView.create(spark, t, tmp("dbl-v2"), Seq("part"),
+      Seq(MvAgg("m", "max", "d")))
+  }
+
+  test("global (no group columns) view aggregates the whole table") {
+    val t = seeded("glob")
+    val mv = MatView.create(spark, t, tmp("glob-v"), Nil,
+      Seq(MvAgg("cnt", "count", "*"), MvAgg("sv", "sum", "val")))
+    def one() = mv.read().collect() match { case Array(r) => (r.getLong(0), r.getLong(1)) }
+    assert(one() === (6L, 170L))
+    t.delete(Seq("k1", "k3"))
+    mv.refresh()
+    assert(one() === (4L, 130L))
+    // empty the table entirely: the single global group tombstones away
+    t.deleteWhere(lit(true))
+    mv.refresh()
+    assert(mv.read().count() === 0L)
+  }
+
+  test("view over an empty source starts empty and catches up") {
+    val t = AcidTable.create(spark, tmp("empty"), schema, "pk", "part")
+    val mv = MatView.create(spark, t, tmp("empty-v"), Seq("grp"), aggsCSD)
+    assert(mv.read().count() === 0L)
+    t.upsert(rows(("k1", "p0", "a", 10L, "1.00")))
+    mv.refresh()
+    assert(got(mv) === expect(t))
+  }
+}
