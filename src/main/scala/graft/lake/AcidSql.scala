@@ -140,7 +140,25 @@ object AcidSql {
 
       case i: InsertIntoStatement =>
         val t = resolveTable(tables, i.table)
-        t.upsert(PlanShim.ofRows(spark, i.query))
+        val q = PlanShim.ofRows(spark, i.query)
+        // `INSERT INTO t (cols…)` names its targets; a bare positional
+        // INSERT (e.g. `VALUES (…)`, whose outputs are col1…colN) maps to
+        // the schema by POSITION, the SQL-standard semantics — but only
+        // when by-name resolution cannot apply, so `SELECT * FROM src`
+        // with reordered same-named columns keeps resolving by name
+        val targets =
+          if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
+          else if (q.columns.exists(c => !t.schema.fieldNames.contains(c)))
+            t.schema.fieldNames.toSeq
+          else Nil
+        val batch =
+          if (targets.isEmpty) q
+          else {
+            requireShape(q.columns.length == targets.length,
+              s"INSERT arity ${q.columns.length} != target columns ${targets.mkString(",")}")
+            q.toDF(targets: _*)
+          }
+        t.upsert(batch)
 
       case other => fail(s"unsupported statement: ${other.getClass.getSimpleName}")
     }
@@ -154,8 +172,13 @@ object AcidSql {
     * work over transactional snapshots exactly as over catalog tables. The
     * snapshot is pinned once per call: one statement reads one version.
     */
-  def query(spark: SparkSession, tables: Map[String, AcidTable], sql: String): DataFrame = {
-    val plan = PlanShim.parse(spark, sql)
+  def query(spark: SparkSession, tables: Map[String, AcidTable], sql: String): DataFrame =
+    queryPlan(spark, tables, PlanShim.parse(spark, sql))
+
+  /** [[query]] over an already-parsed (and possibly pre-substituted) plan —
+    * lets [[AcidSqlSession]] splice materialized-view reads in first. */
+  private[lake] def queryPlan(
+      spark: SparkSession, tables: Map[String, AcidTable], plan: LogicalPlan): DataFrame = {
     val substituted = plan.transformUp {
       case r: UnresolvedRelation if lookup(tables, r).isDefined =>
         SubqueryAlias(r.multipartIdentifier.last,
@@ -315,6 +338,20 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  // Materialized-view lifecycle (not in Spark's grammar — recognized
+  // textually like CloneStmt; the defining SELECT goes through Spark's
+  // parser and must reduce to a single GROUP BY over one session table)
+  private val CreateMvStmt =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+(SELECT\s.+?)\s*;?\s*""".r
+  private val RefreshMvStmt =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  private val DropMvStmt =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+
+  private val views = scala.collection.concurrent.TrieMap.empty[String, MatView]
+
+  def view(name: String): MatView =
+    views.getOrElse(name, throw new IllegalArgumentException(s"unknown materialized view $name"))
 
   /** Execute one DDL or DML statement; DDL returns 0, DML the committed
     * version. */
@@ -345,7 +382,77 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
           .getOrElse(Nil))
     case VacuumStmt(tn, retain) =>
       table(tn).vacuum(keepVersions = Option(retain).map(_.toInt).getOrElse(2)).toLong
+    case CreateMvStmt(vn, select) =>
+      val nameParts = vn.split('.').toSeq
+      val (srcName, groupCols, aggs) = parseMvSelect(select)
+      val mv = MatView.create(spark, table(srcName),
+        (warehouseDir +: nameParts).mkString("/"), groupCols, aggs)
+      views(nameParts.mkString(".")) = mv
+      views(nameParts.last) = mv
+      0L
+    case RefreshMvStmt(vn) => view(vn).refresh()
+    case DropMvStmt(vn) =>
+      val nameParts = vn.split('.').toSeq
+      val mv = view(vn)
+      Seq(nameParts.mkString("."), nameParts.last).foreach(views.remove)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(mv.viewPath))
+      0L
     case _ => executeParsed(sql)
+  }
+
+  /** Reduce the defining SELECT to [[MatView]]'s definition: one
+    * `Aggregate` over one session table, bare group columns echoed in the
+    * select list, every aggregate an ALIASED `count(*) | count(c) |
+    * sum(c) | avg(c) | min(c) | max(c)`. Anything else — expressions over
+    * aggregates, DISTINCT, HAVING, joins, subqueries — fails loudly (the
+    * maintainable-view grammar is the point, not general SQL).
+    */
+  private def parseMvSelect(select: String): (String, Seq[String], Seq[MvAgg]) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def relName(p: LogicalPlan): String = p match {
+      case SubqueryAlias(_, child) => relName(child)
+      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"materialized view must select FROM one table, got: ${other.nodeName}")
+    }
+    PlanShim.parse(spark, select) match {
+      case Aggregate(groupExprs, selectExprs, child, _) =>
+        val src = relName(child)
+        val groupCols = groupExprs.map {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"materialized view GROUP BY must name bare columns, got: ${other.sql}")
+        }
+        val aggs = selectExprs.flatMap {
+          case a: UnresolvedAttribute =>
+            require(groupCols.contains(a.nameParts.last),
+              s"non-aggregate select item must be a group column: ${a.sql}")
+            None
+          case Alias(f: UnresolvedFunction, name) =>
+            val fn = f.nameParts.last.toLowerCase
+            require(!f.isDistinct, s"DISTINCT aggregates are not maintainable: ${f.sql}")
+            val input = f.arguments match {
+              case Seq(_: UnresolvedStar) => "*"
+              // the parser renders count(*) as count(1)
+              case Seq(_: Literal) if fn == "count" => "*"
+              case Seq(a: UnresolvedAttribute) => a.nameParts.last
+              case other => throw new IllegalArgumentException(
+                s"aggregate argument must be a bare column or *: ${other.map(_.sql).mkString(",")}")
+            }
+            Some(MvAgg(name, fn, input))
+          case other => throw new IllegalArgumentException(
+            s"materialized view select items must be group columns or aliased " +
+              s"aggregates, got: ${other.sql}")
+        }
+        (src, groupCols, aggs)
+      case other => throw new IllegalArgumentException(
+        s"materialized view definition must be a GROUP BY aggregation, got: ${other.nodeName}")
+    }
   }
 
   private def executeParsed(sql: String): Long = PlanShim.parse(spark, sql) match {
@@ -393,7 +500,18 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     * `DESCRIBE HISTORY db.table`). */
   def query(sql: String): org.apache.spark.sql.DataFrame = sql match {
     case DescribeHistoryStmt(tn) => table(tn).history()
-    case _ => AcidSql.query(spark, tables.toMap, sql)
+    case _ =>
+      // materialized views substitute FIRST (their names shadow nothing:
+      // the table map is consulted for whatever relations remain)
+      val plan = PlanShim.parse(spark, sql).transformUp {
+        case r: UnresolvedRelation
+            if views.contains(r.multipartIdentifier.mkString(".")) ||
+              views.contains(r.multipartIdentifier.last) =>
+          SubqueryAlias(r.multipartIdentifier.last, PlanShim.logical(
+            views.getOrElse(r.multipartIdentifier.mkString("."),
+              views(r.multipartIdentifier.last)).read()))
+      }
+      AcidSql.queryPlan(spark, tables.toMap, plan)
   }
 
   private def register(nameParts: Seq[String], t: AcidTable): Unit = {

@@ -775,6 +775,47 @@ object AcidQueries {
         SELECT grp, cnt, mx, mn FROM agg ORDER BY grp
       """)),
 
+    // ---- C5 materialized view: SQL text lifecycle -------------------------------
+    // CREATE MATERIALIZED VIEW … AS SELECT … GROUP BY / REFRESH
+    // MATERIALIZED VIEW / SELECT-from-view through the text front-end —
+    // the whole derived-table lifecycle as statements, views joining
+    // tables in the same query. The oracle replays the DML and
+    // recomputes the aggregation.
+    Q(
+      "q_sql_matview",
+      (s, dir) => {
+        val wh = scratch()
+        val sess = new graft.lake.AcidSqlSession(s, wh)
+        sess.execute("CREATE SCHEMA IF NOT EXISTS db")
+        sess.execute("""CREATE TABLE db.src (pk STRING, part STRING, grp STRING, ck BIGINT)
+          USING hudi PARTITIONED BY (part) TBLPROPERTIES (primaryKey = 'pk')""")
+        Tables.orders(s, dir).filter(col("o_orderkey") < 6000).select(
+          col("o_orderkey").cast("string").as("pk"),
+          concat(lit("p"), (col("o_orderkey") % 3).cast("string")).as("part"),
+          col("o_orderpriority").as("grp"),
+          col("o_custkey").cast("long").as("ck"))
+          .createOrReplaceTempView("mv_src_rows")
+        sess.execute("INSERT INTO db.src SELECT * FROM mv_src_rows")
+        sess.execute("""CREATE MATERIALIZED VIEW db.prio AS
+          SELECT grp, count(*) AS cnt, sum(ck) AS sck, max(ck) AS mck
+          FROM db.src GROUP BY grp""")
+        sess.execute("DELETE FROM db.src WHERE CAST(pk AS BIGINT) % 7 = 0")
+        sess.execute("UPDATE db.src SET ck = ck + 1000000 WHERE CAST(pk AS BIGINT) % 5 = 0")
+        sess.execute("REFRESH MATERIALIZED VIEW db.prio")
+        sess.query("SELECT grp, cnt, sck, mck FROM db.prio ORDER BY grp")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderpriority AS grp, o_custkey AS ck
+          FROM orders WHERE o_orderkey < 6000),
+        surv AS (
+          SELECT k, grp,
+                 CASE WHEN k % 5 = 0 THEN ck + 1000000 ELSE ck END AS ck
+          FROM base WHERE k % 7 <> 0)
+        SELECT grp, COUNT(*) AS cnt, CAST(SUM(ck) AS BIGINT) AS sck, MAX(ck) AS mck
+        FROM surv GROUP BY grp ORDER BY grp
+      """)),
+
     // ---- C5 schema evolution: DROP column + physical purge ----------------------
     // The other direction (round 9): dropColumns is metadata-only (readers
     // stop projecting instantly; old files keep the bytes), and compact()

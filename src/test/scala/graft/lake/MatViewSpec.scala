@@ -241,6 +241,73 @@ class MatViewSpec extends AnyFunSuite {
     assert(mv.read().count() === 0L)
   }
 
+  test("incremental refresh never touches unchanged partitions' source files") {
+    val t = seeded("scope")
+    val mv = MatView.create(spark, t, tmp("scope-v"), Seq("grp"), aggsCSD)
+    // commit ONLY to p0, then physically destroy p1's data files: a
+    // refresh that read anything outside the changed partition would die
+    t.upsert(rows(("k1", "p0", "a", 11L, "1.60")))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(c =>
+        if (c.isDirectory) walk(c) else Seq(c))
+    val toBreak = walk(new java.io.File(t.path, "data"))
+      .filter(f => f.getPath.contains("part=p1") && f.getName.endsWith(".parquet"))
+    assert(toBreak.nonEmpty)
+    toBreak.foreach(f => assert(f.delete()))
+    mv.refresh() // must succeed: delta diff + fold read only part=p0
+    val a = mv.read().filter(col("grp") === "a").collect()
+    assert(a.head.getLong(1) === 2L) // group a = {k1, k2}
+    assert(a.head.getLong(2) === 31L) // k1 folded 10 -> 11, plus k2's 20
+  }
+
+  test("SQL front-end: CREATE / REFRESH / SELECT / DROP MATERIALIZED VIEW") {
+    val wh = Files.createTempDirectory("mv-sql-wh-").toString
+    val sess = new AcidSqlSession(spark, wh)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS db")
+    sess.execute("""CREATE TABLE db.src (pk STRING, part STRING, g STRING, v BIGINT)
+      USING hudi PARTITIONED BY (part) TBLPROPERTIES (primaryKey = 'pk')""")
+    sess.execute("""INSERT INTO db.src VALUES
+      ('k1','p0','a',10), ('k2','p1','a',20), ('k3','p0','b',5)""")
+    sess.execute("""CREATE MATERIALIZED VIEW db.mv AS
+      SELECT g, count(*) AS cnt, sum(v) AS sv, max(v) AS mx
+      FROM db.src GROUP BY g""")
+    def readMv() = sess.query("SELECT g, cnt, sv, mx FROM db.mv ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(readMv() === Seq(("a", 2L, 30L, 20L), ("b", 1L, 5L, 5L)))
+    // DML through the same session, then REFRESH
+    sess.execute("DELETE FROM db.src WHERE pk IN ('k2')")
+    sess.execute("INSERT INTO db.src VALUES ('k4','p1','b',50)")
+    sess.execute("REFRESH MATERIALIZED VIEW db.mv")
+    assert(readMv() === Seq(("a", 1L, 10L, 10L), ("b", 2L, 55L, 50L)))
+    // views join with tables in the same statement
+    val j = sess.query("""SELECT s.pk, m.cnt FROM db.src s
+      JOIN db.mv m ON s.g = m.g WHERE m.cnt = 2 ORDER BY s.pk""").collect()
+    assert(j.map(_.getString(0)).toSeq === Seq("k3", "k4"))
+    sess.execute("DROP MATERIALIZED VIEW db.mv")
+    intercept[IllegalArgumentException](sess.execute("REFRESH MATERIALIZED VIEW db.mv"))
+  }
+
+  test("SQL front-end rejects non-maintainable view shapes loudly") {
+    val wh = Files.createTempDirectory("mv-sql-rej-").toString
+    val sess = new AcidSqlSession(spark, wh)
+    sess.execute("""CREATE TABLE t (pk STRING, part STRING, g STRING, v BIGINT)
+      USING hudi PARTITIONED BY (part) TBLPROPERTIES (primaryKey = 'pk')""")
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](sess.execute(sql))
+      assert(e.getMessage.toLowerCase.contains(frag.toLowerCase), e.getMessage)
+    }
+    bad("CREATE MATERIALIZED VIEW x AS SELECT g, count(DISTINCT v) AS c FROM t GROUP BY g",
+      "distinct")
+    bad("CREATE MATERIALIZED VIEW x AS SELECT g, sum(v) FROM t GROUP BY g",
+      "aliased")
+    bad("CREATE MATERIALIZED VIEW x AS SELECT g, sum(v + 1) AS s FROM t GROUP BY g",
+      "bare column")
+    bad("CREATE MATERIALIZED VIEW x AS SELECT v, sum(v) AS s FROM t GROUP BY g",
+      "group column")
+    bad("CREATE MATERIALIZED VIEW x AS SELECT g, sum(v) AS s FROM t",
+      "GROUP BY")
+  }
+
   test("view over an empty source starts empty and catches up") {
     val t = AcidTable.create(spark, tmp("empty"), schema, "pk", "part")
     val mv = MatView.create(spark, t, tmp("empty-v"), Seq("grp"), aggsCSD)
