@@ -186,6 +186,53 @@ final class MatView private (
     srcV
   }
 
+  /** Maintain the view LIVE off the source's change-feed stream: every
+    * micro-batch of version-ordered row images folds into the state
+    * exactly like a [[refresh]], without re-running the version diff the
+    * stream already materialized. The `MVREFRESH` marker still rides each
+    * fold commit, so a replayed batch (at-least-once restart) is detected
+    * by version and skipped — stream maintenance, manual [[refresh]], and
+    * crash recovery all agree on one high-water mark. Un-netted per-version
+    * images fold identically to the netted diff: signed count/sum deltas
+    * telescope, and the min/max path recomputes touched groups from the
+    * batch's max version snapshot.
+    *
+    * Single maintainer still applies: run ONE maintenance stream (or
+    * manual refreshes, not both concurrently). Returns the started query;
+    * the caller owns its lifecycle.
+    */
+  def maintainStream(
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    AcidCdc.readStream(spark, source.path, startingVersion = appliedVersion() + 1)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChangeBatch(batch)
+      }
+      .start()
+
+  /** Fold one change-feed micro-batch ([[AcidCdc]] schema: row image +
+    * `_change_type` + `_commit_version`). Replay-safe: rows at or below
+    * the applied version are dropped before folding.
+    */
+  def applyChangeBatch(batch: DataFrame): Unit =
+    MatView.lockFor(viewPath).synchronized {
+      if (batch.isEmpty) return
+      val applied = appliedVersion()
+      val fresh = batch.filter(col("_commit_version") > applied)
+      if (fresh.isEmpty) return
+      val maxV = fresh.agg(max(col("_commit_version"))).head().getLong(0)
+      val delta = fresh.drop("_commit_version")
+      val newRows =
+        if (incrementalOk) incrementalRows(delta)
+        else recomputeRows(delta, maxV)
+      state.upsertOp(conformed(newRows), None, s"MVREFRESH:$maxV")
+    }
+
   /** Delta-only maintenance (count/sum/avg): fold per-group SIGNED deltas
     * into the stored state. Reads NOTHING from the source table — the
     * only data touched is the delta itself and the touched groups' state

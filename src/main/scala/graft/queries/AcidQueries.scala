@@ -775,6 +775,53 @@ object AcidQueries {
         SELECT grp, cnt, mx, mn FROM agg ORDER BY grp
       """)),
 
+    // ---- C5 materialized view: LIVE stream maintenance --------------------------
+    // The production loop closed: the view maintains itself off the
+    // table's change-feed STREAM (AcidCdc source → per-batch fold with
+    // the same MVREFRESH high-water marker), no manual refresh anywhere.
+    // Commits land while the checkpointed stream is stopped and a second
+    // run catches up — the oracle recomputes the final GROUP BY.
+    Q(
+      "q_acid_matview_stream",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("grp", StringType), StructField("ck", LongType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part",
+          stablePartitions = true)
+        val base = Tables.orders(s, dir).filter(col("o_orderkey") < 5000).select(
+          col("o_orderkey").cast("string").as("pk"),
+          concat(lit("p"), (col("o_orderkey") % 3).cast("string")).as("part"),
+          col("o_orderpriority").as("grp"),
+          col("o_custkey").cast("long").as("ck"))
+        t.upsert(base)
+        val mv = MatView.create(s, t, scratch(), Seq("grp"), Seq(
+          MvAgg("cnt", "count", "*"), MvAgg("sck", "sum", "ck")))
+        // burst of commits, then one AvailableNow maintenance run
+        t.deleteWhere(col("pk").cast("long") % 7 === 0)
+        t.upsert(base.filter(col("pk").cast("long") % 5 === 0)
+          .withColumn("ck", col("ck") + 1000000))
+        val ckpt = scratch()
+        mv.maintainStream(ckpt).awaitTermination()
+        // more commits while the stream is down; same checkpoint resumes
+        t.deleteVectored(Seq("3", "6"))
+        mv.maintainStream(ckpt).awaitTermination()
+        mv.read().select(col("grp"), col("cnt"),
+          col("sck").cast("long").as("sck")).orderBy(col("grp"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderpriority AS grp, o_custkey AS ck
+          FROM orders WHERE o_orderkey < 5000),
+        upd AS (
+          SELECT k, grp,
+                 CASE WHEN k % 5 = 0 THEN ck + 1000000 ELSE ck END AS ck
+          FROM base WHERE k % 7 <> 0 OR k % 5 = 0),
+        surv AS (SELECT * FROM upd WHERE k NOT IN (3, 6))
+        SELECT grp, COUNT(*) AS cnt, CAST(SUM(ck) AS BIGINT) AS sck
+        FROM surv GROUP BY grp ORDER BY grp
+      """)),
+
     // ---- C5 materialized view: SQL text lifecycle -------------------------------
     // CREATE MATERIALIZED VIEW … AS SELECT … GROUP BY / REFRESH
     // MATERIALIZED VIEW / SELECT-from-view through the text front-end —

@@ -308,6 +308,36 @@ class MatViewSpec extends AnyFunSuite {
       "GROUP BY")
   }
 
+  test("live maintenance off the CDC stream equals recompute; replay-safe") {
+    val t = seeded("live")
+    val mv = MatView.create(spark, t, tmp("live-v"), Seq("grp"), aggsCSD)
+    val ckpt = Files.createTempDirectory("mv-ckpt-").toString
+    // a burst of source commits, then one AvailableNow maintenance run
+    t.upsert(rows(("k7", "p0", "d", 70L, "7.00")))
+    t.upsert(rows(("k3", "p0", "a", 31L, "3.10"))) // group migration b -> a
+    t.delete(Seq("k2"))
+    val q1 = mv.maintainStream(ckpt)
+    q1.awaitTermination()
+    assert(got(mv) === expect(t))
+    val vAfterFirst = mv.state.latestVersion()
+    // more commits; SAME checkpoint resumes where it left off
+    t.deleteVectored(Seq("k5"))
+    t.upsert(rows(("k8", "p1", "d", 80L, "8.00")))
+    val q2 = mv.maintainStream(ckpt)
+    q2.awaitTermination()
+    assert(got(mv) === expect(t))
+    assert(mv.appliedVersion() === t.latestVersion())
+    // replaying an already-applied batch by hand folds nothing (the
+    // version guard — an at-least-once restart cannot double-count)
+    val replay = t.changesBetween(0, t.latestVersion())
+      .withColumn("_commit_version", lit(1L))
+    val vBefore = mv.state.latestVersion()
+    mv.applyChangeBatch(replay)
+    assert(mv.state.latestVersion() === vBefore)
+    assert(got(mv) === expect(t))
+    assert(vAfterFirst < vBefore)
+  }
+
   test("view over an empty source starts empty and catches up") {
     val t = AcidTable.create(spark, tmp("empty"), schema, "pk", "part")
     val mv = MatView.create(spark, t, tmp("empty-v"), Seq("grp"), aggsCSD)
