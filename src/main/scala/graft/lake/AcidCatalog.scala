@@ -116,6 +116,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val t = AcidTable.create(spark, tablePath(ident), schema, pk, partCols.head,
       props.get("preCombinedField"),
       numBuckets = props.get("numBuckets").map(_.toInt).getOrElse(32))
+    // every non-structural TBLPROPERTY persists as a free-form table
+    // property (e.g. morDeletes — the merge-on-read delete mode)
+    val structural = Set("primaryKey", "preCombinedField", "numBuckets",
+      "provider", "location", "owner", "external", "comment")
+    props.foreach { case (k, v) =>
+      if (!structural.contains(k)) t.setTableProperty(k, Some(v))
+    }
     new AcidV2Table(t, ident)
   }
 
@@ -155,6 +162,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           if (d.ifExists() && !acid.checkConstraints.exists(_._1.equalsIgnoreCase(d.name())))
             acid
           else acid.dropConstraint(d.name())
+        case p: TableChange.SetProperty =>
+          // ALTER TABLE … SET TBLPROPERTIES: free-form property (e.g.
+          // flipping morDeletes on a live table) — table-level, visible
+          // to every handle on its next statement
+          acid.setTableProperty(p.property(), Some(p.value())); acid
+        case p: TableChange.RemoveProperty =>
+          acid.setTableProperty(p.property(), None); acid
         case other =>
           throw new UnsupportedOperationException(s"unsupported table change: $other")
       }
@@ -246,6 +260,7 @@ final class AcidV2Table(
     acid.checkConstraints.foreach { case (n, e) =>
       m.put(s"constraint.$n", s"CHECK ($e)")
     }
+    acid.tableProperties.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
     m
   }
 

@@ -471,7 +471,23 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
         (warehouseDir +: nameParts).mkString("/"),
         StructType(cols), pk, partCols.head, precombine,
         numBuckets = props.get("numBuckets").map(_.toInt).getOrElse(32))
+      // non-structural TBLPROPERTIES persist as free-form table
+      // properties (morDeletes et al.)
+      val structural = Set("primaryKey", "preCombinedField", "numBuckets")
+      props.foreach { case (k, v) =>
+        if (!structural.contains(k)) t.setTableProperty(k, Some(v))
+      }
       register(nameParts, t)
+      0L
+
+    case sp: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
+      val t = table(identParts(sp.table).mkString("."))
+      sp.properties.foreach { case (k, v) => t.setTableProperty(k, Some(v)) }
+      0L
+
+    case up: org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties =>
+      val t = table(identParts(up.table).mkString("."))
+      up.propertyKeys.foreach(k => t.setTableProperty(k, None))
       0L
 
     case dt: DropTable =>
@@ -522,6 +538,7 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
   private def identParts(p: LogicalPlan): Seq[String] = p match {
     case u: UnresolvedIdentifier => u.nameParts
     case r: ResolvedIdentifier => r.identifier.namespace.toSeq :+ r.identifier.name
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable => t.multipartIdentifier
     case other => throw new IllegalArgumentException(s"unsupported identifier plan: $other")
   }
 }

@@ -1358,12 +1358,45 @@ final class AcidTable private (
     delete(keys.toDF(pkCol))
   }
 
+  /** Free-form table properties (`SHOW TBLPROPERTIES` surface beyond the
+    * structural ones). Table-level: read from `_meta.properties` per call,
+    * so a concurrent [[setTableProperty]] is visible to every handle. */
+  def tableProperty(key: String): Option[String] =
+    AcidTable.readTableProperty(path, key)
+
+  def tableProperties: Map[String, String] =
+    AcidTable.readTableProperties(path)
+
+  /** Set (`Some`) or remove (`None`) one table property — the `ALTER TABLE
+    * … SET/UNSET TBLPROPERTIES` surface. Atomic meta rewrite; schema-
+    * evolution meta rewrites carry properties over. */
+  def setTableProperty(key: String, value: Option[String]): Unit =
+    AcidTable.writeTableProperty(path, key, value)
+
+  /** Whether this table runs in MERGE-ON-READ delete mode (the
+    * `morDeletes` table property — Delta's `enableDeletionVectors`
+    * analog): key deletes from EVERY front-end route through
+    * [[deleteVectored]], so a point delete is an O(keys) metadata commit
+    * and file rewrites happen lazily at the next touch / compaction.
+    * Oversized or non-renderable key sets still fall back to
+    * copy-on-write inside [[deleteVectored]].
+    */
+  def morDeletes: Boolean = tableProperty("morDeletes").contains("true")
+
   /** Delete by key set. If the caller's DataFrame also carries the
     * partition column AND the table has stable partitions, the touched-
     * partition lookup needs no snapshot scan (the harness's
     * DataManipulations carry both, reference `DataManipulation.java`).
+    * Under [[morDeletes]] the delete routes through [[deleteVectored]]
+    * (which ignores the hint — DV resolution is bucket-pruned by key).
     */
   def delete(keysWithPartitions: DataFrame, partitionsHint: Option[Seq[String]] = None): Long = {
+    if (morDeletes) return deleteVectored(keysWithPartitions)
+    deleteCow(keysWithPartitions, partitionsHint)
+  }
+
+  private[lake] def deleteCow(
+      keysWithPartitions: DataFrame, partitionsHint: Option[Seq[String]] = None): Long = {
     val hasPart = keysWithPartitions.columns.contains(partitionCol)
     // no distinct(): see upsert — keeps a local key batch a LocalRelation so
     // the anti-join broadcast needs no Spark job; the join dedups internally
@@ -1445,10 +1478,10 @@ final class AcidTable private (
 
   def deleteVectored(keysWithPartitions: DataFrame): Long = {
     if (!keyCastSupported || !hashSafeInternal(schema(pkCol).dataType))
-      return delete(keysWithPartitions)
+      return deleteCow(keysWithPartitions)
     val sel = keysWithPartitions.select(col(pkCol).cast(StringType).as("__k"))
       .na.drop().distinct().limit(AcidTable.MorMaxKeys + 1).collect()
-    if (sel.length > AcidTable.MorMaxKeys) return delete(keysWithPartitions)
+    if (sel.length > AcidTable.MorMaxKeys) return deleteCow(keysWithPartitions)
     val keyStrings = sel.map(_.getString(0)).toSeq
     if (keyStrings.isEmpty) return latestVersion()
     val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -3525,6 +3558,20 @@ object AcidTable {
           java.net.URLEncoder.encode(n, "UTF-8") + ":" +
             ps.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("|")
         }.mkString(","))
+    // free-form table properties (`tableProps.*`, e.g. the merge-on-read
+    // delete mode) are NOT structural writeMeta arguments — carry them
+    // over from the existing meta so schema-evolution rewrites (which
+    // rebuild the file from their own args) can never silently drop them
+    val existing = Paths.get(path, MetaFile)
+    if (Files.exists(existing)) {
+      val prior = new java.util.Properties()
+      val in = Files.newInputStream(existing)
+      try prior.load(in) finally in.close()
+      prior.stringPropertyNames().forEach { k =>
+        if (k.startsWith(TablePropPrefix) && !props.containsKey(k))
+          props.setProperty(k, prior.getProperty(k))
+      }
+    }
     val tmp = Paths.get(path, s".meta-tmp-${UUID.randomUUID()}")
     val out = Files.newOutputStream(tmp)
     try props.store(out, "graft AcidTable metadata") finally out.close()
@@ -3565,6 +3612,49 @@ object AcidTable {
         (java.net.URLDecoder.decode(ent.substring(0, i), "UTF-8"),
           java.net.URLDecoder.decode(ent.substring(i + 1), "UTF-8"))
       }).getOrElse(Nil)
+
+  private[lake] val TablePropPrefix = "tableProps."
+
+  /** Read one free-form table property (stored `tableProps.<key>`), a
+    * TABLE-LEVEL read like [[readConstraints]]: every handle sees a
+    * concurrent SET immediately. */
+  private[lake] def readTableProperty(path: String, key: String): Option[String] = {
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(Paths.get(path, MetaFile))
+    try props.load(in) finally in.close()
+    Option(props.getProperty(TablePropPrefix + key))
+  }
+
+  private[lake] def readTableProperties(path: String): Map[String, String] = {
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(Paths.get(path, MetaFile))
+    try props.load(in) finally in.close()
+    val b = Map.newBuilder[String, String]
+    props.stringPropertyNames().forEach { k =>
+      if (k.startsWith(TablePropPrefix))
+        b += k.stripPrefix(TablePropPrefix) -> props.getProperty(k)
+    }
+    b.result()
+  }
+
+  /** Atomically set (value nonEmpty) or remove (None) one free-form table
+    * property in `_meta.properties`. */
+  private[lake] def writeTableProperty(path: String, key: String, value: Option[String]): Unit = {
+    val props = new java.util.Properties()
+    val metaPath = Paths.get(path, MetaFile)
+    val in = Files.newInputStream(metaPath)
+    try props.load(in) finally in.close()
+    value match {
+      case Some(v) => props.setProperty(TablePropPrefix + key, v)
+      case None => props.remove(TablePropPrefix + key)
+    }
+    val tmp = Paths.get(path, s".meta-tmp-${UUID.randomUUID()}")
+    val out = Files.newOutputStream(tmp)
+    try props.store(out, "graft AcidTable metadata") finally out.close()
+    Files.move(tmp, metaPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** The table's CURRENT constraint list from `_meta.properties` — the
     * commit-time metadata read that makes CHECK enforcement table-level

@@ -775,6 +775,44 @@ object AcidQueries {
         SELECT grp, cnt, mx, mn FROM agg ORDER BY grp
       """)),
 
+    // ---- C5 merge-on-read table MODE (morDeletes property) ----------------------
+    // Delta's enableDeletionVectors analog as a TABLE PROPERTY: with
+    // morDeletes set, plain DELETE statements from any front-end commit
+    // deletion vectors (metadata-only) instead of rewriting file groups;
+    // UNSET flips back to copy-on-write mid-history. The gate runs the
+    // whole lifecycle as SQL text — CREATE TABLE TBLPROPERTIES, DELETEs
+    // under both modes, ALTER TABLE UNSET between them — and reads the
+    // final snapshot over live DV entries; the oracle replays survival.
+    Q(
+      "q_sql_acid_mor_mode",
+      (s, dir) => {
+        val sess = new graft.lake.AcidSqlSession(s, scratch())
+        sess.execute("CREATE SCHEMA IF NOT EXISTS db")
+        sess.execute("""CREATE TABLE db.t (pk STRING, part STRING, val DOUBLE)
+          USING hudi PARTITIONED BY (part)
+          TBLPROPERTIES (primaryKey = 'pk', morDeletes = 'true')""")
+        Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+          .createOrReplaceTempView("mor_base")
+        sess.execute("INSERT INTO db.t SELECT * FROM mor_base")
+        // merge-on-read: these commit DV entries, zero data I/O
+        sess.execute("DELETE FROM db.t WHERE pk IN ('1', '4', '9')")
+        sess.execute("ALTER TABLE db.t UNSET TBLPROPERTIES ('morDeletes')")
+        // copy-on-write again: this one rewrites its cells
+        sess.execute("DELETE FROM db.t WHERE pk IN ('2')")
+        sess.query("SELECT pk, part, val FROM db.t ORDER BY pk")
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+               'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+               CAST(n_regionkey AS DOUBLE) AS val
+        FROM nation
+        WHERE CAST(n_nationkey AS VARCHAR) NOT IN ('1', '4', '9', '2')
+        ORDER BY pk
+      """)),
+
     // ---- C5 materialized view: LIVE stream maintenance --------------------------
     // The production loop closed: the view maintains itself off the
     // table's change-feed STREAM (AcidCdc source → per-batch fold with

@@ -150,6 +150,74 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(big.snapshot().count() == 0)
   }
 
+  test("morDeletes table mode routes key deletes through DVs from every front-end") {
+    val (t, v0) = seeded()
+    t.setTableProperty("morDeletes", Some("true"))
+    assert(t.morDeletes)
+    // API delete: DV commit, no file rewrite
+    val v1 = t.delete(Seq("R1"))
+    assert(dvHeader(t, v1).isDefined)
+    assert(dataLines(t, v1).toSet === dataLines(t, v0).toSet)
+    // SQL text front-end DELETE pk IN (…) routes through the same mode
+    val v2 = AcidSql.execute(spark, Map("t" -> t),
+      "DELETE FROM t WHERE primaryKeyValue IN ('R2')")
+    assert(dvHeader(t, v2).get.contains("R2"))
+    assert(dataLines(t, v2).toSet === dataLines(t, v0).toSet)
+    assert(t.snapshot().count() === 6)
+    // UNSET flips back to copy-on-write
+    t.setTableProperty("morDeletes", None)
+    val v3 = t.delete(Seq("R3"))
+    assert(dataLines(t, v3).toSet !== dataLines(t, v0).toSet)
+    assert(t.snapshot().count() === 5)
+  }
+
+  test("table properties survive schema-evolution meta rewrites") {
+    val (t, _) = seeded()
+    t.setTableProperty("morDeletes", Some("true"))
+    t.setTableProperty("team", Some("data-eng"))
+    val t2 = t.addColumns(Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    assert(t2.morDeletes, "addColumns meta rewrite dropped morDeletes")
+    assert(t2.tableProperty("team") === Some("data-eng"))
+    assert(AcidTable.open(spark, t.path).tableProperties ===
+      Map("morDeletes" -> "true", "team" -> "data-eng"))
+  }
+
+  test("catalog: CREATE TABLE TBLPROPERTIES morDeletes + ALTER SET/UNSET + SHOW") {
+    val wh = Files.createTempDirectory("dv-cat-wh-").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("""CREATE TABLE graft.dv.t (pk STRING, part STRING, v STRING)
+      PARTITIONED BY (part)
+      TBLPROPERTIES ('primaryKey' = 'pk', 'morDeletes' = 'true')""")
+    spark.sql("INSERT INTO graft.dv.t VALUES ('a','P0','1'), ('b','P1','2'), ('c','P0','3')")
+    val t = AcidTable.open(spark, s"$wh/dv/t")
+    assert(t.morDeletes)
+    val props = spark.sql("SHOW TBLPROPERTIES graft.dv.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("morDeletes") === Some("true"))
+    // catalog DELETE routes through the DV path (no data-file change)
+    val before = t.latestVersion()
+    spark.sql("DELETE FROM graft.dv.t WHERE pk = 'a'")
+    val after = t.latestVersion()
+    assert(dataLines(t, after).toSet === dataLines(t, before).toSet)
+    assert(dvHeader(t, after).isDefined)
+    assert(spark.sql("SELECT * FROM graft.dv.t").count() === 2)
+    // ALTER TABLE UNSET: back to copy-on-write
+    spark.sql("ALTER TABLE graft.dv.t UNSET TBLPROPERTIES ('morDeletes')")
+    assert(!AcidTable.open(spark, s"$wh/dv/t").morDeletes)
+    spark.sql("DELETE FROM graft.dv.t WHERE pk = 'b'")
+    assert(dvHeader(t, t.latestVersion()).isEmpty
+      || !dvHeader(t, t.latestVersion()).get.contains("%62") &&
+        !dvHeader(t, t.latestVersion()).get.contains("b|"))
+    assert(spark.sql("SELECT * FROM graft.dv.t").count() === 1)
+    // ALTER TABLE SET re-arms it
+    spark.sql("ALTER TABLE graft.dv.t SET TBLPROPERTIES ('morDeletes' = 'true')")
+    assert(AcidTable.open(spark, s"$wh/dv/t").morDeletes)
+  }
+
   test("a deleteVectored racing an upsert of the same key never shows the stale value") {
     val (t, _) = seeded()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
