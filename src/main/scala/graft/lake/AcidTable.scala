@@ -9,7 +9,7 @@ import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Transactional (ACID) keyed, partitioned table over plain parquet — the
   * Spark-native replacement for the reference's Hudi COW + OCC layer
@@ -1982,11 +1982,18 @@ final class AcidTable private (
     * Null-only files record no range for that column and stay unprunable
     * — conservative, and a range predicate can't match their rows anyway.
     */
-  private def recordClusterStats(version: Long, clusterBy: Seq[String]): Unit = {
-    val files = readManifest(version)
-    if (files.isEmpty) return
+  private def recordClusterStats(version: Long, clusterBy: Seq[String]): Unit =
+    recordStatsForFiles(readManifest(version), clusterBy)
+
+  /** One distributed pass over `files` recording per-file min/max of
+    * `cols` — the clustered-compaction stats pass, generalized to any
+    * file list so write-time statistics can scan ONLY a commit's new
+    * files (cost ∝ what the commit wrote, never table size).
+    */
+  private def recordStatsForFiles(files: Seq[String], cols: Seq[String]): Unit = {
+    if (files.isEmpty || cols.isEmpty) return
     val byBasename = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-    val aggs = clusterBy.flatMap(c => Seq(
+    val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__min_$c"), max(col(c).cast("long")).as(s"__max_$c")))
     val stats = spark.read.schema(dataFileSchema)
       .parquet(files.map(f => dataRoot.resolve(f).toString): _*)
@@ -1997,7 +2004,7 @@ final class AcidTable private (
       val uri = r.getAs[String]("__file")
       val base = uri.substring(uri.lastIndexOf('/') + 1)
       byBasename.get(base).map { rel =>
-        rel -> clusterBy.flatMap { c =>
+        rel -> cols.flatMap { c =>
           val lo = r.getAs[java.lang.Long](s"__min_$c")
           val hi = r.getAs[java.lang.Long](s"__max_$c")
           if (lo == null || hi == null) None
@@ -2005,7 +2012,76 @@ final class AcidTable private (
         }.toMap
       }
     }.toMap
-    writeClusterStats(readClusterStats() ++ entries)
+    mergeFileStats(entries)
+  }
+
+  /** Read-modify-write of the stats sidecar under a per-path JVM lock so
+    * same-process concurrent commits can't drop each other's entries.
+    * Cross-process lost updates remain possible and remain SAFE: a file
+    * whose entry is lost just stays unprunable (conservative).
+    */
+  private def mergeFileStats(entries: Map[String, Map[String, (Long, Long)]]): Unit = {
+    if (entries.isEmpty) return
+    AcidTable.statsLock(path).synchronized {
+      writeClusterStats(readClusterStats() ++ entries)
+    }
+  }
+
+  /** Columns write-time file statistics are maintained for: the
+    * `statsColumns` table property (comma-separated), restricted to
+    * integral columns the sidecar's range encoding covers. Empty (the
+    * default) = write-time stats off — the commit hot path pays one meta
+    * read and nothing else.
+    */
+  private def statsColumnsProp: Seq[String] =
+    scala.util.Try(tableProperty("statsColumns")).toOption.flatten
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      .filter(c => schema.fieldNames.contains(c) && integralType(schema(c).dataType))
+
+  /** Write-time file statistics (the Delta per-file-stats analog): stamp
+    * min/max ranges for the `statsColumns` table property's columns onto a
+    * commit's NEW files, feeding the SAME sidecar clustered compaction
+    * uses — so [[snapshotRange]], [[rangePrunedFiles]], the DSv2 scan's
+    * range route, and its size estimate all prune freshly-written data
+    * with no OPTIMIZE pass.
+    *
+    * Driver fast-path commits (rows in hand) compute the COMMIT-wide
+    * range driver-side — zero Spark jobs, preserving the fast path's
+    * 0-job property — and stamp it on each new file: possibly wider than
+    * any single file's true range, never narrower, so pruning stays
+    * sound. Distributed commits run one per-file aggregate over just the
+    * new files.
+    */
+  private def recordWriteStats(
+      files: Seq[String],
+      localRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]]): Unit = {
+    val cols = statsColumnsProp
+    if (cols.isEmpty || files.isEmpty) return
+    localRows match {
+      case Some(rows) =>
+        val ranges = cols.flatMap { c =>
+          val idx = schema.fieldIndex(c)
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var seen = false
+          rows.foreach { r =>
+            if (!r.isNullAt(idx)) {
+              val v = schema(idx).dataType match {
+                case LongType => r.getLong(idx)
+                case IntegerType => r.getInt(idx).toLong
+                case ShortType => r.getShort(idx).toLong
+                case _ => r.getByte(idx).toLong
+              }
+              if (v < lo) lo = v
+              if (v > hi) hi = v
+              seen = true
+            }
+          }
+          if (seen) Some(c -> (lo, hi)) else None
+        }.toMap
+        if (ranges.nonEmpty) mergeFileStats(files.map(_ -> ranges).toMap)
+      case None => recordStatsForFiles(files, cols)
+    }
   }
 
   /** The file subset of `version`'s manifest that can hold rows matching
@@ -2450,12 +2526,19 @@ final class AcidTable private (
         if (forceCoarse) touched.map(_.part).toSet else denseParts ++ legacyParts
       val touchedFiles = files.filter(f => touched.exists(c => fileInCell(f, c)))
       val inB = if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue
+      // write-time statistics input: when the driver fast path ran, the
+      // commit's rows are in hand — recordWriteStats can stamp ranges with
+      // ZERO Spark jobs. Any redo invalidates the captured rows (redone
+      // files hold different content) → None routes stats to the
+      // distributed per-file pass.
+      var statsLocalRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = None
       var newFiles =
-        if (fastEligible(inB))
-          fastWriteTouched(
-            localResultOf.get(readRowsLocal(touchedFiles).filter(dvRowFilter(baseDvs))),
-            touched, coarseParts)
-        else writeTouched(
+        if (fastEligible(inB)) {
+          val localRows =
+            localResultOf.get(readRowsLocal(touchedFiles).filter(dvRowFilter(baseDvs)))
+          statsLocalRows = Some(localRows)
+          fastWriteTouched(localRows, touched, coarseParts)
+        } else writeTouched(
           resultOf(applyDvs(snapshotFromFiles(touchedFiles, baseSizes), baseDvs)),
           touched, inB, coarseParts, sortCols)
       beforePublishHook()
@@ -2501,6 +2584,13 @@ final class AcidTable private (
             carriedSizes ++ newFiles, opName, carriedDvs)
           if (fullRedoSince > 0)
             AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - fullRedoSince)
+          // write-time file statistics (opt-in via the statsColumns table
+          // property): every commit's NEW files get min/max ranges in the
+          // stats sidecar, so range pruning works on fresh data with no
+          // OPTIMIZE pass. After publish — stats are advisory (a file
+          // without an entry is never pruned), so a crash between publish
+          // and here costs pruning, never correctness.
+          recordWriteStats(newFiles.map(_._1), statsLocalRows)
           return publishBase + 1
         } catch {
           case _: FileAlreadyExistsException =>
@@ -2583,6 +2673,8 @@ final class AcidTable private (
                       .filter(cellFilter(overlap)),
                     overlap, redoInB, redoCoarse, sortCols)
                 newFiles = keptFiles ++ redoneFiles
+                // the captured rows no longer describe newFiles' contents
+                statsLocalRows = None
                 // a legacy expansion widened the rewrite beyond the
                 // original touched set — the published #touched and the
                 // carried-file exclusion must widen with it
@@ -3478,6 +3570,13 @@ object AcidTable {
   private val MetaFile = "_meta.properties"
   private val LatestHint = "_latest.hint"
   private[lake] val ClusterStatsFile = "_cluster.properties"
+
+  /** Per-table-path lock serializing stats-sidecar read-modify-writes
+    * within this JVM (see [[AcidTable.mergeFileStats]]). */
+  private val statsLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[lake] def statsLock(path: String): Object =
+    statsLocks.computeIfAbsent(path, _ => new Object)
   // generous: under a FIFO local scheduler a writer queued behind reader
   // scans can lose many consecutive publish races; the jittered backoff
   // breaks the phase-lock, the budget bounds pathological livelock

@@ -460,6 +460,47 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 write-time file statistics (round 10c) -------------------------------
+    // The Delta per-file-stats analog as a TABLE PROPERTY: with
+    // statsColumns set, EVERY commit stamps min/max ranges onto its new
+    // files (driver fast-path commits zero-job, distributed commits via a
+    // per-file aggregate over only the new files) — so a range predicate
+    // prunes the file list on FRESH data with no OPTIMIZE pass
+    // (WriteStatsSpec asserts the skip and the 0-job property; this gate
+    // pins end-to-end content under the pruned read). Three append
+    // commits land disjoint x bands; the read takes half of band one.
+    Q(
+      "q_acid_write_stats",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", LongType), StructField("part", StringType),
+          StructField("x", LongType), StructField("price", DecimalType(18, 2))))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        t.setTableProperty("statsColumns", Some("x"))
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey").cast("long").as("pk"),
+          (col("o_orderkey") % 3000).cast("long").as("x"),
+          Qdsl.dec2(col("o_totalprice")).as("price"))
+        (0 to 2).foreach { i =>
+          t.upsert(base
+            .filter(col("x") >= i * 1000L && col("x") < (i + 1) * 1000L)
+            .withColumn("part", lit(s"p$i"))
+            .select(col("pk"), col("part"), col("x"), col("price")))
+        }
+        t.snapshotRange(Map("x" -> (0L, 499L)))
+          .filter(col("x") <= 499)
+          .orderBy(col("pk"))
+      },
+      Some("""
+        SELECT CAST(o_orderkey AS BIGINT) AS pk,
+               'p0' AS part,
+               CAST(o_orderkey % 3000 AS BIGINT) AS x,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+        WHERE o_orderkey % 3000 <= 499
+        ORDER BY pk
+      """)),
+
     // ---- C5 conditional / multi-clause MERGE (round 10) -------------------------
     // The standard Delta/Hudi/Iceberg MERGE surface beyond the reference's
     // one shape: `WHEN MATCHED AND <cond> THEN UPDATE`, a second
