@@ -1202,7 +1202,10 @@ final class AcidTable private (
     * touched file groups is carried. Same discovery shape, OCC semantics,
     * and driver-kernel gating as [[update]]; a NULL condition keeps the
     * row (SQL three-valued filter), and a DELETE's output volume is
-    * always bounded by the files it rewrites.
+    * always bounded by the files it rewrites. Under [[morDeletes]] a
+    * bounded matched set commits deletion vectors instead of rewriting
+    * (see the routing block below); matched NULL-pk rows or an oversized
+    * set keep the copy-on-write rewrite.
     *
     * SI caveat (as for [[update]]): under `stablePartitions` a conflicted
     * predicate DELETE resolves a DISJOINT-cell race as a manifest
@@ -1215,6 +1218,28 @@ final class AcidTable private (
     */
   def deleteWhere(condition: Column): Long = {
     requireDeterministicCondition(condition, "DELETE")
+    // merge-on-read mode: resolve the predicate to its matched key set at
+    // the read snapshot and commit DELETION VECTORS instead of rewriting
+    // the touched file groups — a predicate DELETE becomes an O(matched
+    // keys) metadata commit; rewrites happen lazily at the next touch /
+    // compaction. Bounded like deleteVectored: a matched set over
+    // MorMaxKeys (or a non-renderable PK type) falls through to
+    // copy-on-write. Same SI semantics as the COW path — the matched set
+    // is pinned at the read snapshot; deleteVectored's own OCC loop then
+    // re-resolves LIVE cells per key.
+    if (morDeletes && keyCastSupported && hashSafeInternal(schema(pkCol).dataType)) {
+      val matched = snapshot().filter(condition)
+        .select(col(pkCol)).distinct()
+        .limit(AcidTable.MorMaxKeys + 1).collect()
+      // a matched NULL-pk row has no DV representation (entries key by
+      // pk) — only the rewrite can remove it, so it forces the COW path
+      if (matched.length <= AcidTable.MorMaxKeys && !matched.exists(_.isNullAt(0))) {
+        if (matched.isEmpty) return latestVersion()
+        return deleteVectored(
+          spark.createDataFrame(java.util.Arrays.asList(matched: _*),
+            StructType(Seq(schema(pkCol)))))
+      }
+    }
     val pred = driverPredicate(condition)
     commitLoop(
       touchedOf = (snap, files) => {

@@ -838,8 +838,10 @@ object AcidQueries {
           col("n_regionkey").cast("double").as("val"))
           .createOrReplaceTempView("mor_base")
         sess.execute("INSERT INTO db.t SELECT * FROM mor_base")
-        // merge-on-read: these commit DV entries, zero data I/O
+        // merge-on-read: these commit DV entries, zero data I/O — the
+        // key shape AND the predicate shape (bounded matched set)
         sess.execute("DELETE FROM db.t WHERE pk IN ('1', '4', '9')")
+        sess.execute("DELETE FROM db.t WHERE val = 4.0")
         sess.execute("ALTER TABLE db.t UNSET TBLPROPERTIES ('morDeletes')")
         // copy-on-write again: this one rewrites its cells
         sess.execute("DELETE FROM db.t WHERE pk IN ('2')")
@@ -851,6 +853,7 @@ object AcidQueries {
                CAST(n_regionkey AS DOUBLE) AS val
         FROM nation
         WHERE CAST(n_nationkey AS VARCHAR) NOT IN ('1', '4', '9', '2')
+          AND n_regionkey <> 4
         ORDER BY pk
       """)),
 

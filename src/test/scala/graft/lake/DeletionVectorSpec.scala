@@ -218,6 +218,35 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(AcidTable.open(spark, s"$wh/dv/t").morDeletes)
   }
 
+  test("morDeletes routes a bounded predicate DELETE through DVs; unbounded/null-pk keep COW") {
+    val (t, v0) = seeded()
+    t.setTableProperty("morDeletes", Some("true"))
+    // bounded matched set: DV commit, zero data I/O, content identical to
+    // what the rewrite would produce
+    val v1 = t.deleteWhere(col("dataValue").isin("v2", "v5"))
+    assert(dataLines(t, v1).toSet === dataLines(t, v0).toSet)
+    assert(dvHeader(t, v1).exists(h => h.contains("R2") && h.contains("R5")))
+    assert(t.snapshot().as[Record].collect().map(_.primaryKeyValue).toSet ===
+      Set("R1", "R3", "R4", "R6", "R7", "R8"))
+    // empty matched set: no commit at all
+    assert(t.deleteWhere(col("dataValue") === "no-such") === v1)
+    // SQL text front-end predicate DELETE routes through the same mode
+    val v2 = AcidSql.execute(spark, Map("t" -> t),
+      "DELETE FROM t WHERE dataValue = 'v7'")
+    assert(dataLines(t, v2).toSet === dataLines(t, v0).toSet)
+    assert(t.snapshot().count() === 5)
+    // a matched NULL pk has no DV representation: the COW rewrite runs
+    val tn = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+    tn.setTableProperty("morDeletes", Some("true"))
+    tn.upsert(df(Record("K1", "P0", "x"), Record("K2", "P0", "y")))
+    val vn0 = tn.upsert(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(null, "P0", "x")), schema))
+    val vn1 = tn.deleteWhere(col("dataValue") === "x")
+    assert(dataLines(tn, vn1).toSet !== dataLines(tn, vn0).toSet,
+      "null-pk match must force the rewrite path")
+    assert(tn.snapshot().collect().map(_.getString(2)).toSeq === Seq("y"))
+  }
+
   test("a deleteVectored racing an upsert of the same key never shows the stale value") {
     val (t, _) = seeded()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
