@@ -30,6 +30,11 @@ class AcidTablePropertySpec extends AnyFunSuite {
   final case class Upsert(rows: List[Record]) extends Op
   final case class Merge(rows: List[Record]) extends Op
   final case class Delete(keys: List[String]) extends Op
+  /** Merge-on-read delete (round 10c): same key-delete semantics as
+    * [[Delete]], but committed as DELETION VECTORS (zero data I/O, own
+    * OCC loop) — exercising the DV read/carry/materialize machinery
+    * inside the randomized serial and concurrent streams. */
+  final case class DeleteDv(keys: List[String]) extends Op
   final case class Update(part: String, suffix: String) extends Op
   final case class DeleteWhere(part: String, cut: String) extends Op
   /** Conditional multi-clause merge (round 10): per source row,
@@ -52,14 +57,15 @@ class AcidTablePropertySpec extends AnyFunSuite {
     Record(s"R$k", s"P${k % 3}", f"v${rnd.nextInt(1000000)}%07d")
   }
 
-  private def genOp(rnd: Random): Op = rnd.nextInt(16) match {
+  private def genOp(rnd: Random): Op = rnd.nextInt(17) match {
     case n if n < 4 => Upsert(List.fill(3)(genRecord(rnd)))
     case n if n < 7 => Merge(List.fill(3)(genRecord(rnd)))
     case n if n < 9 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
     case n if n < 11 => Delete(List.fill(2)(s"R${rnd.nextInt(20)}"))
-    case n if n < 12 => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
-    case n if n < 14 => CondMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(9)}00000")
-    case n if n < 15 => SyncMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(3)}00000")
+    case n if n < 12 => DeleteDv(List.fill(2)(s"R${rnd.nextInt(20)}"))
+    case n if n < 13 => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
+    case n if n < 15 => CondMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(9)}00000")
+    case n if n < 16 => SyncMerge(List.fill(3)(genRecord(rnd)), f"v0${rnd.nextInt(3)}00000")
     case _ => ExprMerge(List.fill(3)(genRecord(rnd)))
   }
 
@@ -73,6 +79,7 @@ class AcidTablePropertySpec extends AnyFunSuite {
       t.update(Seq("dataValue" -> concat(col("dataValue"), lit(suffix))),
         col("partitionKeyValue") === part)
     case Delete(keys) => t.delete(keys)
+    case DeleteDv(keys) => t.deleteVectored(keys)
     case DeleteWhere(part, cut) =>
       import org.apache.spark.sql.functions.{col, lit}
       t.deleteWhere(col("partitionKeyValue") === part && col("dataValue") < lit(cut))
@@ -122,6 +129,7 @@ class AcidTablePropertySpec extends AnyFunSuite {
       else k -> r
     }
     case Delete(keys) => model -- keys
+    case DeleteDv(keys) => model -- keys
     case DeleteWhere(part, cut) => model.filterNot { case (_, r) =>
       r.partitionKeyValue == part && r.dataValue < cut
     }
@@ -190,14 +198,15 @@ class AcidTablePropertySpec extends AnyFunSuite {
             }
             start.await()
             (1 to opsPerThread).foreach { _ =>
-              val op = rnd.nextInt(15) match {
+              val op = rnd.nextInt(16) match {
                 case n if n < 4 => Upsert(List.fill(3)(churnRecord()))
                 case n if n < 6 => Merge(List.fill(3)(churnRecord()))
                 case n if n < 8 => Update(s"P${rnd.nextInt(3)}", s"u${rnd.nextInt(10)}")
                 case n if n < 10 => Delete(List.fill(2)(s"R${rnd.nextInt(12)}"))
-                case n if n < 11 => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
-                case n if n < 13 => CondMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(9)}00000")
-                case n if n < 14 => SyncMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(3)}00000")
+                case n if n < 11 => DeleteDv(List.fill(2)(s"R${rnd.nextInt(12)}"))
+                case n if n < 12 => DeleteWhere(s"P${rnd.nextInt(3)}", f"v0${rnd.nextInt(9)}00000")
+                case n if n < 14 => CondMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(9)}00000")
+                case n if n < 15 => SyncMerge(List.fill(3)(churnRecord()), f"v0${rnd.nextInt(3)}00000")
                 case _ => ExprMerge(List.fill(3)(churnRecord()))
               }
               committed.add((applyOp(t, op), op))
@@ -209,9 +218,17 @@ class AcidTablePropertySpec extends AnyFunSuite {
       start.countDown()
       threads.foreach(_.join(120000))
       assert(failures.isEmpty, s"writer died: ${failures.peek()}")
-      val history = committed.toArray(Array.empty[(Long, Op)]).toSeq.sortBy(_._1)
-      // the version chain IS a serial history: no two commits share one
-      assert(history.map(_._1).distinct.size === history.size,
+      // a DeleteDv whose keys match no live row publishes NOTHING and
+      // returns its base version — it may share that version with the
+      // real commit that published it. Such a no-op is an identity on the
+      // model state AT that version (nothing matched there), so order it
+      // right AFTER the same-version real commit; real commits must still
+      // own unique versions.
+      val history = committed.toArray(Array.empty[(Long, Op)]).toSeq.sortBy {
+        case (v, op) => (v, op match { case _: DeleteDv => 1; case _ => 0 })
+      }
+      val realVersions = history.collect { case (v, op) if !op.isInstanceOf[DeleteDv] => v }
+      assert(realVersions.distinct.size === realVersions.size,
         s"two commits published the same version: ${history.map(_._1)}")
       val model = history.foldLeft(Map.empty[String, Record]) {
         case (m, (_, op)) => applyModel(m, op)
