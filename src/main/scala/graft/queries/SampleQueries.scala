@@ -310,6 +310,56 @@ object SampleQueries {
         FROM t
       """)),
 
+    // ---- C50 shard export EXECUTION --------------------------------------
+    // The writer step after the shuffle-shard assignment: materialize the
+    // training shards as a partitioned parquet layout (shard=N/ dirs, one
+    // sorted file per shard at this scale), then gate the WRITTEN
+    // artifact — the returned digest is computed by reading the files
+    // back, so the oracle pins what a trainer would actually consume:
+    // per-shard doc/token counts and a polyHash of the texts in the
+    // deterministic (k, doc_id) stream order. ExportShardsSpec pins the
+    // physical layout (one file per shard, rows sorted by (k, doc_id) ON
+    // DISK) and byte-level determinism across runs.
+    // Scale shape: ONE hash exchange by shard carrying (doc_id, ntok, k,
+    // text) + a per-shard local sort; no global sort. The shard count is
+    // the scaling knob — a real corpus raises NS so each shard stays
+    // ~1 GB (the WebDataset/Megatron layout) and writer parallelism
+    // tracks volume; the digest is sort_array-normalized, so it is
+    // partitioning-independent by construction.
+    Q(
+      "q_export_shards",
+      (s, dir) => {
+        val NS = 8
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-export-").resolve("shards").toString
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            size(split(trim(col("text")), " ")).cast("long").as("ntok"),
+            saltedKey("shrd:").as("k"))
+          .withColumn("shard", col("k") % NS)
+          .repartition(NS, col("shard"))
+          .sortWithinPartitions(col("shard"), col("k"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("ntok_sum"),
+            TextHash.polyHash(concat_ws(" ",
+              expr("transform(sort_array(collect_list(struct(k, doc_id, text))), x -> x.text)")))
+              .as("shard_hash"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok,
+                 (${sqlSaltedKey("shrd:")}) AS k
+          FROM documents)
+        SELECT k % 8 AS shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS ntok_sum,
+               (${TextQueries.sqlPolyHash("string_agg(text, ' ' ORDER BY k, doc_id)")}) AS shard_hash
+        FROM t GROUP BY 1
+      """)),
+
     // ---- C50 curriculum phase assignment (quality-quantile ordering) ----
     // Curriculum data ordering: within each language, documents are
     // ranked by the shared corpus quality score ([[TextQueries
