@@ -98,7 +98,16 @@ final class AcidTable private (
       * and coalesces, so no data rewrites; [[purgeDroppedColumns]]
       * physically rewrites and clears the map. See [[renameColumn]].
       */
-    val renamedCols: Map[String, Seq[String]] = Map.empty) {
+    val renamedCols: Map[String, Seq[String]] = Map.empty,
+    /** Column DEFAULT values as (column → folded literal SQL), the Delta
+      * `existsDefault` semantics on ADD COLUMN: rows in files written
+      * BEFORE the column existed read the default (the parquet reader's
+      * EXISTS_DEFAULT machinery fills physically-absent columns), while a
+      * genuine NULL written after the evolution stays NULL. Metadata-only
+      * — no backfill rewrite; rewrites materialize the value as they
+      * touch files. See [[addColumns]].
+      */
+    val columnDefaults: Map[String, String] = Map.empty) {
 
   import AcidTable._
 
@@ -386,6 +395,23 @@ final class AcidTable private (
     * planning run from manifests alone, as Delta/Iceberg/Hudi do).
     * Partition pruning works against the parsed values.
     */
+  /** The table schema with existence-default metadata attached for
+    * [[columnDefaults]] columns — Spark's parquet readers consult the
+    * `EXISTS_DEFAULT` key and fill the default ONLY where the column is
+    * physically absent from a file, which is exactly the pre-evolution
+    * file set; genuine NULLs written after the evolution read as NULL.
+    */
+  private lazy val scanSchema: StructType =
+    if (columnDefaults.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      columnDefaults.get(f.name) match {
+        case Some(d) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", d).putString("CURRENT_DEFAULT", d).build())
+        case None => f
+      }
+    })
+
   private def snapshotFromFiles(
       files: Seq[String],
       sizes: Map[String, Long] = Map.empty): DataFrame =
@@ -406,7 +432,7 @@ final class AcidTable private (
       }
       if (renamedCols.isEmpty) {
         org.apache.spark.sql.graft.ManifestScan
-          .dataFrame(spark, schema, partitionCol, dataRoot.toString, mf)
+          .dataFrame(spark, scanSchema, partitionCol, dataRoot.toString, mf)
           .select(schema.fieldNames.map(col): _*) // canonical column order
       } else {
         // outstanding metadata-only renames: request current AND prior
@@ -417,7 +443,7 @@ final class AcidTable private (
         // current one. Pushdown on a renamed column stays above the scan
         // until purgeDroppedColumns() rewrites — the documented cost of a
         // zero-rewrite rename on a name-based format.
-        val extended = StructType(schema.fields.flatMap(f =>
+        val extended = StructType(scanSchema.fields.flatMap(f =>
           f +: renamedCols.getOrElse(f.name, Nil).map(p =>
             StructField(p, f.dataType, nullable = true))))
         org.apache.spark.sql.graft.ManifestScan
@@ -1571,8 +1597,41 @@ final class AcidTable private (
     }
     val evolved = StructType(schema.fields ++ newFields.map(_.copy(nullable = true)))
     AcidTable.writeMeta(path, evolved, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, droppedCols, checkConstraints, renamedCols)
+      numBuckets, droppedCols, checkConstraints, renamedCols, columnDefaults)
     AcidTable.open(spark, path)
+  }
+
+  /** [[addColumns]] with column DEFAULT values (`ALTER TABLE … ADD COLUMN
+    * c T DEFAULT lit`): rows that existed BEFORE the evolution read the
+    * default — still metadata-only, no backfill rewrite. Spark's own
+    * default-column analyzer validates each expression (must fold to a
+    * literal of the column type; `ResolveDefaultColumns.analyze` is the
+    * code path every DSv2 source uses), and the FOLDED literal's SQL is
+    * what persists, so the read side re-parses a plain literal, never an
+    * arbitrary expression. Post-evolution writes are unaffected: a
+    * genuine NULL stays NULL (existence defaults fill only physically
+    * absent columns). The driver fast path yields to the distributed
+    * scan while defaults are live — its local reader is default-blind —
+    * and [[purgeDroppedColumns]] (full rewrite) materializes values into
+    * every file and clears the map, restoring it.
+    */
+  def addColumns(newFields: Seq[StructField], defaults: Map[String, String]): AcidTable = {
+    defaults.keys.foreach(c => require(newFields.exists(_.name == c),
+      s"DEFAULT given for a column not being added: $c"))
+    val folded = defaults.map { case (c, d) =>
+      val dt = newFields.find(_.name == c).get.dataType
+      val e = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .analyze(c, dt, d, "ALTER TABLE ADD COLUMNS")
+      c -> org.apache.spark.sql.catalyst.expressions.Literal.create(e.eval(), dt).sql
+    }
+    val evolved = addColumns(newFields)
+    if (folded.isEmpty) evolved
+    else {
+      AcidTable.writeMeta(path, evolved.schema, pkCol, partitionCol, precombineCol,
+        stablePartitions, numBuckets, droppedCols, checkConstraints, renamedCols,
+        columnDefaults ++ folded)
+      AcidTable.open(spark, path)
+    }
   }
 
   /** Drop non-key columns — metadata-only, like [[addColumns]]: readers
@@ -1605,7 +1664,8 @@ final class AcidTable private (
       }
     }
     AcidTable.writeMeta(path, next, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, (droppedCols ++ names).distinct, checkConstraints, renamedCols)
+      numBuckets, (droppedCols ++ names).distinct, checkConstraints, renamedCols,
+      columnDefaults -- names)
     AcidTable.open(spark, path)
   }
 
@@ -1623,7 +1683,9 @@ final class AcidTable private (
     * such bytes unless the name is re-added.
     */
   def purgeDroppedColumns(): AcidTable = {
-    if (droppedCols.nonEmpty || renamedCols.nonEmpty) compact(0)
+    if (droppedCols.nonEmpty || renamedCols.nonEmpty || columnDefaults.nonEmpty) compact(0)
+    // the rewrite just materialized every default into every live file, so
+    // the map clears with the ledgers — restoring the driver fast path
     AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
       numBuckets, Nil, checkConstraints, Map.empty)
     AcidTable.open(spark, path)
@@ -1657,6 +1719,13 @@ final class AcidTable private (
         s"cannot rename column '$oldName': CHECK constraint '$cn' references it " +
           s"(DROP CONSTRAINT $cn first)")
     }
+    // a renamed-and-defaulted column would let the coalescing scan's
+    // current-name leg fill the DEFAULT for files that carry the value
+    // under the prior name — the default would shadow real data. Loud
+    // rejection until a purge materializes the default.
+    require(!columnDefaults.contains(oldName),
+      s"cannot rename column '$oldName' while its DEFAULT is metadata-only; " +
+        "run purgeDroppedColumns() first")
     val next = StructType(schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     // the new name inherits the old name's whole alias chain (a→b→c reads
@@ -1664,7 +1733,8 @@ final class AcidTable private (
     val priors = (oldName +: renamedCols.getOrElse(oldName, Nil)).distinct
     val nextRenames = (renamedCols - oldName) + (newName -> priors)
     AcidTable.writeMeta(path, next, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, (droppedCols :+ oldName).distinct, checkConstraints, nextRenames)
+      numBuckets, (droppedCols :+ oldName).distinct, checkConstraints, nextRenames,
+      columnDefaults)
     AcidTable.open(spark, path)
   }
 
@@ -1700,7 +1770,7 @@ final class AcidTable private (
     require(violations == 0,
       s"cannot add CHECK constraint '$name': existing rows violate ($predicateSql)")
     AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
-      numBuckets, droppedCols, cur :+ (name -> predicateSql), renamedCols)
+      numBuckets, droppedCols, cur :+ (name -> predicateSql), renamedCols, columnDefaults)
     AcidTable.open(spark, path)
   }
 
@@ -1710,7 +1780,7 @@ final class AcidTable private (
       s"no CHECK constraint named '$name'")
     AcidTable.writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions,
       numBuckets, droppedCols, cur.filterNot(_._1.equalsIgnoreCase(name)),
-      renamedCols)
+      renamedCols, columnDefaults)
     AcidTable.open(spark, path)
   }
 
@@ -2258,9 +2328,11 @@ final class AcidTable private (
     val v = if (version >= 0) version else latestVersion()
     AcidTable.create(spark, destPath, schema, pkCol, partitionCol, precombineCol,
       stablePartitions = stablePartitions, numBuckets = numBuckets)
-    if (droppedCols.nonEmpty || checkConstraints.nonEmpty || renamedCols.nonEmpty)
+    if (droppedCols.nonEmpty || checkConstraints.nonEmpty || renamedCols.nonEmpty ||
+        columnDefaults.nonEmpty)
       AcidTable.writeMeta(destPath, schema, pkCol, partitionCol, precombineCol,
-        stablePartitions, numBuckets, droppedCols, checkConstraints, renamedCols)
+        stablePartitions, numBuckets, droppedCols, checkConstraints, renamedCols,
+        columnDefaults)
     val dest = AcidTable.open(spark, destPath)
     if (v < 0) return dest // empty source → empty clone
     val lines = manifestLines(v)
@@ -3049,7 +3121,12 @@ final class AcidTable private (
       // driver's name-based parquet reader would silently surface as NULL
       // — the distributed path's coalescing scan stays authoritative
       // until purgeDroppedColumns() rewrites (which clears the map)
-      renamedCols.isEmpty
+      renamedCols.isEmpty &&
+      // live column DEFAULTs: the local reader surfaces absent columns as
+      // NULL, not the default — yield to the distributed scan (whose
+      // EXISTS_DEFAULT fill is what defines the semantics) until a purge
+      // materializes the values and clears the map
+      columnDefaults.isEmpty
 
   private def rowPart(r: org.apache.spark.sql.catalyst.InternalRow): String =
     String.valueOf(r.get(partFieldIdx, schema(partFieldIdx).dataType))
@@ -3652,9 +3729,17 @@ object AcidTable {
       numBuckets: Int = 16,
       droppedCols: Seq[String] = Nil,
       constraints: Seq[(String, String)] = Nil,
-      renamedCols: Map[String, Seq[String]] = Map.empty): Unit = {
+      renamedCols: Map[String, Seq[String]] = Map.empty,
+      columnDefaults: Map[String, String] = Map.empty): Unit = {
     val props = new java.util.Properties()
     props.setProperty("schemaDdl", schema.toDDL)
+    // column DEFAULTs (`col:literalSql` pairs, URL-encoded, name-sorted)
+    if (columnDefaults.nonEmpty)
+      props.setProperty("columnDefaults",
+        columnDefaults.toSeq.sortBy(_._1).map { case (c, d) =>
+          java.net.URLEncoder.encode(c, "UTF-8") + ":" +
+            java.net.URLEncoder.encode(d, "UTF-8")
+        }.mkString(","))
     props.setProperty("pkCol", pkCol)
     props.setProperty("partitionCol", partitionCol)
     precombineCol.foreach(props.setProperty("precombineCol", _))
@@ -3726,6 +3811,12 @@ object AcidTable {
           java.net.URLDecoder.decode(ent.substring(0, i), "UTF-8") ->
             ent.substring(i + 1).split('|').toSeq.filter(_.nonEmpty)
               .map(java.net.URLDecoder.decode(_, "UTF-8"))
+        }.toMap).getOrElse(Map.empty),
+      Option(props.getProperty("columnDefaults")).map(_.split(',').toSeq
+        .filter(_.nonEmpty).map { ent =>
+          val i = ent.indexOf(':')
+          (java.net.URLDecoder.decode(ent.substring(0, i), "UTF-8"),
+            java.net.URLDecoder.decode(ent.substring(i + 1), "UTF-8"))
         }.toMap).getOrElse(Map.empty))
   }
 
