@@ -91,8 +91,19 @@ object Bench {
     // compact line is the same contract shape minus the per-rep arrays
     // and canary diagnostics (total, per-entry medians, harness txn/s),
     // a few KB that any tail capture holds whole.
-    val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$harnessPart}"""
+    // TINY record (round-10 verdict #4, third attempt): rounds 8-10 all
+    // landed `parsed: null` because even the "compact" line kept the full
+    // per-query map (~5 KB for 183 entries) while the driver tail-captures
+    // only 2 000 chars. The LAST stdout line must therefore be a complete
+    // object well under that window on its own: total, sf, entry count and
+    // harness txn/s only — ~120 bytes. The per-query map lives in the full
+    // record (stdout line 2) and in bench_local.json.
+    val txnPerSec: String = {
+      val re = """"txn1000_txn_per_sec"\s*:\s*([0-9.]+)""".r
+      re.findFirstMatchIn(harnessJson).map(_.group(1)).getOrElse("null")
+    }
+    val tiny =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","entries":${entries.size},"txn_per_sec":$txnPerSec}"""
     // Persist the FULL record to a file: stdout captures have truncated
     // head/tail in past rounds, and the file is immune to log
     // interleaving. The rep arrays and contamination diagnostics live
@@ -100,14 +111,11 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
-    // Stdout order: compact first (a head- or whole-stream parser finds a
-    // complete object immediately), then the full record for transparency,
-    // then the compact line again as the LAST line — a tail capture of any
-    // size ends with a complete parseable object, whatever the full
-    // record's length did to the window.
-    println(compact)
+    // Stdout order: full record first (a head- or whole-stream parser finds
+    // everything), then the tiny line LAST — a 2 000-char tail capture ends
+    // with a complete parseable object regardless of the full record's size.
     println(json)
-    println(compact)
+    println(tiny)
   }
 
   // ------------------------------------------------------------ orchestrator

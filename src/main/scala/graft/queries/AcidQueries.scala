@@ -489,15 +489,60 @@ object AcidQueries {
         }
         t.snapshotRange(Map("x" -> (0L, 499L)))
           .filter(col("x") <= 499)
+          .select(col("pk"), col("part"), col("x"),
+            col("price").cast("double").as("price"))
           .orderBy(col("pk"))
       },
       Some("""
         SELECT CAST(o_orderkey AS BIGINT) AS pk,
                'p0' AS part,
                CAST(o_orderkey % 3000 AS BIGINT) AS x,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         FROM orders
         WHERE o_orderkey % 3000 <= 499
+        ORDER BY pk
+      """)),
+
+    // ---- C5 write-time stats over TIMESTAMP (round 11) ---------------------------
+    // The #1 pruning key on a real lakehouse table is event time. With
+    // `statsColumns = ts`, each append stamps the micros-encoded min/max
+    // range of its timestamp column (AcidTable.statsEncode); the read
+    // takes one year out of three ingest bands via snapshotRangeValues —
+    // typed bounds, no knowledge of the encoding. WriteStatsSpec pins the
+    // file-skip and encoding soundness; this gate pins end-to-end content
+    // under the typed pruned read.
+    Q(
+      "q_acid_write_stats_ts",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", LongType), StructField("part", StringType),
+          StructField("ts", TimestampType), StructField("price", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        t.setTableProperty("statsColumns", Some("ts"))
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey").cast("long").as("pk"),
+          col("o_orderdate").as("ts"),
+          col("o_totalprice").cast("double").as("price"))
+        Seq(("1995", "1997"), ("1997", "1999"), ("1999", "2002")).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            t.upsert(base
+              .filter(col("ts") >= lit(s"$lo-01-01") && col("ts") < lit(s"$hi-01-01"))
+              .withColumn("part", lit(s"y$i"))
+              .select(col("pk"), col("part"), col("ts"), col("price")))
+        }
+        t.snapshotRangeValues(Map("ts" ->
+            (java.sql.Timestamp.valueOf("1995-01-01 00:00:00"),
+              java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))))
+          .filter(col("ts") < lit("1996-01-01"))
+          .orderBy(col("pk"))
+      },
+      Some("""
+        SELECT CAST(o_orderkey AS BIGINT) AS pk,
+               'y0' AS part,
+               o_orderdate AS ts,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         ORDER BY pk
       """)),
 

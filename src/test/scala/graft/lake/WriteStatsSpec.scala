@@ -160,6 +160,167 @@ class WriteStatsSpec extends AnyFunSuite {
     assert(rows === (0 until 40).map(_.toString).toSet)
   }
 
+  // ------------------------------------------- typed stats (round 11) --
+
+  private val typedSchema = StructType(Seq(
+    StructField("pk", StringType),
+    StructField("part", StringType),
+    StructField("ts", TimestampType),
+    StructField("d", DateType),
+    StructField("price", DecimalType(12, 2)),
+    StructField("name", StringType)))
+
+  private def typedTable() = {
+    val t = AcidTable.create(
+      spark, Files.createTempDirectory("write-stats-typed-").resolve("t").toString,
+      typedSchema, "pk", "part", stablePartitions = true)
+    t.setTableProperty("statsColumns", Some("ts,d,price,name"))
+    t
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def dt(s: String) = java.sql.Date.valueOf(s)
+  private def typedBatch(rows: (String, String, java.sql.Timestamp, java.sql.Date,
+      java.math.BigDecimal, String)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3, r._4, r._5, r._6)): _*),
+      typedSchema)
+
+  test("timestamp/date/decimal/string stats columns skip files and stay sound") {
+    val t = typedTable()
+    // three appends with disjoint bands in EVERY stats column
+    def mk(tag: String, day: Int, cents: Int, namePfx: String) =
+      typedBatch((1 to 15).map { i =>
+        (s"$tag$i", s"P$day",
+          ts(f"2026-01-$day%02d ${i % 24}%02d:00:00"),
+          dt(f"2026-01-$day%02d"),
+          new java.math.BigDecimal(s"${cents + i}.25"),
+          f"$namePfx$i%03d")
+      }: _*)
+    t.upsert(mk("a", 5, 100, "apple"))
+    t.upsert(mk("b", 15, 5000, "melon"))
+    t.upsert(mk("c", 25, 90000, "zebra"))
+    val all = t.rangePrunedFiles(Map.empty)
+
+    // timestamp band: only commit 1's files survive
+    val tsLow = t.rangePrunedFiles(Map("ts" ->
+      (t.statsBound("ts", ts("2026-01-01 00:00:00")),
+        t.statsBound("ts", ts("2026-01-06 00:00:00")))))
+    assert(tsLow.nonEmpty && tsLow.size < all.size,
+      s"timestamp stats did not skip: ${tsLow.size} of ${all.size}")
+
+    // date band: middle commit only, disjoint from the low-ts set
+    val dMid = t.rangePrunedFiles(Map("d" ->
+      (t.statsBound("d", dt("2026-01-10")), t.statsBound("d", dt("2026-01-20")))))
+    assert(dMid.nonEmpty && dMid.intersect(tsLow).isEmpty,
+      "disjoint date bands must prune to disjoint file sets")
+
+    // decimal band: exact unscaled encoding, top commit only
+    val pHigh = t.rangePrunedFiles(Map("price" ->
+      (t.statsBound("price", new java.math.BigDecimal("80000.00")),
+        t.statsBound("price", new java.math.BigDecimal("99999.99")))))
+    assert(pHigh.nonEmpty && pHigh.size < all.size, "decimal stats did not skip")
+
+    // string prefix band: names starting a..f = commit 1 only
+    val sLow = t.rangePrunedFiles(Map("name" ->
+      (t.statsBound("name", "a"), t.statsBound("name", "f"))))
+    assert(sLow.nonEmpty && sLow.size < all.size, "string-prefix stats did not skip")
+
+    // content through the typed pruned read == plain filtered snapshot
+    val got = t.snapshotRangeValues(
+      Map("ts" -> (ts("2026-01-01 00:00:00"), ts("2026-01-06 00:00:00"))))
+      .filter(col("ts") < lit(ts("2026-01-06 00:00:00")))
+      .orderBy("pk").collect().map(_.getString(0)).toSeq
+    val want = t.snapshot()
+      .filter(col("ts") < lit(ts("2026-01-06 00:00:00")))
+      .orderBy("pk").collect().map(_.getString(0)).toSeq
+    assert(got == want && got.size == 15)
+  }
+
+  test("typed stats: distributed commit path records the same encodings") {
+    val t = typedTable()
+    AcidTable.localCommitEnabled = false
+    try {
+      t.upsert(typedBatch((1 to 40).map(i =>
+        (s"a$i", "P0", ts(f"2026-03-01 ${i % 24}%02d:00:00"), dt("2026-03-01"),
+          new java.math.BigDecimal(s"$i.50"), f"low$i%03d")): _*))
+      t.upsert(typedBatch((1 to 40).map(i =>
+        (s"b$i", "P0", ts(f"2026-09-01 ${i % 24}%02d:00:00"), dt("2026-09-01"),
+          new java.math.BigDecimal(s"${70000 + i}.50"), f"zzz$i%03d")): _*))
+    } finally AcidTable.localCommitEnabled = true
+    val all = t.rangePrunedFiles(Map.empty)
+    val low = t.rangePrunedFiles(Map("ts" ->
+      (t.statsBound("ts", ts("2026-01-01 00:00:00")),
+        t.statsBound("ts", ts("2026-04-01 00:00:00")))))
+    assert(low.nonEmpty && low.size < all.size, "distributed typed stats did not skip")
+    assert(t.snapshotRangeValues(
+      Map("ts" -> (ts("2026-01-01 00:00:00"), ts("2026-04-01 00:00:00"))))
+      .filter(col("ts") < lit(ts("2026-04-01 00:00:00"))).count() === 40)
+  }
+
+  test("DSv2 scan prunes on a pushed timestamp range predicate") {
+    val wh = Files.createTempDirectory("write-stats-ts-wh-").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.wst")
+    spark.sql("""CREATE TABLE graft.wst.t (pk STRING, part STRING, ts TIMESTAMP)
+      PARTITIONED BY (part)
+      TBLPROPERTIES ('primaryKey' = 'pk', 'statsColumns' = 'ts')""")
+    spark.sql("""INSERT INTO graft.wst.t
+      SELECT CAST(id AS STRING), 'P0', timestampadd(HOUR, id, TIMESTAMP'2026-01-01 00:00:00')
+      FROM range(0, 24)""")
+    spark.sql("""INSERT INTO graft.wst.t
+      SELECT CAST(id AS STRING), 'P1', timestampadd(HOUR, id - 100, TIMESTAMP'2026-07-01 00:00:00')
+      FROM range(100, 124)""")
+    val t = AcidTable.open(spark, s"$wh/wst/t")
+    val all = t.rangePrunedFiles(Map.empty)
+    val janOnly = t.rangePrunedFiles(Map("ts" ->
+      (t.statsBound("ts", ts("2026-01-01 00:00:00")),
+        t.statsBound("ts", ts("2026-02-01 00:00:00")))))
+    assert(janOnly.nonEmpty && janOnly.size < all.size)
+    // the SQL route: correctness of the pushed-predicate read
+    val rows = spark.sql("""SELECT pk FROM graft.wst.t
+      WHERE ts >= TIMESTAMP'2026-01-01 00:00:00' AND ts < TIMESTAMP'2026-02-01 00:00:00'""")
+      .collect().map(_.getString(0)).toSet
+    assert(rows === (0 until 24).map(_.toString).toSet)
+  }
+
+  test("statsColumns fails loudly on unknown columns and unsupported types") {
+    val t = newTable()
+    val e1 = intercept[IllegalArgumentException] {
+      t.setTableProperty("statsColumns", Some("nope"))
+    }
+    assert(e1.getMessage.contains("does not exist"))
+    val s2 = StructType(Seq(
+      StructField("pk", StringType), StructField("part", StringType),
+      StructField("v", DoubleType)))
+    val t2 = AcidTable.create(
+      spark, Files.createTempDirectory("write-stats-bad-").resolve("t").toString,
+      s2, "pk", "part")
+    val e2 = intercept[IllegalArgumentException] {
+      t2.setTableProperty("statsColumns", Some("v"))
+    }
+    assert(e2.getMessage.contains("do not support"))
+    val e3 = intercept[IllegalArgumentException] {
+      t.statsBound("x", "not-a-long-column-value-type")
+    }
+    assert(e3.getMessage.contains("cannot encode"))
+  }
+
+  test("string-prefix encoding is order-preserving (monotone) on random strings") {
+    val rnd = new scala.util.Random(7)
+    val strs = Seq.fill(300)(rnd.alphanumeric.take(rnd.nextInt(14)).mkString) ++
+      Seq("", "a", "aa", "aaaaaaaaa", "ábc", "日本語テキスト", "￿", "zzzzzzzzzz!")
+    val sorted = strs.sorted // JVM String order == UTF8 binary order for these
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        val ea = AcidTable.statsUtf8Prefix(a.getBytes("UTF-8"))
+        val eb = AcidTable.statsUtf8Prefix(b.getBytes("UTF-8"))
+        assert(ea <= eb, s"encoding inverted order: '$a' -> $ea vs '$b' -> $eb")
+      case _ =>
+    }
+  }
+
   test("soundness property: random commits, random bounds, stats never change results") {
     val t = newTable()
     val rnd = new scala.util.Random(4242)
