@@ -336,6 +336,14 @@ object MatView {
     * is created under `viewPath/state`; the definition (group columns,
     * aggregates, creation base version) persists in
     * `viewPath/_mv.properties` for [[open]].
+    *
+    * State-table sizing defaults to AUTO (`numParts`/`numBuckets` ≤ 0):
+    * the initial materialization is staged once and its exact row count —
+    * the view's group count — picks the partition/bucket fan-out
+    * (~256 k groups/partition, ~8 k groups/bucket, capped 64×32). A
+    * 6-group view commits each refresh into ONE file instead of the old
+    * fixed 16×32 = 512-way fan-out; a 10-M-group view still spreads.
+    * Pass explicit positives to override.
     */
   def create(
       spark: SparkSession,
@@ -343,10 +351,9 @@ object MatView {
       viewPath: String,
       groupCols: Seq[String],
       aggs: Seq[MvAgg],
-      numParts: Int = 16,
-      numBuckets: Int = 32): MatView = {
+      numParts: Int = -1,
+      numBuckets: Int = -1): MatView = {
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
-    require(numParts > 0, "numParts must be positive")
     groupCols.foreach(g => require(source.schema.fieldNames.contains(g),
       s"group column $g not in source schema"))
     val names = aggs.map(_.name)
@@ -382,18 +389,45 @@ object MatView {
     val v0 = source.latestVersion()
     // freeze the state schema from the aggregation plan itself (sum/count
     // result types are Spark's business, not re-derived per refresh);
-    // the probe instance never touches its (lazy, not-yet-created) state
-    val probe = new MatView(spark, viewPath, source, groupCols, aggs, numParts,
-      v0, "__probe STRING")
+    // the probe instance never touches its (lazy, not-yet-created) state.
+    // numParts only shapes the __mv_part VALUE (always StringType), so a
+    // placeholder probe derives the schema before sizing is chosen.
+    val probe = new MatView(spark, viewPath, source, groupCols, aggs,
+      math.max(1, numParts), v0, "__probe STRING")
     val stateSchema = probe.fullState(source.snapshot(v0).limit(0)).schema
+
+    // Stage the initial aggregate ONCE (a source scan create() pays
+    // anyway); the staged row count is the exact group count, which sizes
+    // the state table when auto. Group-count-scale I/O, never source-scale.
+    val stageDir = Paths.get(viewPath, "_init_stage")
+    val groups: Long =
+      if (v0 < 0) 0L
+      else {
+        probe.fullState(source.snapshot(v0)).drop("__mv_part")
+          .write.mode("overwrite").parquet(stageDir.toString)
+        // a zero-row source can stage no schema-carrying files at all
+        try spark.read.parquet(stageDir.toString).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      }
+    val chosenParts =
+      if (numParts > 0) numParts
+      else math.max(1L, math.min(64L, (groups + 262143L) / 262144L)).toInt
+    val chosenBuckets =
+      if (numBuckets > 0) numBuckets
+      else math.max(1L, math.min(32L,
+        (groups / math.max(1, chosenParts) + 8191L) / 8192L)).toInt
+
     AcidTable.create(spark, statePath(viewPath), stateSchema,
-      "__mv_key", "__mv_part", stablePartitions = true, numBuckets = numBuckets)
-    writeProps(viewPath, source.path, groupCols, aggs, numParts, v0, stateSchema)
+      "__mv_key", "__mv_part", stablePartitions = true, numBuckets = chosenBuckets)
+    writeProps(viewPath, source.path, groupCols, aggs, chosenParts, v0, stateSchema)
     val mv = open(spark, viewPath)
-    if (v0 >= 0) {
-      val init = mv.conformed(mv.fullState(source.snapshot(v0)))
-      if (!init.isEmpty) mv.state.upsertOp(init, None, s"MVREFRESH:$v0")
+    if (groups > 0) {
+      val staged = spark.read.parquet(stageDir.toString)
+      val init = mv.conformed(staged.withColumn("__mv_part",
+        pmod(xxhash64(col("__mv_key")), lit(chosenParts.toLong)).cast(StringType)))
+      mv.state.upsertOp(init, None, s"MVREFRESH:$v0")
     }
+    deleteRecursively(stageDir.toFile)
     mv
   }
 
