@@ -165,15 +165,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case p: TableChange.SetProperty =>
           // ALTER TABLE … SET TBLPROPERTIES: free-form property (e.g.
           // flipping morDeletes on a live table) — table-level, visible
-          // to every handle on its next statement
+          // to every handle on its next statement. STRUCTURAL keys are
+          // rejected (round-10 ADVICE): storing `numBuckets = 64` as an
+          // inert property would make SHOW TBLPROPERTIES contradict the
+          // table's actual layout.
+          rejectStructural(p.property())
           acid.setTableProperty(p.property(), Some(p.value())); acid
         case p: TableChange.RemoveProperty =>
+          rejectStructural(p.property())
           acid.setTableProperty(p.property(), None); acid
         case other =>
           throw new UnsupportedOperationException(s"unsupported table change: $other")
       }
     }
     new AcidV2Table(evolved, ident)
+  }
+
+  /** Structural keys define the table's physical layout at CREATE time and
+    * cannot be altered by a property write — rejecting them here keeps
+    * SHOW TBLPROPERTIES truthful (what it reports is what the layout is).
+    */
+  private def rejectStructural(key: String): Unit = {
+    val structural = Set("primaryKey", "numBuckets", "preCombinedField")
+    if (structural.contains(key))
+      throw new UnsupportedOperationException(
+        s"'$key' is structural (fixed at CREATE TABLE); ALTER TABLE SET/UNSET " +
+          "TBLPROPERTIES cannot change the table's physical layout")
   }
 
   override def dropTable(ident: Identifier): Boolean = {

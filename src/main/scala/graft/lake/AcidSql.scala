@@ -141,16 +141,25 @@ object AcidSql {
       case i: InsertIntoStatement =>
         val t = resolveTable(tables, i.table)
         val q = PlanShim.ofRows(spark, i.query)
-        // `INSERT INTO t (cols…)` names its targets; a bare positional
-        // INSERT (e.g. `VALUES (…)`, whose outputs are col1…colN) maps to
-        // the schema by POSITION, the SQL-standard semantics — but only
-        // when by-name resolution cannot apply, so `SELECT * FROM src`
-        // with reordered same-named columns keeps resolving by name
+        // `INSERT INTO t (cols…)` names its targets. A bare INSERT maps to
+        // the schema by POSITION, the SQL-standard semantics (`VALUES (…)`
+        // outputs col1…colN and lands positionally). One trap is rejected
+        // LOUDLY instead of resolved silently (round-10 ADVICE): a source
+        // whose columns are the target's names in a DIFFERENT order —
+        // standard SQL would reorder the VALUES underneath names that all
+        // look right, while by-name resolution would contradict standard
+        // positional semantics. Neither silent read is safe; the user
+        // names the columns to disambiguate.
+        val targetNames = t.schema.fieldNames.toSeq
         val targets =
           if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
-          else if (q.columns.exists(c => !t.schema.fieldNames.contains(c)))
-            t.schema.fieldNames.toSeq
-          else Nil
+          else if (q.columns.toSeq == targetNames) Nil // exact order: name == position
+          else if (q.columns.forall(targetNames.contains))
+            fail(s"bare INSERT INTO with source columns (${q.columns.mkString(", ")}) " +
+              s"that are the target's names out of order (${targetNames.mkString(", ")}): " +
+              "positional and by-name resolution disagree — write " +
+              "INSERT INTO t (col, …) to state the mapping")
+          else targetNames
         val batch =
           if (targets.isEmpty) q
           else {

@@ -1244,26 +1244,21 @@ final class AcidTable private (
     */
   def deleteWhere(condition: Column): Long = {
     requireDeterministicCondition(condition, "DELETE")
-    // merge-on-read mode: resolve the predicate to its matched key set at
-    // the read snapshot and commit DELETION VECTORS instead of rewriting
-    // the touched file groups — a predicate DELETE becomes an O(matched
-    // keys) metadata commit; rewrites happen lazily at the next touch /
-    // compaction. Bounded like deleteVectored: a matched set over
-    // MorMaxKeys (or a non-renderable PK type) falls through to
-    // copy-on-write. Same SI semantics as the COW path — the matched set
-    // is pinned at the read snapshot; deleteVectored's own OCC loop then
-    // re-resolves LIVE cells per key.
+    // merge-on-read mode: resolve the predicate to its matched row set and
+    // commit DELETION VECTORS instead of rewriting the touched file groups
+    // — a predicate DELETE becomes an O(matched keys) metadata commit;
+    // rewrites happen lazily at the next touch / compaction. Bounded like
+    // deleteVectored: a matched set over MorMaxKeys (or a matched NULL pk,
+    // which has no DV representation, or a non-renderable PK type) falls
+    // through to copy-on-write. SAME SI semantics as the COW path
+    // (round-10 ADVICE): the predicate is re-evaluated against the CURRENT
+    // snapshot inside [[deleteVectoredWhere]]'s OCC retry loop — a
+    // concurrently-updated row that no longer matches is NOT deleted,
+    // exactly like the COW conflict redo re-running the predicate.
     if (morDeletes && keyCastSupported && hashSafeInternal(schema(pkCol).dataType)) {
-      val matched = snapshot().filter(condition)
-        .select(col(pkCol)).distinct()
-        .limit(AcidTable.MorMaxKeys + 1).collect()
-      // a matched NULL-pk row has no DV representation (entries key by
-      // pk) — only the rewrite can remove it, so it forces the COW path
-      if (matched.length <= AcidTable.MorMaxKeys && !matched.exists(_.isNullAt(0))) {
-        if (matched.isEmpty) return latestVersion()
-        return deleteVectored(
-          spark.createDataFrame(java.util.Arrays.asList(matched: _*),
-            StructType(Seq(schema(pkCol)))))
+      deleteVectoredWhere(condition) match {
+        case Some(v) => return v
+        case None => () // oversized / NULL-pk matched set: COW below
       }
     }
     val pred = driverPredicate(condition)
@@ -1579,6 +1574,59 @@ final class AcidTable private (
       }
     }
     -1L // unreachable
+  }
+
+  /** Predicate-driven deletion-vector commit: the merge-on-read route of
+    * [[deleteWhere]]. Unlike the key-pinned [[deleteVectored]] (whose
+    * semantics — delete THESE keys — are key-pinned by definition), the
+    * predicate is re-evaluated against the CURRENT DV-applied snapshot on
+    * EVERY OCC attempt, so a conflict retry sees concurrent updates the
+    * same way the COW path's redo does. One snapshot-filter scan per
+    * attempt — the same cost the COW redo pays.
+    *
+    * Returns None when this route cannot represent the delete (matched
+    * set over [[AcidTable.MorMaxKeys]], or a matched NULL pk — DV entries
+    * key by pk) — the caller falls back to copy-on-write.
+    */
+  private def deleteVectoredWhere(condition: Column): Option[Long] = {
+    val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema(pkCol).dataType)
+    var attempt = 0
+    while (true) {
+      val base = latestVersion()
+      if (base < 0) return Some(base) // empty table: nothing to delete
+      val baseLines = manifestLines(base)
+      val baseDvs = dvsOf(baseLines)
+      // matched rows ARE live rows of the current snapshot (DV-applied),
+      // so one filtered scan yields the (partition, pk) pairs directly
+      val matched = applyDvs(
+        snapshotFromFiles(dataLinesOf(baseLines), sizesOf(baseLines)), baseDvs)
+        .filter(condition)
+        .select(col(partitionCol).cast(StringType), col(pkCol).cast(StringType))
+        .distinct().limit(AcidTable.MorMaxKeys + 1).collect()
+      if (matched.length > AcidTable.MorMaxKeys) return None
+      if (matched.exists(_.isNullAt(1))) return None // NULL pk: only a rewrite removes it
+      if (matched.isEmpty) return Some(base) // no live row matches: no-op, no commit
+      val entries = matched.map { r =>
+        val k = r.getString(1)
+        DvEntry(r.getString(0), driverBucketOf(toInternal(castKeyTo(k))), k)
+      }.toSeq.distinct
+      val touched = entries.map(e => FileCell(e.part, e.bucket)).distinct
+      try {
+        publish(base + 1, dataLinesOf(baseLines), touched, sizesOf(baseLines),
+          "DELETE_DV", (baseDvs ++ entries).distinct)
+        return Some(base + 1)
+      } catch {
+        case _: FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > MaxRetries)
+            throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
+          AcidTable.conflictRedoCounter.incrementAndGet()
+          val cap = math.min(1L << math.min(attempt, 8), 256L)
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap * 2) + 1)
+      }
+    }
+    None // unreachable
   }
 
   /** Register the CURRENT snapshot as a temp view (reference A13 surface). */
@@ -2396,6 +2444,12 @@ final class AcidTable private (
     }
     if (Files.exists(clusterStatsPath))
       Files.copy(clusterStatsPath, Paths.get(destPath, ClusterStatsFile))
+    // free-form table properties travel too (Delta SHALLOW CLONE parity):
+    // without this a clone of a morDeletes table silently reverts to
+    // copy-on-write deletes and a statsColumns table stops stamping stats
+    tableProperties.foreach { case (k, value) =>
+      AcidTable.writeTableProperty(destPath, k, Some(value))
+    }
     val touched = files.map(f =>
       FileCell(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol=")), -1))

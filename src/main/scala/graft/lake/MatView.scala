@@ -136,7 +136,10 @@ final class MatView private (
 
   /** The view's current contents: group columns + one column per declared
     * aggregate, exactly the `GROUP BY` result the definition denotes
-    * (`avg` = exact sum / non-null count; empty groups absent).
+    * (`avg` = exact sum / non-null count; empty groups absent). Avg
+    * typing follows SQL AVG: a DECIMAL measure divides the exact decimal
+    * sum by the count (DECIMAL result, no precision loss); integral
+    * measures render as DOUBLE.
     */
   def read(): DataFrame = {
     val live = state.snapshot().filter(col("__mv_cnt") > 0)
@@ -144,8 +147,12 @@ final class MatView private (
       case MvAgg(n, "count", _) => col(n)
       case MvAgg(n, "sum", _)   => col(s"${n}__s").as(n)
       case MvAgg(n, "avg", _) =>
+        val sumCol = stateSchema(s"${n}__s").dataType match {
+          case _: DecimalType => col(s"${n}__s")
+          case _ => col(s"${n}__s").cast(DoubleType)
+        }
         when(col(s"${n}__n") === 0, lit(null))
-          .otherwise(col(s"${n}__s").cast(DoubleType) / col(s"${n}__n")).as(n)
+          .otherwise(sumCol / col(s"${n}__n")).as(n)
       case MvAgg(n, _, _) => col(n)
     }
     live.select(groupCols.map(col) ++ outs: _*)

@@ -216,4 +216,32 @@ class AcidSqlSpec extends AnyFunSuite {
     assert(removed >= 0)
     assert(sess.query("SELECT count(*) AS n FROM db.m").head().getLong(0) == 64L)
   }
+
+  test("bare INSERT: exact-order passes, reordered same names reject, unknown names land positionally") {
+    val (t, reg) = freshTable()
+    // exact order: fine
+    Seq(("R1", "P0", "v1")).toDF("primaryKeyValue", "partitionKeyValue", "dataValue")
+      .createOrReplaceTempView("ins_exact")
+    AcidSql.execute(spark, reg, "INSERT INTO acid.records SELECT * FROM ins_exact")
+    assert(t.snapshot().count() == 1)
+    // the target's own names OUT OF ORDER: positional and by-name
+    // resolution disagree — must reject loudly, not pick one silently
+    Seq(("P9", "R9", "v9")).toDF("partitionKeyValue", "primaryKeyValue", "dataValue")
+      .createOrReplaceTempView("ins_reorder")
+    val e = intercept[IllegalArgumentException] {
+      AcidSql.execute(spark, reg, "INSERT INTO acid.records SELECT * FROM ins_reorder")
+    }
+    assert(e.getMessage.contains("out of order"), e.getMessage)
+    assert(t.snapshot().count() == 1, "rejected INSERT must not commit")
+    // naming the columns disambiguates the same source
+    AcidSql.execute(spark, reg,
+      "INSERT INTO acid.records (partitionKeyValue, primaryKeyValue, dataValue) " +
+        "SELECT * FROM ins_reorder")
+    assert(t.snapshot().filter(col("primaryKeyValue") === "R9")
+      .head().getString(1) == "P9")
+    // unknown source names (VALUES shape): SQL-standard positional mapping
+    AcidSql.execute(spark, reg, "INSERT INTO acid.records VALUES ('R5', 'P1', 'v5')")
+    val r5 = t.snapshot().filter(col("primaryKeyValue") === "R5").head()
+    assert(r5.getString(1) == "P1" && r5.getString(2) == "v5")
+  }
 }

@@ -121,4 +121,24 @@ class CloneSpec extends AnyFunSuite {
     assert(sess.table("db.fork").snapshot().count() == 2)
     assert(sess.table("db.src").snapshot().count() == 3)
   }
+
+  test("clone carries free-form table properties (morDeletes keeps MOR behavior)") {
+    val t = mkTable((0 until 6).map(i => (s"k$i", s"p${i % 2}", i.toDouble)))
+    t.setTableProperty("morDeletes", Some("true"))
+    t.setTableProperty("statsColumns", Some("pk"))
+    t.setTableProperty("team", Some("data-eng"))
+    val c = t.cloneTo(scratch())
+    assert(c.morDeletes, "clone silently reverted to copy-on-write deletes")
+    assert(c.tableProperty("statsColumns").contains("pk"))
+    assert(c.tableProperty("team").contains("data-eng"))
+    // and the behavior, not just the flag: a key delete on the clone is a
+    // zero-rewrite DV commit (manifest reuses the same data lines)
+    val v0 = c.latestVersion()
+    val v1 = c.delete(Seq("k1"))
+    def lines(v: Long) = new String(Files.readAllBytes(
+      Paths.get(c.path, "_commits", f"v$v%012d.txt"))).linesIterator
+      .filterNot(_.startsWith("#")).filter(_.nonEmpty).toSeq
+    assert(lines(v1) == lines(v0), "clone's delete rewrote data instead of DV commit")
+    assert(c.snapshot().count() == 5)
+  }
 }

@@ -216,6 +216,16 @@ class DeletionVectorSpec extends AnyFunSuite {
     // ALTER TABLE SET re-arms it
     spark.sql("ALTER TABLE graft.dv.t SET TBLPROPERTIES ('morDeletes' = 'true')")
     assert(AcidTable.open(spark, s"$wh/dv/t").morDeletes)
+    // structural keys are rejected, not stored as inert lies
+    Seq("primaryKey", "numBuckets", "preCombinedField").foreach { k =>
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.dv.t SET TBLPROPERTIES ('$k' = '64')")
+      }
+      def hasStructural(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("structural")) ||
+          hasStructural(t.getCause))
+      assert(hasStructural(e), s"SET TBLPROPERTIES('$k') did not reject: $e")
+    }
   }
 
   test("morDeletes routes a bounded predicate DELETE through DVs; unbounded/null-pk keep COW") {
@@ -265,6 +275,47 @@ class DeletionVectorSpec extends AnyFunSuite {
         // The OLD pre-race value must never survive both commits.
         assert(vals.isEmpty || vals == Seq(s"new$i"), s"round $i saw $vals")
       }
+    } finally pool.shutdown()
+  }
+
+  test("MOR deleteWhere re-evaluates the predicate at the commit-winning snapshot") {
+    // Round-10 ADVICE: the MOR route used to pin the matched KEY set at
+    // the read snapshot, so a concurrently-updated row that no longer
+    // matched was still deleted — diverging from the COW redo's
+    // predicate re-run. Race a deleteWhere(dataValue = 'kill') against an
+    // upsert flipping the row to 'keep': whenever the delete commits
+    // AFTER the update (its base snapshot holds 'keep'), the row MUST
+    // survive at the delete's own version. Both orders occur across
+    // rounds; the assertion is exact given the observed version order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      var laterDeletes = 0
+      (1 to 12).foreach { i =>
+        val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue", "partitionKeyValue")
+        t.setTableProperty("morDeletes", Some("true"))
+        t.upsert(df(Record("X", "P0", "kill"), Record("Y", "P1", s"other$i")))
+        val h2 = AcidTable.open(spark, t.path)
+        val del = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = t.deleteWhere(col("dataValue") === "kill")
+        })
+        val upd = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = h2.upsert(df(Record("X", "P0", "keep")))
+        })
+        val vDel = del.get(); val vUpd = upd.get()
+        val atDel = t.snapshot(vDel).as[Record].collect().filter(_.primaryKeyValue == "X")
+        if (vDel > vUpd) {
+          laterDeletes += 1
+          assert(atDel.map(_.dataValue).toSeq == Seq("keep"),
+            s"round $i: delete (v$vDel) after update (v$vUpd) removed a row " +
+              "that no longer matched the predicate")
+        } else {
+          // delete first: X gone at vDel, resurrected by the update at vUpd
+          assert(atDel.isEmpty, s"round $i: delete at v$vDel left a matching row")
+          assert(t.snapshot(vUpd).as[Record].collect()
+            .exists(r => r.primaryKeyValue == "X" && r.dataValue == "keep"))
+        }
+      }
+      info(s"delete-committed-after-update rounds: $laterDeletes of 12")
     } finally pool.shutdown()
   }
 }
