@@ -67,12 +67,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new java.io.File((warehouse +: namespace.toSeq).mkString("/"))
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => new java.io.File(f, "_meta.properties").exists())
+      .filter(f => new java.io.File(f, "_meta.properties").exists() ||
+        new java.io.File(f, "_mv.properties").exists())
       .map(f => Identifier.of(namespace, f.getName))
   }
 
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
+    // a materialized view (created via CREATE MATERIALIZED VIEW — the
+    // GraftSqlParser extension) reads as a first-class catalog table
+    if (new java.io.File(path, "_mv.properties").exists())
+      return new MatViewV2Table(MatView.open(spark, path), ident)
     if (!new java.io.File(path, "_meta.properties").exists())
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace.toSeq :+ ident.name)
@@ -246,6 +251,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     rm(dir)
     true
   }
+}
+
+/** The read-only connector-API face of one [[MatView]]: `SELECT … FROM
+  * graft.ns.view` serves [[MatView.read]]'s #groups-sized state rendering
+  * through the V1Scan bridge. Writes arrive only through REFRESH — a view
+  * is derived data; rejecting direct DML keeps it honest.
+  */
+final class MatViewV2Table(val mv: MatView, ident: Identifier)
+    extends Table with SupportsRead {
+
+  override def name(): String = ident.toString
+
+  private lazy val viewSchema: StructType = mv.read().schema
+
+  override def schema(): StructType = viewSchema
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.LinkedHashMap[String, String]()
+    m.put("type", "materialized_view")
+    m.put("source", mv.source.path)
+    m.put("appliedVersion", mv.appliedVersion().toString)
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = viewSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = viewSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] = mv.read().rdd
+          }.asInstanceOf[T]
+      }
+    }
 }
 
 /** The connector-API face of one [[AcidTable]]: batch read via the V1Scan

@@ -419,50 +419,8 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     * aggregates, DISTINCT, HAVING, joins, subqueries — fails loudly (the
     * maintainable-view grammar is the point, not general SQL).
     */
-  private def parseMvSelect(select: String): (String, Seq[String], Seq[MvAgg]) = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    def relName(p: LogicalPlan): String = p match {
-      case SubqueryAlias(_, child) => relName(child)
-      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
-      case other => throw new IllegalArgumentException(
-        s"materialized view must select FROM one table, got: ${other.nodeName}")
-    }
-    PlanShim.parse(spark, select) match {
-      case Aggregate(groupExprs, selectExprs, child, _) =>
-        val src = relName(child)
-        val groupCols = groupExprs.map {
-          case a: UnresolvedAttribute => a.nameParts.last
-          case other => throw new IllegalArgumentException(
-            s"materialized view GROUP BY must name bare columns, got: ${other.sql}")
-        }
-        val aggs = selectExprs.flatMap {
-          case a: UnresolvedAttribute =>
-            require(groupCols.contains(a.nameParts.last),
-              s"non-aggregate select item must be a group column: ${a.sql}")
-            None
-          case Alias(f: UnresolvedFunction, name) =>
-            val fn = f.nameParts.last.toLowerCase
-            require(!f.isDistinct, s"DISTINCT aggregates are not maintainable: ${f.sql}")
-            val input = f.arguments match {
-              case Seq(_: UnresolvedStar) => "*"
-              // the parser renders count(*) as count(1)
-              case Seq(_: Literal) if fn == "count" => "*"
-              case Seq(a: UnresolvedAttribute) => a.nameParts.last
-              case other => throw new IllegalArgumentException(
-                s"aggregate argument must be a bare column or *: ${other.map(_.sql).mkString(",")}")
-            }
-            Some(MvAgg(name, fn, input))
-          case other => throw new IllegalArgumentException(
-            s"materialized view select items must be group columns or aliased " +
-              s"aggregates, got: ${other.sql}")
-        }
-        (src, groupCols, aggs)
-      case other => throw new IllegalArgumentException(
-        s"materialized view definition must be a GROUP BY aggregation, got: ${other.nodeName}")
-    }
-  }
+  private def parseMvSelect(select: String): (String, Seq[String], Seq[MvAgg]) =
+    MatView.parseSelect(spark, select)
 
   private def executeParsed(sql: String): Long = PlanShim.parse(spark, sql) match {
     case _: CreateNamespace => 0L // schemas are directories under the warehouse

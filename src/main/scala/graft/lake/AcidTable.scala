@@ -500,8 +500,19 @@ final class AcidTable private (
   def upsert(batch: DataFrame, partitionsHint: Option[Seq[String]] = None): Long =
     upsertOp(batch, partitionsHint, "UPSERT")
 
+  /** Compare-and-swap upsert: commits ONLY at `expectedBase + 1`. Any
+    * intervening commit — same process or another — makes this throw
+    * [[CommitConflictException]] instead of re-merging, so read-fold-write
+    * maintainers (e.g. a matview refresh, whose fold is computed FROM the
+    * state at `expectedBase`) can never double-apply a delta: the loser
+    * recomputes from the new state and tries again.
+    */
+  private[lake] def casUpsertOp(batch: DataFrame, opName: String, expectedBase: Long): Long =
+    upsertOp(batch, None, opName, pinBase = Some(expectedBase))
+
   private[lake] def upsertOp(
-      batch: DataFrame, partitionsHint: Option[Seq[String]], opName: String): Long = {
+      batch: DataFrame, partitionsHint: Option[Seq[String]], opName: String,
+      pinBase: Option[Long] = None): Long = {
     val n = normalize(batch)
     val b = precombine(n)
     val hint = checkedHint(partitionsHint)
@@ -535,7 +546,8 @@ final class AcidTable private (
       // are metadata-scale
       outputBounded = bLocal.isDefined || isMetadataScale(b),
       localResultOf = localKernel,
-      opName = opName)
+      opName = opName,
+      pinBase = pinBase)
   }
 
   /** Transactionally idempotent streaming upsert — the Delta
@@ -2667,7 +2679,10 @@ final class AcidTable private (
       sortCols: Seq[Column] = Nil,
       forceCoarse: Boolean = false,
       // audit label the publish stamps into the manifest (#op= header)
-      opName: String = "WRITE"): Long = {
+      opName: String = "WRITE",
+      // CAS mode: commit only at pinBase+1; any version race throws
+      // CommitConflictException instead of re-merging (see casUpsertOp)
+      pinBase: Option[Long] = None): Long = {
     // driver fast-path eligibility for a given rewrite volume (see the
     // fast-path section): kernel available, schema safe, input bounded
     def fastEligible(bytes: Long): Boolean =
@@ -2686,6 +2701,10 @@ final class AcidTable private (
     var fullRedoSince = -1L
     while (true) {
       val base = latestVersion()
+      pinBase.foreach { p =>
+        if (base != p) throw new CommitConflictException(
+          s"CAS commit expected base v$p but table is at v$base ($path)")
+      }
       val baseLines = if (base < 0) Nil else manifestLines(base)
       val files = dataLinesOf(baseLines)
       // parsed from the SAME read as `files`; consumed by both the scan
@@ -2790,6 +2809,14 @@ final class AcidTable private (
           return publishBase + 1
         } catch {
           case _: FileAlreadyExistsException =>
+            if (pinBase.isDefined) {
+              // CAS mode: losing the version race IS the signal — the
+              // caller's fold was computed from the pinned base and must
+              // not be re-merged onto someone else's commit
+              newFiles.foreach(f => Files.deleteIfExists(dataRoot.resolve(f._1)))
+              throw new CommitConflictException(
+                s"CAS commit lost the race at v${publishBase + 1} ($path)")
+            }
             attempt += 1
             if (attempt > MaxRetries)
               throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")

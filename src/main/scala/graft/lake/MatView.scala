@@ -164,11 +164,16 @@ final class MatView private (
     * the SAME commit as the delta it applied, so this read can never
     * observe a half-applied refresh.
     */
-  def appliedVersion(): Long = {
-    val latest = state.latestVersion()
-    if (latest < 0) return createBase
+  def appliedVersion(): Long = appliedVersionUpTo(state.latestVersion())
+
+  /** [[appliedVersion]] as of a PINNED state version — the CAS refresh
+    * computes its delta from this, so the marker it reads and the base it
+    * commits against are the same snapshot. */
+  private def appliedVersionUpTo(stateV: Long): Long = {
+    if (stateV < 0) return createBase
     val ops = state.history().select("version", "operation").collect()
     ops.iterator
+      .filter(r => r.getLong(0) <= stateV)
       .filter(_.getString(1).startsWith("MVREFRESH:"))
       .map(r => r.getString(1).stripPrefix("MVREFRESH:").toLong)
       .foldLeft(createBase)(math.max)
@@ -179,18 +184,38 @@ final class MatView private (
   /** Advance the view to the source's current version. Returns the source
     * version now reflected. No-op (no commit) when already current or the
     * version range nets to zero changes.
+    *
+    * MULTI-MAINTAINER SAFE (round-10 verdict #6): the fold commits through
+    * a compare-and-swap pinned to the state version the delta was computed
+    * from — a concurrent refresher in ANOTHER process (which the per-JVM
+    * lock cannot see) makes the CAS lose cleanly and this maintainer
+    * re-reads the new applied version and recomputes the (now smaller,
+    * possibly empty) remaining delta. A delta can therefore never fold
+    * twice. The JVM lock stays as a cheap same-process fast path.
     */
   def refresh(): Long = MatView.lockFor(viewPath).synchronized {
-    val srcV = source.latestVersion()
-    val fromV = appliedVersion()
-    if (srcV <= fromV) return fromV
-    val delta = source.changesBetween(fromV, srcV)
-    if (delta.isEmpty) return fromV // net-zero range: nothing to fold
-    val newRows =
-      if (incrementalOk) incrementalRows(delta)
-      else recomputeRows(delta, srcV)
-    state.upsertOp(conformed(newRows), None, s"MVREFRESH:$srcV")
-    srcV
+    var attempts = 0
+    while (true) {
+      val stateBase = state.latestVersion()
+      val srcV = source.latestVersion()
+      val fromV = appliedVersionUpTo(stateBase)
+      if (srcV <= fromV) return fromV
+      val delta = source.changesBetween(fromV, srcV)
+      if (delta.isEmpty) return fromV // net-zero range: nothing to fold
+      val newRows =
+        if (incrementalOk) incrementalRows(delta)
+        else recomputeRows(delta, srcV)
+      try {
+        state.casUpsertOp(conformed(newRows), s"MVREFRESH:$srcV", stateBase)
+        return srcV
+      } catch {
+        case _: CommitConflictException =>
+          attempts += 1
+          if (attempts > MatView.MaxCasRetries) throw new CommitConflictException(
+            s"matview refresh lost ${MatView.MaxCasRetries} CAS races at $viewPath")
+      }
+    }
+    -1L // unreachable
   }
 
   /** Maintain the view LIVE off the source's change-feed stream: every
@@ -229,15 +254,26 @@ final class MatView private (
   def applyChangeBatch(batch: DataFrame): Unit =
     MatView.lockFor(viewPath).synchronized {
       if (batch.isEmpty) return
-      val applied = appliedVersion()
-      val fresh = batch.filter(col("_commit_version") > applied)
-      if (fresh.isEmpty) return
-      val maxV = fresh.agg(max(col("_commit_version"))).head().getLong(0)
-      val delta = fresh.drop("_commit_version")
-      val newRows =
-        if (incrementalOk) incrementalRows(delta)
-        else recomputeRows(delta, maxV)
-      state.upsertOp(conformed(newRows), None, s"MVREFRESH:$maxV")
+      var attempts = 0
+      while (attempts <= MatView.MaxCasRetries) {
+        val stateBase = state.latestVersion()
+        val applied = appliedVersionUpTo(stateBase)
+        val fresh = batch.filter(col("_commit_version") > applied)
+        if (fresh.isEmpty) return
+        val maxV = fresh.agg(max(col("_commit_version"))).head().getLong(0)
+        val delta = fresh.drop("_commit_version")
+        val newRows =
+          if (incrementalOk) incrementalRows(delta)
+          else recomputeRows(delta, maxV)
+        try {
+          state.casUpsertOp(conformed(newRows), s"MVREFRESH:$maxV", stateBase)
+          return
+        } catch {
+          case _: CommitConflictException => attempts += 1 // re-read and re-fold
+        }
+      }
+      throw new CommitConflictException(
+        s"matview change-batch fold lost ${MatView.MaxCasRetries} CAS races at $viewPath")
     }
 
   /** Delta-only maintenance (count/sum/avg): fold per-group SIGNED deltas
@@ -327,6 +363,68 @@ object MatView {
     * `InSet` pushdown sweet spot.
     */
   val MaxLookupKeys: Int = 65536
+
+  /** How many CAS losses a refresh tolerates before giving up — each loss
+    * means another maintainer advanced the view, so the remaining delta
+    * only shrinks; persistent losses signal a misconfigured maintainer
+    * storm, not a workload. */
+  val MaxCasRetries: Int = 20
+
+  /** Reduce a defining SELECT to the maintainable-view definition: one
+    * `Aggregate` over one table, bare group columns echoed in the select
+    * list, every aggregate an ALIASED `count(*) | count(c) | sum(c) |
+    * avg(c) | min(c) | max(c)`. Anything else — expressions over
+    * aggregates, DISTINCT, HAVING, joins, subqueries — fails loudly (the
+    * maintainable-view grammar is the point, not general SQL). Shared by
+    * BOTH SQL front-ends (the text session and the catalog parser
+    * extension), so the reduction rules cannot drift apart.
+    */
+  private[lake] def parseSelect(
+      spark: SparkSession, select: String): (String, Seq[String], Seq[MvAgg]) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.graft.PlanShim
+    def relName(p: LogicalPlan): String = p match {
+      case SubqueryAlias(_, child) => relName(child)
+      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"materialized view must select FROM one table, got: ${other.nodeName}")
+    }
+    PlanShim.parse(spark, select) match {
+      case Aggregate(groupExprs, selectExprs, child, _) =>
+        val src = relName(child)
+        val groupCols = groupExprs.map {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"materialized view GROUP BY must name bare columns, got: ${other.sql}")
+        }
+        val aggs = selectExprs.flatMap {
+          case a: UnresolvedAttribute =>
+            require(groupCols.contains(a.nameParts.last),
+              s"non-aggregate select item must be a group column: ${a.sql}")
+            None
+          case Alias(f: UnresolvedFunction, name) =>
+            val fn = f.nameParts.last.toLowerCase
+            require(!f.isDistinct, s"DISTINCT aggregates are not maintainable: ${f.sql}")
+            val input = f.arguments match {
+              case Seq(_: UnresolvedStar) => "*"
+              // the parser renders count(*) as count(1)
+              case Seq(_: Literal) if fn == "count" => "*"
+              case Seq(a: UnresolvedAttribute) => a.nameParts.last
+              case other => throw new IllegalArgumentException(
+                s"aggregate argument must be a bare column or *: ${other.map(_.sql).mkString(",")}")
+            }
+            Some(MvAgg(name, fn, input))
+          case other => throw new IllegalArgumentException(
+            s"materialized view select items must be group columns or aliased " +
+              s"aggregates, got: ${other.sql}")
+        }
+        (src, groupCols, aggs)
+      case other => throw new IllegalArgumentException(
+        s"materialized view definition must be a GROUP BY aggregation, got: ${other.nodeName}")
+    }
+  }
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(path: String): Object =

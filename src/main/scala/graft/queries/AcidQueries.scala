@@ -990,6 +990,52 @@ object AcidQueries {
         FROM surv GROUP BY grp ORDER BY grp
       """)),
 
+    // ---- C5 materialized view through the DSv2 catalog front-end (round 11) -----
+    // The same lifecycle as q_sql_matview, but in `spark.sql(...)` proper:
+    // CREATE/REFRESH/DROP MATERIALIZED VIEW parse through the
+    // GraftSqlParser session extension (Spark's grammar lacks them), the
+    // source DML runs through the GraftCatalog DSv2 route, and the view
+    // reads back as a first-class catalog table. The defining SELECT
+    // reduces through MatView.parseSelect — the SAME rules as the text
+    // front-end, pinned shared in MatViewSpec.
+    Q(
+      "q_sql_matview_catalog",
+      (s, dir) => {
+        val wh = scratch()
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.lake.GraftCatalog].getName)
+        s.conf.set("spark.sql.graft.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvq")
+        s.sql("""CREATE TABLE graft.mvq.src (pk STRING, part STRING, grp STRING, ck BIGINT)
+          PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""")
+        Tables.orders(s, dir).filter(col("o_orderkey") < 6000).select(
+          col("o_orderkey").cast("string").as("pk"),
+          concat(lit("p"), (col("o_orderkey") % 3).cast("string")).as("part"),
+          col("o_orderpriority").as("grp"),
+          col("o_custkey").cast("long").as("ck"))
+          .createOrReplaceTempView("mv_cat_src_rows")
+        s.sql("INSERT INTO graft.mvq.src SELECT * FROM mv_cat_src_rows")
+        s.sql("""CREATE MATERIALIZED VIEW graft.mvq.prio AS
+          SELECT grp, count(*) AS cnt, sum(ck) AS sck, max(ck) AS mck
+          FROM graft.mvq.src GROUP BY grp""")
+        s.sql("DELETE FROM graft.mvq.src WHERE ck < 300")
+        s.sql("INSERT INTO graft.mvq.src " +
+          "SELECT pk, part, 'X-NEW' AS grp, ck + 1000000 AS ck " +
+          "FROM mv_cat_src_rows WHERE CAST(pk AS BIGINT) % 100 = 0")
+        s.sql("REFRESH MATERIALIZED VIEW graft.mvq.prio")
+        s.sql("SELECT grp, cnt, sck, mck FROM graft.mvq.prio ORDER BY grp")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderpriority AS grp, o_custkey AS ck
+          FROM orders WHERE o_orderkey < 6000),
+        surv AS (
+          SELECT k, CASE WHEN k % 100 = 0 THEN 'X-NEW' ELSE grp END AS grp,
+                 CASE WHEN k % 100 = 0 THEN ck + 1000000 ELSE ck END AS ck
+          FROM base WHERE ck >= 300 OR k % 100 = 0)
+        SELECT grp, COUNT(*) AS cnt, CAST(SUM(ck) AS BIGINT) AS sck, MAX(ck) AS mck
+        FROM surv GROUP BY grp ORDER BY grp
+      """)),
+
     // ---- C5 schema evolution: DROP column + physical purge ----------------------
     // The other direction (round 9): dropColumns is metadata-only (readers
     // stop projecting instantly; old files keep the bytes), and compact()

@@ -51,6 +51,10 @@ object GraftFunctions {
   private[graft] def inject(ext: SparkSessionExtensions): Unit = {
     entries.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // CREATE/REFRESH/DROP MATERIALIZED VIEW in spark.sql — statements
+    // Spark's grammar lacks; everything else delegates to the session
+    // parser untouched
+    ext.injectParser((_, delegate) => new graft.lake.GraftSqlParser(delegate))
     // MERGE INTO over GraftCatalog tables (SURVEY M6) — must run during
     // resolution, before Spark's row-level-operation rewrite rejects the
     // v1-write table

@@ -97,6 +97,74 @@ class MatViewSpec extends AnyFunSuite {
     assert(ops.forall(_.startsWith("MVREFRESH:")), ops.mkString(","))
   }
 
+  test("cross-process CAS: an interleaved second maintainer never double-folds") {
+    // Round-10 verdict #6: the per-JVM lock cannot exclude a second
+    // PROCESS. Simulate one exactly: a second MatView handle (separate
+    // AcidTable instances — so separate commit machinery, sharing only
+    // the on-disk state) refreshes to COMPLETION in the window between
+    // the first maintainer computing its fold and publishing it. The
+    // first maintainer's CAS must lose, re-read the new applied version,
+    // find the remaining delta empty, and return WITHOUT committing a
+    // second fold of the same delta.
+    val t = seeded("cas")
+    val mv = MatView.create(spark, t, tmp("cas-v"), Seq("grp"), aggsCSD)
+    t.upsert(rows(("k7", "p0", "a", 70L, "7.00"), ("k8", "p1", "d", 80L, "8.00")))
+    t.delete(Seq("k1"))
+    val srcV = t.latestVersion()
+    val mvB = MatView.open(spark, mv.viewPath)
+    val stateBefore = mv.state.latestVersion()
+    var interleaved = 0
+    mv.state.beforePublishHook = () => {
+      if (interleaved == 0) { interleaved += 1; mvB.refresh() }
+    }
+    val applied = try mv.refresh() finally mv.state.beforePublishHook = () => ()
+    assert(interleaved == 1, "the interleaving hook never fired")
+    assert(applied === srcV)
+    assert(got(mv) === expect(t), "CAS loser double-folded the delta")
+    // exactly ONE fold commit landed (mvB's); the loser committed nothing
+    val folds = mv.state.history().select("version", "operation").collect()
+      .filter(r => r.getLong(0) > stateBefore)
+      .map(_.getString(1))
+    assert(folds.toSeq == Seq(s"MVREFRESH:$srcV"),
+      s"expected one fold commit, got: ${folds.mkString(",")}")
+    // and the applied version is agreed from both handles
+    assert(mvB.appliedVersion() === srcV)
+  }
+
+  test("catalog front-end: CREATE/REFRESH/DROP MATERIALIZED VIEW via spark.sql") {
+    val wh = Files.createTempDirectory("mv-cat-wh-").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvc")
+    spark.sql("""CREATE TABLE graft.mvc.t (pk STRING, part STRING, grp STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""")
+    spark.sql("""INSERT INTO graft.mvc.t VALUES
+      ('k1','p0','a',10), ('k2','p1','a',20), ('k3','p0','b',30)""")
+    // CREATE via the parser extension (Spark's grammar lacks the statement)
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mvc.v AS
+      SELECT grp, count(*) AS cnt, sum(v) AS sv FROM graft.mvc.t GROUP BY grp""")
+    // the view reads as a first-class catalog table
+    def viewRows() = spark.sql("SELECT grp, cnt, sv FROM graft.mvc.v ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viewRows() == Seq(("a", 2L, 30L), ("b", 1L, 30L)))
+    // source DML + REFRESH advance it incrementally
+    spark.sql("INSERT INTO graft.mvc.t VALUES ('k4','p1','b',40), ('k5','p0','c',50)")
+    spark.sql("DELETE FROM graft.mvc.t WHERE pk = 'k1'")
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mvc.v")
+    assert(viewRows() == Seq(("a", 1L, 20L), ("b", 2L, 70L), ("c", 1L, 50L)))
+    // reduction rules shared with the text front-end: same loud rejection
+    val e = intercept[Exception] {
+      spark.sql("""CREATE MATERIALIZED VIEW graft.mvc.bad AS
+        SELECT grp, count(DISTINCT v) AS c FROM graft.mvc.t GROUP BY grp""")
+    }
+    def msgChain(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgChain(t.getCause)
+    assert(msgChain(e).contains("DISTINCT"), e.toString)
+    // DROP removes it from the catalog
+    spark.sql("DROP MATERIALIZED VIEW graft.mvc.v")
+    intercept[Exception](spark.sql("SELECT * FROM graft.mvc.v").collect())
+  }
+
   test("several source commits between refreshes fold as one net delta") {
     val t = seeded("batch")
     val mv = MatView.create(spark, t, tmp("batch-v"), Seq("grp"), aggsCSD)
