@@ -645,7 +645,7 @@ object Bench {
     // (manifest union redone, cheap); a REDO recomputed against the new
     // snapshot (real wasted work).
     case class HarnessRep(sec: Double, remerge: Long, redo: Long, committed: Int,
-        remergeMs: Double, redoMs: Double)
+        remergeMs: Double, redoMs: Double, fastForwards: Long)
     var harnessStats = List.empty[HarnessRep]
     def runHarness(txns: Int): HarnessRep = {
       spark.catalog.clearCache()
@@ -663,7 +663,8 @@ object Bench {
       }
       HarnessRep(sec, graft.lake.AcidTable.conflictRemergeCount,
         graft.lake.AcidTable.conflictRedoCount, committed,
-        graft.lake.AcidTable.conflictRemergeMs, graft.lake.AcidTable.conflictRedoMs)
+        graft.lake.AcidTable.conflictRemergeMs, graft.lake.AcidTable.conflictRedoMs,
+        graft.lake.AcidTable.fastForwardCount)
     }
     if (runsHarness) {
       // one untimed FULL-SIZE warm pass: commit-path codegen, the
@@ -705,6 +706,7 @@ object Bench {
         parts += f""""txn1000_sec":${h.sec}%.2f"""
         parts += f""""txn1000_txn_per_sec":${h.committed / h.sec}%.2f"""
         parts += s""""txn1000_conflicts_remerge":${h.remerge}"""
+        parts += s""""txn1000_fast_forwards":${h.fastForwards}"""
         parts += s""""txn1000_conflicts_redo":${h.redo}"""
         // retry-latency split (round-7 verdict #8): total wall ms spent in
         // conflict retries by class, and per-committed-txn — the number

@@ -2777,6 +2777,27 @@ final class AcidTable private (
       // one of our PKs into a partition we did not rewrite, so the whole
       // computation restarts from the outer loop.
       var publishBase = base
+      // pre-publish fast-forward (round-10 verdict #7): commits that
+      // landed while this one STAGED its files are detected here with one
+      // metadata probe, instead of paying a doomed atomic publish +
+      // conflict handling. Disjoint-cell intervenors re-link the base
+      // silently (same soundness argument as the remerge path — our
+      // staged contents are exactly what the new snapshot needs); any
+      // overlap falls through and the publish loop's conflict machinery
+      // resolves it as before.
+      if (stablePartitions && !globalScope && pinBase.isEmpty) {
+        val fresh = latestVersion()
+        if (fresh > base) {
+          val interveningSets = ((base + 1) to fresh).map(readTouched)
+          val intervening: Set[FileCell] =
+            if (interveningSets.exists(_.isEmpty)) touched.toSet
+            else interveningSets.flatten.flatten.toSet
+          if (!touched.exists(t => intervening.exists(cellsOverlap(t, _)))) {
+            AcidTable.fastForwardCounter.incrementAndGet()
+            publishBase = fresh
+          }
+        }
+      }
       var done = false
       while (!done) {
         val publishLines = if (publishBase < 0) Nil else manifestLines(publishBase)
@@ -2835,9 +2856,13 @@ final class AcidTable private (
             // capped exponential backoff with jitter: without it a writer
             // that keeps losing the publish race can starve behind a
             // faster peer until the retry budget drains (observed in the
-            // 1000-txn run as 100-conflict streaks)
-            val cap = math.min(1L << math.min(attempt, 8), 256L)
-            Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap * 2) + 1)
+            // 1000-txn run as 100-conflict streaks). Applied per conflict
+            // CLASS below — a disjoint-cell re-merge retries immediately.
+            def backoff(): Unit = {
+              val cap = math.min(1L << math.min(attempt, 8), 256L)
+              Thread.sleep(
+                java.util.concurrent.ThreadLocalRandom.current().nextLong(cap * 2) + 1)
+            }
             val newBase = latestVersion()
             if (stablePartitions && !globalScope) {
               // an intervening manifest with no #touched header has an
@@ -2848,10 +2873,18 @@ final class AcidTable private (
                 else interveningSets.flatten.flatten.toSet
               val overlap0 = touched.filter(t => intervening.exists(cellsOverlap(t, _)))
               if (overlap0.isEmpty) {
+                // disjoint-cell loss: nothing of ours is stale — re-link
+                // the manifests and retry IMMEDIATELY (round-10 verdict
+                // #7: the unconditional pre-check nap charged every
+                // disjoint-key conflict 1-3 ms for a merge that needs no
+                // rethinking). The backoff still arms on a losing STREAK,
+                // where it prevents starvation behind a faster peer.
+                if (attempt > 3) backoff()
                 AcidTable.conflictRemergeCounter.incrementAndGet()
                 AcidTable.conflictRemergeNanos.addAndGet(System.nanoTime() - tRetry)
                 publishBase = newBase // fast path: re-merge manifests only
               } else {
+                backoff()
                 AcidTable.conflictRedoCounter.incrementAndGet()
                 // partial redo: drop only the stale (overlapping) cells'
                 // staged files and recompute THEM against the new
@@ -2908,6 +2941,7 @@ final class AcidTable private (
                 AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - tRetry)
               }
             } else {
+              backoff()
               AcidTable.conflictRedoCounter.incrementAndGet()
               // full redo: drop our orphaned files, re-apply on the new
               // snapshot. The clock stays open across the outer-loop
@@ -3662,17 +3696,23 @@ object AcidTable {
     */
   private[graft] val conflictRemergeCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val conflictRedoCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Pre-publish fast-forwards: disjoint-cell intervenors detected BEFORE
+    * the first publish attempt and silently re-linked — a would-be
+    * remerge conflict avoided entirely (round-10 verdict #7). */
+  private[graft] val fastForwardCounter = new java.util.concurrent.atomic.AtomicLong(0)
   // wall time spent in conflict retries (backoff + snapshot re-read +
   // recompute), by class — see the commitLoop catch block
   private[graft] val conflictRemergeNanos = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val conflictRedoNanos = new java.util.concurrent.atomic.AtomicLong(0)
   def conflictRemergeCount: Long = conflictRemergeCounter.get()
+  def fastForwardCount: Long = fastForwardCounter.get()
   def conflictRedoCount: Long = conflictRedoCounter.get()
   def conflictRemergeMs: Double = conflictRemergeNanos.get() / 1e6
   def conflictRedoMs: Double = conflictRedoNanos.get() / 1e6
   def conflictCount: Long = conflictRemergeCount + conflictRedoCount
   def resetConflictCount(): Unit = {
     conflictRemergeCounter.set(0); conflictRedoCounter.set(0)
+    fastForwardCounter.set(0)
     conflictRemergeNanos.set(0); conflictRedoNanos.set(0)
   }
 

@@ -264,7 +264,7 @@ class AcidTablePropertySpec extends AnyFunSuite {
     // its cell is disjoint from every cell the delete touches
     val phantomKey = (1 to 200).map(i => s"X$i")
       .find(k => bucketOf(k) != bucketOf("R1") && bucketOf(k) != bucketOf("R2")).get
-    val remergeBefore = AcidTable.conflictRemergeCount
+    val relinksBefore = AcidTable.conflictRemergeCount + AcidTable.fastForwardCount
     @volatile var raced = false
     t.beforePublishHook = () => if (!raced) {
       raced = true
@@ -275,8 +275,12 @@ class AcidTablePropertySpec extends AnyFunSuite {
     }
     t.deleteWhere(col("partitionKeyValue") === "P0" && col("dataValue") < "v0500000")
     t.beforePublishHook = () => ()
-    assert(AcidTable.conflictRemergeCount >= remergeBefore + 1,
-      "the race did not take the re-merge path this spec exists to cover")
+    // since round 11 the disjoint re-link usually happens as a PRE-PUBLISH
+    // fast-forward (no failed publish at all) — either mechanism is the
+    // same pinned-matched-set re-link whose SI semantics this spec pins
+    assert(AcidTable.conflictRemergeCount + AcidTable.fastForwardCount
+        >= relinksBefore + 1,
+      "the race did not take the re-link path this spec exists to cover")
     val rows = t.snapshot().as[Record].collect().map(r => r.primaryKeyValue -> r).toMap
     assert(!rows.contains("R1"), "matched row at the read snapshot must be deleted")
     assert(rows.contains("R2"), "non-matching row must survive")
