@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -249,7 +251,61 @@ object BaselineBench {
       println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
       (label, g, s0)
     }
-    val js = rows.map { case (l, g, s0) =>
+    // matview incremental-vs-recompute pairs (round-10 verdict #3): after a
+    // SMALL localized source commit (~64 rows — NOT timed; both sides face
+    // the same changed source), bring the view current. The graft side
+    // folds the CDC delta into the stored state (cost ∝ the commit's
+    // touched cells + #touched groups); the stock side is what a user
+    // without the matview runs — the full GROUP BY over the source
+    // snapshot. Measured at TWO source scales with the SAME delta: the
+    // refresh cost should stay flat while the recompute grows with the
+    // source — the trend that is the view's reason to exist at 100 TB.
+    def mvPair(label: String, replicas: Int): (String, Double, Double) = {
+      import graft.lake.{AcidTable, MatView, MvAgg}
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("pk", LongType), StructField("part", StringType),
+        StructField("grp", StringType),
+        StructField("price", DecimalType(18, 2)), StructField("ck", LongType)))
+      val t = AcidTable.create(spark,
+        Files.createTempDirectory(s"ab-mv-$label-").resolve("t").toString,
+        schema, "pk", "part", stablePartitions = true)
+      val base = pq("orders")
+        .crossJoin(spark.range(replicas).select(col("id").as("rep")))
+        .select(
+          (col("o_orderkey") * replicas + col("rep")).cast("long").as("pk"),
+          concat_ws("", lit("p"), (col("o_orderkey") % 16).cast("string")).as("part"),
+          col("o_orderpriority").as("grp"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          col("o_custkey").cast("long").as("ck"))
+      t.upsert(base)
+      val mv = MatView.create(spark, t,
+        Files.createTempDirectory(s"ab-mv-v-$label-").resolve("v").toString,
+        Seq("grp"), Seq(MvAgg("cnt", "count", "*"), MvAgg("rev", "sum", "price"),
+          MvAgg("avgck", "avg", "ck")))
+      val gts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val sts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until reps).foreach { i =>
+        // ~64 updated rows per rep, same count at every replica scale
+        t.upsert(base.filter(col("pk") % (2341L * replicas) === i)
+          .withColumn("price", (col("price") * lit(2)).cast("decimal(18,2)")))
+        gts += time { mv.refresh() }
+        sts += time {
+          t.snapshot().groupBy(col("grp"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("price")).as("rev"),
+              (sum(col("ck")).cast("double") / count(col("ck"))).as("avgck"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val g = gts.sorted.apply(gts.size / 2)
+      val s0 = sts.sorted.apply(sts.size / 2)
+      println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
+      (label, g, s0)
+    }
+    val mvRows = Seq(mvPair("matview_refresh_1x", 1), mvPair("matview_refresh_8x", 8))
+
+    val js = (rows ++ mvRows).map { case (l, g, s0) =>
       "\"" + l + "\":{" + f""""graft":$g%.3f,"stock":$s0%.3f,"ratio":${g / s0}%.3f}"""
     }.mkString("{", ",", "}")
     spark.stop()

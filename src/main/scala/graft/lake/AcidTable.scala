@@ -1957,37 +1957,33 @@ final class AcidTable private (
     * incremental-query surface.
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
-    // Partitions whose file set is IDENTICAL in both manifests cannot
-    // contribute a diff (COW: any row change rewrites its partition's
-    // files), so only the differing partitions' files are scanned and
-    // anti-joined — at 100 TB the diff cost is proportional to what
-    // changed between the versions, not to table size.
+    // FILE-granular diff pruning (round 11; previously partition-granular):
+    // a data file present in BOTH manifests with IDENTICAL applicable
+    // deletion-vector entries contributes the same multiset of visible
+    // rows to both sides, and multiset difference cancels shared rows —
+    // (U + A) exceptAll (U + B) == A exceptAll B — so such files are
+    // dropped from BOTH scans with an exactly-equal result. Files are
+    // immutable and uniquely named, so name identity IS content identity.
+    // A small upsert rewrites only its keys' CELLS; the diff then reads
+    // those cells' old+new files — at 100 TB the diff cost tracks the
+    // commits' touched cells, never partition row counts.
     val fromLines = if (fromVersion < 0) Nil else manifestLines(fromVersion)
     val toLines = if (toVersion < 0) Nil else manifestLines(toVersion)
     val fromFiles = dataLinesOf(fromLines)
     val toFiles = dataLinesOf(toLines)
     val fromDvs = dvsOf(fromLines)
     val toDvs = dvsOf(toLines)
-    def byPartition(fs: Seq[String]): Map[String, Set[String]] =
-      fs.groupBy(_.takeWhile(_ != '/')).map { case (k, v) => k -> v.toSet }
-    // a MOR delete changes a partition's visible rows WITHOUT changing its
-    // file set — a partition whose deletion-vector entries differ between
-    // the versions diffs like one whose files do
-    def dvByPartition(dvs: Seq[DvEntry]): Map[String, Set[DvEntry]] =
-      dvs.groupBy(e => partDir(e.part)).map { case (k, v) => k -> v.toSet }
-    val fromP = byPartition(fromFiles)
-    val toP = byPartition(toFiles)
-    val fromD = dvByPartition(fromDvs)
-    val toD = dvByPartition(toDvs)
-    val changed = (fromP.keySet ++ toP.keySet ++ fromD.keySet ++ toD.keySet)
-      .filter(p => fromP.getOrElse(p, Set.empty) != toP.getOrElse(p, Set.empty) ||
-        fromD.getOrElse(p, Set.empty) != toD.getOrElse(p, Set.empty))
+    // a MOR delete changes a file's VISIBLE rows without changing its
+    // name — a shared file whose applicable DV entries differ between the
+    // versions must stay in the diff scan on both sides
+    def applicableDvs(f: String, dvs: Seq[DvEntry]): Set[DvEntry] =
+      dvs.filter(e => fileInCell(f, FileCell(e.part, e.bucket))).toSet
+    val stable: Set[String] = (fromFiles.toSet intersect toFiles.toSet)
+      .filter(f => applicableDvs(f, fromDvs) == applicableDvs(f, toDvs))
     val from = applyDvs(snapshotFromFiles(
-      fromFiles.filter(f => changed.contains(f.takeWhile(_ != '/'))),
-      sizesOf(fromLines)), fromDvs)
+      fromFiles.filterNot(stable), sizesOf(fromLines)), fromDvs)
     val to = applyDvs(snapshotFromFiles(
-      toFiles.filter(f => changed.contains(f.takeWhile(_ != '/'))),
-      sizesOf(toLines)), toDvs)
+      toFiles.filterNot(stable), sizesOf(toLines)), toDvs)
     to.exceptAll(from).withColumn("_change_type", lit("insert"))
       .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
   }
