@@ -2060,7 +2060,8 @@ final class AcidTable private (
       resultOf = snapT => snapT,
       sortCols = clusterBy.map(clusterSortExpr(clusterBy)),
       forceCoarse = clusterBy.nonEmpty,
-      opName = if (clusterBy.nonEmpty) "CLUSTER" else "COMPACT")
+      opName = if (clusterBy.nonEmpty) "CLUSTER" else "COMPACT",
+      rebucket = clusterBy.isEmpty)
     if (clusterBy.nonEmpty && v >= 0) recordClusterStats(v, clusterBy)
     v
   }
@@ -2676,6 +2677,13 @@ final class AcidTable private (
       forceCoarse: Boolean = false,
       // audit label the publish stamps into the manifest (#op= header)
       opName: String = "WRITE",
+      // plain compaction sets this: the rewrite covers its partitions
+      // COMPLETELY, so the output takes the per-bucket file-group layout
+      // even where the INPUT was bucketless — the one operation that can
+      // fold a coarse (bulk-loaded / dense-commit) partition back into
+      // keyed cells. Without it, expandForLegacy would mark the legacy
+      // partition coarse and the coarseness would be permanent.
+      rebucket: Boolean = false,
       // CAS mode: commit only at pinBase+1; any version race throws
       // CommitConflictException instead of re-merging (see casUpsertOp)
       pinBase: Option[Long] = None): Long = {
@@ -2734,7 +2742,9 @@ final class AcidTable private (
         rawCells.map(c => if (denseParts(c.part)) FileCell(c.part, -1) else c).distinct, files)
       var touched = touched0
       val coarseParts =
-        if (forceCoarse) touched.map(_.part).toSet else denseParts ++ legacyParts
+        if (forceCoarse) touched.map(_.part).toSet
+        else if (rebucket) Set.empty[String]
+        else denseParts ++ legacyParts
       val touchedFiles = files.filter(f => touched.exists(c => fileInCell(f, c)))
       val inB = if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue
       // write-time statistics input: when the driver fast path ran, the

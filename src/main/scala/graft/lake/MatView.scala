@@ -200,22 +200,48 @@ final class MatView private (
       val srcV = source.latestVersion()
       val fromV = appliedVersionUpTo(stateBase)
       if (srcV <= fromV) return fromV
+      // materialize the diff ONCE (delta-sized, spills if large): the fold
+      // consumes it several times (emptiness, touched keys, the fold
+      // itself) — uncached, each consumer would re-run the whole diff scan
       val delta = source.changesBetween(fromV, srcV)
-      if (delta.isEmpty) return fromV // net-zero range: nothing to fold
-      val newRows =
-        if (incrementalOk) incrementalRows(delta)
-        else recomputeRows(delta, srcV)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        state.casUpsertOp(conformed(newRows), s"MVREFRESH:$srcV", stateBase)
-        return srcV
-      } catch {
-        case _: CommitConflictException =>
-          attempts += 1
-          if (attempts > MatView.MaxCasRetries) throw new CommitConflictException(
-            s"matview refresh lost ${MatView.MaxCasRetries} CAS races at $viewPath")
-      }
+        if (delta.isEmpty) return fromV // net-zero range: nothing to fold
+        val newRows =
+          if (incrementalOk) incrementalRows(delta)
+          else recomputeRows(delta, srcV)
+        try {
+          commitFold(newRows, s"MVREFRESH:$srcV", stateBase)
+          return srcV
+        } catch {
+          case _: CommitConflictException =>
+            attempts += 1
+            if (attempts > MatView.MaxCasRetries) throw new CommitConflictException(
+              s"matview refresh lost ${MatView.MaxCasRetries} CAS races at $viewPath")
+        }
+      } finally { delta.unpersist(); () }
     }
     -1L // unreachable
+  }
+
+  /** CAS-commit one computed fold. The fold result is #touched-groups-
+    * sized; at or under [[MatView.MaxLookupKeys]] rows it ships as a LOCAL
+    * relation so the state commit takes the driver fast path — the fold
+    * plan evaluates exactly once and the commit itself launches zero
+    * Spark jobs. Larger folds commit the distributed plan (cached, so the
+    * commit machinery's evaluations stay cheap).
+    */
+  private def commitFold(newRows: DataFrame, op: String, stateBase: Long): Unit = {
+    val cached = conformed(newRows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = cached.limit(MatView.MaxLookupKeys + 1).collect()
+      val toCommit =
+        if (head.length <= MatView.MaxLookupKeys)
+          spark.createDataFrame(java.util.Arrays.asList(head: _*), stateSchema)
+        else cached
+      state.casUpsertOp(toCommit, op, stateBase)
+    } finally { cached.unpersist(); () }
   }
 
   /** Maintain the view LIVE off the source's change-feed stream: every
@@ -259,18 +285,21 @@ final class MatView private (
         val stateBase = state.latestVersion()
         val applied = appliedVersionUpTo(stateBase)
         val fresh = batch.filter(col("_commit_version") > applied)
-        if (fresh.isEmpty) return
-        val maxV = fresh.agg(max(col("_commit_version"))).head().getLong(0)
-        val delta = fresh.drop("_commit_version")
-        val newRows =
-          if (incrementalOk) incrementalRows(delta)
-          else recomputeRows(delta, maxV)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          state.casUpsertOp(conformed(newRows), s"MVREFRESH:$maxV", stateBase)
-          return
-        } catch {
-          case _: CommitConflictException => attempts += 1 // re-read and re-fold
-        }
+          if (fresh.isEmpty) return
+          val maxV = fresh.agg(max(col("_commit_version"))).head().getLong(0)
+          val delta = fresh.drop("_commit_version")
+          val newRows =
+            if (incrementalOk) incrementalRows(delta)
+            else recomputeRows(delta, maxV)
+          try {
+            commitFold(newRows, s"MVREFRESH:$maxV", stateBase)
+            return
+          } catch {
+            case _: CommitConflictException => attempts += 1 // re-read and re-fold
+          }
+        } finally { fresh.unpersist(); () }
       }
       throw new CommitConflictException(
         s"matview change-batch fold lost ${MatView.MaxCasRetries} CAS races at $viewPath")
@@ -294,18 +323,27 @@ final class MatView private (
           sum(when(col(c).isNotNull, sgn).otherwise(lit(0))).as(s"${n}__n"))
       case a => throw new IllegalStateException(s"non-incremental aggregate: $a")
     } :+ sum(sgn).as("__mv_cnt")
-    val d = withKeyPart(delta.groupBy(groupCols.map(col): _*)
+    val dPlan = withKeyPart(delta.groupBy(groupCols.map(col): _*)
       .agg(dExprs.head, dExprs.tail: _*))
+    // materialize the per-group delta ONCE — it is #touched-groups-sized.
+    // Under the key cap it becomes a LOCAL relation, so every downstream
+    // consumer (key list, state join, the commit machinery's own
+    // evaluations) re-evaluates a local plan instead of re-running the
+    // aggregation over the diff.
+    val head = dPlan.limit(MatView.MaxLookupKeys + 1).collect()
+    val small = head.length <= MatView.MaxLookupKeys
+    val d =
+      if (small) spark.createDataFrame(java.util.Arrays.asList(head: _*), dPlan.schema)
+      else dPlan
 
     val stateCols = stateSchema.fieldNames.toSeq
       .filterNot(c => c == "__mv_key" || c == "__mv_part" || groupCols.contains(c))
     // touched groups' current state: ship the keys for a bucket-pruned
     // point lookup when few; above the cap, semi-join the view by key
     // (the view is #groups-sized — still never the source table)
-    val keyRows = d.select("__mv_key").limit(MatView.MaxLookupKeys + 1).collect()
     val old0 =
-      if (keyRows.length <= MatView.MaxLookupKeys)
-        state.lookup(keyRows.map(_.getString(0)).toSeq)
+      if (small)
+        state.lookup(head.map(_.getAs[String]("__mv_key")).toSeq.distinct)
       else state.snapshot().join(d.select("__mv_key"), Seq("__mv_key"), "left_semi")
     val old = old0.select(col("__mv_key") +:
       stateCols.map(c => col(c).as(s"__o_$c")): _*)

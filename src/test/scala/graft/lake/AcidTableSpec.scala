@@ -142,7 +142,9 @@ class AcidTableSpec extends AnyFunSuite {
       t2.upsert(session.createDataset(Seq(Record("RB", "P1", "b1"))).toDF())
     }
     t.upsert(df(Record("RA", "P0", "a1"))) // touches only P0 — disjoint
-    assert(AcidTable.conflictRemergeCount == 1)
+    // round 11: the disjoint re-link usually happens as a PRE-PUBLISH
+    // fast-forward (no failed publish); either mechanism, never a redo
+    assert(AcidTable.conflictRemergeCount + AcidTable.fastForwardCount == 1)
     assert(AcidTable.conflictRedoCount == 0)
     val byPk = t.snapshot().as[Record].collect().map(r => r.primaryKeyValue -> r.dataValue).toMap
     assert(byPk == Map("RA" -> "a1", "RB" -> "b1"))
@@ -176,8 +178,8 @@ class AcidTableSpec extends AnyFunSuite {
       t2.upsert(session.createDataset(Seq(Record(kB, "P0", "b1"))).toDF())
     }
     t.upsert(df(Record(kA, "P0", "a1"))) // same partition, different bucket
-    assert(AcidTable.conflictRemergeCount == 1,
-      s"disjoint-key same-partition conflict must re-merge, got redo=${AcidTable.conflictRedoCount}")
+    assert(AcidTable.conflictRemergeCount + AcidTable.fastForwardCount == 1,
+      s"disjoint-key same-partition conflict must re-link, got redo=${AcidTable.conflictRedoCount}")
     assert(AcidTable.conflictRedoCount == 0)
     val byPk = t.snapshot().as[Record].collect().map(r => r.primaryKeyValue -> r.dataValue).toMap
     assert(byPk == Map(kA -> "a1", kB -> "b1"))
