@@ -434,6 +434,21 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
       Seq(String.valueOf(v))
   }
 
+  /** Equality/IN conjuncts on bloom-maintained NON-key columns: each one
+    * prunes the file list through the per-file bloom sidecars (the PK
+    * case routes through the stronger bucket+bloom lookup path instead).
+    * Every conjunct is re-applied as a row filter below, so this is pure
+    * file skipping — a bloom false positive costs a scan, never a row. */
+  private def pushedBloomEquals: Seq[(String, Seq[Any])] = {
+    val cols = acid.bloomColumnsRead
+    if (cols.isEmpty) Nil
+    else pushed.toSeq.collect {
+      case sources.EqualTo(a, v)
+          if v != null && a != acid.pkCol && cols.contains(a) => a -> Seq(v)
+      case sources.In(a, vs) if a != acid.pkCol && cols.contains(a) => a -> vs.toSeq
+    }
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (e.g. count(*)) still needs one column to scan
     required = if (requiredSchema.fields.isEmpty) StructType(acid.schema.take(1))
@@ -464,7 +479,8 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
       val v = version.getOrElse(acid.latestVersion())
       val files = pushedPkKeys match {
         case Some(ks) => acid.lookupFiles(ks, pushedPartHint, v)
-        case None => acid.rangePrunedFiles(AcidScanBuilder.rangeBounds(pushed, acid.schema), v)
+        case None => acid.prunedFiles(
+          AcidScanBuilder.rangeBounds(pushed, acid.schema), pushedBloomEquals, v)
       }
       val bytes = acid.filesBytes(files, v)
       new org.apache.spark.sql.connector.read.Statistics {
@@ -498,14 +514,16 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
           val base = pushedPkKeys match {
             case Some(ks) => acid.lookup(ks, pushedPartHint, version.getOrElse(-1L))
             case None =>
-              // clustered-range route (round 10): integral range conjuncts
-              // among the pushed filters prune the file list through the
-              // per-file cluster statistics a clustered compact() recorded
-              // — files without stats are always kept, and every filter is
-              // re-applied below, so this is pure file skipping, never a
-              // semantic change
+              // metadata-pruned route: range conjuncts skip through the
+              // per-file cluster/write-time stats (round 10), equality
+              // conjuncts on bloom-maintained columns skip through the
+              // bloom sidecars (round 11) — files without stats/filters
+              // are always kept, and every filter is re-applied below, so
+              // both are pure file skipping, never a semantic change
               val bounds = AcidScanBuilder.rangeBounds(pushed, acid.schema)
-              if (bounds.nonEmpty) acid.snapshotRange(bounds, version.getOrElse(-1L))
+              val eqs = pushedBloomEquals
+              if (bounds.nonEmpty || eqs.nonEmpty)
+                acid.snapshotPruned(bounds, eqs, version.getOrElse(-1L))
               else acid.snapshot(version.getOrElse(-1L))
           }
           val filtered = pushed.flatMap(AcidScanBuilder.toColumn)

@@ -359,16 +359,21 @@ final class AcidTable private (
       case Some(ps) => all.filter(f => ps.exists(p => f.startsWith(partDir(p) + "/")))
       case None => all
     }
-    if (!hashSafeInternal(schema(pkCol).dataType) || !keyCastSupported) byPart
-    else {
-      // the same internal-row hash the writers bucket by — driver and data
-      // can never disagree on a key's cell
-      val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToCatalystConverter(schema(pkCol).dataType)
-      val buckets: Set[Int] =
-        typedKeys(keys).map(k => driverBucketOf(toInternal(k))).toSet
-      byPart.filter(f => fileBucketOf(f).forall(buckets.contains))
-    }
+    val byCell =
+      if (!hashSafeInternal(schema(pkCol).dataType) || !keyCastSupported) byPart
+      else {
+        // the same internal-row hash the writers bucket by — driver and data
+        // can never disagree on a key's cell
+        val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(schema(pkCol).dataType)
+        val buckets: Set[Int] =
+          typedKeys(keys).map(k => driverBucketOf(toInternal(k))).toSet
+        byPart.filter(f => fileBucketOf(f).forall(buckets.contains))
+      }
+    // tail of the chain: per-file bloom filters (when the bloomColumns
+    // property covers the PK) drop the candidates that cannot hold any
+    // probe key — the cross-partition skip bucket hashing cannot provide
+    bloomPruneFiles(byCell, keys)
   }
 
   /** A string key rendered in the PK column's external type (the
@@ -1434,6 +1439,13 @@ final class AcidTable private (
     // stats (the old behavior) or fail every later commit.
     if (key == "statsColumns") value.foreach(
       _.split(',').map(_.trim).filter(_.nonEmpty).foreach(validateStatsColumn))
+    // bloomColumns / bloomExpectedItems get the same set-time loudness
+    if (key == "bloomColumns") value.foreach(
+      _.split(',').map(_.trim).filter(_.nonEmpty).foreach(validateBloomColumn))
+    if (key == "bloomExpectedItems") value.foreach { v =>
+      require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
+        s"bloomExpectedItems must be a positive integer, got '$v'")
+    }
     AcidTable.writeTableProperty(path, key, value)
   }
 
@@ -2230,6 +2242,286 @@ final class AcidTable private (
           s"for column $column of type ${schema(column).dataType.sql}"))
   }
 
+  // ------------------------------------------------ per-file bloom filters --
+  //
+  // The Hudi bloom-index analog (the reference stack's engine keys its
+  // upsert tagging on exactly this structure): an opt-in `bloomColumns`
+  // table property makes every commit stamp a Bloom filter of each listed
+  // column's values onto its new files, as an immutable sidecar per data
+  // file (`_blooms/<rel>.bloom`). Point lookups then prune candidate
+  // files the filter EXCLUDES — the pruning min/max ranges cannot do on
+  // an unclustered table, where every file's PK range spans the keyspace.
+  // At 100 TB the shape is: partition/bucket pruning first (manifest
+  // strings, zero I/O), then one ~12 KB sidecar read per surviving file
+  // (driver-cached; on an object store, the same per-file-GET cost Hudi
+  // pays reading footer blooms), typically ending at the 1-2 files that
+  // actually hold the key instead of one file per partition.
+  //
+  // Soundness: membership tests can false-positive (file kept, row filter
+  // discards) but never false-negative — strings hash their full UTF-8
+  // bytes on both the write and probe side; every other supported type
+  // hashes its order-preserving stats encoding (exact, not truncated).
+  // Fast-path commits stamp one COMMIT-wide filter on each new file
+  // (superset of any single file's keys — wider, never wrong) with zero
+  // Spark jobs; distributed commits run ONE job over just the new files.
+  // A file without a sidecar is never pruned, so a crash after publish,
+  // a pre-property file, or a clone all degrade to "no skip", not error.
+
+  private def bloomRoot: Path = Paths.get(path, AcidTable.BloomDir)
+  private def bloomPath(rel: String): Path = bloomRoot.resolve(rel + ".bloom")
+
+  /** Columns per-file bloom filters are maintained for (the `bloomColumns`
+    * table property). Misconfiguration FAILS LOUDLY, same standard as
+    * `statsColumns`. Empty (default) = blooms off. */
+  private[graft] def bloomColumnsProp: Seq[String] = {
+    val cols = scala.util.Try(tableProperty("bloomColumns")).toOption.flatten
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    cols.foreach(validateBloomColumn)
+    cols
+  }
+
+  private def validateBloomColumn(c: String): Unit = {
+    require(schema.fieldNames.contains(c),
+      s"bloomColumns: column '$c' does not exist in table schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    require(AcidTable.statsSupported(schema(c).dataType),
+      s"bloomColumns: column '$c' has type ${schema(c).dataType.sql}, which " +
+        "per-file bloom filters do not support (supported: TINYINT/SMALLINT/" +
+        "INT/BIGINT, DATE, TIMESTAMP, DECIMAL(p<=18), STRING)")
+  }
+
+  /** Sizing hint for each file's filter (`bloomExpectedItems` property,
+    * default 10 000 → ~12 KB at the 1 % target FPP). An overfull filter
+    * degrades its false-positive rate, never its no-false-negative
+    * guarantee. */
+  private def bloomExpectedItemsProp: Int =
+    tableProperty("bloomExpectedItems").map(_.toInt).getOrElse(10000)
+
+  /** Atomic write of one data file's bloom sidecar: magic, column count,
+    * then (name, length, spark-sketch serialized filter) per column. */
+  private def writeBloomSidecar(rel: String, entries: Seq[(String, Array[Byte])]): Unit = {
+    if (entries.isEmpty) return
+    val target = bloomPath(rel)
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(s"${target.getFileName}.tmp-${UUID.randomUUID()}")
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(Files.newOutputStream(tmp)))
+    try {
+      out.writeInt(AcidTable.BloomMagic)
+      out.writeInt(entries.size)
+      entries.foreach { case (c, bytes) =>
+        out.writeUTF(c); out.writeInt(bytes.length); out.write(bytes)
+      }
+    } finally out.close()
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Parsed bloom filters of one data file's sidecar (empty when absent or
+    * unreadable — unprunable, never an error). Cached process-wide:
+    * sidecars are immutable once written. */
+  private[graft] def readBlooms(rel: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomPath(rel)
+    AcidTable.bloomCache.get(p.toString).getOrElse {
+      if (!Files.exists(p)) Map.empty // not cached: the sidecar lands AFTER publish
+      else {
+        val parsed = scala.util.Try {
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(Files.newInputStream(p)))
+          try {
+            require(in.readInt() == AcidTable.BloomMagic, s"bad bloom magic in $p")
+            (0 until in.readInt()).map { _ =>
+              val c = in.readUTF()
+              val bytes = new Array[Byte](in.readInt())
+              in.readFully(bytes)
+              c -> org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(bytes))
+            }.toMap
+          } finally in.close()
+        }.getOrElse(Map.empty[String, org.apache.spark.util.sketch.BloomFilter])
+        AcidTable.bloomCache.put(p.toString, parsed)
+        parsed
+      }
+    }
+  }
+
+  /** Zero-job bloom stamping for driver fast-path commits: one COMMIT-wide
+    * filter per column from the in-hand rows, written to every new file's
+    * sidecar (serialized once). A column whose value fails to encode for
+    * any row records no filter — conservative, like the stats ranges. */
+  private def recordBloomsLocal(
+      files: Seq[String],
+      cols: Seq[String],
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): Unit = {
+    val expected = math.max(bloomExpectedItemsProp.toLong, rows.size.toLong)
+    val serialized = cols.flatMap { c =>
+      val idx = schema.fieldIndex(c)
+      val dt = schema(idx).dataType
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(expected, AcidTable.BloomFpp)
+      var complete = true
+      rows.foreach { r =>
+        if (!r.isNullAt(idx)) dt match {
+          case StringType => bf.putBinary(r.getUTF8String(idx).getBytes); ()
+          case _ => AcidTable.statsEncodeInternal(dt, r, idx) match {
+            case Some(l) => bf.putLong(l); ()
+            case None => complete = false
+          }
+        }
+      }
+      if (!complete) None
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Some(c -> bos.toByteArray)
+      }
+    }
+    if (serialized.nonEmpty) files.foreach(f => writeBloomSidecar(f, serialized))
+  }
+
+  /** ONE distributed pass over a commit's new files building per-file
+    * filters: tasks emit per-partition partial filters (identical sizing,
+    * so they merge), the driver merges by file and writes sidecars. Cost
+    * ∝ what the commit wrote, never table size. */
+  private def recordBloomsForFiles(files: Seq[String], cols: Seq[String]): Unit = {
+    if (files.isEmpty || cols.isEmpty) return
+    val byBasename = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    val dts: Seq[DataType] = cols.map(c => schema(c).dataType)
+    val expected = bloomExpectedItemsProp
+    val src = spark.read.schema(dataFileSchema)
+      .parquet(files.map(f => dataRoot.resolve(f).toString): _*)
+      .select(input_file_name().as("__file") +: cols.map(col): _*)
+    val partials = src.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.LinkedHashMap[
+        (String, Int), org.apache.spark.util.sketch.BloomFilter]()
+      val bad = scala.collection.mutable.Set[(String, Int)]()
+      it.foreach { r =>
+        val file = r.getString(0)
+        var i = 0
+        while (i < dts.length) {
+          if (!r.isNullAt(i + 1)) {
+            val key = (file, i)
+            val bf = acc.getOrElseUpdate(key, org.apache.spark.util.sketch.BloomFilter
+              .create(expected.toLong, AcidTable.BloomFpp))
+            dts(i) match {
+              case StringType =>
+                bf.putBinary(r.getString(i + 1)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)); ()
+              case dt => AcidTable.statsEncode(dt, r.get(i + 1)) match {
+                case Some(l) => bf.putLong(l); ()
+                case None => bad += key; ()
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      acc.iterator.map { case (key @ (f, i), bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, i, bos.toByteArray, !bad.contains(key))
+      }
+    }.collect()
+    val merged = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.Map[Int, org.apache.spark.util.sketch.BloomFilter]]()
+    val badCols = scala.collection.mutable.Set[(String, Int)]()
+    partials.foreach { case (uri, i, bytes, ok) =>
+      val base = uri.substring(uri.lastIndexOf('/') + 1)
+      byBasename.get(base).foreach { rel =>
+        if (!ok) { badCols += ((rel, i)); () }
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        val m = merged.getOrElseUpdate(rel, scala.collection.mutable.Map.empty)
+        m.get(i) match {
+          case Some(prev) => prev.mergeInPlace(bf); ()
+          case None => m(i) = bf
+        }
+      }
+    }
+    merged.foreach { case (rel, m) =>
+      val entries = m.toSeq.sortBy(_._1).collect {
+        case (i, bf) if !badCols((rel, i)) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          cols(i) -> bos.toByteArray
+      }
+      writeBloomSidecar(rel, entries)
+    }
+  }
+
+  /** READ-side view of `bloomColumns`: a property invalidated after the
+    * fact (e.g. its column later dropped) must degrade scans to
+    * "no pruning", not break every read — commits stay loud. */
+  private[lake] def bloomColumnsRead: Seq[String] =
+    scala.util.Try(bloomColumnsProp).getOrElse(Nil)
+
+  /** Drop candidate files whose bloom filter for `column` EXCLUDES every
+    * probe value — sound file skipping for an equality/IN predicate.
+    * Conservative exits: column not bloom-maintained, a probe value that
+    * does not encode (pruning on the rest could drop its rows), files
+    * without a filter (pre-property, post-crash). NULL probes drop out
+    * first: SQL equality never matches NULL. */
+  private[graft] def bloomPrunedFilesFor(
+      candidates: Seq[String], column: String, values: Seq[Any]): Seq[String] = {
+    if (candidates.isEmpty || !bloomColumnsRead.contains(column)) return candidates
+    val dt = schema(column).dataType
+    val nonNull = values.filter(_ != null)
+    val probes: Seq[Either[Array[Byte], Long]] = dt match {
+      case StringType => nonNull.collect {
+        case s: String => Left(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      case _ => nonNull.flatMap(v => AcidTable.statsEncode(dt, v)).map(Right(_))
+    }
+    if (probes.size != nonNull.size) return candidates // some value unencodable
+    candidates.filter { f =>
+      readBlooms(f).get(column) match {
+        case None => true
+        case Some(bf) => probes.exists {
+          case Left(b) => bf.mightContainBinary(b)
+          case Right(l) => bf.mightContainLong(l)
+        }
+      }
+    }
+  }
+
+  /** [[bloomPrunedFilesFor]] on the PK for string-rendered lookup keys —
+    * the sidecar-backed tail of [[lookupFiles]]' pruning chain. */
+  private def bloomPruneFiles(candidates: Seq[String], keys: Seq[String]): Seq[String] = {
+    if (candidates.isEmpty || !keyCastSupported) return candidates
+    val typed: Seq[Any] =
+      if (schema(pkCol).dataType == StringType) keys else typedKeys(keys)
+    bloomPrunedFilesFor(candidates, pkCol, typed)
+  }
+
+  /** The file subset of `version` that can satisfy BOTH the per-column
+    * closed ranges (cluster/write-time stats) AND the per-column
+    * equality probe sets (bloom sidecars) — the composed metadata-pruning
+    * face the DSv2 scan routes pushed predicates through. */
+  private[graft] def prunedFiles(
+      bounds: Map[String, (Long, Long)],
+      equals: Seq[(String, Seq[Any])],
+      version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else latestVersion()
+    if (v < 0) return Nil
+    equals.foldLeft(rangePrunedFiles(bounds, v)) {
+      case (fs, (c, vs)) => bloomPrunedFilesFor(fs, c, vs)
+    }
+  }
+
+  /** Snapshot restricted by [[prunedFiles]] — pure file skipping: the
+    * caller still applies its row predicate, exactly like
+    * [[snapshotRange]] (which this generalizes). */
+  def snapshotPruned(
+      bounds: Map[String, (Long, Long)],
+      equals: Seq[(String, Seq[Any])],
+      version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else latestVersion()
+    if (v < 0) return snapshotFromFiles(Nil)
+    val lines = manifestLines(v)
+    applyDvs(
+      snapshotFromFiles(prunedFiles(bounds, equals, v), sizesOf(lines)), dvsOf(lines))
+  }
+
   /** [[snapshotRange]] with bounds given as column-typed values (e.g.
     * `java.sql.Timestamp`, `java.math.BigDecimal`, `String`) instead of
     * pre-encoded longs. */
@@ -2255,9 +2547,9 @@ final class AcidTable private (
   private def recordWriteStats(
       files: Seq[String],
       localRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]]): Unit = {
+    if (files.isEmpty) return
     val cols = statsColumnsProp
-    if (cols.isEmpty || files.isEmpty) return
-    localRows match {
+    if (cols.nonEmpty) localRows match {
       case Some(rows) =>
         val ranges = cols.flatMap { c =>
           val idx = schema.fieldIndex(c)
@@ -2278,6 +2570,13 @@ final class AcidTable private (
         }.toMap
         if (ranges.nonEmpty) mergeFileStats(files.map(_ -> ranges).toMap)
       case None => recordStatsForFiles(files, cols)
+    }
+    // per-file bloom filters ride the same hook: advisory sidecars, new
+    // files only, zero jobs on the fast path / one job distributed
+    val bloomCols = bloomColumnsProp
+    if (bloomCols.nonEmpty) localRows match {
+      case Some(rows) => recordBloomsLocal(files, bloomCols, rows)
+      case None => recordBloomsForFiles(files, bloomCols)
     }
   }
 
@@ -2336,6 +2635,18 @@ final class AcidTable private (
         if (f.getName.endsWith(".parquet") && !live.contains(rel)
             && f.lastModified() < cutoff) {
           if (f.delete()) removed += 1
+          Files.deleteIfExists(bloomPath(rel)) // sidecar dies with its file
+          ()
+        }
+      }
+    }
+    // orphaned bloom sidecars (crash between data-file delete and sidecar
+    // delete, or files removed by other means): same age guard as data
+    Option(bloomRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { pdir =>
+      Option(pdir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.endsWith(".bloom") && f.lastModified() < cutoff) {
+          val dataRel = s"${pdir.getName}/${f.getName.stripSuffix(".bloom")}"
+          if (!Files.exists(dataRoot.resolve(dataRel))) { f.delete(); () }
         }
       }
     }
@@ -2449,6 +2760,18 @@ final class AcidTable private (
       try Files.createLink(dst, src)
       catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
         Files.copy(src, dst); ()
+      }
+      // the file's bloom sidecar travels the same way (clone loses only
+      // pruning, never correctness, if this is skipped — but a clone of a
+      // bloomColumns table should keep its point-lookup profile)
+      val srcBloom = bloomPath(f)
+      if (Files.exists(srcBloom)) {
+        val dstBloom = Paths.get(destPath, AcidTable.BloomDir).resolve(f + ".bloom")
+        Files.createDirectories(dstBloom.getParent)
+        try Files.createLink(dstBloom, srcBloom)
+        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(srcBloom, dstBloom); ()
+        }
       }
     }
     if (Files.exists(clusterStatsPath))
@@ -3923,6 +4246,30 @@ object AcidTable {
   private val MetaFile = "_meta.properties"
   private val LatestHint = "_latest.hint"
   private[lake] val ClusterStatsFile = "_cluster.properties"
+  private[lake] val BloomDir = "_blooms"
+  private[lake] val BloomMagic = 0x424c4d31 // "BLM1"
+  private[lake] val BloomFpp = 0.01
+
+  /** Parsed bloom sidecars, keyed by absolute sidecar path. SOUND to cache
+    * forever: a sidecar is written once next to an immutable, uniquely
+    * named data file and never modified — it can only orphan (vacuum), at
+    * which point no manifest references its data file. LRU-bounded by
+    * entry count (each parsed sidecar is ~12 KB of bit array per column).
+    */
+  private object bloomCache {
+    private val MaxEntries = 4096
+    private val map = new java.util.LinkedHashMap[
+        String, Map[String, org.apache.spark.util.sketch.BloomFilter]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          String, Map[String, org.apache.spark.util.sketch.BloomFilter]]): Boolean =
+        size() > MaxEntries
+    }
+    def get(key: String): Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      synchronized(Option(map.get(key)))
+    def put(key: String,
+        v: Map[String, org.apache.spark.util.sketch.BloomFilter]): Unit =
+      synchronized { map.put(key, v); () }
+  }
 
   /** Per-table-path lock serializing stats-sidecar read-modify-writes
     * within this JVM (see [[AcidTable.mergeFileStats]]). */

@@ -99,6 +99,94 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 bloom-pruned point lookup: per-file key filters ---------------------
+    // The Hudi bloom-index analog: `bloomColumns=pk` makes every commit
+    // stamp a per-file bloom sidecar, and `lookup` prunes candidates the
+    // filter EXCLUDES. The table is built to make that pruning
+    // load-bearing: numBuckets=1 (bucket hashing keeps one file in EVERY
+    // partition) and one commit per partition (disjoint per-file key
+    // sets), so only blooms can isolate a key's file. BloomSkipSpec pins
+    // the skip counts; this gate pins the VALUES through the pruned scan
+    // — updates refresh sidecars, a deleted key ("7") and an absent key
+    // ("100000") stay misses.
+    Q(
+      "q_acid_bloom_lookup",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part",
+          stablePartitions = true, numBuckets = 1)
+        t.setTableProperty("bloomColumns", Some("pk"))
+        val base = Tables.customer(s, dir)
+          .filter(col("c_custkey") < 1200)
+          .select(
+            col("c_custkey").cast("string").as("pk"),
+            concat(lit("p"), (col("c_nationkey") % 6).cast("string")).as("part"),
+            col("c_acctbal").as("val"))
+        (0 until 6).foreach(p => t.upsert(base.filter(col("part") === s"p$p")))
+        t.upsert(base.filter(col("pk").cast("long") % 3 === 0)
+          .withColumn("val", col("val") + 100))
+        t.delete(Seq("7"))
+        t.lookup(Seq("3", "7", "56", "120", "333", "999", "1111", "100000"))
+          .orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS pk,
+                 'p' || CAST(c_nationkey % 6 AS VARCHAR) AS part,
+                 c_acctbal AS val
+          FROM customer WHERE c_custkey < 1200)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN val + 100 ELSE val END AS val
+        FROM base
+        WHERE pk IN ('3', '56', '120', '333', '999', '1111')
+        ORDER BY pk
+      """)),
+
+    // ---- C5 bloom-pruned NON-key equality through the SQL catalog ---------------
+    // The DSv2 scan's round-11 equality route: a pushed `tag = lit` on a
+    // bloomColumns column prunes the FILE LIST through the per-file bloom
+    // sidecars before any Spark plan exists (then re-applies the filter to
+    // the kept rows). The layout makes the pruning real: partition derives
+    // from the tag and each tag loads as its own commit, so every live
+    // file's bloom holds exactly one tag value and the equality keeps 1 of
+    // 5 files (BloomSkipSpec pins the counts; this gate pins the VALUES
+    // the pruned route returns, against DuckDB replaying the same slice).
+    Q(
+      "q_sql_acid_bloom_filter",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.lake.GraftCatalog].getName)
+        s.conf.set("spark.sql.graft.warehouse", scratch())
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.acid")
+        s.sql("""CREATE TABLE graft.acid.bloomt (pk STRING, part STRING, tag STRING, val DOUBLE)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk', 'numBuckets' = '1',
+                |               'bloomColumns' = 'tag')""".stripMargin)
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") < 2000)
+          .select(
+            col("o_orderkey").cast("string").as("pk"),
+            concat(lit("p"), substring(col("o_orderpriority"), 1, 1)).as("part"),
+            col("o_orderpriority").as("tag"),
+            col("o_totalprice").cast("double").as("val"))
+          .createOrReplaceTempView("bloom_base")
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW").foreach { pr =>
+          s.sql(s"INSERT INTO graft.acid.bloomt SELECT * FROM bloom_base WHERE tag = '$pr'")
+        }
+        s.sql("""SELECT pk, tag, val FROM graft.acid.bloomt
+                |WHERE tag = '3-MEDIUM' ORDER BY pk""".stripMargin)
+      },
+      Some("""
+        SELECT CAST(o_orderkey AS VARCHAR) AS pk,
+               o_orderpriority AS tag,
+               CAST(o_totalprice AS DOUBLE) AS val
+        FROM orders
+        WHERE o_orderkey < 2000 AND o_orderpriority = '3-MEDIUM'
+        ORDER BY pk
+      """)),
+
     // ---- C5 CDC diff between committed versions ---------------------------------
     Q(
       "q_acid_cdc_diff",
