@@ -243,9 +243,14 @@ object BaselineBench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // optional label-prefix filter for measuring one new pair without
+    // re-running the whole table (mirrors Bench's SPARK_GRAFT_BENCH_ONLY)
+    val abOnly = sys.env.get("SPARK_GRAFT_AB_ONLY").map(_.split(',').toSeq)
+    def abSelected(l: String): Boolean = abOnly.forall(_.exists(l.startsWith))
+
     println("| pair | graft sec | stock sec | ratio graft/stock |")
     println("|---|---|---|---|")
-    val rows = pairs.map { case (label, graft, stock) =>
+    val rows = pairs.filter(p => abSelected(p._1)).map { case (label, graft, stock) =>
       val g = median(graft)
       val s0 = median(stock)
       println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
@@ -309,9 +314,63 @@ object BaselineBench {
       println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
       (label, g, s0)
     }
-    val mvRows = Seq(mvPair("matview_refresh_1x", 1), mvPair("matview_refresh_64x", 64))
+    val mvRows = Seq("matview_refresh_1x" -> 1, "matview_refresh_64x" -> 64)
+      .filter(p => abSelected(p._1)).map(p => mvPair(p._1, p._2))
 
-    val js = (rows ++ mvRows).map { case (l, g, s0) =>
+    // bloom point-lookup pair (round-11b): the metadata-pruned keyed read
+    // vs the stock partitioned-parquet scan+filter a user without the
+    // lake runs over the SAME rows and comparable file count. The graft
+    // side's file list prunes partition → bucket → bloom to ~1 file from
+    // manifest strings + ~12 KB sidecars BEFORE any Spark plan exists;
+    // the stock side plans all files and relies on parquet footer stats
+    // at execution. At 100 TB the stock side's planning alone is a
+    // full-listing cost; here the pair pins that even at sf0.1 the
+    // pruned read is not paying for its metadata.
+    def bloomPair(label: String): (String, Double, Double) = {
+      import graft.lake.AcidTable
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("pk", StringType), StructField("part", StringType),
+        StructField("price", DoubleType)))
+      val t = AcidTable.create(spark,
+        Files.createTempDirectory("ab-bloom-").resolve("t").toString,
+        schema, "pk", "part", stablePartitions = true, numBuckets = 4)
+      t.setTableProperty("bloomColumns", Some("pk"))
+      val base = pq("orders").select(
+        col("o_orderkey").cast("string").as("pk"),
+        concat_ws("", lit("p"), (col("o_custkey") % 24).cast("string")).as("part"),
+        col("o_totalprice").cast("double").as("price"))
+      t.upsert(base)
+      t.compact(0) // re-bucket the bulk load; the rewrite stamps blooms too
+      val stockDir = Files.createTempDirectory("ab-bloom-stock-").resolve("p").toString
+      base.write.partitionBy("part").parquet(stockDir)
+      val key = "32" // a TPC-H orderkey present at every SF
+      val gts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val sts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until reps).foreach { _ =>
+        spark.catalog.clearCache()
+        gts += time {
+          t.lookup(Seq(key)).write.format("noop").mode("overwrite").save()
+        }
+        sts += time {
+          spark.read.parquet(stockDir).filter(col("pk") === key)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val filesKept = t.lookupFiles(Seq(key)).size
+      val filesLive = t.snapshot().inputFiles.length
+      val filesStock = spark.read.parquet(stockDir).inputFiles.length
+      println(s"  ($label files: graft scans $filesKept of $filesLive live; " +
+        s"stock plans all $filesStock)")
+      val g = gts.sorted.apply(gts.size / 2)
+      val s0 = sts.sorted.apply(sts.size / 2)
+      println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
+      (label, g, s0)
+    }
+    val bloomRows =
+      if (abSelected("bloom_point_lookup")) Seq(bloomPair("bloom_point_lookup")) else Nil
+
+    val js = (rows ++ mvRows ++ bloomRows).map { case (l, g, s0) =>
       "\"" + l + "\":{" + f""""graft":$g%.3f,"stock":$s0%.3f,"ratio":${g / s0}%.3f}"""
     }.mkString("{", ",", "}")
     spark.stop()

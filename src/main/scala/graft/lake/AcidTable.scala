@@ -2346,37 +2346,107 @@ final class AcidTable private (
     }
   }
 
-  /** Zero-job bloom stamping for driver fast-path commits: one COMMIT-wide
-    * filter per column from the in-hand rows, written to every new file's
-    * sidecar (serialized once). A column whose value fails to encode for
-    * any row records no filter — conservative, like the stats ranges. */
+  /** Zero-job bloom stamping for driver fast-path commits. When every new
+    * file names a (partition, bucket) cell and the PK is hash-safe, each
+    * row routes to ITS file's filter by the same partition value + bucket
+    * hash the writer used — exact per-file filters even for multi-file
+    * commits (a whole-table compact under the fast-path byte gate would
+    * otherwise stamp one commit-wide filter on 100+ files, sound but
+    * pruning nothing). Coarse/bucketless layouts fall back to the
+    * commit-wide filter (superset of any file's keys — wider, never
+    * wrong). A column whose value fails to encode for any row records no
+    * filter — conservative, like the stats ranges. */
   private def recordBloomsLocal(
       files: Seq[String],
       cols: Seq[String],
       rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): Unit = {
     val expected = math.max(bloomExpectedItemsProp.toLong, rows.size.toLong)
-    val serialized = cols.flatMap { c =>
-      val idx = schema.fieldIndex(c)
-      val dt = schema(idx).dataType
-      val bf = org.apache.spark.util.sketch.BloomFilter.create(expected, AcidTable.BloomFpp)
-      var complete = true
-      rows.foreach { r =>
-        if (!r.isNullAt(idx)) dt match {
-          case StringType => bf.putBinary(r.getUTF8String(idx).getBytes); ()
-          case _ => AcidTable.statsEncodeInternal(dt, r, idx) match {
-            case Some(l) => bf.putLong(l); ()
-            case None => complete = false
+    def newFilter() =
+      org.apache.spark.util.sketch.BloomFilter.create(expected, AcidTable.BloomFpp)
+
+    // cell routing: rel "part=<esc>/bNNN-…" → (partition value, bucket)
+    val cellOf: Option[String => (String, Int)] = {
+      val cells = files.map { f =>
+        val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol="))
+        f -> (pv, fileBucketOf(f))
+      }
+      if (hashSafeInternal(schema(pkCol).dataType) && cells.forall(_._2._2.isDefined))
+        Some(cells.map { case (f, (pv, b)) => f -> ((pv, b.get)) }.toMap.apply)
+      else None
+    }
+    val partIdx = schema.fieldIndex(partitionCol)
+    val pkIdx = schema.fieldIndex(pkCol)
+    val pkDt = schema(pkIdx).dataType
+
+    // one filter per (file, col) under cell routing; per col commit-wide else
+    val perFile: Map[String, scala.collection.mutable.Map[String,
+        org.apache.spark.util.sketch.BloomFilter]] =
+      files.map(_ -> scala.collection.mutable.Map.empty[String,
+        org.apache.spark.util.sketch.BloomFilter]).toMap
+    val commitWide = scala.collection.mutable.Map.empty[String,
+      org.apache.spark.util.sketch.BloomFilter]
+    val incomplete = scala.collection.mutable.Set.empty[String]
+    val fileOfCell: Map[(String, Int), Seq[String]] = cellOf match {
+      case Some(co) => files.groupBy(co)
+      case None => Map.empty
+    }
+    val colIdx = cols.map(c => c -> schema.fieldIndex(c))
+    rows.foreach { r =>
+      val targets: Seq[scala.collection.mutable.Map[String,
+          org.apache.spark.util.sketch.BloomFilter]] =
+        if (cellOf.isEmpty) Seq(commitWide)
+        else if (r.isNullAt(partIdx) || r.isNullAt(pkIdx)) Seq(commitWide) // never routed
+        else {
+          val cell = (r.getUTF8String(partIdx).toString,
+            driverBucketOf(r.get(pkIdx, pkDt)))
+          fileOfCell.get(cell) match {
+            case Some(fs) => fs.map(perFile)
+            case None => Seq(commitWide) // row outside any new file's cell
+          }
+        }
+      colIdx.foreach { case (c, idx) =>
+        if (!r.isNullAt(idx)) {
+          val dt = schema(idx).dataType
+          targets.foreach { m =>
+            val bf = m.getOrElseUpdate(c, newFilter())
+            dt match {
+              case StringType => bf.putBinary(r.getUTF8String(idx).getBytes); ()
+              case _ => AcidTable.statsEncodeInternal(dt, r, idx) match {
+                case Some(l) => bf.putLong(l); ()
+                case None => incomplete += c; ()
+              }
+            }
           }
         }
       }
-      if (!complete) None
-      else {
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        Some(c -> bos.toByteArray)
+    }
+    def serialize(m: scala.collection.Map[String,
+        org.apache.spark.util.sketch.BloomFilter]): Seq[(String, Array[Byte])] =
+      cols.flatMap { c =>
+        m.get(c).filterNot(_ => incomplete(c)).map { bf =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          c -> bos.toByteArray
+        }
+      }
+    if (cellOf.isEmpty) {
+      val entries = serialize(commitWide)
+      if (entries.nonEmpty) files.foreach(f => writeBloomSidecar(f, entries))
+    } else {
+      // any commit-wide leakage (NULL cells, unrouted rows) merges into
+      // every file's filter so no key is ever missing from a sidecar
+      files.foreach { f =>
+        val m = perFile(f)
+        commitWide.foreach { case (c, wide) =>
+          m.get(c) match {
+            case Some(bf) => bf.mergeInPlace(wide); ()
+            case None => m(c) = wide
+          }
+        }
+        writeBloomSidecar(f, serialize(m))
       }
     }
-    if (serialized.nonEmpty) files.foreach(f => writeBloomSidecar(f, serialized))
   }
 
   /** ONE distributed pass over a commit's new files building per-file

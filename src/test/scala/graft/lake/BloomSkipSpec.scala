@@ -92,6 +92,18 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(pruned.size == 1 && pruned.head.startsWith("part=P1/"), pruned.toString)
   }
 
+  test("a multi-file fast-path commit stamps per-cell filters, not commit-wide") {
+    val t = newTable(tmp())
+    // ONE commit spanning 6 partitions (well under the driver fast-path
+    // byte gate): rows must route to THEIR file's filter by cell, or every
+    // file's bloom would hold all 60 keys and nothing would ever skip —
+    // the whole-table-compact shape that motivated per-cell routing
+    t.upsert(batch((0 until 60).map(i => (s"k$i", s"P${i % 6}", i.toDouble)): _*))
+    assert(t.snapshot().inputFiles.length == 6)
+    val pruned = t.lookupFiles(Seq("k7")) // lives in P1 only
+    assert(pruned.size == 1 && pruned.head.startsWith("part=P1/"), pruned.toString)
+  }
+
   test("string PKs sharing an 8-byte prefix stay distinct (full-byte hashing)") {
     val t = newTable(tmp())
     t.upsert(batch(("prefix__AAA", "P0", 1.0)))
