@@ -2225,7 +2225,7 @@ final class AcidTable private (
     require(AcidTable.statsSupported(schema(c).dataType),
       s"statsColumns: column '$c' has type ${schema(c).dataType.sql}, which " +
         "write-time statistics do not support (supported: TINYINT/SMALLINT/" +
-        "INT/BIGINT, DATE, TIMESTAMP, DECIMAL(p<=18), STRING)")
+        "INT/BIGINT, FLOAT, DOUBLE, DATE, TIMESTAMP, DECIMAL(p<=18), STRING)")
   }
 
   /** Encode a query-side bound value for `column` into the sidecar's
@@ -2287,7 +2287,7 @@ final class AcidTable private (
     require(AcidTable.statsSupported(schema(c).dataType),
       s"bloomColumns: column '$c' has type ${schema(c).dataType.sql}, which " +
         "per-file bloom filters do not support (supported: TINYINT/SMALLINT/" +
-        "INT/BIGINT, DATE, TIMESTAMP, DECIMAL(p<=18), STRING)")
+        "INT/BIGINT, FLOAT, DOUBLE, DATE, TIMESTAMP, DECIMAL(p<=18), STRING)")
   }
 
   /** Sizing hint for each file's filter (`bloomExpectedItems` property,
@@ -4153,8 +4153,24 @@ object AcidTable {
   private[graft] def statsSupported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType => true
     case DateType | TimestampType | StringType => true
+    case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
     case d: DecimalType => d.precision <= 18
     case _ => false
+  }
+
+  /** IEEE-754 total-order encoding into SIGNED long order: non-negative
+    * doubles keep their raw bits (already ascending, ≥ 0); negatives flip
+    * every bit but the sign (stay negative, magnitude order reversed) —
+    * signed long order then equals `java.lang.Double.compare` order
+    * (-Inf < … < 0.0 < … < +Inf < NaN). -0.0 is normalized to 0.0 FIRST
+    * on both the write and the probe side: SQL comparison treats them
+    * equal, so the two must share one encoding or a [0.0, x] range
+    * could prune a file whose max is -0.0. Floats promote to double
+    * (exact, order-preserving). */
+  private[graft] def statsDoubleEncode(d: Double): Long = {
+    val v = if (d == 0.0d) 0.0d else d // collapses -0.0
+    val raw = java.lang.Double.doubleToLongBits(v) // canonical NaN
+    if (raw >= 0) raw else raw ^ Long.MaxValue
   }
 
   /** UTF-8 prefix (first 8 bytes, big-endian, zero-padded) with the sign
@@ -4190,6 +4206,10 @@ object AcidTable {
         b.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
           .unscaledValue().longValueExact()).toOption
     case (d: DecimalType, b: BigDecimal) => statsEncode(d, b.bigDecimal)
+    case (org.apache.spark.sql.types.DoubleType, n: java.lang.Number) =>
+      Some(statsDoubleEncode(n.doubleValue()))
+    case (org.apache.spark.sql.types.FloatType, n: java.lang.Number) =>
+      Some(statsDoubleEncode(n.floatValue().toDouble))
     case (StringType, s: String) =>
       Some(statsUtf8Prefix(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     case _ => None
@@ -4210,6 +4230,9 @@ object AcidTable {
     case d: DecimalType if d.precision <= 18 =>
       scala.util.Try(r.getDecimal(idx, d.precision, d.scale).toUnscaledLong).toOption
     case StringType => Some(statsUtf8Prefix(r.getUTF8String(idx).getBytes))
+    case org.apache.spark.sql.types.DoubleType => Some(statsDoubleEncode(r.getDouble(idx)))
+    case org.apache.spark.sql.types.FloatType =>
+      Some(statsDoubleEncode(r.getFloat(idx).toDouble))
     case _ => None
   }
 

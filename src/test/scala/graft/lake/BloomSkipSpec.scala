@@ -147,8 +147,12 @@ class BloomSkipSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       t.setTableProperty("bloomColumns", Some("no_such_column"))
     }
+    val binSchema = StructType(Seq(
+      StructField("pk", StringType), StructField("part", StringType),
+      StructField("blob", BinaryType)))
+    val tb = AcidTable.create(spark, tmp().resolve("tb").toString, binSchema, "pk", "part")
     intercept[IllegalArgumentException] {
-      t.setTableProperty("bloomColumns", Some("val")) // DOUBLE: unsupported
+      tb.setTableProperty("bloomColumns", Some("blob")) // BINARY: unsupported
     }
     intercept[IllegalArgumentException] {
       t.setTableProperty("bloomExpectedItems", Some("0"))

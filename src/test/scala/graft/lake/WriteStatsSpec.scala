@@ -293,7 +293,7 @@ class WriteStatsSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("does not exist"))
     val s2 = StructType(Seq(
       StructField("pk", StringType), StructField("part", StringType),
-      StructField("v", DoubleType)))
+      StructField("v", BinaryType))) // genuinely unsupported (doubles are in since 11b)
     val t2 = AcidTable.create(
       spark, Files.createTempDirectory("write-stats-bad-").resolve("t").toString,
       s2, "pk", "part")
@@ -305,6 +305,42 @@ class WriteStatsSpec extends AnyFunSuite {
       t.statsBound("x", "not-a-long-column-value-type")
     }
     assert(e3.getMessage.contains("cannot encode"))
+  }
+
+  test("double encoding is total-order monotone incl. -0.0/NaN, and doubles prune") {
+    // encoding order == java.lang.Double.compare order (the SQL sort order)
+    val rnd = new scala.util.Random(11)
+    val ds = Seq.fill(300)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(8))) ++
+      Seq(Double.NegativeInfinity, -1e300, -1.0, -Double.MinPositiveValue,
+        -0.0, 0.0, Double.MinPositiveValue, 1.0, 1e300,
+        Double.PositiveInfinity, Double.NaN)
+    ds.sortWith(java.lang.Double.compare(_, _) < 0).sliding(2).foreach {
+      case Seq(a, b) =>
+        val (ea, eb) = (AcidTable.statsDoubleEncode(a), AcidTable.statsDoubleEncode(b))
+        assert(ea <= eb, s"inverted: $a -> $ea vs $b -> $eb")
+      case _ =>
+    }
+    // -0.0 and 0.0 share one encoding (SQL comparison treats them equal)
+    assert(AcidTable.statsDoubleEncode(-0.0) == AcidTable.statsDoubleEncode(0.0))
+    // end-to-end: a DOUBLE stats column skips files on fresh commits
+    val s2 = StructType(Seq(
+      StructField("pk", StringType), StructField("part", StringType),
+      StructField("m", DoubleType)))
+    val t = AcidTable.create(
+      spark, Files.createTempDirectory("write-stats-dbl-").resolve("t").toString,
+      s2, "pk", "part", stablePartitions = true)
+    t.setTableProperty("statsColumns", Some("m"))
+    def b(rows: (String, String, Double)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*), s2)
+    t.upsert(b((1 to 20).map(i => (s"a$i", "P0", i * 0.5)): _*))
+    t.upsert(b((1 to 20).map(i => (s"b$i", "P1", 1000.0 + i * 0.5)): _*))
+    val all = t.rangePrunedFiles(Map.empty)
+    val low = t.rangePrunedFiles(Map("m" ->
+      (t.statsBound("m", 0.0), t.statsBound("m", 100.0))))
+    assert(low.size < all.size && low.nonEmpty, s"${low.size} of ${all.size}")
+    val got = t.snapshotRangeValues(Map("m" -> (0.0, 100.0)))
+      .filter(col("m") <= 100.0).count()
+    assert(got == 20)
   }
 
   test("string-prefix encoding is order-preserving (monotone) on random strings") {
