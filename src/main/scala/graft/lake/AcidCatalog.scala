@@ -434,6 +434,39 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
       Seq(String.valueOf(v))
   }
 
+  /** Hidden-partitioning transposition (round 11b): pushed conjuncts on
+    * the partition transform's SOURCE column turn into a partition list —
+    * equality/IN through the transform itself, a closed time range
+    * through period enumeration — so `WHERE ts BETWEEN …` prunes to the
+    * touched periods' directories with the user never naming a
+    * partition. An EXPLICIT partition conjunct wins (it is exact);
+    * untransposable shapes decline to None (full list, never wrong). */
+  private def transformPartHint: Option[Seq[String]] = {
+    if (pushedPartHint.isDefined) return None
+    val src = scala.util.Try(acid.partitionTransform).toOption.flatten
+      .map(_.sourceCol).getOrElse(return None)
+    val eq = pushed.collectFirst {
+      case sources.EqualTo(a, v) if a == src && v != null =>
+        acid.transformPartitionsForEquals(a, Seq(v))
+      case sources.In(a, vs) if a == src =>
+        acid.transformPartitionsForEquals(a, vs.toSeq)
+    }.flatten
+    eq.orElse {
+      val lo = pushed.collectFirst {
+        case sources.GreaterThan(a, v) if a == src && v != null => v
+        case sources.GreaterThanOrEqual(a, v) if a == src && v != null => v
+      }
+      val hi = pushed.collectFirst {
+        case sources.LessThan(a, v) if a == src && v != null => v
+        case sources.LessThanOrEqual(a, v) if a == src && v != null => v
+      }
+      (lo, hi) match {
+        case (Some(l), Some(h)) => acid.transformPartitionsForRange(src, l, h)
+        case _ => None
+      }
+    }
+  }
+
   /** Equality/IN conjuncts on bloom-maintained NON-key columns: each one
     * prunes the file list through the per-file bloom sidecars (the PK
     * case routes through the stronger bucket+bloom lookup path instead).
@@ -480,7 +513,8 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
       val files = pushedPkKeys match {
         case Some(ks) => acid.lookupFiles(ks, pushedPartHint, v)
         case None => acid.prunedFiles(
-          AcidScanBuilder.rangeBounds(pushed, acid.schema), pushedBloomEquals, v)
+          AcidScanBuilder.rangeBounds(pushed, acid.schema), pushedBloomEquals, v,
+          transformPartHint)
       }
       val bytes = acid.filesBytes(files, v)
       new org.apache.spark.sql.connector.read.Statistics {
@@ -522,8 +556,9 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
               // both are pure file skipping, never a semantic change
               val bounds = AcidScanBuilder.rangeBounds(pushed, acid.schema)
               val eqs = pushedBloomEquals
-              if (bounds.nonEmpty || eqs.nonEmpty)
-                acid.snapshotPruned(bounds, eqs, version.getOrElse(-1L))
+              val parts = transformPartHint
+              if (bounds.nonEmpty || eqs.nonEmpty || parts.isDefined)
+                acid.snapshotPruned(bounds, eqs, version.getOrElse(-1L), parts)
               else acid.snapshot(version.getOrElse(-1L))
           }
           val filtered = pushed.flatMap(AcidScanBuilder.toColumn)

@@ -1446,7 +1446,31 @@ final class AcidTable private (
       require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
         s"bloomExpectedItems must be a positive integer, got '$v'")
     }
+    // hidden partitioning: the transform IS the data placement — validate
+    // loudly, refuse changes once set (and sets after data exists), and
+    // auto-add the CHECK constraint that makes read-side transposition
+    // sound against explicitly-provided partition values
+    if (key == "partitionTransform") {
+      val cur = tableProperty("partitionTransform")
+      value match {
+        case Some(v) =>
+          val t = PartitionTransform.parse(v)
+          t.validate(schema, partitionCol)
+          require(cur.isEmpty || cur.contains(v),
+            s"partitionTransform is immutable once set (was '${cur.get}'): existing " +
+              "data was placed by it")
+          require(cur.contains(v) || latestVersion() < 0,
+            "partitionTransform must be set before the table's first commit")
+        case None => require(cur.isEmpty,
+          "partitionTransform cannot be unset: existing data was placed by it")
+      }
+    }
     AcidTable.writeTableProperty(path, key, value)
+    if (key == "partitionTransform") value.foreach { v =>
+      val t = PartitionTransform.parse(v)
+      if (!liveConstraints().exists(_._1 == "partition_transform"))
+        addConstraint("partition_transform", s"$partitionCol <=> (${t.sql})")
+    }
   }
 
   /** Whether this table runs in MERGE-ON-READ delete mode (the
@@ -2563,17 +2587,27 @@ final class AcidTable private (
     bloomPrunedFilesFor(candidates, pkCol, typed)
   }
 
-  /** The file subset of `version` that can satisfy BOTH the per-column
-    * closed ranges (cluster/write-time stats) AND the per-column
-    * equality probe sets (bloom sidecars) — the composed metadata-pruning
-    * face the DSv2 scan routes pushed predicates through. */
+  /** The file subset of `version` that can satisfy the per-column closed
+    * ranges (cluster/write-time stats), the per-column equality probe
+    * sets (bloom sidecars), AND an optional partition list (directory
+    * prefixes — e.g. a hidden-partitioning transposition) — the composed
+    * metadata-pruning face the DSv2 scan routes pushed predicates
+    * through. */
   private[graft] def prunedFiles(
       bounds: Map[String, (Long, Long)],
       equals: Seq[(String, Seq[Any])],
-      version: Long = -1L): Seq[String] = {
+      version: Long = -1L,
+      partitions: Option[Seq[String]] = None): Seq[String] = {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return Nil
-    equals.foldLeft(rangePrunedFiles(bounds, v)) {
+    val base = rangePrunedFiles(bounds, v)
+    val byPart = partitions match {
+      case Some(ps) =>
+        val dirs = ps.map(p => partDir(p) + "/")
+        base.filter(f => dirs.exists(f.startsWith))
+      case None => base
+    }
+    equals.foldLeft(byPart) {
       case (fs, (c, vs)) => bloomPrunedFilesFor(fs, c, vs)
     }
   }
@@ -2584,12 +2618,91 @@ final class AcidTable private (
   def snapshotPruned(
       bounds: Map[String, (Long, Long)],
       equals: Seq[(String, Seq[Any])],
-      version: Long = -1L): DataFrame = {
+      version: Long = -1L,
+      partitions: Option[Seq[String]] = None): DataFrame = {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return snapshotFromFiles(Nil)
     val lines = manifestLines(v)
     applyDvs(
-      snapshotFromFiles(prunedFiles(bounds, equals, v), sizesOf(lines)), dvsOf(lines))
+      snapshotFromFiles(prunedFiles(bounds, equals, v, partitions), sizesOf(lines)),
+      dvsOf(lines))
+  }
+
+  // -------------------------------------- hidden-partition transposition --
+
+  /** Partition values an equality/IN predicate on the transform's SOURCE
+    * column can reach: each literal runs through the SAME transform
+    * Column over a driver-local one-row-per-value relation (constant
+    * folding — zero Spark jobs), so write side and probe side can never
+    * disagree. None = no transform on that column or a value the
+    * transform cannot evaluate (pruning declined, never wrong). */
+  private[graft] def transformPartitionsForEquals(
+      column: String, values: Seq[Any]): Option[Seq[String]] = {
+    val t = partitionTransform.filter(_.sourceCol == column).getOrElse(return None)
+    val nonNull = values.filter(_ != null)
+    if (nonNull.isEmpty) return Some(Nil) // `src = NULL` reaches no partition
+    scala.util.Try {
+      val dt = schema(column).dataType
+      val rows = nonNull.map(v => Row(v))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType(Seq(StructField(column, dt))))
+        .select(t.toColumn.as("p"))
+        .collect().map(_.getString(0)).filter(_ != null).distinct.toSeq
+    }.toOption
+  }
+
+  /** Partition values a CLOSED range on a time transform's source column
+    * can reach: the enumerated period starts between the bounds, each
+    * rendered through the same driver-local transform evaluation. Capped
+    * at 4096 periods (a wider range keeps the full scan — declined, never
+    * wrong); non-time transforms are not range-transposable. */
+  private[graft] def transformPartitionsForRange(
+      column: String, lo: Any, hi: Any): Option[Seq[String]] = {
+    val t = partitionTransform match {
+      case Some(tt: TimeTransform) if tt.sourceCol == column => tt
+      case _ => return None
+    }
+    def toInstant(v: Any): Option[java.time.Instant] = v match {
+      case ts: java.sql.Timestamp => Some(ts.toInstant)
+      case i: java.time.Instant => Some(i)
+      case d: java.sql.Date => Some(java.time.Instant.ofEpochMilli(d.getTime))
+      case d: java.time.LocalDate =>
+        Some(d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+      case _ => None
+    }
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    (toInstant(lo), toInstant(hi)) match {
+      case (Some(l), Some(h)) if !h.isBefore(l) =>
+        val unit = t.unit
+        var cur = java.time.ZonedDateTime.ofInstant(l, zone)
+        cur = unit match {
+          case "month" => cur.withDayOfMonth(1).truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+          case "day" => cur.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+          case "hour" => cur.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+        }
+        val end = java.time.ZonedDateTime.ofInstant(h, zone)
+        val starts = scala.collection.mutable.ArrayBuffer.empty[java.sql.Timestamp]
+        while (!cur.isAfter(end) && starts.size <= 4096) {
+          starts += java.sql.Timestamp.from(cur.toInstant)
+          cur = unit match {
+            case "month" => cur.plusMonths(1)
+            case "day" => cur.plusDays(1)
+            case "hour" => cur.plusHours(1)
+          }
+        }
+        if (starts.size > 4096) None // too wide: pruning buys nothing, decline
+        else {
+          // render the period starts through the transform itself; a DATE
+          // source column renders dates (month/day only — validated)
+          val probes: Seq[Any] = schema(column).dataType match {
+            case DateType => starts.toSeq.map(ts =>
+              java.sql.Date.valueOf(ts.toInstant.atZone(zone).toLocalDate))
+            case _ => starts.toSeq
+          }
+          transformPartitionsForEquals(column, probes)
+        }
+      case _ => None
+    }
   }
 
   /** [[snapshotRange]] with bounds given as column-typed values (e.g.
@@ -2865,12 +2978,28 @@ final class AcidTable private (
   // ------------------------------------------------------------ internals --
 
   private def normalize(df: DataFrame): DataFrame = {
-    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    // hidden partitioning: derive the partition value when the batch
+    // omits the column entirely OR leaves it NULL (SQL partial inserts) —
+    // provided non-NULL values pass through and the auto-CHECK constraint
+    // rejects any that disagree with the transform
+    val withPart = partitionTransform match {
+      case Some(t) if !df.columns.contains(partitionCol) =>
+        df.withColumn(partitionCol, t.toColumn)
+      case Some(t) =>
+        df.withColumn(partitionCol, coalesce(col(partitionCol), t.toColumn))
+      case None => df
+    }
+    val missing = schema.fieldNames.filterNot(withPart.columns.contains)
     require(missing.isEmpty,
       s"batch is missing table columns ${missing.mkString(", ")} " +
         s"(table schema: ${schema.toDDL})")
-    df.select(schema.fieldNames.map(col): _*)
+    withPart.select(schema.fieldNames.map(col): _*)
   }
+
+  /** Parsed hidden-partitioning transform (None = partition values are
+    * caller-provided data, the classic layout). See [[PartitionTransform]]. */
+  def partitionTransform: Option[PartitionTransform] =
+    tableProperty("partitionTransform").map(PartitionTransform.parse)
 
   /** Intra-batch dedup: greatest precombine value wins per PK (§1.1).
     * Precombine ties are broken by the remaining columns (descending, in

@@ -189,6 +189,50 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 hidden partitioning: transform-derived layout + transposed read -----
+    // Iceberg-style `partitionTransform = day(ts)`: the batch NEVER names a
+    // partition — the table derives `part` from the event time at write —
+    // and the read transposes a ts range into the touched days' partition
+    // list before any plan exists (transformPartitionsForRange; the DSv2
+    // route does the same for pushed predicates — HiddenPartitionSpec pins
+    // pruning counts and the wrong-explicit-value rejection). The oracle
+    // recomputes the derived partition with strftime and replays the
+    // range, so BOTH the derivation and the transposed read's values gate.
+    Q(
+      "q_acid_hidden_partition",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("ts", TimestampType), StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part",
+          stablePartitions = true, numBuckets = 2)
+        t.setTableProperty("partitionTransform", Some("day(ts)"))
+        val base = Tables.events(s, dir)
+          .filter(col("event_id") % 20 === 0)
+          .select(
+            col("event_id").cast("string").as("pk"),
+            col("ts"),
+            col("value").as("val")) // no partition column anywhere
+        t.upsert(base)
+        val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+        val hi = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+        t.snapshotPruned(Map.empty, Nil, -1L,
+            t.transformPartitionsForRange("ts", lo, hi))
+          .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+          .select(col("pk"), col("part"), col("val"))
+          .orderBy(col("pk"))
+      },
+      Some("""
+        SELECT CAST(event_id AS VARCHAR) AS pk,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS part,
+               "value" AS val
+        FROM events
+        WHERE event_id % 20 = 0
+          AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+        ORDER BY pk
+      """)),
+
     // ---- C5 CDC diff between committed versions ---------------------------------
     Q(
       "q_acid_cdc_diff",
