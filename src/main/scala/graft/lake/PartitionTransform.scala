@@ -28,6 +28,13 @@ import org.apache.spark.sql.types._
   * SESSION time zone: every writer and reader of a table must pin one
   * zone (this engine's sessions pin UTC). `bucket` uses Spark's `hash`
   * (Murmur3, fixed seed) — session-independent.
+  *
+  * Mutating a row's SOURCE value would move its partition — the same
+  * hazard as changing a provided partition value on a classic table.
+  * The auto-CHECK makes that loud instead of silent: an in-place UPDATE
+  * that changes the source column but keeps the old partition fails the
+  * constraint rather than stranding the row in a directory the
+  * transposed read would no longer visit.
   */
 sealed trait PartitionTransform {
   def sourceCol: String
