@@ -344,7 +344,12 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
   // (our timeline unit); grace stays at the API default so a VACUUM next
   // to live commits is as safe as the programmatic call.
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  // OPTIMIZE WHERE accepts Delta's restriction verbatim: partition-column
+  // equality or IN, nothing else — maintenance scope is a partition list,
+  // not a row predicate
+  private val OptWhereEq = """(?is)\s*(\w+)\s*=\s*'([^']*)'\s*""".r
+  private val OptWhereIn = """(?is)\s*(\w+)\s+IN\s*\(([^)]*)\)\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   // Materialized-view lifecycle (not in Spark's grammar — recognized
@@ -381,14 +386,35 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     case RenameColStmt(tn, o, n) =>
       register(tn.split('.').toSeq, table(tn).renameColumn(o, n))
       0L
-    case OptimizeStmt(tn, zorder) =>
+    case OptimizeStmt(tn, where, zorder) =>
       // plain OPTIMIZE folds only genuinely fragmented partitions (the
       // compact() threshold) — an idempotent no-op on a healthy layout,
       // never a full-table rewrite; ZORDER BY is the explicit layout op
-      // and rewrites every partition by design
-      table(tn).compact(
+      // and rewrites every partition by design; WHERE scopes either to a
+      // partition list (folded/rewritten unconditionally — asking is the
+      // signal), with Delta's restriction: partition column only
+      val t = table(tn)
+      val scope: Option[Seq[String]] = Option(where).map { w =>
+        val (c, vs) = w match {
+          case OptWhereEq(c0, v0) => (c0, Seq(v0))
+          case OptWhereIn(c0, list) =>
+            (c0, list.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { v =>
+              require(v.length >= 2 && v.head == '\'' && v.last == '\'',
+                s"OPTIMIZE WHERE IN expects quoted string values, got $v")
+              v.substring(1, v.length - 1)
+            })
+          case other => throw new IllegalArgumentException(
+            s"OPTIMIZE WHERE supports only <partitionCol> = 'v' or <partitionCol> IN " +
+              s"('a', 'b'), got: $other")
+        }
+        require(c == t.partitionCol,
+          s"OPTIMIZE WHERE must filter the partition column '${t.partitionCol}', got '$c'")
+        vs
+      }
+      t.compact(
         clusterBy = Option(zorder).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        partitions = scope)
     case VacuumStmt(tn, retain) =>
       table(tn).vacuum(keepVersions = Option(retain).map(_.toInt).getOrElse(2)).toLong
     case CreateMvStmt(vn, select) =>

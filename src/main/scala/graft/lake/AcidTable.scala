@@ -2048,7 +2048,17 @@ final class AcidTable private (
     * correctness — stats are true min/max) degrades for ranges wider
     * than 2^16.
     */
-  def compact(maxFilesPerPartition: Int = 4, clusterBy: Seq[String] = Nil): Long = {
+  /** Optional `partitions` scope (the Delta `OPTIMIZE … WHERE` analog):
+    * only the named partition values are rewritten — folded
+    * unconditionally (asking is the signal; the fragmentation threshold
+    * is for the unscoped sweep), or cluster-rewritten when `clusterBy`
+    * is set. At 100 TB maintenance runs partition-scoped by definition:
+    * the hot ingest partitions compact daily while the cold ones are
+    * never touched. */
+  def compact(
+      maxFilesPerPartition: Int = 4,
+      clusterBy: Seq[String] = Nil,
+      partitions: Option[Seq[String]] = None): Long = {
     clusterBy.foreach { c =>
       require(schema.fieldNames.contains(c), s"cluster column $c does not exist")
       require(c != partitionCol, "clustering on the partition column is redundant " +
@@ -2066,8 +2076,13 @@ final class AcidTable private (
     val v = commitLoop(
       touchedOf = (_, files) => {
         val byPartition = files.groupBy(f => f.takeWhile(_ != '/'))
+        val inScope: String => Boolean = partitions match {
+          case Some(ps) => ps.map(partDir).toSet.contains _
+          case None => _ => true
+        }
         val selected =
-          if (clusterBy.nonEmpty) byPartition.keys // layout op: every partition
+          if (clusterBy.nonEmpty) byPartition.keys.filter(inScope) // layout op
+          else if (partitions.isDefined) byPartition.keys.filter(inScope)
           else byPartition.filter(kv =>
             kv._2.size > maxFilesPerPartition || dvParts.contains(kv._1)).keys
         selected
@@ -2098,7 +2113,13 @@ final class AcidTable private (
       forceCoarse = clusterBy.nonEmpty,
       opName = if (clusterBy.nonEmpty) "CLUSTER" else "COMPACT",
       rebucket = clusterBy.isEmpty)
-    if (clusterBy.nonEmpty && v >= 0) recordClusterStats(v, clusterBy)
+    if (clusterBy.nonEmpty && v >= 0) partitions match {
+      case None => recordClusterStats(v, clusterBy)
+      case Some(ps) => // scoped rewrite records stats for ONLY its partitions
+        val dirs = ps.map(partDir).toSet
+        recordStatsForFiles(
+          readManifest(v).filter(f => dirs.contains(f.takeWhile(_ != '/'))), clusterBy)
+    }
     v
   }
 

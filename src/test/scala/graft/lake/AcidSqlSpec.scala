@@ -200,14 +200,32 @@ class AcidSqlSpec extends AnyFunSuite {
     assert(sess.table("db.m").snapshot().inputFiles.length <= filesBefore)
     assert(sess.query("SELECT count(*) AS n FROM db.m").head().getLong(0) == 64L)
 
+    // OPTIMIZE WHERE scopes to a partition list (Delta's restriction:
+    // partition column only, equality or IN) — wrong columns fail loudly
+    sess.execute("OPTIMIZE db.m WHERE part = 'p0'")
+    sess.execute("OPTIMIZE db.m WHERE part IN ('p0', 'p1')")
+    assert(sess.query("SELECT count(*) AS n FROM db.m").head().getLong(0) == 64L)
+    val badCol = intercept[IllegalArgumentException] {
+      sess.execute("OPTIMIZE db.m WHERE v = '3'")
+    }
+    assert(badCol.getMessage.contains("partition column"))
+    intercept[IllegalArgumentException] {
+      sess.execute("OPTIMIZE db.m WHERE part > 'p0'")
+    }
+
     // OPTIMIZE ZORDER BY records per-file cluster stats for range pruning
     sess.execute("OPTIMIZE db.m ZORDER BY (v)")
     assert(sess.table("db.m").readClusterStats().nonEmpty)
 
+    // scoped ZORDER rewrites and records stats for ONLY its partitions
+    sess.execute("OPTIMIZE db.m WHERE part = 'p1' ZORDER BY (v)")
+    assert(sess.query("SELECT count(*) AS n FROM db.m").head().getLong(0) == 64L)
+
     // DESCRIBE HISTORY renders the op-labelled timeline
     val ops = sess.query("DESCRIBE HISTORY db.m")
       .orderBy("version").collect().map(_.getString(1)).toSeq
-    assert(ops.count(_ == "COMPACT") == 1 && ops.count(_ == "CLUSTER") == 1, ops)
+    // 3 COMPACTs (plain + two scoped WHERE) and 2 CLUSTERs (plain + scoped)
+    assert(ops.count(_ == "COMPACT") == 3 && ops.count(_ == "CLUSTER") == 2, ops)
 
     // VACUUM RETAIN n VERSIONS trims data beyond retention (grace keeps
     // just-written files; retention math is pinned in the maintenance

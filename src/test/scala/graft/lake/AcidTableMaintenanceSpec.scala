@@ -45,6 +45,29 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 6) // content unchanged
   }
 
+  test("partition-scoped compact rewrites only the named partitions (OPTIMIZE WHERE)") {
+    val t = newTable()
+    (1 to 5).foreach(i => t.upsert(df(Record(s"A$i", "P0", s"v$i"))))
+    (1 to 5).foreach(i => t.upsert(df(Record(s"B$i", "P1", s"v$i"))))
+    def live(p: String) =
+      t.snapshot().inputFiles.filter(_.contains(s"partitionKeyValue=$p")).sorted.toSeq
+    val p0Before = live("P0")
+    val p1Before = live("P1")
+    // scope = P0 only, rewritten UNCONDITIONALLY (threshold is for the
+    // unscoped sweep — maxFiles=99 proves asking is the signal)
+    val v = t.compact(maxFilesPerPartition = 99, partitions = Some(Seq("P0")))
+    assert(v >= 0)
+    assert(live("P1") == p1Before, "out-of-scope partition must carry by reference")
+    assert(live("P0") != p0Before, "scoped partition must be rewritten")
+    assert(t.snapshot().count() == 10)
+    // the rewrite folded P0 to one file per non-empty bucket
+    assert(live("P0").size <= p0Before.size)
+    // scoping to an absent partition never rewrites anything
+    val before = t.snapshot().inputFiles.sorted.toSeq
+    t.compact(partitions = Some(Seq("NOPE")))
+    assert(t.snapshot().inputFiles.sorted.toSeq == before)
+  }
+
   test("size-targeted writes split an oversized partition into multiple files") {
     val t = newTable()
     // ~60-byte estimated rows; a 2 KiB target forces the per-file record
