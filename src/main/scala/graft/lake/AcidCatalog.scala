@@ -302,7 +302,52 @@ final class MatViewV2Table(val mv: MatView, ident: Identifier)
   */
 final class AcidV2Table(
     val acid: AcidTable, ident: Identifier, version: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  // ---- SupportsPartitionManagement: READ face only ------------------------
+  // Partitions in this engine are DERIVED from data placement (manifest
+  // directory strings) — `SHOW PARTITIONS graft.ns.t` lists them from one
+  // manifest read; structural partition DDL (ADD/DROP PARTITION) is
+  // meaningless here and fails loudly: rows, not partitions, are the unit
+  // of change.
+  override def partitionSchema(): StructType =
+    StructType(Seq(acid.schema(acid.partitionCol)))
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    require(names.forall(_ == acid.partitionCol),
+      s"unknown partition column(s) ${names.mkString(",")} — this table " +
+        s"partitions by '${acid.partitionCol}'")
+    val want: Option[String] =
+      if (names.isEmpty) None
+      else Option(ident0.getUTF8String(0)).map(_.toString)
+    acid.partitionValues(version.getOrElse(-1L))
+      .filter(p => want.forall(_ == p))
+      .map(p => org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(p)))
+      .toArray
+  }
+
+  override def createPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "partitions are derived from written rows; INSERT data instead of ADD PARTITION")
+
+  override def dropPartition(ident0: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "partitions are derived from written rows; DELETE their rows instead of DROP PARTITION")
+
+  override def replacePartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("partition metadata is not writable")
+
+  override def loadPartitionMetadata(ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] = new util.LinkedHashMap[String, String]()
 
   override def name(): String =
     ident.toString + version.map(v => s"@v$v").getOrElse("")

@@ -502,6 +502,8 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
 
   private val DescribeHistoryStmt =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  private val ShowPartitionsStmt =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*""".r
 
   /** Execute a read statement (SELECT text) over the session's tables —
     * completes the reference's text lifecycle: DDL, DML, and now the
@@ -509,6 +511,7 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     * `DESCRIBE HISTORY db.table`). */
   def query(sql: String): org.apache.spark.sql.DataFrame = sql match {
     case DescribeHistoryStmt(tn) => table(tn).history()
+    case ShowPartitionsStmt(tn) => table(tn).partitionsInventory()
     case _ =>
       // materialized views substitute FIRST (their names shadow nothing:
       // the table map is consulted for whatever relations remain)

@@ -1939,6 +1939,41 @@ final class AcidTable private (
     }
   }
 
+  /** Live partition values of a snapshot, from manifest strings alone —
+    * sorted, distinct, O(live files) string work, zero filesystem calls. */
+  private[graft] def partitionValues(version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else latestVersion()
+    if (v < 0) return Nil
+    readManifest(v)
+      .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol=")))
+      .distinct.sorted
+  }
+
+  /** The `SHOW PARTITIONS` surface: one row per live partition value with
+    * its live file count and manifest-recorded bytes — all from manifest
+    * strings and the `#sizes=` header, so the inventory of a 100 TB
+    * table costs one manifest read, never a listing or footer pass. */
+  def partitionsInventory(version: Long = -1L): DataFrame = {
+    val invSchema = StructType(Seq(
+      StructField(partitionCol, StringType),
+      StructField("num_files", org.apache.spark.sql.types.LongType),
+      StructField("bytes", org.apache.spark.sql.types.LongType)))
+    val v = if (version >= 0) version else latestVersion()
+    if (v < 0) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], invSchema)
+    val lines = manifestLines(v)
+    val sizes = sizesOf(lines)
+    val rows = dataLinesOf(lines)
+      .groupBy(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol=")))
+      .toSeq.sortBy(_._1)
+      .map { case (p, fs) =>
+        Row(p, fs.size.toLong, fs.map(f => sizes.getOrElse(f, 0L)).sum)
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), invSchema)
+  }
+
   /** Commit timeline (the `DESCRIBE HISTORY` / Hudi-timeline surface):
     * one row per RETAINED version — version, operation label (the `#op=`
     * audit header; "WRITE" for manifests predating it), publish

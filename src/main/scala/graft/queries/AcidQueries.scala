@@ -233,6 +233,40 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 SHOW PARTITIONS: live inventory from manifest strings ---------------
+    // The partition inventory of a snapshot costs one manifest read —
+    // no listing, no footer pass (partitionsInventory). The gate loads six
+    // partitions, empties one with a predicate DELETE, and pins that the
+    // emptied partition LEAVES the inventory (its cells rewrote to zero
+    // files); the oracle recomputes the surviving distinct values.
+    Q(
+      "q_sql_show_partitions",
+      (s, dir) => {
+        val sess = new graft.lake.AcidSqlSession(s, scratch())
+        sess.execute("CREATE SCHEMA IF NOT EXISTS acid")
+        sess.execute(
+          """CREATE TABLE acid.sp (pk STRING, part STRING, val DOUBLE)
+            |USING hudi PARTITIONED BY (part)
+            |TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+        Tables.customer(s, dir)
+          .filter(col("c_custkey") < 1500)
+          .select(
+            col("c_custkey").cast("string").as("pk"),
+            concat(lit("p"), (col("c_nationkey") % 6).cast("string")).as("part"),
+            col("c_acctbal").as("val"))
+          .createOrReplaceTempView("sp_base")
+        sess.execute("INSERT INTO acid.sp SELECT * FROM sp_base")
+        sess.execute("DELETE FROM acid.sp WHERE part = 'p3'")
+        sess.query("SHOW PARTITIONS acid.sp")
+          .select(col("part")).orderBy(col("part"))
+      },
+      Some("""
+        SELECT DISTINCT 'p' || CAST(c_nationkey % 6 AS VARCHAR) AS part
+        FROM customer
+        WHERE c_custkey < 1500 AND c_nationkey % 6 <> 3
+        ORDER BY part
+      """)),
+
     // ---- C5 CDC diff between committed versions ---------------------------------
     Q(
       "q_acid_cdc_diff",

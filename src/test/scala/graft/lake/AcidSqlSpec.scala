@@ -221,6 +221,12 @@ class AcidSqlSpec extends AnyFunSuite {
     sess.execute("OPTIMIZE db.m WHERE part = 'p1' ZORDER BY (v)")
     assert(sess.query("SELECT count(*) AS n FROM db.m").head().getLong(0) == 64L)
 
+    // SHOW PARTITIONS lists the live inventory from manifest strings
+    val parts = sess.query("SHOW PARTITIONS db.m")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts.map(_._1) == Seq("p0", "p1"), parts.toString)
+    assert(parts.forall(_._2 > 0))
+
     // DESCRIBE HISTORY renders the op-labelled timeline
     val ops = sess.query("DESCRIBE HISTORY db.m")
       .orderBy("version").collect().map(_.getString(1)).toSeq

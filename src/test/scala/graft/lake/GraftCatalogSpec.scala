@@ -327,4 +327,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Throwable] { spark.sql("UPDATE graft.db3.s SET a = 1.0, A = 2.0") }
     assert(spark.sql("SELECT a FROM graft.db3.s").collect().head.getDouble(0) == 5.0)
   }
+
+  test("SHOW PARTITIONS lists live partitions natively; partition DDL fails loudly") {
+    freshCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db4")
+    spark.sql("""CREATE TABLE graft.db4.p (pk STRING, part STRING, v DOUBLE)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    Seq(("a", "p0", 1.0), ("b", "p1", 2.0), ("c", "p2", 3.0), ("d", "p0", 4.0))
+      .toDF("pk", "part", "v").createOrReplaceTempView("sp_src")
+    spark.sql("INSERT INTO graft.db4.p SELECT * FROM sp_src")
+    val all = spark.sql("SHOW PARTITIONS graft.db4.p")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(all == Seq("part=p0", "part=p1", "part=p2"), all.toString)
+    // a deleted partition's rows leave the inventory
+    spark.sql("DELETE FROM graft.db4.p WHERE pk IN ('c')")
+    val after = spark.sql("SHOW PARTITIONS graft.db4.p")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(after == Seq("part=p0", "part=p1"), after.toString)
+    // structural partition DDL is meaningless on derived layout
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.db4.p ADD PARTITION (part = 'p9')")
+    }
+    spark.sql("DROP TABLE graft.db4.p")
+  }
 }
