@@ -140,6 +140,33 @@ class HiddenPartitionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.hp.ev")
   }
 
+  test("streaming ingest derives partitions: the canonical event-time use") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = Files.createTempDirectory("hp-src-").toString
+    val ckpt = Files.createTempDirectory("hp-ckpt-").toString
+    val t = newTable("day(ts)")
+    // two micro-batches, three days of events, NO partition column anywhere
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", ts("2024-05-01 01:00:00"), 1.0), Row("b", ts("2024-05-01 13:00:00"), 2.0)),
+      noPart).coalesce(1).write.mode("append").parquet(srcDir)
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row("c", ts("2024-05-02 08:00:00"), 3.0), Row("d", ts("2024-05-03 09:00:00"), 4.0)),
+      noPart).coalesce(1).write.mode("append").parquet(srcDir)
+    val q = spark.readStream.schema(noPart)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.format("graft-acid")
+      .option("path", t.path)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = t.snapshot().select("pk", "part").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("a" -> "2024-05-01", "b" -> "2024-05-01",
+      "c" -> "2024-05-02", "d" -> "2024-05-03"))
+    assert(t.partitionValues() == Seq("2024-05-01", "2024-05-02", "2024-05-03"))
+  }
+
   test("bucket, truncate, and identity transforms derive correctly") {
     val s2 = StructType(Seq(
       StructField("pk", StringType), StructField("part", StringType),
