@@ -512,6 +512,17 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
     }
   }
 
+  /** IS NULL / IS NOT NULL conjuncts: each prunes through the per-file
+    * `col#n` (nullCount, rowCount) stats the statsColumns property
+    * records — zero-null files skip an IS NULL, all-null files skip an
+    * IS NOT NULL. Spark pushes an implicit IsNotNull for most predicates,
+    * so this fires constantly and for free (the check reads the same
+    * cached sidecar the range route already loads). */
+  private def pushedNullChecks: Seq[(String, Boolean)] = pushed.toSeq.collect {
+    case sources.IsNull(a) => a -> true
+    case sources.IsNotNull(a) => a -> false
+  }
+
   /** Equality/IN conjuncts on bloom-maintained NON-key columns: each one
     * prunes the file list through the per-file bloom sidecars (the PK
     * case routes through the stronger bucket+bloom lookup path instead).
@@ -559,7 +570,7 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
         case Some(ks) => acid.lookupFiles(ks, pushedPartHint, v)
         case None => acid.prunedFiles(
           AcidScanBuilder.rangeBounds(pushed, acid.schema), pushedBloomEquals, v,
-          transformPartHint)
+          transformPartHint, pushedNullChecks)
       }
       val bytes = acid.filesBytes(files, v)
       new org.apache.spark.sql.connector.read.Statistics {
@@ -602,8 +613,9 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
               val bounds = AcidScanBuilder.rangeBounds(pushed, acid.schema)
               val eqs = pushedBloomEquals
               val parts = transformPartHint
-              if (bounds.nonEmpty || eqs.nonEmpty || parts.isDefined)
-                acid.snapshotPruned(bounds, eqs, version.getOrElse(-1L), parts)
+              val nulls = pushedNullChecks
+              if (bounds.nonEmpty || eqs.nonEmpty || parts.isDefined || nulls.nonEmpty)
+                acid.snapshotPruned(bounds, eqs, version.getOrElse(-1L), parts, nulls)
               else acid.snapshot(version.getOrElse(-1L))
           }
           val filtered = pushed.flatMap(AcidScanBuilder.toColumn)

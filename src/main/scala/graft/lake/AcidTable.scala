@@ -2248,7 +2248,8 @@ final class AcidTable private (
     // encode to the sidecar long domain driver-side — one place holds the
     // per-type encoding for both the distributed and the 0-job fast path.
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+      count(col(c)).as(s"__cnt_$c"))) :+ count(lit(1)).as("__rows")
     val stats = spark.read.schema(dataFileSchema)
       .parquet(files.map(f => dataRoot.resolve(f).toString): _*)
       .groupBy(input_file_name().as("__file"))
@@ -2258,11 +2259,14 @@ final class AcidTable private (
       val uri = r.getAs[String]("__file")
       val base = uri.substring(uri.lastIndexOf('/') + 1)
       byBasename.get(base).map { rel =>
+        val rows = r.getAs[Long]("__rows")
         rel -> cols.flatMap { c =>
           val dt = schema(c).dataType
           val lo = Option(r.getAs[Any](s"__min_$c")).flatMap(AcidTable.statsEncode(dt, _))
           val hi = Option(r.getAs[Any](s"__max_$c")).flatMap(AcidTable.statsEncode(dt, _))
-          for (l <- lo; h <- hi) yield c -> (l, h)
+          // `c#n` pseudo-entry: exact per-file (nullCount, rowCount)
+          val nulls = Seq(s"$c#n" -> (rows - r.getAs[Long](s"__cnt_$c"), rows))
+          (for (l <- lo; h <- hi) yield c -> (l, h)).toSeq ++ nulls
         }.toMap
       }
     }.toMap
@@ -2649,11 +2653,29 @@ final class AcidTable private (
     * prefixes — e.g. a hidden-partitioning transposition) — the composed
     * metadata-pruning face the DSv2 scan routes pushed predicates
     * through. */
+  /** Drop candidate files whose recorded `column#n` (nullCount, rowCount)
+    * proves they cannot match an IS NULL (`wantNull = true`: zero-null
+    * files skip) or IS NOT NULL (`wantNull = false`: all-null files skip)
+    * predicate — the Delta nullCount-stats analog. Files without the
+    * pseudo-entry are kept. */
+  private[graft] def nullPrunedFiles(
+      candidates: Seq[String], column: String, wantNull: Boolean): Seq[String] = {
+    if (candidates.isEmpty) return candidates
+    val stats = readClusterStats()
+    candidates.filter { f =>
+      stats.get(f).flatMap(_.get(s"$column#n")) match {
+        case Some((nulls, rows)) => if (wantNull) nulls > 0 else nulls < rows
+        case None => true
+      }
+    }
+  }
+
   private[graft] def prunedFiles(
       bounds: Map[String, (Long, Long)],
       equals: Seq[(String, Seq[Any])],
       version: Long = -1L,
-      partitions: Option[Seq[String]] = None): Seq[String] = {
+      partitions: Option[Seq[String]] = None,
+      nullChecks: Seq[(String, Boolean)] = Nil): Seq[String] = {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return Nil
     val base = rangePrunedFiles(bounds, v)
@@ -2663,7 +2685,10 @@ final class AcidTable private (
         base.filter(f => dirs.exists(f.startsWith))
       case None => base
     }
-    equals.foldLeft(byPart) {
+    val byNull = nullChecks.foldLeft(byPart) {
+      case (fs, (c, want)) => nullPrunedFiles(fs, c, want)
+    }
+    equals.foldLeft(byNull) {
       case (fs, (c, vs)) => bloomPrunedFilesFor(fs, c, vs)
     }
   }
@@ -2675,12 +2700,14 @@ final class AcidTable private (
       bounds: Map[String, (Long, Long)],
       equals: Seq[(String, Seq[Any])],
       version: Long = -1L,
-      partitions: Option[Seq[String]] = None): DataFrame = {
+      partitions: Option[Seq[String]] = None,
+      nullChecks: Seq[(String, Boolean)] = Nil): DataFrame = {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return snapshotFromFiles(Nil)
     val lines = manifestLines(v)
     applyDvs(
-      snapshotFromFiles(prunedFiles(bounds, equals, v, partitions), sizesOf(lines)),
+      snapshotFromFiles(
+        prunedFiles(bounds, equals, v, partitions, nullChecks), sizesOf(lines)),
       dvsOf(lines))
   }
 
@@ -2790,14 +2817,21 @@ final class AcidTable private (
     val cols = statsColumnsProp
     if (cols.nonEmpty) localRows match {
       case Some(rows) =>
+        // ranges for non-null values; `c#n` pseudo-entries carry the
+        // commit-wide (nullCount, rowCount) — stamped per file like the
+        // ranges (a zero-null commit has zero-null files; an all-null
+        // commit has all-null files — both prune soundly, the mixed case
+        // conservatively keeps)
         val ranges = cols.flatMap { c =>
           val idx = schema.fieldIndex(c)
           val dt = schema(idx).dataType
           var lo = Long.MaxValue
           var hi = Long.MinValue
           var seen = false
+          var nulls = 0L
           rows.foreach { r =>
-            if (!r.isNullAt(idx)) {
+            if (r.isNullAt(idx)) nulls += 1
+            else {
               AcidTable.statsEncodeInternal(dt, r, idx).foreach { v =>
                 if (v < lo) lo = v
                 if (v > hi) hi = v
@@ -2805,7 +2839,8 @@ final class AcidTable private (
               }
             }
           }
-          if (seen) Some(c -> (lo, hi)) else None
+          val nullEntry = Seq(s"$c#n" -> (nulls, rows.size.toLong))
+          (if (seen) Seq(c -> (lo, hi)) else Nil) ++ nullEntry
         }.toMap
         if (ranges.nonEmpty) mergeFileStats(files.map(_ -> ranges).toMap)
       case None => recordStatsForFiles(files, cols)

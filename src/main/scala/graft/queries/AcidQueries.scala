@@ -267,6 +267,48 @@ object AcidQueries {
         ORDER BY part
       """)),
 
+    // ---- C5 null-count stats: IS NULL pruning through the SQL catalog -----------
+    // Delta's nullCount-stats analog: every statsColumns commit stamps a
+    // per-file (nullCount, rowCount) pseudo-entry, and a pushed IS NULL /
+    // IS NOT NULL prunes files the counts exclude (zero-null files skip
+    // IS NULL; all-null files skip IS NOT NULL — the skip range stats can
+    // never provide, since an all-null file records NO range and is kept
+    // conservatively). Layout makes it real: per-partition commits where
+    // one priority class carries only NULL balances. WriteStatsSpec pins
+    // the file counts; this gate pins the VALUES through the pruned route.
+    Q(
+      "q_sql_acid_null_stats",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.lake.GraftCatalog].getName)
+        s.conf.set("spark.sql.graft.warehouse", scratch())
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.acid")
+        s.sql("""CREATE TABLE graft.acid.nulls (pk STRING, part STRING, val DOUBLE)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk', 'numBuckets' = '1',
+                |               'statsColumns' = 'val')""".stripMargin)
+        Tables.customer(s, dir)
+          .filter(col("c_custkey") < 1200)
+          .select(
+            col("c_custkey").cast("string").as("pk"),
+            concat(lit("p"), (col("c_nationkey") % 4).cast("string")).as("part"),
+            when(col("c_nationkey") % 4 === 2, lit(null).cast("double"))
+              .otherwise(col("c_acctbal")).as("val"))
+          .createOrReplaceTempView("null_base")
+        (0 until 4).foreach { p =>
+          s.sql(s"INSERT INTO graft.acid.nulls SELECT * FROM null_base WHERE part = 'p$p'")
+        }
+        s.sql("""SELECT pk, part FROM graft.acid.nulls
+                |WHERE val IS NULL ORDER BY pk""".stripMargin)
+      },
+      Some("""
+        SELECT CAST(c_custkey AS VARCHAR) AS pk,
+               'p' || CAST(c_nationkey % 4 AS VARCHAR) AS part
+        FROM customer
+        WHERE c_custkey < 1200 AND c_nationkey % 4 = 2
+        ORDER BY pk
+      """)),
+
     // ---- C5 CDC diff between committed versions ---------------------------------
     Q(
       "q_acid_cdc_diff",

@@ -343,6 +343,41 @@ class WriteStatsSpec extends AnyFunSuite {
     assert(got == 20)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL files (Delta nullCount analog)") {
+    val t = newTable() // statsColumns = x
+    def rows(part: String, xs: Seq[java.lang.Long]) = spark.createDataFrame(
+      java.util.Arrays.asList(xs.zipWithIndex.map { case (x, i) =>
+        Row(s"$part-$i", part, x) }: _*), schema)
+    t.upsert(rows("P0", (1 to 8).map(i => java.lang.Long.valueOf(i.toLong)))) // no nulls
+    t.upsert(rows("P1", Seq.fill(8)(null: java.lang.Long)))                   // all null
+    t.upsert(rows("P2", Seq(java.lang.Long.valueOf(5L), null, null,
+      java.lang.Long.valueOf(9L))))                                           // mixed
+    val all = t.prunedFiles(Map.empty, Nil)
+    def parts(fs: Seq[String]) = fs.map(_.takeWhile(_ != '/')).distinct.sorted
+    assert(parts(all) == Seq("part=P0", "part=P1", "part=P2"))
+    val isNull = t.prunedFiles(Map.empty, Nil, -1L, None, Seq("x" -> true))
+    assert(parts(isNull) == Seq("part=P1", "part=P2"),
+      s"zero-null files must skip IS NULL: ${parts(isNull)}")
+    val notNull = t.prunedFiles(Map.empty, Nil, -1L, None, Seq("x" -> false))
+    assert(parts(notNull) == Seq("part=P0", "part=P2"),
+      s"all-null files must skip IS NOT NULL: ${parts(notNull)}")
+    // the combination that range stats alone can NEVER produce: the
+    // all-null file records no range (conservatively kept by ranges) but
+    // the null pseudo-entry drops it for any non-null-seeking read
+    val ranged = t.prunedFiles(Map("x" -> (0L, 100L)), Nil, -1L, None, Seq("x" -> false))
+    assert(!ranged.exists(_.startsWith("part=P1/")), ranged.toString)
+    // values through the pruned scan stay exact
+    val got = t.snapshotPruned(Map.empty, Nil, -1L, None, Seq("x" -> true))
+      .filter(col("x").isNull).count()
+    assert(got == 10) // 8 in P1 + 2 in P2
+    // the distributed stamping path records the same pseudo-entries
+    AcidTable.localCommitEnabled = false
+    try t.upsert(rows("P3", Seq.fill(4)(null: java.lang.Long)))
+    finally AcidTable.localCommitEnabled = true
+    val nn2 = t.prunedFiles(Map.empty, Nil, -1L, None, Seq("x" -> false))
+    assert(!nn2.exists(_.startsWith("part=P3/")), nn2.toString)
+  }
+
   test("string-prefix encoding is order-preserving (monotone) on random strings") {
     val rnd = new scala.util.Random(7)
     val strs = Seq.fill(300)(rnd.alphanumeric.take(rnd.nextInt(14)).mkString) ++
