@@ -504,6 +504,8 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val ShowPartitionsStmt =
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*""".r
+  private val DescribeDetailStmt =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
 
   /** Execute a read statement (SELECT text) over the session's tables —
     * completes the reference's text lifecycle: DDL, DML, and now the
@@ -512,6 +514,7 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
   def query(sql: String): org.apache.spark.sql.DataFrame = sql match {
     case DescribeHistoryStmt(tn) => table(tn).history()
     case ShowPartitionsStmt(tn) => table(tn).partitionsInventory()
+    case DescribeDetailStmt(tn) => table(tn).detail()
     case _ =>
       // materialized views substitute FIRST (their names shadow nothing:
       // the table map is consulted for whatever relations remain)

@@ -1974,6 +1974,37 @@ final class AcidTable private (
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), invSchema)
   }
 
+  /** One-row table summary (the Delta `DESCRIBE DETAIL` analog): layout,
+    * size, and structural metadata — all from the latest manifest and
+    * `_meta.properties`, zero filesystem listing or data reads. */
+  def detail(): DataFrame = {
+    val detailSchema = StructType(Seq(
+      StructField("format", StringType),
+      StructField("location", StringType),
+      StructField("version", org.apache.spark.sql.types.LongType),
+      StructField("num_files", org.apache.spark.sql.types.LongType),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType),
+      StructField("num_partitions", org.apache.spark.sql.types.LongType),
+      StructField("primary_key", StringType),
+      StructField("partition_column", StringType),
+      StructField("num_buckets", org.apache.spark.sql.types.LongType),
+      StructField("properties", StringType)))
+    val v = latestVersion()
+    val (nFiles, bytes, nParts) =
+      if (v < 0) (0L, 0L, 0L)
+      else {
+        val lines = manifestLines(v)
+        val files = dataLinesOf(lines)
+        (files.size.toLong, sizesOf(lines).values.sum,
+          files.map(_.takeWhile(_ != '/')).distinct.size.toLong)
+      }
+    val props = tableProperties.toSeq.sortBy(_._1)
+      .map { case (k, pv) => s"$k=$pv" }.mkString(",")
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row("graft-acid", path, v, nFiles, bytes, nParts,
+        pkCol, partitionCol, numBuckets.toLong, props)), detailSchema)
+  }
+
   /** Commit timeline (the `DESCRIBE HISTORY` / Hudi-timeline surface):
     * one row per RETAINED version — version, operation label (the `#op=`
     * audit header; "WRITE" for manifests predating it), publish

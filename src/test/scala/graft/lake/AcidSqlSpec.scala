@@ -227,6 +227,13 @@ class AcidSqlSpec extends AnyFunSuite {
     assert(parts.map(_._1) == Seq("p0", "p1"), parts.toString)
     assert(parts.forall(_._2 > 0))
 
+    // DESCRIBE DETAIL: one-row layout summary from metadata alone
+    val det = sess.query("DESCRIBE DETAIL db.m").collect().head
+    assert(det.getString(0) == "graft-acid")
+    assert(det.getLong(3) > 0 && det.getLong(4) > 0) // num_files, size_bytes
+    assert(det.getLong(5) == 2) // live partitions p0, p1
+    assert(det.getString(6) == "pk" && det.getString(7) == "part")
+
     // DESCRIBE HISTORY renders the op-labelled timeline
     val ops = sess.query("DESCRIBE HISTORY db.m")
       .orderBy("version").collect().map(_.getString(1)).toSeq
