@@ -658,6 +658,14 @@ object AcidScanBuilder {
           a -> (Long.MinValue, if (exact(a) && x > Long.MinValue) x - 1 else x))
       case sources.LessThanOrEqual(a, v) => enc(a, v).map(x => a -> (Long.MinValue, x))
       case sources.EqualTo(a, v) => enc(a, v).map(x => a -> (x, x))
+      case sources.In(a, vs) =>
+        // an IN set bounds to its [min, max] envelope — sound only when
+        // EVERY non-null member encodes (NULL members never match)
+        val nonNull = vs.toSeq.filter(_ != null)
+        val encoded = nonNull.flatMap(enc(a, _))
+        if (nonNull.nonEmpty && encoded.size == nonNull.size)
+          Some(a -> (encoded.min, encoded.max))
+        else None
       case _ => None
     }.groupBy(_._1).map { case (c, bs) =>
       c -> bs.map(_._2).reduce((p, q) => (math.max(p._1, q._1), math.min(p._2, q._2)))

@@ -158,6 +158,20 @@ class WriteStatsSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT pk FROM graft.ws.t WHERE x BETWEEN 0 AND 50")
       .collect().map(_.getString(0)).toSet
     assert(rows === (0 until 40).map(_.toString).toSet)
+    // an IN set bounds to its [min, max] envelope for the range route
+    val inBounds = AcidScanBuilder.rangeBounds(
+      Array(org.apache.spark.sql.sources.In("x", Array(7001L, 7038L))), t.schema)
+    assert(inBounds == Map("x" -> (7001L, 7038L)))
+    val inPruned = t.rangePrunedFiles(inBounds)
+    assert(inPruned.nonEmpty && inPruned.size < all.size,
+      s"IN-envelope should prune: ${inPruned.size} of ${all.size}")
+    val inRows = spark.sql("SELECT pk FROM graft.ws.t WHERE x IN (7001, 7038)")
+      .collect().map(_.getString(0)).toSet
+    assert(inRows === Set("7001", "7038"))
+    // NULL members never match equality, so they drop out of the envelope
+    assert(AcidScanBuilder.rangeBounds(
+      Array(org.apache.spark.sql.sources.In("x", Array(7001L, null))), t.schema)
+      == Map("x" -> (7001L, 7001L)))
   }
 
   // ------------------------------------------- typed stats (round 11) --
