@@ -37,6 +37,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CreateMvStmt(vn, select) => CreateMatViewCommand(vn.split('.').toSeq, select)
     case RefreshMvStmt(vn) => RefreshMatViewCommand(vn.split('.').toSeq)
     case DropMvStmt(vn) => DropMatViewCommand(vn.split('.').toSeq)
+    case DescribeDetailStmt(tn) => DescribeDetailCommand(tn.split('.').toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -66,6 +67,10 @@ object MatViewSql {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private[lake] val DropMvStmt =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  // Spark's grammar has no DESCRIBE DETAIL either (Delta adds it the same
+  // way); catalog tables answer with AcidTable.detail()'s one-row summary
+  private[lake] val DescribeDetailStmt =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
 
   private[lake] def warehouse: String =
     SQLConf.get.getConfString("spark.sql.graft.warehouse",
@@ -102,6 +107,20 @@ case class RefreshMatViewCommand(nameParts: Seq[String]) extends LeafRunnableCom
     MatView.open(spark, MatViewSql.pathOf(nameParts)).refresh()
     Nil
   }
+}
+
+case class DescribeDetailCommand(nameParts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Seq("format" -> StringType, "location" -> StringType, "version" -> LongType,
+      "num_files" -> LongType, "size_bytes" -> LongType, "num_partitions" -> LongType,
+      "primary_key" -> StringType, "partition_column" -> StringType,
+      "num_buckets" -> LongType, "properties" -> StringType)
+      .map { case (n, dt) => AttributeReference(n, dt)() }
+  }
+  override def run(spark: SparkSession): Seq[Row] =
+    AcidTable.open(spark, MatViewSql.pathOf(nameParts)).detail().collect().toSeq
 }
 
 case class DropMatViewCommand(nameParts: Seq[String]) extends LeafRunnableCommand {

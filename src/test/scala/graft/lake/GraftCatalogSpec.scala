@@ -348,6 +348,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Throwable] {
       spark.sql("ALTER TABLE graft.db4.p ADD PARTITION (part = 'p9')")
     }
+    // DESCRIBE DETAIL through the parser extension: one-row summary
+    val det = spark.sql("DESCRIBE DETAIL graft.db4.p").collect().head
+    assert(det.getString(0) == "graft-acid")
+    assert(det.getLong(3) > 0 && det.getLong(5) == 2) // files; p0, p1 live
+    assert(det.getString(6) == "pk" && det.getString(7) == "part")
     spark.sql("DROP TABLE graft.db4.p")
   }
 }
