@@ -355,7 +355,20 @@ final class AcidTable private (
     val v = if (version >= 0) version else latestVersion()
     if (v < 0 || keys.isEmpty) return Nil
     val all = readManifest(v)
-    val byPart = partitionsHint match {
+    // hidden partitioning on the PK itself (e.g. bucket(n, pk)): the
+    // keys DETERMINE their partitions, so an explicit hint is redundant —
+    // derive it through the same transform evaluation the writer used
+    val hint = partitionsHint.orElse {
+      if (!keyCastSupported) None
+      else scala.util.Try(partitionTransform).toOption.flatten
+        .filter(_.sourceCol == pkCol)
+        .flatMap { _ =>
+          val typed: Seq[Any] =
+            if (schema(pkCol).dataType == StringType) keys else typedKeys(keys)
+          transformPartitionsForEquals(pkCol, typed)
+        }
+    }
+    val byPart = hint match {
       case Some(ps) => all.filter(f => ps.exists(p => f.startsWith(partDir(p) + "/")))
       case None => all
     }

@@ -196,6 +196,27 @@ class HiddenPartitionSpec extends AnyFunSuite {
     assert(ti.snapshot().select("part").head.getString(0) == "5")
   }
 
+  test("a PK-derived transform gives point lookups their partition hint for free") {
+    val s2 = StructType(Seq(
+      StructField("pk", StringType), StructField("part", StringType),
+      StructField("n", LongType)))
+    val noP = StructType(s2.filterNot(_.name == "part"))
+    val t = AcidTable.create(spark, tmp().resolve("t").toString, s2, "pk", "part",
+      stablePartitions = true, numBuckets = 1)
+    t.setTableProperty("partitionTransform", Some("bucket(16, pk)"))
+    // one bulk commit spread across the 16 hash partitions
+    val rows = (0 until 200).map(i => Row(s"k$i", i.toLong))
+    t.upsert(spark.createDataFrame(java.util.Arrays.asList(rows: _*), noP))
+    val live = t.snapshot().inputFiles.length
+    assert(live > 4, s"expected a spread layout, got $live files")
+    // no hint passed: the keys determine their partitions via the transform
+    val pruned = t.lookupFiles(Seq("k7"))
+    assert(pruned.size == 1, s"PK-derived hint should isolate one file: $pruned")
+    assert(t.lookup(Seq("k7")).collect().map(_.getLong(2)).toSeq == Seq(7L))
+    // misses stay misses through the derived hint
+    assert(t.lookup(Seq("k9999")).isEmpty)
+  }
+
   test("validation is loud; the transform is immutable once set") {
     val t = AcidTable.create(spark, tmp().resolve("t").toString, schema, "pk", "part")
     intercept[IllegalArgumentException] {
