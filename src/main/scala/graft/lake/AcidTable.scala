@@ -1991,17 +1991,7 @@ final class AcidTable private (
     * size, and structural metadata — all from the latest manifest and
     * `_meta.properties`, zero filesystem listing or data reads. */
   def detail(): DataFrame = {
-    val detailSchema = StructType(Seq(
-      StructField("format", StringType),
-      StructField("location", StringType),
-      StructField("version", org.apache.spark.sql.types.LongType),
-      StructField("num_files", org.apache.spark.sql.types.LongType),
-      StructField("size_bytes", org.apache.spark.sql.types.LongType),
-      StructField("num_partitions", org.apache.spark.sql.types.LongType),
-      StructField("primary_key", StringType),
-      StructField("partition_column", StringType),
-      StructField("num_buckets", org.apache.spark.sql.types.LongType),
-      StructField("properties", StringType)))
+    val detailSchema = AcidTable.DetailSchema
     val v = latestVersion()
     val (nFiles, bytes, nParts) =
       if (v < 0) (0L, 0L, 0L)
@@ -2011,8 +2001,9 @@ final class AcidTable private (
         (files.size.toLong, sizesOf(lines).values.sum,
           files.map(_.takeWhile(_ != '/')).distinct.size.toLong)
       }
+    // '; ' separator: property VALUES may contain commas (bloomColumns)
     val props = tableProperties.toSeq.sortBy(_._1)
-      .map { case (k, pv) => s"$k=$pv" }.mkString(",")
+      .map { case (k, pv) => s"$k=$pv" }.mkString("; ")
     spark.createDataFrame(java.util.Arrays.asList(
       Row("graft-acid", path, v, nFiles, bytes, nParts,
         pkCol, partitionCol, numBuckets.toLong, props)), detailSchema)
@@ -4603,6 +4594,21 @@ object AcidTable {
   private val MetaFile = "_meta.properties"
   private val LatestHint = "_latest.hint"
   private[lake] val ClusterStatsFile = "_cluster.properties"
+
+  /** [[AcidTable.detail]]'s one-row schema — shared with the catalog
+    * front-end's DESCRIBE DETAIL command so the two can never drift. */
+  private[lake] val DetailSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("location", StringType),
+    StructField("version", LongType),
+    StructField("num_files", LongType),
+    StructField("size_bytes", LongType),
+    StructField("num_partitions", LongType),
+    StructField("primary_key", StringType),
+    StructField("partition_column", StringType),
+    StructField("num_buckets", LongType),
+    StructField("properties", StringType)))
+
   private[lake] val BloomDir = "_blooms"
   private[lake] val BloomMagic = 0x424c4d31 // "BLM1"
   private[lake] val BloomFpp = 0.01

@@ -112,12 +112,7 @@ case class RefreshMatViewCommand(nameParts: Seq[String]) extends LeafRunnableCom
 case class DescribeDetailCommand(nameParts: Seq[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.types.{LongType, StringType}
-    Seq("format" -> StringType, "location" -> StringType, "version" -> LongType,
-      "num_files" -> LongType, "size_bytes" -> LongType, "num_partitions" -> LongType,
-      "primary_key" -> StringType, "partition_column" -> StringType,
-      "num_buckets" -> LongType, "properties" -> StringType)
-      .map { case (n, dt) => AttributeReference(n, dt)() }
+    AcidTable.DetailSchema.fields.toSeq.map(f => AttributeReference(f.name, f.dataType)())
   }
   override def run(spark: SparkSession): Seq[Row] =
     AcidTable.open(spark, MatViewSql.pathOf(nameParts)).detail().collect().toSeq
