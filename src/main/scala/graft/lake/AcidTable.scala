@@ -1777,12 +1777,33 @@ final class AcidTable private (
           s"cannot drop column '$n': CHECK constraint '$cn' references it " +
             s"(DROP CONSTRAINT $cn first)")
       }
+      // same guard for the always-validated stats/bloom properties: a
+      // dangling reference would make every LATER commit throw after its
+      // publish (recordWriteStats runs post-publish), reporting failure
+      // for a write that durably landed
+      requireNotStatsOrBloomColumn(n, "drop")
     }
     AcidTable.writeMeta(path, next, pkCol, partitionCol, precombineCol, stablePartitions,
       numBuckets, (droppedCols ++ names).distinct, checkConstraints, renamedCols,
       columnDefaults -- names)
     AcidTable.open(spark, path)
   }
+
+  /** Reject DROP/RENAME of a column the `statsColumns`/`bloomColumns`
+    * properties reference — mirroring the CHECK-constraint guard. The
+    * properties are validated on every commit (post-publish for stats),
+    * so a dangling name would turn each subsequent write into a throw
+    * AFTER its commit became durable. Raw property read: the guard must
+    * fire even if the property is already inconsistent for other reasons.
+    */
+  private def requireNotStatsOrBloomColumn(n: String, op: String): Unit =
+    Seq("statsColumns", "bloomColumns").foreach { prop =>
+      val listed = scala.util.Try(tableProperty(prop)).toOption.flatten
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      require(!listed.contains(n),
+        s"cannot $op column '$n': table property $prop references it " +
+          s"(unset or edit $prop first)")
+    }
 
   /** Physically purge dropped columns' bytes and clear the re-add ledger:
     * a full-table rewrite (`compact(0)` — every partition with a file
@@ -1834,6 +1855,7 @@ final class AcidTable private (
         s"cannot rename column '$oldName': CHECK constraint '$cn' references it " +
           s"(DROP CONSTRAINT $cn first)")
     }
+    requireNotStatsOrBloomColumn(oldName, "rename")
     // a renamed-and-defaulted column would let the coalescing scan's
     // current-name leg fill the DEFAULT for files that carry the value
     // under the prior name — the default would shadow real data. Loud
@@ -4451,7 +4473,12 @@ object AcidTable {
     case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
     case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
     case (TimestampType, t: java.sql.Timestamp) =>
-      Some(Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
+      // floorDiv, not truncating division: getTime of a pre-1970 timestamp
+      // with fractional seconds rounds TOWARD zero, which would flip the
+      // sub-second part's sign (1969-12-31T23:59:59.5 must encode -500000
+      // micros, not +500000) and diverge from statsEncodeInternal's exact
+      // epoch-micros domain — Spark's own fromJavaTimestamp uses floorDiv.
+      Some(Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
         t.getNanos.toLong / 1000L))
     case (TimestampType, t: java.time.Instant) =>
       Some(Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),

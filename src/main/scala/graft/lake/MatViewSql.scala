@@ -114,8 +114,21 @@ case class DescribeDetailCommand(nameParts: Seq[String]) extends LeafRunnableCom
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     AcidTable.DetailSchema.fields.toSeq.map(f => AttributeReference(f.name, f.dataType)())
   }
-  override def run(spark: SparkSession): Seq[Row] =
-    AcidTable.open(spark, MatViewSql.pathOf(nameParts)).detail().collect().toSeq
+  override def run(spark: SparkSession): Seq[Row] = {
+    // the parser extension intercepts DESCRIBE DETAIL session-wide, so a
+    // non-graft identifier lands here too — name the identifier in a clear
+    // "no such graft table" error instead of AcidTable.open's path failure;
+    // a materialized view (no _meta.properties of its own) answers with
+    // its backing state table's detail
+    val dir = MatViewSql.pathOf(nameParts)
+    val tablePath =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_meta.properties"))) dir
+      else if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_mv.properties")))
+        MatView.statePath(dir)
+      else throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        nameParts.toSeq)
+    AcidTable.open(spark, tablePath).detail().collect().toSeq
+  }
 }
 
 case class DropMatViewCommand(nameParts: Seq[String]) extends LeafRunnableCommand {

@@ -99,4 +99,26 @@ class DropColumnSpec extends AnyFunSuite {
     assert(readded.snapshot().orderBy("pk").collect()
       .map(r => r.getAs[String]("secret")).toSeq === Seq(null, null))
   }
+  test("stats/bloom-referenced columns refuse to drop or rename") {
+    val dir = java.nio.file.Files.createTempDirectory("drop-col-stats-").resolve("t").toString
+    val t = AcidTable.create(spark, dir, schema, "pk", "part", stablePartitions = true)
+    t.upsert(Seq(("a", "p0", "1", "s-a")).toDF("pk", "part", "v", "secret"))
+    t.setTableProperty("statsColumns", Some("v"))
+    t.setTableProperty("bloomColumns", Some("secret"))
+    // a dangling reference would make every LATER commit throw after its
+    // durable publish — the guard mirrors the CHECK-constraint one
+    val e1 = intercept[IllegalArgumentException](t.dropColumns(Seq("v")))
+    assert(e1.getMessage.contains("statsColumns"))
+    val e2 = intercept[IllegalArgumentException](t.dropColumns(Seq("secret")))
+    assert(e2.getMessage.contains("bloomColumns"))
+    val e3 = intercept[IllegalArgumentException](t.renameColumn("v", "w"))
+    assert(e3.getMessage.contains("statsColumns"))
+    // unset the property and the drop proceeds; the next commit is clean
+    t.setTableProperty("statsColumns", None)
+    val t2 = t.dropColumns(Seq("v"))
+    t2.setTableProperty("bloomColumns", None)
+    val t3 = t2.dropColumns(Seq("secret"))
+    t3.upsert(Seq(("b", "p1")).toDF("pk", "part"))
+    assert(t3.snapshot().count() == 2)
+  }
 }

@@ -355,4 +355,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(det.getString(6) == "pk" && det.getString(7) == "part")
     spark.sql("DROP TABLE graft.db4.p")
   }
+  test("DESCRIBE DETAIL names the identifier for non-graft tables; matviews resolve") {
+    freshCatalog()
+    // session-wide interception must not turn a missing table into a
+    // confusing path error — it raises NoSuchTableException with the name
+    val e = intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      spark.sql("DESCRIBE DETAIL graft.nodb.nope").collect()
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    // a materialized view (no _meta.properties of its own) answers with
+    // its backing state table's detail instead of failing to open
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dd")
+    spark.sql("""CREATE TABLE graft.dd.src (pk STRING, part STRING, v BIGINT)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    Seq(("a", "p0", 1L), ("b", "p1", 2L)).toDF("pk", "part", "v")
+      .createOrReplaceTempView("dd_src")
+    spark.sql("INSERT INTO graft.dd.src SELECT * FROM dd_src")
+    spark.sql("CREATE MATERIALIZED VIEW graft.dd.mv AS SELECT part, sum(v) AS s FROM graft.dd.src GROUP BY part")
+    val det = spark.sql("DESCRIBE DETAIL graft.dd.mv").collect().head
+    assert(det.getString(0) == "graft-acid")
+    spark.sql("DROP MATERIALIZED VIEW graft.dd.mv")
+    spark.sql("DROP TABLE graft.dd.src")
+  }
 }

@@ -429,4 +429,19 @@ class WriteStatsSpec extends AnyFunSuite {
       assert(viaStats == plain, s"bounds [$lo,$hi] diverged")
     }
   }
+  test("pre-1970 fractional timestamps encode exact epoch micros (floorDiv)") {
+    // getTime of 1969-12-31T23:59:59.5Z is -500 ms; truncating division
+    // would flip the sub-second sign (+500000). Both external shapes must
+    // agree with the internal epoch-micros domain.
+    val inst = java.time.Instant.parse("1969-12-31T23:59:59.500Z")
+    val jts = java.sql.Timestamp.from(inst)
+    assert(AcidTable.statsEncode(TimestampType, jts) === Some(-500000L))
+    assert(AcidTable.statsEncode(TimestampType, inst) === Some(-500000L))
+    // order preservation straddling the epoch
+    val before = AcidTable.statsEncode(TimestampType,
+      java.sql.Timestamp.from(java.time.Instant.parse("1969-12-31T23:59:58.250Z"))).get
+    val after = AcidTable.statsEncode(TimestampType,
+      java.sql.Timestamp.from(java.time.Instant.parse("1970-01-01T00:00:00.250Z"))).get
+    assert(before < -500000L && -500000L < after)
+  }
 }
