@@ -259,7 +259,7 @@ final class AcidTable private (
     AcidTable.commitTimeCache.computeIfAbsent((path, v), _ => {
       AcidTable.manifestHeaderReads.incrementAndGet()
       val header = scala.util.Try(
-        manifestLines(v).find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong))
+        rootLines(v).find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong))
         .toOption.flatten
       val ts = header.getOrElse {
         AcidTable.headerlessManifests.add((path, v))
@@ -304,17 +304,18 @@ final class AcidTable private (
       version: Long = -1L): DataFrame = {
     AcidTable.lookupScans.incrementAndGet()
     // resolve the version ONCE so the file list and the size map come from
-    // the same manifest even if a commit lands mid-call
+    // the same manifest even if a commit lands mid-call. DV entries are a
+    // root header and sizes resolve from the pruned files' own segments —
+    // a hinted point lookup never expands the full manifest.
     val v = if (version >= 0) version else latestVersion()
-    val vLines = if (v >= 0) manifestLines(v) else Nil
-    val dvs = dvsOf(vLines)
+    val dvs = readDvs(v)
     if (!keyCastSupported) {
       // PK type outside castKeyTo's set (DATE/TIMESTAMP/DECIMAL/…): the
       // string keys can't be rendered as typed literals, so skip bucket
       // pruning and filter the (partition-pruned) snapshot by the PK's
       // string rendering — never return empty for a type we can't parse
       val files = lookupFiles(keys, partitionsHint, v)
-      return applyDvs(snapshotFromFiles(files, sizesOf(vLines)), dvs)
+      return applyDvs(snapshotFromFiles(files, sizesForFiles(v, files)), dvs)
         .filter(col(pkCol).cast(StringType).isInCollection(keys))
     }
     val typed = typedKeys(keys)
@@ -322,7 +323,7 @@ final class AcidTable private (
     val files = lookupFiles(keys, partitionsHint, v)
     // keys cast to the PK's type (not the column to string) so the In set
     // test stays on the bare scan column and pushes into the parquet read
-    applyDvs(snapshotFromFiles(files, sizesOf(vLines)), dvs)
+    applyDvs(snapshotFromFiles(files, sizesForFiles(v, files)), dvs)
       .filter(col(pkCol).isInCollection(typed))
   }
 
@@ -354,7 +355,6 @@ final class AcidTable private (
       version: Long = -1L): Seq[String] = {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0 || keys.isEmpty) return Nil
-    val all = readManifest(v)
     // hidden partitioning on the PK itself (e.g. bucket(n, pk)): the
     // keys DETERMINE their partitions, so an explicit hint is redundant —
     // derive it through the same transform evaluation the writer used
@@ -368,9 +368,11 @@ final class AcidTable private (
           transformPartitionsForEquals(pkCol, typed)
         }
     }
+    // a hinted lookup on a segmented manifest resolves ONLY the hinted
+    // partitions' segments — O(#cells) metadata regardless of table size
     val byPart = hint match {
-      case Some(ps) => all.filter(f => ps.exists(p => f.startsWith(partDir(p) + "/")))
-      case None => all
+      case Some(ps) => filesForPartitions(v, ps)
+      case None => readManifest(v)
     }
     val byCell =
       if (!hashSafeInternal(schema(pkCol).dataType) || !keyCastSupported) byPart
@@ -1979,9 +1981,14 @@ final class AcidTable private (
   private[graft] def partitionValues(version: Long = -1L): Seq[String] = {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return Nil
-    readManifest(v)
-      .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol=")))
+    // segmented root: the partition inventory IS the root's reference
+    // list — O(partitions) read, no segment resolution at all
+    val dirs = segRefs(v) match {
+      case Some(refs) => refs.map(_.partDir)
+      case None => readManifest(v).map(_.takeWhile(_ != '/'))
+    }
+    dirs.map(d => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(d.stripPrefix(s"$partitionCol=")))
       .distinct.sorted
   }
 
@@ -1997,15 +2004,25 @@ final class AcidTable private (
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], invSchema)
-    val lines = manifestLines(v)
-    val sizes = sizesOf(lines)
-    val rows = dataLinesOf(lines)
-      .groupBy(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol=")))
-      .toSeq.sortBy(_._1)
-      .map { case (p, fs) =>
-        Row(p, fs.size.toLong, fs.map(f => sizes.getOrElse(f, 0L)).sum)
-      }
+    // segmented root: count and bytes ride the reference line — the whole
+    // inventory costs ONE root read, zero segment resolutions
+    val rows = segRefs(v) match {
+      case Some(refs) => refs
+        .map(r => (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(r.partDir.stripPrefix(s"$partitionCol=")), r.count, r.bytes))
+        .sortBy(_._1)
+        .map { case (p, n, b) => Row(p, n, b) }
+      case None =>
+        val lines = manifestLines(v)
+        val sizes = sizesOf(lines)
+        dataLinesOf(lines)
+          .groupBy(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol=")))
+          .toSeq.sortBy(_._1)
+          .map { case (p, fs) =>
+            Row(p, fs.size.toLong, fs.map(f => sizes.getOrElse(f, 0L)).sum)
+          }
+    }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), invSchema)
   }
 
@@ -2017,11 +2034,15 @@ final class AcidTable private (
     val v = latestVersion()
     val (nFiles, bytes, nParts) =
       if (v < 0) (0L, 0L, 0L)
-      else {
-        val lines = manifestLines(v)
-        val files = dataLinesOf(lines)
-        (files.size.toLong, sizesOf(lines).values.sum,
-          files.map(_.takeWhile(_ != '/')).distinct.size.toLong)
+      else segRefs(v) match {
+        // segmented root: the one-row summary costs ONE root read
+        case Some(refs) =>
+          (refs.map(_.count).sum, refs.map(_.bytes).sum, refs.size.toLong)
+        case None =>
+          val lines = manifestLines(v)
+          val files = dataLinesOf(lines)
+          (files.size.toLong, sizesOf(lines).values.sum,
+            files.map(_.takeWhile(_ != '/')).distinct.size.toLong)
       }
     // '; ' separator: property VALUES may contain commas (bloomColumns)
     val props = tableProperties.toSeq.sortBy(_._1)
@@ -2044,13 +2065,18 @@ final class AcidTable private (
     val rows =
       if (latest < 0) Seq.empty
       else (oldestRetainedVersion(latest) to latest).map { v =>
-        val lines = manifestLines(v)
-        val op = lines.find(_.startsWith("#op="))
+        // header + per-partition tallies all live in the root: the whole
+        // timeline costs O(retained versions) ROOT reads, no segments
+        val root = rootLines(v)
+        val op = root.find(_.startsWith("#op="))
           .map(l => java.net.URLDecoder.decode(l.stripPrefix("#op="), "UTF-8"))
           .getOrElse("WRITE")
-        val files = dataLinesOf(lines)
-        val bytes = sizesOf(lines).values.sum
-        (v, op, commitTime(v), files.size.toLong,
+        val (nFiles, bytes) = segRefs(v) match {
+          case Some(refs) => (refs.map(_.count).sum, refs.map(_.bytes).sum)
+          case None =>
+            (dataLinesOf(root).size.toLong, sizesOf(root).values.sum)
+        }
+        (v, op, commitTime(v), nFiles,
           readTouched(v).map(_.size.toLong).getOrElse(-1L), bytes)
       }
     rows.toDF("version", "operation", "timestamp_ms", "n_files", "n_touched_cells",
@@ -2064,7 +2090,7 @@ final class AcidTable private (
     * probing a 100 TB table's object store.
     */
   private[lake] def filesBytes(files: Seq[String], version: Long): Long = {
-    val sizes = if (version >= 0) readSizes(version) else Map.empty[String, Long]
+    val sizes = if (version >= 0) sizesForFiles(version, files) else Map.empty[String, Long]
     files.iterator.map(f => sizes.getOrElse(f, {
       AcidTable.sizeStatFallbacks.incrementAndGet()
       dataRoot.resolve(f).toFile.length()
@@ -2246,14 +2272,23 @@ final class AcidTable private (
 
   private def clusterStatsPath: Path = Paths.get(path, ClusterStatsFile)
 
-  /** rel file → cluster column → (min, max). Empty when never clustered. */
+  /** rel file → cluster column → (min, max). Empty when never clustered.
+    * (mtime, length)-cached: entries for immutable files never mutate, so
+    * a stale hit only misses pruning opportunities, never prunes wrongly. */
   private[graft] def readClusterStats(): Map[String, Map[String, (Long, Long)]] = {
+    AcidTable.clusterStatsLoads.incrementAndGet()
     if (!Files.exists(clusterStatsPath)) return Map.empty
+    val f = clusterStatsPath.toFile
+    val (mtime, len) = (f.lastModified(), f.length())
+    AcidTable.cachedClusterStats(path, mtime, len) match {
+      case Some(cached) => return cached
+      case None => ()
+    }
     val props = new java.util.Properties()
     val in = Files.newInputStream(clusterStatsPath)
     try props.load(in) finally in.close()
     import scala.jdk.CollectionConverters._
-    props.stringPropertyNames().asScala.map { k =>
+    val parsed = props.stringPropertyNames().asScala.map { k =>
       val rel = java.net.URLDecoder.decode(k, "UTF-8")
       val cols = props.getProperty(k).split(';').iterator.filter(_.nonEmpty).flatMap { ent =>
         ent.split(':') match {
@@ -2264,6 +2299,8 @@ final class AcidTable private (
       }.toMap
       rel -> cols
     }.toMap
+    AcidTable.cacheClusterStats(path, mtime, len, parsed)
+    parsed
   }
 
   private def writeClusterStats(merged: Map[String, Map[String, (Long, Long)]]): Unit = {
@@ -2297,8 +2334,12 @@ final class AcidTable private (
     * file list so write-time statistics can scan ONLY a commit's new
     * files (cost ∝ what the commit wrote, never table size).
     */
-  private def recordStatsForFiles(files: Seq[String], cols: Seq[String]): Unit = {
-    if (files.isEmpty || cols.isEmpty) return
+  private def recordStatsForFiles(files: Seq[String], cols: Seq[String]): Unit =
+    mergeFileStats(statsEntriesForFiles(files, cols))
+
+  private def statsEntriesForFiles(
+      files: Seq[String], cols: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
+    if (files.isEmpty || cols.isEmpty) return Map.empty
     val byBasename = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
     // min/max in the column's NATIVE type (Spark's ordering for date/
     // timestamp/decimal/string matches the sidecar encoding's order), then
@@ -2327,7 +2368,7 @@ final class AcidTable private (
         }.toMap
       }
     }.toMap
-    mergeFileStats(entries)
+    entries
   }
 
   /** Read-modify-write of the stats sidecar under a per-path JVM lock so
@@ -2867,12 +2908,20 @@ final class AcidTable private (
     * sound. Distributed commits run one per-file aggregate over just the
     * new files.
     */
-  private def recordWriteStats(
+  /** Per-file stats entries for a commit's NEW files, computed BEFORE the
+    * publish so (1) a misconfigured statsColumns property fails the write
+    * while it is still abortable, and (2) the publish can fold the fresh
+    * ranges into the root manifest's partition envelopes. The fast path
+    * (rows in hand) costs zero Spark jobs; the distributed path runs the
+    * one new-files-only stats job it always ran, just pre-publish. */
+  private def computeWriteStats(
       files: Seq[String],
-      localRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]]): Unit = {
-    if (files.isEmpty) return
+      localRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]])
+      : Map[String, Map[String, (Long, Long)]] = {
+    if (files.isEmpty) return Map.empty
     val cols = statsColumnsProp
-    if (cols.nonEmpty) localRows match {
+    if (cols.isEmpty) return Map.empty
+    localRows match {
       case Some(rows) =>
         // ranges for non-null values; `c#n` pseudo-entries carry the
         // commit-wide (nullCount, rowCount) — stamped per file like the
@@ -2899,11 +2948,19 @@ final class AcidTable private (
           val nullEntry = Seq(s"$c#n" -> (nulls, rows.size.toLong))
           (if (seen) Seq(c -> (lo, hi)) else Nil) ++ nullEntry
         }.toMap
-        if (ranges.nonEmpty) mergeFileStats(files.map(_ -> ranges).toMap)
-      case None => recordStatsForFiles(files, cols)
+        if (ranges.nonEmpty) files.map(_ -> ranges).toMap else Map.empty
+      case None => statsEntriesForFiles(files, cols)
     }
-    // per-file bloom filters ride the same hook: advisory sidecars, new
-    // files only, zero jobs on the fast path / one job distributed
+  }
+
+  /** Per-file bloom filters for a commit's NEW files — post-publish like
+    * always (advisory sidecars: a crash in between costs pruning, never
+    * correctness): zero jobs on the fast path, one new-files-only job
+    * distributed. */
+  private def recordWriteBlooms(
+      files: Seq[String],
+      localRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]]): Unit = {
+    if (files.isEmpty) return
     val bloomCols = bloomColumnsProp
     if (bloomCols.nonEmpty) localRows match {
       case Some(rows) => recordBloomsLocal(files, bloomCols, rows)
@@ -2921,10 +2978,23 @@ final class AcidTable private (
       bounds: Map[String, (Long, Long)], version: Long = -1L): Seq[String] = {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return Nil
-    val all = readManifest(v)
-    if (bounds.isEmpty) return all
+    if (bounds.isEmpty) return readManifest(v)
+    // partition-level envelopes first (segmented roots): a partition whose
+    // recorded [min,max] misses a bound drops WHOLE — its segment never
+    // resolves and its files' sidecar entries are never consulted. When
+    // the root alone refutes every partition, the per-file sidecar is not
+    // even loaded (spec-pinned via clusterStatsLoads).
+    val candidates = segRefs(v) match {
+      case Some(refs) =>
+        val keep = refs.filter(r => bounds.forall { case (c, (lo, hi)) =>
+          r.pstats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        })
+        if (keep.isEmpty) return Nil
+        keep.flatMap(r => readSegment(r.name).entries.map(_._1))
+      case None => readManifest(v)
+    }
     val stats = readClusterStats()
-    all.filter { f =>
+    candidates.filter { f =>
       stats.get(f).forall(cols => bounds.forall { case (c, (lo, hi)) =>
         cols.get(c).forall { case (fmin, fmax) => fmax >= lo && fmin <= hi }
       })
@@ -2992,6 +3062,23 @@ final class AcidTable private (
     (oldestRetainedVersion(latest) until keepFrom).foreach { v =>
       Files.deleteIfExists(manifestPath(v))
       ()
+    }
+    // segment GC: content-addressed segments are shared across versions,
+    // so one is dead only when NO retained manifest references it. The
+    // same age guard protects a concurrent publisher's freshly-written
+    // segments; publishImpl additionally re-asserts its segments after
+    // its root links, so even a racing reuse-then-GC resolves safely.
+    if (Files.exists(segmentsDir)) {
+      val liveSegs: Set[String] = (keepFrom to latest).iterator.flatMap(v =>
+          scala.util.Try(rootLines(v)).toOption.toSeq.flatten)
+        .filter(_.startsWith("@"))
+        .flatMap(l => l.substring(1).split("\\|", -1).lift(1)).toSet
+      Option(segmentsDir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val dead =
+          (f.getName.startsWith("seg-") && !liveSegs.contains(f.getName)) ||
+            f.getName.startsWith(".tmp-") // orphaned publisher temp
+        if (dead && f.lastModified() < cutoff) { f.delete(); () }
+      }
     }
     removed
   }
@@ -3423,6 +3510,10 @@ final class AcidTable private (
       // files hold different content) → None routes stats to the
       // distributed per-file pass.
       var statsLocalRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = None
+      // write-time stats of newFiles, memoized across publish retries and
+      // invalidated whenever newFiles changes (a redo wrote different
+      // content); null = not yet computed
+      var pendingStats: Map[String, Map[String, (Long, Long)]] = null
       var newFiles =
         if (fastEligible(inB)) {
           val localRows =
@@ -3492,17 +3583,22 @@ final class AcidTable private (
           // taken the conflict path)
           val carriedDvs = dvsOf(publishLines).filterNot(e =>
             touched.exists(c => c.part == e.part && (c.bucket < 0 || c.bucket == e.bucket)))
+          // write-time file statistics (opt-in via the statsColumns table
+          // property): computed BEFORE publish so the manifest's partition
+          // envelopes cover the new files from the commit that wrote them
+          // (and so a misconfigured property aborts the write instead of
+          // throwing after it durably landed). Zero jobs on the fast path.
+          if (pendingStats == null)
+            pendingStats = computeWriteStats(newFiles.map(_._1), statsLocalRows)
           publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
-            carriedSizes ++ newFiles, opName, carriedDvs)
+            carriedSizes ++ newFiles, opName, carriedDvs, pendingStats)
           if (fullRedoSince > 0)
             AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - fullRedoSince)
-          // write-time file statistics (opt-in via the statsColumns table
-          // property): every commit's NEW files get min/max ranges in the
-          // stats sidecar, so range pruning works on fresh data with no
-          // OPTIMIZE pass. After publish — stats are advisory (a file
-          // without an entry is never pruned), so a crash between publish
-          // and here costs pruning, never correctness.
-          recordWriteStats(newFiles.map(_._1), statsLocalRows)
+          // the sidecar merge and the bloom stamping stay post-publish —
+          // both advisory (a file without an entry is never pruned), so a
+          // crash between publish and here costs pruning, never correctness
+          if (pendingStats.nonEmpty) mergeFileStats(pendingStats)
+          recordWriteBlooms(newFiles.map(_._1), statsLocalRows)
           return publishBase + 1
         } catch {
           case _: FileAlreadyExistsException =>
@@ -3607,6 +3703,7 @@ final class AcidTable private (
                 newFiles = keptFiles ++ redoneFiles
                 // the captured rows no longer describe newFiles' contents
                 statsLocalRows = None
+                pendingStats = null
                 // a legacy expansion widened the rewrite beyond the
                 // original touched set — the published #touched and the
                 // carried-file exclusion must widen with it
@@ -4173,9 +4270,139 @@ final class AcidTable private (
     }
   }
 
-  private def manifestLines(v: Long): Seq[String] = {
+  /** Physical lines of version `v`'s ROOT manifest file: headers plus
+    * either data-file lines (pre-segment layout) or `@` segment-reference
+    * lines. O(partitions) for segmented manifests — every header-only
+    * reader (commit time, touched cells, DVs) stays at root cost. */
+  private def rootLines(v: Long): Seq[String] = {
     val lines = Files.readAllLines(commitsDir.resolve(manifestFileName(v)), StandardCharsets.UTF_8)
     lines.toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+  }
+
+  /** Version `v`'s manifest in the RESOLVED (flat) representation every
+    * caller parses: headers, a `#sizes=` entry, one line per live data
+    * file. Pre-segment manifests already are this shape; segmented roots
+    * expand their `@` references through the immutable-segment cache, and
+    * the expansion itself is LRU-cached per version (manifests are
+    * immutable; a vacuumed version still fails loudly because the root
+    * read happens first). */
+  private def manifestLines(v: Long): Seq[String] = {
+    val raw = rootLines(v)
+    if (!raw.exists(_.startsWith("@"))) return raw
+    AcidTable.cachedResolved(path, v).getOrElse {
+      val headers = raw.filter(l => l.startsWith("#") && !l.startsWith("#segments="))
+      val entries = parseSegRefs(raw).flatMap(r => readSegment(r.name).entries)
+      val sizeHeader = "#sizes=" + entries.iterator.collect { case (f, b) if b >= 0 =>
+        s"${java.net.URLEncoder.encode(f, "UTF-8")}:$b"
+      }.mkString(",")
+      val resolved = (headers :+ sizeHeader) ++ entries.map(_._1)
+      AcidTable.cacheResolved(path, v, resolved)
+      resolved
+    }
+  }
+
+  /** Segment references of version `v`'s root manifest; None for a
+    * pre-segment (flat) manifest. */
+  private[graft] def segRefs(v: Long): Option[Seq[AcidTable.SegRef]] = {
+    val raw = rootLines(v)
+    if (raw.contains("#segments=1") || raw.exists(_.startsWith("@")))
+      Some(parseSegRefs(raw))
+    else None
+  }
+
+  private def parseSegRefs(raw: Seq[String]): Seq[AcidTable.SegRef] =
+    raw.filter(_.startsWith("@")).map { l =>
+      val p = l.substring(1).split("\\|", -1)
+      val pstats =
+        if (p.length < 5 || p(4).isEmpty) Map.empty[String, (Long, Long)]
+        else p(4).split(';').iterator.flatMap { e =>
+          e.split(':') match {
+            case Array(c, lo, hi) => scala.util.Try(
+              java.net.URLDecoder.decode(c, "UTF-8") -> (lo.toLong, hi.toLong)).toOption
+            case _ => None
+          }
+        }.toMap
+      AcidTable.SegRef(java.net.URLDecoder.decode(p(0), "UTF-8"),
+        p(1), p(2).toLong, p(3).toLong, pstats)
+    }
+
+  private def segmentsDir: Path = commitsDir.resolve(AcidTable.SegmentsDir)
+
+  /** Resolve one immutable segment (cache-first; a disk read parses the
+    * `#segpart=` header and the `<enc file>|<bytes>` entry lines). */
+  private def readSegment(name: String): AcidTable.SegData = {
+    AcidTable.segmentResolves.incrementAndGet()
+    AcidTable.cachedSegment(path, name).getOrElse {
+      AcidTable.segmentDiskReads.incrementAndGet()
+      val lines = Files.readAllLines(segmentsDir.resolve(name), StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+      val pd = lines.find(_.startsWith("#segpart="))
+        .map(l => java.net.URLDecoder.decode(l.stripPrefix("#segpart="), "UTF-8"))
+        .getOrElse("")
+      val entries = lines.filterNot(_.startsWith("#")).map { l =>
+        val i = l.lastIndexOf('|')
+        (java.net.URLDecoder.decode(l.substring(0, i), "UTF-8"), l.substring(i + 1).toLong)
+      }
+      val d = AcidTable.SegData(pd, entries)
+      AcidTable.cacheSegment(path, name, d)
+      d
+    }
+  }
+
+  /** Write-if-absent of a content-addressed segment (same name = same
+    * bytes, so losing a creation race to any writer is success). Called
+    * again AFTER the root links to close the vacuum race: a concurrent GC
+    * could delete a just-reused old segment between our existence probe
+    * and our root publish. */
+  private def ensureSegment(name: String, body: String): Unit = {
+    val target = segmentsDir.resolve(name)
+    if (Files.exists(target)) return
+    Files.createDirectories(segmentsDir)
+    val tmp = segmentsDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+    try Files.createLink(target, tmp)
+    catch { case _: FileAlreadyExistsException => () }
+    finally { Files.deleteIfExists(tmp); () }
+    AcidTable.segmentWrites.incrementAndGet()
+  }
+
+  /** Body + content-addressed name of the segment listing `entries` for
+    * partition dir `pd` (entries pre-sorted by the caller). */
+  private def segmentBody(pd: String, entries: Seq[(String, Long)]): (String, String) = {
+    val body = (s"#segpart=${java.net.URLEncoder.encode(pd, "UTF-8")}" +:
+      entries.map { case (f, b) => s"${java.net.URLEncoder.encode(f, "UTF-8")}|$b" })
+      .mkString("\n")
+    ("seg-" + AcidTable.sha1Hex(body) + ".txt", body)
+  }
+
+  /** The live files of `parts` (partition VALUES) at version `v` — on a
+    * segmented manifest this resolves ONLY those partitions' segments, the
+    * O(#cells) metadata read that keeps a hinted point lookup flat in
+    * table size. */
+  private[graft] def filesForPartitions(v: Long, parts: Seq[String]): Seq[String] = {
+    val dirs = parts.map(partDir).toSet
+    segRefs(v) match {
+      case Some(refs) => refs.filter(r => dirs.contains(r.partDir))
+        .flatMap(r => readSegment(r.name).entries.map(_._1))
+      case None =>
+        val pfx = dirs.map(_ + "/")
+        readManifest(v).filter(f => pfx.exists(f.startsWith))
+    }
+  }
+
+  /** Recorded byte sizes for exactly `files` at version `v`, resolving
+    * only the segments of the partitions those files live in. */
+  private def sizesForFiles(v: Long, files: Seq[String]): Map[String, Long] = {
+    if (v < 0 || files.isEmpty) return Map.empty
+    segRefs(v) match {
+      case Some(refs) =>
+        val dirs = files.map(f => f.takeWhile(_ != '/')).toSet
+        refs.filter(r => dirs.contains(r.partDir))
+          .flatMap(r => readSegment(r.name).entries).filter(_._2 >= 0).toMap
+      case None => readSizes(v)
+    }
   }
 
   private def readManifest(v: Long): Seq[String] = dataLinesOf(manifestLines(v))
@@ -4226,7 +4453,7 @@ final class AcidTable private (
 
   private def readDvs(v: Long): Seq[DvEntry] =
     if (v < 0) Nil
-    else scala.util.Try(manifestLines(v)).map(dvsOf).getOrElse(Nil)
+    else scala.util.Try(rootLines(v)).map(dvsOf).getOrElse(Nil)
 
   /** Partition values the commit that produced version `v` rewrote
     * (recorded as a `#touched=` header). Values are URL-encoded in the
@@ -4237,7 +4464,7 @@ final class AcidTable private (
     * nothing" would let the re-merge path carry a stale partition.
     */
   private def readTouched(v: Long): Option[Set[FileCell]] =
-    scala.util.Try(manifestLines(v).find(_.startsWith("#touched="))) match {
+    scala.util.Try(rootLines(v).find(_.startsWith("#touched="))) match {
       case scala.util.Success(Some(line)) =>
         val csv = line.stripPrefix("#touched=")
         Some(
@@ -4278,15 +4505,17 @@ final class AcidTable private (
       touched: Seq[FileCell],
       sizes: Map[String, Long] = Map.empty,
       op: String = "",
-      dvs: Seq[DvEntry] = Nil): Unit = {
+      dvs: Seq[DvEntry] = Nil,
+      newStats: Map[String, Map[String, (Long, Long)]] = Map.empty): Unit = {
     val t0 = System.nanoTime()
-    try publishImpl(v, files, touched, sizes, op, dvs)
+    try publishImpl(v, files, touched, sizes, op, dvs, newStats)
     finally AcidTable.publishNanos.addAndGet(System.nanoTime() - t0)
   }
 
   private def publishImpl(
       v: Long, files: Seq[String], touched: Seq[FileCell], sizes: Map[String, Long],
-      op: String, dvs: Seq[DvEntry]): Unit = {
+      op: String, dvs: Seq[DvEntry],
+      newStats: Map[String, Map[String, (Long, Long)]]): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val encoded = touched.map(c =>
       java.net.URLEncoder.encode(c.part, "UTF-8") +
@@ -4297,11 +4526,6 @@ final class AcidTable private (
     // monotone BY CONSTRUCTION, which versionAt's binary search relies
     // on (ties break toward the higher version). One cached header read.
     val ts = if (v > 0) math.max(commitClock(), commitTime(v - 1)) else commitClock()
-    // per-file sizes ride the manifest so later commits can size their
-    // writes without stat round-trips (Delta/Iceberg manifests carry the
-    // same); paths are URL-encoded, so ':' and ',' cannot collide
-    val sizeHeader = files.flatMap(f => sizes.get(f).map(b =>
-      s"${java.net.URLEncoder.encode(f, "UTF-8")}:$b"))
     // the operation name rides the manifest as an audit header — the
     // timeline surface history() renders (DESCRIBE HISTORY analog)
     val opHeader = if (op.isEmpty) Nil else Seq(s"#op=${java.net.URLEncoder.encode(op, "UTF-8")}")
@@ -4315,16 +4539,72 @@ final class AcidTable private (
       else Seq("#dvs=" + dvs.map(e =>
         java.net.URLEncoder.encode(e.part, "UTF-8") + "|" + e.bucket + "|" +
           java.net.URLEncoder.encode(e.key, "UTF-8")).mkString(","))
+    // per-partition segments: sizes ride the segment entries (so later
+    // commits still size their writes without stat round-trips), and the
+    // root line carries the partition's file count, byte total, and —
+    // when the stats sidecar covers every file — the per-column min/max
+    // envelope range pruning skips whole partitions with. The property
+    // read fails loudly BEFORE the commit becomes durable (misconfigured
+    // statsColumns must not report failure for a landed write).
+    val statsCols = statsColumnsProp
+    val fileStats: Map[String, Map[String, (Long, Long)]] =
+      if (statsCols.isEmpty) Map.empty
+      else readClusterStats() ++ newStats
+    val segs = files.groupBy(f => f.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (pd, fs) =>
+        val entries = fs.sorted.map(f => f -> sizes.getOrElse(f, -1L))
+        val (name, segBody) = segmentBody(pd, entries)
+        ensureSegment(name, segBody)
+        val bytes = entries.iterator.map(_._2).filter(_ >= 0).sum
+        val ps = statsCols.flatMap { c =>
+          partitionEnvelope(fs, c, fileStats).map { case (lo, hi) =>
+            s"${java.net.URLEncoder.encode(c, "UTF-8")}:$lo:$hi" }
+        }.mkString(";")
+        (s"@${java.net.URLEncoder.encode(pd, "UTF-8")}|$name|${fs.size}|$bytes|$ps",
+          name, segBody)
+      }
     val body = (Seq(
       s"#ts=$ts",
       s"#touched=${encoded.mkString(",")}",
-      s"#sizes=${sizeHeader.mkString(",")}") ++ opHeader ++ dvHeader ++ files).mkString("\n")
+      "#segments=1") ++ opHeader ++ dvHeader ++ segs.map(_._1)).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()
     try Files.createLink(commitsDir.resolve(manifestFileName(v)), tmp)
     finally Files.deleteIfExists(tmp)
+    // close the concurrent-vacuum race: our root is now visible, so any
+    // segment the GC removed between our reuse probe and the link gets
+    // rewritten (content-addressed — idempotent)
+    segs.foreach { case (_, name, segBody) => ensureSegment(name, segBody) }
     writeLatestHint(v)
+  }
+
+  /** Partition-level [min, max] of `c` over `fs` in the encoded-long
+    * stats domain — Some only when EVERY file contributed: a range for
+    * the column, or a `c#n` null-count proving the file is ALL-null (its
+    * rows cannot match a range predicate, so it is excluded soundly).
+    * An all-null PARTITION yields (MaxValue, MinValue) — an empty
+    * envelope that prunes against any real probe range. */
+  private def partitionEnvelope(
+      fs: Seq[String], c: String,
+      stats: Map[String, Map[String, (Long, Long)]]): Option[(Long, Long)] = {
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    fs.foreach { f =>
+      stats.get(f) match {
+        case Some(m) => m.get(c) match {
+          case Some((a, b)) =>
+            if (a < lo) lo = a
+            if (b > hi) hi = b
+          case None => m.get(s"$c#n") match {
+            case Some((nulls, rows)) if nulls == rows => () // all-null file
+            case _ => return None
+          }
+        }
+        case None => return None
+      }
+    }
+    Some((lo, hi))
   }
 }
 
@@ -4402,6 +4682,19 @@ object AcidTable {
   private[graft] val latestProbes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val manifestHeaderReads = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val sizeStatFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Manifest-segment telemetry (spec-checked): a commit writes segments
+    * only for partitions whose file set CHANGED (content addressing makes
+    * reuse literal — the same bytes get the same name, so untouched
+    * partitions' segments are not rewritten, they are the same file); a
+    * partition-hinted read resolves only the hinted partitions' segments.
+    */
+  private[graft] val segmentWrites = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val segmentDiskReads = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val segmentResolves = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Logical consultations of the per-file stats sidecar — the partition-
+    * envelope spec asserts a range probe the root manifest alone can
+    * refute never loads per-file stats at all. */
+  private[graft] val clusterStatsLoads = new java.util.concurrent.atomic.AtomicLong(0)
   /** Reads routed through the bucket-pruned [[AcidTable.lookup]] path —
     * lets tests assert that a PK-filtered catalog SELECT actually took the
     * point-lookup route rather than a full snapshot scan. */
@@ -4409,6 +4702,99 @@ object AcidTable {
   private[graft] def resetMetaIoCounters(): Unit = {
     metaDirListings.set(0); latestProbes.set(0); manifestHeaderReads.set(0)
     sizeStatFallbacks.set(0)
+    segmentWrites.set(0); segmentDiskReads.set(0); segmentResolves.set(0)
+    clusterStatsLoads.set(0)
+  }
+
+  // ------------------------------------------------ manifest segments --
+  //
+  // The root manifest lists PER-PARTITION SEGMENTS instead of data files
+  // (`@<enc partdir>|<seg-name>|<n files>|<bytes>|<partition stats>`), the
+  // Delta-checkpoint / Iceberg-manifest-list analog that takes a commit's
+  // manifest I/O from O(live files) to O(partitions) + O(touched
+  // partitions' files). Segments are CONTENT-ADDRESSED (name = SHA-1 of
+  // the body): a partition whose file set did not change hashes to the
+  // same name, so its segment is literally the same immutable file across
+  // commits — nothing to rewrite, byte identity by construction — and
+  // restore/clone/DV-only commits reuse every segment they re-reference.
+  // Segments are immutable once written, so both caches below are sound;
+  // pre-segment manifests (data-file lines + `#sizes=`) stay readable.
+
+  /** Segment directory under `_commits`. */
+  private[lake] val SegmentsDir = "_segments"
+
+  /** One resolved segment: the partition directory it lists and the
+    * (manifest-relative file, recorded bytes | -1) entries. */
+  private[lake] final case class SegData(partDir: String, entries: Seq[(String, Long)])
+
+  /** One root-manifest segment reference, including the partition-level
+    * min/max envelope (encoded-long domain) range pruning skips whole
+    * partitions with. An envelope is recorded only when EVERY file in the
+    * partition contributed (all-null files excluded soundly); a missing
+    * column means "not skippable at partition scope". */
+  private[lake] final case class SegRef(
+      partDir: String, name: String, count: Long, bytes: Long,
+      pstats: Map[String, (Long, Long)])
+
+  private[lake] def sha1Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Process-wide cache of immutable segments, keyed (table path, segment
+    * name) — content addressing makes entries permanently valid. */
+  private object segmentCache {
+    private val MaxEntries = 8192
+    private val m = new java.util.LinkedHashMap[(String, String), SegData](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), SegData]): Boolean =
+        size() > MaxEntries
+    }
+    def get(k: (String, String)): Option[SegData] = m.synchronized(Option(m.get(k)))
+    def put(k: (String, String), v: SegData): Unit = m.synchronized { m.put(k, v); () }
+  }
+  private[lake] def cachedSegment(path: String, name: String): Option[SegData] =
+    segmentCache.get((path, name))
+  private[lake] def cacheSegment(path: String, name: String, d: SegData): Unit =
+    segmentCache.put((path, name), d)
+
+  /** Small LRU of fully-resolved manifests (headers + synthesized
+    * `#sizes=` + file lines), keyed (table path, version) — manifests are
+    * immutable, and the commit loop re-reads the same version a handful
+    * of times per commit. */
+  private object resolvedManifestCache {
+    private val MaxEntries = 8
+    private val m = new java.util.LinkedHashMap[(String, Long), Seq[String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
+        size() > MaxEntries
+    }
+    def get(k: (String, Long)): Option[Seq[String]] = m.synchronized(Option(m.get(k)))
+    def put(k: (String, Long), v: Seq[String]): Unit = m.synchronized { m.put(k, v); () }
+  }
+  private[lake] def cachedResolved(path: String, v: Long): Option[Seq[String]] =
+    resolvedManifestCache.get((path, v))
+  private[lake] def cacheResolved(path: String, v: Long, lines: Seq[String]): Unit =
+    resolvedManifestCache.put((path, v), lines)
+
+  /** (mtime, length)-validated cache of the per-file stats sidecar: the
+    * publish path consults it for partition envelopes, so parsing must
+    * not be a per-commit O(entries) tax. Entries are append-only for
+    * immutable files, so a stale hit only MISSES pruning opportunities —
+    * never prunes wrongly. */
+  private val clusterStatsCacheMap =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Map[String, Map[String, (Long, Long)]])]()
+  private[lake] def cachedClusterStats(
+      path: String, mtime: Long, len: Long): Option[Map[String, Map[String, (Long, Long)]]] =
+    Option(clusterStatsCacheMap.get(path)).collect {
+      case (m, l, v) if m == mtime && l == len => v
+    }
+  private[lake] def cacheClusterStats(
+      path: String, mtime: Long, len: Long,
+      v: Map[String, Map[String, (Long, Long)]]): Unit = {
+    clusterStatsCacheMap.put(path, (mtime, len, v)); ()
   }
 
   // ---------------------------------------- write-stats type encoding --

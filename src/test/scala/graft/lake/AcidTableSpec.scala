@@ -120,10 +120,10 @@ class AcidTableSpec extends AnyFunSuite {
     // PARTIAL: the P0 output staged before the conflict was NOT discarded —
     // the final manifest references one of the exact files staged pre-publish
     // (a full redo would have deleted them and written a fresh UUID)
-    val manifest = Files.readAllLines(
-      java.nio.file.Paths.get(t.path, "_commits", f"v${t.latestVersion()}%012d.txt"))
-      .toArray(Array.empty[String]).toSeq.filterNot(_.startsWith("#"))
-    val p0InManifest = manifest.filter(_.startsWith("partitionKeyValue=P0/")).map(_.split('/').last)
+    // (resolved through the segment layer — the root manifest now lists
+    // per-partition segments, not data files)
+    val p0InManifest = t.filesForPartitions(t.latestVersion(), Seq("P0"))
+      .map(_.split('/').last)
     assert(p0InManifest.nonEmpty)
     assert(p0InManifest.forall(p0Staged.get().contains),
       s"P0 was recomputed despite being disjoint from the intervening commit: " +
