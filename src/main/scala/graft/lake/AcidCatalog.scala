@@ -552,7 +552,32 @@ final class AcidScanBuilder(acid: AcidTable, version: Option[Long] = None)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new V1Scan with SupportsReportStatistics {
+  /** The DSv2 BATCH scan route (runtime-filterable — see
+    * [[org.apache.spark.sql.graft.AcidBatchScan]]): taken whenever the
+    * snapshot needs no row-level post-processing (no live DVs, no
+    * outstanding renames) and the kill switch is on. The V1 bridge below
+    * remains the fallback for exactly those cases.
+    */
+  override def build(): Scan = {
+    val batchEnabled = scala.util.Try(
+      acid.spark.conf.get("spark.graft.batchScan.enabled", "true")).getOrElse("true")
+    val batch =
+      if (batchEnabled != "true") None
+      else acid.batchScanPlan(
+        pushedPkKeys,
+        pushedPartHint.orElse(transformPartHint),
+        AcidScanBuilder.rangeBounds(pushed, acid.schema),
+        pushedBloomEquals,
+        pushedNullChecks,
+        version.getOrElse(-1L))
+    batch match {
+      case Some(plan) =>
+        new org.apache.spark.sql.graft.AcidBatchScan(acid.spark, plan, required, pushed)
+      case None => buildV1()
+    }
+  }
+
+  private def buildV1(): Scan = new V1Scan with SupportsReportStatistics {
     override def readSchema(): StructType = required
 
     /** Manifest-driven size estimate for Catalyst's join planning: the

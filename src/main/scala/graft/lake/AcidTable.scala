@@ -2288,7 +2288,22 @@ final class AcidTable private (
     val in = Files.newInputStream(clusterStatsPath)
     try props.load(in) finally in.close()
     import scala.jdk.CollectionConverters._
-    val parsed = props.stringPropertyNames().asScala.map { k =>
+    // format version: v1 sidecars (no marker) were written by an encoder
+    // whose TIMESTAMP ranges are wrong for pre-1970 fractional-second
+    // values (truncating division; fixed to floorDiv) — DROP their
+    // timestamp ranges rather than prune wrongly. Unprunable is safe;
+    // the next merge rewrites the sidecar at v2 without them, and a
+    // stats rebuild (recordStatsForFiles via compact/optimize or new
+    // commits) regenerates correct entries.
+    val ver = scala.util.Try(
+      props.getProperty(AcidTable.StatsVerKey, "1").toInt).getOrElse(1)
+    val tsCols: Set[String] =
+      if (ver >= 2) Set.empty
+      else schema.fields.iterator
+        .filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+        .map(_.name).toSet
+    val parsed = props.stringPropertyNames().asScala
+      .filter(_ != AcidTable.StatsVerKey).map { k =>
       val rel = java.net.URLDecoder.decode(k, "UTF-8")
       val cols = props.getProperty(k).split(';').iterator.filter(_.nonEmpty).flatMap { ent =>
         ent.split(':') match {
@@ -2296,7 +2311,7 @@ final class AcidTable private (
             java.net.URLDecoder.decode(c, "UTF-8") -> (lo.toLong, hi.toLong)).toOption
           case _ => None
         }
-      }.toMap
+      }.filterNot { case (c, _) => tsCols.contains(c) }.toMap
       rel -> cols
     }.toMap
     AcidTable.cacheClusterStats(path, mtime, len, parsed)
@@ -2305,6 +2320,9 @@ final class AcidTable private (
 
   private def writeClusterStats(merged: Map[String, Map[String, (Long, Long)]]): Unit = {
     val props = new java.util.Properties()
+    // stamp the current format version (see readClusterStats): file rel
+    // paths always contain '/', so the bare marker key cannot collide
+    props.setProperty(AcidTable.StatsVerKey, "2")
     merged.foreach { case (rel, cols) =>
       props.setProperty(
         java.net.URLEncoder.encode(rel, "UTF-8"),
@@ -2791,6 +2809,67 @@ final class AcidTable private (
     }
   }
 
+  /** Resolve the DSv2 BATCH scan plan for [[AcidScanBuilder]] — the
+    * runtime-filterable read route (round-11 verdict #2). Applies the SAME
+    * static pruning chain as the V1 route (point-lookup bucket files, or
+    * partition + range + bloom + null-count pruning), pinned to one
+    * version, and packages the driver-local narrowers a runtime DPP filter
+    * applies with zero further metadata I/O.
+    *
+    * None when the snapshot needs row-level post-processing the bare
+    * parquet batch cannot express — live deletion vectors (rows must be
+    * HIDDEN, not merely filtered by pushed predicates) or outstanding
+    * metadata-only renames (the scan must read prior names and coalesce).
+    * Those reads keep the V1 bridge; their correctness is untouched.
+    */
+  private[graft] def batchScanPlan(
+      pkKeys: Option[Seq[String]],
+      partitions: Option[Seq[String]],
+      bounds: Map[String, (Long, Long)],
+      bloomEqs: Seq[(String, Seq[Any])],
+      nullChecks: Seq[(String, Boolean)],
+      version: Long): Option[org.apache.spark.sql.graft.AcidBatchScanPlan] = {
+    if (renamedCols.nonEmpty) return None
+    val v = if (version >= 0) version else latestVersion()
+    val rels: Seq[String] =
+      if (v < 0) Nil
+      else {
+        if (readDvs(v).nonEmpty) return None
+        pkKeys match {
+          case Some(ks) =>
+            AcidTable.lookupScans.incrementAndGet() // the point-lookup route
+            lookupFiles(ks, partitions, v)
+          case None => prunedFiles(bounds, bloomEqs, v, partitions, nullChecks)
+        }
+      }
+    val sizes = sizesForFiles(v, rels)
+    val files = rels.map { f =>
+      val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol="))
+      val size = sizes.getOrElse(f, {
+        AcidTable.sizeStatFallbacks.incrementAndGet()
+        dataRoot.resolve(f).toFile.length()
+      })
+      org.apache.spark.sql.graft.AcidBatchFile(
+        f, dataRoot.resolve(f).toString, pv, size, fileBucketOf(f))
+    }
+    val pkDt = schema(pkCol).dataType
+    val bucketsOf: Seq[Any] => Option[Set[Int]] =
+      if (!hashSafeInternal(pkDt) || !keyCastSupported) _ => None
+      else { vs =>
+        scala.util.Try {
+          val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(pkDt)
+          vs.map(k => driverBucketOf(toInternal(k))).toSet
+        }.toOption
+      }
+    val tSource = scala.util.Try(partitionTransform).toOption.flatten.map(_.sourceCol)
+    val tToParts: Seq[Any] => Option[Seq[String]] =
+      vs => tSource.flatMap(s => transformPartitionsForEquals(s, vs))
+    Some(org.apache.spark.sql.graft.AcidBatchScanPlan(
+      files, pkCol, partitionCol, scanSchema, bucketsOf, tSource, tToParts))
+  }
+
   /** Snapshot restricted by [[prunedFiles]] — pure file skipping: the
     * caller still applies its row predicate, exactly like
     * [[snapshotRange]] (which this generalizes). */
@@ -3073,9 +3152,22 @@ final class AcidTable private (
           scala.util.Try(rootLines(v)).toOption.toSeq.flatten)
         .filter(_.startsWith("@"))
         .flatMap(l => l.substring(1).split("\\|", -1).lift(1)).toSet
+      // re-read roots published AFTER our scan window right before the
+      // delete pass: a publisher that reused a pre-cutoff segment has its
+      // root visible by now (and its post-link re-assert TOUCHES the
+      // segment, so even a root landing after this re-read is protected
+      // by the age guard)
+      val latestNow = latestVersion()
+      val lateSegs: Set[String] =
+        if (latestNow <= latest) Set.empty
+        else ((latest + 1) to latestNow).iterator.flatMap(v =>
+            scala.util.Try(rootLines(v)).toOption.toSeq.flatten)
+          .filter(_.startsWith("@"))
+          .flatMap(l => l.substring(1).split("\\|", -1).lift(1)).toSet
+      val allLive = liveSegs ++ lateSegs
       Option(segmentsDir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
         val dead =
-          (f.getName.startsWith("seg-") && !liveSegs.contains(f.getName)) ||
+          (f.getName.startsWith("seg-") && !allLive.contains(f.getName)) ||
             f.getName.startsWith(".tmp-") // orphaned publisher temp
         if (dead && f.lastModified() < cutoff) { f.delete(); () }
       }
@@ -4354,9 +4446,17 @@ final class AcidTable private (
     * again AFTER the root links to close the vacuum race: a concurrent GC
     * could delete a just-reused old segment between our existence probe
     * and our root publish. */
-  private def ensureSegment(name: String, body: String): Unit = {
+  private def ensureSegment(name: String, body: String, touch: Boolean = false): Unit = {
     val target = segmentsDir.resolve(name)
-    if (Files.exists(target)) return
+    if (Files.exists(target)) {
+      // post-root-link re-assert: REFRESH the segment's mtime so the
+      // vacuum age guard (mtime < cutoff) protects a reused old segment
+      // whose only pre-existing referencing root just left retention — a
+      // bare existence probe would leave a pre-cutoff mtime for a racing
+      // GC whose liveSegs set predates our root link
+      if (touch) { target.toFile.setLastModified(System.currentTimeMillis()); () }
+      return
+    }
     Files.createDirectories(segmentsDir)
     val tmp = segmentsDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -4575,7 +4675,7 @@ final class AcidTable private (
     // close the concurrent-vacuum race: our root is now visible, so any
     // segment the GC removed between our reuse probe and the link gets
     // rewritten (content-addressed — idempotent)
-    segs.foreach { case (_, name, segBody) => ensureSegment(name, segBody) }
+    segs.foreach { case (_, name, segBody) => ensureSegment(name, segBody, touch = true) }
     writeLatestHint(v)
   }
 
@@ -4723,6 +4823,9 @@ object AcidTable {
   /** Segment directory under `_commits`. */
   private[lake] val SegmentsDir = "_segments"
 
+  /** Stats-sidecar format-version marker key (see readClusterStats). */
+  private[lake] val StatsVerKey = "statsver"
+
   /** One resolved segment: the partition directory it lists and the
     * (manifest-relative file, recorded bytes | -1) entries. */
   private[lake] final case class SegData(partDir: String, entries: Seq[(String, Long)])
@@ -4772,6 +4875,7 @@ object AcidTable {
     }
     def get(k: (String, Long)): Option[Seq[String]] = m.synchronized(Option(m.get(k)))
     def put(k: (String, Long), v: Seq[String]): Unit = m.synchronized { m.put(k, v); () }
+    def purgePath(p: String): Unit = m.synchronized { m.keySet.removeIf(_._1 == p); () }
   }
   private[lake] def cachedResolved(path: String, v: Long): Option[Seq[String]] =
     resolvedManifestCache.get((path, v))
@@ -5085,6 +5189,13 @@ object AcidTable {
     // already false here but the cache still holds the dead table)
     commitTimeCache.keySet.removeIf(_._1 == path)
     headerlessManifests.removeIf(_._1 == path)
+    // the resolved-manifest LRU is keyed (path, version) and versions
+    // RESTART at a recreated path — a stale hit would resolve the NEW
+    // table's v1 against the OLD table's file list. The stats-sidecar
+    // cache is (mtime, length)-validated, but a recreated sidecar could
+    // in principle collide on both; purge it with the rest.
+    resolvedManifestCache.purgePath(path)
+    clusterStatsCacheMap.remove(path)
     Files.createDirectories(Paths.get(path, CommitsDir))
     Files.createDirectories(Paths.get(path, DataDir))
     writeMeta(path, schema, pkCol, partitionCol, precombineCol, stablePartitions, numBuckets)

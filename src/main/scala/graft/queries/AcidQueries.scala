@@ -1697,6 +1697,67 @@ object AcidQueries {
         SELECT pk, part, val FROM base
         UNION ALL SELECT pk, part, val FROM inserted
         ORDER BY pk
+      """)),
+
+    // ---- C5 dynamic partition pruning through the catalog scan (round 13) -------
+    // A selective filter on a NON-join dimension column: the matching fact
+    // partitions are only discoverable at runtime by evaluating the dim
+    // side — static pushdown cannot serve this shape. The DSv2 batch scan
+    // (`AcidBatchScan`) declares `SupportsRuntimeFiltering`; Spark injects
+    // the DPP subquery and the runtime `In(part, …)` drops whole
+    // partitions' files on the driver before any fact task launches. The
+    // gate FAILS LOUDLY (not just slowly) if the runtime filter never
+    // reached the scan or pruned nothing — the plan shape IS the contract.
+    Q(
+      "q_sql_acid_dpp",
+      (s, dir) => {
+        val wh = scratch()
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.lake.GraftCatalog].getName)
+        s.conf.set("spark.sql.graft.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.dppq")
+        s.sql("""CREATE TABLE graft.dppq.fact (pk STRING, part STRING, qty BIGINT)
+          PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""")
+        Tables.lineitem(s, dir).select(
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("pk"),
+          concat(lit("p"), (col("l_suppkey") % 8).cast("string")).as("part"),
+          col("l_quantity").cast("long").as("qty"))
+          .createOrReplaceTempView("dppq_fact_rows")
+        s.sql("INSERT INTO graft.dppq.fact SELECT * FROM dppq_fact_rows")
+        // dim as a FILE source (a LocalRelation doesn't qualify for DPP's
+        // selective-predicate check): part p0..p7 → group g0 (first half)
+        // or g1; the probe filters on the group, joins on part
+        import s.implicits._
+        (0 until 8).map(i => (s"p$i", if (i < 4) "g0" else "g1"))
+          .toDF("part", "grp").write.mode("overwrite").parquet(s"$wh/dppq_dim")
+        s.read.parquet(s"$wh/dppq_dim").createOrReplaceTempView("dppq_dim")
+        val q = """SELECT f.part, count(*) AS cnt, sum(f.qty) AS sq
+                   FROM graft.dppq.fact f JOIN dppq_dim d ON f.part = d.part
+                   WHERE d.grp = 'g0' GROUP BY f.part ORDER BY f.part"""
+        val calls0 = org.apache.spark.sql.graft.AcidBatchScan.runtimeFilterCalls.get()
+        org.apache.spark.sql.graft.AcidBatchScan.lastRuntimePrunedTo.set(-1)
+        s.sql(q).collect() // drive one execution to observe the runtime prune
+        require(org.apache.spark.sql.graft.AcidBatchScan.runtimeFilterCalls.get() > calls0,
+          "q_sql_acid_dpp: runtime filter never reached the ACID batch scan")
+        val planned = org.apache.spark.sql.graft.AcidBatchScan.lastPlannedFiles.get()
+        val pruned = org.apache.spark.sql.graft.AcidBatchScan.lastRuntimePrunedTo.get()
+        require(pruned >= 0 && pruned < planned,
+          s"q_sql_acid_dpp: runtime filter pruned nothing ($pruned of $planned files)")
+        s.sql(q)
+      },
+      Some("""
+        WITH fact AS (
+          SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS pk,
+                 'p' || CAST(l_suppkey % 8 AS VARCHAR) AS part,
+                 CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem),
+        dim AS (
+          SELECT 'p' || CAST(i AS VARCHAR) AS part,
+                 CASE WHEN i < 4 THEN 'g0' ELSE 'g1' END AS grp
+          FROM range(8) t(i))
+        SELECT f.part, COUNT(*) AS cnt, CAST(SUM(f.qty) AS BIGINT) AS sq
+        FROM fact f JOIN dim d ON f.part = d.part
+        WHERE d.grp = 'g0' GROUP BY f.part ORDER BY f.part
       """))
   )
 }

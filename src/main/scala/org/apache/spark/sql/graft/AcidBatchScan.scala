@@ -1,0 +1,279 @@
+package org.apache.spark.sql.graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One scannable file of an ACID snapshot, carried with everything a
+  * runtime prune needs: manifest-relative path, absolute path, unescaped
+  * partition VALUE, manifest-recorded size, and the file-group bucket
+  * parsed off the name (None for bucketless legacy files — those must
+  * survive every bucket prune, the same conservatism as the static
+  * lookup path).
+  */
+final case class AcidBatchFile(
+    relPath: String,
+    absPath: String,
+    partitionValue: String,
+    sizeBytes: Long,
+    bucket: Option[Int])
+
+/** The driver-resolved plan [[graft.lake.AcidTable.batchScanPlan]] hands to
+  * [[AcidBatchScan]]: the statically-pruned file list (partition + range +
+  * bloom + null-count pruning already applied, pinned to ONE version) plus
+  * the pure driver-side narrowers a RUNTIME filter can apply without any
+  * further metadata I/O.
+  */
+final case class AcidBatchScanPlan(
+    files: Seq[AcidBatchFile],
+    pkCol: String,
+    partitionCol: String,
+    scanSchema: StructType,
+    /** Typed probe values → the PK buckets they can live in; None when the
+      * PK type is outside the hash-safe set (no bucket pruning). */
+    bucketsOfKeys: Seq[Any] => Option[Set[Int]],
+    /** Hidden-partitioning source column (if the table has a transform). */
+    transformSource: Option[String],
+    /** Source-column values → the partition VALUES they land in (via the
+      * same transform evaluation the writer used); None = can't tell. */
+    transformToPartitions: Seq[Any] => Option[Seq[String]])
+
+/** DSv2 `Batch` scan over an ACID snapshot's file list — the
+  * runtime-filterable read path (round-11 verdict #2).
+  *
+  * Two properties the [[org.apache.spark.sql.connector.read.V1Scan]]
+  * bridge structurally cannot give:
+  *
+  *  1. **Dynamic pruning.** Spark's `PartitionPruning` rule only injects a
+  *     DPP subquery when the v2 scan implements
+  *     `SupportsRuntimeV2Filtering`, and only `BatchScanExec` re-plans
+  *     input partitions after calling `filter(...)` — a V1Scan is wrapped
+  *     into `V1ScanWrapper` before that rule runs and never qualifies. At
+  *     100 TB a dim-filtered fact join without DPP is a full scan; here
+  *     the runtime `In(part, …)` from the dim side drops whole partitions'
+  *     files on the driver before any task launches, an `In(pk, …)` prunes
+  *     to the keys' hash buckets, and an `In(transformSource, …)` routes
+  *     through the hidden-partitioning transform.
+  *  2. **Whole-stage codegen + vectorized parquet into the join.** The V1
+  *     bridge materializes `Row`s through an RDD boundary; this path is a
+  *     normal `BatchScanExec` feeding columnar batches to the query.
+  *
+  * Row-level semantics stay Spark's: every pushed filter is also reported
+  * as residual, so pruning here is PURE file skipping. Snapshots needing
+  * row-level post-processing (live deletion vectors, outstanding renames)
+  * fall back to the V1 bridge — see `AcidScanBuilder.build()`.
+  *
+  * The parquet reading machinery is Spark's own: a `ParquetScan` delegate
+  * (over an empty file index — only its `createReaderFactory()` is used)
+  * builds the reader factory, so schema evolution (missing columns → NULL
+  * / EXISTS_DEFAULT), timezone/rebase handling, and vectorization match
+  * `spark.read.parquet` exactly.
+  */
+final class AcidBatchScan(
+    spark: SparkSession,
+    plan: AcidBatchScanPlan,
+    required: StructType,
+    pushed: Array[Filter])
+  extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  import AcidBatchScan._
+
+  /** Current file list: statically pruned at construction, narrowed
+    * further by [[filter]] before [[planInputPartitions]] re-runs. */
+  @volatile private var files: Seq[AcidBatchFile] = plan.files
+
+  private val partitionCol = plan.partitionCol
+
+  private val readPartitionSchema: StructType =
+    if (required.fieldNames.contains(partitionCol))
+      StructType(Seq(plan.scanSchema(partitionCol))).asNullable
+    else new StructType()
+  private val readDataSchema: StructType =
+    StructType(required.fields.filterNot(_.name == partitionCol).toSeq).asNullable
+  private val dataSchema: StructType =
+    StructType(plan.scanSchema.fields.filterNot(_.name == partitionCol).toSeq).asNullable
+
+  // partition values don't live in the data files — only data-column
+  // conjuncts go to the parquet row-group/page filters
+  private val parquetPushed: Array[Filter] =
+    pushed.filter(f => !f.references.contains(partitionCol))
+
+  /** readSchema PRESERVES the required column order. This matters beyond
+    * cosmetics: if the scan reported a different order,
+    * `V2ScanRelationPushDown` would interpose a reordering Project above
+    * the scan relation, and Spark's DELETE/UPDATE planning
+    * (`DataSourceV2Strategy`) cannot see the relation through a Project —
+    * `DELETE FROM` over the catalog would die with an internal error. The
+    * parquet reader emits (dataColumns ++ partitionColumns); a permuting
+    * reader-factory wrapper restores the required order per row/batch.
+    */
+  private val requiredNullable: StructType = required.asNullable
+  override def readSchema(): StructType = requiredNullable
+
+  /** required-ordinal → reader-output ordinal (reader output order is
+    * readDataSchema ++ readPartitionSchema). */
+  private val readerPermutation: IndexedSeq[Int] = {
+    val readerOrder = readDataSchema.fieldNames ++ readPartitionSchema.fieldNames
+    requiredNullable.fieldNames.toIndexedSeq.map(readerOrder.indexOf(_))
+  }
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftAcidBatchScan[files=${plan.files.size}, pushed=${pushed.length}]"
+
+  /** Spark's own v2 parquet scan builds the reader factory (hadoop conf
+    * keys, requested-schema JSON, rebase modes, vectorization) — its file
+    * index is empty and unused; partitions come from [[planInputPartitions]]. */
+  private lazy val delegate: ParquetScan = {
+    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    val emptyIndex = new InMemoryFileIndex(spark, Nil, Map.empty, Some(new StructType()))
+    new ParquetScan(spark, hadoopConf, emptyIndex, dataSchema, readDataSchema,
+      readPartitionSchema, parquetPushed, CaseInsensitiveStringMap.empty(),
+      None, Seq.empty, Seq.empty, Array.empty)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = delegate.createReaderFactory()
+    if (readerPermutation == readerPermutation.indices) inner
+    else new PermutingReaderFactory(inner, requiredNullable, readerPermutation)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val current = files
+    lastPlannedFiles.set(current.size)
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minParts = conf.filesMinPartitionNum.getOrElse(spark.sparkContext.defaultParallelism)
+    // the standard file-source split sizing: respect maxPartitionBytes but
+    // don't under-parallelize small scans below the session's parallelism
+    val totalBytes = current.iterator.map(_.sizeBytes + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minParts)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+    val split = current.flatMap { f =>
+      val pv: InternalRow =
+        if (readPartitionSchema.isEmpty) InternalRow.empty
+        else InternalRow(UTF8String.fromString(f.partitionValue))
+      if (f.sizeBytes <= 0)
+        Seq(PartitionedFile(pv, SparkPath.fromPathString(f.absPath), 0L, 0L,
+          Array.empty, 0L, 0L, Map.empty))
+      else (0L until f.sizeBytes by math.max(1L, maxSplit)).map { off =>
+        PartitionedFile(pv, SparkPath.fromPathString(f.absPath), off,
+          math.min(f.sizeBytes - off, maxSplit), Array.empty, 0L, f.sizeBytes, Map.empty)
+      }
+    }
+    FilePartition.getFilePartitions(spark, split, math.max(1L, maxSplit)).toArray
+  }
+
+  /** Only columns present in the read schema are declared filterable —
+    * `V2ExpressionUtils.resolveRefs` resolves these against the scan
+    * output and an absent name would fail the whole optimization pass. */
+  override def filterAttributes(): Array[NamedReference] =
+    (Seq(partitionCol, plan.pkCol) ++ plan.transformSource.toSeq).distinct
+      .filter(required.fieldNames.contains)
+      .map(n => FieldReference(Seq(n)): NamedReference).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilterCalls.incrementAndGet()
+    var cur = files
+    filters.foreach {
+      case sources.In(c, vs) if c == partitionCol =>
+        val keep = vs.iterator.filter(_ != null).map(stringOf).toSet
+        cur = cur.filter(f => keep.contains(f.partitionValue))
+      case sources.EqualTo(c, v) if c == partitionCol && v != null =>
+        val keep = stringOf(v)
+        cur = cur.filter(_.partitionValue == keep)
+      case sources.In(c, vs) if c == plan.pkCol =>
+        plan.bucketsOfKeys(vs.toSeq.filter(_ != null).map(externalize)).foreach { bs =>
+          cur = cur.filter(f => f.bucket.forall(bs.contains))
+        }
+      case sources.EqualTo(c, v) if c == plan.pkCol && v != null =>
+        plan.bucketsOfKeys(Seq(externalize(v))).foreach { bs =>
+          cur = cur.filter(f => f.bucket.forall(bs.contains))
+        }
+      case sources.In(c, vs) if plan.transformSource.contains(c) =>
+        plan.transformToPartitions(vs.toSeq.filter(_ != null).map(externalize)).foreach { ps =>
+          val keep = ps.toSet
+          cur = cur.filter(f => keep.contains(f.partitionValue))
+        }
+      case _ => () // pruning-only contract: an unhandled shape skips nothing
+    }
+    files = cur
+    lastRuntimePrunedTo.set(cur.size)
+  }
+
+  /** Pruned-size statistics — same role as the V1 route's
+    * `estimateStatistics`: a point-lookup/range-pruned slice of a huge
+    * table reports its true (small) bytes and auto-broadcasts hint-free. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, files.iterator.map(_.sizeBytes).sum))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+}
+
+/** Restores the REQUIRED column order over a delegate reader factory whose
+  * readers emit (dataColumns ++ partitionColumns): rows re-project through
+  * a reused [[org.apache.spark.sql.catalyst.ProjectingInternalRow]];
+  * columnar batches permute the column-vector references (zero copy).
+  */
+private final class PermutingReaderFactory(
+    delegate: PartitionReaderFactory,
+    schema: StructType,
+    perm: IndexedSeq[Int]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(p)
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(p)
+    val proj = new org.apache.spark.sql.catalyst.ProjectingInternalRow(schema, perm)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = { proj.project(inner.get()); proj }
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val inner = delegate.createColumnarReader(p)
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = inner.get()
+        val cols = perm.map(i => b.column(i)).toArray
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+object AcidBatchScan {
+  /** v1 Filter values are external, but normalize defensively. */
+  private def externalize(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case x => x
+  }
+  private def stringOf(v: Any): String = String.valueOf(externalize(v))
+
+  // diagnostics for plan-assertion specs (process-wide, best-effort)
+  val runtimeFilterCalls = new AtomicLong(0)
+  val lastPlannedFiles = new AtomicLong(-1)
+  val lastRuntimePrunedTo = new AtomicLong(-1)
+}

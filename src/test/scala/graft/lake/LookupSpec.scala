@@ -143,14 +143,25 @@ class LookupSpec extends AnyFunSuite {
     t.upsert((1 to 10).map(i =>
       (java.sql.Date.valueOf(f"2024-02-$i%02d"), s"P${i % 2}", i.toLong))
       .toDF("d", "part", "v"))
-    val sb = new AcidScanBuilder(t)
-    sb.pushFilters(Array(org.apache.spark.sql.sources.EqualTo(
+    // pin the V1 bridge explicitly (the default is the batch route; both
+    // must serve an unsupported-PK-type equality without lookup routing)
+    spark.conf.set("spark.graft.batchScan.enabled", "false")
+    try {
+      val sb = new AcidScanBuilder(t)
+      sb.pushFilters(Array(org.apache.spark.sql.sources.EqualTo(
+        "d", java.sql.Date.valueOf("2024-02-03"))))
+      val scan = sb.build().asInstanceOf[org.apache.spark.sql.connector.read.V1Scan]
+        .toV1TableScan[org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](spark.sqlContext)
+      val rows = scan.buildScan().collect()
+      assert(rows.map(_.getLong(2)).toSeq == Seq(3L))
+    } finally spark.conf.unset("spark.graft.batchScan.enabled")
+    // and the default batch route returns the same rows
+    val sb2 = new AcidScanBuilder(t)
+    sb2.pushFilters(Array(org.apache.spark.sql.sources.EqualTo(
       "d", java.sql.Date.valueOf("2024-02-03"))))
-    val scan = sb.build().asInstanceOf[org.apache.spark.sql.connector.read.V1Scan]
-      .toV1TableScan[org.apache.spark.sql.sources.BaseRelation
-        with org.apache.spark.sql.sources.TableScan](spark.sqlContext)
-    val rows = scan.buildScan().collect()
-    assert(rows.map(_.getLong(2)).toSeq == Seq(3L))
+    assert(!sb2.build().isInstanceOf[org.apache.spark.sql.connector.read.V1Scan],
+      "clean snapshot must take the batch route by default")
   }
 
   test("lookup is snapshot-pinned: a concurrent commit does not leak in") {
