@@ -2816,11 +2816,15 @@ final class AcidTable private (
     * version, and packages the driver-local narrowers a runtime DPP filter
     * applies with zero further metadata I/O.
     *
-    * None when the snapshot needs row-level post-processing the bare
-    * parquet batch cannot express — live deletion vectors (rows must be
-    * HIDDEN, not merely filtered by pushed predicates) or outstanding
-    * metadata-only renames (the scan must read prior names and coalesce).
-    * Those reads keep the V1 bridge; their correctness is untouched.
+    * None only when the snapshot needs row-level post-processing the
+    * batch reader cannot express: outstanding metadata-only renames (the
+    * scan must read prior names and coalesce), or live deletion vectors
+    * over a PK type [[castKeyTo]] cannot render (no such DV can be
+    * COMMITTED today — MOR falls back to a rewrite for those types — so
+    * this is pure defensiveness). Ordinary live DVs stay on the batch
+    * route (round-13 verdict #2): each file carries the key set of the DV
+    * entries applicable to ITS cell, and the reader factory hides those
+    * rows — see [[org.apache.spark.sql.graft.AcidBatchScan]].
     */
   private[graft] def batchScanPlan(
       pkKeys: Option[Seq[String]],
@@ -2831,16 +2835,30 @@ final class AcidTable private (
       version: Long): Option[org.apache.spark.sql.graft.AcidBatchScanPlan] = {
     if (renamedCols.nonEmpty) return None
     val v = if (version >= 0) version else latestVersion()
+    val dvs = if (v < 0) Nil else readDvs(v)
+    if (dvs.nonEmpty && (!keyCastSupported || pkCol == partitionCol)) return None
     val rels: Seq[String] =
       if (v < 0) Nil
       else {
-        if (readDvs(v).nonEmpty) return None
         pkKeys match {
           case Some(ks) =>
             AcidTable.lookupScans.incrementAndGet() // the point-lookup route
             lookupFiles(ks, partitions, v)
           case None => prunedFiles(bounds, bloomEqs, v, partitions, nullChecks)
         }
+      }
+    // per-file applicable DV keys, as CATALYST-INTERNAL pk values: an
+    // entry applies to every file of its cell ([[fileInCell]] — bucketless
+    // files belong to every bucket of their partition, the standing
+    // conservatism). Unparseable keys drop out exactly as in [[applyDvs]].
+    val dvKeysFor: String => Array[Any] =
+      if (dvs.isEmpty) _ => Array.empty
+      else {
+        val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(schema(pkCol).dataType)
+        f => dvs.filter(e => fileInCell(f, FileCell(e.part, e.bucket)))
+          .flatMap(e => scala.util.Try(castKeyTo(e.key)).toOption)
+          .map(toInternal(_)).toArray
       }
     val sizes = sizesForFiles(v, rels)
     val files = rels.map { f =>
@@ -2851,7 +2869,7 @@ final class AcidTable private (
         dataRoot.resolve(f).toFile.length()
       })
       org.apache.spark.sql.graft.AcidBatchFile(
-        f, dataRoot.resolve(f).toString, pv, size, fileBucketOf(f))
+        f, dataRoot.resolve(f).toString, pv, size, fileBucketOf(f), dvKeysFor(f))
     }
     val pkDt = schema(pkCol).dataType
     val bucketsOf: Seq[Any] => Option[Set[Int]] =

@@ -20,14 +20,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition VALUE, manifest-recorded size, and the file-group bucket
   * parsed off the name (None for bucketless legacy files — those must
   * survive every bucket prune, the same conservatism as the static
-  * lookup path).
+  * lookup path), plus the live deletion-vector keys applicable to THIS
+  * file's cell (catalyst-internal pk values; empty for a clean file —
+  * the overwhelmingly common case).
   */
 final case class AcidBatchFile(
     relPath: String,
     absPath: String,
     partitionValue: String,
     sizeBytes: Long,
-    bucket: Option[Int])
+    bucket: Option[Int],
+    dvKeys: Array[Any] = Array.empty)
 
 /** The driver-resolved plan [[graft.lake.AcidTable.batchScanPlan]] hands to
   * [[AcidBatchScan]]: the statically-pruned file list (partition + range +
@@ -99,8 +102,32 @@ final class AcidBatchScan(
     if (required.fieldNames.contains(partitionCol))
       StructType(Seq(plan.scanSchema(partitionCol))).asNullable
     else new StructType()
+  /** Reader schemas resolve each required field by NAME in
+    * `plan.scanSchema`, not from `required` directly: the catalog face's
+    * `schema()` strips metadata, but `scanSchema` carries the
+    * `EXISTS_DEFAULT`/`CURRENT_DEFAULT` keys Spark's parquet readers
+    * consult to fill physically-absent columns after an ALTER … ADD COLUMN
+    * DEFAULT. Building from bare `required` would silently surface NULL
+    * instead of the declared default for pre-evolution files (round-13
+    * ADVICE, high).
+    */
+  private def withScanMetadata(f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.StructField =
+    plan.scanSchema.fields.find(_.name == f.name).getOrElse(f)
+  /** Live DV entries on any planned file force a row-level hide in the
+    * reader (round-13 verdict #2 — the batch route stays universal on
+    * MOR-heavy tables instead of falling back to the V1 bridge). */
+  private val hasDvs: Boolean = plan.files.exists(_.dvKeys.nonEmpty)
+  /** When DVs are live but the projection dropped the PK, the reader must
+    * still read it to test rows against the hidden-key set; the extra
+    * trailing column never reaches the emitted row (the projecting wrapper
+    * maps only required ordinals). */
+  private val extraPkForDv: Boolean =
+    hasDvs && !required.fieldNames.contains(plan.pkCol)
   private val readDataSchema: StructType =
-    StructType(required.fields.filterNot(_.name == partitionCol).toSeq).asNullable
+    StructType(required.fields.filterNot(_.name == partitionCol).toSeq
+      .map(withScanMetadata) ++
+      (if (extraPkForDv) Seq(plan.scanSchema(plan.pkCol)) else Nil)).asNullable
   private val dataSchema: StructType =
     StructType(plan.scanSchema.fields.filterNot(_.name == partitionCol).toSeq).asNullable
 
@@ -146,7 +173,16 @@ final class AcidBatchScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
-    if (readerPermutation == readerPermutation.indices) inner
+    if (hasDvs) {
+      val keysByPath: Map[SparkPath, Array[Any]] =
+        plan.files.iterator.filter(_.dvKeys.nonEmpty)
+          .map(f => SparkPath.fromPathString(f.absPath) -> f.dvKeys).toMap
+      val readerOrder = readDataSchema.fieldNames ++ readPartitionSchema.fieldNames
+      new DvFilteringReaderFactory(inner, requiredNullable, readerPermutation,
+        keysByPath, readerOrder.indexOf(plan.pkCol),
+        plan.scanSchema(plan.pkCol).dataType)
+    }
+    else if (readerPermutation == readerPermutation.indices) inner
     else new PermutingReaderFactory(inner, requiredNullable, readerPermutation)
   }
 
@@ -161,7 +197,7 @@ final class AcidBatchScan(
     val totalBytes = current.iterator.map(_.sizeBytes + openCost).sum
     val bytesPerCore = totalBytes / math.max(1, minParts)
     val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
-    val split = current.flatMap { f =>
+    def splitsOf(f: AcidBatchFile): Seq[PartitionedFile] = {
       val pv: InternalRow =
         if (readPartitionSchema.isEmpty) InternalRow.empty
         else InternalRow(UTF8String.fromString(f.partitionValue))
@@ -173,7 +209,17 @@ final class AcidBatchScan(
           math.min(f.sizeBytes - off, maxSplit), Array.empty, 0L, f.sizeBytes, Map.empty)
       }
     }
-    FilePartition.getFilePartitions(spark, split, math.max(1L, maxSplit)).toArray
+    // DV-carrying files each get their OWN FilePartitions: the reader
+    // factory resolves one hidden-key set per partition, so a partition
+    // must never mix files with different applicable DV entries (the same
+    // pk string may legitimately live in ANOTHER partition's rows).
+    val (dvFiles, clean) = current.partition(_.dvKeys.nonEmpty)
+    val parts =
+      FilePartition.getFilePartitions(
+        spark, clean.flatMap(splitsOf), math.max(1L, maxSplit)) ++
+      dvFiles.flatMap(f =>
+        FilePartition.getFilePartitions(spark, splitsOf(f), math.max(1L, maxSplit)))
+    parts.zipWithIndex.map { case (p, i) => FilePartition(i, p.files) }.toArray
   }
 
   /** Only columns present in the read schema are declared filterable —
@@ -186,6 +232,7 @@ final class AcidBatchScan(
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeFilterCalls.incrementAndGet()
+    val pre = files.size
     var cur = files
     filters.foreach {
       case sources.In(c, vs) if c == partitionCol =>
@@ -211,6 +258,13 @@ final class AcidBatchScan(
     }
     files = cur
     lastRuntimePrunedTo.set(cur.size)
+    // One atomic (pre, post) pair from THIS filter() call. The two legacy
+    // counters above are each overwritten by unrelated plannings —
+    // `BatchScanExec` re-plans input partitions AFTER filtering, so
+    // `lastPlannedFiles` records the post-prune count and `pruned <
+    // planned` fails exactly when DPP works (round-13 verdict #1). Gates
+    // must read this pair instead.
+    lastFilterPrune.set((pre.toLong, cur.size.toLong))
   }
 
   /** Pruned-size statistics — same role as the V1 route's
@@ -220,6 +274,55 @@ final class AcidBatchScan(
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, files.iterator.map(_.sizeBytes).sum))
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+}
+
+/** Row-level deletion-vector application inside the batch read (round-13
+  * verdict #2): rows whose pk is in the partition's hidden-key set are
+  * skipped before projection, so a MOR table with outstanding point
+  * deletes KEEPS the batch route — runtime DPP, file pruning, and
+  * codegen into the join all survive; only vectorized parquet is traded
+  * away (all partitions read row-wise, because `BatchScanExec` forbids
+  * mixing columnar and row partitions in one scan). Compaction sweeps the
+  * DVs and restores the columnar path. Per-partition key resolution is
+  * sound because [[AcidBatchScan.planInputPartitions]] never packs a
+  * DV-carrying file with any other file.
+  */
+private final class DvFilteringReaderFactory(
+    delegate: PartitionReaderFactory,
+    schema: StructType,
+    perm: IndexedSeq[Int],
+    keysByPath: Map[SparkPath, Array[Any]],
+    pkOrd: Int,
+    pkType: org.apache.spark.sql.types.DataType) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val hidden: Set[Any] = p match {
+      case fp: FilePartition =>
+        fp.files.iterator.flatMap(f => keysByPath.get(f.filePath)).flatten.toSet
+      case _ => Set.empty
+    }
+    val inner = delegate.createReader(p)
+    val proj = new org.apache.spark.sql.catalyst.ProjectingInternalRow(schema, perm)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (hidden.isEmpty || r.isNullAt(pkOrd) ||
+              !hidden.contains(r.get(pkOrd, pkType))) {
+            cur = r
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = { proj.project(cur); proj }
+      override def close(): Unit = inner.close()
+    }
   }
 }
 
@@ -276,4 +379,9 @@ object AcidBatchScan {
   val runtimeFilterCalls = new AtomicLong(0)
   val lastPlannedFiles = new AtomicLong(-1)
   val lastRuntimePrunedTo = new AtomicLong(-1)
+  /** (file count BEFORE the runtime filter narrowed the list, count after)
+    * from the most recent `filter()` call — written atomically as one pair
+    * so a gate's `post < pre` comparison cannot be split across unrelated
+    * plannings. `null` until a runtime filter fires (reset by gates). */
+  val lastFilterPrune = new java.util.concurrent.atomic.AtomicReference[(Long, Long)](null)
 }

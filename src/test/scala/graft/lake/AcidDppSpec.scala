@@ -52,7 +52,7 @@ class AcidDppSpec extends AnyFunSuite {
     assert(totalFiles > 0, "batch scan route must be taken for a clean snapshot")
 
     AcidBatchScan.runtimeFilterCalls.set(0)
-    AcidBatchScan.lastRuntimePrunedTo.set(-1)
+    AcidBatchScan.lastFilterPrune.set(null)
     // the filter is on a NON-join dim column: the matching partitions are
     // only discoverable at runtime by evaluating the dim side — the shape
     // static pushdown cannot serve and DPP exists for
@@ -65,9 +65,14 @@ class AcidDppSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getString(0).stripPrefix("k").toInt % 8 < 4))
     assert(AcidBatchScan.runtimeFilterCalls.get() > 0,
       "runtime filter never reached the scan — DPP not injected")
-    val pruned = AcidBatchScan.lastRuntimePrunedTo.get()
-    assert(pruned >= 0 && pruned < totalFiles,
-      s"runtime prune must shrink the file list ($pruned vs $totalFiles total)")
+    // the atomic (pre, post) pair from filter() itself is the contract —
+    // lastPlannedFiles is overwritten by BatchScanExec's post-filter
+    // re-plan and must not be compared against (round-13 verdict #1)
+    val pair = AcidBatchScan.lastFilterPrune.get()
+    assert(pair != null && pair._2 < pair._1,
+      s"runtime prune must shrink the file list ($pair)")
+    assert(pair._1 == totalFiles,
+      s"pre-filter count must match the unfiltered plan ($pair vs $totalFiles)")
   }
 
   test("a join on the PK runtime-prunes to the probe keys' buckets") {
@@ -88,7 +93,7 @@ class AcidDppSpec extends AnyFunSuite {
       AcidBatchScan.lastPlannedFiles.get()
     }
     AcidBatchScan.runtimeFilterCalls.set(0)
-    AcidBatchScan.lastRuntimePrunedTo.set(-1)
+    AcidBatchScan.lastFilterPrune.set(null)
     val joined = spark.sql(
       """SELECT f.pk, f.v, d.w FROM graft.dpp2.fact f
         |JOIN dpp2_probe d ON f.pk = d.pk WHERE d.w = 1""".stripMargin)
@@ -96,12 +101,14 @@ class AcidDppSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("k7" -> 7.0, "k9" -> 9.0))
     assert(AcidBatchScan.runtimeFilterCalls.get() > 0,
       "runtime pk filter never reached the scan")
-    val pruned = AcidBatchScan.lastRuntimePrunedTo.get()
-    assert(pruned >= 0 && pruned < totalFiles,
-      s"pk runtime filter must bucket-prune the file list ($pruned vs $totalFiles)")
+    val pair = AcidBatchScan.lastFilterPrune.get()
+    assert(pair != null && pair._2 < pair._1,
+      s"pk runtime filter must bucket-prune the file list ($pair)")
+    assert(pair._1 == totalFiles,
+      s"pre-filter count must match the unfiltered plan ($pair vs $totalFiles)")
   }
 
-  test("live DVs fall back to the V1 route and stay correct through the catalog") {
+  test("live DVs stay on the batch route: rows hidden in the reader factory") {
     freshCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dpp3")
     spark.sql("""CREATE TABLE graft.dpp3.t (pk STRING, part STRING, v DOUBLE)
@@ -113,11 +120,79 @@ class AcidDppSpec extends AnyFunSuite {
     val wh = spark.conf.get("spark.sql.graft.warehouse")
     val t = AcidTable.open(spark, s"$wh/dpp3/t")
     t.deleteVectored(Seq("k3"))
-    val before = AcidBatchScan.lastPlannedFiles.get()
+    // round-13 verdict #2: the batch route must stay universal on MOR
+    // tables — the DV key set is applied as a row filter in the reader
+    // factory instead of falling back wholesale to the V1 bridge
+    AcidBatchScan.lastPlannedFiles.set(-1)
     val rows = spark.sql("SELECT pk FROM graft.dpp3.t ORDER BY pk").collect().map(_.getString(0))
     assert(!rows.contains("k3") && rows.length == 15,
       "DV-hidden row must not resurface through the catalog read")
-    assert(AcidBatchScan.lastPlannedFiles.get() == before,
-      "a DV-carrying snapshot must NOT take the batch route")
+    assert(AcidBatchScan.lastPlannedFiles.get() >= 0,
+      "a DV-carrying snapshot must STILL take the batch route (round-13 #2)")
+    // projection WITHOUT the pk column: the reader reads pk internally to
+    // test the hidden set, but never emits it
+    val sums = spark.sql("SELECT sum(v) AS s, count(*) AS c FROM graft.dpp3.t").collect()(0)
+    assert(sums.getLong(1) == 15 && sums.getDouble(0) == (0 until 16).map(_.toDouble).sum - 3.0,
+      "pk-free projection over a DV snapshot must hide the row and aggregate the rest")
+    // same-pk row in a DIFFERENT partition must be untouched by the entry
+    assert(spark.sql("SELECT count(*) FROM graft.dpp3.t WHERE part = 'p0'")
+      .collect()(0).getLong(0) == 8)
+  }
+
+  test("a DV-carrying fact table still runtime-prunes files via DPP") {
+    freshCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dpp4")
+    spark.sql("""CREATE TABLE graft.dpp4.fact (pk STRING, part STRING, v DOUBLE)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    (0 until 256).map(i => (s"k$i", s"p${i % 8}", i.toDouble))
+      .toDF("pk", "part", "v").createOrReplaceTempView("dpp4_src")
+    spark.sql("INSERT INTO graft.dpp4.fact SELECT * FROM dpp4_src")
+    val wh = spark.conf.get("spark.sql.graft.warehouse")
+    val t = AcidTable.open(spark, s"$wh/dpp4/fact")
+    t.deleteVectored(Seq("k8", "k16")) // both land in p0 (kept by the dim filter)
+    (0 until 8).map(i => (s"p$i", s"region${i / 4}"))
+      .toDF("part", "region").write.mode("overwrite").parquet(s"$wh/dpp4_dim")
+    spark.read.parquet(s"$wh/dpp4_dim").createOrReplaceTempView("dpp4_dim")
+
+    AcidBatchScan.runtimeFilterCalls.set(0)
+    AcidBatchScan.lastFilterPrune.set(null)
+    val rows = spark.sql(
+      """SELECT f.pk FROM graft.dpp4.fact f
+        |JOIN dpp4_dim d ON f.part = d.part
+        |WHERE d.region = 'region0'""".stripMargin).collect().map(_.getString(0))
+    assert(rows.length == 126, s"126 live rows expected in region0, got ${rows.length}")
+    assert(!rows.contains("k8") && !rows.contains("k16"),
+      "DV-hidden rows must not resurface through the DPP-pruned read")
+    assert(AcidBatchScan.runtimeFilterCalls.get() > 0,
+      "runtime filter must reach the DV-carrying batch scan")
+    val pair = AcidBatchScan.lastFilterPrune.get()
+    assert(pair != null && pair._2 < pair._1,
+      s"DV-carrying scan must still runtime-prune its file list ($pair)")
+  }
+
+  test("live column defaults survive into the batch route's reader schema") {
+    freshCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dpp5")
+    spark.sql("""CREATE TABLE graft.dpp5.t (pk STRING, part STRING, v DOUBLE)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    (0 until 8).map(i => (s"k$i", s"p${i % 2}", i.toDouble))
+      .toDF("pk", "part", "v").createOrReplaceTempView("dpp5_src")
+    spark.sql("INSERT INTO graft.dpp5.t SELECT * FROM dpp5_src")
+    val wh = spark.conf.get("spark.sql.graft.warehouse")
+    // ALTER … ADD COLUMN … DEFAULT: metadata-only, pre-evolution files
+    // lack the column physically — catalog reads must surface the DEFAULT
+    // (not NULL) for them, on the batch route (round-13 ADVICE, high)
+    AcidTable.open(spark, s"$wh/dpp5/t").addColumns(
+      Seq(org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)),
+      Map("tag" -> "'dflt'"))
+    AcidBatchScan.lastPlannedFiles.set(-1)
+    val rows = spark.sql("SELECT pk, tag FROM graft.dpp5.t ORDER BY pk").collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getString(1) == "dflt"),
+      s"pre-evolution files must read the declared default, got " +
+        rows.map(_.getString(1)).distinct.mkString(","))
+    assert(AcidBatchScan.lastPlannedFiles.get() >= 0,
+      "a defaults-carrying clean snapshot must take the batch route")
   }
 }
