@@ -2142,6 +2142,78 @@ final class AcidTable private (
       .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
   }
 
+  /** Driver image of [[changesBetween]] for trickle-scale diffs (round-11
+    * verdict #3, the matview fast-refresh path): the NET multiset diff
+    * computed on the driver from the non-stable files' (cached) row
+    * images — `(row, net)` with net > 0 for inserts and < 0 for deletes,
+    * row in full table-schema order. None when the schema or the diff's
+    * file set is outside the fast-path budget — the distributed
+    * [[changesBetween]] stays authoritative.
+    *
+    * Equality for cancellation is the driver values' `equals` — STRICTER
+    * than SQL equality for ±0.0 doubles and binary/nested values (those
+    * use reference identity). Strictness is safe by linearity: a pair
+    * that should have cancelled but didn't contributes +row and −row,
+    * which nets to ZERO in any signed fold the consumer runs — never a
+    * wrong result, only a no-op delta row.
+    */
+  private[lake] def localChangeRows(fromVersion: Long, toVersion: Long)
+      : Option[Seq[(org.apache.spark.sql.catalyst.InternalRow, Int)]] = {
+    if (!fastSchemaOk || !AcidTable.localCommitEnabled) return None
+    val fromLines = if (fromVersion < 0) Nil else manifestLines(fromVersion)
+    val toLines = if (toVersion < 0) Nil else manifestLines(toVersion)
+    val fromFiles = dataLinesOf(fromLines)
+    val toFiles = dataLinesOf(toLines)
+    val fromDvs = dvsOf(fromLines)
+    val toDvs = dvsOf(toLines)
+    def applicableDvs(f: String, dvs: Seq[DvEntry]): Set[DvEntry] =
+      dvs.filter(e => fileInCell(f, FileCell(e.part, e.bucket))).toSet
+    val stable: Set[String] = (fromFiles.toSet intersect toFiles.toSet)
+      .filter(f => applicableDvs(f, fromDvs) == applicableDvs(f, toDvs))
+    val fromDiff = fromFiles.filterNot(stable)
+    val toDiff = toFiles.filterNot(stable)
+    if (!driverScaleFiles(fromDiff ++ toDiff)) return None
+    // value-equality key of a full row; byte arrays wrapped so content
+    // (not identity) compares — everything else keeps its boxed equals
+    def rowKey(r: org.apache.spark.sql.catalyst.InternalRow): IndexedSeq[Any] =
+      (0 until schema.length).map { i =>
+        r.get(i, schema(i).dataType) match {
+          case b: Array[Byte] => b.toIndexedSeq
+          case x => x
+        }
+      }
+    val net = new java.util.LinkedHashMap[IndexedSeq[Any],
+      (org.apache.spark.sql.catalyst.InternalRow, Int)]
+    readRowsLocal(toDiff).filter(dvRowFilter(toDvs)).foreach { r =>
+      val k = rowKey(r)
+      val cur = net.get(k)
+      net.put(k, if (cur == null) (r, 1) else (cur._1, cur._2 + 1))
+    }
+    readRowsLocal(fromDiff).filter(dvRowFilter(fromDvs)).foreach { r =>
+      val k = rowKey(r)
+      val cur = net.get(k)
+      net.put(k, if (cur == null) (r, -1) else (cur._1, cur._2 - 1))
+    }
+    import scala.jdk.CollectionConverters._
+    Some(net.values.asScala.toSeq.filter(_._2 != 0))
+  }
+
+  /** Driver image of [[lookup]]: the pinned snapshot's rows for `keys`
+    * (rendered with the same `String.valueOf` the DV/row kernels use),
+    * in full table-schema order. None outside the fast-path budget. */
+  private[lake] def localLookupRows(keys: Seq[String], version: Long = -1L)
+      : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = {
+    if (!fastSchemaOk || !AcidTable.localCommitEnabled) return None
+    val v = if (version >= 0) version else latestVersion()
+    if (v < 0) return Some(Nil)
+    val files = lookupFiles(keys, None, v)
+    if (!driverScaleFiles(files)) return None
+    val dvs = dvsOf(manifestLines(v))
+    val ks = keys.toSet
+    Some(readRowsLocal(files).filter(dvRowFilter(dvs)).filter(r =>
+      ks.contains(String.valueOf(r.get(pkFieldIdx, schema(pkFieldIdx).dataType)))))
+  }
+
   /** Compaction: rewrite partitions that have accumulated more than
     * `maxFilesPerPartition` small files into one file each — same content,
     * new version. The COW write path emits one file per touched partition

@@ -179,6 +179,233 @@ final class MatView private (
       .foldLeft(createBase)(math.max)
   }
 
+  // ------------------------------------------- driver trickle fast path --
+
+  /** Interpreted driver rendering of (`__mv_key`, `__mv_part`) for one
+    * SOURCE-schema row — compiled from the SAME Catalyst expressions
+    * [[withKeyPart]] plans (url_encode/concat_ws/xxhash64/pmod/cast), so
+    * driver and distributed folds can never disagree on group identity or
+    * state-partition routing. None → the distributed path stays
+    * authoritative.
+    */
+  private lazy val driverKeyKernel
+      : Option[org.apache.spark.sql.catalyst.InternalRow =>
+          (org.apache.spark.unsafe.types.UTF8String,
+           org.apache.spark.unsafe.types.UTF8String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{SafeProjection, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    scala.util.Try {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), source.schema)
+      val sel = empty.select(
+        keyExpr.as("__mv_key"),
+        pmod(xxhash64(keyExpr), lit(numParts.toLong)).cast(StringType).as("__mv_part"))
+      org.apache.spark.sql.graft.PlanShim.analyzed(sel) match {
+        case Project(exprs, rel: LocalRelation)
+            if exprs.forall(e => e.deterministic && !SubqueryExpression.hasSubquery(e)) =>
+          // the ANALYZED tree still carries RuntimeReplaceable nodes
+          // (url_encode): interpreted eval asserts on those — apply the
+          // optimizer's replacement rewrite before compiling
+          val replaced: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+            exprs.map(_.transformUp {
+              case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+                rr.replacement
+            })
+          val proj = SafeProjection.create(replaced, rel.output)
+          Some((r: org.apache.spark.sql.catalyst.InternalRow) => {
+            val o = proj(r)
+            if (o.isNullAt(0) || o.isNullAt(1)) null
+            // the projection reuses its output buffer — clone before keeping
+            else (o.getUTF8String(0).clone(), o.getUTF8String(1).clone())
+          })
+        case _ => None
+      }
+    }.toOption.flatten
+  }
+
+  /** Per-group driver accumulator for [[localFoldRows]]. */
+  private final class GroupAcc(nAggs: Int) {
+    var rep: org.apache.spark.sql.catalyst.InternalRow = _
+    var part: org.apache.spark.unsafe.types.UTF8String = _
+    val cnt = new Array[Long](nAggs) // count deltas / non-null counts (__n)
+    val sumL = new Array[Long](nAggs)
+    val sumD: Array[java.math.BigDecimal] =
+      Array.fill(nAggs)(java.math.BigDecimal.ZERO)
+    val sawNonNull = new Array[Boolean](nAggs)
+    var mvCnt = 0L
+  }
+
+  /** Driver trickle refresh (round-11 verdict #3): when the CDC delta and
+    * the touched state slice are driver-scale, the whole refresh — file-
+    * granular diff, per-group signed fold, state merge — runs on the same
+    * driver row kernels DML's commit fast path uses, and the fold commits
+    * as a LocalRelation that rides the 0-job commit path: a trickle
+    * refresh becomes a ~30 ms metadata-scale commit instead of a pipeline
+    * of Spark job round-trips. Arithmetic mirrors the distributed
+    * formulation exactly: integral terms wrap in the input's JVM type
+    * before widening to the Long sum (Spark's `c * sgn` coercion),
+    * decimal sums are exact with overflow-to-null at the frozen state
+    * precision, and a group whose non-null count returns to zero reads
+    * back as SQL NULL.
+    *
+    * Outer None → not driver-eligible (distributed path runs);
+    * Some(None) → net-zero delta (no commit); Some(Some(rows)) → the
+    * conformed state rows to CAS-commit.
+    */
+  private def dbg(msg: => String): Unit =
+    if (sys.props.get("graft.mv.debug").contains("true"))
+      Console.err.println(s"[mv-localFold] $msg")
+
+  private def localFoldRows(stateBase: Long, fromV: Long, srcV: Long)
+      : Option[Option[Seq[org.apache.spark.sql.catalyst.InternalRow]]] = {
+    import org.apache.spark.sql.graft.PlanShim
+    val kernel = driverKeyKernel.getOrElse { dbg("no kernel"); return None }
+    // schema gates: the frozen state schema must be exactly what the
+    // state table stores, group columns must carry source types, and
+    // every aggregate state column must be the Long/Decimal shape the
+    // fold arithmetic below implements
+    val st = state
+    if (st.schema.fieldNames.toSeq != stateSchema.fieldNames.toSeq ||
+        !st.schema.fields.zip(stateSchema.fields).forall { case (a, b) =>
+          PlanShim.sameType(a.dataType, b.dataType) }) { dbg("state schema mismatch: " + st.schema.fieldNames.toSeq + " vs " + stateSchema.fieldNames.toSeq); return None }
+    val srcIdxOf = source.schema.fieldNames.zipWithIndex.toMap
+    val stIdxOf = stateSchema.fieldNames.zipWithIndex.toMap
+    val groupOk = groupCols.forall { g =>
+      srcIdxOf.contains(g) && stIdxOf.contains(g) &&
+        PlanShim.sameType(source.schema(g).dataType, stateSchema(g).dataType)
+    }
+    if (!groupOk) { dbg("groupOk false"); return None }
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val aggOk = aggs.forall {
+      case MvAgg(n, "count", "*") =>
+        stIdxOf.contains(n) && stateSchema(n).dataType == LongType
+      case MvAgg(n, "count", c) =>
+        srcIdxOf.contains(c) && stIdxOf.contains(n) &&
+          stateSchema(n).dataType == LongType
+      case MvAgg(n, f, c) if f == "sum" || f == "avg" =>
+        srcIdxOf.contains(c) && stIdxOf.contains(s"${n}__s") &&
+          stIdxOf.contains(s"${n}__n") &&
+          stateSchema(s"${n}__n").dataType == LongType &&
+          ((integral(source.schema(c).dataType) &&
+              stateSchema(s"${n}__s").dataType == LongType) ||
+            (source.schema(c).dataType.isInstanceOf[DecimalType] &&
+              stateSchema(s"${n}__s").dataType.isInstanceOf[DecimalType]))
+      case _ => false
+    }
+    if (!aggOk || !stIdxOf.contains("__mv_cnt") ||
+        stateSchema("__mv_cnt").dataType != LongType) { dbg("aggOk=" + aggOk); return None }
+
+    val delta = source.localChangeRows(fromV, srcV).getOrElse { dbg("localChangeRows None"); return None }
+    if (delta.isEmpty) return Some(None)
+
+    val accs = new java.util.LinkedHashMap[String, GroupAcc]
+    delta.foreach { case (row, net) =>
+      val kp = kernel(row)
+      if (kp == null) return None // a null key can't happen (concat_ws); bail loudly→distributed
+      val (key, part) = kp
+      val acc = {
+        val k = key.toString
+        var a = accs.get(k)
+        if (a == null) { a = new GroupAcc(aggs.length); a.rep = row; a.part = part; accs.put(k, a) }
+        a
+      }
+      val s = if (net > 0) 1 else -1
+      val k = math.abs(net).toLong
+      acc.mvCnt += net.toLong
+      var i = 0
+      while (i < aggs.length) {
+        aggs(i) match {
+          case MvAgg(_, "count", "*") => acc.cnt(i) += net.toLong
+          case MvAgg(_, "count", c) =>
+            val ci = srcIdxOf(c)
+            if (!row.isNullAt(ci)) acc.cnt(i) += net.toLong
+          case MvAgg(_, _, c) => // sum | avg (aggOk filtered the rest)
+            val ci = srcIdxOf(c)
+            if (!row.isNullAt(ci)) {
+              acc.sawNonNull(i) = true
+              acc.cnt(i) += net.toLong
+              source.schema(c).dataType match {
+                case ByteType =>
+                  acc.sumL(i) += (row.getByte(ci).toInt * s).toLong * k
+                case ShortType =>
+                  acc.sumL(i) += (row.getShort(ci).toInt * s).toLong * k
+                case IntegerType =>
+                  acc.sumL(i) += (row.getInt(ci) * s).toLong * k
+                case LongType =>
+                  acc.sumL(i) += row.getLong(ci) * s * k
+                case _: DecimalType =>
+                  val v = row.get(ci, source.schema(c).dataType)
+                    .asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+                  acc.sumD(i) = acc.sumD(i).add(
+                    v.multiply(java.math.BigDecimal.valueOf(net.toLong)))
+                case other =>
+                  throw new IllegalStateException(s"unreachable sum type $other")
+              }
+            }
+        }
+        i += 1
+      }
+    }
+    if (accs.size > 10000) return None // keep the commit a LocalRelation
+
+    import scala.jdk.CollectionConverters._
+    val keys = accs.keySet().asScala.toSeq
+    val oldRows = st.localLookupRows(keys, stateBase).getOrElse { dbg("localLookupRows None"); return None }
+    val stPkIdx = stIdxOf("__mv_key")
+    val oldByKey = oldRows.map(r =>
+      r.getUTF8String(stPkIdx).toString -> r).toMap
+
+    val out = accs.asScala.map { case (keyStr, acc) =>
+      val old = oldByKey.get(keyStr).orNull
+      def oldLong(idx: Int): Long =
+        if (old == null || old.isNullAt(idx)) 0L else old.getLong(idx)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        stateSchema.length)
+      groupCols.foreach { g =>
+        row.update(stIdxOf(g), acc.rep.get(srcIdxOf(g), source.schema(g).dataType))
+      }
+      var i = 0
+      while (i < aggs.length) {
+        aggs(i) match {
+          case MvAgg(n, "count", _) =>
+            row.update(stIdxOf(n), oldLong(stIdxOf(n)) + acc.cnt(i))
+          case MvAgg(n, _, _) => // sum | avg
+            val sIdx = stIdxOf(s"${n}__s")
+            val nIdx = stIdxOf(s"${n}__n")
+            val nn = oldLong(nIdx) + acc.cnt(i)
+            row.update(nIdx, nn)
+            if (nn == 0L) row.update(sIdx, null)
+            else stateSchema(s"${n}__s").dataType match {
+              case dt: DecimalType =>
+                val oldS =
+                  if (old == null || old.isNullAt(sIdx)) java.math.BigDecimal.ZERO
+                  else old.get(sIdx, dt)
+                    .asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+                val total = oldS.add(if (acc.sawNonNull(i)) acc.sumD(i)
+                  else java.math.BigDecimal.ZERO)
+                val d = org.apache.spark.sql.types.Decimal(total)
+                // overflow at the frozen state precision → SQL NULL, the
+                // non-ANSI cast the distributed conformed() applies
+                row.update(sIdx,
+                  if (d.changePrecision(dt.precision, dt.scale)) d else null)
+              case _ =>
+                row.update(sIdx, oldLong(sIdx) +
+                  (if (acc.sawNonNull(i)) acc.sumL(i) else 0L))
+            }
+        }
+        i += 1
+      }
+      row.update(stIdxOf("__mv_cnt"), oldLong(stIdxOf("__mv_cnt")) + acc.mvCnt)
+      row.update(stPkIdx, org.apache.spark.unsafe.types.UTF8String.fromString(keyStr))
+      row.update(stIdxOf("__mv_part"), acc.part)
+      row: org.apache.spark.sql.catalyst.InternalRow
+    }.toSeq
+    Some(Some(out))
+  }
+
   // --------------------------------------------------------------- refresh --
 
   /** Advance the view to the source's current version. Returns the source
@@ -200,28 +427,62 @@ final class MatView private (
       val srcV = source.latestVersion()
       val fromV = appliedVersionUpTo(stateBase)
       if (srcV <= fromV) return fromV
-      // materialize the diff ONCE (delta-sized, spills if large): the fold
-      // consumes it several times (emptiness, touched keys, the fold
-      // itself) — uncached, each consumer would re-run the whole diff scan
-      val delta = source.changesBetween(fromV, srcV)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (delta.isEmpty) return fromV // net-zero range: nothing to fold
-        val newRows =
-          if (incrementalOk) incrementalRows(delta)
-          else recomputeRows(delta, srcV)
-        try {
-          commitFold(newRows, s"MVREFRESH:$srcV", stateBase)
-          return srcV
-        } catch {
-          case _: CommitConflictException =>
+      // driver trickle fast path first (round-11 verdict #3): a
+      // metadata-gated delta folds and commits entirely on the driver —
+      // zero Spark jobs; anything outside the gate falls through to the
+      // distributed formulation below, which stays authoritative
+      val localAttempt =
+        if (incrementalOk) localFoldRows(stateBase, fromV, srcV) else None
+      localAttempt match {
+        case Some(None) => return fromV // net-zero range: nothing to fold
+        case Some(Some(stateRows)) =>
+          try {
+            val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .toAttributes(stateSchema)
+            state.casUpsertOp(
+              org.apache.spark.sql.graft.PlanShim.localRelationDf(spark, attrs, stateRows),
+              s"MVREFRESH:$srcV", stateBase)
+            return srcV
+          } catch {
+            case _: CommitConflictException =>
+              attempts += 1
+              if (attempts > MatView.MaxCasRetries) throw new CommitConflictException(
+                s"matview refresh lost ${MatView.MaxCasRetries} CAS races at $viewPath")
+          }
+        case None => refreshDistributed(stateBase, fromV, srcV) match {
+          case Some(v) => return v
+          case None => // CAS loss inside the distributed fold: re-read and retry
             attempts += 1
             if (attempts > MatView.MaxCasRetries) throw new CommitConflictException(
               s"matview refresh lost ${MatView.MaxCasRetries} CAS races at $viewPath")
         }
-      } finally { delta.unpersist(); () }
+      }
     }
     -1L // unreachable
+  }
+
+  /** One distributed refresh attempt from a pinned state base: Some(v) =
+    * the source version now reflected (committed, or already current);
+    * None = lost the CAS race (caller re-reads and retries). */
+  private def refreshDistributed(
+      stateBase: Long, fromV: Long, srcV: Long): Option[Long] = {
+    // materialize the diff ONCE (delta-sized, spills if large): the fold
+    // consumes it several times (emptiness, touched keys, the fold
+    // itself) — uncached, each consumer would re-run the whole diff scan
+    val delta = source.changesBetween(fromV, srcV)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (delta.isEmpty) return Some(fromV) // net-zero range: nothing to fold
+      val newRows =
+        if (incrementalOk) incrementalRows(delta)
+        else recomputeRows(delta, srcV)
+      try {
+        commitFold(newRows, s"MVREFRESH:$srcV", stateBase)
+        Some(srcV)
+      } catch {
+        case _: CommitConflictException => None
+      }
+    } finally { delta.unpersist(); () }
   }
 
   /** CAS-commit one computed fold. The fold result is #touched-groups-

@@ -28,16 +28,21 @@ import org.apache.spark.sql.types._
   *
   * The supported-type gate is deliberate: these are the types whose parquet
   * encoding has NO conf-sensitive variants (no rebase modes, no INT96/
-  * micros choice, no legacy decimal layouts), so driver and executor
-  * writers cannot diverge however the session is configured. Timestamps,
-  * dates, decimals, binary, and nested types fall back to the distributed
-  * path.
+  * micros choice), so driver and executor writers cannot diverge however
+  * the session is configured. Decimals qualify too: [[ioConf]] pins
+  * `writeLegacyFormat=false` for driver writes (INT32/INT64/FIXED by
+  * precision — the modern layout the distributed writer emits under the
+  * default conf), and Spark's read converters accept every decimal
+  * physical layout regardless, so a history mixing a legacy-conf
+  * distributed writer with driver files still reads one way. Timestamps,
+  * dates, binary, and nested types fall back to the distributed path.
   */
 object LocalParquetIO {
 
   def supportedType(dt: DataType): Boolean = dt match {
     case StringType | BooleanType | ByteType | ShortType |
          IntegerType | LongType | FloatType | DoubleType => true
+    case _: DecimalType => true
     case _ => false
   }
 

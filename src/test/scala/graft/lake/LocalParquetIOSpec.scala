@@ -99,12 +99,49 @@ class LocalParquetIOSpec extends AnyFunSuite {
       assert(r.isNullAt(i), s"expected NULL at evolved column $i"))
   }
 
-  test("type gate: conf-sensitive types are rejected") {
+  test("type gate: conf-sensitive types are rejected; decimals pass") {
     assert(!LocalParquetIO.supportedType(TimestampType))
     assert(!LocalParquetIO.supportedType(DateType))
-    assert(!LocalParquetIO.supportedType(DecimalType(18, 2)))
+    // decimals joined the gate in round 14: the driver writer pins
+    // writeLegacyFormat=false and every decimal physical layout reads one
+    // way, so encoding cannot diverge by session conf
+    assert(LocalParquetIO.supportedType(DecimalType(18, 2)))
+    assert(LocalParquetIO.supportedType(DecimalType(38, 10)))
     assert(!LocalParquetIO.supportedType(BinaryType))
     assert(!LocalParquetIO.supportedType(ArrayType(LongType)))
     assert(LocalParquetIO.supportedSchema(schema))
+  }
+
+  test("decimal round trip: driver write reads back through both readers") {
+    val dSchema = StructType(Seq(
+      StructField("k", StringType),
+      StructField("small", DecimalType(9, 2)),   // INT32-backed
+      StructField("mid", DecimalType(18, 2)),    // INT64-backed
+      StructField("wide", DecimalType(38, 10)))) // FIXED_LEN_BYTE_ARRAY
+    def dec(s: String, p: Int, sc: Int) =
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s), p, sc)
+    val rows = Seq(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString("a"),
+        dec("1234567.89", 9, 2), dec("123456789012345.67", 18, 2),
+        dec("1234567890123456789012345678.0123456789", 38, 10))),
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString("b"),
+        null, dec("-0.01", 18, 2), null)))
+    val f = java.nio.file.Files.createTempDirectory("lpio-dec-")
+      .resolve("d.parquet").toFile
+    LocalParquetIO.write(f, dSchema, rows, spark)
+    // driver reader
+    val back = LocalParquetIO.read(f, dSchema, spark)
+    assert(back.size == 2)
+    assert(back.head.get(1, DecimalType(9, 2)).toString == "1234567.89")
+    assert(back(1).isNullAt(1) && back(1).isNullAt(3))
+    assert(back(1).get(2, DecimalType(18, 2)).toString == "-0.01")
+    // distributed reader sees the same values
+    val viaSpark = spark.read.schema(dSchema).parquet(f.getParent)
+      .orderBy("k").collect()
+    assert(viaSpark(0).getDecimal(3).toPlainString ==
+      "1234567890123456789012345678.0123456789")
+    assert(viaSpark(1).isNullAt(1) && viaSpark(1).getDecimal(2).toPlainString == "-0.01")
   }
 }

@@ -414,4 +414,62 @@ class MatViewSpec extends AnyFunSuite {
     mv.refresh()
     assert(got(mv) === expect(t))
   }
+
+  // ---- round-14: the driver trickle fast path (round-11 verdict #3) ----
+
+  test("driver fold and distributed fold produce bit-identical view states") {
+    // two identical source/view pairs: one refreshed with the driver fast
+    // path live, one with it killed (localChangeRows gates on the same
+    // switch the commit fast path uses) — every DML shape must fold to
+    // the same state through BOTH formulations
+    def run(tag: String, local: Boolean): (AcidTable, MatView) = {
+      AcidTable.localCommitEnabled = local
+      try {
+        val t = seeded(s"lf-$tag")
+        val mv = MatView.create(spark, t, tmp(s"lf-$tag-v"), Seq("grp"), aggsCSD)
+        // update (remove+insert), insert, delete, null measures, group move
+        t.upsert(rows(("k1", "p0", "a", 11L, "9.50"), ("k7", "p1", "d", 70L, "7.00")))
+        mv.refresh()
+        t.delete(Seq("k2"))
+        mv.refresh()
+        t.upsert(rows(("k3", "p0", "c", null, null))) // group move b→c, nulls
+        mv.refresh()
+        t.delete(Seq("k6", "k3")) // empties group c again (tombstone)
+        mv.refresh()
+        (t, mv)
+      } finally { AcidTable.localCommitEnabled = true }
+    }
+    val (tFast, mvFast) = run("fast", local = true)
+    val (tDist, mvDist) = run("dist", local = false)
+    assert(got(mvFast) === expect(tFast))
+    assert(got(mvDist) === expect(tDist))
+    assert(got(mvFast) === got(mvDist))
+    // the STATE rows (incl. tombstones and state pairs) must also agree
+    val cols = mvFast.state.snapshot().columns.sorted
+    val sFast = mvFast.state.snapshot().select(cols.head, cols.tail: _*)
+      .collect().map(_.toString).sorted.toSeq
+    val sDist = mvDist.state.snapshot().select(cols.head, cols.tail: _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sFast === sDist)
+  }
+
+  test("a trickle refresh is driver-only: zero Spark jobs") {
+    val t = seeded("zj")
+    val mv = MatView.create(spark, t, tmp("zj-v"), Seq("grp"), aggsCSD)
+    t.upsert(rows(("k1", "p0", "a", 12L, "2.00")))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      mv.refresh()
+      Thread.sleep(500) // listener events are async; settle before reading
+      assert(jobs.get() === 0,
+        s"trickle refresh must run on the driver kernels (saw ${jobs.get()} jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got(mv) === expect(t))
+  }
 }
