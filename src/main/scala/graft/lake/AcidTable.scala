@@ -3,7 +3,7 @@ package graft.lake
 import java.io.File
 import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -2519,15 +2519,18 @@ final class AcidTable private (
   // The Hudi bloom-index analog (the reference stack's engine keys its
   // upsert tagging on exactly this structure): an opt-in `bloomColumns`
   // table property makes every commit stamp a Bloom filter of each listed
-  // column's values onto its new files, as an immutable sidecar per data
-  // file (`_blooms/<rel>.bloom`). Point lookups then prune candidate
-  // files the filter EXCLUDES — the pruning min/max ranges cannot do on
-  // an unclustered table, where every file's PK range spans the keyspace.
-  // At 100 TB the shape is: partition/bucket pruning first (manifest
-  // strings, zero I/O), then one ~12 KB sidecar read per surviving file
-  // (driver-cached; on an object store, the same per-file-GET cost Hudi
-  // pays reading footer blooms), typically ending at the 1-2 files that
-  // actually hold the key instead of one file per partition.
+  // column's values onto its new files, consolidated as ONE immutable
+  // offset-indexed segment per commit (`_blooms/seg-*.bloomseg`, round
+  // 14; pre-round-14 per-file `_blooms/<rel>.bloom` sidecars still read).
+  // Point lookups then prune candidate files the filter EXCLUDES — the
+  // pruning min/max ranges cannot do on an unclustered table, where every
+  // file's PK range spans the keyspace. At 100 TB the shape is:
+  // partition/bucket pruning first (manifest strings, zero I/O), then one
+  // ranged ~12 KB segment-slice read per surviving file (driver-cached;
+  // on an object store, one ranged GET — cheaper than the per-file footer
+  // GET Hudi pays), typically ending at the 1-2 files that actually hold
+  // the key instead of one file per partition. Stamping writes ONE object
+  // per commit however many files the commit lands.
   //
   // Soundness: membership tests can false-positive (file kept, row filter
   // discards) but never false-negative — strings hash their full UTF-8
@@ -2569,47 +2572,155 @@ final class AcidTable private (
   private def bloomExpectedItemsProp: Int =
     tableProperty("bloomExpectedItems").map(_.toInt).getOrElse(10000)
 
-  /** Atomic write of one data file's bloom sidecar: magic, column count,
-    * then (name, length, spark-sketch serialized filter) per column. */
-  private def writeBloomSidecar(rel: String, entries: Seq[(String, Array[Byte])]): Unit = {
+  /** Atomic write of ONE commit-wide bloom segment holding every new
+    * file's serialized filters: magic, a directory of (rel, absolute
+    * offset, length), then the payloads. One PUT per commit replaces one
+    * sidecar PUT per data file (round 14) — a 500-file commit stamps its
+    * blooms in a single object write, and a point lookup still reads only
+    * its file's slice (offset-ranged read). Each payload matches the
+    * per-file sidecar BODY (column count, then (name, length, filter
+    * bytes) per column), so the parse path is shared; pairs that share
+    * the same payload REFERENCE (commit-wide fallback filters) share one
+    * payload slot instead of duplicating it per file. */
+  private def writeBloomSegment(
+      pairs: Seq[(String, Seq[(String, Array[Byte])])]): Unit = {
+    val entries = pairs.filter(_._2.nonEmpty)
     if (entries.isEmpty) return
-    val target = bloomPath(rel)
-    Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(s"${target.getFileName}.tmp-${UUID.randomUUID()}")
+    def payloadOf(cols: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(cols.size)
+      cols.foreach { case (c, bytes) =>
+        out.writeUTF(c); out.writeInt(bytes.length); out.write(bytes)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+    // shared-slot assignment: same entries reference → same payload
+    val slotOf = new java.util.IdentityHashMap[AnyRef, Int]()
+    val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val relSlots: Seq[(String, Int)] = entries.map { case (rel, cols) =>
+      val slot = Option(slotOf.get(cols)).getOrElse {
+        payloads += payloadOf(cols)
+        slotOf.put(cols, payloads.length - 1)
+        payloads.length - 1
+      }
+      rel -> slot
+    }
+    // DataOutputStream.writeUTF emits 2 length bytes + modified UTF-8
+    def modUtfLen(s: String): Int =
+      s.iterator.map(c => if (c >= 1 && c <= 0x7f) 1 else if (c <= 0x7ff) 2 else 3).sum
+    val dirLen = 8L + relSlots.iterator.map { case (r, _) => 2L + modUtfLen(r) + 12L }.sum
+    val slotOffsets = payloads.scanLeft(dirLen)((acc, p) => acc + p.length)
+    Files.createDirectories(bloomRoot)
+    val target = bloomRoot.resolve(s"seg-${UUID.randomUUID()}.bloomseg")
+    val tmp = target.resolveSibling(s".tmp-${target.getFileName}")
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(Files.newOutputStream(tmp)))
     try {
-      out.writeInt(AcidTable.BloomMagic)
-      out.writeInt(entries.size)
-      entries.foreach { case (c, bytes) =>
-        out.writeUTF(c); out.writeInt(bytes.length); out.write(bytes)
+      out.writeInt(AcidTable.BloomSegMagic)
+      out.writeInt(relSlots.size)
+      relSlots.foreach { case (rel, slot) =>
+        out.writeUTF(rel)
+        out.writeLong(slotOffsets(slot))
+        out.writeInt(payloads(slot).length)
       }
+      payloads.foreach(out.write)
+      out.flush()
+      require(out.size().toLong == slotOffsets.last,
+        s"bloom segment directory sizing bug: wrote ${out.size()}, computed ${slotOffsets.last}")
     } finally out.close()
     Files.move(tmp, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Parsed bloom filters of one data file's sidecar (empty when absent or
-    * unreadable — unprunable, never an error). Cached process-wide:
-    * sidecars are immutable once written. */
+  /** Directory parse of one bloom segment: (rel, offset, length) triples.
+    * Throws on malformed input — callers decide the conservative posture. */
+  private def readBloomSegDirectory(seg: Path): Seq[(String, Long, Int)] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(Files.newInputStream(seg)))
+    try {
+      require(in.readInt() == AcidTable.BloomSegMagic, s"bad bloom segment magic in $seg")
+      (0 until in.readInt()).map { _ =>
+        (in.readUTF(), in.readLong(), in.readInt())
+      }
+    } finally in.close()
+  }
+
+  /** Segment-index resolution of one data file's filters: refresh the
+    * per-table directory index from unseen `.bloomseg` files on a miss,
+    * then ranged-read just the file's payload slice. None = the file has
+    * no segment entry (pre-segment table, or the stamp has not landed). */
+  private def bloomSegLookup(rel: String)
+      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    val idx = AcidTable.bloomSegIndex(path)
+    val hit = idx.synchronized {
+      var h = Option(idx.rels.get(rel))
+      if (h.isEmpty && Files.isDirectory(bloomRoot)) {
+        Option(bloomRoot.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".bloomseg") &&
+            !f.getName.startsWith(".") && // in-flight .tmp- writes excluded
+            !idx.seen.contains(f.getName))
+          .foreach { f =>
+            idx.seen.add(f.getName)
+            scala.util.Try(readBloomSegDirectory(f.toPath)).foreach(_.foreach {
+              case (r, off, len) => idx.rels.put(r, (f.toPath, off, len))
+            })
+          }
+        h = Option(idx.rels.get(rel))
+      }
+      h
+    }
+    hit.map { case (segPath, off, len) =>
+      val key = s"$segPath#$rel"
+      AcidTable.bloomCache.get(key).getOrElse {
+        val parsed = scala.util.Try {
+          val raf = new java.io.RandomAccessFile(segPath.toFile, "r")
+          try {
+            raf.seek(off)
+            val buf = new Array[Byte](len)
+            raf.readFully(buf)
+            parseBloomBody(new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(buf)))
+          } finally raf.close()
+        }.getOrElse(Map.empty[String, org.apache.spark.util.sketch.BloomFilter])
+        AcidTable.bloomCache.put(key, parsed)
+        parsed
+      }
+    }
+  }
+
+  /** The shared payload parse: column count, then (name, length, filter
+    * bytes) per column — the body of a per-file sidecar and of each
+    * segment slice. */
+  private def parseBloomBody(in: java.io.DataInputStream)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    (0 until in.readInt()).map { _ =>
+      val c = in.readUTF()
+      val bytes = new Array[Byte](in.readInt())
+      in.readFully(bytes)
+      c -> org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+    }.toMap
+
+  /** Parsed bloom filters of one data file (empty when absent or
+    * unreadable — unprunable, never an error). Resolution order: the
+    * legacy per-file sidecar (pre-round-14 tables), then the commit
+    * segment index. Cached process-wide: sidecars and segments are
+    * immutable once written. */
   private[graft] def readBlooms(rel: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
     val p = bloomPath(rel)
     AcidTable.bloomCache.get(p.toString).getOrElse {
-      if (!Files.exists(p)) Map.empty // not cached: the sidecar lands AFTER publish
+      if (!Files.exists(p)) // not cached on total miss: the stamp lands AFTER publish
+        bloomSegLookup(rel).getOrElse(Map.empty)
       else {
         val parsed = scala.util.Try {
           val in = new java.io.DataInputStream(
             new java.io.BufferedInputStream(Files.newInputStream(p)))
           try {
             require(in.readInt() == AcidTable.BloomMagic, s"bad bloom magic in $p")
-            (0 until in.readInt()).map { _ =>
-              val c = in.readUTF()
-              val bytes = new Array[Byte](in.readInt())
-              in.readFully(bytes)
-              c -> org.apache.spark.util.sketch.BloomFilter
-                .readFrom(new java.io.ByteArrayInputStream(bytes))
-            }.toMap
+            parseBloomBody(in)
           } finally in.close()
         }.getOrElse(Map.empty[String, org.apache.spark.util.sketch.BloomFilter])
         AcidTable.bloomCache.put(p.toString, parsed)
@@ -2703,12 +2814,13 @@ final class AcidTable private (
         }
       }
     if (cellOf.isEmpty) {
+      // one shared payload slot: every file points at the same bytes
       val entries = serialize(commitWide)
-      if (entries.nonEmpty) files.foreach(f => writeBloomSidecar(f, entries))
+      if (entries.nonEmpty) writeBloomSegment(files.map(f => f -> entries))
     } else {
       // any commit-wide leakage (NULL cells, unrouted rows) merges into
-      // every file's filter so no key is ever missing from a sidecar
-      files.foreach { f =>
+      // every file's filter so no key is ever missing from a stamp
+      writeBloomSegment(files.map { f =>
         val m = perFile(f)
         commitWide.foreach { case (c, wide) =>
           m.get(c) match {
@@ -2716,8 +2828,8 @@ final class AcidTable private (
             case None => m(c) = wide
           }
         }
-        writeBloomSidecar(f, serialize(m))
-      }
+        f -> serialize(m)
+      })
     }
   }
 
@@ -2780,15 +2892,14 @@ final class AcidTable private (
         }
       }
     }
-    merged.foreach { case (rel, m) =>
-      val entries = m.toSeq.sortBy(_._1).collect {
+    writeBloomSegment(merged.toSeq.map { case (rel, m) =>
+      rel -> m.toSeq.sortBy(_._1).collect {
         case (i, bf) if !badCols((rel, i)) =>
           val bos = new java.io.ByteArrayOutputStream()
           bf.writeTo(bos)
           cols(i) -> bos.toByteArray
-      }
-      writeBloomSidecar(rel, entries)
-    }
+      }.toSeq
+    })
   }
 
   /** READ-side view of `bloomColumns`: a property invalidated after the
@@ -3220,6 +3331,23 @@ final class AcidTable private (
         }
       }
     }
+    // commit bloom segments: reaped only when EVERY directory entry's
+    // data file is gone (one segment serves a whole commit, so its files
+    // retire at different times; a last survivor keeps the segment —
+    // bounded dead weight, ~12 KB per retired file until the survivor
+    // retires too). Unparseable segments are kept (conservative).
+    Option(bloomRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (n.startsWith(".tmp-") && f.lastModified() < cutoff) {
+        f.delete() // orphaned segment temp (crash mid-stamp)
+        ()
+      } else if (n.endsWith(".bloomseg") && f.lastModified() < cutoff) {
+        val anyLive = scala.util.Try(readBloomSegDirectory(f.toPath)
+          .exists { case (rel, _, _) => Files.exists(dataRoot.resolve(rel)) })
+          .getOrElse(true)
+        if (!anyLive) { f.delete(); () }
+      }
+    }
     // timeline archival (the Hudi-archive / Delta-log-retention analog):
     // manifests below the retention window reference files the loop above
     // is already deleting, so they are unreadable history — prune them to
@@ -3256,10 +3384,48 @@ final class AcidTable private (
           .flatMap(l => l.substring(1).split("\\|", -1).lift(1)).toSet
       val allLive = liveSegs ++ lateSegs
       Option(segmentsDir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-        val dead =
-          (f.getName.startsWith("seg-") && !allLive.contains(f.getName)) ||
-            f.getName.startsWith(".tmp-") // orphaned publisher temp
-        if (dead && f.lastModified() < cutoff) { f.delete(); () }
+        val name = f.getName
+        if ((name.startsWith(".tmp-") || name.startsWith(".gc-"))
+            && f.lastModified() < cutoff) {
+          f.delete() // orphaned publisher/GC temp
+          ()
+        } else if (name.startsWith("seg-") && !allLive.contains(name)
+            && f.lastModified() < cutoff) {
+          // quarantine-then-recheck (not a bare delete): re-read the mtime
+          // at the last instant (a publisher touches reused segments both
+          // before its root links and in its post-link re-assert, so a
+          // fresh touch means a live reuse is in flight), then RENAME the
+          // segment aside atomically and re-read the root set once more.
+          // A root that linked before the recheck restores the segment
+          // from quarantine; one that links after is healed by its own
+          // publisher's post-link re-assert, which finds the segment
+          // missing and REWRITES it (ensureSegment is write-if-absent
+          // with the body in hand). Residual best-effort window: a
+          // publisher that crashes between its root link and its re-assert
+          // while this GC's recheck ran before that link — same order of
+          // improbability as a crash mid-commit, and detectable (the root
+          // names a segment that no longer exists).
+          val q = segmentsDir.resolve(s".gc-${UUID.randomUUID()}")
+          val renamed = f.lastModified() < cutoff && (
+            try { Files.move(f.toPath, q, StandardCopyOption.ATOMIC_MOVE); true }
+            catch { case _: java.io.IOException => false })
+          if (renamed) {
+            val latestFinal = latestVersion()
+            val nowLive = latestNow < latestFinal &&
+              ((latestNow + 1) to latestFinal).iterator.flatMap(v =>
+                  scala.util.Try(rootLines(v)).toOption.toSeq.flatten)
+                .filter(_.startsWith("@"))
+                .exists(_.substring(1).split("\\|", -1).lift(1).contains(name))
+            if (nowLive) {
+              // restore; REPLACE_EXISTING is safe — content-addressed, so
+              // a concurrent publisher rewrite holds identical bytes
+              try Files.move(q, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+              catch { case _: java.io.IOException => () }
+              ()
+            } else { Files.deleteIfExists(q); () }
+          }
+        }
       }
     }
     removed
@@ -3361,19 +3527,21 @@ final class AcidTable private (
       catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
         Files.copy(src, dst); ()
       }
-      // the file's bloom sidecar travels the same way (clone loses only
-      // pruning, never correctness, if this is skipped — but a clone of a
-      // bloomColumns table should keep its point-lookup profile)
-      val srcBloom = bloomPath(f)
-      if (Files.exists(srcBloom)) {
-        val dstBloom = Paths.get(destPath, AcidTable.BloomDir).resolve(f + ".bloom")
-        Files.createDirectories(dstBloom.getParent)
-        try Files.createLink(dstBloom, srcBloom)
-        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          Files.copy(srcBloom, dstBloom); ()
-        }
-      }
     }
+    // bloom filters travel as ONE consolidated segment (clone loses only
+    // pruning, never correctness, if this is skipped — but a clone of a
+    // bloomColumns table should keep its point-lookup profile). The
+    // source may hold any mix of legacy per-file sidecars and commit
+    // segments; the clone re-stamps them in the segment layout.
+    dest.writeBloomSegment(files.flatMap { f =>
+      val m = readBlooms(f)
+      if (m.isEmpty) None
+      else Some(f -> m.toSeq.sortBy(_._1).map { case (c, bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        c -> bos.toByteArray
+      })
+    })
     if (Files.exists(clusterStatsPath))
       Files.copy(clusterStatsPath, Paths.get(destPath, ClusterStatsFile))
     // free-form table properties travel too (Delta SHALLOW CLONE parity):
@@ -4511,12 +4679,26 @@ final class AcidTable private (
   private def segmentsDir: Path = commitsDir.resolve(AcidTable.SegmentsDir)
 
   /** Resolve one immutable segment (cache-first; a disk read parses the
-    * `#segpart=` header and the `<enc file>|<bytes>` entry lines). */
+    * `#segpart=` header and the `<enc file>|<bytes>` entry lines).
+    * A missing file is retried briefly: a concurrent vacuum quarantines
+    * dead-looking segments by RENAME before its liveness recheck, so a
+    * reader racing a reused segment can observe a sub-millisecond gap
+    * between the GC's rename and either the GC's restore or the
+    * publisher's post-link rewrite — both of which re-materialize the
+    * same content-addressed bytes. */
   private def readSegment(name: String): AcidTable.SegData = {
     AcidTable.segmentResolves.incrementAndGet()
     AcidTable.cachedSegment(path, name).getOrElse {
       AcidTable.segmentDiskReads.incrementAndGet()
-      val lines = Files.readAllLines(segmentsDir.resolve(name), StandardCharsets.UTF_8)
+      def readLines(attempt: Int): java.util.List[String] =
+        try Files.readAllLines(segmentsDir.resolve(name), StandardCharsets.UTF_8)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            if (attempt >= 20) throw e
+            Thread.sleep(5L * (attempt + 1))
+            readLines(attempt + 1)
+        }
+      val lines = readLines(0)
         .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
       val pd = lines.find(_.startsWith("#segpart="))
         .map(l => java.net.URLDecoder.decode(l.stripPrefix("#segpart="), "UTF-8"))
@@ -4539,11 +4721,13 @@ final class AcidTable private (
   private def ensureSegment(name: String, body: String, touch: Boolean = false): Unit = {
     val target = segmentsDir.resolve(name)
     if (Files.exists(target)) {
-      // post-root-link re-assert: REFRESH the segment's mtime so the
-      // vacuum age guard (mtime < cutoff) protects a reused old segment
-      // whose only pre-existing referencing root just left retention — a
-      // bare existence probe would leave a pre-cutoff mtime for a racing
-      // GC whose liveSegs set predates our root link
+      // REFRESH a reused segment's mtime so the vacuum age guard
+      // (mtime < cutoff) protects it: pre-link, so a racing GC's
+      // last-instant mtime re-read sees the reuse in flight; and in the
+      // post-root-link re-assert, because a reused old segment whose only
+      // pre-existing referencing root just left retention would otherwise
+      // keep a pre-cutoff mtime for a GC whose liveSegs set predates our
+      // root link
       if (touch) { target.toFile.setLastModified(System.currentTimeMillis()); () }
       return
     }
@@ -4744,7 +4928,10 @@ final class AcidTable private (
       .map { case (pd, fs) =>
         val entries = fs.sorted.map(f => f -> sizes.getOrElse(f, -1L))
         val (name, segBody) = segmentBody(pd, entries)
-        ensureSegment(name, segBody)
+        // touch on reuse even PRE-link: a racing GC whose scan predates
+        // this commit then sees a fresh mtime at its last-instant re-read
+        // and skips the segment without ever quarantining it
+        ensureSegment(name, segBody, touch = true)
         val bytes = entries.iterator.map(_._2).filter(_ >= 0).sum
         val ps = statsCols.flatMap { c =>
           partitionEnvelope(fs, c, fileStats).map { case (lo, hi) =>
@@ -5218,7 +5405,24 @@ object AcidTable {
 
   private[lake] val BloomDir = "_blooms"
   private[lake] val BloomMagic = 0x424c4d31 // "BLM1"
+  private[lake] val BloomSegMagic = 0x424c4d53 // "BLMS" — commit bloom segment
   private[lake] val BloomFpp = 0.01
+
+  /** Directory index of a table's commit bloom SEGMENTS: which segment
+    * file holds which data file's serialized filters, at what offset.
+    * One segment per commit (round 14) replaces one sidecar PUT per data
+    * file; this index is rebuilt incrementally by listing `_blooms` for
+    * segment files not yet parsed — segments are immutable once written,
+    * so entries never go stale (a vacuumed segment's entries dangle
+    * harmlessly: live snapshots no longer name its files). */
+  private final class BloomSegIndex {
+    val seen = new java.util.HashSet[String]()
+    val rels = new java.util.HashMap[String, (Path, Long, Int)]()
+  }
+  private val bloomSegIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, BloomSegIndex]()
+  private def bloomSegIndex(path: String): BloomSegIndex =
+    bloomSegIndexes.computeIfAbsent(path, _ => new BloomSegIndex)
 
   /** Parsed bloom sidecars, keyed by absolute sidecar path. SOUND to cache
     * forever: a sidecar is written once next to an immutable, uniquely

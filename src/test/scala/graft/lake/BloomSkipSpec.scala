@@ -162,30 +162,58 @@ class BloomSkipSpec extends AnyFunSuite {
     }
   }
 
-  test("vacuum reaps sidecars with their files, keeps live ones") {
+  private def bloomSegs(dir: Path): Seq[String] = {
+    val root = dir.resolve("t").resolve(AcidTable.BloomDir)
+    if (!Files.exists(root)) Nil
+    else {
+      val s = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".bloomseg")).map(_.toString).toList
+      } finally s.close()
+    }
+  }
+
+  test("one bloom segment PUT per commit, however many files it lands") {
     val dir = tmp()
     val t = newTable(dir)
-    seed(t, parts = 2, keysPerPart = 10)
+    // one commit spanning 6 partitions = 6 data files but ONE segment
+    t.upsert(batch((0 until 60).map(i => (s"k$i", s"P${i % 6}", i.toDouble)): _*))
+    assert(t.snapshot().inputFiles.length == 6)
+    assert(bloomSegs(dir).size == 1, bloomSegs(dir).toString)
+    // and each file still resolves ITS per-cell filter through the index
+    val pruned = t.lookupFiles(Seq("k7"))
+    assert(pruned.size == 1 && pruned.head.startsWith("part=P1/"), pruned.toString)
+  }
+
+  test("vacuum reaps fully-dead segments, keeps partially-live ones") {
+    val dir = tmp()
+    val t = newTable(dir)
+    seed(t, parts = 2, keysPerPart = 10) // commit/segment per partition
     t.upsert(batch(("k4", "P0", -4.0))) // rewrites P0's cell → old file retires
-    def bloomFiles(): Seq[String] = {
-      val root = dir.resolve("t").resolve(AcidTable.BloomDir)
-      if (!Files.exists(root)) Nil
-      else {
-        val s = Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(_.toString.endsWith(".bloom")).map(_.toString).toList
-        } finally s.close()
-      }
-    }
-    assert(bloomFiles().size == 3) // P0 v1, P1, P0 v2
+    assert(bloomSegs(dir).size == 3) // one per commit
     Thread.sleep(5) // age past the grace cutoff's millisecond granularity
     t.vacuum(keepVersions = 1, graceMillis = 0L)
-    val after = bloomFiles()
-    assert(after.size == 2, s"expected the retired file's sidecar reaped: $after")
+    val after = bloomSegs(dir)
+    // commit 1's segment held ONLY the retired P0 v1 file → reaped;
+    // commits 2 and 3 hold live files → kept
+    assert(after.size == 2, s"expected the fully-dead segment reaped: $after")
     // pruning still works post-vacuum
     assert(t.lookupFiles(Seq("k4")).size == 1)
     assert(t.lookup(Seq("k4")).collect().map(_.getDouble(2)).toSeq == Seq(-4.0))
+
+    // a MIXED segment (one commit, two partitions) survives while either
+    // file lives: rewrite one partition, vacuum — lookups on the other
+    // still skip through the kept segment
+    val dir2 = tmp()
+    val t2 = newTable(dir2)
+    t2.upsert(batch(("a1", "P0", 1.0), ("b1", "P1", 2.0))) // 1 commit, 2 files
+    t2.upsert(batch(("a1", "P0", -1.0))) // retires P0's file
+    Thread.sleep(5)
+    t2.vacuum(keepVersions = 1, graceMillis = 0L)
+    assert(bloomSegs(dir2).size == 2, bloomSegs(dir2).toString) // both kept
+    assert(t2.lookupFiles(Seq("b1")).size == 1)
+    assert(t2.lookup(Seq("b1")).collect().map(_.getDouble(2)).toSeq == Seq(2.0))
   }
 
   test("shallow clones carry sidecars and keep the skip profile") {
