@@ -370,7 +370,60 @@ object BaselineBench {
     val bloomRows =
       if (abSelected("bloom_point_lookup")) Seq(bloomPair("bloom_point_lookup")) else Nil
 
-    val js = (rows ++ mvRows ++ bloomRows).map { case (l, g, s0) =>
+    // catalog-ACID identity pair (round-14): the SAME filtered aggregation
+    // over the SAME rows, once through the catalog's DSv2 batch-scan route
+    // (clean-snapshot AcidBatchScan — runtime-filterable, vectorized,
+    // whole-stage codegen'd; round 13) and once over a stock
+    // partitioned-parquet copy a user without the lake would query. Pins
+    // that a catalog read pays ~nothing for the ACID layer, and represents
+    // the batch-scan route in the identity table the 2× bar is judged on.
+    def acidScanPair(label: String): (String, Double, Double) = {
+      import graft.lake.AcidTable
+      import org.apache.spark.sql.types._
+      val wh = Files.createTempDirectory("ab-acid-wh-").toString
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.lake.GraftCatalog].getName)
+      spark.conf.set("spark.sql.graft.warehouse", wh)
+      val schema = StructType(Seq(
+        StructField("pk", StringType), StructField("part", StringType),
+        StructField("prio", StringType), StructField("price", DoubleType)))
+      val t = AcidTable.create(spark, s"$wh/ab/ordersacid",
+        schema, "pk", "part", stablePartitions = true)
+      val base = pq("orders").select(
+        col("o_orderkey").cast("string").as("pk"),
+        concat_ws("", lit("p"), (col("o_custkey") % 16).cast("string")).as("part"),
+        col("o_orderpriority").as("prio"),
+        col("o_totalprice").cast("double").as("price"))
+      t.upsert(base)
+      t.compact(0)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ab")
+      val stockDir = Files.createTempDirectory("ab-acid-stock-").resolve("p").toString
+      base.write.partitionBy("part").parquet(stockDir)
+      val q = "SELECT prio, count(*) AS n, sum(price) AS rev " +
+        "FROM %s WHERE price > 1000.0 GROUP BY prio"
+      val gts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val sts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until reps).foreach { _ =>
+        spark.catalog.clearCache()
+        gts += time {
+          spark.sql(q.format("graft.ab.ordersacid"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        sts += time {
+          spark.read.parquet(stockDir).createOrReplaceTempView("ab_stock_orders")
+          spark.sql(q.format("ab_stock_orders"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val g = gts.sorted.apply(gts.size / 2)
+      val s0 = sts.sorted.apply(sts.size / 2)
+      println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
+      (label, g, s0)
+    }
+    val acidScanRows =
+      if (abSelected("acid_scan_identity")) Seq(acidScanPair("acid_scan_identity")) else Nil
+
+    val js = (rows ++ mvRows ++ bloomRows ++ acidScanRows).map { case (l, g, s0) =>
       "\"" + l + "\":{" + f""""graft":$g%.3f,"stock":$s0%.3f,"ratio":${g / s0}%.3f}"""
     }.mkString("{", ",", "}")
     spark.stop()

@@ -559,7 +559,7 @@ final class AcidTable private (
           carryMinusKeys(snapRows, ks) ++ rows
       }
     commitLoop(
-      touchedOf = (snap, _) => localCellsOf(bLocal).getOrElse(cellsBy(snap, b, keys, hint)),
+      touchedOf = (snap, _) => localCellsOf(bLocal).getOrElse(cellsBy(snap(), b, keys, hint)),
       resultOf = snapT => antiByKeys(snapT, keys).unionByName(b),
       // a DISTRIBUTED batch can dwarf the files it rewrites — the
       // input-byte write-sizing heuristic only holds when the added rows
@@ -685,7 +685,7 @@ final class AcidTable private (
       // on any lost race.
       globalScope = true,
       touchedOf = (_, files) => {
-        val existing = files.map(_.takeWhile(_ != '/')).distinct.map(d =>
+        val existing = files().map(_.takeWhile(_ != '/')).distinct.map(d =>
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(d.stripPrefix(s"$partitionCol=")))
         val incoming = org.apache.spark.sql.graft.PlanShim
@@ -731,7 +731,7 @@ final class AcidTable private (
     // metadata-scale decision (see upsert)
     val srcLocal = localRowsInSchemaOrder(src)
     commitLoop(
-      touchedOf = (snap, _) => localCellsOf(srcLocal).getOrElse(cellsBy(snap, src, keys, hint)),
+      touchedOf = (snap, _) => localCellsOf(srcLocal).getOrElse(cellsBy(snap(), src, keys, hint)),
       // sound on the touched subset: touched covers every matched PK's
       // current partition (via hint contract or discovery), so any src key
       // absent from snapT is absent from the whole table.
@@ -943,7 +943,8 @@ final class AcidTable private (
       }
     }
     commitLoop(
-      touchedOf = (snap, _) => {
+      touchedOf = (snapT, _) => {
+        lazy val snap = snapT()
         val srcCells = localCellsOf(srcLocal).getOrElse(cellsBy(snap, src, keys, hint))
         // NMBS-deletable rows live in cells the source never names: one
         // predicate-discovery scan (the deleteWhere shape) finds every
@@ -1221,13 +1222,14 @@ final class AcidTable private (
     // type-preserving; ineligible statements keep the distributed plan.
     val kernel = driverUpdateKernel(projCols, condition)
     commitLoop(
-      touchedOf = (snap, files) => {
+      touchedOf = (snap, filesT) => {
         // metadata-scale discovery: when the WHOLE snapshot fits the fast-
         // path budget, the matched cells come from evaluating the predicate
         // on the driver over the (row-cached) snapshot rows — no Spark job.
         // A big table fails the probe in O(#files) driver time and takes
         // the distributed filter+distinct discovery below, whose cost is
         // the scan the predicate genuinely needs.
+        lazy val files = filesT()
         val local = kernel.flatMap { case (pred, _) =>
           if (!driverScaleFiles(files)) None
           else scala.util.Try {
@@ -1236,7 +1238,7 @@ final class AcidTable private (
           }.toOption // an interpreted-eval surprise falls back, never fails
         }
         local.getOrElse {
-          snap.filter(condition)
+          snap().filter(condition)
             .select(col(partitionCol).as("__p"), bucketExpr.as("__b"))
             .distinct().collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
         }
@@ -1295,7 +1297,8 @@ final class AcidTable private (
     }
     val pred = driverPredicate(condition)
     commitLoop(
-      touchedOf = (snap, files) => {
+      touchedOf = (snap, filesT) => {
+        lazy val files = filesT()
         val local = pred.flatMap { p =>
           if (!driverScaleFiles(files)) None
           else scala.util.Try {
@@ -1304,7 +1307,7 @@ final class AcidTable private (
           }.toOption
         }
         local.getOrElse {
-          snap.filter(condition)
+          snap().filter(condition)
             .select(col(partitionCol).as("__p"), bucketExpr.as("__b"))
             .distinct().collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
         }
@@ -1546,12 +1549,12 @@ final class AcidTable private (
           if (stablePartitions && hasPart)
             // the caller's (pk, partition) rows are the batch: same job-free
             // plan-read (or single distinct job) as an upsert's own rows
-            cellsBy(snap, keysWithPartitions.select(col(partitionCol), col(pkCol)),
+            cellsBy(snap(), keysWithPartitions.select(col(partitionCol), col(pkCol)),
               keysDf, hint)
           else hint.map(_.map(FileCell(_, -1))).getOrElse {
             // matched rows can live in any partition, but always in their
             // pk's bucket (a pure function of the key)
-            snap.join(keysDf, Seq(pkCol), "left_semi")
+            snap().join(keysDf, Seq(pkCol), "left_semi")
               .select(col(partitionCol).as("__p"), bucketExpr.as("__b")).distinct()
               .collect().map(r => FileCell(r.getString(0), r.getInt(1))).toSeq
           }
@@ -2265,7 +2268,7 @@ final class AcidTable private (
     val dvParts = readDvs(latestVersion()).map(e => partDir(e.part)).toSet
     val v = commitLoop(
       touchedOf = (_, files) => {
-        val byPartition = files.groupBy(f => f.takeWhile(_ != '/'))
+        val byPartition = files().groupBy(f => f.takeWhile(_ != '/'))
         val inScope: String => Boolean = partitions match {
           case Some(ps) => ps.map(partDir).toSet.contains _
           case None => _ => true
@@ -3770,7 +3773,7 @@ final class AcidTable private (
   private[lake] var beforePublishHook: () => Unit = () => ()
 
   private def commitLoop(
-      touchedOf: (DataFrame, Seq[String]) => Seq[FileCell],
+      touchedOf: (() => DataFrame, () => Seq[String]) => Seq[FileCell],
       resultOf: DataFrame => DataFrame,
       globalScope: Boolean = false,
       outputBounded: Boolean = true,
@@ -3816,18 +3819,34 @@ final class AcidTable private (
         if (base != p) throw new CommitConflictException(
           s"CAS commit expected base v$p but table is at v$base ($path)")
       }
-      val baseLines = if (base < 0) Nil else manifestLines(base)
-      val files = dataLinesOf(baseLines)
+      // LAZY full-manifest expansion (round 14): a cell-scoped commit on a
+      // segmented base never needs the table's complete file list — the
+      // O(live-files) assembly below is forced only by discovery closures
+      // that genuinely scan the table (predicate discovery, overwrite,
+      // compaction selection) or by a pre-segment (flat) base
+      lazy val baseLines = if (base < 0) Nil else manifestLines(base)
+      lazy val files = dataLinesOf(baseLines)
       // parsed from the SAME read as `files`; consumed by both the scan
       // planner (stat-free manifest scans) and the write-sizing heuristic
-      val baseSizes = sizesOf(baseLines)
+      lazy val baseSizes = sizesOf(baseLines)
       // outstanding MOR deletes: every pre-image this commit reads — the
       // discovery snapshot, the distributed rewrite input, the driver
       // fast-path rows — must be DV-applied, or a rewrite of a DV'd cell
       // would resurrect its deleted rows. Publishing then DROPS the
-      // touched cells' entries (the rewrite materialized them).
-      val baseDvs = dvsOf(baseLines)
-      val rawCells = touchedOf(applyDvs(snapshotFromFiles(files, baseSizes), baseDvs), files)
+      // touched cells' entries (the rewrite materialized them). DV entries
+      // are a root header — never a reason to expand the manifest.
+      val baseDvs = readDvs(base)
+      val rawCells = touchedOf(
+        () => applyDvs(snapshotFromFiles(files, baseSizes), baseDvs), () => files)
+      // cell-scoped metadata (round 14): on a segmented base, resolve ONLY
+      // the touched partitions' segments for everything downstream — the
+      // legacy-expansion probe, the carry filter, input sizing, and the
+      // fast-path pre-image. Commit metadata cost is then O(touched), not
+      // O(live files); a flat base keeps the full lists (compat).
+      val rawParts = rawCells.map(_.part).distinct
+      val segScoped = base >= 0 && segRefs(base).isDefined
+      val scopedFiles = if (segScoped) filesForPartitions(base, rawParts) else files
+      val scopedSizes = if (segScoped) sizesForPartitions(base, rawParts) else baseSizes
       // Dense distributed batches defeat the point of fine-grained cells:
       // a commit touching most of a partition's buckets conflicts with any
       // concurrent writer in that partition regardless of scope, yet pays
@@ -3846,14 +3865,15 @@ final class AcidTable private (
           case (p, cs) if cs.count(_.bucket >= 0) >= math.max(2, (numBuckets + 1) / 2) => p
         }.toSet
       val (touched0, legacyParts) = expandForLegacy(
-        rawCells.map(c => if (denseParts(c.part)) FileCell(c.part, -1) else c).distinct, files)
+        rawCells.map(c => if (denseParts(c.part)) FileCell(c.part, -1) else c).distinct,
+        scopedFiles)
       var touched = touched0
       val coarseParts =
         if (forceCoarse) touched.map(_.part).toSet
         else if (rebucket) Set.empty[String]
         else denseParts ++ legacyParts
-      val touchedFiles = files.filter(f => touched.exists(c => fileInCell(f, c)))
-      val inB = if (outputBounded) inputBytes(touchedFiles, baseSizes) else Long.MaxValue
+      val touchedFiles = scopedFiles.filter(f => touched.exists(c => fileInCell(f, c)))
+      val inB = if (outputBounded) inputBytes(touchedFiles, scopedSizes) else Long.MaxValue
       // write-time statistics input: when the driver fast path ran, the
       // commit's rows are in hand — recordWriteStats can stamp ranges with
       // ZERO Spark jobs. Any redo invalidates the captured rows (redone
@@ -3871,7 +3891,7 @@ final class AcidTable private (
           statsLocalRows = Some(localRows)
           fastWriteTouched(localRows, touched, coarseParts)
         } else writeTouched(
-          resultOf(applyDvs(snapshotFromFiles(touchedFiles, baseSizes), baseDvs)),
+          resultOf(applyDvs(snapshotFromFiles(touchedFiles, scopedSizes), baseDvs)),
           touched, inB, coarseParts, sortCols)
       beforePublishHook()
       // inner publish loop: losing the version race does NOT force a full
@@ -3917,21 +3937,13 @@ final class AcidTable private (
       }
       var done = false
       while (!done) {
-        val publishLines = if (publishBase < 0) Nil else manifestLines(publishBase)
-        val carried = dataLinesOf(publishLines)
-          .filterNot(f => touched.exists(c => fileInCell(f, c)))
         try {
-          // carried files keep the sizes their manifest recorded; new
-          // files' sizes were captured at the staging move — the next
-          // reader's commit sizing needs no filesystem stats at all
-          val carriedSet = carried.toSet
-          val carriedSizes = sizesOf(publishLines).view.filterKeys(carriedSet.contains).toMap
           // DV entries of cells this commit rewrote are materialized (the
           // rewrite read the DV-applied pre-image); entries of untouched
           // cells carry forward — including any a concurrent MOR delete
           // added since our base (its cells are disjoint, or we'd have
           // taken the conflict path)
-          val carriedDvs = dvsOf(publishLines).filterNot(e =>
+          val carriedDvs = readDvs(publishBase).filterNot(e =>
             touched.exists(c => c.part == e.part && (c.bucket < 0 || c.bucket == e.bucket)))
           // write-time file statistics (opt-in via the statsColumns table
           // property): computed BEFORE publish so the manifest's partition
@@ -3940,8 +3952,37 @@ final class AcidTable private (
           // throwing after it durably landed). Zero jobs on the fast path.
           if (pendingStats == null)
             pendingStats = computeWriteStats(newFiles.map(_._1), statsLocalRows)
-          publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
-            carriedSizes ++ newFiles, opName, carriedDvs, pendingStats)
+          if (publishBase >= 0 && segRefs(publishBase).isDefined) {
+            // segmented base: untouched partitions' root lines carry
+            // VERBATIM (their segments are pinned byte-identical), so the
+            // publish touches only its partitions' segments — commit
+            // metadata work is O(touched partitions), not O(live files)
+            val tParts = touched.map(_.part).distinct
+            val tPds = tParts
+              .map(p => java.net.URLEncoder.encode(partDir(p), "UTF-8")).toSet
+            val reuse = rootLines(publishBase).filter(l => l.startsWith("@") && {
+              val i = l.indexOf('|'); i > 1 && !tPds.contains(l.substring(1, i))
+            })
+            val tFiles = filesForPartitions(publishBase, tParts)
+            val carried = tFiles.filterNot(f => touched.exists(c => fileInCell(f, c)))
+            val carriedSet = carried.toSet
+            val carriedSizes = sizesForPartitions(publishBase, tParts)
+              .view.filterKeys(carriedSet.contains).toMap
+            publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
+              carriedSizes ++ newFiles, opName, carriedDvs, pendingStats, reuse)
+          } else {
+            // flat (pre-segment) base: full carry, segmented output
+            val publishLines = if (publishBase < 0) Nil else manifestLines(publishBase)
+            val carried = dataLinesOf(publishLines)
+              .filterNot(f => touched.exists(c => fileInCell(f, c)))
+            // carried files keep the sizes their manifest recorded; new
+            // files' sizes were captured at the staging move — the next
+            // reader's commit sizing needs no filesystem stats at all
+            val carriedSet = carried.toSet
+            val carriedSizes = sizesOf(publishLines).view.filterKeys(carriedSet.contains).toMap
+            publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
+              carriedSizes ++ newFiles, opName, carriedDvs, pendingStats)
+          }
           if (fullRedoSince > 0)
             AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - fullRedoSince)
           // the sidecar merge and the bloom stamping stay post-publish —
@@ -4766,6 +4807,20 @@ final class AcidTable private (
     }
   }
 
+  /** Recorded byte sizes of `parts`' live files at version `v` — the
+    * segment-scoped companion of [[filesForPartitions]] (sizes ride the
+    * segment entries). Flat manifests fall back to the full `#sizes=`
+    * header. */
+  private def sizesForPartitions(v: Long, parts: Seq[String]): Map[String, Long] = {
+    if (v < 0) return Map.empty
+    val dirs = parts.map(partDir).toSet
+    segRefs(v) match {
+      case Some(refs) => refs.filter(r => dirs.contains(r.partDir))
+        .flatMap(r => readSegment(r.name).entries.filter(_._2 >= 0)).toMap
+      case None => sizesOf(manifestLines(v))
+    }
+  }
+
   /** Recorded byte sizes for exactly `files` at version `v`, resolving
     * only the segments of the partitions those files live in. */
   private def sizesForFiles(v: Long, files: Seq[String]): Map[String, Long] = {
@@ -4880,16 +4935,24 @@ final class AcidTable private (
       sizes: Map[String, Long] = Map.empty,
       op: String = "",
       dvs: Seq[DvEntry] = Nil,
-      newStats: Map[String, Map[String, (Long, Long)]] = Map.empty): Unit = {
+      newStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      reuseRootLines: Seq[String] = Nil): Unit = {
     val t0 = System.nanoTime()
-    try publishImpl(v, files, touched, sizes, op, dvs, newStats)
+    try publishImpl(v, files, touched, sizes, op, dvs, newStats, reuseRootLines)
     finally AcidTable.publishNanos.addAndGet(System.nanoTime() - t0)
   }
 
+  /** `reuseRootLines`: raw `@…` root lines carried VERBATIM from the base
+    * manifest for partitions this commit did not touch — their segments
+    * stay byte-identical and are neither resolved nor re-hashed, which is
+    * what keeps commit metadata work O(touched partitions). `files` then
+    * lists ONLY the touched partitions' final contents. Empty = regroup
+    * everything (bulk loads, flat-base compat). */
   private def publishImpl(
       v: Long, files: Seq[String], touched: Seq[FileCell], sizes: Map[String, Long],
       op: String, dvs: Seq[DvEntry],
-      newStats: Map[String, Map[String, (Long, Long)]]): Unit = {
+      newStats: Map[String, Map[String, (Long, Long)]],
+      reuseRootLines: Seq[String] = Nil): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val encoded = touched.map(c =>
       java.net.URLEncoder.encode(c.part, "UTF-8") +
@@ -4940,10 +5003,15 @@ final class AcidTable private (
         (s"@${java.net.URLEncoder.encode(pd, "UTF-8")}|$name|${fs.size}|$bytes|$ps",
           name, segBody)
       }
+    // stable root order: all partition lines (fresh + reused) sorted by
+    // their encoded partition dir, so the root's shape is deterministic
+    // whichever route produced each line
+    val segLines = (segs.map(_._1) ++ reuseRootLines)
+      .sortBy(l => { val i = l.indexOf('|'); if (i > 1) l.substring(1, i) else l })
     val body = (Seq(
       s"#ts=$ts",
       s"#touched=${encoded.mkString(",")}",
-      "#segments=1") ++ opHeader ++ dvHeader ++ segs.map(_._1)).mkString("\n")
+      "#segments=1") ++ opHeader ++ dvHeader ++ segLines).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()

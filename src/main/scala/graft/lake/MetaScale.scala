@@ -124,12 +124,16 @@ object MetaScale {
       (1 to 10).map(_ => timedMs(t.lookup(Seq(probeKey), Some(Seq("P0"))).collect())))
 
     // 4. incremental commit: upsert one key into P0 (cell-scoped rewrite
-    //    against the full-scale metadata)
+    //    against the full-scale metadata), with the publish-phase share
+    //    split out (AcidTable.publishNanos) to localize any growth
+    val pubBefore = AcidTable.publishNanos.get()
     val commits = (1 to 10).map { i =>
       timedMs(t.upsert(spark.createDataFrame(
         java.util.Arrays.asList(Row("k7", "P0", -i.toDouble)), schema), Some(Seq("P0"))))
     }
-    emit("commit_upsert", commits.head, commits.tail)
+    val pubMs = (AcidTable.publishNanos.get() - pubBefore) / 1e6 / commits.size
+    emit("commit_upsert", commits.head, commits.tail,
+      f"publish_phase_mean=$pubMs%.1f ms")
 
     // 5. SHOW PARTITIONS through the catalog SQL front-end
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.msdb")

@@ -16,9 +16,13 @@ import graft.TestSpark
   *  2. the stats sidecar is format-versioned: v1 (pre-floorDiv-fix)
   *     TIMESTAMP ranges are untrusted and dropped on read — unprunable
   *     is safe, wrong pruning is not — and the next write stamps v2;
-  *  3. the post-root-link segment re-assert TOUCHES reused segments so
-  *     the vacuum age guard protects them against a GC whose liveness
-  *     scan predates the new root.
+  *  3. (superseded in round 14) untouched partitions' segments now carry
+  *     by VERBATIM root-line reuse — a foreign commit neither resolves
+  *     nor touches them, and vacuum keeps them because any reused
+  *     segment is, by construction, referenced by the predecessor root
+  *     inside the retention window (liveness, not mtime, protects it);
+  *     the mtime touch + rewrite-if-missing re-assert still guards
+  *     freshly-grouped segments.
   */
 class StaleCacheSpec extends AnyFunSuite {
 
@@ -100,18 +104,27 @@ class StaleCacheSpec extends AnyFunSuite {
     assert(newEntry.head("ts") == (-500000L, -500000L))
   }
 
-  test("foreign commit's post-link re-assert refreshes reused segments' mtime") {
+  test("foreign commits carry untouched segments by reference; vacuum keeps them on liveness, not mtime") {
     val path = Files.createTempDirectory("touch-").resolve("t").toString
     val t = AcidTable.create(spark, path, schema, "pk", "part", stablePartitions = true)
     t.upsert(batch(("a", "P0", 1L)))
     val segs = Paths.get(path, "_commits", AcidTable.SegmentsDir)
     val p0Seg = t.segRefs(t.latestVersion()).get.find(_.partDir == "part=P0").get.name
-    // simulate an OLD reused segment (pre-cutoff mtime)
+    // simulate an ANCIENT segment (mtime far below any grace cutoff)
     assert(segs.resolve(p0Seg).toFile.setLastModified(1000L))
-    val before = System.currentTimeMillis()
-    t.upsert(batch(("b", "P1", 2L))) // P0 untouched — its segment is REUSED
-    val after = segs.resolve(p0Seg).toFile.lastModified()
-    assert(after >= before - 5000,
-      s"reused segment's mtime must be refreshed by the re-assert (got $after)")
+    t.upsert(batch(("b", "P1", 2L))) // P0 untouched — its root line carries VERBATIM
+    // round 14: the foreign commit must NOT resolve or touch the reused
+    // segment (commit metadata work is O(touched partitions)) …
+    assert(segs.resolve(p0Seg).toFile.lastModified() == 1000L,
+      "untouched segment must carry by reference, not be re-written or touched")
+    assert(t.segRefs(t.latestVersion()).get.exists(_.name == p0Seg),
+      "latest root must still reference the carried segment")
+    // … and vacuum must keep it DESPITE the ancient mtime: a carried
+    // segment is referenced by a retained root, so liveness — not the
+    // age guard — is what protects it
+    t.vacuum(keepVersions = 2, graceMillis = 0L)
+    assert(Files.exists(segs.resolve(p0Seg)),
+      "vacuum reaped a segment referenced by a retained root")
+    assert(t.lookup(Seq("a")).collect().map(_.getLong(2)).toSeq == Seq(1L))
   }
 }
