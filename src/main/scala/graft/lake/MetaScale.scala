@@ -143,7 +143,11 @@ object MetaScale {
         spark.sql(s"SHOW PARTITIONS graft.msdb.t$nFiles").collect())),
       s"rows=${spark.sql(s"SHOW PARTITIONS graft.msdb.t$nFiles").count()}")
 
-    // 6. DESCRIBE HISTORY analog: full timeline header scan
+    // 6. DESCRIBE DETAIL: one-row summary (one root read on segments)
+    val detCold = timedMs(t.detail().collect())
+    emit("describe_detail", detCold, (1 to 10).map(_ => timedMs(t.detail().collect())))
+
+    // 7. DESCRIBE HISTORY analog: full timeline header scan
     val histCold = timedMs(t.history().collect())
     emit("history", histCold, (1 to 10).map(_ => timedMs(t.history().collect())))
   }
