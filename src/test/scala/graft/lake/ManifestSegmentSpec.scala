@@ -88,6 +88,25 @@ class ManifestSegmentSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 49)
   }
 
+  test("a cell-scoped commit resolves only its touched partitions' segments") {
+    val t = newTable()
+    // 12 partitions live on a segmented base
+    t.upsert(batch((0 until 48).map(i => (s"k$i", s"P${i % 12}", i.toLong)): _*))
+    AcidTable.resetMetaIoCounters()
+    t.upsert(batch(("z2", "P3", 101L)))
+    // round 14: the commit's metadata reads are O(touched) — touched
+    // files+sizes at base and again at publish (≤ 2 resolves each);
+    // untouched partitions' root lines carry verbatim with ZERO resolves.
+    // The bound is deliberately < the 12 live partitions: resolving the
+    // whole table again is the regression this pins against.
+    val resolves = AcidTable.segmentResolves.get()
+    assert(resolves <= 6,
+      s"1-partition commit resolved $resolves segments — O(touched) commit regressed")
+    assert(AcidTable.segmentWrites.get() == 1,
+      s"1-partition commit wrote ${AcidTable.segmentWrites.get()} segments")
+    assert(t.snapshot().count() == 49)
+  }
+
   test("partition-hinted lookup resolves only the hinted partition's segment") {
     val t = newTable()
     t.upsert(batch((0 until 40).map(i => (s"k$i", s"P${i % 8}", i.toLong)): _*))
