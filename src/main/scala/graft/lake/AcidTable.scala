@@ -2114,6 +2114,8 @@ final class AcidTable private (
     * incremental-query surface.
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val (fromFiles, toFiles, fromSizes, toSizes, fromDvs, toDvs) =
+      diffScope(fromVersion, toVersion)
     // FILE-granular diff pruning (round 11; previously partition-granular):
     // a data file present in BOTH manifests with IDENTICAL applicable
     // deletion-vector entries contributes the same multiset of visible
@@ -2124,25 +2126,57 @@ final class AcidTable private (
     // A small upsert rewrites only its keys' CELLS; the diff then reads
     // those cells' old+new files — at 100 TB the diff cost tracks the
     // commits' touched cells, never partition row counts.
-    val fromLines = if (fromVersion < 0) Nil else manifestLines(fromVersion)
-    val toLines = if (toVersion < 0) Nil else manifestLines(toVersion)
-    val fromFiles = dataLinesOf(fromLines)
-    val toFiles = dataLinesOf(toLines)
-    val fromDvs = dvsOf(fromLines)
-    val toDvs = dvsOf(toLines)
-    // a MOR delete changes a file's VISIBLE rows without changing its
-    // name — a shared file whose applicable DV entries differ between the
-    // versions must stay in the diff scan on both sides
     def applicableDvs(f: String, dvs: Seq[DvEntry]): Set[DvEntry] =
       dvs.filter(e => fileInCell(f, FileCell(e.part, e.bucket))).toSet
     val stable: Set[String] = (fromFiles.toSet intersect toFiles.toSet)
       .filter(f => applicableDvs(f, fromDvs) == applicableDvs(f, toDvs))
     val from = applyDvs(snapshotFromFiles(
-      fromFiles.filterNot(stable), sizesOf(fromLines)), fromDvs)
+      fromFiles.filterNot(stable), fromSizes), fromDvs)
     val to = applyDvs(snapshotFromFiles(
-      toFiles.filterNot(stable), sizesOf(toLines)), toDvs)
+      toFiles.filterNot(stable), toSizes), toDvs)
     to.exceptAll(from).withColumn("_change_type", lit("insert"))
       .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
+  }
+
+  /** The diff-relevant file lists (+ recorded sizes, + DV entries) of two
+    * versions. On segmented roots (round 14) a partition whose SEGMENT REF
+    * and applicable DV entries are identical in both versions contributes
+    * identical visible-row multisets to both sides — it is dropped from
+    * the diff WITHOUT resolving its segment, so a trickle diff's metadata
+    * cost is O(changed partitions), not O(live files). A MOR delete
+    * changes a file's visible rows without changing its name, which is
+    * why a partition's DV entries participate in the stability check (a
+    * partition kept for a DV change still gets the caller's file-granular
+    * pruning). Flat (pre-segment) manifests keep the full expansion. */
+  private def diffScope(fromVersion: Long, toVersion: Long)
+      : (Seq[String], Seq[String], Map[String, Long], Map[String, Long],
+         Seq[DvEntry], Seq[DvEntry]) = {
+    val fromRefs = if (fromVersion < 0) Some(Nil) else segRefs(fromVersion)
+    val toRefs = if (toVersion < 0) Some(Nil) else segRefs(toVersion)
+    (fromRefs, toRefs) match {
+      case (Some(fr), Some(tr)) =>
+        val fromDvs = readDvs(fromVersion)
+        val toDvs = readDvs(toVersion)
+        def byPd(dvs: Seq[DvEntry]): Map[String, Set[DvEntry]] =
+          dvs.groupBy(e => partDir(e.part)).view.mapValues(_.toSet).toMap
+        val fDv = byPd(fromDvs); val tDv = byPd(toDvs)
+        val fByPd = fr.map(r => r.partDir -> r).toMap
+        val tByPd = tr.map(r => r.partDir -> r).toMap
+        val changed = (fByPd.keySet ++ tByPd.keySet).filter { pd =>
+          fByPd.get(pd).map(_.name) != tByPd.get(pd).map(_.name) ||
+            fDv.getOrElse(pd, Set.empty) != tDv.getOrElse(pd, Set.empty)
+        }
+        def scoped(refs: Seq[AcidTable.SegRef]): Seq[(String, Long)] =
+          refs.filter(r => changed(r.partDir)).flatMap(r => readSegment(r.name).entries)
+        val fe = scoped(fr); val te = scoped(tr)
+        (fe.map(_._1), te.map(_._1),
+          fe.filter(_._2 >= 0).toMap, te.filter(_._2 >= 0).toMap, fromDvs, toDvs)
+      case _ => // at least one flat manifest: full expansion (compat)
+        val fromLines = if (fromVersion < 0) Nil else manifestLines(fromVersion)
+        val toLines = if (toVersion < 0) Nil else manifestLines(toVersion)
+        (dataLinesOf(fromLines), dataLinesOf(toLines),
+          sizesOf(fromLines), sizesOf(toLines), dvsOf(fromLines), dvsOf(toLines))
+    }
   }
 
   /** Driver image of [[changesBetween]] for trickle-scale diffs (round-11
@@ -2163,12 +2197,8 @@ final class AcidTable private (
   private[lake] def localChangeRows(fromVersion: Long, toVersion: Long)
       : Option[Seq[(org.apache.spark.sql.catalyst.InternalRow, Int)]] = {
     if (!fastSchemaOk || !AcidTable.localCommitEnabled) return None
-    val fromLines = if (fromVersion < 0) Nil else manifestLines(fromVersion)
-    val toLines = if (toVersion < 0) Nil else manifestLines(toVersion)
-    val fromFiles = dataLinesOf(fromLines)
-    val toFiles = dataLinesOf(toLines)
-    val fromDvs = dvsOf(fromLines)
-    val toDvs = dvsOf(toLines)
+    val (fromFiles, toFiles, _, _, fromDvs, toDvs) =
+      diffScope(fromVersion, toVersion)
     def applicableDvs(f: String, dvs: Seq[DvEntry]): Set[DvEntry] =
       dvs.filter(e => fileInCell(f, FileCell(e.part, e.bucket))).toSet
     val stable: Set[String] = (fromFiles.toSet intersect toFiles.toSet)

@@ -135,6 +135,15 @@ object MetaScale {
     emit("commit_upsert", commits.head, commits.tail,
       f"publish_phase_mean=$pubMs%.1f ms")
 
+    // 4b. trickle CDC diff: changesBetween across the last 1-key commit —
+    //     on segmented roots the diff drops identical partitions from the
+    //     ROOT REFS without resolving their segments (round 14), so its
+    //     metadata cost is O(changed partitions)
+    val vHead = t.latestVersion()
+    val cdcCold = timedMs(t.changesBetween(vHead - 1, vHead).count())
+    emit("cdc_diff_trickle", cdcCold,
+      (1 to 10).map(_ => timedMs(t.changesBetween(vHead - 1, vHead).count())))
+
     // 5. SHOW PARTITIONS through the catalog SQL front-end
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.msdb")
     val showCold = timedMs(spark.sql(s"SHOW PARTITIONS graft.msdb.t$nFiles").collect())
