@@ -5021,10 +5021,6 @@ final class AcidTable private (
       .map { case (pd, fs) =>
         val entries = fs.sorted.map(f => f -> sizes.getOrElse(f, -1L))
         val (name, segBody) = segmentBody(pd, entries)
-        // touch on reuse even PRE-link: a racing GC whose scan predates
-        // this commit then sees a fresh mtime at its last-instant re-read
-        // and skips the segment without ever quarantining it
-        ensureSegment(name, segBody, touch = true)
         val bytes = entries.iterator.map(_._2).filter(_ >= 0).sum
         val ps = statsCols.flatMap { c =>
           partitionEnvelope(fs, c, fileStats).map { case (lo, hi) =>
@@ -5033,6 +5029,26 @@ final class AcidTable private (
         (s"@${java.net.URLEncoder.encode(pd, "UTF-8")}|$name|${fs.size}|$bytes|$ps",
           name, segBody)
       }
+    // segment PUTs are independent (content-addressed, write-if-absent) —
+    // a multi-partition bulk commit issues them CONCURRENTLY, which is
+    // the object-store shape (parallel PUTs) and cuts the fsync-bound
+    // local bulk publish ~linearly in pool width. Trickle commits (1-2
+    // segments, the OCC hot path) stay inline — no pool overhead. The
+    // pre-link touch-on-reuse survives: a racing GC whose scan predates
+    // this commit sees a fresh mtime at its last-instant re-read and
+    // skips the segment without ever quarantining it. All writes are
+    // awaited (and failures rethrown) BEFORE the root links below.
+    if (segs.size <= 2) {
+      segs.foreach { case (_, name, segBody) => ensureSegment(name, segBody, touch = true) }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, segs.size))
+      try segs.map { case (_, name, segBody) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = ensureSegment(name, segBody, touch = true)
+        })
+      }.foreach(_.get())
+      finally { pool.shutdown(); () }
+    }
     // stable root order: all partition lines (fresh + reused) sorted by
     // their encoded partition dir, so the root's shape is deterministic
     // whichever route produced each line
