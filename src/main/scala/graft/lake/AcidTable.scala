@@ -1608,13 +1608,13 @@ final class AcidTable private (
     while (true) {
       val base = latestVersion()
       if (base < 0) return base // empty table: nothing to delete
-      val baseLines = manifestLines(base)
-      val baseDvs = dvsOf(baseLines)
+      val baseDvs = readDvs(base)
       // resolve the keys' LIVE cells against the DV-applied base snapshot:
       // a bucket-pruned scan (lookupFiles) whose result is ≤ |keys| rows.
       // Only keys that currently match a live row become entries.
+      val probeFiles = lookupFiles(keyStrings, None, base)
       val pairs = applyDvs(
-        snapshotFromFiles(lookupFiles(keyStrings, None, base), sizesOf(baseLines)), baseDvs)
+        snapshotFromFiles(probeFiles, sizesForFiles(base, probeFiles)), baseDvs)
         .filter(col(pkCol).cast(StringType).isInCollection(keyStrings))
         .select(col(partitionCol).cast(StringType), col(pkCol).cast(StringType))
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq.distinct
@@ -1625,9 +1625,10 @@ final class AcidTable private (
       val touched = entries.map(e => FileCell(e.part, e.bucket)).distinct
       try {
         // data files and sizes carry verbatim — this commit rewrites
-        // nothing, so prior entries (even of our own cells) stay live
-        publish(base + 1, dataLinesOf(baseLines), touched, sizesOf(baseLines),
-          "DELETE_DV", (baseDvs ++ entries).distinct)
+        // nothing, so prior entries (even of our own cells) stay live.
+        // Segmented base: EVERY root line reuses verbatim (round 14) —
+        // a DV commit is O(matched keys) metadata however large the table
+        publishDvOnly(base, touched, (baseDvs ++ entries).distinct)
         return base + 1
       } catch {
         case _: FileAlreadyExistsException =>
@@ -1641,6 +1642,21 @@ final class AcidTable private (
     }
     -1L // unreachable
   }
+
+  /** Publish a DV-only commit on top of `base`: no data file changes, so
+    * on a segmented base EVERY root line carries verbatim — the commit is
+    * O(matched keys) metadata however large the table (round 14). Flat
+    * bases regroup as before. */
+  private def publishDvOnly(base: Long, touched: Seq[FileCell], dvs: Seq[DvEntry]): Unit =
+    segRefs(base) match {
+      case Some(_) =>
+        publish(base + 1, Nil, touched, Map.empty, "DELETE_DV", dvs,
+          reuseRootLines = rootLines(base).filter(_.startsWith("@")))
+      case None =>
+        val baseLines = manifestLines(base)
+        publish(base + 1, dataLinesOf(baseLines), touched, sizesOf(baseLines),
+          "DELETE_DV", dvs)
+    }
 
   /** Predicate-driven deletion-vector commit: the merge-on-read route of
     * [[deleteWhere]]. Unlike the key-pinned [[deleteVectored]] (whose
@@ -1679,8 +1695,7 @@ final class AcidTable private (
       }.toSeq.distinct
       val touched = entries.map(e => FileCell(e.part, e.bucket)).distinct
       try {
-        publish(base + 1, dataLinesOf(baseLines), touched, sizesOf(baseLines),
-          "DELETE_DV", (baseDvs ++ entries).distinct)
+        publishDvOnly(base, touched, (baseDvs ++ entries).distinct)
         return Some(base + 1)
       } catch {
         case _: FileAlreadyExistsException =>
@@ -5015,7 +5030,7 @@ final class AcidTable private (
     // statsColumns must not report failure for a landed write).
     val statsCols = statsColumnsProp
     val fileStats: Map[String, Map[String, (Long, Long)]] =
-      if (statsCols.isEmpty) Map.empty
+      if (statsCols.isEmpty || files.isEmpty) Map.empty // no fresh segments → no envelopes to build
       else readClusterStats() ++ newStats
     val segs = files.groupBy(f => f.takeWhile(_ != '/')).toSeq.sortBy(_._1)
       .map { case (pd, fs) =>
