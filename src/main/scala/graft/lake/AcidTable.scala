@@ -1597,6 +1597,17 @@ final class AcidTable private (
   def deleteVectored(keysWithPartitions: DataFrame): Long = {
     if (!keyCastSupported || !hashSafeInternal(schema(pkCol).dataType))
       return deleteCow(keysWithPartitions)
+    // a caller-supplied partition column narrows the probe to its
+    // partitions' segments (round 14): the hinted MOR point delete is
+    // then flat in table size. Same contract as every partitionsHint —
+    // sound only under stablePartitions, where a key's partition is a
+    // pure function the caller's (pk, partition) pairs restate
+    val hint: Option[Seq[String]] =
+      if (!stablePartitions || !keysWithPartitions.columns.contains(partitionCol)) None
+      else scala.util.Try(keysWithPartitions
+        .select(col(partitionCol).cast(StringType)).na.drop().distinct()
+        .limit(4097).collect().map(_.getString(0)).toSeq).toOption
+        .filter(ps => ps.nonEmpty && ps.size <= 4096)
     val sel = keysWithPartitions.select(col(pkCol).cast(StringType).as("__k"))
       .na.drop().distinct().limit(AcidTable.MorMaxKeys + 1).collect()
     if (sel.length > AcidTable.MorMaxKeys) return deleteCow(keysWithPartitions)
@@ -1611,13 +1622,22 @@ final class AcidTable private (
       val baseDvs = readDvs(base)
       // resolve the keys' LIVE cells against the DV-applied base snapshot:
       // a bucket-pruned scan (lookupFiles) whose result is ≤ |keys| rows.
-      // Only keys that currently match a live row become entries.
-      val probeFiles = lookupFiles(keyStrings, None, base)
-      val pairs = applyDvs(
-        snapshotFromFiles(probeFiles, sizesForFiles(base, probeFiles)), baseDvs)
-        .filter(col(pkCol).cast(StringType).isInCollection(keyStrings))
-        .select(col(partitionCol).cast(StringType), col(pkCol).cast(StringType))
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.distinct
+      // Only keys that currently match a live row become entries. Driver
+      // fast path first (round 14): the bloom/bucket-pruned probe files of
+      // a point delete are metadata-scale, so the probe runs on the same
+      // driver row kernels DML uses — a MOR delete is then zero Spark
+      // jobs end-to-end; outside the gate the distributed probe runs.
+      val pairs = localLookupRows(keyStrings, base, hint).map { rows =>
+        rows.map(r => (rowPart(r),
+          String.valueOf(r.get(pkFieldIdx, schema(pkFieldIdx).dataType)))).distinct
+      }.getOrElse {
+        val probeFiles = lookupFiles(keyStrings, hint, base)
+        applyDvs(
+          snapshotFromFiles(probeFiles, sizesForFiles(base, probeFiles)), baseDvs)
+          .filter(col(pkCol).cast(StringType).isInCollection(keyStrings))
+          .select(col(partitionCol).cast(StringType), col(pkCol).cast(StringType))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq.distinct
+      }
       if (pairs.isEmpty) return base // no live row matches: no-op, no commit
       val entries = pairs.map { case (p, k) =>
         DvEntry(p, driverBucketOf(toInternal(castKeyTo(k))), k)
@@ -2249,12 +2269,14 @@ final class AcidTable private (
   /** Driver image of [[lookup]]: the pinned snapshot's rows for `keys`
     * (rendered with the same `String.valueOf` the DV/row kernels use),
     * in full table-schema order. None outside the fast-path budget. */
-  private[lake] def localLookupRows(keys: Seq[String], version: Long = -1L)
+  private[lake] def localLookupRows(
+      keys: Seq[String], version: Long = -1L,
+      partitionsHint: Option[Seq[String]] = None)
       : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = {
     if (!fastSchemaOk || !AcidTable.localCommitEnabled) return None
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return Some(Nil)
-    val files = lookupFiles(keys, None, v)
+    val files = lookupFiles(keys, partitionsHint, v)
     if (!driverScaleFiles(files)) return None
     val dvs = dvsOf(manifestLines(v))
     val ks = keys.toSet
@@ -2630,7 +2652,7 @@ final class AcidTable private (
     * bytes) per column), so the parse path is shared; pairs that share
     * the same payload REFERENCE (commit-wide fallback filters) share one
     * payload slot instead of duplicating it per file. */
-  private def writeBloomSegment(
+  private[lake] def writeBloomSegment(
       pairs: Seq[(String, Seq[(String, Array[Byte])])]): Unit = {
     val entries = pairs.filter(_._2.nonEmpty)
     if (entries.isEmpty) return
