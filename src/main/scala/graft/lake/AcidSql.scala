@@ -506,6 +506,11 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*""".r
   private val DescribeDetailStmt =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+  // read-only metadata integrity walk (round-14 verdict #6) — reports
+  // dangling segment refs (the residual vacuum window's signature) and
+  // stale GC quarantines; empty = healthy
+  private val FsckStmt =
+    """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s*;?\s*""".r
 
   /** Execute a read statement (SELECT text) over the session's tables —
     * completes the reference's text lifecycle: DDL, DML, and now the
@@ -515,6 +520,7 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     case DescribeHistoryStmt(tn) => table(tn).history()
     case ShowPartitionsStmt(tn) => table(tn).partitionsInventory()
     case DescribeDetailStmt(tn) => table(tn).detail()
+    case FsckStmt(tn) => table(tn).fsck()
     case _ =>
       // materialized views substitute FIRST (their names shadow nothing:
       // the table map is consulted for whatever relations remain)

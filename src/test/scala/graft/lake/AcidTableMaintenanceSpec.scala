@@ -2,6 +2,8 @@ package graft.lake
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -344,5 +346,51 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     t.vacuum(keepVersions = 2, graceMillis = 0L)
     val after = t.history().select(col("version")).collect().map(_.getLong(0))
     assert(after.toSeq === Seq(2L, 3L))
+  }
+
+  test("fsck reports injected orphans and stays empty on a healthy table") {
+    import org.apache.spark.sql.functions.col
+    val t = newTable()
+    t.upsert(df(Record("R1", "P0", "v1")))
+    t.upsert(df(Record("R2", "P1", "v2")))
+    // healthy timeline: no findings
+    assert(t.fsck().count() == 0)
+    val segsDir = java.nio.file.Paths.get(t.path, "_commits", "_segments")
+    // inject the residual vacuum window's signature: a root that names a
+    // segment whose file is gone (publisher crashed between link and
+    // re-assert while a GC quarantine raced)
+    val victim = java.nio.file.Files.list(segsDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("seg-")).get
+    val saved = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.delete(victim)
+    val dangling = t.fsck().filter(col("kind") === "dangling_segment_ref").collect()
+    assert(dangling.nonEmpty, "fsck must surface a root ref with no segment file")
+    assert(dangling.exists(_.getString(2) == victim.getFileName.toString))
+    // read-only contract: fsck mutated nothing — restore the segment and
+    // the table is whole again
+    java.nio.file.Files.write(victim, saved)
+    assert(t.fsck().count() == 0)
+    // stale GC quarantine past the grace window
+    val q = segsDir.resolve(".gc-fsck-spec-leftover")
+    java.nio.file.Files.write(q, "x".getBytes)
+    assert(q.toFile.setLastModified(System.currentTimeMillis() - 60L * 60 * 1000))
+    val stale = t.fsck().filter(col("kind") === "stale_quarantine").collect()
+    assert(stale.exists(_.getString(2) == ".gc-fsck-spec-leftover"))
+    // inside the grace window it is NOT a finding (an in-flight GC owns it)
+    assert(q.toFile.setLastModified(System.currentTimeMillis()))
+    assert(t.fsck().filter(col("kind") === "stale_quarantine").count() == 0)
+    java.nio.file.Files.delete(q)
+    // the SQL surface: FSCK TABLE through the session front-end
+    val sess = new AcidSqlSession(spark,
+      java.nio.file.Files.createTempDirectory("fsck-sql-").toString)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS fsckdb")
+    sess.execute("""CREATE TABLE fsckdb.t (pk STRING, part STRING, v STRING)
+      USING hudi PARTITIONED BY (part) TBLPROPERTIES (primaryKey = 'pk')""")
+    df(Record("R1", "P0", "v1")).toDF("pk", "part", "v")
+      .createOrReplaceTempView("fsck_src")
+    sess.execute("INSERT INTO fsckdb.t SELECT * FROM fsck_src")
+    assert(sess.query("FSCK TABLE fsckdb.t").columns.toSeq ===
+      Seq("kind", "version", "name", "detail"))
+    assert(sess.query("FSCK TABLE fsckdb.t").count() == 0)
   }
 }

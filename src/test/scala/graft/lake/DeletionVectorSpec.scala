@@ -65,6 +65,26 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.lookup(Seq("R4")).count() == 1)
   }
 
+  test("a NULL partition alongside a non-null pk voids the hint, not the delete") {
+    // round-14 ADVICE (medium): the hinted probe must cover EVERY key that
+    // stays in the key set — a (pk, NULL-partition) caller row keeps its
+    // key but has no partition to restate, so the hint must be dropped
+    // outright (hinting around it silently no-ops that key's delete)
+    val t = AcidTable.create(spark, tmp(), schema, "primaryKeyValue",
+      "partitionKeyValue", stablePartitions = true)
+    t.upsert(df((1 to 8).map(i => Record(s"R$i", s"P${i % 2}", s"v$i")): _*))
+    // R3 lives in P1; the caller restates R4's partition (P0) but passes
+    // NULL for R3's — before the fix the hint [P0] skipped P1's segments
+    // and R3 survived the delete
+    val keys = Seq(("R3", null: String), ("R4", "P0"))
+      .toDF("primaryKeyValue", "partitionKeyValue")
+    t.deleteVectored(keys)
+    val left = t.snapshot().as[Record].collect().map(_.primaryKeyValue).toSet
+    assert(!left.contains("R3"),
+      "NULL-partition key must still be deleted (hint voided, full probe)")
+    assert(!left.contains("R4") && left.size == 6)
+  }
+
   test("a commit touching the entry's cell materializes it; other cells' entries survive") {
     val (t, _) = seeded()
     // R1 lives in P1, R2 in P0 — two distinct cells
