@@ -423,7 +423,64 @@ object BaselineBench {
     val acidScanRows =
       if (abSelected("acid_scan_identity")) Seq(acidScanPair("acid_scan_identity")) else Nil
 
-    val js = (rows ++ mvRows ++ bloomRows ++ acidScanRows).map { case (l, g, s0) =>
+    // DV-unrelated scan pair (round-14 verdict #1 done-criterion): the
+    // SAME catalog aggregation over two IDENTICAL ACID tables, one
+    // carrying a single outstanding deletion-vector entry from a point
+    // delete in ONE partition. Ratio ≈ 1 pins that an unrelated point
+    // delete no longer taxes every read until compaction: clean
+    // partitions keep zero-copy vectorized batches; only the one DV
+    // file's batches pay the survivor check.
+    def acidDvScanPair(label: String): (String, Double, Double) = {
+      import graft.lake.AcidTable
+      import org.apache.spark.sql.types._
+      val wh = Files.createTempDirectory("ab-dv-wh-").toString
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.lake.GraftCatalog].getName)
+      spark.conf.set("spark.sql.graft.warehouse", wh)
+      val schema = StructType(Seq(
+        StructField("pk", StringType), StructField("part", StringType),
+        StructField("prio", StringType), StructField("price", DoubleType)))
+      val base = pq("orders").select(
+        col("o_orderkey").cast("string").as("pk"),
+        concat_ws("", lit("p"), (col("o_custkey") % 16).cast("string")).as("part"),
+        col("o_orderpriority").as("prio"),
+        col("o_totalprice").cast("double").as("price"))
+      def mk(name: String): AcidTable = {
+        val t = AcidTable.create(spark, s"$wh/ab/$name",
+          schema, "pk", "part", stablePartitions = true)
+        t.upsert(base)
+        t.compact(0)
+        t
+      }
+      val tDv = mk("ordersdv")
+      mk("ordersclean")
+      tDv.deleteVectored(Seq("32")) // one key, one partition — MOR entry, no rewrite
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ab")
+      val q = "SELECT prio, count(*) AS n, sum(price) AS rev " +
+        "FROM %s WHERE price > 1000.0 GROUP BY prio"
+      val gts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val sts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until reps).foreach { _ =>
+        spark.catalog.clearCache()
+        gts += time {
+          spark.sql(q.format("graft.ab.ordersdv"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        sts += time {
+          spark.sql(q.format("graft.ab.ordersclean"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val g = gts.sorted.apply(gts.size / 2)
+      val s0 = sts.sorted.apply(sts.size / 2)
+      println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
+      (label, g, s0)
+    }
+    val dvScanRows =
+      if (abSelected("acid_scan_dv_unrelated"))
+        Seq(acidDvScanPair("acid_scan_dv_unrelated")) else Nil
+
+    val js = (rows ++ mvRows ++ bloomRows ++ acidScanRows ++ dvScanRows).map { case (l, g, s0) =>
       "\"" + l + "\":{" + f""""graft":$g%.3f,"stock":$s0%.3f,"ratio":${g / s0}%.3f}"""
     }.mkString("{", ",", "}")
     spark.stop()

@@ -368,37 +368,49 @@ final class AcidTable private (
           transformPartitionsForEquals(pkCol, typed)
         }
     }
-    // a hinted lookup on a segmented manifest resolves ONLY the hinted
-    // partitions' segments — O(#cells) metadata regardless of table size.
-    // An UNHINTED probe on a segmented root expands the refs directly:
-    // content-addressed segments hit the process-wide cache across
-    // versions (a trickle commit changes one), so the expansion is a
-    // cache-hit concatenation — NOT manifestLines, whose resolved form
-    // rebuilds a URL-encoded `#sizes=` header over every live file
-    // (O(live files) string work per new version that a point probe
-    // never reads — round-14 verdict #3).
-    val byPart = hint match {
-      case Some(ps) => filesForPartitions(v, ps)
-      case None => segRefs(v) match {
-        case Some(refs) => refs.flatMap(r => readSegment(r.name).entries.map(_._1))
-        case None => readManifest(v)
-      }
-    }
-    val byCell =
-      if (!hashSafeInternal(schema(pkCol).dataType) || !keyCastSupported) byPart
+    // bucket pruning uses the same internal-row hash the writers bucket
+    // by — driver and data can never disagree on a key's cell
+    val bucketsOpt: Option[Set[Int]] =
+      if (!hashSafeInternal(schema(pkCol).dataType) || !keyCastSupported) None
       else {
-        // the same internal-row hash the writers bucket by — driver and data
-        // can never disagree on a key's cell
         val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToCatalystConverter(schema(pkCol).dataType)
-        val buckets: Set[Int] =
-          typedKeys(keys).map(k => driverBucketOf(toInternal(k))).toSet
-        byPart.filter(f => fileBucketOf(f).forall(buckets.contains))
+        Some(typedKeys(keys).map(k => driverBucketOf(toInternal(k))).toSet)
       }
-    // tail of the chain: per-file bloom filters (when the bloomColumns
-    // property covers the PK) drop the candidates that cannot hold any
-    // probe key — the cross-partition skip bucket hashing cannot provide
-    bloomPruneFiles(byCell, keys)
+    def cellPrune(files: Seq[String]): Seq[String] = bucketsOpt match {
+      case Some(bs) => files.filter(f => fileBucketOf(f).forall(bs.contains))
+      case None => files
+    }
+    // a hinted lookup on a segmented manifest resolves ONLY the hinted
+    // partitions' segments — O(#cells) metadata regardless of table size.
+    // An UNHINTED probe on a segmented root prunes PER SEGMENT REF
+    // (expand → bucket-filter → bloom-probe, each ref independently) on
+    // an 8-way pool — the object-store parallel-ranged-GET shape, same
+    // as bulk publish's concurrent PUTs — with content-addressed
+    // segments hitting the process-wide cache across versions (a trickle
+    // commit changes one). NOT manifestLines, whose resolved form
+    // rebuilds a URL-encoded `#sizes=` header over every live file per
+    // new version (round-14 verdict #3). The tail of every route:
+    // per-file blooms (when bloomColumns covers the PK) drop candidates
+    // that cannot hold any probe key.
+    hint match {
+      case Some(ps) => bloomPruneFiles(cellPrune(filesForPartitions(v, ps)), keys)
+      case None => segRefs(v) match {
+        case Some(refs) if refs.size > 64 =>
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+          try refs.map { r =>
+            pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+              override def call(): Seq[String] = bloomPruneFiles(
+                cellPrune(readSegment(r.name).entries.map(_._1)), keys)
+            })
+          }.flatMap(_.get())
+          finally { pool.shutdown(); () }
+        case Some(refs) =>
+          refs.flatMap(r => bloomPruneFiles(
+            cellPrune(readSegment(r.name).entries.map(_._1)), keys))
+        case None => bloomPruneFiles(cellPrune(readManifest(v)), keys)
+      }
+    }
   }
 
   /** A string key rendered in the PK column's external type (the
@@ -2135,8 +2147,17 @@ final class AcidTable private (
     if (latest >= 0) {
       val seen = scala.collection.mutable.Set.empty[String]
       (oldestRetainedVersion(latest) to latest).foreach { v =>
+        // page refs checked on the RAW root (a missing page must be
+        // REPORTED, not abort the walk via a failed expansion)
+        scala.util.Try(rawRootLines(v)).toOption.toSeq.flatten
+          .filter(_.startsWith("@@")).foreach { l =>
+            val n = l.substring(2).takeWhile(_ != '|')
+            if (n.nonEmpty && seen.add(n) && !Files.exists(segmentsDir.resolve(n)))
+              findings += (("dangling_page_ref", v, n,
+                "paged root; heal: restore to an intact version"))
+          }
         scala.util.Try(rootLines(v)).toOption.toSeq.flatten
-          .filter(_.startsWith("@")).foreach { l =>
+          .filter(l => l.startsWith("@") && !l.startsWith("@@")).foreach { l =>
             val p = l.substring(1).split("\\|", -1)
             p.lift(1).filter(n => n.nonEmpty && seen.add(n)).foreach { n =>
               if (!Files.exists(segmentsDir.resolve(n)))
@@ -2818,7 +2839,14 @@ final class AcidTable private (
       h
     }
     hit.map { case (segPath, off, len) =>
-      val key = s"$segPath#$rel"
+      // cache by SLICE identity, not by file: a bulk load's commit-wide
+      // fallback stamp maps thousands of files to ONE shared slice, and
+      // per-rel keys made each of them a distinct LRU entry — 20 k
+      // candidates thrashed the 4096-entry cache into re-reading the
+      // same bytes per probe (round-15 MetaScale, 1.85 s unhinted delete
+      // at 500 k files). Per-file exact filters have distinct offsets,
+      // so the key stays unique where content differs.
+      val key = s"$segPath#$off#$len"
       AcidTable.bloomCache.get(key).getOrElse {
         val parsed = scala.util.Try {
           val raf = new java.io.RandomAccessFile(segPath.toFile, "r")
@@ -3511,31 +3539,45 @@ final class AcidTable private (
     // segments; publishImpl additionally re-asserts its segments after
     // its root links, so even a racing reuse-then-GC resolves safely.
     if (Files.exists(segmentsDir)) {
-      val liveSegs: Set[String] = (keepFrom to latest).iterator.flatMap(v =>
-          scala.util.Try(rootLines(v)).toOption.toSeq.flatten)
-        .filter(_.startsWith("@"))
-        .flatMap(l => l.substring(1).split("\\|", -1).lift(1)).toSet
+      // seg liveness reads EXPANDED roots (paged roots list their seg
+      // refs inside pages); page liveness reads RAW roots (`@@` refs) —
+      // raw reads cannot fail on a missing page, so page GC stays sound
+      // even against a root whose expansion would throw
+      def refsOf(vs: Iterator[Long]): (Set[String], Set[String]) = {
+        val segs = scala.collection.mutable.Set.empty[String]
+        val pgs = scala.collection.mutable.Set.empty[String]
+        vs.foreach { v =>
+          scala.util.Try(rawRootLines(v)).toOption.toSeq.flatten.foreach { l =>
+            if (l.startsWith("@@")) pgs += l.substring(2).takeWhile(_ != '|')
+          }
+          scala.util.Try(rootLines(v)).toOption.toSeq.flatten
+            .filter(l => l.startsWith("@") && !l.startsWith("@@"))
+            .foreach(l => l.substring(1).split("\\|", -1).lift(1).foreach(segs += _))
+        }
+        (segs.toSet, pgs.toSet)
+      }
+      val (liveSegs, livePages) = refsOf((keepFrom to latest).iterator)
       // re-read roots published AFTER our scan window right before the
       // delete pass: a publisher that reused a pre-cutoff segment has its
       // root visible by now (and its post-link re-assert TOUCHES the
       // segment, so even a root landing after this re-read is protected
       // by the age guard)
       val latestNow = latestVersion()
-      val lateSegs: Set[String] =
-        if (latestNow <= latest) Set.empty
-        else ((latest + 1) to latestNow).iterator.flatMap(v =>
-            scala.util.Try(rootLines(v)).toOption.toSeq.flatten)
-          .filter(_.startsWith("@"))
-          .flatMap(l => l.substring(1).split("\\|", -1).lift(1)).toSet
+      val (lateSegs, latePages) =
+        if (latestNow <= latest) (Set.empty[String], Set.empty[String])
+        else refsOf(((latest + 1) to latestNow).iterator)
       val allLive = liveSegs ++ lateSegs
+      val allLivePages = livePages ++ latePages
+      def deadRef(name: String): Boolean =
+        (name.startsWith("seg-") && !allLive.contains(name)) ||
+          (name.startsWith("page-") && !allLivePages.contains(name))
       Option(segmentsDir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
         val name = f.getName
         if ((name.startsWith(".tmp-") || name.startsWith(".gc-"))
             && f.lastModified() < cutoff) {
           f.delete() // orphaned publisher/GC temp
           ()
-        } else if (name.startsWith("seg-") && !allLive.contains(name)
-            && f.lastModified() < cutoff) {
+        } else if (deadRef(name) && f.lastModified() < cutoff) {
           // quarantine-then-recheck (not a bare delete): re-read the mtime
           // at the last instant (a publisher touches reused segments both
           // before its root links and in its post-link re-assert, so a
@@ -3556,11 +3598,11 @@ final class AcidTable private (
             catch { case _: java.io.IOException => false })
           if (renamed) {
             val latestFinal = latestVersion()
-            val nowLive = latestNow < latestFinal &&
-              ((latestNow + 1) to latestFinal).iterator.flatMap(v =>
-                  scala.util.Try(rootLines(v)).toOption.toSeq.flatten)
-                .filter(_.startsWith("@"))
-                .exists(_.substring(1).split("\\|", -1).lift(1).contains(name))
+            val nowLive = latestNow < latestFinal && {
+              val (lateS, lateP) = refsOf(((latestNow + 1) to latestFinal).iterator)
+              if (name.startsWith("page-")) lateP.contains(name)
+              else lateS.contains(name)
+            }
             if (nowLive) {
               // restore; REPLACE_EXISTING is safe — content-addressed, so
               // a concurrent publisher rewrite holds identical bytes
@@ -4807,9 +4849,37 @@ final class AcidTable private (
     * either data-file lines (pre-segment layout) or `@` segment-reference
     * lines. O(partitions) for segmented manifests — every header-only
     * reader (commit time, touched cells, DVs) stays at root cost. */
-  private def rootLines(v: Long): Seq[String] = {
+  /** Version `v`'s root manifest with `@@` page references EXPANDED (the
+    * paged-root form, round 15): every caller sees the flat header +
+    * `@…`-per-partition shape regardless of whether the root inlines its
+    * partition lines or pages them. Use [[rawRootLines]] only where the
+    * page references THEMSELVES matter (vacuum's page GC, fsck). */
+  private def rootLines(v: Long): Seq[String] = expandPages(rawRootLines(v))
+
+  private[lake] def rawRootLines(v: Long): Seq[String] = {
     val lines = Files.readAllLines(commitsDir.resolve(manifestFileName(v)), StandardCharsets.UTF_8)
     lines.toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+  }
+
+  private def expandPages(lines: Seq[String]): Seq[String] =
+    if (!lines.exists(_.startsWith("@@"))) lines
+    else lines.flatMap { l =>
+      if (l.startsWith("@@")) readPage(l.substring(2).takeWhile(_ != '|'))
+      else Seq(l)
+    }
+
+  /** One immutable root page (content-addressed, so cacheable forever —
+    * the LRU only bounds memory). Missing page = corrupt/racing root:
+    * fail loudly like a missing segment; [[fsck]] reports it. */
+  private def readPage(name: String): Seq[String] = {
+    val key = (path, name)
+    AcidTable.pageCache.get(key).getOrElse {
+      val body = new String(
+        Files.readAllBytes(segmentsDir.resolve(name)), StandardCharsets.UTF_8)
+      val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+      AcidTable.pageCache.put(key, lines)
+      lines
+    }
   }
 
   /** Version `v`'s manifest in the RESOLVED (flat) representation every
@@ -4837,10 +4907,17 @@ final class AcidTable private (
   /** Segment references of version `v`'s root manifest; None for a
     * pre-segment (flat) manifest. */
   private[graft] def segRefs(v: Long): Option[Seq[AcidTable.SegRef]] = {
-    val raw = rootLines(v)
-    if (raw.contains("#segments=1") || raw.exists(_.startsWith("@")))
-      Some(parseSegRefs(raw))
-    else None
+    val rf = commitsDir.resolve(manifestFileName(v)).toFile
+    val (mtime, len) = (rf.lastModified(), rf.length())
+    AcidTable.cachedSegRefs(path, v, mtime, len).getOrElse {
+      val raw = rootLines(v)
+      val refs =
+        if (raw.contains("#segments=1") || raw.exists(_.startsWith("@")))
+          Some(parseSegRefs(raw))
+        else None
+      AcidTable.cacheSegRefs(path, v, mtime, len, refs)
+      refs
+    }
   }
 
   private def parseSegRefs(raw: Seq[String]): Seq[AcidTable.SegRef] =
@@ -5161,24 +5238,102 @@ final class AcidTable private (
       }.foreach(_.get())
       finally { pool.shutdown(); () }
     }
-    // stable root order: all partition lines (fresh + reused) sorted by
-    // their encoded partition dir, so the root's shape is deterministic
-    // whichever route produced each line
-    val segLines = (segs.map(_._1) ++ reuseRootLines)
-      .sortBy(l => { val i = l.indexOf('|'); if (i > 1) l.substring(1, i) else l })
+    // PAGED ROOT (round 15): above the threshold the root lists
+    // content-addressed PAGES of partition lines instead of the lines
+    // themselves — the O(live partitions) text every commit used to
+    // rewrite (measured bending 15 → 87 ms from 2 k to 20 k partitions).
+    // Pages are HASH-BUCKETED by encoded partition dir (`#pages=N`
+    // header; N grows by powers of two with never-shrink hysteresis, so
+    // membership is stable across trickle commits). The INCREMENTAL
+    // route: a bucket is DIRTY iff a fresh line's dir or a declared
+    // touched cell's dir hashes into it (every content change — rewrite,
+    // emptied partition, drop — declares its cells touched; that is the
+    // OCC contract this reuses); a clean bucket's `@@` line carries from
+    // the base root VERBATIM with no page read, no sort, no hash, and
+    // only dirty buckets rebuild from (fresh ++ reuse) — so a trickle
+    // commit pays 1-2 page writes + an O(N) root however many partitions
+    // are live. Layout-compatible: readers expand `@@` refs in
+    // [[rootLines]]; sub-threshold roots are byte-identical to the
+    // pre-page format.
+    def lineDir(l: String): String = {
+      val i = l.indexOf('|'); if (i > 1) l.substring(1, i) else l
+    }
+    def sortLines(ls: Seq[String]): Seq[String] = ls.sortBy(lineDir)
+    val totalLines = segs.size + reuseRootLines.size
+    val paged = totalLines > AcidTable.RootPageThreshold
+    var pageHeader: Seq[String] = Nil
+    // pages this commit WROTE (fresh bodies) — for the post-link
+    // re-assert (same GC-race heal as segments). Verbatim-carried pages
+    // stay referenced by the base root throughout this publish, so they
+    // need no touch/re-assert.
+    val pagesOut = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val rootTail: Seq[String] =
+      if (!paged) sortLines(segs.map(_._1) ++ reuseRootLines)
+      else {
+        val baseRaw =
+          if (v > 0) scala.util.Try(rawRootLines(v - 1)).getOrElse(Nil) else Nil
+        val baseN = baseRaw.collectFirst {
+          case l if l.startsWith("#pages=") =>
+            scala.util.Try(l.stripPrefix("#pages=").toInt).toOption
+        }.flatten.filter(_ > 0)
+        val n = baseN
+          .filter(bn => totalLines.toLong <= bn.toLong * AcidTable.RootPageSize * 2)
+          .getOrElse(Integer.highestOneBit(math.max(1,
+            (totalLines + AcidTable.RootPageSize - 1) / AcidTable.RootPageSize) * 2 - 1))
+        pageHeader = Seq(s"#pages=$n")
+        def bucketOf(encPd: String): Int = (encPd.hashCode & Int.MaxValue) % n
+        def buildPage(i: Int, lines: Seq[String]): String = {
+          val body = lines.mkString("\n")
+          val name = "page-" + AcidTable.sha1Hex(body) + ".txt"
+          ensureSegment(name, body, touch = true)
+          pagesOut += ((name, body))
+          s"@@$name|${lines.size}|$i"
+        }
+        // base page ref per bucket index — the incremental route needs a
+        // complete, same-N index; anything else falls to full regroup
+        val basePages: Map[Int, String] =
+          if (!baseN.contains(n)) Map.empty
+          else baseRaw.filter(_.startsWith("@@")).flatMap { l =>
+            val p = l.substring(2).split("\\|", -1)
+            p.lift(2).flatMap(s => scala.util.Try(s.toInt).toOption).map(_ -> l)
+          }.toMap
+        if (basePages.size == n) {
+          val dirty: Set[Int] =
+            (segs.map(s => lineDir(s._1)) ++
+              touched.map(c => java.net.URLEncoder.encode(
+                partDir(c.part), "UTF-8"))).map(bucketOf).toSet
+          val dirtyLines = scala.collection.mutable.Map.empty[Int, Vector[String]]
+            .withDefaultValue(Vector.empty)
+          (segs.map(_._1) ++ reuseRootLines).foreach { l =>
+            val b = bucketOf(lineDir(l))
+            if (dirty.contains(b)) dirtyLines(b) = dirtyLines(b) :+ l
+          }
+          (0 until n).map { i =>
+            if (!dirty.contains(i)) basePages(i)
+            else buildPage(i, sortLines(dirtyLines(i)))
+          }
+        } else {
+          // full regroup: first paging, or an N-growth event
+          val buckets = Array.fill(n)(Vector.newBuilder[String])
+          sortLines(segs.map(_._1) ++ reuseRootLines)
+            .foreach(l => buckets(bucketOf(lineDir(l))) += l)
+          (0 until n).map(i => buildPage(i, buckets(i).result()))
+        }
+      }
     val body = (Seq(
       s"#ts=$ts",
       s"#touched=${encoded.mkString(",")}",
-      "#segments=1") ++ opHeader ++ dvHeader ++ segLines).mkString("\n")
+      "#segments=1") ++ pageHeader ++ opHeader ++ dvHeader ++ rootTail).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()
     try Files.createLink(commitsDir.resolve(manifestFileName(v)), tmp)
     finally Files.deleteIfExists(tmp)
     // close the concurrent-vacuum race: our root is now visible, so any
-    // segment the GC removed between our reuse probe and the link gets
-    // rewritten (content-addressed — idempotent)
+    // segment (or page) the GC removed between our reuse probe and the
+    // link gets rewritten (content-addressed — idempotent)
     segs.foreach { case (_, name, segBody) => ensureSegment(name, segBody, touch = true) }
+    pagesOut.foreach { case (name, pageBody) => ensureSegment(name, pageBody, touch = true) }
     writeLatestHint(v)
   }
 
@@ -5384,6 +5539,37 @@ object AcidTable {
     resolvedManifestCache.get((path, v))
   private[lake] def cacheResolved(path: String, v: Long, lines: Seq[String]): Unit =
     resolvedManifestCache.put((path, v), lines)
+
+  /** Parsed segment refs per (path, version) — the parse (split +
+    * URL-decode per partition line) must not be a per-call O(live
+    * partitions) tax: at 20 k partitions segRefs() is consulted several
+    * times per commit (round 15). (mtime, length)-validated against the
+    * root file (published roots are immutable, but recreation and
+    * hand-edited legacy-layout fixtures must not serve stale parses);
+    * purged with the resolved cache on table re-creation. */
+  private object segRefsCache {
+    private val MaxEntries = 8
+    private val m = new java.util.LinkedHashMap[
+        (String, Long), (Long, Long, Option[Seq[SegRef]])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (Long, Long, Option[Seq[SegRef]])])
+          : Boolean = size() > MaxEntries
+    }
+    def get(k: (String, Long), mtime: Long, len: Long): Option[Option[Seq[SegRef]]] =
+      m.synchronized(Option(m.get(k)).collect {
+        case (mt, l, refs) if mt == mtime && l == len => refs
+      })
+    def put(k: (String, Long), mtime: Long, len: Long,
+        v: Option[Seq[SegRef]]): Unit =
+      m.synchronized { m.put(k, (mtime, len, v)); () }
+    def purgePath(p: String): Unit = m.synchronized { m.keySet.removeIf(_._1 == p); () }
+  }
+  private[lake] def cachedSegRefs(path: String, v: Long, mtime: Long, len: Long)
+      : Option[Option[Seq[SegRef]]] =
+    segRefsCache.get((path, v), mtime, len)
+  private[lake] def cacheSegRefs(path: String, v: Long, mtime: Long, len: Long,
+      refs: Option[Seq[SegRef]]): Unit =
+    segRefsCache.put((path, v), mtime, len, refs)
 
   /** (mtime, length)-validated cache of the per-file stats sidecar: the
     * publish path consults it for partition envelopes, so parsing must
@@ -5672,6 +5858,31 @@ object AcidTable {
     * which point no manifest references its data file. LRU-bounded by
     * entry count (each parsed sidecar is ~12 KB of bit array per column).
     */
+  /** Paged-root sizing (round 15): roots with more partition lines than
+    * the threshold page them in fixed chunks. 4096 inline lines ≈ 400 KB
+    * root — the point where rewriting it per commit starts to show
+    * (MetaScale: publish phase 3 ms at 2 000 partitions, 35 ms at
+    * 20 000); 1024-line pages ≈ 100 KB — one page rewrite per trickle
+    * commit, ~20 refs on a 20 k-partition root. */
+  val RootPageThreshold: Int = 4096
+  val RootPageSize: Int = 1024
+
+  /** (table path, page name) → expanded lines. Pages are content-
+    * addressed and immutable; the LRU bounds memory only (64 pages ×
+    * ~100 KB ≈ 6 MB). */
+  private object pageCache {
+    private val MaxEntries = 64
+    private val map = new java.util.LinkedHashMap[(String, String), Seq[String]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Seq[String]]): Boolean =
+        size() > MaxEntries
+    }
+    def get(key: (String, String)): Option[Seq[String]] =
+      synchronized(Option(map.get(key)))
+    def put(key: (String, String), v: Seq[String]): Unit =
+      synchronized { map.put(key, v); () }
+  }
   private object bloomCache {
     private val MaxEntries = 4096
     private val map = new java.util.LinkedHashMap[
@@ -5731,6 +5942,7 @@ object AcidTable {
     // cache is (mtime, length)-validated, but a recreated sidecar could
     // in principle collide on both; purge it with the rest.
     resolvedManifestCache.purgePath(path)
+    segRefsCache.purgePath(path)
     clusterStatsCacheMap.remove(path)
     Files.createDirectories(Paths.get(path, CommitsDir))
     Files.createDirectories(Paths.get(path, DataDir))

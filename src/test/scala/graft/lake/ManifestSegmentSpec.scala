@@ -252,4 +252,60 @@ class ManifestSegmentSpec extends AnyFunSuite {
     // the table still reads
     assert(t.snapshot().collect().map(_.getLong(2)).toSeq == Seq(2L))
   }
+
+  test("paged root above the threshold: flat reader view, page reuse, fsck, GC") {
+    val t = newTable()
+    t.upsert(batch(("R1", "P0", 1L), ("R2", "P0", 2L)))
+    // synthetic bulk commit with enough partitions to trip the page
+    // threshold — metadata-shape test: placeholder entries are never read
+    val nSynth = AcidTable.RootPageThreshold + 200
+    val synth = (1 to nSynth).map(p => s"part=SP$p/b000-synth$p.parquet")
+    val real = t.filesForPartitions(t.latestVersion(), Seq("P0"))
+    t.publish(t.latestVersion() + 1, real ++ synth,
+      (1 to nSynth).map(p => FileCell(s"SP$p", -1)),
+      synth.map(_ -> 1024L).toMap, "BULKLOAD")
+    val v1 = t.latestVersion()
+    val raw = t.rawRootLines(v1)
+    val pageRefs = raw.filter(_.startsWith("@@"))
+    assert(pageRefs.nonEmpty, "root above the threshold must page its lines")
+    assert(raw.count(l => l.startsWith("@") && !l.startsWith("@@")) == 0,
+      "a paged root must not also inline partition lines")
+    // hash-bucketed pages: N = next power of two covering the line count
+    val expectedN = Integer.highestOneBit(math.max(1,
+      (nSynth + 1 + AcidTable.RootPageSize - 1) / AcidTable.RootPageSize) * 2 - 1)
+    assert(pageRefs.size == expectedN, s"${pageRefs.size} pages, expected $expectedN")
+    // readers see the flat shape: every partition's seg ref resolvable
+    assert(t.segRefs(v1).get.size == nSynth + 1)
+    assert(t.detail().collect()(0).getLong(5) == nSynth + 1) // partition count
+    // trickle commit on the real partition: pages REUSE (content-addressed
+    // chunks of the sorted line list — only P0's chunk changes)
+    t.upsert(batch(("R1", "P0", 10L)))
+    val raw2 = t.rawRootLines(t.latestVersion())
+    val pageRefs2 = raw2.filter(_.startsWith("@@"))
+    val reused = pageRefs.map(_.substring(2).takeWhile(_ != '|')).toSet intersect
+      pageRefs2.map(_.substring(2).takeWhile(_ != '|')).toSet
+    assert(reused.size >= pageRefs.size - 1,
+      s"a trickle commit must rewrite at most one page (reused ${reused.size} of ${pageRefs.size})")
+    // the snapshot still reads the REAL partition correctly through pages
+    assert(t.lookup(Seq("R1"), Some(Seq("P0"))).collect()(0).getLong(2) == 10L)
+    // fsck: a deleted page file is a dangling_page_ref finding
+    import org.apache.spark.sql.functions.col
+    val victim = segDir(t).resolve(
+      pageRefs2.head.substring(2).takeWhile(_ != '|'))
+    val saved = Files.readAllBytes(victim)
+    Files.delete(victim)
+    assert(t.fsck().filter(col("kind") === "dangling_page_ref").count() >= 1)
+    Files.write(victim, saved)
+    assert(t.fsck().count() == 0)
+    // GC: vacuum with live refs keeps every referenced page
+    t.vacuum(keepVersions = 2, graceMillis = 0L)
+    val pagesOnDisk = Option(segDir(t).toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("page-")).toSet
+    val livePageRefs = (t.latestVersion() - 1 to t.latestVersion())
+      .flatMap(v => t.rawRootLines(v).filter(_.startsWith("@@"))
+        .map(_.substring(2).takeWhile(_ != '|'))).toSet
+    assert(pagesOnDisk == livePageRefs,
+      s"pages on disk $pagesOnDisk != retained roots' page refs $livePageRefs")
+    assert(t.segRefs(t.latestVersion()).get.size == nSynth + 1)
+  }
 }
