@@ -4659,36 +4659,53 @@ final class AcidTable private (
     * like the distributed scan) plus partition-value injection from the
     * directory name — the row-level image of [[snapshotFromFiles]].
     */
-  private def readRowsLocal(files: Seq[String])
+  private def readFileRowsLocal(f: String)
       : Seq[org.apache.spark.sql.catalyst.InternalRow] = {
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.catalyst.InternalRow]
-    files.foreach { f =>
-      val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol="))
-      val pvInternal = org.apache.spark.unsafe.types.UTF8String.fromString(pv)
-      val abs = dataRoot.resolve(f).toString
-      AcidTable.cachedFileRows(abs, dataFileSchema).getOrElse {
-        val file = new File(abs)
-        val rs = org.apache.spark.sql.graft.LocalParquetIO
-          .read(file, dataFileSchema, spark)
-        AcidTable.cacheFileRows(abs, dataFileSchema, rs, file.length())
-        rs
-      }
-        .foreach { dr =>
-          val full = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            schema.length)
-          var i = 0
-          while (i < dataFieldIdx.length) {
-            full.update(dataFieldIdx(i), dr.get(i, dataFileSchema(i).dataType))
-            i += 1
-          }
-          full.update(partFieldIdx, pvInternal)
-          out += full
-        }
+    val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol="))
+    val pvInternal = org.apache.spark.unsafe.types.UTF8String.fromString(pv)
+    val abs = dataRoot.resolve(f).toString
+    val src = AcidTable.cachedFileRows(abs, dataFileSchema).getOrElse {
+      val file = new File(abs)
+      val rs = org.apache.spark.sql.graft.LocalParquetIO
+        .read(file, dataFileSchema, spark)
+      AcidTable.cacheFileRows(abs, dataFileSchema, rs, file.length())
+      rs
     }
-    out.toSeq
+    src.map { dr =>
+      val full = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        schema.length)
+      var i = 0
+      while (i < dataFieldIdx.length) {
+        full.update(dataFieldIdx(i), dr.get(i, dataFileSchema(i).dataType))
+        i += 1
+      }
+      full.update(partFieldIdx, pvInternal)
+      full: org.apache.spark.sql.catalyst.InternalRow
+    }
   }
+
+  /** Driver-local rows of `files`, in file order. More than four files
+    * read CONCURRENTLY (8-way; independent parquet opens — the same
+    * pool shape as bulk publish), joined in submission order so output
+    * order stays deterministic. The matview fold's widened byte budget
+    * (round 15) made multi-megabyte multi-file reads reachable here;
+    * DML fast-path commits stay 1-2 tiny files and read inline. */
+  private def readRowsLocal(files: Seq[String])
+      : Seq[org.apache.spark.sql.catalyst.InternalRow] =
+    if (files.size <= 4) files.flatMap(readFileRowsLocal)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, files.size))
+      try files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[
+          Seq[org.apache.spark.sql.catalyst.InternalRow]] {
+          override def call(): Seq[org.apache.spark.sql.catalyst.InternalRow] =
+            readFileRowsLocal(f)
+        })
+      }.flatMap(_.get())
+      finally { pool.shutdown(); () }
+    }
 
   /** Driver image of [[writeTouched]]: route rows to (partition, bucket)
     * cells exactly as the dynamic-partition writer would (coarse
