@@ -259,7 +259,7 @@ final class AcidTable private (
     AcidTable.commitTimeCache.computeIfAbsent((path, v), _ => {
       AcidTable.manifestHeaderReads.incrementAndGet()
       val header = scala.util.Try(
-        rootLines(v).find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong))
+        rawRootLines(v).find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong))
         .toOption.flatten
       val ts = header.getOrElse {
         AcidTable.headerlessManifests.add((path, v))
@@ -2098,21 +2098,39 @@ final class AcidTable private (
   /** One-row table summary (the Delta `DESCRIBE DETAIL` analog): layout,
     * size, and structural metadata — all from the latest manifest and
     * `_meta.properties`, zero filesystem listing or data reads. */
+  /** (nFiles, bytes, nParts) summed from a PAGED root's `@@` aggregate
+    * fields alone — None when any ref predates the aggregates (round 15)
+    * or the root is not paged. O(pages) work, no expansion. */
+  private def pageAggregates(raw: Seq[String]): Option[(Long, Long, Long)] = {
+    val refs = raw.filter(_.startsWith("@@"))
+    if (refs.isEmpty) return None
+    var files = 0L; var bytes = 0L; var parts = 0L
+    refs.foreach { l =>
+      val p = l.substring(2).split("\\|", -1)
+      if (p.length < 5) return None
+      parts += scala.util.Try(p(1).toLong).getOrElse(return None)
+      files += scala.util.Try(p(3).toLong).getOrElse(return None)
+      bytes += scala.util.Try(p(4).toLong).getOrElse(return None)
+    }
+    Some((files, bytes, parts))
+  }
+
   def detail(): DataFrame = {
     val detailSchema = AcidTable.DetailSchema
     val v = latestVersion()
     val (nFiles, bytes, nParts) =
       if (v < 0) (0L, 0L, 0L)
-      else segRefs(v) match {
-        // segmented root: the one-row summary costs ONE root read
-        case Some(refs) =>
-          (refs.map(_.count).sum, refs.map(_.bytes).sum, refs.size.toLong)
-        case None =>
-          val lines = manifestLines(v)
-          val files = dataLinesOf(lines)
-          (files.size.toLong, sizesOf(lines).values.sum,
-            files.map(_.takeWhile(_ != '/')).distinct.size.toLong)
-      }
+      else pageAggregates(scala.util.Try(rawRootLines(v)).getOrElse(Nil))
+        .getOrElse(segRefs(v) match {
+          // segmented root: the one-row summary costs ONE root read
+          case Some(refs) =>
+            (refs.map(_.count).sum, refs.map(_.bytes).sum, refs.size.toLong)
+          case None =>
+            val lines = manifestLines(v)
+            val files = dataLinesOf(lines)
+            (files.size.toLong, sizesOf(lines).values.sum,
+              files.map(_.takeWhile(_ != '/')).distinct.size.toLong)
+        })
     // '; ' separator: property VALUES may contain commas (bloomColumns)
     val props = tableProperties.toSeq.sortBy(_._1)
       .map { case (k, pv) => s"$k=$pv" }.mkString("; ")
@@ -2192,16 +2210,20 @@ final class AcidTable private (
       if (latest < 0) Seq.empty
       else (oldestRetainedVersion(latest) to latest).map { v =>
         // header + per-partition tallies all live in the root: the whole
-        // timeline costs O(retained versions) ROOT reads, no segments
-        val root = rootLines(v)
-        val op = root.find(_.startsWith("#op="))
+        // timeline costs O(retained versions) ROOT reads, no segments —
+        // and on PAGED roots no page expansion either (the `@@` refs
+        // carry (files, bytes) aggregates, round 15)
+        val raw = rawRootLines(v)
+        val op = raw.find(_.startsWith("#op="))
           .map(l => java.net.URLDecoder.decode(l.stripPrefix("#op="), "UTF-8"))
           .getOrElse("WRITE")
-        val (nFiles, bytes) = segRefs(v) match {
-          case Some(refs) => (refs.map(_.count).sum, refs.map(_.bytes).sum)
-          case None =>
-            (dataLinesOf(root).size.toLong, sizesOf(root).values.sum)
-        }
+        val (nFiles, bytes) = pageAggregates(raw).map(a => (a._1, a._2))
+          .getOrElse(segRefs(v) match {
+            case Some(refs) => (refs.map(_.count).sum, refs.map(_.bytes).sum)
+            case None =>
+              val root = rootLines(v)
+              (dataLinesOf(root).size.toLong, sizesOf(root).values.sum)
+          })
         (v, op, commitTime(v), nFiles,
           readTouched(v).map(_.size.toLong).getOrElse(-1L), bytes)
       }
@@ -2821,22 +2843,26 @@ final class AcidTable private (
   private def bloomSegLookup(rel: String)
       : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
     val idx = AcidTable.bloomSegIndex(path)
-    val hit = idx.synchronized {
-      var h = Option(idx.rels.get(rel))
-      if (h.isEmpty && Files.isDirectory(bloomRoot)) {
-        Option(bloomRoot.toFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.endsWith(".bloomseg") &&
-            !f.getName.startsWith(".") && // in-flight .tmp- writes excluded
-            !idx.seen.contains(f.getName))
-          .foreach { f =>
-            idx.seen.add(f.getName)
-            scala.util.Try(readBloomSegDirectory(f.toPath)).foreach(_.foreach {
-              case (r, off, len) => idx.rels.put(r, (f.toPath, off, len))
-            })
-          }
-        h = Option(idx.rels.get(rel))
+    // lock-free fast read; the lock guards only the miss-triggered
+    // directory re-scan (double-checked inside)
+    val hit = Option(idx.rels.get(rel)).orElse {
+      idx.synchronized {
+        var h = Option(idx.rels.get(rel))
+        if (h.isEmpty && Files.isDirectory(bloomRoot)) {
+          Option(bloomRoot.toFile.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.endsWith(".bloomseg") &&
+              !f.getName.startsWith(".") && // in-flight .tmp- writes excluded
+              !idx.seen.contains(f.getName))
+            .foreach { f =>
+              idx.seen.add(f.getName)
+              scala.util.Try(readBloomSegDirectory(f.toPath)).foreach(_.foreach {
+                case (r, off, len) => idx.rels.put(r, (f.toPath, off, len))
+              })
+            }
+          h = Option(idx.rels.get(rel))
+        }
+        h
       }
-      h
     }
     hit.map { case (segPath, off, len) =>
       // cache by SLICE identity, not by file: a bulk load's commit-wide
@@ -2847,18 +2873,24 @@ final class AcidTable private (
       // at 500 k files). Per-file exact filters have distinct offsets,
       // so the key stays unique where content differs.
       val key = s"$segPath#$off#$len"
-      AcidTable.bloomCache.get(key).getOrElse {
-        val parsed = scala.util.Try {
-          val raf = new java.io.RandomAccessFile(segPath.toFile, "r")
-          try {
-            raf.seek(off)
-            val buf = new Array[Byte](len)
-            raf.readFully(buf)
-            parseBloomBody(new java.io.DataInputStream(
-              new java.io.ByteArrayInputStream(buf)))
-          } finally raf.close()
-        }.getOrElse(Map.empty[String, org.apache.spark.util.sketch.BloomFilter])
-        AcidTable.bloomCache.put(key, parsed)
+      val memo = idx.lastSlice
+      if (memo != null && memo._1 == key) memo._2
+      else {
+        val parsed = AcidTable.bloomCache.get(key).getOrElse {
+          val p = scala.util.Try {
+            val raf = new java.io.RandomAccessFile(segPath.toFile, "r")
+            try {
+              raf.seek(off)
+              val buf = new Array[Byte](len)
+              raf.readFully(buf)
+              parseBloomBody(new java.io.DataInputStream(
+                new java.io.ByteArrayInputStream(buf)))
+            } finally raf.close()
+          }.getOrElse(Map.empty[String, org.apache.spark.util.sketch.BloomFilter])
+          AcidTable.bloomCache.put(key, p)
+          p
+        }
+        idx.lastSlice = (key, parsed)
         parsed
       }
     }
@@ -5116,9 +5148,11 @@ final class AcidTable private (
       case None => Nil
     }
 
+  // header-only reads consult the RAW root: headers never live in pages,
+  // so a paged root must not expand O(live partitions) lines for them
   private def readDvs(v: Long): Seq[DvEntry] =
     if (v < 0) Nil
-    else scala.util.Try(rootLines(v)).map(dvsOf).getOrElse(Nil)
+    else scala.util.Try(rawRootLines(v)).map(dvsOf).getOrElse(Nil)
 
   /** Partition values the commit that produced version `v` rewrote
     * (recorded as a `#touched=` header). Values are URL-encoded in the
@@ -5129,7 +5163,7 @@ final class AcidTable private (
     * nothing" would let the re-merge path carry a stale partition.
     */
   private def readTouched(v: Long): Option[Set[FileCell]] =
-    scala.util.Try(rootLines(v).find(_.startsWith("#touched="))) match {
+    scala.util.Try(rawRootLines(v).find(_.startsWith("#touched="))) match {
       case scala.util.Success(Some(line)) =>
         val csv = line.stripPrefix("#touched=")
         Some(
@@ -5304,7 +5338,19 @@ final class AcidTable private (
           val name = "page-" + AcidTable.sha1Hex(body) + ".txt"
           ensureSegment(name, body, touch = true)
           pagesOut += ((name, body))
-          s"@@$name|${lines.size}|$i"
+          // (file count, byte) aggregates ride the ref so DESCRIBE
+          // DETAIL / history sum a paged root WITHOUT expanding pages —
+          // O(pages) per version instead of O(partitions)
+          var tf = 0L
+          var tb = 0L
+          lines.foreach { l =>
+            val p = l.substring(1).split("\\|", -1)
+            if (p.length > 3) {
+              tf += scala.util.Try(p(2).toLong).getOrElse(0L)
+              tb += scala.util.Try(p(3).toLong).getOrElse(0L)
+            }
+          }
+          s"@@$name|${lines.size}|$i|$tf|$tb"
         }
         // base page ref per bucket index — the incremental route needs a
         // complete, same-N index; anything else falls to full regroup
@@ -5860,9 +5906,18 @@ object AcidTable {
     * segment files not yet parsed — segments are immutable once written,
     * so entries never go stale (a vacuumed segment's entries dangle
     * harmlessly: live snapshots no longer name its files). */
+  /** Lock-free on the hot read path (round 15): an unhinted probe's
+    * 8-way per-ref pool issues tens of thousands of rel lookups — `rels`
+    * is a ConcurrentHashMap read without the lock; the lock only guards
+    * the directory re-scan on a miss. `lastSlice` memoizes the most
+    * recently parsed slice, so a bulk load's shared fallback slice (one
+    * (path, offset, length) for thousands of files) is a volatile read
+    * per candidate instead of a synchronized LRU hit. */
   private final class BloomSegIndex {
     val seen = new java.util.HashSet[String]()
-    val rels = new java.util.HashMap[String, (Path, Long, Int)]()
+    val rels = new java.util.concurrent.ConcurrentHashMap[String, (Path, Long, Int)]()
+    @volatile var lastSlice: (String,
+      Map[String, org.apache.spark.util.sketch.BloomFilter]) = _
   }
   private val bloomSegIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, BloomSegIndex]()
