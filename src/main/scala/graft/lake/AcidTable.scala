@@ -274,11 +274,36 @@ final class AcidTable private (
   def snapshot(version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) snapshotFromFiles(Nil)
-    else {
-      val lines = manifestLines(v)
-      applyDvs(snapshotFromFiles(dataLinesOf(lines), sizesOf(lines)), dvsOf(lines))
+    else segRefs(v) match {
+      case Some(refs) =>
+        // segment entries carry (file, size) directly — do NOT go through
+        // the resolved-manifest form, whose URL-encoded `#sizes=` header
+        // is O(live files) string work to build AND to re-parse on every
+        // snapshot (round 15: ~1 s of the 500 k-file planning cost).
+        // Expansion is cache-hit concatenation, 8-way on wide roots.
+        val entries = expandRefEntries(refs)
+        applyDvs(snapshotFromFiles(
+          entries.map(_._1), entries.filter(_._2 >= 0).toMap), readDvs(v))
+      case None =>
+        val lines = manifestLines(v)
+        applyDvs(snapshotFromFiles(dataLinesOf(lines), sizesOf(lines)), dvsOf(lines))
     }
   }
+
+  /** All (file, size) entries of `refs`, in ref order — concurrent
+    * segment resolution above 64 refs (cache-hit after the first touch;
+    * the pool pays off on the cold object-store-shaped read). */
+  private def expandRefEntries(refs: Seq[AcidTable.SegRef]): Seq[(String, Long)] =
+    if (refs.size <= 64) refs.flatMap(r => readSegment(r.name).entries)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try refs.map { r =>
+        pool.submit(new java.util.concurrent.Callable[Seq[(String, Long)]] {
+          override def call(): Seq[(String, Long)] = readSegment(r.name).entries
+        })
+      }.flatMap(_.get())
+      finally { pool.shutdown(); () }
+    }
 
   /** Point-lookup read: the pinned (default latest) snapshot restricted to
     * `keys`, scanning ONLY the data files that can hold them. Because the
@@ -3287,11 +3312,11 @@ final class AcidTable private (
       nullChecks: Seq[(String, Boolean)] = Nil): DataFrame = {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return snapshotFromFiles(Nil)
-    val lines = manifestLines(v)
-    applyDvs(
-      snapshotFromFiles(
-        prunedFiles(bounds, equals, v, partitions, nullChecks), sizesOf(lines)),
-      dvsOf(lines))
+    // sizes scoped to the PRUNED list (segment-resolved per partition) —
+    // the full `#sizes=` header parse would be O(live files) for a read
+    // whose point is to touch a handful of them
+    val files = prunedFiles(bounds, equals, v, partitions, nullChecks)
+    applyDvs(snapshotFromFiles(files, sizesForFiles(v, files)), readDvs(v))
   }
 
   // -------------------------------------- hidden-partition transposition --

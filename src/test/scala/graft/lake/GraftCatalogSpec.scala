@@ -2,6 +2,8 @@ package graft.lake
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -376,5 +378,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(det.getString(0) == "graft-acid")
     spark.sql("DROP MATERIALIZED VIEW graft.dd.mv")
     spark.sql("DROP TABLE graft.dd.src")
+  }
+  test("FSCK TABLE through the parser extension: empty on healthy, finds orphans") {
+    freshCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fsck")
+    spark.sql("""CREATE TABLE graft.fsck.t (pk STRING, part STRING, v BIGINT)
+                |PARTITIONED BY (part) TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    Seq(("a", "p0", 1L), ("b", "p1", 2L)).toDF("pk", "part", "v")
+      .createOrReplaceTempView("fsck_native_src")
+    spark.sql("INSERT INTO graft.fsck.t SELECT * FROM fsck_native_src")
+    val healthy = spark.sql("FSCK TABLE graft.fsck.t")
+    assert(healthy.columns.toSeq == Seq("kind", "version", "name", "detail"))
+    assert(healthy.count() == 0)
+    // inject a dangling segment ref and see it surface through spark.sql
+    val wh = spark.conf.get("spark.sql.graft.warehouse")
+    val segs = java.nio.file.Paths.get(s"$wh/fsck/t", "_commits", "_segments")
+    val victim = java.nio.file.Files.list(segs).iterator()
+      .asScala.find(_.getFileName.toString.startsWith("seg-")).get
+    val saved = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.delete(victim)
+    val found = spark.sql("FSCK TABLE graft.fsck.t").collect()
+    assert(found.exists(r => r.getString(0) == "dangling_segment_ref" &&
+      r.getString(2) == victim.getFileName.toString))
+    java.nio.file.Files.write(victim, saved)
+    assert(spark.sql("FSCK TABLE graft.fsck.t").count() == 0)
+    // unknown identifier raises the named error, not a path failure
+    val e = intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      spark.sql("FSCK TABLE graft.nodb.nope").collect()
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    spark.sql("DROP TABLE graft.fsck.t")
   }
 }
