@@ -422,11 +422,15 @@ final class AcidTable private (
       case Some(ps) => bloomPruneFiles(cellPrune(filesForPartitions(v, ps)), keys)
       case None => segRefs(v) match {
         case Some(refs) if refs.size > 64 =>
+          // CHUNKED submission: one task per ref at 20 k partitions is
+          // ~20 k pool round-trips of microsecond work — the overhead
+          // dominated the probe. 64-ref chunks keep 8 threads busy with
+          // ~tens of tasks instead.
           val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-          try refs.map { r =>
+          try refs.grouped(64).toSeq.map { chunk =>
             pool.submit(new java.util.concurrent.Callable[Seq[String]] {
-              override def call(): Seq[String] = bloomPruneFiles(
-                cellPrune(readSegment(r.name).entries.map(_._1)), keys)
+              override def call(): Seq[String] = chunk.flatMap(r =>
+                bloomPruneFiles(cellPrune(readSegment(r.name).entries.map(_._1)), keys))
             })
           }.flatMap(_.get())
           finally { pool.shutdown(); () }
