@@ -507,8 +507,12 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
   private val DescribeDetailStmt =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   // read-only metadata integrity walk (round-14 verdict #6) — reports
-  // dangling segment refs (the residual vacuum window's signature) and
-  // stale GC quarantines; empty = healthy
+  // dangling segment/page/rli refs (the residual vacuum window's
+  // signature) and stale GC quarantines; empty = healthy. The REPAIR
+  // form (round 16) additionally heals what is content-addressably
+  // recoverable — see [[AcidTable.fsckRepair]].
+  private val FsckRepairStmt =
+    """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s+REPAIR\s*;?\s*""".r
   private val FsckStmt =
     """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s*;?\s*""".r
 
@@ -520,6 +524,7 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     case DescribeHistoryStmt(tn) => table(tn).history()
     case ShowPartitionsStmt(tn) => table(tn).partitionsInventory()
     case DescribeDetailStmt(tn) => table(tn).detail()
+    case FsckRepairStmt(tn) => table(tn).fsckRepair()
     case FsckStmt(tn) => table(tn).fsck()
     case _ =>
       // materialized views substitute FIRST (their names shadow nothing:

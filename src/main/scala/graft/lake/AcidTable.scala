@@ -420,7 +420,14 @@ final class AcidTable private (
     // that cannot hold any probe key.
     hint match {
       case Some(ps) => bloomPruneFiles(cellPrune(filesForPartitions(v, ps)), keys)
-      case None => segRefs(v) match {
+      case None => rliLookup(v, keys) match {
+        // record index (round 16): a COMPLETE pk→partition index turns
+        // the unhinted probe into a hint-shaped one — O(#known cells)
+        // segment reads instead of the O(live partitions) per-ref sweep
+        // below. Some(Nil) is a proven-empty probe (key nowhere).
+        case Some(cells) =>
+          bloomPruneFiles(cellPrune(filesForPartitions(v, cells)), keys)
+        case None => segRefs(v) match {
         case Some(refs) if refs.size > 64 =>
           // CHUNKED submission: one task per ref at 20 k partitions is
           // ~20 k pool round-trips of microsecond work — the overhead
@@ -438,6 +445,7 @@ final class AcidTable private (
           refs.flatMap(r => bloomPruneFiles(
             cellPrune(readSegment(r.name).entries.map(_._1)), keys))
         case None => bloomPruneFiles(cellPrune(readManifest(v)), keys)
+        }
       }
     }
   }
@@ -749,7 +757,8 @@ final class AcidTable private (
       },
       resultOf = _ => b,
       outputBounded = isMetadataScale(b),
-      opName = "OVERWRITE")
+      opName = "OVERWRITE",
+      rliReplace = true)
   }
 
   /** MERGE INTO (reference A7): on PK match update `updateCols` from the
@@ -1367,7 +1376,8 @@ final class AcidTable private (
       outputBounded = true,
       localResultOf = pred.map(p =>
         (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) => snapRows.filterNot(p)),
-      opName = "DELETE")
+      opName = "DELETE",
+      rliCarry = true)
   }
 
   /** Loud up-front rejection of nondeterministic or subquery-bearing
@@ -1616,7 +1626,8 @@ final class AcidTable private (
       localResultOf = localKeys.map(ks =>
         (snapRows: Seq[org.apache.spark.sql.catalyst.InternalRow]) =>
           carryMinusKeys(snapRows, ks)),
-      opName = "DELETE")
+      opName = "DELETE",
+      rliCarry = true)
   }
 
   /** Merge-on-read delete: commit the matched keys as inline deletion-
@@ -1731,11 +1742,12 @@ final class AcidTable private (
     segRefs(base) match {
       case Some(_) =>
         publish(base + 1, Nil, touched, Map.empty, "DELETE_DV", dvs,
-          reuseRootLines = rootLines(base).filter(_.startsWith("@")))
+          reuseRootLines = rootLines(base).filter(_.startsWith("@")),
+          rli = AcidTable.RliInherit) // removal-only: refs AND completeness carry
       case None =>
         val baseLines = manifestLines(base)
         publish(base + 1, dataLinesOf(baseLines), touched, sizesOf(baseLines),
-          "DELETE_DV", dvs)
+          "DELETE_DV", dvs, rli = AcidTable.RliInherit)
     }
 
   /** Predicate-driven deletion-vector commit: the merge-on-read route of
@@ -2176,53 +2188,171 @@ final class AcidTable private (
     *    detectable signature (a publisher crashed between its root link
     *    and its post-link re-assert while a GC quarantine raced — see the
     *    quarantine-then-recheck notes in [[vacuum]]). Heal path:
-    *    content-addressed rewrite (re-commit the affected partitions) or
+    *    [[fsckRepair]] (content-addressed recovery from cache or
+    *    quarantine), a re-commit of the affected partitions, or
     *    [[restore]] to an intact version.
+    *  - `dangling_page_ref` — a PAGED root's `@@` reference names a page
+    *    file that no longer exists (same race signature at the page
+    *    layer). Same heal paths as a dangling segment.
+    *  - `dangling_rli_ref` — a `#rli=` header names a record-index
+    *    segment that no longer exists. Loses point-lookup pruning, never
+    *    correctness (the index is consulted only when its completeness
+    *    flag is set AND every ref resolves); heal: [[fsckRepair]] or
+    *    [[rebuildRecordIndex]].
     *  - `stale_quarantine` — a `.gc-*` quarantine file older than
     *    `graceMs` (a GC crashed between quarantine and its delete/restore
     *    decision). Safe to delete once no root references its content;
-    *    the next [[vacuum]] sweeps it.
+    *    the next [[vacuum]] sweeps it, and [[fsckRepair]] first tries to
+    *    match its CONTENT to a dangling ref (the quarantined bytes are
+    *    content-addressed, so a hash match IS the missing file).
     *
-    * Cost: O(retained versions) root reads + one segment-dir listing —
-    * metadata-scale, no data I/O, no mutation. An empty result is the
-    * invariant every crash-free timeline maintains.
+    * Each dangling name is reported ONCE, attributed to the FIRST
+    * retained version that references it (the `seen` set is keyed per
+    * kind+name; later versions referencing the same content-addressed
+    * name add no information).
+    *
+    * Cost: O(retained versions) root reads + O(distinct pages) page reads
+    * + one segment-dir listing — the walk short-circuits by page ref
+    * (content-addressed: a page seen under any version has identical seg
+    * refs everywhere), so a long retained timeline over a mostly-static
+    * paged table does NOT pay O(versions × live files). No data I/O, no
+    * mutation. An empty result is the invariant every crash-free timeline
+    * maintains.
     */
   def fsck(graceMs: Long = 20L * 60 * 1000): DataFrame = {
     import spark.implicits._
+    findings(graceMs).map { case (k, v, n, d) => (k, v, n, d) }
+      .toDF("kind", "version", "name", "detail")
+  }
+
+  private def findings(
+      graceMs: Long): Seq[(String, Long, String, String)] = {
     val latest = latestVersion()
-    val findings = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, String)]
     if (latest >= 0) {
-      val seen = scala.collection.mutable.Set.empty[String]
+      val seenPages = scala.collection.mutable.Set.empty[String]
+      val seenSegs = scala.collection.mutable.Set.empty[String]
+      val seenRli = scala.collection.mutable.Set.empty[String]
+      def checkSegLines(v: Long, lines: Seq[String]): Unit =
+        lines.foreach { l =>
+          val p = l.substring(1).split("\\|", -1)
+          p.lift(1).filter(n => n.nonEmpty && seenSegs.add(n)).foreach { n =>
+            if (!Files.exists(segmentsDir.resolve(n)))
+              out += (("dangling_segment_ref", v, n,
+                java.net.URLDecoder.decode(p(0), "UTF-8")))
+          }
+        }
       (oldestRetainedVersion(latest) to latest).foreach { v =>
+        val raw = scala.util.Try(rawRootLines(v)).toOption.toSeq.flatten
         // page refs checked on the RAW root (a missing page must be
-        // REPORTED, not abort the walk via a failed expansion)
-        scala.util.Try(rawRootLines(v)).toOption.toSeq.flatten
-          .filter(_.startsWith("@@")).foreach { l =>
-            val n = l.substring(2).takeWhile(_ != '|')
-            if (n.nonEmpty && seen.add(n) && !Files.exists(segmentsDir.resolve(n)))
-              findings += (("dangling_page_ref", v, n,
-                "paged root; heal: restore to an intact version"))
+        // REPORTED, not abort the walk via a failed expansion); only
+        // pages NOT seen under an earlier version are expanded — the
+        // short-circuit that keeps fsck O(distinct pages), not
+        // O(versions × files), on a paged timeline
+        raw.filter(_.startsWith("@@")).foreach { l =>
+          val n = l.substring(2).takeWhile(_ != '|')
+          if (n.nonEmpty && seenPages.add(n)) {
+            if (!Files.exists(segmentsDir.resolve(n)))
+              out += (("dangling_page_ref", v, n,
+                "paged root; heal: fsckRepair or restore to an intact version"))
+            else checkSegLines(v, scala.util.Try(readPage(n)).toOption.toSeq.flatten
+              .filter(l2 => l2.startsWith("@") && !l2.startsWith("@@")))
           }
-        scala.util.Try(rootLines(v)).toOption.toSeq.flatten
-          .filter(l => l.startsWith("@") && !l.startsWith("@@")).foreach { l =>
-            val p = l.substring(1).split("\\|", -1)
-            p.lift(1).filter(n => n.nonEmpty && seen.add(n)).foreach { n =>
-              if (!Files.exists(segmentsDir.resolve(n)))
-                findings += (("dangling_segment_ref", v, n,
-                  java.net.URLDecoder.decode(p(0), "UTF-8")))
-            }
-          }
+        }
+        checkSegLines(v, raw.filter(l => l.startsWith("@") && !l.startsWith("@@")))
+        rliRefsOf(raw).foreach { ref =>
+          if (seenRli.add(ref.name) && !Files.exists(segmentsDir.resolve(ref.name)))
+            out += (("dangling_rli_ref", v, ref.name,
+              "record index; heal: fsckRepair or rebuildRecordIndex"))
+        }
       }
     }
     if (Files.exists(segmentsDir)) {
       val cutoff = System.currentTimeMillis() - graceMs
       Option(segmentsDir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
         if (f.getName.startsWith(".gc-") && f.lastModified() < cutoff)
-          findings += (("stale_quarantine", -1L, f.getName,
+          out += (("stale_quarantine", -1L, f.getName,
             "quarantined by vacuum, never resolved; swept by the next vacuum"))
       }
     }
-    findings.toSeq.toDF("kind", "version", "name", "detail")
+    out.toSeq
+  }
+
+  /** `FSCK TABLE … REPAIR`: detect with the same walk [[fsck]] runs, then
+    * HEAL what is recoverable — the read-only default stays untouched.
+    * Per finding:
+    *
+    *  - dangling segment/page/rli ref whose BYTES are recoverable: the
+    *    name is content-addressed (`…-<sha1 of body>`), so recovery
+    *    re-materializes identical bytes — from the in-process content
+    *    cache when the ref was read recently, else from a `.gc-*`
+    *    quarantine file whose body hashes to the missing name (a GC that
+    *    crashed between quarantine and restore left the bytes under a
+    *    temp name). Action `repaired_from_cache` / `repaired_from_quarantine`.
+    *  - stale quarantine past `graceMs` whose content no dangling ref
+    *    claims: deleted (`swept`).
+    *  - anything else: `unrecoverable` — reported loudly, never guessed
+    *    at; the operator escalates to a partition re-commit,
+    *    [[rebuildRecordIndex]], or [[restore]].
+    *
+    * Mutations are create-exclusive/atomic-rename only (the same
+    * primitives the publish protocol uses), so a repair racing a live
+    * publisher resolves exactly like a GC restore racing one.
+    */
+  def fsckRepair(graceMs: Long = 20L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    val found = findings(graceMs)
+    // content of every stale quarantine, hashed once — the recovery pool
+    val quarantine: Map[String, Path] =
+      if (!Files.exists(segmentsDir)) Map.empty
+      else Option(segmentsDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(".gc-")).flatMap { f =>
+          scala.util.Try {
+            val body = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+            AcidTable.sha1Hex(body) -> f.toPath
+          }.toOption
+        }.toMap
+    def sha1OfName(n: String): String =
+      n.stripSuffix(".txt").dropWhile(_ != '-').drop(1)
+    val claimed = scala.collection.mutable.Set.empty[String]
+    val repaired = found.map { case (kind, v, name, detail) =>
+      val action = kind match {
+        case "dangling_segment_ref" | "dangling_page_ref" | "dangling_rli_ref" =>
+          val target = segmentsDir.resolve(name)
+          val cached: Option[String] =
+            if (kind == "dangling_page_ref")
+              AcidTable.pageCache.get((path, name)).map(_.mkString("\n"))
+            else if (kind == "dangling_segment_ref")
+              AcidTable.cachedSegmentBody(path, name)
+            else AcidTable.rliCache.get((path, name)).map(_.body)
+          cached match {
+            case Some(body) if AcidTable.sha1Hex(body) == sha1OfName(name) =>
+              ensureSegment(name, body)
+              "repaired_from_cache"
+            case _ => quarantine.get(sha1OfName(name)) match {
+              case Some(q) =>
+                claimed += q.getFileName.toString
+                try {
+                  Files.move(q, target, StandardCopyOption.ATOMIC_MOVE)
+                  "repaired_from_quarantine"
+                } catch {
+                  case _: java.io.IOException =>
+                    // a racing publisher/GC restored it first — verify
+                    if (Files.exists(target)) "repaired_from_quarantine" else "unrecoverable"
+                }
+              case None => "unrecoverable"
+            }
+          }
+        case "stale_quarantine" =>
+          // content claimed by a dangling ref above is MOVED, not swept;
+          // everything else is a crashed GC's leftover past grace
+          if (claimed.contains(name)) "repaired_from_quarantine"
+          else { Files.deleteIfExists(segmentsDir.resolve(name)); "swept" }
+        case _ => "unrecoverable"
+      }
+      (kind, v, name, detail, action)
+    }
+    repaired.toDF("kind", "version", "name", "detail", "action")
   }
 
   /** Commit timeline (the `DESCRIBE HISTORY` / Hudi-timeline surface):
@@ -2519,7 +2649,8 @@ final class AcidTable private (
       sortCols = clusterBy.map(clusterSortExpr(clusterBy)),
       forceCoarse = clusterBy.nonEmpty,
       opName = if (clusterBy.nonEmpty) "CLUSTER" else "COMPACT",
-      rebucket = clusterBy.isEmpty)
+      rebucket = clusterBy.isEmpty,
+      rliCarry = true)
     if (clusterBy.nonEmpty && v >= 0) partitions match {
       case None => recordClusterStats(v, clusterBy)
       case Some(ps) => // scoped rewrite records stats for ONLY its partitions
@@ -3603,35 +3734,57 @@ final class AcidTable private (
       // seg liveness reads EXPANDED roots (paged roots list their seg
       // refs inside pages); page liveness reads RAW roots (`@@` refs) —
       // raw reads cannot fail on a missing page, so page GC stays sound
-      // even against a root whose expansion would throw
-      def refsOf(vs: Iterator[Long]): (Set[String], Set[String]) = {
+      // even against a root whose expansion would throw. An expansion (or
+      // raw-read) FAILURE for a scanned version must not read as "that
+      // version references nothing": one unreadable page would silently
+      // drop the whole version's segment refs from the live set and let
+      // the GC delete segments the root still needs — a dangling page
+      // escalating to losing the version's metadata. The failure flag
+      // ABORTS ref GC for this cycle instead (fsck reports the dangling
+      // page for healing); data-file/temp sweeps above are unaffected.
+      def refsOf(vs: Iterator[Long]): (Set[String], Set[String], Boolean) = {
         val segs = scala.collection.mutable.Set.empty[String]
         val pgs = scala.collection.mutable.Set.empty[String]
+        var ok = true
         vs.foreach { v =>
-          scala.util.Try(rawRootLines(v)).toOption.toSeq.flatten.foreach { l =>
-            if (l.startsWith("@@")) pgs += l.substring(2).takeWhile(_ != '|')
+          scala.util.Try(rawRootLines(v)) match {
+            case scala.util.Success(raw) =>
+              raw.foreach { l =>
+                if (l.startsWith("@@")) pgs += l.substring(2).takeWhile(_ != '|')
+              }
+              // record-index runs share the segment GC (rli- prefix,
+              // tracked in the PAGE set: both are raw-root-header refs
+              // with identical liveness/quarantine semantics)
+              rliRefsOf(raw).foreach(r => pgs += r.name)
+              scala.util.Try(expandPages(raw)) match {
+                case scala.util.Success(exp) =>
+                  exp.filter(l => l.startsWith("@") && !l.startsWith("@@"))
+                    .foreach(l => l.substring(1).split("\\|", -1).lift(1).foreach(segs += _))
+                case scala.util.Failure(_) => ok = false
+              }
+            case scala.util.Failure(_) => ok = false
           }
-          scala.util.Try(rootLines(v)).toOption.toSeq.flatten
-            .filter(l => l.startsWith("@") && !l.startsWith("@@"))
-            .foreach(l => l.substring(1).split("\\|", -1).lift(1).foreach(segs += _))
         }
-        (segs.toSet, pgs.toSet)
+        (segs.toSet, pgs.toSet, ok)
       }
-      val (liveSegs, livePages) = refsOf((keepFrom to latest).iterator)
+      val (liveSegs, livePages, scanOk) = refsOf((keepFrom to latest).iterator)
       // re-read roots published AFTER our scan window right before the
       // delete pass: a publisher that reused a pre-cutoff segment has its
       // root visible by now (and its post-link re-assert TOUCHES the
       // segment, so even a root landing after this re-read is protected
       // by the age guard)
       val latestNow = latestVersion()
-      val (lateSegs, latePages) =
-        if (latestNow <= latest) (Set.empty[String], Set.empty[String])
+      val (lateSegs, latePages, lateOk) =
+        if (latestNow <= latest) (Set.empty[String], Set.empty[String], true)
         else refsOf(((latest + 1) to latestNow).iterator)
       val allLive = liveSegs ++ lateSegs
       val allLivePages = livePages ++ latePages
+      val refGcSafe = scanOk && lateOk
       def deadRef(name: String): Boolean =
-        (name.startsWith("seg-") && !allLive.contains(name)) ||
-          (name.startsWith("page-") && !allLivePages.contains(name))
+        refGcSafe && (
+          (name.startsWith("seg-") && !allLive.contains(name)) ||
+            ((name.startsWith("page-") || name.startsWith("rli-")) &&
+              !allLivePages.contains(name)))
       Option(segmentsDir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
         val name = f.getName
         if ((name.startsWith(".tmp-") || name.startsWith(".gc-"))
@@ -3660,9 +3813,11 @@ final class AcidTable private (
           if (renamed) {
             val latestFinal = latestVersion()
             val nowLive = latestNow < latestFinal && {
-              val (lateS, lateP) = refsOf(((latestNow + 1) to latestFinal).iterator)
-              if (name.startsWith("page-")) lateP.contains(name)
-              else lateS.contains(name)
+              // an unreadable late root acquits: restore rather than delete
+              val (lateS, lateP, ok) = refsOf(((latestNow + 1) to latestFinal).iterator)
+              !ok || (if (name.startsWith("page-") || name.startsWith("rli-"))
+                        lateP.contains(name)
+                      else lateS.contains(name))
             }
             if (nowLive) {
               // restore; REPLACE_EXISTING is safe — content-addressed, so
@@ -3718,8 +3873,13 @@ final class AcidTable private (
       val touched = (files ++ baseFiles).map(partOf).distinct.map(FileCell(_, -1))
       try {
         // the restored state includes the target version's outstanding MOR
-        // deletes — without them the restore would resurrect DV'd rows
-        publish(base + 1, files, touched, sizes, "RESTORE", dvsOf(lines))
+        // deletes — without them the restore would resurrect DV'd rows.
+        // The record index follows the manifest: the TARGET version's refs
+        // and completeness describe exactly the restored content (its runs
+        // are live — the target is retained, so vacuum kept them)
+        val targetRaw = scala.util.Try(rawRootLines(toVersion)).getOrElse(Nil)
+        publish(base + 1, files, touched, sizes, "RESTORE", dvsOf(lines),
+          rli = AcidTable.RliSet(rliRefsOf(targetRaw), rliDoneOf(targetRaw)))
         return base + 1
       } catch {
         case _: FileAlreadyExistsException =>
@@ -3802,9 +3962,23 @@ final class AcidTable private (
       FileCell(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol=")), -1))
       .distinct
+    // the record index travels with the pinned snapshot: its runs are
+    // content-addressed files — copy the bytes, carry the refs + the
+    // completeness flag of the CLONED version (round 16)
+    val srcRaw = scala.util.Try(rawRootLines(v)).getOrElse(Nil)
+    val srcRli = rliRefsOf(srcRaw)
+    srcRli.foreach { r =>
+      val from = segmentsDir.resolve(r.name)
+      if (Files.exists(from))
+        AcidTable.writeContentFile(
+          Paths.get(destPath, CommitsDir, AcidTable.SegmentsDir).toString,
+          r.name,
+          new String(Files.readAllBytes(from), StandardCharsets.UTF_8))
+    }
     // outstanding MOR deletes travel with the pinned snapshot (inline
     // entries: nothing extra to link)
-    dest.publish(0L, files, touched, sizesOf(lines), "CLONE", dvsOf(lines))
+    dest.publish(0L, files, touched, sizesOf(lines), "CLONE", dvsOf(lines),
+      rli = AcidTable.RliSet(srcRli, rliDoneOf(srcRaw)))
     dest
   }
 
@@ -4041,7 +4215,17 @@ final class AcidTable private (
       rebucket: Boolean = false,
       // CAS mode: commit only at pinBase+1; any version race throws
       // CommitConflictException instead of re-merging (see casUpsertOp)
-      pinBase: Option[Long] = None): Long = {
+      pinBase: Option[Long] = None,
+      // overwrite sets this: the commit REPLACES all table content, so
+      // the record index is REPLACED too (RliSet) instead of appended —
+      // prior entries describe dropped rows, and a complete rewrite is
+      // complete-by-construction (arms the index on a legacy table)
+      rliReplace: Boolean = false,
+      // removal/rewrite-only commits (delete, compact) set this: no key
+      // gains a NEW partition, so the index carries verbatim — refs AND
+      // completeness — with zero maintenance cost (stale entries for
+      // removed keys only ever add probe candidates)
+      rliCarry: Boolean = false): Long = {
     // driver fast-path eligibility for a given rewrite volume (see the
     // fast-path section): kernel available, schema safe, input bounded
     def fastEligible(bytes: Long): Boolean =
@@ -4129,6 +4313,9 @@ final class AcidTable private (
       // invalidated whenever newFiles changes (a redo wrote different
       // content); null = not yet computed
       var pendingStats: Map[String, Map[String, (Long, Long)]] = null
+      // record-index update for newFiles, memoized/invalidated the same
+      // way (an invalidated delta run is orphaned — vacuum sweeps it)
+      var pendingRli: AcidTable.RliUpdate = null
       var newFiles =
         if (fastEligible(inB)) {
           val localRows =
@@ -4197,6 +4384,16 @@ final class AcidTable private (
           // throwing after it durably landed). Zero jobs on the fast path.
           if (pendingStats == null)
             pendingStats = computeWriteStats(newFiles.map(_._1), statsLocalRows)
+          if (pendingRli == null) {
+            pendingRli =
+              if (rliCarry) AcidTable.RliInherit
+              else computeRliUpdate(newFiles.map(_._1), statsLocalRows)
+            if (rliReplace) pendingRli = pendingRli match {
+              case AcidTable.RliAppend(refs) => AcidTable.RliSet(refs, done = true)
+              case AcidTable.RliInherit => AcidTable.RliSet(Nil, done = true)
+              case other => other // RliAuto: unrenderable rows stay unindexed
+            }
+          }
           if (publishBase >= 0 && segRefs(publishBase).isDefined) {
             // segmented base: untouched partitions' root lines carry
             // VERBATIM (their segments are pinned byte-identical), so the
@@ -4214,7 +4411,8 @@ final class AcidTable private (
             val carriedSizes = sizesForPartitions(publishBase, tParts)
               .view.filterKeys(carriedSet.contains).toMap
             publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
-              carriedSizes ++ newFiles, opName, carriedDvs, pendingStats, reuse)
+              carriedSizes ++ newFiles, opName, carriedDvs, pendingStats, reuse,
+              rli = pendingRli)
           } else {
             // flat (pre-segment) base: full carry, segmented output
             val publishLines = if (publishBase < 0) Nil else manifestLines(publishBase)
@@ -4226,7 +4424,8 @@ final class AcidTable private (
             val carriedSet = carried.toSet
             val carriedSizes = sizesOf(publishLines).view.filterKeys(carriedSet.contains).toMap
             publish(publishBase + 1, carried ++ newFiles.map(_._1), touched,
-              carriedSizes ++ newFiles, opName, carriedDvs, pendingStats)
+              carriedSizes ++ newFiles, opName, carriedDvs, pendingStats,
+              rli = pendingRli)
           }
           if (fullRedoSince > 0)
             AcidTable.conflictRedoNanos.addAndGet(System.nanoTime() - fullRedoSince)
@@ -4340,6 +4539,7 @@ final class AcidTable private (
                 // the captured rows no longer describe newFiles' contents
                 statsLocalRows = None
                 pendingStats = null
+                pendingRli = null
                 // a legacy expansion widened the rewrite beyond the
                 // original touched set — the published #touched and the
                 // carried-file exclusion must widen with it
@@ -4947,13 +5147,26 @@ final class AcidTable private (
     }
 
   /** One immutable root page (content-addressed, so cacheable forever —
-    * the LRU only bounds memory). Missing page = corrupt/racing root:
-    * fail loudly like a missing segment; [[fsck]] reports it. */
+    * the LRU only bounds memory). A missing file is retried briefly, the
+    * SAME protocol [[readSegment]] uses: vacuum quarantines a dead-looking
+    * page by RENAME before its liveness recheck, so a reader expanding a
+    * live paged root concurrently with GC can observe the sub-millisecond
+    * gap between the rename and the restore/publisher-rewrite that
+    * re-materializes the same content-addressed bytes. A page still
+    * missing after the retries is a corrupt root: fail loudly like a
+    * missing segment; [[fsck]] reports it. */
   private def readPage(name: String): Seq[String] = {
     val key = (path, name)
     AcidTable.pageCache.get(key).getOrElse {
-      val body = new String(
-        Files.readAllBytes(segmentsDir.resolve(name)), StandardCharsets.UTF_8)
+      def readBytes(attempt: Int): Array[Byte] =
+        try Files.readAllBytes(segmentsDir.resolve(name))
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            if (attempt >= 20) throw e
+            Thread.sleep(5L * (attempt + 1))
+            readBytes(attempt + 1)
+        }
+      val body = new String(readBytes(0), StandardCharsets.UTF_8)
       val lines = body.linesIterator.filter(_.nonEmpty).toSeq
       AcidTable.pageCache.put(key, lines)
       lines
@@ -5087,6 +5300,286 @@ final class AcidTable private (
       entries.map { case (f, b) => s"${java.net.URLEncoder.encode(f, "UTF-8")}|$b" })
       .mkString("\n")
     ("seg-" + AcidTable.sha1Hex(body) + ".txt", body)
+  }
+
+  // --------------------------------------------------------- record index --
+  //
+  // pk → partition record-level index (the Hudi RLI / Delta
+  // bloom-on-steroids analog, round-16 verdict #2): an UNHINTED point
+  // probe on a transform-less table otherwise degrades to O(bucket
+  // candidates) bloom probes — 20 000 one-file-per-partition candidates
+  // at the 500 k-file MetaScale point. The index maps each key's
+  // URL-encoded rendering to the partition VALUES it was ever written
+  // into; an unhinted lookup consults it and routes like a partition
+  // hint. LSM shape: each commit appends a sorted content-addressed
+  // delta run (`rli-<sha1>.txt` beside the manifest segments); above
+  // [[AcidTable.MaxRliRefs]] runs the committing writer folds everything
+  // into hash shards sized by [[AcidTable.RliShardTarget]], so a probe
+  // pays O(1 shard + bounded deltas) however large the table. Entries
+  // are CONSERVATIVE (never removed by deletes/moves — stale entries
+  // only add probe candidates that bucket+bloom pruning then drops);
+  // correctness of EMPTY results rides the `#rlidone=1` completeness
+  // flag, which any data-adding commit that cannot index its keys drops
+  // ([[AcidTable.RliAuto]]) and only [[rebuildRecordIndex]] or an
+  // indexed-from-birth timeline sets. Refs ride root headers, so the
+  // index follows the manifest through time travel, restore and clone,
+  // and dies with vacuum's timeline archival.
+
+  /** Whether commits maintain the record index: the `recordIndex` table
+    * property, gated on a PK type whose string rendering round-trips
+    * ([[keyCastSupported]] — same gate as bucket pruning). */
+  private[lake] def rliEnabled: Boolean =
+    tableProperty("recordIndex").contains("true") && keyCastSupported
+
+  private[lake] def rliRefsOf(raw: Seq[String]): Seq[AcidTable.RliRef] =
+    raw.find(_.startsWith("#rli=")).toSeq.flatMap(
+      _.stripPrefix("#rli=").split(',').iterator.filter(_.nonEmpty).flatMap { s =>
+        s.split('|') match {
+          case Array(n, sh, ns, c) => scala.util.Try(
+            AcidTable.RliRef(n, sh.toInt, ns.toInt, c.toLong)).toOption
+          case _ => None
+        }
+      })
+
+  private def rliDoneOf(raw: Seq[String]): Boolean = raw.contains("#rlidone=1")
+
+  private def rliHeaderLinesFor(
+      refs: Seq[AcidTable.RliRef], done: Boolean): Seq[String] =
+    (if (refs.isEmpty) Nil
+     else Seq("#rli=" + refs.map(r => s"${r.name}|${r.shard}|${r.nShards}|${r.count}")
+       .mkString(","))) ++ (if (done) Seq("#rlidone=1") else Nil)
+
+  /** Write one sorted delta run from driver-side (key rendering,
+    * partition value) pairs; None when empty. */
+  private[lake] def writeRliDelta(entries: Seq[(String, String)]): Option[AcidTable.RliRef] = {
+    if (entries.isEmpty) return None
+    // sort by (key, part) TUPLE, never by rendered line: '|' (0x7C)
+    // compares above alphanumerics, so a full-line sort would order
+    // "K1|…" after "K10|…" and break the probe's by-key binary search
+    val lines = entries.iterator.map { case (k, p) =>
+      (java.net.URLEncoder.encode(k, "UTF-8"), java.net.URLEncoder.encode(p, "UTF-8"))
+    }.toArray.distinct.sorted.map { case (k, p) => s"$k|$p" }.toSeq
+    val body = lines.mkString("\n")
+    val name = "rli-" + AcidTable.sha1Hex(body) + ".txt"
+    ensureSegment(name, body, touch = true)
+    val (ks, ps) = lines.map { l =>
+      val i = l.indexOf('|'); (l.substring(0, i), l.substring(i + 1))
+    }.unzip
+    AcidTable.rliCache.put((path, name),
+      AcidTable.RliData(ks.toArray, ps.toArray, body))
+    Some(AcidTable.RliRef(name, 0, 1, lines.size.toLong))
+  }
+
+  /** Write a SHARDED delta from a distributed (pk string, partition
+    * string) frame — the bulk-ingest path: shard files are written FROM
+    * EXECUTORS (content-addressed write-if-absent, so task retries and
+    * speculation are idempotent; zombie attempts leave orphans vacuum
+    * sweeps), the same shared-storage shape the data files themselves
+    * use. Returns None when any pk or partition value is NULL — such
+    * rows cannot be rendered into the line domain, so the commit
+    * degrades to [[AcidTable.RliAuto]] (index incomplete) rather than
+    * silently mis-indexing. */
+  private[lake] def writeRliDeltaDistributed(
+      kp: DataFrame): Option[Seq[AcidTable.RliRef]] = {
+    import org.apache.spark.HashPartitioner
+    if (!kp.filter(kp.columns.map(c => kp.col(s"`$c`").isNull).reduce(_ || _)).isEmpty)
+      return None
+    val n = 16 // delta shard count; the MaxRliRefs merge re-sizes by volume
+    val segDirStr = segmentsDir.toString
+    Files.createDirectories(segmentsDir)
+    val refs = kp.rdd.map { r =>
+      val ek = java.net.URLEncoder.encode(r.getString(0), "UTF-8")
+      val ep = java.net.URLEncoder.encode(r.getString(1), "UTF-8")
+      (AcidTable.rliShardOf(ek, n), (ek, ep))
+    }.partitionBy(new HashPartitioner(n)).mapPartitionsWithIndex { (i, it) =>
+      // tuple sort (see writeRliDelta: a full-line sort would misorder
+      // prefix-sharing keys around the '|' separator)
+      val ls = it.map(_._2).toArray.distinct.sorted.map { case (k, p) => s"$k|$p" }
+      if (ls.isEmpty) Iterator.empty
+      else {
+        val body = ls.mkString("\n")
+        val name = "rli-" + AcidTable.sha1Hex(body) + ".txt"
+        AcidTable.writeContentFile(segDirStr, name, body)
+        Iterator.single((name, i, ls.length.toLong))
+      }
+    }.collect().toSeq
+    Some(refs.map { case (name, i, c) => AcidTable.RliRef(name, i, n, c) })
+  }
+
+  /** Resolve one index run (cache-first; the disk read retries a missing
+    * file briefly — the same GC quarantine-rename race protocol
+    * [[readSegment]] heals). */
+  private def readRli(name: String): AcidTable.RliData =
+    AcidTable.rliCache.get((path, name)).getOrElse {
+      def readBody(attempt: Int): String =
+        try new String(Files.readAllBytes(segmentsDir.resolve(name)), StandardCharsets.UTF_8)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            if (attempt >= 20) throw e
+            Thread.sleep(5L * (attempt + 1))
+            readBody(attempt + 1)
+        }
+      val body = readBody(0)
+      val lines = body.linesIterator.filter(_.nonEmpty).toArray
+      val ks = new Array[String](lines.length)
+      val ps = new Array[String](lines.length)
+      var i = 0
+      while (i < lines.length) {
+        val j = lines(i).indexOf('|')
+        ks(i) = lines(i).substring(0, j)
+        ps(i) = lines(i).substring(j + 1)
+        i += 1
+      }
+      val d = AcidTable.RliData(ks, ps, body)
+      AcidTable.rliCache.put((path, name), d)
+      d
+    }
+
+  /** The candidate partition VALUES the index knows for `keys` at
+    * version `v` — Some ONLY when the index is complete (`#rlidone=1`)
+    * and every consulted run resolves, i.e. when "key absent from the
+    * index" soundly means "key absent from the table". Some(Nil) is a
+    * proven-empty probe. None = no routing (lookups fall back to the
+    * full per-partition sweep — pruning lost, correctness kept). */
+  private[lake] def rliLookup(v: Long, keys: Seq[String]): Option[Seq[String]] = {
+    if (!keyCastSupported) return None
+    val raw = scala.util.Try(rawRootLines(v)).getOrElse(return None)
+    if (!rliDoneOf(raw)) return None
+    AcidTable.rliProbes.incrementAndGet()
+    val refs = rliRefsOf(raw)
+    val encKeys = keys.flatMap(k => scala.util.Try(castKeyTo(k)).toOption)
+      .map(x => java.net.URLEncoder.encode(String.valueOf(x), "UTF-8")).distinct
+    val cells = scala.collection.mutable.Set.empty[String]
+    try refs.foreach { ref =>
+      val probe =
+        if (ref.nShards <= 1) encKeys
+        else encKeys.filter(e => AcidTable.rliShardOf(e, ref.nShards) == ref.shard)
+      if (probe.nonEmpty) {
+        val d = readRli(ref.name)
+        probe.foreach { e =>
+          var i = java.util.Arrays.binarySearch(
+            d.keys.asInstanceOf[Array[AnyRef]], e)
+          if (i >= 0) {
+            while (i > 0 && d.keys(i - 1) == e) i -= 1
+            while (i < d.keys.length && d.keys(i) == e) {
+              cells += java.net.URLDecoder.decode(d.parts(i), "UTF-8")
+              i += 1
+            }
+          }
+        }
+      }
+    } catch {
+      case _: java.nio.file.NoSuchFileException => return None // dangling run: no routing
+    }
+    AcidTable.rliRouted.incrementAndGet()
+    Some(cells.toSeq)
+  }
+
+  /** Fold `refs` into size-appropriate hash shards (the LSM merge):
+    * driver-side — runs are line files totaling O(index entries), read
+    * through the run cache; an object-store deployment moves this fold
+    * into the compaction job (distributed read → shard write, the same
+    * executor-write shape [[writeRliDeltaDistributed]] already uses). */
+  private def mergeRliRefs(refs: Seq[AcidTable.RliRef]): Seq[AcidTable.RliRef] = {
+    val all = refs.flatMap { r =>
+      val d = readRli(r.name)
+      d.keys.indices.map(i => (d.keys(i), d.parts(i)))
+    }.distinct.sorted // tuple sort — see writeRliDelta
+    if (all.isEmpty) return Nil
+    val n = math.max(1, Integer.highestOneBit(
+      math.max(1, (all.size + AcidTable.RliShardTarget - 1) / AcidTable.RliShardTarget) * 2 - 1))
+    all.groupBy(e => AcidTable.rliShardOf(e._1, n))
+      .toSeq.sortBy(_._1).map { case (shard, es) =>
+        val body = es.map { case (k, p) => s"$k|$p" }.mkString("\n")
+        val name = "rli-" + AcidTable.sha1Hex(body) + ".txt"
+        ensureSegment(name, body, touch = true)
+        AcidTable.RliRef(name, shard, n, es.size.toLong)
+      }
+  }
+
+  /** The commit's index update, from what the write path has in hand:
+    * driver-local rows index for free (keys and partition values are
+    * already materialized); a distributed commit re-reads its OWN new
+    * files' (pk, partition) projection — O(written data), the same
+    * maintenance cost Hudi's RLI pays — and shard-writes from executors.
+    * Anything unrenderable (NULL pk/partition) degrades to
+    * [[AcidTable.RliAuto]]. */
+  private def computeRliUpdate(
+      newFiles: Seq[String],
+      localRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]]): AcidTable.RliUpdate = {
+    if (!rliEnabled) return AcidTable.RliAuto
+    if (newFiles.isEmpty && localRows.forall(_.isEmpty)) return AcidTable.RliInherit
+    localRows match {
+      case Some(rows) =>
+        if (rows.exists(r => r.isNullAt(pkFieldIdx) || r.isNullAt(partFieldIdx)))
+          AcidTable.RliAuto
+        else AcidTable.RliAppend(writeRliDelta(rows.map(r =>
+          (String.valueOf(r.get(pkFieldIdx, schema(pkFieldIdx).dataType)), rowPart(r)))
+          .distinct).toSeq)
+      case None =>
+        if (newFiles.isEmpty) return AcidTable.RliInherit
+        // snapshotFromFiles, not a raw parquet read: the partition value
+        // lives in the directory name, not in the file bytes
+        val kp = snapshotFromFiles(newFiles)
+          .select(col(pkCol).cast(StringType).as("__rk"),
+            col(partitionCol).cast(StringType).as("__rp"))
+          .distinct()
+        writeRliDeltaDistributed(kp) match {
+          case Some(refs) => AcidTable.RliAppend(refs)
+          case None => AcidTable.RliAuto
+        }
+    }
+  }
+
+  /** Build (or repair) the record index from the CURRENT snapshot in one
+    * metadata commit: distributed distinct (pk, partition) scan →
+    * executor-written shard runs → a root carrying `#rli=` +
+    * `#rlidone=1` with every data line reused verbatim. Enables the
+    * `recordIndex` property if unset. The route that arms the index on a
+    * table that predates it (or whose flag an unindexed bulk commit
+    * dropped). OCC: retries like any commit; each retry rescans, so
+    * concurrently-added rows cannot escape the rebuilt index. */
+  def rebuildRecordIndex(): Long = {
+    require(keyCastSupported,
+      s"record index requires a string/integral PK, got ${schema(pkCol).dataType}")
+    if (!tableProperty("recordIndex").contains("true"))
+      setTableProperty("recordIndex", Some("true"))
+    var attempt = 0
+    while (true) {
+      val base = latestVersion()
+      val refs =
+        if (base < 0) Nil
+        else {
+          val kp = applyDvs(snapshot(base), readDvs(base))
+            .select(col(pkCol).cast(StringType).as("__rk"),
+              col(partitionCol).cast(StringType).as("__rp"))
+            .distinct()
+          writeRliDeltaDistributed(kp).getOrElse(throw new IllegalStateException(
+            "record index unsupported: table holds NULL pk or partition values"))
+        }
+      try {
+        if (base >= 0 && segRefs(base).isDefined)
+          publish(base + 1, Nil, Nil, Map.empty, "RLI_REBUILD", readDvs(base),
+            reuseRootLines = rootLines(base).filter(_.startsWith("@")),
+            rli = AcidTable.RliSet(refs, done = true))
+        else if (base >= 0) {
+          val baseLines = manifestLines(base)
+          publish(base + 1, dataLinesOf(baseLines), Nil, sizesOf(baseLines),
+            "RLI_REBUILD", readDvs(base), rli = AcidTable.RliSet(refs, done = true))
+        } else
+          publish(0L, Nil, Nil, Map.empty, "RLI_REBUILD",
+            rli = AcidTable.RliSet(Nil, done = true))
+        return latestVersion()
+      } catch {
+        case _: FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > MaxRetries)
+            throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(64) + 1)
+      }
+    }
+    -1L // unreachable
   }
 
   /** The live files of `parts` (partition VALUES) at version `v` — on a
@@ -5235,9 +5728,10 @@ final class AcidTable private (
       op: String = "",
       dvs: Seq[DvEntry] = Nil,
       newStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      reuseRootLines: Seq[String] = Nil): Unit = {
+      reuseRootLines: Seq[String] = Nil,
+      rli: AcidTable.RliUpdate = AcidTable.RliAuto): Unit = {
     val t0 = System.nanoTime()
-    try publishImpl(v, files, touched, sizes, op, dvs, newStats, reuseRootLines)
+    try publishImpl(v, files, touched, sizes, op, dvs, newStats, reuseRootLines, rli)
     finally AcidTable.publishNanos.addAndGet(System.nanoTime() - t0)
   }
 
@@ -5251,7 +5745,8 @@ final class AcidTable private (
       v: Long, files: Seq[String], touched: Seq[FileCell], sizes: Map[String, Long],
       op: String, dvs: Seq[DvEntry],
       newStats: Map[String, Map[String, (Long, Long)]],
-      reuseRootLines: Seq[String] = Nil): Unit = {
+      reuseRootLines: Seq[String] = Nil,
+      rli: AcidTable.RliUpdate = AcidTable.RliAuto): Unit = {
     val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
     val encoded = touched.map(c =>
       java.net.URLEncoder.encode(c.part, "UTF-8") +
@@ -5412,10 +5907,57 @@ final class AcidTable private (
           (0 until n).map(i => buildPage(i, buckets(i).result()))
         }
       }
+    // record-index headers (round 16): refs + completeness derived from
+    // the base root and this commit's RliUpdate — see the RliUpdate
+    // scaladoc for the per-variant semantics. Property off = no headers
+    // (any prior refs drop; the orphaned runs die with vacuum).
+    val rliHeader: Seq[String] =
+      if (!rliEnabled) Nil
+      else {
+        val baseRawR =
+          if (v > 0) scala.util.Try(rawRootLines(v - 1)).getOrElse(Nil) else Nil
+        val inheritedRefs = rliRefsOf(baseRawR)
+        val inheritedDone = rliDoneOf(baseRawR) || v == 0
+        rli match {
+          case AcidTable.RliAuto => rliHeaderLinesFor(inheritedRefs, done = false)
+          case AcidTable.RliInherit => rliHeaderLinesFor(inheritedRefs, inheritedDone)
+          case AcidTable.RliAppend(newRefs) =>
+            val all = inheritedRefs ++ newRefs
+            val merged = if (all.size > AcidTable.MaxRliRefs) mergeRliRefs(all) else all
+            rliHeaderLinesFor(merged, inheritedDone)
+          case AcidTable.RliSet(refs, done) => rliHeaderLinesFor(refs, done)
+        }
+      }
+    // pre-link touch of CARRIED refs — pages reused verbatim from the
+    // base root, and index runs whose refs carry through the `#rli=`
+    // header — mirroring the reused-segment protocol: a racing GC whose
+    // scan predates this commit re-reads the mtime at the last instant
+    // and a fresh touch makes it skip the file without quarantining.
+    // Freshly built pages/runs were touched by their ensureSegment;
+    // without this, carried refs' survival rested only on the base root
+    // staying in the GC's scanned window plus the final recheck. A file
+    // already missing at touch time is re-materialized from its content
+    // cache when possible (content-addressed — idempotent); a cache miss
+    // leaves it to the quarantine-restore/post-link protocol below.
+    val carriedPages: Seq[String] =
+      if (!paged) Nil
+      else rootTail.collect { case l if l.startsWith("@@") =>
+        l.substring(2).takeWhile(_ != '|')
+      }.filterNot(n => pagesOut.exists(_._1 == n))
+    val carriedRli: Seq[String] = rliRefsOf(rliHeader).map(_.name)
+    def reassertCarriedRef(name: String): Unit =
+      if (!segmentsDir.resolve(name).toFile.setLastModified(System.currentTimeMillis())) {
+        val cached =
+          if (name.startsWith("page-"))
+            AcidTable.pageCache.get((path, name)).map(_.mkString("\n"))
+          else AcidTable.rliCache.get((path, name)).map(_.body)
+        cached.foreach(b => ensureSegment(name, b, touch = true))
+      }
+    (carriedPages ++ carriedRli).foreach(reassertCarriedRef)
     val body = (Seq(
       s"#ts=$ts",
       s"#touched=${encoded.mkString(",")}",
-      "#segments=1") ++ pageHeader ++ opHeader ++ dvHeader ++ rootTail).mkString("\n")
+      "#segments=1") ++ pageHeader ++ opHeader ++ dvHeader ++ rliHeader ++ rootTail).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()
@@ -5426,6 +5968,7 @@ final class AcidTable private (
     // link gets rewritten (content-addressed — idempotent)
     segs.foreach { case (_, name, segBody) => ensureSegment(name, segBody, touch = true) }
     pagesOut.foreach { case (name, pageBody) => ensureSegment(name, pageBody, touch = true) }
+    (carriedPages ++ carriedRli).foreach(reassertCarriedRef)
     writeLatestHint(v)
   }
 
@@ -5589,10 +6132,112 @@ object AcidTable {
       partDir: String, name: String, count: Long, bytes: Long,
       pstats: Map[String, (Long, Long)])
 
+  // ------------------------------------------------------- record index --
+
+  /** One record-level-index reference as carried in a root's `#rli=`
+    * header (`<name>|<shard>|<nShards>|<count>`, comma-joined): a
+    * content-addressed sorted run of `enc(pk)|enc(partition value)`
+    * lines. `nShards == 1` = an unsharded delta every probe consults;
+    * `nShards > 1` = one shard of a merged index — a probe key consults
+    * only the shard its hash selects, the O(1 shard + #deltas) lookup
+    * shape that survives a billion-key table. */
+  private[lake] final case class RliRef(name: String, shard: Int, nShards: Int, count: Long)
+
+  /** Loaded index run: keys and partition values as PARALLEL sorted
+    * arrays (sorted by key, then value — equal keys adjacent, so a probe
+    * is one binary search + a bounded forward walk), plus the raw body
+    * for content-addressed repair ([[AcidTable.fsckRepair]]). */
+  private[lake] final case class RliData(keys: Array[String], parts: Array[String], body: String)
+
+  /** How a commit updates the record index (the `rli` parameter of
+    * [[AcidTable.publish]]):
+    *  - [[RliAuto]] — rows may have been added but their keys were not
+    *    indexed: inherited refs carry (stale entries only ever ADD probe
+    *    candidates), the completeness flag DROPS — lookups fall back to
+    *    the full probe until [[AcidTable.rebuildRecordIndex]]. The safe
+    *    default every unwired publish path gets.
+    *  - [[RliInherit]] — the commit added no rows (DV-only deletes,
+    *    compaction, metadata ops): refs AND completeness carry verbatim.
+    *  - [[RliAppend]] — the commit's new rows were written as delta
+    *    ref(s): append to the inherited list (merging when the list
+    *    exceeds [[MaxRliRefs]]), completeness carries.
+    *  - [[RliSet]] — replace the index outright (overwrite, rebuild,
+    *    restore, clone). */
+  private[lake] sealed trait RliUpdate
+  private[lake] case object RliAuto extends RliUpdate
+  private[lake] case object RliInherit extends RliUpdate
+  private[lake] final case class RliAppend(refs: Seq[RliRef]) extends RliUpdate
+  private[lake] final case class RliSet(refs: Seq[RliRef], done: Boolean) extends RliUpdate
+
+  /** Delta-run count above which a commit folds the index into hash
+    * shards (the LSM merge): bounds probe fan-out at O(1 shard +
+    * MaxRliRefs deltas). */
+  private[lake] val MaxRliRefs = 16
+  /** Target entries per merged shard — shard count is the next power of
+    * two covering `total / RliShardTarget`, so shard bytes stay bounded
+    * as the table grows. */
+  private[lake] val RliShardTarget = 65536
+
+  /** The shard a key probes/lands in: over the URL-ENCODED key rendering
+    * (the line format's own domain), identical on the write path (driver
+    * and executor), the merge, and the probe. */
+  private[lake] def rliShardOf(encKey: String, nShards: Int): Int =
+    if (nShards <= 1) 0 else (encKey.hashCode & Int.MaxValue) % nShards
+
+  /** Process-wide LRU of loaded index runs, keyed (table path, ref name) —
+    * content addressing makes entries permanently valid. Sized for a few
+    * tables' merged shards plus their delta tails. */
+  private[lake] object rliCache {
+    private val MaxEntries = 256
+    private val m = new java.util.LinkedHashMap[(String, String), RliData](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), RliData]): Boolean =
+        size() > MaxEntries
+    }
+    def get(k: (String, String)): Option[RliData] = m.synchronized(Option(m.get(k)))
+    def put(k: (String, String), v: RliData): Unit = m.synchronized { m.put(k, v); () }
+    def purgePath(p: String): Unit = m.synchronized { m.keySet.removeIf(_._1 == p); () }
+  }
+
+  /** Index-probe telemetry (spec-checked): how many unhinted lookups
+    * consulted the record index, and how many of those it routed (cells
+    * resolved without touching the per-partition segment sweep). */
+  private[graft] val rliProbes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val rliRouted = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Canonical segment body rebuilt from the parsed cache entry — byte-
+    * identical to what [[segmentBody]] produced (same renderer), so its
+    * sha1 matches the content-addressed name; [[fsckRepair]]'s
+    * cache-recovery route. */
+  private[lake] def cachedSegmentBody(path: String, name: String): Option[String] =
+    cachedSegment(path, name).map { d =>
+      (s"#segpart=${java.net.URLEncoder.encode(d.partDir, "UTF-8")}" +:
+        d.entries.map { case (f, b) => s"${java.net.URLEncoder.encode(f, "UTF-8")}|$b" })
+        .mkString("\n")
+    }
+
   private[lake] def sha1Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes(StandardCharsets.UTF_8))
     d.map(b => f"$b%02x").mkString
+  }
+
+  /** Executor-safe content-addressed write-if-absent (the static form of
+    * the instance `ensureSegment`, for shard files written from RDD
+    * tasks): tmp + fsync + create-exclusive link, losing a creation race
+    * is success — identical name means identical bytes. */
+  private[lake] def writeContentFile(dir: String, name: String, body: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    val target = d.resolve(name)
+    if (Files.exists(target)) return
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+    try Files.createLink(target, tmp)
+    catch { case _: FileAlreadyExistsException => () }
+    finally { Files.deleteIfExists(tmp); () }
   }
 
   /** Process-wide cache of immutable segments, keyed (table path, segment
@@ -5606,6 +6251,7 @@ object AcidTable {
     }
     def get(k: (String, String)): Option[SegData] = m.synchronized(Option(m.get(k)))
     def put(k: (String, String), v: SegData): Unit = m.synchronized { m.put(k, v); () }
+    def purgePath(p: String): Unit = m.synchronized { m.keySet.removeIf(_._1 == p); () }
   }
   private[lake] def cachedSegment(path: String, name: String): Option[SegData] =
     segmentCache.get((path, name))
@@ -5983,7 +6629,18 @@ object AcidTable {
       synchronized(Option(map.get(key)))
     def put(key: (String, String), v: Seq[String]): Unit =
       synchronized { map.put(key, v); () }
+    def purgePath(p: String): Unit = synchronized { map.keySet.removeIf(_._1 == p); () }
   }
+
+  /** Test hook: drop every process-wide cached artifact of `path`
+    * (segment bodies, root pages, index runs) — specs staging
+    * unrecoverable-loss scenarios need the "driver restarted" state. */
+  private[lake] def purgeCachesForSpec(path: String): Unit = {
+    segmentCache.purgePath(path)
+    pageCache.purgePath(path)
+    rliCache.purgePath(path)
+  }
+
   private object bloomCache {
     private val MaxEntries = 4096
     private val map = new java.util.LinkedHashMap[

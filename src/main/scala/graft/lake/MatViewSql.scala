@@ -38,6 +38,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RefreshMvStmt(vn) => RefreshMatViewCommand(vn.split('.').toSeq)
     case DropMvStmt(vn) => DropMatViewCommand(vn.split('.').toSeq)
     case DescribeDetailStmt(tn) => DescribeDetailCommand(tn.split('.').toSeq)
+    case FsckRepairStmt(tn) => FsckRepairCommand(tn.split('.').toSeq)
     case FsckStmt(tn) => FsckCommand(tn.split('.').toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
@@ -73,7 +74,11 @@ object MatViewSql {
   private[lake] val DescribeDetailStmt =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   // FSCK TABLE (round 15): read-only metadata integrity walk — dangling
-  // segment/page refs, stale GC quarantines; same add-to-grammar shape
+  // segment/page/rli refs, stale GC quarantines; same add-to-grammar
+  // shape. FSCK TABLE … REPAIR (round 16) heals what is recoverable —
+  // see [[AcidTable.fsckRepair]].
+  private[lake] val FsckRepairStmt =
+    """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s+REPAIR\s*;?\s*""".r
   private[lake] val FsckStmt =
     """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s*;?\s*""".r
 
@@ -151,6 +156,25 @@ case class FsckCommand(nameParts: Seq[String]) extends LeafRunnableCommand {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         nameParts.toSeq)
     AcidTable.open(spark, dir).fsck().collect().toSeq
+  }
+}
+
+case class FsckRepairCommand(nameParts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Seq(AttributeReference("kind", StringType)(),
+      AttributeReference("version", LongType)(),
+      AttributeReference("name", StringType)(),
+      AttributeReference("detail", StringType)(),
+      AttributeReference("action", StringType)())
+  }
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MatViewSql.pathOf(nameParts)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_meta.properties")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        nameParts.toSeq)
+    AcidTable.open(spark, dir).fsckRepair().collect().toSeq
   }
 }
 

@@ -393,12 +393,19 @@ private final class DvFilteringReaderFactory(
             }
             if (kept == n) { cur = permuted(b); return true } // zero-copy
             if (kept > 0) {
-              // survivor copy in required order through Spark's converter
-              freeOwned()
-              owned = org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-                .allocateColumns(kept, schema)
-                .asInstanceOf[Array[org.apache.spark.sql.execution.vectorized
-                  .WritableColumnVector]]
+              // survivor copy in required order through Spark's converter.
+              // The output vectors are allocated ONCE and reset() per
+              // dirty batch (round-16 verdict #6) — the same
+              // reuse-the-batch contract Spark's own vectorized parquet
+              // reader relies on (each batch is fully consumed before the
+              // next next() call), so per-batch realloc+close churn is
+              // paid never, not per DV-carrying batch.
+              if (owned == null)
+                owned = org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+                  .allocateColumns(math.max(kept, 1024), schema)
+                  .asInstanceOf[Array[org.apache.spark.sql.execution.vectorized
+                    .WritableColumnVector]]
+              else owned.foreach(_.reset())
               var j = 0
               while (j < kept) {
                 proj.project(b.getRow(keep(j)))

@@ -393,4 +393,66 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
       Seq("kind", "version", "name", "detail"))
     assert(sess.query("FSCK TABLE fsckdb.t").count() == 0)
   }
+
+  test("fsckRepair heals a dangling segment from a crashed GC's quarantine") {
+    import org.apache.spark.sql.functions.col
+    val t = newTable()
+    t.upsert(df(Record("R1", "P0", "v1")))
+    t.upsert(df(Record("R2", "P1", "v2")))
+    val segsDir = java.nio.file.Paths.get(t.path, "_commits", "_segments")
+    // simulate the exact crash fsck documents: a GC quarantined a live
+    // segment (rename to .gc-*) and died before its restore decision
+    val victim = java.nio.file.Files.list(segsDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("seg-")).get
+    val victimName = victim.getFileName.toString
+    val q = segsDir.resolve(".gc-crashed-gc")
+    java.nio.file.Files.move(victim, q)
+    assert(q.toFile.setLastModified(System.currentTimeMillis() - 60L * 60 * 1000))
+    val found = t.fsck().collect().map(_.getString(0)).toSet
+    assert(found == Set("dangling_segment_ref", "stale_quarantine"))
+    val repairs = t.fsckRepair().collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(4))).toSeq
+    // the quarantined bytes hash to the missing name → moved back, and
+    // the quarantine entry is accounted as the SAME repair, not swept
+    assert(repairs.contains(("dangling_segment_ref", victimName,
+      "repaired_from_quarantine")), s"got $repairs")
+    assert(java.nio.file.Files.exists(victim))
+    assert(t.fsck().count() == 0)
+    assert(t.snapshot().count() == 2)
+  }
+
+  test("fsckRepair sweeps unclaimed stale quarantines, refuses the unrecoverable") {
+    import org.apache.spark.sql.functions.col
+    val t = newTable()
+    t.upsert(df(Record("R1", "P0", "v1")))
+    val segsDir = java.nio.file.Paths.get(t.path, "_commits", "_segments")
+    // unclaimed garbage quarantine past grace → swept
+    val junk = segsDir.resolve(".gc-junk")
+    java.nio.file.Files.write(junk, "not any live content".getBytes)
+    assert(junk.toFile.setLastModified(System.currentTimeMillis() - 60L * 60 * 1000))
+    // unrecoverable dangling ref: segment gone, cache evicted, no
+    // quarantine holds its bytes → loud refusal, no guessing
+    val victim = java.nio.file.Files.list(segsDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("seg-")).get
+    val saved = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.delete(victim)
+    AcidTable.purgeCachesForSpec(t.path)
+    val repairs = t.fsckRepair().collect()
+      .map(r => (r.getString(0), r.getString(4))).toSeq
+    assert(repairs.contains(("stale_quarantine", "swept")), s"got $repairs")
+    assert(repairs.contains(("dangling_segment_ref", "unrecoverable")), s"got $repairs")
+    assert(!java.nio.file.Files.exists(junk))
+    // operator escalates: restore the bytes → whole again
+    java.nio.file.Files.write(victim, saved)
+    assert(t.fsck().count() == 0)
+    // SQL surfaces of the REPAIR form (5-column schema with the action)
+    val sess = new AcidSqlSession(spark,
+      java.nio.file.Files.createTempDirectory("fsck-repair-sql-").toString)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS frdb")
+    sess.execute("""CREATE TABLE frdb.t (pk STRING, part STRING, v STRING)
+      USING hudi PARTITIONED BY (part) TBLPROPERTIES (primaryKey = 'pk')""")
+    assert(sess.query("FSCK TABLE frdb.t REPAIR").columns.toSeq ===
+      Seq("kind", "version", "name", "detail", "action"))
+    assert(sess.query("FSCK TABLE frdb.t REPAIR").count() == 0)
+  }
 }

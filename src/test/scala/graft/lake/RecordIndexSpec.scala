@@ -1,0 +1,199 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Record
+
+/** Lifecycle spec for the pk→partition record-level index (round-16
+  * verdict #2, the Hudi RLI analog): maintenance on every write path,
+  * complete-flag semantics (empty results are only ever trusted when the
+  * flag proves the index covers all live data), the LSM merge, travel
+  * through clone/restore/time-travel, death by vacuum, and repair.
+  */
+class RecordIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("primaryKeyValue", StringType),
+    StructField("partitionKeyValue", StringType),
+    StructField("dataValue", StringType)))
+
+  private def newTable(indexed: Boolean = true) = {
+    val t = AcidTable.create(
+      spark, Files.createTempDirectory("acid-rli-").resolve("t").toString,
+      schema, "primaryKeyValue", "partitionKeyValue")
+    if (indexed) t.setTableProperty("recordIndex", Some("true"))
+    t
+  }
+
+  private def df(rs: Record*) = spark.createDataset(rs).toDF()
+
+  private def rawRoot(t: AcidTable): Seq[String] =
+    Files.readAllLines(Paths.get(t.path, "_commits",
+      f"v${t.latestVersion()}%012d.txt")).toArray(Array.empty[String]).toSeq
+
+  private def rliRefNames(t: AcidTable): Seq[String] =
+    t.rliRefsOf(rawRoot(t)).map(_.name)
+
+  private def isDone(t: AcidTable): Boolean = rawRoot(t).contains("#rlidone=1")
+
+  test("indexed-from-birth: unhinted point lookup routes through the index") {
+    val t = newTable()
+    t.upsert(df(Record("K1", "P0", "v1"), Record("K2", "P1", "v2")))
+    t.upsert(df(Record("K3", "P2", "v3")))
+    assert(isDone(t), "every commit indexed its keys → flag must hold")
+    assert(rliRefNames(t).nonEmpty)
+    val routedBefore = AcidTable.rliRouted.get()
+    // unhinted: no partition restated — the index must resolve only K3's
+    // partition's files, not sweep every partition's segment
+    val files = t.lookupFiles(Seq("K3"))
+    assert(AcidTable.rliRouted.get() > routedBefore, "probe must route via the index")
+    assert(files.nonEmpty && files.forall(_.startsWith("partitionKeyValue=P2/")),
+      s"index must narrow to P2, got $files")
+    // proven-empty: a key the table never held resolves ZERO files
+    assert(t.lookupFiles(Seq("NOPE")).isEmpty)
+    // end-to-end read parity
+    assert(t.lookup(Seq("K1")).collect().map(_.getString(2)).toSeq == Seq("v1"))
+    assert(t.lookup(Seq("NOPE")).collect().isEmpty)
+  }
+
+  test("unhinted MOR delete rides the index and stays correct") {
+    val t = newTable()
+    (1 to 8).foreach(i => t.upsert(df(Record(s"K$i", s"P${i % 4}", s"v$i"))))
+    t.deleteVectored(Seq("K5"))
+    assert(t.snapshot().count() == 7)
+    assert(t.lookup(Seq("K5")).collect().isEmpty)
+    assert(isDone(t), "DV-only commits inherit refs AND completeness")
+  }
+
+  test("copy-on-write delete and compact carry the index verbatim") {
+    val t = newTable()
+    (1 to 6).foreach(i => t.upsert(df(Record(s"K$i", s"P${i % 2}", s"v$i"))))
+    val refsBefore = rliRefNames(t)
+    t.delete(Seq("K2"))
+    assert(rliRefNames(t) == refsBefore && isDone(t))
+    t.compact(maxFilesPerPartition = 1)
+    assert(rliRefNames(t) == refsBefore && isDone(t))
+    // stale entry for the deleted key only adds candidates — still empty
+    assert(t.lookup(Seq("K2")).collect().isEmpty)
+    assert(t.lookup(Seq("K3")).collect().map(_.getString(2)).toSeq == Seq("v3"))
+  }
+
+  test("LSM merge: ref list folds above MaxRliRefs, probes stay exact") {
+    val t = newTable()
+    (1 to AcidTable.MaxRliRefs + 4).foreach(i =>
+      t.upsert(df(Record(s"K$i", s"P${i % 3}", s"v$i"))))
+    assert(rliRefNames(t).size <= AcidTable.MaxRliRefs,
+      s"merge must bound the ref list, got ${rliRefNames(t).size}")
+    assert(isDone(t))
+    val files = t.lookupFiles(Seq(s"K${AcidTable.MaxRliRefs + 1}"))
+    val expectPart = s"partitionKeyValue=P${(AcidTable.MaxRliRefs + 1) % 3}/"
+    assert(files.nonEmpty && files.forall(_.startsWith(expectPart)))
+  }
+
+  test("distributed (non-local) batch: executor-sharded delta, flag holds") {
+    val t = newTable()
+    // a range-backed frame is NOT a driver-local LocalRelation → the
+    // commit takes the distributed write path and the index must be
+    // written from executors
+    val big = spark.range(0, 500)
+      .selectExpr("concat('D', id) as primaryKeyValue",
+        "concat('P', id % 7) as partitionKeyValue", "cast(id as string) as dataValue")
+    t.upsert(big)
+    assert(isDone(t), "distributed commit must index via executor shards")
+    val files = t.lookupFiles(Seq("D123"))
+    assert(files.nonEmpty && files.forall(_.startsWith("partitionKeyValue=P4/")))
+    assert(t.lookup(Seq("D123")).collect().map(_.getString(2)).toSeq == Seq("123"))
+    assert(t.lookupFiles(Seq("D9999")).isEmpty)
+  }
+
+  test("NULL pk row degrades to incomplete, never to a wrong empty") {
+    val t = newTable()
+    t.upsert(df(Record("K1", "P0", "v1")))
+    assert(isDone(t))
+    // a NULL pk cannot be rendered into the index's line domain — the
+    // commit must drop the completeness flag rather than mis-index
+    t.upsert(spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(null, "P0", "vn")), schema))
+    assert(!isDone(t), "unrenderable row must drop the completeness flag")
+    // fallback probe still finds the indexed row
+    assert(t.lookup(Seq("K1")).collect().length == 1)
+    assert(t.snapshot().filter(col("primaryKeyValue").isNull).count() == 1)
+  }
+
+  test("rebuildRecordIndex arms the flag on a legacy/degraded table") {
+    val t = newTable(indexed = false)
+    (1 to 5).foreach(i => t.upsert(df(Record(s"K$i", s"P${i % 2}", s"v$i"))))
+    assert(rliRefNames(t).isEmpty && !isDone(t))
+    t.rebuildRecordIndex()
+    assert(isDone(t) && rliRefNames(t).nonEmpty)
+    assert(t.tableProperty("recordIndex").contains("true"))
+    val files = t.lookupFiles(Seq("K4"))
+    assert(files.nonEmpty && files.forall(_.startsWith("partitionKeyValue=P0/")))
+    assert(t.lookupFiles(Seq("ABSENT")).isEmpty)
+    // content unchanged by the metadata-only rebuild commit
+    assert(t.snapshot().count() == 5)
+  }
+
+  test("index travels with clone, restore, and time travel") {
+    val t = newTable()
+    t.upsert(df(Record("K1", "P0", "v1")))
+    val vEarly = t.latestVersion()
+    t.upsert(df(Record("K2", "P1", "v2")))
+    // time travel: the EARLY version's index does not know K2
+    assert(t.lookupFiles(Seq("K2"), version = vEarly).isEmpty)
+    assert(t.lookupFiles(Seq("K2")).nonEmpty)
+    // clone: refs + flag + run bytes travel
+    val c = t.cloneTo(Files.createTempDirectory("acid-rli-clone-")
+      .resolve("c").toString)
+    assert(isDone(c) && rliRefNames(c).nonEmpty)
+    assert(c.lookupFiles(Seq("K1")).nonEmpty && c.lookupFiles(Seq("NOPE")).isEmpty)
+    // restore: the index reverts WITH the content
+    t.restore(vEarly)
+    assert(isDone(t))
+    assert(t.lookupFiles(Seq("K2")).isEmpty, "restored index must not know K2")
+    assert(t.lookup(Seq("K1")).collect().length == 1)
+  }
+
+  test("vacuum keeps live runs, sweeps orphaned ones; fsck stays clean") {
+    val t = newTable()
+    (1 to 20).foreach(i => t.upsert(df(Record(s"K$i", s"P${i % 2}", s"v$i"))))
+    val segsDir = Paths.get(t.path, "_commits", "_segments")
+    def rliFiles() = Option(segsDir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("rli-")).toSet
+    val before = rliFiles()
+    assert(before.size > rliRefNames(t).size,
+      "superseded delta runs accumulate before vacuum")
+    t.vacuum(keepVersions = 1, graceMillis = 0L)
+    val after = rliFiles()
+    assert(rliRefNames(t).toSet.subsetOf(after), "live refs must survive GC")
+    assert(after.size < before.size, "orphaned runs must die with vacuum")
+    assert(t.fsck().count() == 0)
+    assert(t.lookupFiles(Seq("K7")).nonEmpty)
+  }
+
+  test("fsckRepair re-materializes a dangling index run from cache") {
+    val t = newTable()
+    (1 to 4).foreach(i => t.upsert(df(Record(s"K$i", "P0", s"v$i"))))
+    t.lookupFiles(Seq("K1")) // load runs into the content cache
+    val segsDir = Paths.get(t.path, "_commits", "_segments")
+    val victim = rliRefNames(t).head
+    Files.delete(segsDir.resolve(victim))
+    assert(t.fsck().filter(col("kind") === "dangling_rli_ref").count() >= 1)
+    // dangling run voids routing but not correctness
+    assert(t.lookup(Seq("K1")).collect().length == 1)
+    val actions = t.fsckRepair().collect()
+      .map(r => (r.getString(0), r.getString(4))).toSeq
+    assert(actions.contains(("dangling_rli_ref", "repaired_from_cache")),
+      s"expected cache repair, got $actions")
+    assert(t.fsck().count() == 0)
+    assert(t.lookupFiles(Seq("K1")).nonEmpty)
+  }
+}
