@@ -62,9 +62,61 @@ object Bench {
       Seq("acid_harness_60txn", "acid_harness_1000txn")
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--compare")) { compareHistory(args.drop(1)); return }
     val inProcess = sys.env.contains("SPARK_GRAFT_BENCH_ONLY") ||
       sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0")
     if (inProcess) runInProcess() else orchestrate()
+  }
+
+  /** `Bench --compare [n]`: per-entry median deltas of the LATEST
+    * bench_history.jsonl record vs the median of the `n` records before
+    * it (default: all earlier records) — the cross-round adjudication
+    * table that used to be built by hand from matched runs. Reads the
+    * append-only archive every full run writes; no Spark session.
+    */
+  private def compareHistory(args: Seq[String]): Unit = {
+    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")
+    val lines = scala.util.Try(
+      Files.readAllLines(Paths.get(hist)).asScala.toSeq.filter(_.trim.nonEmpty))
+      .getOrElse { System.err.println(s"[compare] cannot read $hist"); sys.exit(2) }
+    if (lines.size < 2) { System.err.println(s"[compare] need >=2 records in $hist, have ${lines.size}"); sys.exit(2) }
+    val n = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+      .getOrElse(lines.size - 1)
+    val cur = lines.last
+    val base = lines.dropRight(1).takeRight(math.max(1, n))
+    def totalOf(j: String): Double =
+      """"metric":"total","value":([0-9.]+)""".r.findFirstMatchIn(j)
+        .map(_.group(1).toDouble).getOrElse(-1.0)
+    def tsOf(j: String): String =
+      """"ts_ms":([0-9]+)""".r.findFirstMatchIn(j)
+        .map(m => java.time.Instant.ofEpochMilli(m.group(1).toLong).toString)
+        .getOrElse("?")
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val curQ = parseQueryTimes(cur)
+    val baseQs = base.map(parseQueryTimes)
+    println(f"baseline: median of ${base.size} record(s) " +
+      f"(totals ${base.map(totalOf).map(v => f"$v%.1f").mkString(", ")}s); " +
+      f"current: ${totalOf(cur)}%.1fs @ ${tsOf(cur)}")
+    val rows = curQ.toSeq.flatMap { case (name, c) =>
+      val b = baseQs.flatMap(_.get(name)).filter(_ >= 0)
+      if (b.isEmpty || c < 0) None
+      else Some((name, med(b), c, c / math.max(med(b), 1e-9)))
+    }
+    val moved = rows.filter { case (_, b, c, r) =>
+      math.abs(c - b) > 0.1 && (r > 1.25 || r < 0.8) }
+    val (slower, faster) = moved.partition(_._4 > 1)
+    def show(title: String, xs: Seq[(String, Double, Double, Double)]): Unit =
+      if (xs.nonEmpty) {
+        println(title)
+        xs.sortBy(t => -math.abs(math.log(t._4))).foreach { case (q, b, c, r) =>
+          println(f"  $q%-36s $b%8.3fs -> $c%8.3fs  ${r}%5.2fx") }
+      }
+    show(s"slower (${slower.size}):", slower)
+    show(s"faster (${faster.size}):", faster)
+    println(s"within noise: ${rows.size - moved.size} of ${rows.size} matched entries " +
+      "(threshold: >0.1s absolute AND outside [0.80x, 1.25x])")
+    val missing = baseQs.flatMap(_.keys).distinct.filterNot(curQ.contains)
+    if (missing.nonEmpty) println(s"entries missing from current run: ${missing.sorted.mkString(", ")}")
   }
 
   /** Render the driver-contract JSON line, write it to

@@ -1,0 +1,295 @@
+package graft.harness
+
+import java.lang.management.ManagementFactory
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.core.Record
+import graft.lake.AcidTable
+
+/** Cross-PROCESS ACID verification: the reference's 1000-transaction
+  * concurrency workload split across multiple writer JVMs sharing one
+  * table directory, with a concurrent vacuum loop in the orchestrator (a
+  * third process from each writer's point of view) racing the commit
+  * protocol's GC heals the whole time.
+  *
+  * Everything the single-JVM harness proves in-process (the reference
+  * itself is in-process — its `InProcessLockProvider`,
+  * hudi-defaults.conf:4), this proves across address spaces: the
+  * create-exclusive `Files.createLink` publish is the only commit
+  * arbiter, version discovery is a filesystem probe, and the
+  * vacuum/publisher quarantine-recheck protocol heals races with writers
+  * it shares no locks or caches with.
+  *
+  * Coordination-free oracle: each worker draws from a DISJOINT key
+  * subspace (`Record{n}`, n % stride == offset — HarnessConfig.keyStride)
+  * so its in-memory expectation log fully covers its own keys, while
+  * `hashCode % maxPartitions` spreads every subspace over ALL partitions
+  * — so the processes genuinely contend on the same partitions and cells
+  * and every commit exercises cross-process OCC re-merge. Lost updates
+  * are then checkable exactly: the union of the workers' serial-replay
+  * models must equal the final table, row for row.
+  *
+  * Run `sbt "runMain graft.harness.CrossProcess [txnsPerWorker]
+  * [workers]"` (defaults 500 × 2 = the reference's 1000-txn volume);
+  * prints one JSON summary line. `CrossProcessSpec` runs a CI-sized
+  * configuration through the same orchestrator.
+  */
+object CrossProcess {
+
+  final case class WorkerReport(
+      failedVerifications: Int,
+      hasFailedWriters: Boolean,
+      hasFailedReaders: Boolean,
+      committed: Int,
+      firstFailure: Option[String],
+      model: Seq[Record])
+
+  final case class Summary(
+      workers: Int,
+      committed: Int,
+      failedVerifications: Int,
+      workerFailures: Seq[String],
+      lostUpdates: Seq[Record],
+      extraRows: Seq[Record],
+      fsckFindings: Seq[String],
+      vacuumRuns: Int,
+      vacuumRemoved: Int,
+      vacuumErrors: Seq[String],
+      finalRows: Long,
+      modelRows: Long) {
+    def ok: Boolean =
+      failedVerifications == 0 && workerFailures.isEmpty &&
+        lostUpdates.isEmpty && extraRows.isEmpty && fsckFindings.isEmpty &&
+        vacuumErrors.isEmpty
+  }
+
+  private val recordSchema = StructType(Seq(
+    StructField("primaryKeyValue", StringType, nullable = false),
+    StructField("partitionKeyValue", StringType, nullable = false),
+    StructField("dataValue", StringType, nullable = true)))
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("worker") => workerMain(args.drop(1))
+    case _ =>
+      val txnsPerWorker = args.lift(0).map(_.toInt).getOrElse(500)
+      val workers = args.lift(1).map(_.toInt).getOrElse(2)
+      val spark = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dir = Files.createTempDirectory("graft-xproc-").resolve("records")
+      val summary = orchestrate(spark, dir.toString, txnsPerWorker, workers)
+      println(summaryJson(summary))
+      spark.stop()
+      sys.exit(if (summary.ok) 0 else 1)
+  }
+
+  /** Spawn `workers` writer JVMs against `tableDir`, vacuum concurrently
+    * from THIS process until they exit, then run the global checks:
+    * merged-model equality (0 lost updates / 0 resurrections), clean
+    * fsck, 0 worker-side verification failures.
+    *
+    * `vacuumGraceMs` is the production retention contract scaled down: it
+    * must exceed the longest in-flight write (an unpublished data file's
+    * only protection is its age) and the longest snapshot read (a reader
+    * may still be scanning a file whose last referencing version just
+    * left the retention window). The defaults keep ~8 s of slack over
+    * both at this workload's 0.1-0.5 s operation latencies.
+    */
+  def orchestrate(
+      spark: SparkSession,
+      tableDir: String,
+      txnsPerWorker: Int,
+      workers: Int = 2,
+      writersPerWorker: Int = 2,
+      readersPerWorker: Int = 1,
+      vacuumPeriodMs: Long = 1000,
+      vacuumGraceMs: Long = 8000,
+      workerTimeoutMinutes: Long = 30): Summary = {
+    require(workers >= 1 && workers <= 8, "workers must be in [1, 8]")
+    val table = AcidTable.create(
+      spark, tableDir, recordSchema,
+      pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
+      precombineCol = Some("dataValue"), stablePartitions = true)
+
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
+        a.startsWith("-Xmx"))
+      .toSeq :+ "-Xmx4g"
+    val classpath = sys.props("java.class.path")
+    val outDir = Files.createTempDirectory("graft-xproc-out-")
+
+    val procs = (0 until workers).map { w =>
+      val outFile = outDir.resolve(s"worker-$w.report")
+      val cmd = (javaBin +: jvmArgs) ++ Seq(
+        "-cp", classpath, "graft.harness.CrossProcess", "worker",
+        tableDir, outFile.toString, txnsPerWorker.toString,
+        workers.toString, w.toString, (1234L + 7919L * w).toString,
+        writersPerWorker.toString, readersPerWorker.toString)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      // drain child output to OUR stderr (the Bench.scala gobbler shape:
+      // an undrained pipe buffer deadlocks the child)
+      val gobbler = new Thread(() => {
+        val in = proc.getInputStream
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
+      }, s"xproc-gobbler-$w")
+      gobbler.setDaemon(true)
+      gobbler.start()
+      (w, proc, outFile)
+    }
+
+    // the concurrent GC loop — from the orchestrator JVM, so it shares no
+    // in-process locks, caches, or session state with any writer
+    val vacuumRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacuumRemoved = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacuumErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stopVacuum = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vacuumThread = new Thread(() => {
+      while (!stopVacuum.get()) {
+        try {
+          vacuumRemoved.addAndGet(table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs))
+          vacuumRuns.incrementAndGet()
+          ()
+        } catch { case e: Throwable => vacuumErrors.add(e.toString); () }
+        Thread.sleep(vacuumPeriodMs)
+      }
+    }, "xproc-vacuum")
+    vacuumThread.setDaemon(true)
+    vacuumThread.start()
+
+    val workerFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val reports = procs.flatMap { case (w, proc, outFile) =>
+      val finished = proc.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { proc.destroyForcibly(); workerFailures += s"worker $w: timeout"; None }
+      else if (proc.exitValue() != 0) { workerFailures += s"worker $w: exit ${proc.exitValue()}"; None }
+      else parseReport(outFile) match {
+        case Some(r) =>
+          if (r.hasFailedWriters || r.hasFailedReaders)
+            workerFailures += s"worker $w: ${r.firstFailure.getOrElse("thread failure")}"
+          Some(r)
+        case None => workerFailures += s"worker $w: unreadable report"; None
+      }
+    }
+    stopVacuum.set(true)
+    vacuumThread.join(15000)
+
+    // global exact-state check: disjoint key subspaces make the union of
+    // the per-worker serial-replay models THE serialization-independent
+    // final state — any difference is a lost update (model row missing
+    // from the table) or a resurrection/duplicate (table row no model
+    // explains)
+    val model = reports.flatMap(_.model).toSet
+    import spark.implicits._
+    val finalRows = table.snapshot().as[Record].collect().toSet
+    val lost = (model -- finalRows).toSeq.sortBy(_.primaryKeyValue)
+    val extra = (finalRows -- model).toSeq.sortBy(_.primaryKeyValue)
+
+    // one final settle vacuum, then fsck must be CLEAN — no dangling
+    // segment/page/rli refs, no stale quarantines left behind by the
+    // race-heavy window (grace 0: anything still quarantined is a leak)
+    try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); () }
+    catch { case e: Throwable => vacuumErrors.add(s"final: $e"); () }
+    val fsckFindings = table.fsck(graceMs = 0).collect()
+      .map(r => s"${r.getString(0)} v${r.getLong(1)} ${r.getString(2)}").toSeq
+
+    Summary(
+      workers = workers,
+      committed = reports.map(_.committed).sum,
+      failedVerifications = reports.map(_.failedVerifications).sum,
+      workerFailures = workerFailures.toSeq,
+      lostUpdates = lost,
+      extraRows = extra,
+      fsckFindings = fsckFindings,
+      vacuumRuns = vacuumRuns.get(),
+      vacuumRemoved = vacuumRemoved.get(),
+      vacuumErrors = vacuumErrors.asScala.toSeq,
+      finalRows = finalRows.size.toLong,
+      modelRows = model.size.toLong)
+  }
+
+  /** Worker entry: run the standard harness over this process's key
+    * subspace against the SHARED table, then write the line-oriented
+    * report the orchestrator parses (URL-encoded fields — no JSON
+    * dependency, no quoting pitfalls).
+    */
+  private def workerMain(args: Array[String]): Unit = {
+    val Array(tableDir, outFile, txns, stride, offset, seed, writers, readers) =
+      args.take(8)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val result = new TransactionManager(spark, HarnessConfig(
+      tablePath = tableDir,
+      numberOfWriterThreads = writers.toInt,
+      numberOfReaderThreads = readers.toInt,
+      totalNumberOfTransactions = txns.toInt,
+      randomSeed = seed.toLong,
+      keyStride = stride.toInt,
+      keyOffset = offset.toInt,
+      openExistingTable = true)).run()
+    val enc = (s: String) => URLEncoder.encode(s, "UTF-8")
+    val lines = Seq(
+      s"failedVerifications\t${result.failedVerifications}",
+      s"hasFailedWriters\t${result.hasFailedWriters}",
+      s"hasFailedReaders\t${result.hasFailedReaders}",
+      s"committed\t${result.committedTransactions}",
+      s"firstFailure\t${result.firstFailure.map(enc).getOrElse("-")}") ++
+      result.modelRecords.map(r =>
+        s"model\t${enc(r.primaryKeyValue)}\t${enc(r.partitionKeyValue)}\t" +
+          Option(r.dataValue).map(v => "+" + enc(v)).getOrElse("-"))
+    Files.write(Paths.get(outFile),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    spark.stop()
+    sys.exit(0)
+  }
+
+  private def parseReport(p: Path): Option[WorkerReport] =
+    if (!Files.exists(p)) None
+    else scala.util.Try {
+      val dec = (s: String) => URLDecoder.decode(s, "UTF-8")
+      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t", -1).toSeq)
+      val kv = lines.filter(_.head != "model").map(l => l(0) -> l(1)).toMap
+      WorkerReport(
+        failedVerifications = kv("failedVerifications").toInt,
+        hasFailedWriters = kv("hasFailedWriters").toBoolean,
+        hasFailedReaders = kv("hasFailedReaders").toBoolean,
+        committed = kv("committed").toInt,
+        firstFailure = Some(kv("firstFailure")).filter(_ != "-").map(dec),
+        model = lines.filter(_.head == "model").map { l =>
+          // dataValue field: "-" = SQL NULL, "+<urlenc>" = value
+          val v = if (l(3) == "-") null else dec(l(3).stripPrefix("+"))
+          Record(dec(l(1)), dec(l(2)), v)
+        })
+    }.toOption
+
+  private def summaryJson(s: Summary): String = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    s"""{"metric":"cross_process_acid","ok":${s.ok},"workers":${s.workers},""" +
+      s""""committed":${s.committed},"failedVerifications":${s.failedVerifications},""" +
+      s""""lostUpdates":${s.lostUpdates.size},"extraRows":${s.extraRows.size},""" +
+      s""""finalRows":${s.finalRows},"modelRows":${s.modelRows},""" +
+      s""""vacuumRuns":${s.vacuumRuns},"vacuumRemoved":${s.vacuumRemoved},""" +
+      s""""fsckFindings":${arr(s.fsckFindings)},""" +
+      s""""vacuumErrors":${arr(s.vacuumErrors)},""" +
+      s""""workerFailures":${arr(s.workerFailures)}}"""
+  }
+}

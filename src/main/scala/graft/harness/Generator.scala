@@ -33,7 +33,19 @@ final case class HarnessConfig(
     // M < N is a distinct concurrency shape (shared SQL conf and temp-view
     // namespace). 0 keeps the thread-per-session default.
     numberOfWriterSessions: Int = 0,
-    numberOfReaderSessions: Int = 0)
+    numberOfReaderSessions: Int = 0,
+    // cross-process key-subspace partitioning (round 16, graft.harness
+    // .CrossProcess): worker P of K draws only `Record{n}` with
+    // n % keyStride == keyOffset, so each JVM's in-memory oracle fully
+    // covers ITS keys while every partition (hashCode % 4 spreads each
+    // subspace over all of them) still sees contending commits from the
+    // other process — OCC cell conflicts without shared-log coordination.
+    // Defaults (1, 0) keep the single-process pool byte-identical.
+    keyStride: Int = 1,
+    keyOffset: Int = 0,
+    // open the table an orchestrator already created instead of
+    // (re)creating it — required when several worker JVMs share one dir
+    openExistingTable: Boolean = false)
 
 /** Seeded random workload generator — a draw-order-faithful port of
   * `writer/TransactionGenerator.java:14-133`: one shared `java.util.Random`;
@@ -47,8 +59,10 @@ final class TransactionGenerator(config: HarnessConfig) {
 
   private val rnd = new Random(config.randomSeed)
   private val existing = ArrayBuffer.empty[String]
-  private val nonExisting =
-    ArrayBuffer.tabulate(config.maximumNumberOfRecords)(n => s"Record$n")
+  private val nonExisting = ArrayBuffer.from(
+    (0 until config.maximumNumberOfRecords)
+      .filter(n => n % config.keyStride == config.keyOffset)
+      .map(n => s"Record$n"))
 
   def getNextTransaction(): Transaction = synchronized {
     val enoughForUpdateOrDelete = existing.size >= config.recordsPerTransaction

@@ -19,7 +19,11 @@ final case class HarnessResult(
     committedTransactions: Int,
     finalRowCount: Long,
     modelRowCount: Int,
-    firstFailure: Option[String] = None)
+    firstFailure: Option[String] = None,
+    // the serial-replay model's final rows (this run's key subspace only)
+    // — what a cross-process orchestrator merges across workers for the
+    // exact global lost-update check (CrossProcess.scala)
+    modelRecords: Seq[Record] = Nil)
 
 object TransactionManager {
 
@@ -92,14 +96,27 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
     StructField("partitionKeyValue", StringType, nullable = false),
     StructField("dataValue", StringType, nullable = true)))
 
+  /** Does this run's oracle cover `pk`? Always under the single-process
+    * default; under a cross-process key-subspace split (keyStride > 1)
+    * only the `Record{n}` with n % stride == offset — a foreign worker's
+    * rows are invisible to this JVM's log and must be excluded from both
+    * the reader sweep and the final-count check.
+    */
+  private def ownsKey(pk: String): Boolean =
+    config.keyStride <= 1 || scala.util.Try(
+      pk.stripPrefix("Record").toInt % config.keyStride == config.keyOffset
+    ).getOrElse(false)
+
   def run(): HarnessResult = {
-    val table = AcidTable.create(
-      spark, config.tablePath, recordSchema,
-      pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
-      precombineCol = Some("dataValue"),
-      // partition is a pure function of the PK in this workload
-      // (`TransactionGenerator.java:76`) → commit fast path applies
-      stablePartitions = true)
+    val table =
+      if (config.openExistingTable) AcidTable.open(spark, config.tablePath)
+      else AcidTable.create(
+        spark, config.tablePath, recordSchema,
+        pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
+        precombineCol = Some("dataValue"),
+        // partition is a pure function of the PK in this workload
+        // (`TransactionGenerator.java:76`) → commit fast path applies
+        stablePartitions = true)
     val log = new TransactionLog
     val generator = new TransactionGenerator(config)
     val producer = new ResultSetExpectationProducer(log)
@@ -189,11 +206,15 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
       while (!stop.get()) {
         val before = log.eventCount
         val t0 = System.nanoTime()
-        val records =
+        val records0 =
           if (config.useSqlText)
             AcidSql.query(session, byText, "SELECT * FROM concurrencytestdb.records")
               .as[Record].collect().toSeq
           else t.snapshot().as[Record].collect().toSeq
+        // key-subspace runs verify only the keys THIS process's log
+        // covers — the expectation sweep rejects any PK it has no
+        // expectation for, and a foreign worker's rows are not anomalies
+        val records = records0.filter(r => ownsKey(r.primaryKeyValue))
         val after = log.eventCount
         // A24 structured perf telemetry — per-read duration, the log window
         // the read falls into, and the result size (`ReaderThread.java:64-71`)
@@ -266,21 +287,28 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
     stop.set(true)
     readers.foreach(_.join())
 
-    val finalCount = AcidTable.open(spark, config.tablePath).snapshot().count()
+    val finalCount = {
+      import spark.implicits._
+      val snap = AcidTable.open(spark, config.tablePath).snapshot()
+      if (config.keyStride <= 1) snap.count()
+      else snap.as[Record].collect().count(r => ownsKey(r.primaryKeyValue))
+    }
+    val model = modelRecords(log)
     HarnessResult(
       failedVerifications = failedVerifications.get(),
       hasFailedWriters = writerFailed.get(),
       hasFailedReaders = readerFailed.get(),
       committedTransactions = committed.get(),
       finalRowCount = finalCount,
-      modelRowCount = modelRowCount(log),
-      firstFailure = Option(firstFailure.get()))
+      modelRowCount = model.size,
+      firstFailure = Option(firstFailure.get()),
+      modelRecords = model)
   }
 
   /** Replay the committed transactions serially against a pure
     * `Map[PK, Record]` model — the expected final table state.
     */
-  private def modelRowCount(log: TransactionLog): Int = {
+  private def modelRecords(log: TransactionLog): Seq[Record] = {
     val model = scala.collection.mutable.HashMap.empty[String, Record]
     log.firstN(log.eventCount).foreach {
       case TransactionLogEvent(EventType.TransactionCommitted, tx) =>
@@ -294,6 +322,6 @@ final class TransactionManager(spark: SparkSession, config: HarnessConfig) {
         }
       case _ =>
     }
-    model.size
+    model.values.toSeq
   }
 }

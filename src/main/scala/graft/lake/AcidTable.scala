@@ -3720,11 +3720,22 @@ final class AcidTable private (
     // the horizon then fails loudly in versionAt/snapshot instead of
     // resolving against a gutted manifest. Archival only removes a
     // PREFIX (oldest-first), the invariant oldestRetainedVersion and the
-    // conflict paths rely on.
-    (oldestRetainedVersion(latest) until keepFrom).foreach { v =>
-      Files.deleteIfExists(manifestPath(v))
-      ()
-    }
+    // conflict paths rely on. The SAME age guard as data files applies
+    // (publish-clock `#ts=`, monotone, so stopping at the first young
+    // manifest preserves the prefix property): under a fast commit
+    // cadence, version-count retention alone can archive a manifest
+    // milliseconds after it is superseded, while a concurrent process
+    // still holds it as its OCC base or read snapshot (found by the
+    // cross-process harness: keepVersions=2 at ~10 commits/s archived a
+    // writer's base mid-commit). graceMillis is therefore the floor on
+    // how long any superseded version stays readable — the retention
+    // contract: grace must exceed the longest in-flight operation.
+    (oldestRetainedVersion(latest) until keepFrom)
+      .takeWhile(v => commitTime(v) < cutoff)
+      .foreach { v =>
+        Files.deleteIfExists(manifestPath(v))
+        ()
+      }
     // segment GC: content-addressed segments are shared across versions,
     // so one is dead only when NO retained manifest references it. The
     // same age guard protects a concurrent publisher's freshly-written
@@ -3854,8 +3865,13 @@ final class AcidTable private (
     val lines =
       try manifestLines(toVersion)
       catch {
-        case _: java.nio.file.NoSuchFileException => throw new IllegalArgumentException(
-          s"cannot restore to v$toVersion: manifest missing (never existed or archived by vacuum)")
+        // the read layer types a below-horizon manifest as a retriable
+        // conflict (the archived-BASE race) — but restore names its
+        // version EXPLICITLY, so "archived" is a terminal user error
+        // here, not a stale snapshot to retry
+        case _: java.nio.file.NoSuchFileException | _: CommitConflictException =>
+          throw new IllegalArgumentException(
+            s"cannot restore to v$toVersion: manifest missing (never existed or archived by vacuum)")
       }
     val files = dataLinesOf(lines)
     val sizes = sizesOf(lines)
@@ -5134,9 +5150,26 @@ final class AcidTable private (
     * page references THEMSELVES matter (vacuum's page GC, fsck). */
   private def rootLines(v: Long): Seq[String] = expandPages(rawRootLines(v))
 
-  private[lake] def rawRootLines(v: Long): Seq[String] = {
+  private[lake] def rawRootLines(v: Long): Seq[String] = try {
     val lines = Files.readAllLines(commitsDir.resolve(manifestFileName(v)), StandardCharsets.UTF_8)
     lines.toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+  } catch {
+    case e: java.nio.file.NoSuchFileException =>
+      // archived-base race (found by the cross-process harness): vacuum's
+      // timeline archival removes a PREFIX of manifests, and an operation
+      // in another process may still hold an archived version as its OCC
+      // base or read snapshot. That operation is provably stale — newer
+      // commits exist — so surface the TYPED, retriable conflict signal
+      // (callers' retry wrappers re-apply against the fresh snapshot)
+      // instead of a raw missing-file crash. A manifest missing INSIDE
+      // the retained window is real corruption: rethrow loudly.
+      val latest = latestVersion()
+      if (latest > v && v < oldestRetainedVersion(latest))
+        throw new CommitConflictException(
+          s"version $v was archived by vacuum while in use (retained " +
+            s"horizon ${oldestRetainedVersion(latest)}..$latest); " +
+            s"retry against the current snapshot ($path)")
+      throw e
   }
 
   private def expandPages(lines: Seq[String]): Seq[String] =
@@ -6257,6 +6290,17 @@ object AcidTable {
     segmentCache.get((path, name))
   private[lake] def cacheSegment(path: String, name: String, d: SegData): Unit =
     segmentCache.put((path, name), d)
+
+  /** Drop every process-wide CONTENT cache entry for `path` (segments,
+    * pages, index runs) — the "driver restarted" state. Test hook: crash
+    * /repair specs use it to pin the disk-recovery route deterministically
+    * (a warm cache would heal a dangling ref from memory first, which is
+    * correct but a different branch than the one under test). */
+  private[lake] def purgeContentCaches(path: String): Unit = {
+    segmentCache.purgePath(path)
+    pageCache.purgePath(path)
+    rliCache.purgePath(path)
+  }
 
   /** Small LRU of fully-resolved manifests (headers + synthesized
     * `#sizes=` + file lines), keyed (table path, version) — manifests are

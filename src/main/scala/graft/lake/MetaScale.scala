@@ -32,6 +32,10 @@ object MetaScale {
 
   def main(args: Array[String]): Unit = {
     val maxFiles = args.headOption.map(_.toInt).getOrElse(100000)
+    // record-level index mode (round 16): on by default — the pk→partition
+    // index is what makes transform-less unhinted point ops flat; pass
+    // "rli=off" to reproduce the pre-index residual (round-15 curve)
+    val rli = !args.lift(1).contains("rli=off")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -49,7 +53,7 @@ object MetaScale {
     Seq((1000, FilesPerPartition), (10000, FilesPerPartition),
         (100000, FilesPerPartition), (500000, 25))
       .filter(_._1 <= maxFiles)
-      .foreach { case (n, fpp) => run(spark, n, fpp) }
+      .foreach { case (n, fpp) => run(spark, n, fpp, rli) }
     spark.stop()
   }
 
@@ -60,7 +64,8 @@ object MetaScale {
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   private def run(spark: SparkSession, nFiles: Int,
-      filesPerPartition: Int = FilesPerPartition): Unit = {
+      filesPerPartition: Int = FilesPerPartition,
+      rli: Boolean = true): Unit = {
     val nParts = nFiles / filesPerPartition
     val schema = StructType(Seq(
       StructField("pk", StringType, nullable = false),
@@ -71,6 +76,7 @@ object MetaScale {
     val t = AcidTable.create(spark, dir, schema, "pk", "part",
       stablePartitions = true, numBuckets = filesPerPartition)
     t.setTableProperty("bloomColumns", Some("pk"))
+    if (rli) t.setTableProperty("recordIndex", Some("true"))
 
     // real probe partition: one upsert of enough keys to populate every
     // bucket of P0 with a real parquet file
@@ -128,8 +134,23 @@ object MetaScale {
     val allFiles = realFiles ++ synth
     val touched = (1 until nParts).map(p => FileCell(s"P$p", -1))
     val sizes = synth.map(_ -> 64L * 1024 * 1024).toMap
+    // record-index synthesis mirrors the bloom synthesis above: a real
+    // bulk load's distributed commit shard-writes (pk, partition) runs
+    // from executors (writeRliDeltaDistributed); here the placeholder
+    // partitions' only key is the sentinel, so the complete index is the
+    // seed keys → P0 plus sentinel → every placeholder partition —
+    // published as an RliSet with the completeness flag, exactly the
+    // header an indexed-from-birth bulk load stamps
+    val rliUpdate =
+      if (!rli) AcidTable.RliAuto
+      else AcidTable.RliSet(
+        t.writeRliDelta(
+          (0 until filesPerPartition * 10).map(i => s"k$i" -> "P0") ++
+            (1 until nParts).map(p => sentinel -> s"P$p")).toSeq,
+        done = true)
     val bulkMs = timedMs {
-      t.publish(t.latestVersion() + 1, allFiles, touched, sizes, "BULKLOAD")
+      t.publish(t.latestVersion() + 1, allFiles, touched, sizes, "BULKLOAD",
+        rli = rliUpdate)
     }
     println(f"$nFiles,$nParts,bulk_publish,$bulkMs%.1f,,one commit touching ${nParts - 1} partitions")
 
@@ -223,5 +244,24 @@ object MetaScale {
     // 7. DESCRIBE HISTORY analog: full timeline header scan
     val histCold = timedMs(t.history().collect())
     emit("history", histCold, (1 to 10).map(_ => timedMs(t.history().collect())))
+
+    // 8. FSCK TABLE (read-only integrity walk) over the full retained
+    //    timeline (~25 versions here): O(retained roots) + O(distinct
+    //    pages) + one segment-dir listing after the round-16
+    //    short-circuit — NOT O(versions × live files)
+    val fsckCold = timedMs(t.fsck().collect())
+    emit("fsck", fsckCold, (1 to 10).map(_ => timedMs(t.fsck().collect())),
+      s"findings=${t.fsck().count()}")
+
+    // 9. vacuum, measured LAST (it archives the timeline the rows above
+    //    read): the FIRST call pays the real GC — data-file sweep over
+    //    the whole data dir (O(live files) by definition: GC must
+    //    enumerate what exists), segment/page/rli liveness across
+    //    retained versions, timeline archival of ~25 manifests; repeat
+    //    calls are the steady-state sweep on an already-clean table
+    val vacCold = timedMs(t.vacuum(keepVersions = 2, graceMillis = 0))
+    emit("vacuum", vacCold,
+      (1 to 5).map(_ => timedMs(t.vacuum(keepVersions = 2, graceMillis = 0))),
+      "cold = real GC + archival; warm = steady-state no-op sweep")
   }
 }

@@ -230,6 +230,49 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.restore(t.latestVersion() + 10))
   }
 
+  test("a manifest archived out from under a held base reads as a TYPED conflict") {
+    // the cross-process race the round-16 harness found: writer A resolves
+    // base=v0, writer B lands v1/v2, a concurrent vacuum archives v0 —
+    // A's next base read must surface the retriable OCC signal (its
+    // retry re-applies against the fresh snapshot), never a raw
+    // NoSuchFileException crash. Reproduced here without processes by
+    // archiving the held version directly.
+    val t = newTable()
+    t.upsert(df(Record("R1", "P0", "a0"))) // v0 — the held base
+    t.upsert(df(Record("R1", "P0", "a1"))) // v1
+    t.upsert(df(Record("R1", "P0", "a2"))) // v2
+    assert(t.rawRootLines(0).nonEmpty) // readable while retained
+    // a manifest missing INSIDE the retained window (v0 still present, so
+    // the horizon is 0 and v1 is not below it) is corruption, not a
+    // conflict: the raw error must surface loudly
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t.path, "_commits", "v000000000001.txt"))
+    intercept[java.nio.file.NoSuchFileException](t.rawRootLines(1))
+    // archival removes a PREFIX: with v0 gone too, any read below the
+    // horizon types as the retriable OCC signal
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t.path, "_commits", "v000000000000.txt"))
+    val e = intercept[CommitConflictException](t.rawRootLines(0))
+    assert(e.getMessage.contains("archived by vacuum"), e.getMessage)
+  }
+
+  test("vacuum archival honors the age guard: young superseded manifests stay readable") {
+    val t = newTable()
+    (0 until 5).foreach(i => t.upsert(df(Record("R1", "P0", s"v$i"))))
+    def manifestCount: Int =
+      Option(new java.io.File(t.path, "_commits").listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".txt"))
+    assert(manifestCount == 5)
+    // every manifest is milliseconds old: a graced vacuum must archive
+    // NOTHING, however far below keepVersions they sit — the floor that
+    // keeps a concurrent process's base readable for the grace window
+    t.vacuum(keepVersions = 1, graceMillis = 60000L)
+    assert(manifestCount == 5, "age guard ignored: young manifests archived")
+    // past grace (grace 0) the same call archives down to the window
+    t.vacuum(keepVersions = 1, graceMillis = 0L)
+    assert(manifestCount == 1, s"timeline not archived: $manifestCount")
+  }
+
   test("vacuum archives the timeline: _commits stays bounded, horizon fails loudly") {
     val t = newTable()
     (0 until 10).foreach { i =>
@@ -408,6 +451,11 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     val q = segsDir.resolve(".gc-crashed-gc")
     java.nio.file.Files.move(victim, q)
     assert(q.toFile.setLastModified(System.currentTimeMillis() - 60L * 60 * 1000))
+    // pin the QUARANTINE recovery route: a warm process-wide content
+    // cache would heal the ref from memory first (also correct, but a
+    // different branch) — purge to the driver-restarted state, where the
+    // quarantined bytes' sha1 match is the only recovery source
+    AcidTable.purgeContentCaches(t.path)
     val found = t.fsck().collect().map(_.getString(0)).toSet
     assert(found == Set("dangling_segment_ref", "stale_quarantine"))
     val repairs = t.fsckRepair().collect()
