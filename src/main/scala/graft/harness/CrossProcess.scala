@@ -194,7 +194,15 @@ object CrossProcess {
     // explains)
     val model = reports.flatMap(_.model).toSet
     import spark.implicits._
-    val finalRows = table.snapshot().as[Record].collect().toSet
+    // a final state that cannot even be READ is itself a finding (e.g. a
+    // manifest referencing a GC'd file) — report it structurally rather
+    // than crashing without a summary
+    val finalRows = scala.util.Try(table.snapshot().as[Record].collect().toSet) match {
+      case scala.util.Success(rows) => rows
+      case scala.util.Failure(e) =>
+        workerFailures += s"final snapshot unreadable: $e"
+        Set.empty[Record]
+    }
     val lost = (model -- finalRows).toSeq.sortBy(_.primaryKeyValue)
     val extra = (finalRows -- model).toSeq.sortBy(_.primaryKeyValue)
 

@@ -3671,9 +3671,60 @@ final class AcidTable private (
     val latest = latestVersion()
     if (latest < 0) return 0
     val keepFrom = math.max(0L, latest - keepVersions + 1)
-    val live: Set[String] =
-      (keepFrom to latest).flatMap(v => readManifest(v)).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
+    // timeline archival runs FIRST (the Hudi-archive / Delta-log-retention
+    // analog): manifests below the version-count window are pruned to keep
+    // `_commits` bounded, and everything after this point treats "still on
+    // disk" as the ONE definition of retained. The age guard is the
+    // SUPERSESSION time — `commitTime(v + 1)`, the instant v stopped being
+    // latest — not v's own stamp: a version created long ago but
+    // superseded a moment ago may still be some process's resolved
+    // snapshot and must stay readable for the grace window (found by the
+    // cross-process harness: keepVersions=2 at ~10 commits/s archived a
+    // writer's base mid-commit). Supersession times are monotone in v, so
+    // stopping at the first young one preserves the prefix property the
+    // conflict paths and oldestRetainedVersion rely on. Time travel below
+    // the horizon then fails loudly instead of resolving against a gutted
+    // manifest.
+    (oldestRetainedVersion(latest) until keepFrom)
+      .takeWhile(v => commitTime(v + 1) < cutoff)
+      .foreach { v =>
+        Files.deleteIfExists(manifestPath(v))
+        ()
+      }
+    // ONE liveness anchor for every GC pass (data files, segments, pages,
+    // index runs): the oldest manifest still ON DISK after archival — not
+    // the version-count window. The grace window keeps superseded
+    // manifests readable, so a process may legitimately be reading any of
+    // them; anchoring liveness at keepFrom deleted segments a
+    // still-on-disk manifest referenced (two dangling refs, found by the
+    // cross-process harness's final fsck). With the anchor aligned, a
+    // dereferenced file also survives as long as the youngest manifest
+    // referencing it — the manifest IS the deletion tombstone, so grace
+    // bounds reader exposure even for files whose own mtime is ancient.
+    val liveFrom = oldestRetainedVersion(latest)
+    // union of live data files over every on-disk manifest, derived from
+    // DISTINCT segment refs (content-addressed: same name ⇒ same entries)
+    // — O(versions × root lines + distinct segments), never
+    // O(versions × live files); flat pre-segment roots contribute their
+    // resolved lists directly. Failures stay LOUD: an unreadable root or
+    // segment must abort the sweep, not read as "references nothing".
+    val live: Set[String] = {
+      val files = scala.collection.mutable.Set.empty[String]
+      val seenSegs = scala.collection.mutable.Set.empty[String]
+      (liveFrom to latest).foreach { v =>
+        val root = rootLines(v)
+        val segNames = root.iterator
+          .filter(l => l.startsWith("@") && !l.startsWith("@@"))
+          .flatMap(l => l.substring(1).split("\\|", -1).lift(1))
+          .filter(_.nonEmpty).toSeq
+        if (segNames.isEmpty) files ++= readManifest(v) // flat root
+        else segNames.foreach { n =>
+          if (seenSegs.add(n)) readSegment(n).entries.foreach(files += _._1)
+        }
+      }
+      files.toSet
+    }
     var removed = 0
     Option(dataRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { pdir =>
       Option(pdir.listFiles()).getOrElse(Array.empty).foreach { f =>
@@ -3713,29 +3764,6 @@ final class AcidTable private (
         if (!anyLive) { f.delete(); () }
       }
     }
-    // timeline archival (the Hudi-archive / Delta-log-retention analog):
-    // manifests below the retention window reference files the loop above
-    // is already deleting, so they are unreadable history — prune them to
-    // keep `_commits` bounded over the table's life. Time travel below
-    // the horizon then fails loudly in versionAt/snapshot instead of
-    // resolving against a gutted manifest. Archival only removes a
-    // PREFIX (oldest-first), the invariant oldestRetainedVersion and the
-    // conflict paths rely on. The SAME age guard as data files applies
-    // (publish-clock `#ts=`, monotone, so stopping at the first young
-    // manifest preserves the prefix property): under a fast commit
-    // cadence, version-count retention alone can archive a manifest
-    // milliseconds after it is superseded, while a concurrent process
-    // still holds it as its OCC base or read snapshot (found by the
-    // cross-process harness: keepVersions=2 at ~10 commits/s archived a
-    // writer's base mid-commit). graceMillis is therefore the floor on
-    // how long any superseded version stays readable — the retention
-    // contract: grace must exceed the longest in-flight operation.
-    (oldestRetainedVersion(latest) until keepFrom)
-      .takeWhile(v => commitTime(v) < cutoff)
-      .foreach { v =>
-        Files.deleteIfExists(manifestPath(v))
-        ()
-      }
     // segment GC: content-addressed segments are shared across versions,
     // so one is dead only when NO retained manifest references it. The
     // same age guard protects a concurrent publisher's freshly-written
@@ -3778,7 +3806,7 @@ final class AcidTable private (
         }
         (segs.toSet, pgs.toSet, ok)
       }
-      val (liveSegs, livePages, scanOk) = refsOf((keepFrom to latest).iterator)
+      val (liveSegs, livePages, scanOk) = refsOf((liveFrom to latest).iterator)
       // re-read roots published AFTER our scan window right before the
       // delete pass: a publisher that reused a pre-cutoff segment has its
       // root visible by now (and its post-link re-assert TOUCHES the
@@ -4464,6 +4492,17 @@ final class AcidTable private (
             attempt += 1
             if (attempt > MaxRetries)
               throw new CommitConflictException(s"gave up after $MaxRetries conflicts at $path")
+            // a conflict streak can hold staged files unpublished past the
+            // GC age guard — staged files are referenced by NO manifest
+            // yet, so their mtime is their only protection from a
+            // concurrent vacuum (found by the cross-process harness: a
+            // stalled writer's staged file aged past grace, was GC'd, then
+            // its manifest linked referencing the deleted file). Refresh
+            // their mtimes on every retry — the touch-on-reuse protocol
+            // segments already use — so grace bounds ABANDONED-file age,
+            // not in-flight commit duration.
+            newFiles.foreach(f =>
+              dataRoot.resolve(f._1).toFile.setLastModified(System.currentTimeMillis()))
             // retry-latency telemetry (round-7 verdict #8): time from
             // losing the race to being ready for the next publish attempt,
             // attributed to the conflict class taken below — INCLUDING the

@@ -29,7 +29,11 @@ class CrossProcessSpec extends AnyFunSuite {
       writersPerWorker = 2,
       readersPerWorker = 1,
       vacuumPeriodMs = 750,
-      vacuumGraceMs = 8000,
+      // retention contract: grace must exceed the longest in-flight
+      // operation. Loaded CI ambience has shown 5-6 s writer stalls and
+      // reads that outlive them — 20 s keeps the spec's slack honest
+      // (the full-volume run exercises tighter windows on an idle box)
+      vacuumGraceMs = 20000,
       workerTimeoutMinutes = 15)
     info(s"committed=${summary.committed} vacuumRuns=${summary.vacuumRuns} " +
       s"vacuumRemoved=${summary.vacuumRemoved} finalRows=${summary.finalRows}")
