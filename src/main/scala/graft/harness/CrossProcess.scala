@@ -77,20 +77,33 @@ object CrossProcess {
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("worker") => workerMain(args.drop(1))
+    case Some("crash") =>
+      val txnsPerWorker = args.lift(1).map(_.toInt).getOrElse(500)
+      val spark = localSession()
+      val dir = Files.createTempDirectory("graft-xproc-crash-").resolve("records")
+      val summary = orchestrateCrash(spark, dir.toString, txnsPerWorker)
+      println(crashJson(summary))
+      spark.stop()
+      sys.exit(if (summary.ok) 0 else 1)
     case _ =>
       val txnsPerWorker = args.lift(0).map(_.toInt).getOrElse(500)
       val workers = args.lift(1).map(_.toInt).getOrElse(2)
-      val spark = SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
+      val spark = localSession()
       val dir = Files.createTempDirectory("graft-xproc-").resolve("records")
       val summary = orchestrate(spark, dir.toString, txnsPerWorker, workers)
       println(summaryJson(summary))
       spark.stop()
       sys.exit(if (summary.ok) 0 else 1)
+  }
+
+  private def localSession(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
   }
 
   /** Spawn `workers` writer JVMs against `tableDir`, vacuum concurrently
@@ -121,36 +134,11 @@ object CrossProcess {
       pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
       precombineCol = Some("dataValue"), stablePartitions = true)
 
-    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
-    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
-      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
-        a.startsWith("-Xmx"))
-      .toSeq :+ "-Xmx4g"
-    val classpath = sys.props("java.class.path")
     val outDir = Files.createTempDirectory("graft-xproc-out-")
-
-    val procs = (0 until workers).map { w =>
-      val outFile = outDir.resolve(s"worker-$w.report")
-      val cmd = (javaBin +: jvmArgs) ++ Seq(
-        "-cp", classpath, "graft.harness.CrossProcess", "worker",
-        tableDir, outFile.toString, txnsPerWorker.toString,
-        workers.toString, w.toString, (1234L + 7919L * w).toString,
-        writersPerWorker.toString, readersPerWorker.toString)
-      val pb = new ProcessBuilder(cmd.asJava)
-      pb.redirectErrorStream(true)
-      val proc = pb.start()
-      // drain child output to OUR stderr (the Bench.scala gobbler shape:
-      // an undrained pipe buffer deadlocks the child)
-      val gobbler = new Thread(() => {
-        val in = proc.getInputStream
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
-      }, s"xproc-gobbler-$w")
-      gobbler.setDaemon(true)
-      gobbler.start()
-      (w, proc, outFile)
-    }
+    val procs = (0 until workers).map(w => (w,
+      spawnWorker(w, tableDir, outDir, txnsPerWorker, workers,
+        writersPerWorker, readersPerWorker)))
+      .map { case (w, (p, f)) => (w, p, f) }
 
     // the concurrent GC loop — from the orchestrator JVM, so it shares no
     // in-process locks, caches, or session state with any writer
@@ -227,6 +215,179 @@ object CrossProcess {
       vacuumErrors = vacuumErrors.asScala.toSeq,
       finalRows = finalRows.size.toLong,
       modelRows = model.size.toLong)
+  }
+
+  /** Fork one worker JVM (this test/main JVM's classpath and module
+    * flags, 4 GiB heap) and return (process, report file). Child output
+    * drains to OUR stderr — an undrained pipe buffer deadlocks the child
+    * (the Bench.scala gobbler shape). */
+  private def spawnWorker(
+      w: Int, tableDir: String, outDir: Path, txnsPerWorker: Int,
+      workers: Int, writersPerWorker: Int, readersPerWorker: Int): (Process, Path) = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
+        a.startsWith("-Xmx"))
+      .toSeq :+ "-Xmx4g"
+    val outFile = outDir.resolve(s"worker-$w.report")
+    val cmd = (javaBin +: jvmArgs) ++ Seq(
+      "-cp", sys.props("java.class.path"), "graft.harness.CrossProcess", "worker",
+      tableDir, outFile.toString, txnsPerWorker.toString,
+      workers.toString, w.toString, (1234L + 7919L * w).toString,
+      writersPerWorker.toString, readersPerWorker.toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val gobbler = new Thread(() => {
+      val in = proc.getInputStream
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
+    }, s"xproc-gobbler-$w")
+    gobbler.setDaemon(true)
+    gobbler.start()
+    (proc, outFile)
+  }
+
+  final case class CrashSummary(
+      killedAtVersion: Long,
+      survivorCommitted: Int,
+      survivorFailedVerifications: Int,
+      survivorFailures: Seq[String],
+      survivorLost: Seq[Record],
+      survivorExtra: Seq[Record],
+      orphanKeyViolations: Seq[String],
+      fsckFindings: Seq[String],
+      finalRows: Long,
+      vacuumRuns: Int) {
+    def ok: Boolean =
+      survivorFailures.isEmpty && survivorFailedVerifications == 0 &&
+        survivorLost.isEmpty && survivorExtra.isEmpty &&
+        orphanKeyViolations.isEmpty && fsckFindings.isEmpty
+  }
+
+  /** Crash-resilience variant: two writer JVMs, one killed with SIGKILL
+    * mid-run (≈half the expected commit volume), vacuum racing
+    * throughout. What atomic create-exclusive publication promises — and
+    * this verifies — after an uncoordinated process death:
+    *
+    *  - the SURVIVOR's key subspace stays EXACT (its serial-replay model
+    *    equals its slice of the final table; its snapshot verifications
+    *    never fail) — a foreign JVM dying mid-commit perturbs nothing;
+    *  - every row of the DEAD worker's subspace is well-formed
+    *    (partition == the pure function of its PK the generator uses) —
+    *    commits are all-or-nothing, so no torn or half-merged rows; its
+    *    exact row VALUES are unknowable (its oracle died with it);
+    *  - the table stays readable and fsck stays clean: a crash can leave
+    *    orphan staged files (unreferenced — the age guard sweeps them),
+    *    never dangling manifest references.
+    */
+  def orchestrateCrash(
+      spark: SparkSession,
+      tableDir: String,
+      txnsPerWorker: Int,
+      vacuumPeriodMs: Long = 1000,
+      vacuumGraceMs: Long = 8000,
+      workerTimeoutMinutes: Long = 30): CrashSummary = {
+    val table = AcidTable.create(
+      spark, tableDir, recordSchema,
+      pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
+      precombineCol = Some("dataValue"), stablePartitions = true)
+    val outDir = Files.createTempDirectory("graft-xproc-out-")
+    val (survivor, survivorReport) =
+      spawnWorker(0, tableDir, outDir, txnsPerWorker, 2, 2, 1)
+    val (victim, _) = spawnWorker(1, tableDir, outDir, txnsPerWorker, 2, 2, 1)
+
+    val vacuumRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stopVacuum = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vacuumThread = new Thread(() => {
+      while (!stopVacuum.get()) {
+        try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); vacuumRuns.incrementAndGet(); () }
+        catch { case _: Throwable => () }
+        Thread.sleep(vacuumPeriodMs)
+      }
+    }, "xproc-crash-vacuum")
+    vacuumThread.setDaemon(true)
+    vacuumThread.start()
+
+    // kill the victim once roughly half the expected commit volume has
+    // published (each transaction is one commit) — mid-flight by
+    // construction, not at a quiescent point
+    val killTarget = txnsPerWorker.toLong
+    val deadline = System.currentTimeMillis() + 120000
+    while (table.latestVersion() < killTarget && victim.isAlive &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
+    val killedAt = table.latestVersion()
+    victim.destroyForcibly()
+
+    val finished = survivor.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) survivor.destroyForcibly()
+    stopVacuum.set(true)
+    vacuumThread.join(15000)
+
+    val survivorFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val report = if (!finished) { survivorFailures += "survivor: timeout"; None }
+      else if (survivor.exitValue() != 0) { survivorFailures += s"survivor: exit ${survivor.exitValue()}"; None }
+      else parseReport(survivorReport).orElse { survivorFailures += "survivor: unreadable report"; None }
+    report.filter(r => r.hasFailedWriters || r.hasFailedReaders).foreach(r =>
+      survivorFailures += s"survivor: ${r.firstFailure.getOrElse("thread failure")}")
+
+    import spark.implicits._
+    val finalRows = scala.util.Try(table.snapshot().as[Record].collect().toSet) match {
+      case scala.util.Success(rows) => rows
+      case scala.util.Failure(e) =>
+        survivorFailures += s"final snapshot unreadable: $e"
+        Set.empty[Record]
+    }
+    def keyIdx(pk: String): Option[Int] =
+      scala.util.Try(pk.stripPrefix("Record").toInt).toOption
+    val (survivorRows, victimRows) = finalRows.partition(r =>
+      keyIdx(r.primaryKeyValue).exists(_ % 2 == 0))
+    val model = report.map(_.model.toSet).getOrElse(Set.empty)
+    // the dead worker's rows: values unknowable, SHAPE checkable — the
+    // generator's partition is a pure function of the PK, so any torn or
+    // half-applied commit shows as a key outside its partition (or a key
+    // outside either worker's pool)
+    val orphanViolations = victimRows.toSeq.flatMap { r =>
+      keyIdx(r.primaryKeyValue) match {
+        case None => Some(s"unknown pk ${r.primaryKeyValue}")
+        case Some(_) =>
+          val expected = "Partition" + (r.primaryKeyValue.hashCode % 4)
+          if (r.partitionKeyValue != expected)
+            Some(s"${r.primaryKeyValue} in ${r.partitionKeyValue}, expected $expected")
+          else None
+      }
+    }
+    try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); () }
+    catch { case e: Throwable => survivorFailures += s"final vacuum: $e" }
+    val fsckFindings = table.fsck(graceMs = 0).collect()
+      .map(r => s"${r.getString(0)} v${r.getLong(1)} ${r.getString(2)}").toSeq
+
+    CrashSummary(
+      killedAtVersion = killedAt,
+      survivorCommitted = report.map(_.committed).getOrElse(0),
+      survivorFailedVerifications = report.map(_.failedVerifications).getOrElse(0),
+      survivorFailures = survivorFailures.toSeq,
+      survivorLost = (model -- survivorRows).toSeq.sortBy(_.primaryKeyValue),
+      survivorExtra = (survivorRows -- model).toSeq.sortBy(_.primaryKeyValue),
+      orphanKeyViolations = orphanViolations,
+      fsckFindings = fsckFindings,
+      finalRows = finalRows.size.toLong,
+      vacuumRuns = vacuumRuns.get())
+  }
+
+  private def crashJson(s: CrashSummary): String = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    s"""{"metric":"cross_process_crash","ok":${s.ok},""" +
+      s""""killedAtVersion":${s.killedAtVersion},""" +
+      s""""survivorCommitted":${s.survivorCommitted},""" +
+      s""""survivorFailedVerifications":${s.survivorFailedVerifications},""" +
+      s""""survivorLost":${s.survivorLost.size},"survivorExtra":${s.survivorExtra.size},""" +
+      s""""orphanKeyViolations":${arr(s.orphanKeyViolations)},""" +
+      s""""fsckFindings":${arr(s.fsckFindings)},""" +
+      s""""finalRows":${s.finalRows},"vacuumRuns":${s.vacuumRuns},""" +
+      s""""survivorFailures":${arr(s.survivorFailures)}}"""
   }
 
   /** Worker entry: run the standard harness over this process's key

@@ -51,4 +51,27 @@ class CrossProcessSpec extends AnyFunSuite {
     // writers (file removal depends on timing and is logged, not asserted)
     assert(summary.vacuumRuns >= 3, s"vacuum loop barely ran: $summary")
   }
+
+  test("SIGKILL of one writer JVM mid-run: survivor exact, no torn rows, clean fsck") {
+    val dir = Files.createTempDirectory("xproc-crash-").resolve("records").toString
+    val s = CrossProcess.orchestrateCrash(
+      TestSpark.spark, dir,
+      txnsPerWorker = 40,
+      vacuumPeriodMs = 750,
+      vacuumGraceMs = 20000,
+      workerTimeoutMinutes = 15)
+    info(s"killedAtVersion=${s.killedAtVersion} survivorCommitted=${s.survivorCommitted} " +
+      s"finalRows=${s.finalRows} vacuumRuns=${s.vacuumRuns}")
+    assert(s.survivorFailures.isEmpty, s"survivor failures: $s")
+    assert(s.survivorFailedVerifications == 0, s"survivor verifications failed: $s")
+    assert(s.survivorCommitted == 40, s"survivor did not finish its volume: $s")
+    assert(s.survivorLost.isEmpty, s"survivor rows LOST after foreign crash: ${s.survivorLost}")
+    assert(s.survivorExtra.isEmpty, s"unexplained survivor-subspace rows: ${s.survivorExtra}")
+    // the dead worker's values are unknowable (its oracle died with it);
+    // its rows' SHAPE is the atomicity witness — partition must equal the
+    // pure function of the PK, or a commit tore
+    assert(s.orphanKeyViolations.isEmpty, s"torn rows: ${s.orphanKeyViolations}")
+    assert(s.fsckFindings.isEmpty, s"fsck not clean after crash: ${s.fsckFindings}")
+    assert(s.killedAtVersion >= 0, s"victim was never observed committing: $s")
+  }
 }
