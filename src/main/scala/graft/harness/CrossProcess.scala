@@ -63,7 +63,11 @@ object CrossProcess {
       vacuumRemoved: Int,
       vacuumErrors: Seq[String],
       finalRows: Long,
-      modelRows: Long) {
+      modelRows: Long,
+      elapsedSec: Double = 0.0,
+      useSqlText: Boolean = false) {
+    def txnPerSec: Double =
+      if (elapsedSec > 0) committed / elapsedSec else 0.0
     def ok: Boolean =
       failedVerifications == 0 && workerFailures.isEmpty &&
         lostUpdates.isEmpty && extraRows.isEmpty && fsckFindings.isEmpty &&
@@ -88,9 +92,13 @@ object CrossProcess {
     case _ =>
       val txnsPerWorker = args.lift(0).map(_.toInt).getOrElse(500)
       val workers = args.lift(1).map(_.toInt).getOrElse(2)
+      // "sql" drives UPDATE/DELETE and the readers through the
+      // reference's literal SQL text front-end in every worker JVM
+      val useSql = args.lift(2).contains("sql")
       val spark = localSession()
       val dir = Files.createTempDirectory("graft-xproc-").resolve("records")
-      val summary = orchestrate(spark, dir.toString, txnsPerWorker, workers)
+      val summary = orchestrate(spark, dir.toString, txnsPerWorker, workers,
+        useSqlText = useSql)
       println(summaryJson(summary))
       spark.stop()
       sys.exit(if (summary.ok) 0 else 1)
@@ -127,8 +135,10 @@ object CrossProcess {
       readersPerWorker: Int = 1,
       vacuumPeriodMs: Long = 1000,
       vacuumGraceMs: Long = 8000,
-      workerTimeoutMinutes: Long = 30): Summary = {
+      workerTimeoutMinutes: Long = 30,
+      useSqlText: Boolean = false): Summary = {
     require(workers >= 1 && workers <= 8, "workers must be in [1, 8]")
+    val t0 = System.nanoTime()
     val table = AcidTable.create(
       spark, tableDir, recordSchema,
       pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
@@ -137,7 +147,7 @@ object CrossProcess {
     val outDir = Files.createTempDirectory("graft-xproc-out-")
     val procs = (0 until workers).map(w => (w,
       spawnWorker(w, tableDir, outDir, txnsPerWorker, workers,
-        writersPerWorker, readersPerWorker)))
+        writersPerWorker, readersPerWorker, useSqlText)))
       .map { case (w, (p, f)) => (w, p, f) }
 
     // the concurrent GC loop — from the orchestrator JVM, so it shares no
@@ -214,7 +224,9 @@ object CrossProcess {
       vacuumRemoved = vacuumRemoved.get(),
       vacuumErrors = vacuumErrors.asScala.toSeq,
       finalRows = finalRows.size.toLong,
-      modelRows = model.size.toLong)
+      modelRows = model.size.toLong,
+      elapsedSec = (System.nanoTime() - t0) / 1e9,
+      useSqlText = useSqlText)
   }
 
   /** Fork one worker JVM (this test/main JVM's classpath and module
@@ -223,7 +235,8 @@ object CrossProcess {
     * (the Bench.scala gobbler shape). */
   private def spawnWorker(
       w: Int, tableDir: String, outDir: Path, txnsPerWorker: Int,
-      workers: Int, writersPerWorker: Int, readersPerWorker: Int): (Process, Path) = {
+      workers: Int, writersPerWorker: Int, readersPerWorker: Int,
+      useSqlText: Boolean = false): (Process, Path) = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
@@ -234,7 +247,8 @@ object CrossProcess {
       "-cp", sys.props("java.class.path"), "graft.harness.CrossProcess", "worker",
       tableDir, outFile.toString, txnsPerWorker.toString,
       workers.toString, w.toString, (1234L + 7919L * w).toString,
-      writersPerWorker.toString, readersPerWorker.toString)
+      writersPerWorker.toString, readersPerWorker.toString,
+      useSqlText.toString)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -398,6 +412,7 @@ object CrossProcess {
   private def workerMain(args: Array[String]): Unit = {
     val Array(tableDir, outFile, txns, stride, offset, seed, writers, readers) =
       args.take(8)
+    val useSqlText = args.lift(8).exists(_.toBoolean)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -412,6 +427,7 @@ object CrossProcess {
       randomSeed = seed.toLong,
       keyStride = stride.toInt,
       keyOffset = offset.toInt,
+      useSqlText = useSqlText,
       openExistingTable = true)).run()
     val enc = (s: String) => URLEncoder.encode(s, "UTF-8")
     val lines = Seq(
@@ -453,6 +469,8 @@ object CrossProcess {
     def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     s"""{"metric":"cross_process_acid","ok":${s.ok},"workers":${s.workers},""" +
+      s""""sqlText":${s.useSqlText},""" +
+      f""""elapsedSec":${s.elapsedSec}%.1f,"txnPerSec":${s.txnPerSec}%.1f,""" +
       s""""committed":${s.committed},"failedVerifications":${s.failedVerifications},""" +
       s""""lostUpdates":${s.lostUpdates.size},"extraRows":${s.extraRows.size},""" +
       s""""finalRows":${s.finalRows},"modelRows":${s.modelRows},""" +
