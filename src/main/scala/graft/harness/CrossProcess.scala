@@ -265,6 +265,12 @@ object CrossProcess {
 
   final case class CrashSummary(
       killedAtVersion: Long,
+      // the kill's evidence: the victim process was LIVE when SIGKILL'd
+      // (it did not merely finish first) and it left rows behind (it had
+      // really committed work) — without both, the run degenerates to a
+      // no-crash test that would still pass every other check
+      victimWasAlive: Boolean,
+      victimRowsSeen: Int,
       survivorCommitted: Int,
       survivorFailedVerifications: Int,
       survivorFailures: Seq[String],
@@ -273,11 +279,13 @@ object CrossProcess {
       orphanKeyViolations: Seq[String],
       fsckFindings: Seq[String],
       finalRows: Long,
-      vacuumRuns: Int) {
+      vacuumRuns: Int,
+      vacuumErrors: Seq[String]) {
     def ok: Boolean =
       survivorFailures.isEmpty && survivorFailedVerifications == 0 &&
         survivorLost.isEmpty && survivorExtra.isEmpty &&
-        orphanKeyViolations.isEmpty && fsckFindings.isEmpty
+        orphanKeyViolations.isEmpty && fsckFindings.isEmpty &&
+        vacuumErrors.isEmpty && victimWasAlive
   }
 
   /** Crash-resilience variant: two writer JVMs, one killed with SIGKILL
@@ -313,11 +321,12 @@ object CrossProcess {
     val (victim, _) = spawnWorker(1, tableDir, outDir, txnsPerWorker, 2, 2, 1)
 
     val vacuumRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacuumErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val stopVacuum = new java.util.concurrent.atomic.AtomicBoolean(false)
     val vacuumThread = new Thread(() => {
       while (!stopVacuum.get()) {
         try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); vacuumRuns.incrementAndGet(); () }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable => vacuumErrors.add(e.toString); () }
         Thread.sleep(vacuumPeriodMs)
       }
     }, "xproc-crash-vacuum")
@@ -327,11 +336,15 @@ object CrossProcess {
     // kill the victim once roughly half the expected commit volume has
     // published (each transaction is one commit) — mid-flight by
     // construction, not at a quiescent point
-    val killTarget = txnsPerWorker.toLong
+    // ~40% of the expected TOTAL commit volume: early enough that the
+    // victim cannot have finished its share, late enough that it has
+    // committed real work — victimWasAlive/victimRowsSeen prove both
+    val killTarget = math.max(1L, (txnsPerWorker * 4L) / 5L)
     val deadline = System.currentTimeMillis() + 120000
     while (table.latestVersion() < killTarget && victim.isAlive &&
         System.currentTimeMillis() < deadline) Thread.sleep(25)
     val killedAt = table.latestVersion()
+    val victimWasAlive = victim.isAlive
     victim.destroyForcibly()
 
     val finished = survivor.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
@@ -362,11 +375,16 @@ object CrossProcess {
     // generator's partition is a pure function of the PK, so any torn or
     // half-applied commit shows as a key outside its partition (or a key
     // outside either worker's pool)
+    // the SAME partition formula the generator uses (hashCode modulo the
+    // config's partition count, Java semantics incl. negatives) — derived
+    // from the default HarnessConfig the workers were spawned with, so a
+    // config change cannot silently diverge the check from the writers
+    val maxParts = HarnessConfig(tablePath = tableDir).maximumNumberOfPartitions
     val orphanViolations = victimRows.toSeq.flatMap { r =>
       keyIdx(r.primaryKeyValue) match {
         case None => Some(s"unknown pk ${r.primaryKeyValue}")
         case Some(_) =>
-          val expected = "Partition" + (r.primaryKeyValue.hashCode % 4)
+          val expected = "Partition" + (r.primaryKeyValue.hashCode % maxParts)
           if (r.partitionKeyValue != expected)
             Some(s"${r.primaryKeyValue} in ${r.partitionKeyValue}, expected $expected")
           else None
@@ -379,6 +397,8 @@ object CrossProcess {
 
     CrashSummary(
       killedAtVersion = killedAt,
+      victimWasAlive = victimWasAlive,
+      victimRowsSeen = victimRows.size,
       survivorCommitted = report.map(_.committed).getOrElse(0),
       survivorFailedVerifications = report.map(_.failedVerifications).getOrElse(0),
       survivorFailures = survivorFailures.toSeq,
@@ -387,7 +407,8 @@ object CrossProcess {
       orphanKeyViolations = orphanViolations,
       fsckFindings = fsckFindings,
       finalRows = finalRows.size.toLong,
-      vacuumRuns = vacuumRuns.get())
+      vacuumRuns = vacuumRuns.get(),
+      vacuumErrors = vacuumErrors.asScala.toSeq)
   }
 
   private def crashJson(s: CrashSummary): String = {
@@ -395,12 +416,14 @@ object CrossProcess {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     s"""{"metric":"cross_process_crash","ok":${s.ok},""" +
       s""""killedAtVersion":${s.killedAtVersion},""" +
+      s""""victimWasAlive":${s.victimWasAlive},"victimRowsSeen":${s.victimRowsSeen},""" +
       s""""survivorCommitted":${s.survivorCommitted},""" +
       s""""survivorFailedVerifications":${s.survivorFailedVerifications},""" +
       s""""survivorLost":${s.survivorLost.size},"survivorExtra":${s.survivorExtra.size},""" +
       s""""orphanKeyViolations":${arr(s.orphanKeyViolations)},""" +
       s""""fsckFindings":${arr(s.fsckFindings)},""" +
       s""""finalRows":${s.finalRows},"vacuumRuns":${s.vacuumRuns},""" +
+      s""""vacuumErrors":${arr(s.vacuumErrors)},""" +
       s""""survivorFailures":${arr(s.survivorFailures)}}"""
   }
 

@@ -271,7 +271,22 @@ final class AcidTable private (
   /** Snapshot of the given (default latest) committed version. The file
     * list is pinned before the scan → snapshot isolation for the whole read.
     */
-  def snapshot(version: Long = -1L): DataFrame = {
+  /** Map the read layer's retriable archived-version conflict to a
+    * TERMINAL error for reads that name their version EXPLICITLY: the
+    * caller asked for v, v is gone forever — no retry can succeed (the
+    * same mapping [[restore]] applies inline). Latest-resolved reads
+    * (`explicit < 0`) keep the conflict type: their retry legitimately
+    * re-resolves a newer version. */
+  private def explicitVersionRead[A](explicit: Long)(body: => A): A =
+    try body
+    catch {
+      case e: CommitConflictException if explicit >= 0 =>
+        throw new IllegalArgumentException(
+          s"version $explicit is below the retention horizon (archived by vacuum; " +
+            s"oldest retained: ${oldestRetainedVersion(latestVersion())}) ($path)", e)
+    }
+
+  def snapshot(version: Long = -1L): DataFrame = explicitVersionRead(version) {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) snapshotFromFiles(Nil)
     else segRefs(v) match {
@@ -326,7 +341,7 @@ final class AcidTable private (
   def lookup(
       keys: Seq[String],
       partitionsHint: Option[Seq[String]] = None,
-      version: Long = -1L): DataFrame = {
+      version: Long = -1L): DataFrame = explicitVersionRead(version) {
     AcidTable.lookupScans.incrementAndGet()
     // resolve the version ONCE so the file list and the size map come from
     // the same manifest even if a commit lands mid-call. DV entries are a
@@ -2417,7 +2432,8 @@ final class AcidTable private (
     * without re-reading the whole table — the lakehouse
     * incremental-query surface.
     */
-  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame =
+      explicitVersionRead(math.min(fromVersion, toVersion)) {
     val (fromFiles, toFiles, fromSizes, toSizes, fromDvs, toDvs) =
       diffScope(fromVersion, toVersion)
     // FILE-granular diff pruning (round 11; previously partition-granular):
@@ -3444,7 +3460,7 @@ final class AcidTable private (
       equals: Seq[(String, Seq[Any])],
       version: Long = -1L,
       partitions: Option[Seq[String]] = None,
-      nullChecks: Seq[(String, Boolean)] = Nil): DataFrame = {
+      nullChecks: Seq[(String, Boolean)] = Nil): DataFrame = explicitVersionRead(version) {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return snapshotFromFiles(Nil)
     // sizes scoped to the PRUNED list (segment-resolved per partition) —
@@ -3652,7 +3668,8 @@ final class AcidTable private (
     * list (exactly how partition pruning composes with a partition
     * filter).
     */
-  def snapshotRange(bounds: Map[String, (Long, Long)], version: Long = -1L): DataFrame = {
+  def snapshotRange(bounds: Map[String, (Long, Long)], version: Long = -1L): DataFrame =
+      explicitVersionRead(version) {
     val v = if (version >= 0) version else latestVersion()
     if (v < 0) return snapshotFromFiles(Nil)
     val lines = manifestLines(v)
@@ -4500,9 +4517,15 @@ final class AcidTable private (
             // its manifest linked referencing the deleted file). Refresh
             // their mtimes on every retry — the touch-on-reuse protocol
             // segments already use — so grace bounds ABANDONED-file age,
-            // not in-flight commit duration.
-            newFiles.foreach(f =>
-              dataRoot.resolve(f._1).toFile.setLastModified(System.currentTimeMillis()))
+            // not in-flight commit duration. A FALSE return on a file
+            // that no longer exists means a GC already reaped it (this
+            // attempt outlived the grace window): the staged output is
+            // unpublishable — force the FULL-redo branch below rather
+            // than link a manifest with a dangling data-file reference.
+            val staleStaged = newFiles.exists { f =>
+              val file = dataRoot.resolve(f._1).toFile
+              !file.setLastModified(System.currentTimeMillis()) && !file.exists()
+            }
             // retry-latency telemetry (round-7 verdict #8): time from
             // losing the race to being ready for the next publish attempt,
             // attributed to the conflict class taken below — INCLUDING the
@@ -4526,7 +4549,7 @@ final class AcidTable private (
                 java.util.concurrent.ThreadLocalRandom.current().nextLong(cap * 2) + 1)
             }
             val newBase = latestVersion()
-            if (stablePartitions && !globalScope) {
+            if (stablePartitions && !globalScope && !staleStaged) {
               // an intervening manifest with no #touched header has an
               // UNKNOWN touched set — treat it as overlapping everything
               val interveningSets = ((publishBase + 1) to newBase).map(readTouched)
@@ -6329,17 +6352,6 @@ object AcidTable {
     segmentCache.get((path, name))
   private[lake] def cacheSegment(path: String, name: String, d: SegData): Unit =
     segmentCache.put((path, name), d)
-
-  /** Drop every process-wide CONTENT cache entry for `path` (segments,
-    * pages, index runs) — the "driver restarted" state. Test hook: crash
-    * /repair specs use it to pin the disk-recovery route deterministically
-    * (a warm cache would heal a dangling ref from memory first, which is
-    * correct but a different branch than the one under test). */
-  private[lake] def purgeContentCaches(path: String): Unit = {
-    segmentCache.purgePath(path)
-    pageCache.purgePath(path)
-    rliCache.purgePath(path)
-  }
 
   /** Small LRU of fully-resolved manifests (headers + synthesized
     * `#sizes=` + file lines), keyed (table path, version) — manifests are

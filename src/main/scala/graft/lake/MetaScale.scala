@@ -249,9 +249,10 @@ object MetaScale {
     //    timeline (~25 versions here): O(retained roots) + O(distinct
     //    pages) + one segment-dir listing after the round-16
     //    short-circuit — NOT O(versions × live files)
-    val fsckCold = timedMs(t.fsck().collect())
+    var fsckFindings = 0L
+    val fsckCold = timedMs { fsckFindings = t.fsck().collect().length.toLong }
     emit("fsck", fsckCold, (1 to 10).map(_ => timedMs(t.fsck().collect())),
-      s"findings=${t.fsck().count()}")
+      s"findings=$fsckFindings")
 
     // 9. vacuum, measured LAST (it archives the timeline the rows above
     //    read): the FIRST call pays the real GC — data-file sweep over

@@ -72,6 +72,12 @@ class CrossProcessSpec extends AnyFunSuite {
     // pure function of the PK, or a commit tore
     assert(s.orphanKeyViolations.isEmpty, s"torn rows: ${s.orphanKeyViolations}")
     assert(s.fsckFindings.isEmpty, s"fsck not clean after crash: ${s.fsckFindings}")
-    assert(s.killedAtVersion >= 0, s"victim was never observed committing: $s")
+    assert(s.vacuumErrors.isEmpty, s"vacuum threw during crash run: ${s.vacuumErrors}")
+    assert(s.vacuumRuns >= 3, s"vacuum loop barely ran: $s")
+    // the kill's evidence: SIGKILL hit a LIVE process (it did not merely
+    // exit first) and the dead worker left committed rows behind — both
+    // required, or the run degenerates to a no-crash test
+    assert(s.victimWasAlive, s"victim exited before the kill — nothing was crashed: $s")
+    assert(s.victimRowsSeen > 0, s"victim committed nothing before the kill: $s")
   }
 }

@@ -254,6 +254,14 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
       java.nio.file.Paths.get(t.path, "_commits", "v000000000000.txt"))
     val e = intercept[CommitConflictException](t.rawRootLines(0))
     assert(e.getMessage.contains("archived by vacuum"), e.getMessage)
+    // …but a read that names the archived version EXPLICITLY is a
+    // terminal user error, not a retriable conflict: no retry can ever
+    // resurrect v0 (same mapping restore() applies)
+    val e2 = intercept[IllegalArgumentException](t.snapshot(0))
+    assert(e2.getMessage.contains("retention horizon"), e2.getMessage)
+    intercept[IllegalArgumentException](t.changesBetween(0, 2))
+    // the latest-resolved path is unaffected
+    assert(t.snapshot().count() >= 1)
   }
 
   test("vacuum archival honors the age guard: young superseded manifests stay readable") {
@@ -455,7 +463,7 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
     // cache would heal the ref from memory first (also correct, but a
     // different branch) — purge to the driver-restarted state, where the
     // quarantined bytes' sha1 match is the only recovery source
-    AcidTable.purgeContentCaches(t.path)
+    AcidTable.purgeCachesForSpec(t.path)
     val found = t.fsck().collect().map(_.getString(0)).toSet
     assert(found == Set("dangling_segment_ref", "stale_quarantine"))
     val repairs = t.fsckRepair().collect()
