@@ -123,8 +123,11 @@ object CrossProcess {
     * must exceed the longest in-flight write (an unpublished data file's
     * only protection is its age) and the longest snapshot read (a reader
     * may still be scanning a file whose last referencing version just
-    * left the retention window). The defaults keep ~8 s of slack over
-    * both at this workload's 0.1-0.5 s operation latencies.
+    * left the retention window). Operations run 0.1-0.5 s on an idle
+    * box, but 4-worker runs under CPU contention have shown reads
+    * stretched past 8 s — the default keeps 20 s of slack (a run still
+    * GCs hundreds of files mid-flight; tighten it deliberately to probe
+    * the contract's edge).
     */
   def orchestrate(
       spark: SparkSession,
@@ -134,7 +137,7 @@ object CrossProcess {
       writersPerWorker: Int = 2,
       readersPerWorker: Int = 1,
       vacuumPeriodMs: Long = 1000,
-      vacuumGraceMs: Long = 8000,
+      vacuumGraceMs: Long = 20000,
       workerTimeoutMinutes: Long = 30,
       useSqlText: Boolean = false): Summary = {
     require(workers >= 1 && workers <= 8, "workers must be in [1, 8]")
@@ -309,7 +312,7 @@ object CrossProcess {
       tableDir: String,
       txnsPerWorker: Int,
       vacuumPeriodMs: Long = 1000,
-      vacuumGraceMs: Long = 8000,
+      vacuumGraceMs: Long = 20000,
       workerTimeoutMinutes: Long = 30): CrashSummary = {
     val table = AcidTable.create(
       spark, tableDir, recordSchema,
