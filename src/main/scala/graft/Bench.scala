@@ -403,14 +403,30 @@ object Bench {
       .find(_.nonEmpty).map(o => s""","dedup_candidates":$o""").getOrElse("")
     // union the children's per-entry canary objects (entry names are
     // globally unique, so concatenating the objects' members is a merge)
-    val entryCanaries = order
-      .map(g => parseRawObject(runs(g).content, "entry_canaries"))
-      .filter(_.length > 2).map(o => o.substring(1, o.length - 1))
-    val entryCanaryPart =
-      if (entryCanaries.isEmpty) ""
-      else s""","entry_canaries":{${entryCanaries.mkString(",")}}"""
+    def unionObjects(key: String): String = {
+      val parts = order
+        .map(g => parseRawObject(runs(g).content, key))
+        .filter(_.length > 2).map(o => o.substring(1, o.length - 1))
+      if (parts.isEmpty) "" else s""","$key":{${parts.mkString(",")}}"""
+    }
+    val entryCanaryPart = unionObjects("entry_canaries")
+    // round-16 verdict #3: per-micro-batch stream timings and fixpoint hop
+    // counts pass through from the children; the AMBIENCE INDEX summarizes
+    // every canary sample the run took (fixed plan, fixed data — directly
+    // comparable across rounds), so one record proves or rules out a
+    // uniform box-load shift without cross-round hand adjudication.
+    val streamBatchPart = unionObjects("stream_batches")
+    val fixpointPart = unionObjects("fixpoint_hops")
+    val allSamples = order.flatMap(g =>
+      parseNumArrayByKey(runs(g).content, "canary_samples")).sorted
+    val ambiencePart =
+      if (allSamples.isEmpty) ""
+      else {
+        val med = allSamples(allSamples.size / 2)
+        f""","ambience":{"canary_min":${allSamples.min}%.3f,"canary_med":$med%.3f,"canary_max":${allSamples.max}%.3f,"n":${allSamples.size}}"""
+      }
     emit(merged, sfDir, harnessJson,
-      s""","reps":$repsJson,"canary":$canaryJson$rerunPart${arrPart("reran_entries")}${arrPart("contaminated_entries")}$entryCanaryPart$dedupCand${arrPart("dedup_candidate_breaches")}$failedPart""")
+      s""","reps":$repsJson,"canary":$canaryJson$ambiencePart$rerunPart${arrPart("reran_entries")}${arrPart("contaminated_entries")}$entryCanaryPart$streamBatchPart$fixpointPart$dedupCand${arrPart("dedup_candidate_breaches")}$failedPart""")
     if (failedFamilies.nonEmpty) sys.exit(1)
   }
 
@@ -447,6 +463,14 @@ object Bench {
   private[graft] def parseCanary(json: String): Seq[Double] =
     """"canary":\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .map(_.group(1).split(',').iterator.filter(_.nonEmpty).map(_.toDouble).toSeq)
+      .getOrElse(Nil)
+
+  /** Extract a flat numeric array `"key":[1.2,3.4]` by key. */
+  private[graft] def parseNumArrayByKey(json: String, key: String): Seq[Double] =
+    (java.util.regex.Pattern.quote("\"" + key + "\":") + """\[([^\]]*)\]""").r
+      .findFirstMatchIn(json)
+      .map(_.group(1).split(',').iterator.filter(_.nonEmpty)
+        .flatMap(s => scala.util.Try(s.toDouble).toOption).toSeq)
       .getOrElse(Nil)
 
   /** Extract a flat string array `"key":["a","b"]` by key. */
@@ -603,6 +627,7 @@ object Bench {
       (1 to reps).map { _ =>
         spark.catalog.clearCache()
         graft.queries.TextQueries.clearShingleCache()
+        QueryTelemetry.currentEntry.set(name) // telemetry records under this entry
         var failed = false
         val sec = time {
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -610,6 +635,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
           }
         }
+        QueryTelemetry.currentEntry.set("")
         if (failed) -1.0 else sec
       }
 
@@ -806,8 +832,32 @@ object Bench {
       else ""","entry_canaries":""" + entryEnv.map { case (k, (b, a)) =>
         "\"" + k + "\":[" + f"$b%.3f,$a%.3f" + "]"
       }.mkString("{", ",", "}")
+    // EVERY canary sample this child took, in order (start, one per
+    // entry, re-run neighbors, end): the in-record ambience trace —
+    // round-16 verdict #3a. A uniform box-load shift shows as this whole
+    // series sitting above the cross-round canary floor; a transient
+    // shows as a localized bump. One record now adjudicates itself.
+    canarySamples += canaryEnd
+    val canarySamplesPart =
+      ""","canary_samples":[""" + canarySamples.map(c => f"$c%.3f").mkString(",") + "]"
+    // per-micro-batch execution seconds for streaming entries (round-16
+    // verdict #3b): wall − Σbatches is harness wait, so a 20× driver-run
+    // outlier on an idle-cheap entry is attributable from the record
+    val streamBatchPart =
+      if (QueryTelemetry.streamBatches.isEmpty) ""
+      else ""","stream_batches":""" + QueryTelemetry.streamBatches.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          "\"" + k + "\":[" + v.map(t => f"$t%.3f").mkString(",") + "]"
+        }.mkString("{", ",", "}")
+    // fixpoint hop counts (round-16 verdict #3c): iteration growth vs
+    // per-hop inflation, separable from the record
+    val fixpointPart =
+      if (QueryTelemetry.fixpointHops.isEmpty) ""
+      else ""","fixpoint_hops":""" + QueryTelemetry.fixpointHops.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     emit(results, sfDir, harnessJson,
       f""","reps":$repsJson,"canary":[$canaryStart%.3f,$canaryEnd%.3f]""" +
+        canarySamplesPart + streamBatchPart + fixpointPart +
         namesPart("reran_entries", reranEntries.toSeq) +
         namesPart("contaminated_entries", contaminatedEntries.toSeq) +
         entryCanaryPart + dedupCandJson)

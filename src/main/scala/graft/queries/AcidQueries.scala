@@ -1139,10 +1139,16 @@ object AcidQueries {
         t.upsert(base.filter(col("pk").cast("long") % 5 === 0)
           .withColumn("ck", col("ck") + 1000000))
         val ckpt = scratch()
-        mv.maintainStream(ckpt).awaitTermination()
+        locally {
+          val mq = mv.maintainStream(ckpt); mq.awaitTermination()
+          graft.QueryTelemetry.recordStream(mq)
+        }
         // more commits while the stream is down; same checkpoint resumes
         t.deleteVectored(Seq("3", "6"))
-        mv.maintainStream(ckpt).awaitTermination()
+        locally {
+          val mq = mv.maintainStream(ckpt); mq.awaitTermination()
+          graft.QueryTelemetry.recordStream(mq)
+        }
         mv.read().select(col("grp"), col("cnt"),
           col("sck").cast("long").as("sck")).orderBy(col("grp"))
       },
@@ -1762,6 +1768,124 @@ object AcidQueries {
         SELECT f.part, COUNT(*) AS cnt, CAST(SUM(f.qty) AS BIGINT) AS sq
         FROM fact f JOIN dim d ON f.part = d.part
         WHERE d.grp = 'g0' GROUP BY f.part ORDER BY f.part
+      """)),
+
+    // ---- C5 record-level index: UNHINTED point ops route via pk→partition -------
+    // The round-16 RLI surface under the driver's hash gate (round-16
+    // verdict next-round #2): an indexed-from-birth table takes inserts,
+    // updates and a MOR delete, then a transform-less UNHINTED lookup —
+    // no partition restated anywhere — must (a) consult and route through
+    // the index (the probe/routed counters are asserted, so a silent
+    // fallback to the per-partition sweep fails the gate loudly), (b)
+    // prove absence of a never-written key from the index alone, and (c)
+    // hash-match the DuckDB replay of the same mutations.
+    Q(
+      "q_acid_rli_lookup",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        t.setTableProperty("recordIndex", Some("true"))
+        val base = Tables.customer(s, dir)
+          .filter(col("c_custkey") < 900)
+          .select(
+            col("c_custkey").cast("string").as("pk"),
+            concat(lit("r"), (col("c_nationkey") % 5).cast("string")).as("part"),
+            col("c_acctbal").as("val"))
+        t.upsert(base)
+        t.upsert(base.filter(col("pk").cast("long") % 4 === 1)
+          .withColumn("val", col("val") * 2))
+        t.deleteVectored(Seq("11")) // DV-only commit: refs + flag inherit
+        val probes0 = AcidTable.rliProbes.get()
+        val routed0 = AcidTable.rliRouted.get()
+        val keys = Seq("3", "11", "41", "200", "555", "899", "424242")
+        val res = t.lookup(keys).orderBy(col("pk"))
+        require(AcidTable.rliProbes.get() > probes0 && AcidTable.rliRouted.get() > routed0,
+          "q_acid_rli_lookup: unhinted lookup did not route through the record index")
+        require(t.lookupFiles(Seq("424242")).isEmpty,
+          "q_acid_rli_lookup: index must prove an absent key empty (zero files)")
+        res
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS pk,
+                 'r' || CAST(c_nationkey % 5 AS VARCHAR) AS part,
+                 c_acctbal AS val
+          FROM customer WHERE c_custkey < 900)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 4 = 1 THEN val * 2 ELSE val END AS val
+        FROM base
+        WHERE pk IN ('3', '41', '200', '555', '899')
+        ORDER BY pk
+      """)),
+
+    // ---- C5 FSCK REPAIR: content-addressed heal of dangling metadata refs -------
+    // The round-16 repair surface under the hash gate: after real commits,
+    // one live SEGMENT file and one live INDEX RUN are deleted out from
+    // under the table (the residual crash window's on-disk signature —
+    // vacuum's quarantine notes in AcidTable). FSCK must report both
+    // (asserted), FSCK REPAIR must heal both from the content-addressed
+    // cache with no `unrecoverable` row (asserted), the table must
+    // re-verify clean, and the healed snapshot must hash-match the DuckDB
+    // replay — proving the recovered bytes are the original metadata, not
+    // a plausible reconstruction.
+    Q(
+      "q_acid_fsck_repair",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        t.setTableProperty("recordIndex", Some("true"))
+        val base = Tables.supplier(s, dir)
+          .select(
+            col("s_suppkey").cast("string").as("pk"),
+            concat(lit("f"), (col("s_nationkey") % 3).cast("string")).as("part"),
+            col("s_acctbal").as("val"))
+        // DRIVER-LOCAL batches (collect → LocalRelation): the index deltas
+        // then go through the driver write path, which caches each run's
+        // bytes at write time — the precondition for a cache heal. The
+        // supplier table is tiny at every test SF.
+        def local(dfIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          s.createDataFrame(java.util.Arrays.asList(dfIn.collect(): _*), schema)
+        t.upsert(local(base))
+        t.upsert(local(base.filter(col("pk").cast("long") % 5 === 2)
+          .withColumn("val", col("val") - 50)))
+        // warm the SEGMENT cache through real reads of every retained
+        // version (repair recovers content-addressed bytes from cache),
+        // then knock one live segment and one live index run off disk
+        (0L to t.latestVersion()).foreach(v => t.snapshot(v).count())
+        t.lookupFiles(Seq("3"))
+        val segsDir = java.nio.file.Paths.get(t.path, "_commits", "_segments")
+        val names = Option(segsDir.toFile.listFiles()).getOrElse(Array.empty)
+          .map(_.getName)
+        val segVictim = names.find(_.startsWith("seg-")).getOrElse(
+          sys.error("q_acid_fsck_repair: no segment file to damage"))
+        val rliVictim = names.find(_.startsWith("rli-")).getOrElse(
+          sys.error("q_acid_fsck_repair: no index run to damage"))
+        Files.delete(segsDir.resolve(segVictim))
+        Files.delete(segsDir.resolve(rliVictim))
+        val found = t.fsck().collect().map(_.getString(0)).toSeq
+        require(found.count(_.startsWith("dangling_")) >= 2,
+          s"q_acid_fsck_repair: fsck must report both injected faults, got $found")
+        val actions = t.fsckRepair().collect().map(_.getString(4)).toSeq
+        require(actions.nonEmpty && !actions.contains("unrecoverable"),
+          s"q_acid_fsck_repair: repair must heal from cache, got $actions")
+        require(t.fsck().count() == 0,
+          "q_acid_fsck_repair: table must re-verify clean after repair")
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(s_suppkey AS VARCHAR) AS pk,
+                 'f' || CAST(s_nationkey % 3 AS VARCHAR) AS part,
+                 s_acctbal AS val
+          FROM supplier)
+        SELECT pk, part,
+               CASE WHEN CAST(pk AS BIGINT) % 5 = 2 THEN val - 50 ELSE val END AS val
+        FROM base
+        ORDER BY pk
       """))
   )
 }

@@ -469,7 +469,12 @@ object TextQueries {
       val confirm = hop(labels.withColumn("prev", col("lbl"))).localCheckpoint(true)
       changed = confirm.filter(col("lbl") =!= col("prev")).count()
       labels = confirm.select(col("doc_id"), col("lbl"))
+      hops += 1
     }
+    // hop-count telemetry (round-16 verdict #3: the driver bench saw this
+    // entry at 13.4 s vs 3.0 s idle and could not tell iteration growth
+    // from per-hop inflation — now the record says which)
+    graft.QueryTelemetry.recordFixpoint("min_label_fixpoint", hops)
     edges.unpersist()
     // loud-failure guard: labels still moving past the confirming hop
     // means a component of diameter > maxRounds was UNDER-MERGED —

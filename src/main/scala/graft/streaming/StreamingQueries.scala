@@ -227,6 +227,7 @@ object StreamingQueries {
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       }
     q.awaitTermination()
+    graft.QueryTelemetry.recordStream(q)
     s.table(name)
   }
 
@@ -272,6 +273,7 @@ object StreamingQueries {
               .start()
           } finally s.conf.set("spark.sql.shuffle.partitions", prev)
         q.awaitTermination()
+        graft.QueryTelemetry.recordStream(q)
         t.snapshot()
           .select(col("event_id"), expr("unix_micros(ts)").as("ts_us"),
             col("user_id"), col("event_type"), col("value"), col("props"))
@@ -332,6 +334,7 @@ object StreamingQueries {
           .option("checkpointLocation", ckptDir("graft-ckpt-"))
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        graft.QueryTelemetry.recordStream(q)
         s.table(name)
           .orderBy(col("_commit_version"), col("_change_type"), col("doc_id"))
       },
@@ -389,6 +392,7 @@ object StreamingQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          graft.QueryTelemetry.recordStream(q)
         }
         runOnce()
         val vOnce = t.latestVersion()
@@ -463,6 +467,7 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        graft.QueryTelemetry.recordStream(q)
         b.snapshot().orderBy(col("doc_id"))
       },
       Some("""

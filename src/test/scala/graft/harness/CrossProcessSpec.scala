@@ -52,6 +52,58 @@ class CrossProcessSpec extends AnyFunSuite {
     assert(summary.vacuumRuns >= 3, s"vacuum loop barely ran: $summary")
   }
 
+  test("SAME-KEY contention: two JVMs remerge one key pool, exact max-oracle") {
+    val dir = Files.createTempDirectory("xproc-sk-spec-").resolve("records").toString
+    val s = CrossProcess.orchestrateSameKey(
+      TestSpark.spark, dir,
+      txnsPerWorker = 40,
+      workers = 2,
+      vacuumPeriodMs = 750,
+      vacuumGraceMs = 20000,
+      workerTimeoutMinutes = 15)
+    info(s"committed=${s.committed} finalRows=${s.finalRows} vacuumRuns=${s.vacuumRuns}")
+    assert(s.workerFailures.isEmpty, s"worker failures: $s")
+    assert(s.committed == 80, s"not all merges committed: $s")
+    // the exact oracle: every key's final value must equal the
+    // lexicographic MAX over both processes' write logs — a same-key
+    // cross-process re-merge that dropped or reordered an update shows
+    // here as a wrong value, a missing key, or an unexplained key
+    assert(s.wrongRows.isEmpty, s"same-key merge produced wrong winners: ${s.wrongRows}")
+    assert(s.missingKeys.isEmpty, s"keys lost under contention: ${s.missingKeys}")
+    assert(s.extraKeys.isEmpty, s"unexplained keys: ${s.extraKeys}")
+    assert(s.malformedRows.isEmpty, s"torn rows: ${s.malformedRows}")
+    assert(s.monotoneViolations == 0,
+      s"a worker read its own write regressed mid-run: $s")
+    assert(s.fsckFindings.isEmpty, s"fsck not clean: ${s.fsckFindings}")
+    assert(s.vacuumErrors.isEmpty, s"vacuum threw: ${s.vacuumErrors}")
+    assert(s.vacuumRuns >= 3, s"vacuum loop barely ran: $s")
+  }
+
+  test("SAME-KEY crash leg: SIGKILL mid-contention, survivor's max-oracle holds") {
+    val dir = Files.createTempDirectory("xproc-skcrash-").resolve("records").toString
+    val s = CrossProcess.orchestrateSameKeyCrash(
+      TestSpark.spark, dir,
+      txnsPerWorker = 40,
+      vacuumPeriodMs = 750,
+      vacuumGraceMs = 20000,
+      workerTimeoutMinutes = 15)
+    info(s"committed=${s.committed} finalRows=${s.finalRows} " +
+      s"victimRowsSeen=${s.victimRowsSeen} vacuumRuns=${s.vacuumRuns}")
+    assert(s.workerFailures.isEmpty, s"survivor failures: $s")
+    assert(s.committed == 40, s"survivor did not finish its volume: $s")
+    // one-sided exactness: survivor-stamped final values must EQUAL the
+    // survivor's logged max; victim-stamped values on survivor keys must
+    // BEAT it; no survivor key may vanish
+    assert(s.wrongRows.isEmpty, s"survivor oracle violated after crash: ${s.wrongRows}")
+    assert(s.missingKeys.isEmpty, s"survivor keys lost after crash: ${s.missingKeys}")
+    assert(s.malformedRows.isEmpty, s"torn rows after crash: ${s.malformedRows}")
+    assert(s.monotoneViolations == 0, s"survivor saw its writes regress: $s")
+    assert(s.fsckFindings.isEmpty, s"fsck not clean after crash: ${s.fsckFindings}")
+    assert(s.vacuumErrors.isEmpty, s"vacuum threw: ${s.vacuumErrors}")
+    assert(s.victimWasAlive, s"victim exited before the kill: $s")
+    assert(s.victimRowsSeen > 0, s"victim left no committed rows: $s")
+  }
+
   test("SIGKILL of one writer JVM mid-run: survivor exact, no torn rows, clean fsck") {
     val dir = Files.createTempDirectory("xproc-crash-").resolve("records").toString
     val s = CrossProcess.orchestrateCrash(

@@ -128,6 +128,24 @@ class RecordIndexSpec extends AnyFunSuite {
     assert(t.snapshot().filter(col("primaryKeyValue").isNull).count() == 1)
   }
 
+  test("distributed NULL pk degrades via the in-job accumulator probe") {
+    // round-17: the NULL check rides the shard-write job itself (an
+    // accumulator) instead of a separate isEmpty pre-pass — same
+    // semantics, one fewer Spark job per indexed distributed commit
+    val t = newTable()
+    t.upsert(df(Record("K1", "P0", "v1")))
+    assert(isDone(t))
+    val withNull = spark.range(0, 50).selectExpr(
+      "CASE WHEN id = 25 THEN NULL ELSE concat('N', id) END as primaryKeyValue",
+      "concat('P', id % 3) as partitionKeyValue", "cast(id as string) as dataValue")
+    t.upsert(withNull)
+    assert(!isDone(t), "distributed NULL pk must drop the completeness flag")
+    // fallback probe still exact; the null row landed
+    assert(t.lookup(Seq("K1")).collect().length == 1)
+    assert(t.lookup(Seq("N10")).collect().map(_.getString(2)).toSeq == Seq("10"))
+    assert(t.snapshot().filter(col("primaryKeyValue").isNull).count() == 1)
+  }
+
   test("rebuildRecordIndex arms the flag on a legacy/degraded table") {
     val t = newTable(indexed = false)
     (1 to 5).foreach(i => t.upsert(df(Record(s"K$i", s"P${i % 2}", s"v$i"))))
@@ -177,6 +195,66 @@ class RecordIndexSpec extends AnyFunSuite {
     assert(after.size < before.size, "orphaned runs must die with vacuum")
     assert(t.fsck().count() == 0)
     assert(t.lookupFiles(Seq("K7")).nonEmpty)
+  }
+
+  test("incremental fold: untouched generation shards carry verbatim") {
+    val t = newTable()
+    // distributed first commit → an executor-sharded ref set whose
+    // leading prefix IS a generation (nShards=16, distinct shards)
+    val big = spark.range(0, 2000)
+      .selectExpr("concat('G', id) as primaryKeyValue",
+        "concat('P', id % 5) as partitionKeyValue", "cast(id as string) as dataValue")
+    t.upsert(big)
+    val genBefore = t.rliRefsOf(rawRoot(t))
+    assert(AcidTable.rliGenPrefixLen(genBefore) == genBefore.size && genBefore.size > 4,
+      s"distributed commit must yield a recognizable generation, got $genBefore")
+    // MaxRliRefs+1 tiny driver deltas → the delta tail outgrows the bound
+    // and the commit folds them INTO the generation
+    (1 to AcidTable.MaxRliRefs + 1).foreach(i =>
+      t.upsert(df(Record(s"K$i", s"P${i % 5}", s"v$i"))))
+    val after = t.rliRefsOf(rawRoot(t))
+    assert(after.size - AcidTable.rliGenPrefixLen(after) <= AcidTable.MaxRliRefs,
+      s"delta tail must stay bounded, got $after")
+    assert(after.forall(_.nShards == genBefore.head.nShards),
+      "incremental fold must keep the generation's shard count")
+    // the 17 delta keys hash into a subset of the 16 shards; at least the
+    // shards no delta key touched must carry their run files VERBATIM
+    val beforeNames = genBefore.map(_.name).toSet
+    val carried = after.map(_.name).count(beforeNames.contains)
+    assert(carried > 0, "untouched shards must carry verbatim, none did")
+    // probes stay exact through the fold, for generation and delta keys
+    assert(t.lookupFiles(Seq("G123")).forall(_.startsWith("partitionKeyValue=P3/")))
+    assert(t.lookup(Seq("G123")).collect().map(_.getString(2)).toSeq == Seq("123"))
+    assert(t.lookup(Seq("K7")).collect().map(_.getString(2)).toSeq == Seq("v7"))
+    assert(t.lookupFiles(Seq("NOPE")).isEmpty, "proven-empty must survive the fold")
+    assert(isDone(t))
+  }
+
+  test("distributed fold leg: driver holds ref names only, probes exact") {
+    val saved = AcidTable.RliDriverFoldMax
+    AcidTable.RliDriverFoldMax = 0L // force every fold through the executor path
+    try {
+      val t = newTable()
+      val big = spark.range(0, 1000)
+        .selectExpr("concat('D', id) as primaryKeyValue",
+          "concat('P', id % 3) as partitionKeyValue", "cast(id as string) as dataValue")
+      t.upsert(big)
+      (1 to AcidTable.MaxRliRefs + 1).foreach(i =>
+        t.upsert(df(Record(s"X$i", s"P${i % 3}", s"x$i"))))
+      val refs = t.rliRefsOf(rawRoot(t))
+      assert(refs.size - AcidTable.rliGenPrefixLen(refs) <= AcidTable.MaxRliRefs)
+      assert(isDone(t))
+      assert(t.lookup(Seq("D500")).collect().map(_.getString(2)).toSeq == Seq("500"))
+      assert(t.lookup(Seq("X3")).collect().map(_.getString(2)).toSeq == Seq("x3"))
+      assert(t.lookupFiles(Seq("MISSING")).isEmpty)
+      // growth leg: shrink the shard budget so the NEXT fold must re-shard
+      // the generation distributedly, then verify probes again
+      (1 to AcidTable.MaxRliRefs + 1).foreach(i =>
+        t.upsert(df(Record(s"Y$i", s"P${i % 3}", s"y$i"))))
+      assert(t.lookup(Seq("Y5")).collect().map(_.getString(2)).toSeq == Seq("y5"))
+      assert(t.lookup(Seq("D7")).collect().map(_.getString(2)).toSeq == Seq("7"))
+      assert(t.lookupFiles(Seq("NADA")).isEmpty)
+    } finally AcidTable.RliDriverFoldMax = saved
   }
 
   test("fsckRepair re-materializes a dangling index run from cache") {
