@@ -599,6 +599,21 @@ object CrossProcess {
         System.currentTimeMillis() < deadline) Thread.sleep(25)
     val victimWasAlive = victim.isAlive
     victim.destroyForcibly()
+    // victim-work evidence is sampled NOW, not from the final state: in
+    // same-key mode the survivor keeps merging ever-greater stamps after
+    // the kill and legitimately supersedes every victim value by the end
+    // (that is the max-oracle working, not the victim vanishing) — only
+    // the mid-run snapshot can show the victim's commits landed
+    // up to 3 attempts: a transient read failure (racing archival) must
+    // not masquerade as "the victim never committed" — if it truly never
+    // did, every attempt still counts zero
+    val victimRowsAtKill = (1 to 3).iterator.map { _ =>
+      scala.util.Try {
+        import spark.implicits._
+        table.snapshot().as[Record].collect()
+          .count(r => String.valueOf(r.dataValue).endsWith(".w1"))
+      }.getOrElse(0)
+    }.find(_ > 0).getOrElse(0)
     val finished = survivor.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) survivor.destroyForcibly()
     stopVacuum.set(true)
@@ -635,7 +650,6 @@ object CrossProcess {
         r.primaryKeyValue.startsWith("Key")
       if (shapeOk) None else Some(s"${r.primaryKeyValue}|${r.partitionKeyValue}|${r.dataValue}")
     }
-    val victimRowsSeen = finalRows.count(r => String.valueOf(r.dataValue).endsWith(".w1"))
     try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); () }
     catch { case e: Throwable => vacuumErrors.add(s"final: $e"); () }
     val fsckFindings = table.fsck(graceMs = 0).collect()
@@ -647,7 +661,7 @@ object CrossProcess {
       workerFailures = workerFailures.toSeq,
       wrongRows = wrong, missingKeys = missing, extraKeys = Nil,
       malformedRows = malformed,
-      victimWasAlive = victimWasAlive, victimRowsSeen = victimRowsSeen,
+      victimWasAlive = victimWasAlive, victimRowsSeen = victimRowsAtKill,
       fsckFindings = fsckFindings,
       vacuumRuns = vacuumRuns.get(), vacuumErrors = vacuumErrors.asScala.toSeq,
       finalRows = finalRows.size.toLong,
