@@ -2275,7 +2275,16 @@ final class AcidTable private (
           }
         }
         checkSegLines(v, raw.filter(l => l.startsWith("@") && !l.startsWith("@@")))
-        rliRefsOf(raw).foreach { ref =>
+        // the generation side file is checked FIRST and on the raw header
+        // (a missing side file must be REPORTED, not abort the walk); run
+        // checks then use the full expansion when it resolves, falling
+        // back to the inline tail when it does not
+        rliGenFileOf(raw).foreach { case (n, _) =>
+          if (seenRli.add(n) && !Files.exists(segmentsDir.resolve(n)))
+            out += (("dangling_rli_ref", v, n,
+              "record index generation list; heal: fsckRepair or rebuildRecordIndex"))
+        }
+        scala.util.Try(rliRefsOf(raw)).getOrElse(rliInlineRefsOf(raw)).foreach { ref =>
           if (seenRli.add(ref.name) && !Files.exists(segmentsDir.resolve(ref.name)))
             out += (("dangling_rli_ref", v, ref.name,
               "record index; heal: fsckRepair or rebuildRecordIndex"))
@@ -2339,6 +2348,8 @@ final class AcidTable private (
               AcidTable.pageCache.get((path, name)).map(_.mkString("\n"))
             else if (kind == "dangling_segment_ref")
               AcidTable.cachedSegmentBody(path, name)
+            else if (name.startsWith("rlg-"))
+              AcidTable.rliGenCache.get((path, name)).map(_._2)
             else AcidTable.rliCache.get((path, name)).map(_.body)
           cached match {
             case Some(body) if AcidTable.sha1Hex(body) == sha1OfName(name) =>
@@ -3825,10 +3836,18 @@ final class AcidTable private (
               raw.foreach { l =>
                 if (l.startsWith("@@")) pgs += l.substring(2).takeWhile(_ != '|')
               }
-              // record-index runs share the segment GC (rli- prefix,
-              // tracked in the PAGE set: both are raw-root-header refs
-              // with identical liveness/quarantine semantics)
-              rliRefsOf(raw).foreach(r => pgs += r.name)
+              // record-index runs share the segment GC (rli-/rlg-
+              // prefixes, tracked in the PAGE set: all are
+              // raw-root-header refs with identical liveness/quarantine
+              // semantics). The generation SIDE FILE is live alongside
+              // its members; an unreadable side file must abort ref GC
+              // (treating it as "references nothing" would delete every
+              // generation shard the root still needs)
+              rliGenFileOf(raw).foreach { case (n, _) => pgs += n }
+              scala.util.Try(rliRefsOf(raw)) match {
+                case scala.util.Success(rs) => rs.foreach(r => pgs += r.name)
+                case scala.util.Failure(_) => ok = false
+              }
               scala.util.Try(expandPages(raw)) match {
                 case scala.util.Success(exp) =>
                   exp.filter(l => l.startsWith("@") && !l.startsWith("@@"))
@@ -3856,7 +3875,8 @@ final class AcidTable private (
       def deadRef(name: String): Boolean =
         refGcSafe && (
           (name.startsWith("seg-") && !allLive.contains(name)) ||
-            ((name.startsWith("page-") || name.startsWith("rli-")) &&
+            ((name.startsWith("page-") || name.startsWith("rli-") ||
+              name.startsWith("rlg-")) &&
               !allLivePages.contains(name)))
       Option(segmentsDir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
         val name = f.getName
@@ -3888,7 +3908,8 @@ final class AcidTable private (
             val nowLive = latestNow < latestFinal && {
               // an unreadable late root acquits: restore rather than delete
               val (lateS, lateP, ok) = refsOf(((latestNow + 1) to latestFinal).iterator)
-              !ok || (if (name.startsWith("page-") || name.startsWith("rli-"))
+              !ok || (if (name.startsWith("page-") || name.startsWith("rli-") ||
+                          name.startsWith("rlg-"))
                         lateP.contains(name)
                       else lateS.contains(name))
             }
@@ -5443,7 +5464,8 @@ final class AcidTable private (
   private[lake] def rliEnabled: Boolean =
     tableProperty("recordIndex").contains("true") && keyCastSupported
 
-  private[lake] def rliRefsOf(raw: Seq[String]): Seq[AcidTable.RliRef] =
+  /** The INLINE refs of the `#rli=` header only — never reads disk. */
+  private[lake] def rliInlineRefsOf(raw: Seq[String]): Seq[AcidTable.RliRef] =
     raw.find(_.startsWith("#rli=")).toSeq.flatMap(
       _.stripPrefix("#rli=").split(',').iterator.filter(_.nonEmpty).flatMap { s =>
         s.split('|') match {
@@ -5453,13 +5475,87 @@ final class AcidTable private (
         }
       })
 
+  /** The `#rligen=` indirection header: (side-file name, member count).
+    * Round 17: a wide merged generation (15 k shard refs at 10⁹ keys)
+    * rendered inline would put ~800 KB of ref text into EVERY root — the
+    * same O(live …) per-commit cliff the paged root removed for
+    * partition lines. Above [[AcidTable.RliGenInlineMax]] refs the
+    * GENERATION list lives in a content-addressed `rlg-` side file
+    * (same bytes per member line), referenced by ONE header line; the
+    * delta tail stays inline. Between folds the generation is unchanged,
+    * so trickle commits re-reference the same side file byte-identically
+    * — no write, just the carried-ref mtime re-assert. */
+  private[lake] def rliGenFileOf(raw: Seq[String]): Option[(String, Long)] =
+    raw.find(_.startsWith("#rligen=")).flatMap { l =>
+      l.stripPrefix("#rligen=").split('|') match {
+        case Array(n, c) => scala.util.Try((n, c.toLong)).toOption
+        case _ => None
+      }
+    }
+
+  /** Resolve a generation side file to its member refs (cache-first,
+    * GC-race retry like [[readRli]]). THROWS when unreadable after
+    * retries — callers on the commit path must abort (a commit that
+    * silently dropped inherited refs while the completeness flag carries
+    * would turn lookups into wrong proven-empties); read-only callers
+    * wrap ([[rliLookup]] → no routing, vacuum → ref-GC abort, fsck →
+    * dangling finding). */
+  private def readRliGen(name: String): Seq[AcidTable.RliRef] =
+    AcidTable.rliGenCache.get((path, name)).map(_._1).getOrElse {
+      def readBody(attempt: Int): String =
+        try new String(Files.readAllBytes(segmentsDir.resolve(name)), StandardCharsets.UTF_8)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            if (attempt >= 20) throw e
+            Thread.sleep(5L * (attempt + 1))
+            readBody(attempt + 1)
+        }
+      val body = readBody(0)
+      val refs = body.linesIterator.filter(_.nonEmpty).flatMap { s =>
+        s.split('|') match {
+          case Array(n, sh, ns, c) => scala.util.Try(
+            AcidTable.RliRef(n, sh.toInt, ns.toInt, c.toLong)).toOption
+          case _ => None
+        }
+      }.toSeq
+      AcidTable.rliGenCache.put((path, name), (refs, body))
+      refs
+    }
+
+  /** ALL index refs of a root: the generation side file's members (when
+    * present) followed by the inline delta tail. May read (and therefore
+    * throw on) the side file — see [[readRliGen]]. */
+  private[lake] def rliRefsOf(raw: Seq[String]): Seq[AcidTable.RliRef] =
+    rliGenFileOf(raw) match {
+      case None => rliInlineRefsOf(raw)
+      case Some((f, _)) => readRliGen(f) ++ rliInlineRefsOf(raw)
+    }
+
   private def rliDoneOf(raw: Seq[String]): Boolean = raw.contains("#rlidone=1")
 
+  private def renderRliRef(r: AcidTable.RliRef): String =
+    s"${r.name}|${r.shard}|${r.nShards}|${r.count}"
+
   private def rliHeaderLinesFor(
-      refs: Seq[AcidTable.RliRef], done: Boolean): Seq[String] =
-    (if (refs.isEmpty) Nil
-     else Seq("#rli=" + refs.map(r => s"${r.name}|${r.shard}|${r.nShards}|${r.count}")
-       .mkString(","))) ++ (if (done) Seq("#rlidone=1") else Nil)
+      refs: Seq[AcidTable.RliRef], done: Boolean): Seq[String] = {
+    val doneLines = if (done) Seq("#rlidone=1") else Nil
+    if (refs.isEmpty) doneLines
+    else {
+      val gl = AcidTable.rliGenPrefixLen(refs)
+      if (refs.size <= AcidTable.RliGenInlineMax || gl <= AcidTable.RliGenInlineMax)
+        Seq("#rli=" + refs.map(renderRliRef).mkString(",")) ++ doneLines
+      else {
+        val (gen, tail) = refs.splitAt(gl)
+        val body = gen.map(renderRliRef).mkString("\n")
+        val name = "rlg-" + AcidTable.sha1Hex(body) + ".txt"
+        ensureSegment(name, body, touch = true)
+        AcidTable.rliGenCache.put((path, name), (gen, body))
+        Seq(s"#rligen=$name|${gen.size}") ++
+          (if (tail.isEmpty) Nil
+           else Seq("#rli=" + tail.map(renderRliRef).mkString(","))) ++ doneLines
+      }
+    }
+  }
 
   /** Write one sorted delta run from driver-side (key rendering,
     * partition value) pairs; None when empty. */
@@ -5569,7 +5665,9 @@ final class AcidTable private (
     val raw = scala.util.Try(rawRootLines(v)).getOrElse(return None)
     if (!rliDoneOf(raw)) return None
     AcidTable.rliProbes.incrementAndGet()
-    val refs = rliRefsOf(raw)
+    // an unreadable generation side file voids ROUTING, never correctness
+    // (same contract as a dangling run below)
+    val refs = scala.util.Try(rliRefsOf(raw)).getOrElse(return None)
     val encKeys = keys.flatMap(k => scala.util.Try(castKeyTo(k)).toOption)
       .map(x => java.net.URLEncoder.encode(String.valueOf(x), "UTF-8")).distinct
     val cells = scala.collection.mutable.Set.empty[String]
@@ -6174,12 +6272,15 @@ final class AcidTable private (
       else rootTail.collect { case l if l.startsWith("@@") =>
         l.substring(2).takeWhile(_ != '|')
       }.filterNot(n => pagesOut.exists(_._1 == n))
-    val carriedRli: Seq[String] = rliRefsOf(rliHeader).map(_.name)
+    val carriedRli: Seq[String] =
+      rliGenFileOf(rliHeader).map(_._1).toSeq ++ rliRefsOf(rliHeader).map(_.name)
     def reassertCarriedRef(name: String): Unit =
       if (!segmentsDir.resolve(name).toFile.setLastModified(System.currentTimeMillis())) {
         val cached =
           if (name.startsWith("page-"))
             AcidTable.pageCache.get((path, name)).map(_.mkString("\n"))
+          else if (name.startsWith("rlg-"))
+            AcidTable.rliGenCache.get((path, name)).map(_._2)
           else AcidTable.rliCache.get((path, name)).map(_.body)
         cached.foreach(b => ensureSegment(name, b, touch = true))
       }
@@ -6462,6 +6563,31 @@ object AcidTable {
     * and executor), the merge, and the probe. */
   private[lake] def rliShardOf(encKey: String, nShards: Int): Int =
     if (nShards <= 1) 0 else (encKey.hashCode & Int.MaxValue) % nShards
+
+  /** Ref-count above which a root stores its GENERATION list in a
+    * content-addressed `rlg-` side file instead of inline `#rli=` text
+    * (see the `rliGenFileOf` scaladoc). 64 refs ≈ 3.5 KB inline — below
+    * it the indirection saves nothing. A `var` solely so
+    * RecordIndexSpec can engage the side-file path on a CI-sized
+    * generation. */
+  private[lake] var RliGenInlineMax = 64
+
+  /** Process-wide LRU of generation side files, keyed (table path,
+    * file name) → (member refs, raw body — the content-addressed repair
+    * source). Content addressing makes entries permanently valid. */
+  private[lake] object rliGenCache {
+    private val MaxEntries = 64
+    private val m =
+      new java.util.LinkedHashMap[(String, String), (Seq[RliRef], String)](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), (Seq[RliRef], String)]): Boolean =
+          size() > MaxEntries
+      }
+    def get(k: (String, String)): Option[(Seq[RliRef], String)] =
+      m.synchronized(Option(m.get(k)))
+    def put(k: (String, String), v: (Seq[RliRef], String)): Unit =
+      m.synchronized { m.put(k, v); () }
+  }
 
   /** Process-wide LRU of loaded index runs, keyed (table path, ref name) —
     * content addressing makes entries permanently valid. Sized for a few

@@ -143,5 +143,20 @@ object RliScale {
     emit("rli_probe_delta_key", timedMs(t.rliLookup(t.latestVersion(), Seq("a3"))),
       (1 to 10).map(_ => timedMs(t.rliLookup(t.latestVersion(), Seq("a3")))),
       s"cells=${t.rliLookup(t.latestVersion(), Seq("a3")).map(_.size).getOrElse(-1)}")
+
+    // 5. per-commit index-header bytes: above RliGenInlineMax refs the
+    //    generation list lives in a content-addressed side file carried
+    //    verbatim between folds, so the ROOT pays O(delta tail) text per
+    //    commit however wide the generation (the pre-indirection inline
+    //    rendering would be ~55 bytes × shards in EVERY root)
+    val raw = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      dir, "_commits", f"v${t.latestVersion()}%012d.txt"))
+      .toArray(Array.empty[String]).toSeq
+    val headerBytes = raw.filter(l =>
+      l.startsWith("#rli=") || l.startsWith("#rligen=")).map(_.length).sum
+    val inlineWouldBe = t.rliRefsOf(raw).map(r =>
+      s"${r.name}|${r.shard}|${r.nShards}|${r.count}").map(_.length + 1).sum
+    emit("root_rli_header_bytes", headerBytes.toDouble, Nil,
+      s"vs $inlineWouldBe inline; gen=${t.rliGenFileOf(raw).map(_._1).getOrElse("inline")}")
   }
 }

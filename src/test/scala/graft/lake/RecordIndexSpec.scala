@@ -257,6 +257,57 @@ class RecordIndexSpec extends AnyFunSuite {
     } finally AcidTable.RliDriverFoldMax = saved
   }
 
+  test("wide generation: refs move to a content-addressed side file") {
+    val saved = AcidTable.RliGenInlineMax
+    AcidTable.RliGenInlineMax = 4 // engage the indirection on a CI-sized generation
+    try {
+      val t = newTable()
+      val big = spark.range(0, 1500)
+        .selectExpr("concat('D', id) as primaryKeyValue",
+          "concat('P', id % 5) as partitionKeyValue", "cast(id as string) as dataValue")
+      t.upsert(big)
+      val raw = rawRoot(t)
+      assert(raw.exists(_.startsWith("#rligen=")),
+        s"expected a side-file header, got ${raw.filter(_.startsWith("#rli"))}")
+      val refs = t.rliRefsOf(raw)
+      assert(AcidTable.rliGenPrefixLen(refs) > 4, s"expansion must return the members: $refs")
+      val genName = t.rliGenFileOf(raw).get._1
+      // trickle commits carry the UNCHANGED generation by the same
+      // content-addressed name — no per-commit O(shards) header text
+      t.upsert(df(Record("T1", "P0", "t1")))
+      t.upsert(df(Record("T2", "P1", "t2")))
+      assert(t.rliGenFileOf(rawRoot(t)).get._1 == genName,
+        "an unchanged generation must re-reference the same side file")
+      assert(isDone(t))
+      assert(t.lookup(Seq("D700")).collect().map(_.getString(2)).toSeq == Seq("700"))
+      assert(t.lookup(Seq("T1")).collect().map(_.getString(2)).toSeq == Seq("t1"))
+      assert(t.lookupFiles(Seq("NOPE")).isEmpty)
+      // fold on the indirected generation: delta tail past the bound
+      (1 to AcidTable.MaxRliRefs + 1).foreach(i =>
+        t.upsert(df(Record(s"W$i", s"P${i % 5}", s"w$i"))))
+      assert(t.lookup(Seq("W9")).collect().map(_.getString(2)).toSeq == Seq("w9"))
+      assert(t.lookup(Seq("D700")).collect().map(_.getString(2)).toSeq == Seq("700"))
+      // vacuum keeps the live side file + members; fsck clean
+      t.vacuum(keepVersions = 1, graceMillis = 0L)
+      assert(t.fsck().count() == 0)
+      assert(t.lookupFiles(Seq("D700")).nonEmpty)
+      // a missing side file voids routing, never correctness; repair
+      // heals it content-addressably from the generation cache
+      val gn = t.rliGenFileOf(rawRoot(t)).get._1
+      val segsDir = Paths.get(t.path, "_commits", "_segments")
+      Files.delete(segsDir.resolve(gn))
+      assert(t.lookup(Seq("D700")).collect().length == 1,
+        "fallback sweep must stay correct with the side file gone")
+      assert(t.fsck().filter(col("kind") === "dangling_rli_ref").count() >= 1)
+      val actions = t.fsckRepair().collect()
+        .map(r => (r.getString(2), r.getString(4))).toSeq
+      assert(actions.contains((gn, "repaired_from_cache")),
+        s"expected a cache heal of $gn, got $actions")
+      assert(t.fsck().count() == 0)
+      assert(t.lookupFiles(Seq("D700")).nonEmpty, "routing must return after the heal")
+    } finally AcidTable.RliGenInlineMax = saved
+  }
+
   test("fsckRepair re-materializes a dangling index run from cache") {
     val t = newTable()
     (1 to 4).foreach(i => t.upsert(df(Record(s"K$i", "P0", s"v$i"))))
