@@ -627,7 +627,7 @@ object Bench {
       (1 to reps).map { _ =>
         spark.catalog.clearCache()
         graft.queries.TextQueries.clearShingleCache()
-        QueryTelemetry.currentEntry.set(name) // telemetry records under this entry
+        QueryTelemetry.beginEntry(name) // telemetry records under this entry
         var failed = false
         val sec = time {
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -635,7 +635,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
           }
         }
-        QueryTelemetry.currentEntry.set("")
+        QueryTelemetry.endEntry()
         if (failed) -1.0 else sec
       }
 

@@ -15,12 +15,18 @@ import scala.collection.concurrent.TrieMap
   */
 object QueryTelemetry {
 
-  /** Per-micro-batch `triggerExecution` seconds of the LAST streaming run
-    * per entry name (overwritten each run — the bench's final rep wins). */
+  /** Per-micro-batch `triggerExecution` seconds of the last timed rep
+    * per entry name — APPENDED within one measurement window (an entry
+    * may drain several streaming queries per rep: matview maintenance
+    * runs two, the sink gate replays twice), reset when the bench opens
+    * the next window via [[beginEntry]]. Σ of an entry's list is its
+    * real per-batch execution; wall − Σ is harness wait. */
   val streamBatches: TrieMap[String, Seq[Double]] = TrieMap.empty
 
-  /** Fixpoint hop counts of the last run, keyed by entry name (falling
-    * back to an algorithm label outside a bench context). */
+  /** Fixpoint hop counts of the last timed rep, keyed by entry name.
+    * Recording is a NO-OP outside a bench measurement window (same rule
+    * as streams) — an unkeyed fallback label would collide across
+    * entries and children in the merged record. */
   val fixpointHops: TrieMap[String, Int] = TrieMap.empty
 
   /** The entry the bench is currently timing — the key telemetry records
@@ -29,6 +35,17 @@ object QueryTelemetry {
     * outside a bench run. */
   val currentEntry = new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** Open a measurement window: name the entry and drop its previous
+    * rep's telemetry so appends within THIS rep start clean. */
+  def beginEntry(name: String): Unit = {
+    currentEntry.set(name)
+    streamBatches.remove(name)
+    fixpointHops.remove(name)
+    ()
+  }
+
+  def endEntry(): Unit = currentEntry.set("")
+
   /** Record a drained streaming query's per-micro-batch execution
     * seconds under the current entry (no-op outside a bench window). */
   def recordStream(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -36,13 +53,15 @@ object QueryTelemetry {
     if (entry.nonEmpty) {
       val secs = q.recentProgress.toSeq.flatMap(p =>
         Option(p.durationMs.get("triggerExecution")).map(_.toDouble / 1000.0))
-      if (secs.nonEmpty) { streamBatches.put(entry, secs); () }
+      if (secs.nonEmpty) {
+        streamBatches.put(entry, streamBatches.getOrElse(entry, Nil) ++ secs); ()
+      }
     }
   }
 
   def recordFixpoint(label: String, hops: Int): Unit = {
     val entry = currentEntry.get()
-    fixpointHops.put(if (entry.nonEmpty) entry else label, hops); ()
+    if (entry.nonEmpty) { fixpointHops.put(entry, hops); () }
   }
 
   def clear(): Unit = { streamBatches.clear(); fixpointHops.clear() }

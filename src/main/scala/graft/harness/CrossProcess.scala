@@ -173,22 +173,7 @@ object CrossProcess {
 
     // the concurrent GC loop — from the orchestrator JVM, so it shares no
     // in-process locks, caches, or session state with any writer
-    val vacuumRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-    val vacuumRemoved = new java.util.concurrent.atomic.AtomicInteger(0)
-    val vacuumErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val stopVacuum = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val vacuumThread = new Thread(() => {
-      while (!stopVacuum.get()) {
-        try {
-          vacuumRemoved.addAndGet(table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs))
-          vacuumRuns.incrementAndGet()
-          ()
-        } catch { case e: Throwable => vacuumErrors.add(e.toString); () }
-        Thread.sleep(vacuumPeriodMs)
-      }
-    }, "xproc-vacuum")
-    vacuumThread.setDaemon(true)
-    vacuumThread.start()
+    val vac = startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-vacuum")
 
     val workerFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     val reports = procs.flatMap { case (w, proc, outFile) =>
@@ -203,8 +188,7 @@ object CrossProcess {
         case None => workerFailures += s"worker $w: unreadable report"; None
       }
     }
-    stopVacuum.set(true)
-    vacuumThread.join(15000)
+    vac.finish()
 
     // global exact-state check: disjoint key subspaces make the union of
     // the per-worker serial-replay models THE serialization-independent
@@ -229,7 +213,7 @@ object CrossProcess {
     // segment/page/rli refs, no stale quarantines left behind by the
     // race-heavy window (grace 0: anything still quarantined is a leak)
     try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); () }
-    catch { case e: Throwable => vacuumErrors.add(s"final: $e"); () }
+    catch { case e: Throwable => vac.errors.add(s"final: $e"); () }
     val fsckFindings = table.fsck(graceMs = 0).collect()
       .map(r => s"${r.getString(0)} v${r.getLong(1)} ${r.getString(2)}").toSeq
 
@@ -241,9 +225,9 @@ object CrossProcess {
       lostUpdates = lost,
       extraRows = extra,
       fsckFindings = fsckFindings,
-      vacuumRuns = vacuumRuns.get(),
-      vacuumRemoved = vacuumRemoved.get(),
-      vacuumErrors = vacuumErrors.asScala.toSeq,
+      vacuumRuns = vac.runs.get(),
+      vacuumRemoved = vac.removed.get(),
+      vacuumErrors = vac.errors.asScala.toSeq,
       finalRows = finalRows.size.toLong,
       modelRows = model.size.toLong,
       elapsedSec = (System.nanoTime() - t0) / 1e9,
@@ -341,18 +325,7 @@ object CrossProcess {
       spawnWorker(0, tableDir, outDir, txnsPerWorker, 2, 2, 1)
     val (victim, _) = spawnWorker(1, tableDir, outDir, txnsPerWorker, 2, 2, 1)
 
-    val vacuumRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-    val vacuumErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val stopVacuum = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val vacuumThread = new Thread(() => {
-      while (!stopVacuum.get()) {
-        try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); vacuumRuns.incrementAndGet(); () }
-        catch { case e: Throwable => vacuumErrors.add(e.toString); () }
-        Thread.sleep(vacuumPeriodMs)
-      }
-    }, "xproc-crash-vacuum")
-    vacuumThread.setDaemon(true)
-    vacuumThread.start()
+    val vac = startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-crash-vacuum")
 
     // kill the victim once roughly half the expected commit volume has
     // published (each transaction is one commit) — mid-flight by
@@ -370,8 +343,7 @@ object CrossProcess {
 
     val finished = survivor.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) survivor.destroyForcibly()
-    stopVacuum.set(true)
-    vacuumThread.join(15000)
+    vac.finish()
 
     val survivorFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     val report = if (!finished) { survivorFailures += "survivor: timeout"; None }
@@ -428,8 +400,8 @@ object CrossProcess {
       orphanKeyViolations = orphanViolations,
       fsckFindings = fsckFindings,
       finalRows = finalRows.size.toLong,
-      vacuumRuns = vacuumRuns.get(),
-      vacuumErrors = vacuumErrors.asScala.toSeq)
+      vacuumRuns = vac.runs.get(),
+      vacuumErrors = vac.errors.asScala.toSeq)
   }
 
   // ------------------------------------------------------- same-key mode --
@@ -509,8 +481,7 @@ object CrossProcess {
     val outDir = Files.createTempDirectory("graft-xproc-sk-out-")
     val procs = (0 until workers).map(w =>
       (w, spawnSkWorker(w, tableDir, outDir, txnsPerWorker)))
-    val (stopVacuum, vacuumThread, vacuumRuns, vacuumErrors) =
-      startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-sk-vacuum")
+    val vac = startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-sk-vacuum")
     val workerFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     val reports = procs.flatMap { case (w, (proc, outFile)) =>
       val finished = proc.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
@@ -523,8 +494,7 @@ object CrossProcess {
         case None => workerFailures += s"skworker $w: unreadable report"; None
       }
     }
-    stopVacuum.set(true)
-    vacuumThread.join(15000)
+    vac.finish()
     // exact oracle: per-key lexicographic max over every worker's log
     val expected: Map[String, String] = reports.flatMap(_.maxWritten.toSeq)
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
@@ -550,7 +520,7 @@ object CrossProcess {
       if (shapeOk) None else Some(s"${r.primaryKeyValue}|${r.partitionKeyValue}|${r.dataValue}")
     }
     try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); () }
-    catch { case e: Throwable => vacuumErrors.add(s"final: $e"); () }
+    catch { case e: Throwable => vac.errors.add(s"final: $e"); () }
     val fsckFindings = table.fsck(graceMs = 0).collect()
       .map(r => s"${r.getString(0)} v${r.getLong(1)} ${r.getString(2)}").toSeq
     SameKeySummary(
@@ -562,7 +532,7 @@ object CrossProcess {
       malformedRows = malformed,
       victimWasAlive = true, victimRowsSeen = 0,
       fsckFindings = fsckFindings,
-      vacuumRuns = vacuumRuns.get(), vacuumErrors = vacuumErrors.asScala.toSeq,
+      vacuumRuns = vac.runs.get(), vacuumErrors = vac.errors.asScala.toSeq,
       finalRows = finalRows.size.toLong,
       elapsedSec = (System.nanoTime() - t0) / 1e9)
   }
@@ -590,8 +560,7 @@ object CrossProcess {
     val outDir = Files.createTempDirectory("graft-xproc-sk-out-")
     val (survivor, survivorReport) = spawnSkWorker(0, tableDir, outDir, txnsPerWorker)
     val (victim, _) = spawnSkWorker(1, tableDir, outDir, txnsPerWorker)
-    val (stopVacuum, vacuumThread, vacuumRuns, vacuumErrors) =
-      startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-skcrash-vacuum")
+    val vac = startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-skcrash-vacuum")
     // ~40% of expected total commit volume — mid-flight by construction
     val killTarget = math.max(1L, (txnsPerWorker * 4L) / 5L)
     val deadline = System.currentTimeMillis() + 120000
@@ -604,20 +573,30 @@ object CrossProcess {
     // the kill and legitimately supersedes every victim value by the end
     // (that is the max-oracle working, not the victim vanishing) — only
     // the mid-run snapshot can show the victim's commits landed
-    // up to 3 attempts: a transient read failure (racing archival) must
-    // not masquerade as "the victim never committed" — if it truly never
-    // did, every attempt still counts zero
-    val victimRowsAtKill = (1 to 3).iterator.map { _ =>
+    // up to 3 attempts with a short backoff: a transient read failure
+    // (racing archival) must not masquerade as "the victim never
+    // committed" — if it truly never did, every attempt still counts
+    // zero. A final fallback scans a few RETAINED versions: the survivor
+    // keeps merging greater stamps while we sample, so an unlucky
+    // interleaving could already have superseded every victim stamp in
+    // the LATEST snapshot while an older retained one still shows them.
+    def countW1(version: Long = -1L): Int =
       scala.util.Try {
         import spark.implicits._
-        table.snapshot().as[Record].collect()
+        table.snapshot(version).as[Record].collect()
           .count(r => String.valueOf(r.dataValue).endsWith(".w1"))
       }.getOrElse(0)
-    }.find(_ > 0).getOrElse(0)
+    val victimRowsAtKill = (1 to 3).iterator.map { i =>
+      if (i > 1) Thread.sleep(300)
+      countW1()
+    }.find(_ > 0).getOrElse {
+      val latest = scala.util.Try(table.latestVersion()).getOrElse(-1L)
+      (1L to 6L).iterator.map(latest - _).filter(_ >= 0)
+        .map(countW1).find(_ > 0).getOrElse(0)
+    }
     val finished = survivor.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) survivor.destroyForcibly()
-    stopVacuum.set(true)
-    vacuumThread.join(15000)
+    vac.finish()
     val workerFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     val report = if (!finished) { workerFailures += "survivor: timeout"; None }
       else if (survivor.exitValue() != 0) { workerFailures += s"survivor: exit ${survivor.exitValue()}"; None }
@@ -651,7 +630,7 @@ object CrossProcess {
       if (shapeOk) None else Some(s"${r.primaryKeyValue}|${r.partitionKeyValue}|${r.dataValue}")
     }
     try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); () }
-    catch { case e: Throwable => vacuumErrors.add(s"final: $e"); () }
+    catch { case e: Throwable => vac.errors.add(s"final: $e"); () }
     val fsckFindings = table.fsck(graceMs = 0).collect()
       .map(r => s"${r.getString(0)} v${r.getLong(1)} ${r.getString(2)}").toSeq
     SameKeySummary(
@@ -663,31 +642,42 @@ object CrossProcess {
       malformedRows = malformed,
       victimWasAlive = victimWasAlive, victimRowsSeen = victimRowsAtKill,
       fsckFindings = fsckFindings,
-      vacuumRuns = vacuumRuns.get(), vacuumErrors = vacuumErrors.asScala.toSeq,
+      vacuumRuns = vac.runs.get(), vacuumErrors = vac.errors.asScala.toSeq,
       finalRows = finalRows.size.toLong,
       elapsedSec = (System.nanoTime() - t0) / 1e9)
   }
 
   /** The shared vacuum-race loop (one thread in THIS process, no state
-    * shared with any worker). */
+    * shared with any worker) — used by every orchestrator mode, so
+    * kill/grace/telemetry behavior cannot silently diverge between them. */
+  private final case class VacuumLoop(
+      stop: java.util.concurrent.atomic.AtomicBoolean,
+      thread: Thread,
+      runs: java.util.concurrent.atomic.AtomicInteger,
+      removed: java.util.concurrent.atomic.AtomicInteger,
+      errors: java.util.concurrent.ConcurrentLinkedQueue[String]) {
+    def finish(): Unit = { stop.set(true); thread.join(15000) }
+  }
+
   private def startVacuumLoop(
-      table: AcidTable, periodMs: Long, graceMs: Long, name: String):
-      (java.util.concurrent.atomic.AtomicBoolean, Thread,
-        java.util.concurrent.atomic.AtomicInteger,
-        java.util.concurrent.ConcurrentLinkedQueue[String]) = {
+      table: AcidTable, periodMs: Long, graceMs: Long, name: String): VacuumLoop = {
     val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val removed = new java.util.concurrent.atomic.AtomicInteger(0)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t = new Thread(() => {
       while (!stop.get()) {
-        try { table.vacuum(keepVersions = 2, graceMillis = graceMs); runs.incrementAndGet(); () }
-        catch { case e: Throwable => errors.add(e.toString); () }
+        try {
+          removed.addAndGet(table.vacuum(keepVersions = 2, graceMillis = graceMs))
+          runs.incrementAndGet()
+          ()
+        } catch { case e: Throwable => errors.add(e.toString); () }
         Thread.sleep(periodMs)
       }
     }, name)
     t.setDaemon(true)
     t.start()
-    (stop, t, runs, errors)
+    VacuumLoop(stop, t, runs, removed, errors)
   }
 
   private def spawnSkWorker(

@@ -2277,14 +2277,23 @@ final class AcidTable private (
         checkSegLines(v, raw.filter(l => l.startsWith("@") && !l.startsWith("@@")))
         // the generation side file is checked FIRST and on the raw header
         // (a missing side file must be REPORTED, not abort the walk); run
-        // checks then use the full expansion when it resolves, falling
-        // back to the inline tail when it does not
+        // checks then use the full expansion when it resolves, and the
+        // INLINE tail when it does not — the expansion is skipped
+        // entirely for a side file this walk just proved absent, so a
+        // damaged table never pays the GC-race retry ladder per version
+        var genMissingHere = false
         rliGenFileOf(raw).foreach { case (n, _) =>
-          if (seenRli.add(n) && !Files.exists(segmentsDir.resolve(n)))
-            out += (("dangling_rli_ref", v, n,
-              "record index generation list; heal: fsckRepair or rebuildRecordIndex"))
+          if (!Files.exists(segmentsDir.resolve(n))) {
+            genMissingHere = true
+            if (seenRli.add(n))
+              out += (("dangling_rli_ref", v, n,
+                "record index generation list; heal: fsckRepair or rebuildRecordIndex"))
+          }
         }
-        scala.util.Try(rliRefsOf(raw)).getOrElse(rliInlineRefsOf(raw)).foreach { ref =>
+        val refsToCheck =
+          if (genMissingHere) rliInlineRefsOf(raw)
+          else scala.util.Try(rliRefsOf(raw)).getOrElse(rliInlineRefsOf(raw))
+        refsToCheck.foreach { ref =>
           if (seenRli.add(ref.name) && !Files.exists(segmentsDir.resolve(ref.name)))
             out += (("dangling_rli_ref", v, ref.name,
               "record index; heal: fsckRepair or rebuildRecordIndex"))
@@ -3826,6 +3835,9 @@ final class AcidTable private (
       // escalating to losing the version's metadata. The failure flag
       // ABORTS ref GC for this cycle instead (fsck reports the dangling
       // page for healing); data-file/temp sweeps above are unaffected.
+      // one generation-expansion memo for ALL refsOf passes this cycle
+      val genMemo =
+        scala.collection.mutable.Map.empty[String, Option[Seq[AcidTable.RliRef]]]
       def refsOf(vs: Iterator[Long]): (Set[String], Set[String], Boolean) = {
         val segs = scala.collection.mutable.Set.empty[String]
         val pgs = scala.collection.mutable.Set.empty[String]
@@ -3842,11 +3854,22 @@ final class AcidTable private (
               // semantics). The generation SIDE FILE is live alongside
               // its members; an unreadable side file must abort ref GC
               // (treating it as "references nothing" would delete every
-              // generation shard the root still needs)
-              rliGenFileOf(raw).foreach { case (n, _) => pgs += n }
-              scala.util.Try(rliRefsOf(raw)) match {
-                case scala.util.Success(rs) => rs.foreach(r => pgs += r.name)
-                case scala.util.Failure(_) => ok = false
+              // generation shard the root still needs). Expansion
+              // failures are memoized per NAME for this pass — many
+              // retained versions reference one generation, and a
+              // missing file must not pay the retry ladder per version
+              rliGenFileOf(raw) match {
+                case None => rliInlineRefsOf(raw).foreach(r => pgs += r.name)
+                case Some((n, _)) =>
+                  pgs += n
+                  genMemo.getOrElseUpdate(n,
+                    scala.util.Try(readRliGen(n)).toOption) match {
+                    case Some(members) =>
+                      (members ++ rliInlineRefsOf(raw)).foreach(r => pgs += r.name)
+                    case None =>
+                      ok = false
+                      rliInlineRefsOf(raw).foreach(r => pgs += r.name)
+                  }
               }
               scala.util.Try(expandPages(raw)) match {
                 case scala.util.Success(exp) =>
@@ -5794,28 +5817,38 @@ final class AcidTable private (
       sc.parallelize(rs.map(_.name), math.max(1, math.min(rs.size, 64)))
         .flatMap(name => AcidTable.readRliEntriesAt(segDirStr, name))
     // dirty target shards from the delta entries (one pass over delta
-    // bytes; with no generation every target shard is implicitly dirty)
+    // bytes; with no generation every target shard is implicitly dirty).
+    // The delta RDD feeds BOTH the dirty-shard probe and the merge job —
+    // cache it so the delta run files are executor-read once, not twice
+    // (halves the fold's input I/O and its exposure to the GC
+    // quarantine-rename window)
     val deltaRdd = entriesRdd(deltas).map(e => (AcidTable.rliShardOf(e._1, n), e))
-    val dirty: Set[Int] =
-      if (gen.isEmpty) (0 until n).toSet
-      else deltaRdd.keys.distinct().collect().toSet
-    val carried = gen.filterNot(r => dirty.contains(r.shard))
-    val genDirty = gen.filter(r => dirty.contains(r.shard))
-    val baseRdd = entriesRdd(genDirty).map(e => (AcidTable.rliShardOf(e._1, n), e))
-    val rewritten = deltaRdd.union(baseRdd)
-      .partitionBy(new HashPartitioner(n)) // key s < n ⇒ partition s
-      .mapPartitionsWithIndex { (i, it) =>
-        val es = it.map(_._2).toArray.distinct.sorted // tuple sort
-        if (es.isEmpty) Iterator.empty
-        else {
-          val body = es.iterator.map { case (k, p) => s"$k|$p" }.mkString("\n")
-          val name = "rli-" + AcidTable.sha1Hex(body) + ".txt"
-          AcidTable.writeContentFile(segDirStr, name, body)
-          Iterator.single((name, i, es.length.toLong))
-        }
-      }.collect().toSeq
-    (carried ++ rewritten.map { case (nm, i, c) => AcidTable.RliRef(nm, i, n, c) })
-      .sortBy(_.shard)
+    val cacheDelta = gen.nonEmpty // probe only runs with a generation
+    if (cacheDelta) {
+      deltaRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); ()
+    }
+    try {
+      val dirty: Set[Int] =
+        if (gen.isEmpty) (0 until n).toSet
+        else deltaRdd.keys.distinct().collect().toSet
+      val carried = gen.filterNot(r => dirty.contains(r.shard))
+      val genDirty = gen.filter(r => dirty.contains(r.shard))
+      val baseRdd = entriesRdd(genDirty).map(e => (AcidTable.rliShardOf(e._1, n), e))
+      val rewritten = deltaRdd.union(baseRdd)
+        .partitionBy(new HashPartitioner(n)) // key s < n ⇒ partition s
+        .mapPartitionsWithIndex { (i, it) =>
+          val es = it.map(_._2).toArray.distinct.sorted // tuple sort
+          if (es.isEmpty) Iterator.empty
+          else {
+            val body = es.iterator.map { case (k, p) => s"$k|$p" }.mkString("\n")
+            val name = "rli-" + AcidTable.sha1Hex(body) + ".txt"
+            AcidTable.writeContentFile(segDirStr, name, body)
+            Iterator.single((name, i, es.length.toLong))
+          }
+        }.collect().toSeq
+      (carried ++ rewritten.map { case (nm, i, c) => AcidTable.RliRef(nm, i, n, c) })
+        .sortBy(_.shard)
+    } finally if (cacheDelta) { deltaRdd.unpersist(blocking = false); () }
   }
 
   /** The commit's index update, from what the write path has in hand:
@@ -6237,22 +6270,43 @@ final class AcidTable private (
       else {
         val baseRawR =
           if (v > 0) scala.util.Try(rawRootLines(v - 1)).getOrElse(Nil) else Nil
-        val inheritedRefs = rliRefsOf(baseRawR)
         val inheritedDone = rliDoneOf(baseRawR) || v == 0
+        // the base's ref lines — `#rligen=` indirection included — carry
+        // VERBATIM on the non-folding paths: an unchanged generation must
+        // cost a commit zero expansion, rendering, or hashing (the
+        // steady-state O(delta tail) contract); rendering is
+        // deterministic, so verbatim carry and re-render are
+        // byte-identical when both would run
+        def baseRefLines: Seq[String] =
+          baseRawR.filter(l => l.startsWith("#rligen=") || l.startsWith("#rli="))
+        val doneLines = if (inheritedDone) Seq("#rlidone=1") else Nil
         rli match {
-          case AcidTable.RliAuto => rliHeaderLinesFor(inheritedRefs, done = false)
-          case AcidTable.RliInherit => rliHeaderLinesFor(inheritedRefs, inheritedDone)
+          case AcidTable.RliAuto => baseRefLines // refs carry, flag drops
+          case AcidTable.RliInherit => baseRefLines ++ doneLines
           case AcidTable.RliAppend(newRefs) =>
-            val all = inheritedRefs ++ newRefs
             // fold when the DELTA TAIL (refs beyond the current merged
             // generation) outgrows the bound — not the total ref count: a
             // wide generation (thousands of shards on a billion-key
-            // table) must not re-trigger a fold on every commit
-            val merged =
-              if (all.size - AcidTable.rliGenPrefixLen(all) > AcidTable.MaxRliRefs)
-                mergeRliRefs(all)
-              else all
-            rliHeaderLinesFor(merged, inheritedDone)
+            // table) must not re-trigger a fold on every commit. With an
+            // indirected generation the tail is exactly the inline refs,
+            // so the trigger needs no side-file expansion at all.
+            baseRawR.find(_.startsWith("#rligen=")) match {
+              case Some(genLine) =>
+                val tail = rliInlineRefsOf(baseRawR) ++ newRefs
+                if (tail.size > AcidTable.MaxRliRefs)
+                  rliHeaderLinesFor(mergeRliRefs(rliRefsOf(baseRawR) ++ newRefs),
+                    inheritedDone)
+                else
+                  Seq(genLine) ++ (if (tail.isEmpty) Nil
+                    else Seq("#rli=" + tail.map(renderRliRef).mkString(","))) ++ doneLines
+              case None =>
+                val all = rliInlineRefsOf(baseRawR) ++ newRefs
+                val merged =
+                  if (all.size - AcidTable.rliGenPrefixLen(all) > AcidTable.MaxRliRefs)
+                    mergeRliRefs(all)
+                  else all
+                rliHeaderLinesFor(merged, inheritedDone)
+            }
           case AcidTable.RliSet(refs, done) => rliHeaderLinesFor(refs, done)
         }
       }
@@ -6272,8 +6326,14 @@ final class AcidTable private (
       else rootTail.collect { case l if l.startsWith("@@") =>
         l.substring(2).takeWhile(_ != '|')
       }.filterNot(n => pagesOut.exists(_._1 == n))
+    // the touch pass is best-effort protection (the quarantine-recheck
+    // and post-link re-assert protocols are the backstop), so a gen side
+    // file that cannot be expanded must not abort a commit that carries
+    // it verbatim — touch the side file itself plus whatever resolves
     val carriedRli: Seq[String] =
-      rliGenFileOf(rliHeader).map(_._1).toSeq ++ rliRefsOf(rliHeader).map(_.name)
+      rliGenFileOf(rliHeader).map(_._1).toSeq ++
+        scala.util.Try(rliRefsOf(rliHeader)).getOrElse(rliInlineRefsOf(rliHeader))
+          .map(_.name)
     def reassertCarriedRef(name: String): Unit =
       if (!segmentsDir.resolve(name).toFile.setLastModified(System.currentTimeMillis())) {
         val cached =
