@@ -73,6 +73,15 @@ object Bench {
     * it (default: all earlier records) — the cross-round adjudication
     * table that used to be built by hand from matched runs. Reads the
     * append-only archive every full run writes; no Spark session.
+    *
+    * Round 18 (r17 verdict #5): each entry's ratio is also NORMALIZED by
+    * its nearest canary samples (the fixed-plan probes timed right around
+    * the entry in both records), and the run ends with an automatic
+    * adjudication verdict — `noise` (entries inside the band), `uniform-
+    * shift` (entry median moved with the canary floor: machine-level),
+    * or `structural` (entries that moved MORE than their local ambience
+    * explains) — so cross-round BASELINE.md notes can cite the output
+    * instead of a hand-matched A/B.
     */
   private def compareHistory(args: Seq[String]): Unit = {
     val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")
@@ -94,22 +103,47 @@ object Bench {
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val curQ = parseQueryTimes(cur)
     val baseQs = base.map(parseQueryTimes)
+    // per-entry local ambience: the canary samples taken right around the
+    // entry, current record vs baseline records
+    val curEnv = parseArrayMapByKey(cur, "entry_canaries")
+    val baseEnvs = base.map(parseArrayMapByKey(_, "entry_canaries"))
+    // global ambience: every canary sample in the record
+    val curAmb = parseNumArrayByKey(cur, "canary_samples")
+    val baseAmb = base.flatMap(parseNumArrayByKey(_, "canary_samples"))
+    val ambShift =
+      if (curAmb.isEmpty || baseAmb.isEmpty) 1.0
+      else med(curAmb) / math.max(med(baseAmb), 1e-9)
     println(f"baseline: median of ${base.size} record(s) " +
       f"(totals ${base.map(totalOf).map(v => f"$v%.1f").mkString(", ")}s); " +
       f"current: ${totalOf(cur)}%.1fs @ ${tsOf(cur)}")
+    if (curAmb.nonEmpty && baseAmb.nonEmpty)
+      println(f"ambience: canary floor med ${med(baseAmb)}%.3fs -> ${med(curAmb)}%.3fs " +
+        f"($ambShift%.2fx); per-entry 'norm' divides each ratio by its LOCAL canary shift")
+    // (name, baseMed, cur, rawRatio, normRatio)
     val rows = curQ.toSeq.flatMap { case (name, c) =>
       val b = baseQs.flatMap(_.get(name)).filter(_ >= 0)
       if (b.isEmpty || c < 0) None
-      else Some((name, med(b), c, c / math.max(med(b), 1e-9)))
+      else {
+        val raw = c / math.max(med(b), 1e-9)
+        val localCur = curEnv.getOrElse(name, Nil)
+        val localBase = baseEnvs.flatMap(_.getOrElse(name, Nil))
+        val localShift =
+          if (localCur.isEmpty || localBase.isEmpty) ambShift
+          else med(localCur) / math.max(med(localBase), 1e-9)
+        // clamp the normalizer: a canary outlier (one hot 1.7s sample)
+        // must not launder a real 3x regression into "normal"
+        val shift = math.max(0.5, math.min(2.0, localShift))
+        Some((name, med(b), c, raw, raw / shift))
+      }
     }
-    val moved = rows.filter { case (_, b, c, r) =>
+    val moved = rows.filter { case (_, b, c, r, _) =>
       math.abs(c - b) > 0.1 && (r > 1.25 || r < 0.8) }
     val (slower, faster) = moved.partition(_._4 > 1)
-    def show(title: String, xs: Seq[(String, Double, Double, Double)]): Unit =
+    def show(title: String, xs: Seq[(String, Double, Double, Double, Double)]): Unit =
       if (xs.nonEmpty) {
         println(title)
-        xs.sortBy(t => -math.abs(math.log(t._4))).foreach { case (q, b, c, r) =>
-          println(f"  $q%-36s $b%8.3fs -> $c%8.3fs  ${r}%5.2fx") }
+        xs.sortBy(t => -math.abs(math.log(t._4))).foreach { case (q, b, c, r, nr) =>
+          println(f"  $q%-36s $b%8.3fs -> $c%8.3fs  ${r}%5.2fx  (norm ${nr}%5.2fx)") }
       }
     show(s"slower (${slower.size}):", slower)
     show(s"faster (${faster.size}):", faster)
@@ -117,6 +151,24 @@ object Bench {
       "(threshold: >0.1s absolute AND outside [0.80x, 1.25x])")
     val missing = baseQs.flatMap(_.keys).distinct.filterNot(curQ.contains)
     if (missing.nonEmpty) println(s"entries missing from current run: ${missing.sorted.mkString(", ")}")
+    // automatic adjudication: structural = moved AND still outside the
+    // band after dividing out the local ambience shift; uniform-shift =
+    // the whole table moved with the canary floor; noise = neither
+    val structural = moved.filter { case (_, b, c, _, nr) =>
+      math.abs(c - b) > 0.15 && (nr > 1.3 || nr < 0.77) }
+    val medianRatio = if (rows.isEmpty) 1.0 else med(rows.map(_._4))
+    val verdict =
+      if (structural.nonEmpty)
+        s"structural — ${structural.size} entr${if (structural.size == 1) "y" else "ies"} moved " +
+          s"beyond local ambience: ${structural.map(_._1).sorted.mkString(", ")}"
+      else if (medianRatio > 1.2 || medianRatio < 0.83) {
+        val sameDir = (medianRatio > 1) == (ambShift > 1)
+        f"uniform-shift — entry median $medianRatio%.2fx, canary floor $ambShift%.2fx" +
+          (if (sameDir) " (same direction: machine-level, not code)"
+           else " (direction DISAGREES with canary: investigate)")
+      } else
+        f"noise — entry median $medianRatio%.2fx, ${moved.size} outlier(s) all explained by local ambience"
+    println(s"verdict: $verdict")
   }
 
   /** Render the driver-contract JSON line, write it to
@@ -456,6 +508,20 @@ object Bench {
         """"([^"]+)":\[([^\]]*)\]""".r.findAllMatchIn(m.group(1))
           .map(p => p.group(1) ->
             p.group(2).split(',').iterator.filter(_.nonEmpty).map(_.toDouble).toSeq)
+          .toMap
+    }
+
+  /** Extract a string→numeric-array map (`"key":{"q":[a,b],...}` — values
+    * are flat numeric arrays, so the brace regex is a complete parser). */
+  private[graft] def parseArrayMapByKey(json: String, key: String): Map[String, Seq[Double]] =
+    (java.util.regex.Pattern.quote("\"" + key + "\":") + """\{([^{}]*)\}""").r
+      .findFirstMatchIn(json) match {
+      case None => Map.empty
+      case Some(m) =>
+        """"([^"]+)":\[([^\]]*)\]""".r.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) ->
+            p.group(2).split(',').iterator.filter(_.nonEmpty)
+              .flatMap(s => scala.util.Try(s.toDouble).toOption).toSeq)
           .toMap
     }
 

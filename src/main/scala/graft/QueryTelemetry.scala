@@ -23,7 +23,9 @@ object QueryTelemetry {
     * real per-batch execution; wall − Σ is harness wait. */
   val streamBatches: TrieMap[String, Seq[Double]] = TrieMap.empty
 
-  /** Fixpoint hop counts of the last timed rep, keyed by entry name.
+  /** Fixpoint hop counts of the last timed rep, keyed `entry/label` so an
+    * entry that drains TWO different fixpoint helpers in one rep records
+    * both (a bare entry key would clobber the first — round-17 advice).
     * Recording is a NO-OP outside a bench measurement window (same rule
     * as streams) — an unkeyed fallback label would collide across
     * entries and children in the merged record. */
@@ -40,7 +42,7 @@ object QueryTelemetry {
   def beginEntry(name: String): Unit = {
     currentEntry.set(name)
     streamBatches.remove(name)
-    fixpointHops.remove(name)
+    fixpointHops.keys.filter(_.startsWith(s"$name/")).foreach(fixpointHops.remove)
     ()
   }
 
@@ -61,7 +63,7 @@ object QueryTelemetry {
 
   def recordFixpoint(label: String, hops: Int): Unit = {
     val entry = currentEntry.get()
-    if (entry.nonEmpty) { fixpointHops.put(entry, hops); () }
+    if (entry.nonEmpty) { fixpointHops.put(s"$entry/$label", hops); () }
   }
 
   def clear(): Unit = { streamBatches.clear(); fixpointHops.clear() }

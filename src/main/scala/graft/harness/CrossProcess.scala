@@ -82,20 +82,24 @@ object CrossProcess {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("worker") => workerMain(args.drop(1))
     case Some("skworker") => sameKeyWorkerMain(args.drop(1))
-    case Some("samekey") =>
+    case Some("samekey") | Some("samekey-del") =>
+      val del = args.headOption.contains("samekey-del")
       val txnsPerWorker = args.lift(1).map(_.toInt).getOrElse(500)
       val workers = args.lift(2).map(_.toInt).getOrElse(2)
       val spark = localSession()
       val dir = Files.createTempDirectory("graft-xproc-sk-").resolve("records")
-      val summary = orchestrateSameKey(spark, dir.toString, txnsPerWorker, workers)
+      val summary = orchestrateSameKey(spark, dir.toString, txnsPerWorker, workers,
+        del = del)
       println(sameKeyJson(summary))
       spark.stop()
       sys.exit(if (summary.ok) 0 else 1)
-    case Some("samekey-crash") =>
+    case Some("samekey-crash") | Some("samekey-del-crash") =>
+      val del = args.headOption.contains("samekey-del-crash")
       val txnsPerWorker = args.lift(1).map(_.toInt).getOrElse(500)
       val spark = localSession()
       val dir = Files.createTempDirectory("graft-xproc-skcrash-").resolve("records")
-      val summary = orchestrateSameKeyCrash(spark, dir.toString, txnsPerWorker)
+      val summary = orchestrateSameKeyCrash(spark, dir.toString, txnsPerWorker,
+        del = del)
       println(sameKeyJson(summary))
       spark.stop()
       sys.exit(if (summary.ok) 0 else 1)
@@ -327,16 +331,26 @@ object CrossProcess {
 
     val vac = startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-crash-vacuum")
 
-    // kill the victim once roughly half the expected commit volume has
-    // published (each transaction is one commit) — mid-flight by
-    // construction, not at a quiescent point
-    // ~40% of the expected TOTAL commit volume: early enough that the
-    // victim cannot have finished its share, late enough that it has
-    // committed real work — victimWasAlive/victimRowsSeen prove both
-    val killTarget = math.max(1L, (txnsPerWorker * 4L) / 5L)
+    // kill the victim at ~40% of the COMBINED two-worker commit volume
+    // (2 workers × txnsPerWorker × 2/5; each transaction is one commit) —
+    // mid-flight by construction, not at a quiescent point — AND only
+    // after DIRECT victim evidence: a row of the victim's key subspace is
+    // visible in a snapshot (round-17 advice: total version count alone
+    // races a fast-booting survivor, leaving victimRowsSeen spuriously 0)
+    val killTarget = math.max(1L, (2L * txnsPerWorker * 2L) / 5L)
     val deadline = System.currentTimeMillis() + 120000
-    while (table.latestVersion() < killTarget && victim.isAlive &&
-        System.currentTimeMillis() < deadline) Thread.sleep(25)
+    def victimEvidence(): Boolean = scala.util.Try {
+      import spark.implicits._
+      table.snapshot().as[Record].collect().exists(r =>
+        scala.util.Try(r.primaryKeyValue.stripPrefix("Record").toInt)
+          .toOption.exists(_ % 2 == 1))
+    }.getOrElse(false)
+    var sawVictimWork = false
+    while ((table.latestVersion() < killTarget || !sawVictimWork) &&
+        victim.isAlive && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      if (!sawVictimWork) sawVictimWork = victimEvidence()
+    }
     val killedAt = table.latestVersion()
     val victimWasAlive = victim.isAlive
     victim.destroyForcibly()
@@ -424,6 +438,7 @@ object CrossProcess {
 
   final case class SameKeySummary(
       crashMode: Boolean,
+      delMode: Boolean,
       workers: Int,
       committed: Int,
       monotoneViolations: Int,
@@ -463,7 +478,20 @@ object CrossProcess {
 
   /** `workers` JVMs merge the SAME `SkKeyPool` keys (update-if-greater)
     * against one table dir, vacuum racing from this process; the exact
-    * final-state oracle is the per-key max over the workers' write logs. */
+    * final-state oracle is the per-key max over the workers' write logs.
+    *
+    * `del = true` (round 18, r17 verdict #4) mixes in CONDITIONAL
+    * DELETES: ~30% of transactions `deleteWhere(pk IN keys AND dataValue
+    * < stamp)` under `morDeletes`, so deletion vectors, tombstone
+    * materialization, and key resurrection (a later merge re-inserting a
+    * DV-deleted key) all contend on the SAME keys across JVMs. The
+    * max-oracle survives because every worker ends with a SEALING pass —
+    * update-if-greater merges stamped in a 900M+ range strictly above
+    * every mid-run stamp, over every key it touched — so each key's
+    * globally-maximal stamp is a MERGE, and serial-equivalent execution
+    * must leave exactly that value (a conditional delete's stamp is
+    * always below it, so the sealed row can never be removed).
+    */
   def orchestrateSameKey(
       spark: SparkSession,
       tableDir: String,
@@ -471,16 +499,18 @@ object CrossProcess {
       workers: Int = 2,
       vacuumPeriodMs: Long = 1000,
       vacuumGraceMs: Long = 20000,
-      workerTimeoutMinutes: Long = 30): SameKeySummary = {
+      workerTimeoutMinutes: Long = 30,
+      del: Boolean = false): SameKeySummary = {
     require(workers >= 1 && workers <= 8, "workers must be in [1, 8]")
     val t0 = System.nanoTime()
     val table = AcidTable.create(
       spark, tableDir, recordSchema,
       pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
       precombineCol = Some("dataValue"), stablePartitions = true)
+    if (del) table.setTableProperty("morDeletes", Some("true"))
     val outDir = Files.createTempDirectory("graft-xproc-sk-out-")
     val procs = (0 until workers).map(w =>
-      (w, spawnSkWorker(w, tableDir, outDir, txnsPerWorker)))
+      (w, spawnSkWorker(w, tableDir, outDir, txnsPerWorker, del)))
     val vac = startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-sk-vacuum")
     val workerFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     val reports = procs.flatMap { case (w, (proc, outFile)) =>
@@ -524,7 +554,7 @@ object CrossProcess {
     val fsckFindings = table.fsck(graceMs = 0).collect()
       .map(r => s"${r.getString(0)} v${r.getLong(1)} ${r.getString(2)}").toSeq
     SameKeySummary(
-      crashMode = false, workers = workers,
+      crashMode = false, delMode = del, workers = workers,
       committed = reports.map(_.committed).sum,
       monotoneViolations = reports.map(_.monotoneViolations).sum,
       workerFailures = workerFailures.toSeq,
@@ -551,21 +581,37 @@ object CrossProcess {
       txnsPerWorker: Int,
       vacuumPeriodMs: Long = 1000,
       vacuumGraceMs: Long = 20000,
-      workerTimeoutMinutes: Long = 30): SameKeySummary = {
+      workerTimeoutMinutes: Long = 30,
+      del: Boolean = false): SameKeySummary = {
     val t0 = System.nanoTime()
     val table = AcidTable.create(
       spark, tableDir, recordSchema,
       pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
       precombineCol = Some("dataValue"), stablePartitions = true)
+    if (del) table.setTableProperty("morDeletes", Some("true"))
     val outDir = Files.createTempDirectory("graft-xproc-sk-out-")
-    val (survivor, survivorReport) = spawnSkWorker(0, tableDir, outDir, txnsPerWorker)
-    val (victim, _) = spawnSkWorker(1, tableDir, outDir, txnsPerWorker)
+    val (survivor, survivorReport) = spawnSkWorker(0, tableDir, outDir, txnsPerWorker, del)
+    val (victim, _) = spawnSkWorker(1, tableDir, outDir, txnsPerWorker, del)
     val vac = startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-skcrash-vacuum")
-    // ~40% of expected total commit volume — mid-flight by construction
-    val killTarget = math.max(1L, (txnsPerWorker * 4L) / 5L)
+    // kill at ~40% of the COMBINED two-worker commit volume (2 workers ×
+    // txnsPerWorker × 2/5) — mid-flight by construction — and only after
+    // a `.w1`-stamped row is VISIBLE (direct victim evidence; round-17
+    // advice: the version counter alone counts both workers, so a
+    // fast-booting survivor could reach the target before the victim
+    // commits anything and the evidence gate below would flake)
+    val killTarget = math.max(1L, (2L * txnsPerWorker * 2L) / 5L)
     val deadline = System.currentTimeMillis() + 120000
-    while (table.latestVersion() < killTarget && victim.isAlive &&
-        System.currentTimeMillis() < deadline) Thread.sleep(25)
+    def w1Visible(): Int = scala.util.Try {
+      import spark.implicits._
+      table.snapshot().as[Record].collect()
+        .count(r => String.valueOf(r.dataValue).endsWith(".w1"))
+    }.getOrElse(0)
+    var w1AtGate = 0
+    while ((table.latestVersion() < killTarget || w1AtGate == 0) &&
+        victim.isAlive && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      if (w1AtGate == 0) w1AtGate = w1Visible()
+    }
     val victimWasAlive = victim.isAlive
     victim.destroyForcibly()
     // victim-work evidence is sampled NOW, not from the final state: in
@@ -592,7 +638,11 @@ object CrossProcess {
     }.find(_ > 0).getOrElse {
       val latest = scala.util.Try(table.latestVersion()).getOrElse(-1L)
       (1L to 6L).iterator.map(latest - _).filter(_ >= 0)
-        .map(countW1).find(_ > 0).getOrElse(0)
+        .map(countW1).find(_ > 0).getOrElse(
+          // the kill gate itself observed victim rows pre-kill; if the
+          // survivor superseded every .w1 stamp during the sampling
+          // window, that observation is still committed-work evidence
+          w1AtGate)
     }
     val finished = survivor.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) survivor.destroyForcibly()
@@ -634,7 +684,7 @@ object CrossProcess {
     val fsckFindings = table.fsck(graceMs = 0).collect()
       .map(r => s"${r.getString(0)} v${r.getLong(1)} ${r.getString(2)}").toSeq
     SameKeySummary(
-      crashMode = true, workers = 2,
+      crashMode = true, delMode = del, workers = 2,
       committed = report.map(_.committed).getOrElse(0),
       monotoneViolations = report.map(_.monotoneViolations).getOrElse(0),
       workerFailures = workerFailures.toSeq,
@@ -681,7 +731,8 @@ object CrossProcess {
   }
 
   private def spawnSkWorker(
-      w: Int, tableDir: String, outDir: Path, txns: Int): (Process, Path) = {
+      w: Int, tableDir: String, outDir: Path, txns: Int,
+      del: Boolean = false): (Process, Path) = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
@@ -691,7 +742,7 @@ object CrossProcess {
     val cmd = (javaBin +: jvmArgs) ++ Seq(
       "-cp", sys.props("java.class.path"), "graft.harness.CrossProcess", "skworker",
       tableDir, outFile.toString, txns.toString, w.toString,
-      (4321L + 6037L * w).toString)
+      (4321L + 6037L * w).toString, del.toString)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -708,37 +759,60 @@ object CrossProcess {
 
   /** Same-key worker body: `txns` conditional merges of 1-3 random keys
     * from the shared pool, update-if-greater, with a monotone re-read
-    * every 20 transactions. */
+    * every 20 transactions. In `del` mode ~30% of transactions are
+    * CONDITIONAL DV DELETES (`deleteWhere(pk IN keys AND dataValue <
+    * stamp)` — morDeletes routes them through deletion vectors), and the
+    * run ends with a SEALING pass: update-if-greater merges in the 900M+
+    * stamp range over every touched key, so the global max stamp per key
+    * is always a merge and the orchestrator's max-oracle stays exact.
+    * Monotone re-reads are del-mode-off: a foreign conditional delete +
+    * low re-insert legitimately regresses a key's visible value mid-run.
+    */
   private def sameKeyWorkerMain(args: Array[String]): Unit = {
     val Array(tableDir, outFile, txns, worker, seed) = args.take(5)
+    val del = args.lift(5).exists(_.toBoolean)
     val w = worker.toInt
     val spark = localSession()
     val table = AcidTable.open(spark, tableDir)
     val rnd = new scala.util.Random(seed.toLong)
     val maxWritten = scala.collection.mutable.Map.empty[String, String]
+    val touched = scala.collection.mutable.Set.empty[String]
     var committed = 0
     var monotoneViolations = 0
     var firstFailure: Option[String] = None
+    def mergeMax(keys: Seq[String], value: String): Unit = {
+      val rows = keys.map(k => org.apache.spark.sql.Row(k, skPartitionOf(k), value))
+      val batch = spark.createDataFrame(java.util.Arrays.asList(rows: _*), recordSchema)
+      table.mergeConditional(
+        batch,
+        matched = Seq(graft.lake.MergeMatchedClause.Update(
+          Some(org.apache.spark.sql.functions.col("s.dataValue") >
+            org.apache.spark.sql.functions.col("t.dataValue")),
+          Seq("dataValue"))),
+        notMatched = Seq(None),
+        partitionsHint = Some(keys.map(skPartitionOf).distinct))
+      keys.foreach { k =>
+        if (maxWritten.get(k).forall(_ < value)) maxWritten(k) = value
+      }
+      touched ++= keys
+      committed += 1
+    }
     try {
       (1 to txns.toInt).foreach { i =>
         val keys = (0 until 1 + rnd.nextInt(3))
           .map(_ => s"Key${rnd.nextInt(SkKeyPool)}").distinct
-        val rows = keys.map(k => org.apache.spark.sql.Row(k, skPartitionOf(k), skValue(i, w)))
-        val batch = spark.createDataFrame(java.util.Arrays.asList(rows: _*), recordSchema)
-        table.mergeConditional(
-          batch,
-          matched = Seq(graft.lake.MergeMatchedClause.Update(
-            Some(org.apache.spark.sql.functions.col("s.dataValue") >
-              org.apache.spark.sql.functions.col("t.dataValue")),
-            Seq("dataValue"))),
-          notMatched = Seq(None),
-          partitionsHint = Some(keys.map(skPartitionOf).distinct))
-        keys.foreach { k =>
-          val v = skValue(i, w)
-          if (maxWritten.get(k).forall(_ < v)) maxWritten(k) = v
-        }
-        committed += 1
-        if (i % 20 == 0 && maxWritten.nonEmpty) {
+        if (del && rnd.nextInt(10) < 3) {
+          // conditional DV delete: serializable inside the OCC loop (the
+          // predicate re-evaluates against the current snapshot), so a
+          // row at or above this stamp survives no matter the interleave
+          import org.apache.spark.sql.functions.{col, lit}
+          table.deleteWhere(
+            col("primaryKeyValue").isin(keys: _*) &&
+              col("dataValue") < lit(skValue(i, w)))
+          touched ++= keys
+          committed += 1
+        } else mergeMax(keys, skValue(i, w))
+        if (!del && i % 20 == 0 && maxWritten.nonEmpty) {
           // monotone re-read: this process's own writes can never regress
           val sample = rnd.shuffle(maxWritten.keys.toSeq).take(3)
           val seen = table.lookup(sample, Some(sample.map(skPartitionOf).distinct))
@@ -757,6 +831,16 @@ object CrossProcess {
                   firstFailure = Some(s"monotonicity: $k vanished after writing $mine")
             }
           }
+        }
+      }
+      if (del) {
+        // SEALING pass: every touched key gets an update-if-greater merge
+        // stamped strictly above every mid-run stamp (900M+ range, still
+        // the 9-digit format), so the global max stamp per key is a MERGE
+        // and the final row is exactly this worker's (or a peer's) seal —
+        // the commutative oracle the orchestrator replays
+        touched.toSeq.sorted.grouped(25).zipWithIndex.foreach { case (g, gi) =>
+          mergeMax(g, skValue(900000000 + gi, w))
         }
       }
     } catch {
@@ -793,6 +877,7 @@ object CrossProcess {
     def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     s"""{"metric":"cross_process_samekey","ok":${s.ok},"crash":${s.crashMode},""" +
+      s""""del":${s.delMode},""" +
       s""""workers":${s.workers},"committed":${s.committed},""" +
       f""""elapsedSec":${s.elapsedSec}%.1f,""" +
       s""""monotoneViolations":${s.monotoneViolations},""" +

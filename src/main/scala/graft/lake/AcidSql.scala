@@ -419,9 +419,8 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
       table(tn).vacuum(keepVersions = Option(retain).map(_.toInt).getOrElse(2)).toLong
     case CreateMvStmt(vn, select) =>
       val nameParts = vn.split('.').toSeq
-      val (srcName, groupCols, aggs) = parseMvSelect(select)
-      val mv = MatView.create(spark, table(srcName),
-        (warehouseDir +: nameParts).mkString("/"), groupCols, aggs)
+      val mv = MatView.createFromSelect(spark, select, table(_),
+        (warehouseDir +: nameParts).mkString("/"))
       views(nameParts.mkString(".")) = mv
       views(nameParts.last) = mv
       0L
@@ -437,16 +436,6 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
       0L
     case _ => executeParsed(sql)
   }
-
-  /** Reduce the defining SELECT to [[MatView]]'s definition: one
-    * `Aggregate` over one session table, bare group columns echoed in the
-    * select list, every aggregate an ALIASED `count(*) | count(c) |
-    * sum(c) | avg(c) | min(c) | max(c)`. Anything else — expressions over
-    * aggregates, DISTINCT, HAVING, joins, subqueries — fails loudly (the
-    * maintainable-view grammar is the point, not general SQL).
-    */
-  private def parseMvSelect(select: String): (String, Seq[String], Seq[MvAgg]) =
-    MatView.parseSelect(spark, select)
 
   private def executeParsed(sql: String): Long = PlanShim.parse(spark, sql) match {
     case _: CreateNamespace => 0L // schemas are directories under the warehouse

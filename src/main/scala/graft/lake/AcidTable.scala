@@ -3779,7 +3779,18 @@ final class AcidTable private (
             override def run(): Unit =
               Option(d.listFiles()).getOrElse(Array.empty).foreach(perFile)
           })
-        }.foreach(_.get())
+        }.foreach { fut =>
+          // surface the task's own exception type (not the Future wrapper)
+          // and stop the sweep deterministically: siblings already running
+          // finish their current file, queued ones never start
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              pool.shutdownNow()
+              pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
         finally { pool.shutdown(); () }
       }
     sweepDirs(Option(dataRoot.toFile.listFiles()).getOrElse(Array.empty)) { f =>

@@ -17,6 +17,16 @@ import org.apache.spark.sql.types._
   */
 final case class MvAgg(name: String, func: String, input: String)
 
+/** Star-join view definition (round-18, r17 verdict #2): the maintained
+  * relation is `source INNER JOIN dim ON source(factKey) = dim(dimKey)`,
+  * with only `dimCols` — the dim columns the view's groups/aggregates
+  * actually reference — carried through the join. Column names must be
+  * DISJOINT between the fact schema and `dimKey ++ dimCols` (validated at
+  * create), so every view column resolves to exactly one side.
+  */
+final case class MvJoin(
+    dimPath: String, factKey: String, dimKey: String, dimCols: Seq[String])
+
 /** Incrementally-maintained materialized aggregate view over an
   * [[AcidTable]] — the lakehouse `CREATE MATERIALIZED VIEW … GROUP BY`
   * surface with delta-driven refresh (the classic incremental
@@ -71,16 +81,72 @@ final class MatView private (
     val aggs: Seq[MvAgg],
     val numParts: Int,
     val createBase: Long,
-    stateSchemaDdl: String) {
+    stateSchemaDdl: String,
+    /** Star-join views (round 18): the maintained relation is
+      * fact ⋈ dim; None = the classic single-table view. */
+    val join: Option[MvJoin] = None,
+    /** Dim version the view reflected at creation (−1 for non-join). */
+    val createBaseDim: Long = -1L) {
 
   // lazy: create() builds a pre-state probe instance to derive the state
   // schema from the aggregation plan before the state table exists
   lazy val state: AcidTable = AcidTable.open(spark, MatView.statePath(viewPath))
 
+  /** The join's dimension table (join views only). */
+  lazy val dimTable: Option[AcidTable] =
+    join.map(j => AcidTable.open(spark, j.dimPath))
+
   private lazy val stateSchema: StructType = StructType.fromDDL(stateSchemaDdl)
 
   private def incrementalOk: Boolean =
     aggs.forall(a => a.func != "min" && a.func != "max")
+
+  // ------------------------------------------------- join-view relation --
+
+  /** Dim-side projection: the join key plus only the dim columns the view
+    * references (`_extra` lets the CDC fold carry `_change_type` through).
+    */
+  private def dimProjected(dimRows: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val j = join.get
+    dimRows.select(((j.dimKey +: j.dimCols).distinct ++ extra).map(col): _*)
+  }
+
+  /** `factRows ⋈ dimRows` on the declared keys, keeping fact columns +
+    * the referenced dim columns (+ `extra` pass-through columns from the
+    * dim side). The join key column from the dim side is dropped unless
+    * the view references it. Equi-join left to Catalyst/AQE: a
+    * dimension-sized right side broadcasts off its size stats; the fold's
+    * delta-sized LEFT side broadcasts instead when it is the smaller one.
+    */
+  private def joinRows(
+      factRows: DataFrame, dimRows: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val j = join.get
+    val out = factRows.join(dimProjected(dimRows, extra),
+      col(j.factKey) === col(j.dimKey), "inner")
+    if (j.dimCols.contains(j.dimKey)) out else out.drop(j.dimKey)
+  }
+
+  /** Dim snapshot pinned at `v`; v < 0 = the empty pre-creation state
+    * (NOT latest — [[AcidTable.snapshot]]'s -1 means latest). */
+  private def dimSnapshotAt(v: Long): DataFrame = {
+    val d = dimTable.get
+    if (v < 0) spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), d.schema)
+    else d.snapshot(v)
+  }
+
+  /** The maintained relation's snapshot at pinned versions: the fact
+    * snapshot for single-table views, fact ⋈ dim for join views. */
+  private def relationSnapshot(vF: Long, vD: Long): DataFrame =
+    if (join.isEmpty) source.snapshot(vF)
+    else joinRows(source.snapshot(vF), dimSnapshotAt(vD))
+
+  /** Column names of the maintained relation, in [[joinRows]] order. */
+  private lazy val relationCols: Seq[String] =
+    source.schema.fieldNames.toSeq ++ join.toSeq.flatMap { j =>
+      val ds = (j.dimKey +: j.dimCols).distinct
+      if (j.dimCols.contains(j.dimKey)) ds else ds.filterNot(_ == j.dimKey)
+    }
 
   // ----------------------------------------------------------- expressions --
 
@@ -162,21 +228,39 @@ final class MatView private (
     * `MVREFRESH:<v>` commit marker among the state table's retained
     * manifests, falling back to the creation-time base. The marker rides
     * the SAME commit as the delta it applied, so this read can never
-    * observe a half-applied refresh.
+    * observe a half-applied refresh. Join views stamp BOTH high-water
+    * marks in one marker (`MVREFRESH:<vFact>:<vDim>`); this accessor
+    * reports the fact-side mark, [[appliedVersions]] both.
     */
-  def appliedVersion(): Long = appliedVersionUpTo(state.latestVersion())
+  def appliedVersion(): Long = appliedVersionsUpTo(state.latestVersion())._1
 
-  /** [[appliedVersion]] as of a PINNED state version — the CAS refresh
+  /** (fact version, dim version) the view currently reflects; the dim
+    * component is −1 for single-table views. */
+  def appliedVersions(): (Long, Long) = appliedVersionsUpTo(state.latestVersion())
+
+  /** `MVREFRESH:<vF>[:<vD>]` → (vF, vD); vD −1 when absent (a
+    * single-table marker, or a join view maintained before any dim
+    * change). */
+  private def parseMarker(op: String): Option[(Long, Long)] =
+    if (!op.startsWith("MVREFRESH:")) None
+    else {
+      val ps = op.stripPrefix("MVREFRESH:").split(':')
+      Some((ps(0).toLong, if (ps.length > 1) ps(1).toLong else -1L))
+    }
+
+  /** [[appliedVersions]] as of a PINNED state version — the CAS refresh
     * computes its delta from this, so the marker it reads and the base it
-    * commits against are the same snapshot. */
-  private def appliedVersionUpTo(stateV: Long): Long = {
-    if (stateV < 0) return createBase
+    * commits against are the same snapshot. Componentwise max is exact:
+    * both high-water marks are monotone across refresh commits. */
+  private def appliedVersionsUpTo(stateV: Long): (Long, Long) = {
+    if (stateV < 0) return (createBase, createBaseDim)
     val ops = state.history().select("version", "operation").collect()
     ops.iterator
       .filter(r => r.getLong(0) <= stateV)
-      .filter(_.getString(1).startsWith("MVREFRESH:"))
-      .map(r => r.getString(1).stripPrefix("MVREFRESH:").toLong)
-      .foldLeft(createBase)(math.max)
+      .flatMap(r => parseMarker(r.getString(1)))
+      .foldLeft((createBase, createBaseDim)) { case ((f0, d0), (f, d)) =>
+        (math.max(f0, f), math.max(d0, d))
+      }
   }
 
   // ------------------------------------------- driver trickle fast path --
@@ -439,14 +523,18 @@ final class MatView private (
     while (true) {
       val stateBase = state.latestVersion()
       val srcV = source.latestVersion()
-      val fromV = appliedVersionUpTo(stateBase)
-      if (srcV <= fromV) return fromV
+      val dimV = dimTable.map(_.latestVersion()).getOrElse(-1L)
+      val (fromV, fromD) = appliedVersionsUpTo(stateBase)
+      if (srcV <= fromV && (join.isEmpty || dimV <= fromD)) return fromV
       // driver trickle fast path first (round-11 verdict #3): a
       // metadata-gated delta folds and commits entirely on the driver —
       // zero Spark jobs; anything outside the gate falls through to the
-      // distributed formulation below, which stays authoritative
+      // distributed formulation below, which stays authoritative.
+      // Join views always take the distributed path: the fold's delta is
+      // a JOIN, not a raw CDC slice.
       val localAttempt =
-        if (incrementalOk) localFoldRows(stateBase, fromV, srcV) else None
+        if (incrementalOk && join.isEmpty) localFoldRows(stateBase, fromV, srcV)
+        else None
       localAttempt match {
         case Some(None) => return fromV // net-zero range: nothing to fold
         case Some(Some(stateRows)) =>
@@ -463,7 +551,7 @@ final class MatView private (
               if (attempts > MatView.MaxCasRetries) throw new CommitConflictException(
                 s"matview refresh lost ${MatView.MaxCasRetries} CAS races at $viewPath")
           }
-        case None => refreshDistributed(stateBase, fromV, srcV) match {
+        case None => refreshDistributed(stateBase, fromV, fromD, srcV, dimV) match {
           case Some(v) => return v
           case None => // CAS loss inside the distributed fold: re-read and retry
             attempts += 1
@@ -475,23 +563,77 @@ final class MatView private (
     -1L // unreachable
   }
 
+  /** The maintained relation's signed change set between the applied and
+    * current versions, in CDC shape (relation columns + `_change_type`).
+    *
+    * Single-table views: the fact CDC feed itself. Join views use the
+    * classic bilinear decomposition
+    *
+    *   Δ(F ⋈ D) = ΔF ⋈ D@old  ∪  F@new ⋈ ΔD
+    *
+    * (exact for inner-join multisets: (F+ΔF)⋈(D+ΔD) − F⋈D expands to
+    * those two terms, the ΔF⋈ΔD cross term riding in the second). Each
+    * term has exactly ONE delta side, so the joined row's sign is that
+    * side's `_change_type` unchanged. The FIRST term is the hot path —
+    * fact-only commits cost ΔF ⋈ dim with no fact scan at all; the
+    * second term only exists when the dim actually changed (slowly
+    * changing by design), and even then the fact scan is one
+    * equi-join against a delta Catalyst broadcasts.
+    *
+    * Requires the dim's `fromD` snapshot to still be retained (the
+    * refresh cadence must beat dim vacuum horizons — same contract as
+    * the fact-side CDC read).
+    */
+  private def relationDelta(
+      fromV: Long, srcV: Long, fromD: Long, dimV: Long): DataFrame = {
+    if (join.isEmpty) return source.changesBetween(fromV, srcV)
+    val factDelta =
+      if (srcV > fromV)
+        Some(joinRows(source.changesBetween(fromV, srcV), dimSnapshotAt(fromD)))
+      else None
+    val dimDelta =
+      if (dimV > fromD)
+        Some(joinRows(source.snapshot(srcV),
+          dimTable.get.changesBetween(fromD, dimV), extra = Seq("_change_type")))
+      else None
+    val relCols = relationCols :+ "_change_type"
+    val parts = (factDelta.toSeq ++ dimDelta.toSeq)
+      .map(_.select(relCols.map(col): _*))
+    parts.reduce(_.unionByName(_))
+  }
+
   /** One distributed refresh attempt from a pinned state base: Some(v) =
     * the source version now reflected (committed, or already current);
     * None = lost the CAS race (caller re-reads and retries). */
   private def refreshDistributed(
-      stateBase: Long, fromV: Long, srcV: Long): Option[Long] = {
+      stateBase: Long, fromV: Long, fromD: Long, srcV: Long, dimV: Long): Option[Long] = {
     // materialize the diff ONCE (delta-sized, spills if large): the fold
     // consumes it several times (emptiness, touched keys, the fold
     // itself) — uncached, each consumer would re-run the whole diff scan
-    val delta = source.changesBetween(fromV, srcV)
+    val delta = relationDelta(fromV, srcV, fromD, dimV)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val marker =
+      if (join.isEmpty) s"MVREFRESH:$srcV" else s"MVREFRESH:$srcV:$dimV"
     try {
-      if (delta.isEmpty) return Some(fromV) // net-zero range: nothing to fold
+      if (delta.isEmpty) {
+        // net-zero range: no group changed, but the high-water marks must
+        // still advance for join views (a dim commit touching no joined
+        // row would otherwise be re-diffed forever)
+        if (join.isDefined && (srcV > fromV || dimV > fromD)) {
+          try state.casUpsertOp(
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema),
+            marker, stateBase)
+          catch { case _: CommitConflictException => return None }
+          return Some(srcV)
+        }
+        return Some(fromV)
+      }
       val newRows =
         if (incrementalOk) incrementalRows(delta)
-        else recomputeRows(delta, srcV)
+        else recomputeRows(delta, srcV, dimV)
       try {
-        commitFold(newRows, s"MVREFRESH:$srcV", stateBase)
+        commitFold(newRows, marker, stateBase)
         Some(srcV)
       } catch {
         case _: CommitConflictException => None
@@ -558,18 +700,27 @@ final class MatView private (
       var attempts = 0
       while (attempts <= MatView.MaxCasRetries) {
         val stateBase = state.latestVersion()
-        val applied = appliedVersionUpTo(stateBase)
-        val fresh = batch.filter(col("_commit_version") > applied)
+        val (applied, appliedD) = appliedVersionsUpTo(stateBase)
+        val fresh0 = batch.filter(col("_commit_version") > applied)
+        // join views: the stream is the FACT's change feed; each batch
+        // joins against the dim pinned at the applied dim mark (stream
+        // maintenance keeps the dim slowly-changing contract — dim
+        // commits are picked up by a manual refresh())
+        val fresh = (if (join.isEmpty) fresh0
+          else joinRows(fresh0, dimSnapshotAt(appliedD)).select(
+            (relationCols ++ Seq("_change_type", "_commit_version")).map(col): _*))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           if (fresh.isEmpty) return
           val maxV = fresh.agg(max(col("_commit_version"))).head().getLong(0)
           val delta = fresh.drop("_commit_version")
+          val marker =
+            if (join.isEmpty) s"MVREFRESH:$maxV" else s"MVREFRESH:$maxV:$appliedD"
           val newRows =
             if (incrementalOk) incrementalRows(delta)
-            else recomputeRows(delta, maxV)
+            else recomputeRows(delta, maxV, appliedD)
           try {
-            commitFold(newRows, s"MVREFRESH:$maxV", stateBase)
+            commitFold(newRows, marker, stateBase)
             return
           } catch {
             case _: CommitConflictException => attempts += 1 // re-read and re-fold
@@ -648,10 +799,10 @@ final class MatView private (
     * the delta's group reach, not source size. Changed groups with no
     * surviving rows become tombstones.
     */
-  private def recomputeRows(delta: DataFrame, srcV: Long): DataFrame = {
+  private def recomputeRows(delta: DataFrame, srcV: Long, dimV: Long = -1L): DataFrame = {
     val touched = withKeyPart(
       delta.select(groupCols.map(col): _*).distinct())
-    val snap = source.snapshot(srcV).withColumn("__mv_key", keyExpr)
+    val snap = relationSnapshot(srcV, dimV).withColumn("__mv_key", keyExpr)
     val live = fullState(
       snap.join(touched.select("__mv_key"), Seq("__mv_key"), "left_semi")
         .drop("__mv_key"))
@@ -683,20 +834,33 @@ object MatView {
     * storm, not a workload. */
   val MaxCasRetries: Int = 20
 
+  /** A parsed defining SELECT: the source (fact) table name, an optional
+    * star-join (`dim` table + the ON-equality's two column names, side
+    * assignment resolved against real schemas in [[createFromSelect]]),
+    * group columns, aggregates. */
+  private[lake] final case class MvSelect(
+      src: String, join: Option[(String, String, String)],
+      groupCols: Seq[String], aggs: Seq[MvAgg])
+
   /** Reduce a defining SELECT to the maintainable-view definition: one
-    * `Aggregate` over one table, bare group columns echoed in the select
-    * list, every aggregate an ALIASED `count(*) | count(c) | sum(c) |
-    * avg(c) | min(c) | max(c)`. Anything else — expressions over
-    * aggregates, DISTINCT, HAVING, joins, subqueries — fails loudly (the
-    * maintainable-view grammar is the point, not general SQL). Shared by
-    * BOTH SQL front-ends (the text session and the catalog parser
-    * extension), so the reduction rules cannot drift apart.
+    * `Aggregate` over one table — or over `fact JOIN dim ON a = b`
+    * (round 18) — bare group columns echoed in the select list, every
+    * aggregate an ALIASED `count(*) | count(c) | sum(c) | avg(c) |
+    * min(c) | max(c)`. Column references may carry table qualifiers
+    * (`d.grp`); only the bare name is kept, because a join view requires
+    * DISJOINT fact/dim column names (validated in [[create]]), so the
+    * bare name is already unambiguous. Anything else — expressions over
+    * aggregates, DISTINCT, HAVING, outer joins, multi-condition ONs,
+    * subqueries — fails loudly (the maintainable-view grammar is the
+    * point, not general SQL). Shared by BOTH SQL front-ends (the text
+    * session and the catalog parser extension), so the reduction rules
+    * cannot drift apart.
     */
-  private[lake] def parseSelect(
-      spark: SparkSession, select: String): (String, Seq[String], Seq[MvAgg]) = {
+  private[lake] def parseSelect(spark: SparkSession, select: String): MvSelect = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.Inner
     import org.apache.spark.sql.graft.PlanShim
     def relName(p: LogicalPlan): String = p match {
       case SubqueryAlias(_, child) => relName(child)
@@ -704,9 +868,21 @@ object MatView {
       case other => throw new IllegalArgumentException(
         s"materialized view must select FROM one table, got: ${other.nodeName}")
     }
+    def fromClause(p: LogicalPlan): (String, Option[(String, String, String)]) = p match {
+      case Join(l, r, Inner, cond, _) =>
+        val eq = cond match {
+          case Some(EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)) =>
+            (a.nameParts.last, b.nameParts.last)
+          case other => throw new IllegalArgumentException(
+            "materialized view JOIN needs a single-equality ON " +
+              s"(col = col), got: ${other.map(_.sql).getOrElse("<none>")}")
+        }
+        (relName(l), Some((relName(r), eq._1, eq._2)))
+      case other => (relName(other), None)
+    }
     PlanShim.parse(spark, select) match {
       case Aggregate(groupExprs, selectExprs, child, _) =>
-        val src = relName(child)
+        val (src, join) = fromClause(child)
         val groupCols = groupExprs.map {
           case a: UnresolvedAttribute => a.nameParts.last
           case other => throw new IllegalArgumentException(
@@ -733,10 +909,40 @@ object MatView {
             s"materialized view select items must be group columns or aliased " +
               s"aggregates, got: ${other.sql}")
         }
-        (src, groupCols, aggs)
+        MvSelect(src, join, groupCols, aggs)
       case other => throw new IllegalArgumentException(
         s"materialized view definition must be a GROUP BY aggregation, got: ${other.nodeName}")
     }
+  }
+
+  /** Parse a defining SELECT and create the view — the one shared
+    * implementation behind both SQL front-ends. `resolve` maps a table
+    * name from the statement to its [[AcidTable]] (the text session's
+    * registry, or the catalog's warehouse paths). For join definitions
+    * the ON-equality's sides are oriented by schema membership (each key
+    * must live in exactly one of the two schemas), and the dim columns
+    * the view references are derived from the group/aggregate lists.
+    */
+  private[lake] def createFromSelect(
+      spark: SparkSession, select: String,
+      resolve: String => AcidTable, viewPath: String): MatView = {
+    val sel = parseSelect(spark, select)
+    val src = resolve(sel.src)
+    val join = sel.join.map { case (dimName, k1, k2) =>
+      val dim = resolve(dimName)
+      val inFact = Seq(k1, k2).filter(src.schema.fieldNames.contains)
+      val inDim = Seq(k1, k2).filter(dim.schema.fieldNames.contains)
+      val (factKey, dimKey) = (inFact, inDim) match {
+        case (Seq(f), Seq(d)) if f != d => (f, d)
+        case _ => throw new IllegalArgumentException(
+          s"join ON $k1 = $k2: each side must name a column of exactly one " +
+            s"table (fact has ${inFact.mkString(",")}; dim has ${inDim.mkString(",")})")
+      }
+      val dimCols = (sel.groupCols ++ sel.aggs.map(_.input).filter(_ != "*"))
+        .distinct.filter(dim.schema.fieldNames.contains)
+      MvJoin(dim.path, factKey, dimKey, dimCols)
+    }
+    create(spark, src, viewPath, sel.groupCols, sel.aggs, join = join)
   }
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -770,10 +976,34 @@ object MatView {
       groupCols: Seq[String],
       aggs: Seq[MvAgg],
       numParts: Int = -1,
-      numBuckets: Int = -1): MatView = {
+      numBuckets: Int = -1,
+      join: Option[MvJoin] = None): MatView = {
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
-    groupCols.foreach(g => require(source.schema.fieldNames.contains(g),
-      s"group column $g not in source schema"))
+    // the view's input schema: fact columns, plus the referenced dim
+    // columns for star-join views (names disjoint by the checks below)
+    val dimT = join.map(j => AcidTable.open(spark, j.dimPath))
+    join.foreach { j =>
+      val d = dimT.get
+      require(source.schema.fieldNames.contains(j.factKey),
+        s"join key ${j.factKey} not in fact schema")
+      require(d.schema.fieldNames.contains(j.dimKey),
+        s"join key ${j.dimKey} not in dim schema")
+      j.dimCols.foreach(c => require(d.schema.fieldNames.contains(c),
+        s"dim column $c not in dim schema"))
+      val overlap = (j.dimKey +: j.dimCols).distinct
+        .filter(source.schema.fieldNames.contains)
+      require(overlap.isEmpty,
+        s"join view needs disjoint fact/dim column names; both sides have: " +
+          overlap.mkString(", "))
+    }
+    val inputSchema = StructType(source.schema.fields.toSeq ++
+      join.toSeq.flatMap { j =>
+        val ds = (j.dimKey +: j.dimCols).distinct
+        val eff = if (j.dimCols.contains(j.dimKey)) ds else ds.filterNot(_ == j.dimKey)
+        eff.map(c => dimT.get.schema(c))
+      })
+    groupCols.foreach(g => require(inputSchema.fieldNames.contains(g),
+      s"group column $g not in ${if (join.isEmpty) "source" else "fact ⋈ dim"} schema"))
     val names = aggs.map(_.name)
     require(names.map(_.toLowerCase).distinct.size == names.size,
       s"duplicate aggregate names: ${names.mkString(", ")}")
@@ -788,9 +1018,10 @@ object MatView {
       if (a.input == "*")
         require(a.func == "count", s"${a.func}(*) is not a thing; name a column")
       else {
-        require(source.schema.fieldNames.contains(a.input),
-          s"aggregate input ${a.input} not in source schema")
-        val dt = source.schema(a.input).dataType
+        require(inputSchema.fieldNames.contains(a.input),
+          s"aggregate input ${a.input} not in " +
+            s"${if (join.isEmpty) "source" else "fact ⋈ dim"} schema")
+        val dt = inputSchema(a.input).dataType
         if (a.func == "sum" || a.func == "avg") dt match {
           case ByteType | ShortType | IntegerType | LongType | _: DecimalType => ()
           case other => throw new IllegalArgumentException(
@@ -805,14 +1036,15 @@ object MatView {
     Files.createDirectories(root.toPath)
 
     val v0 = source.latestVersion()
+    val v0D = dimT.map(_.latestVersion()).getOrElse(-1L)
     // freeze the state schema from the aggregation plan itself (sum/count
     // result types are Spark's business, not re-derived per refresh);
     // the probe instance never touches its (lazy, not-yet-created) state.
     // numParts only shapes the __mv_part VALUE (always StringType), so a
     // placeholder probe derives the schema before sizing is chosen.
     val probe = new MatView(spark, viewPath, source, groupCols, aggs,
-      math.max(1, numParts), v0, "__probe STRING")
-    val stateSchema = probe.fullState(source.snapshot(v0).limit(0)).schema
+      math.max(1, numParts), v0, "__probe STRING", join, v0D)
+    val stateSchema = probe.fullState(probe.relationSnapshot(v0, v0D).limit(0)).schema
 
     // Stage the initial aggregate ONCE (a source scan create() pays
     // anyway); the staged row count is the exact group count, which sizes
@@ -821,7 +1053,7 @@ object MatView {
     val groups: Long =
       if (v0 < 0) 0L
       else {
-        probe.fullState(source.snapshot(v0)).drop("__mv_part")
+        probe.fullState(probe.relationSnapshot(v0, v0D)).drop("__mv_part")
           .write.mode("overwrite").parquet(stageDir.toString)
         // a zero-row source can stage no schema-carrying files at all
         try spark.read.parquet(stageDir.toString).count()
@@ -837,13 +1069,15 @@ object MatView {
 
     AcidTable.create(spark, statePath(viewPath), stateSchema,
       "__mv_key", "__mv_part", stablePartitions = true, numBuckets = chosenBuckets)
-    writeProps(viewPath, source.path, groupCols, aggs, chosenParts, v0, stateSchema)
+    writeProps(viewPath, source.path, groupCols, aggs, chosenParts, v0, stateSchema,
+      join, v0D)
     val mv = open(spark, viewPath)
     if (groups > 0) {
       val staged = spark.read.parquet(stageDir.toString)
       val init = mv.conformed(staged.withColumn("__mv_part",
         pmod(xxhash64(col("__mv_key")), lit(chosenParts.toLong)).cast(StringType)))
-      mv.state.upsertOp(init, None, s"MVREFRESH:$v0")
+      mv.state.upsertOp(init, None,
+        if (join.isEmpty) s"MVREFRESH:$v0" else s"MVREFRESH:$v0:$v0D")
     }
     deleteRecursively(stageDir.toFile)
     mv
@@ -861,15 +1095,25 @@ object MatView {
       MvAgg(java.net.URLDecoder.decode(n, "UTF-8"), f,
         java.net.URLDecoder.decode(c, "UTF-8"))
     }
+    val join = Option(props.getProperty("joinDimPath")).map { dp =>
+      MvJoin(dp,
+        props.getProperty("joinFactKey"), props.getProperty("joinDimKey"),
+        Option(props.getProperty("joinDimCols")).map(_.split(',').toSeq
+          .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")))
+          .getOrElse(Nil))
+    }
     new MatView(spark, viewPath, source, groupCols, aggs,
       props.getProperty("numParts").toInt,
       props.getProperty("createBase").toLong,
-      props.getProperty("stateSchemaDdl"))
+      props.getProperty("stateSchemaDdl"),
+      join,
+      Option(props.getProperty("createBaseDim")).map(_.toLong).getOrElse(-1L))
   }
 
   private def writeProps(
       viewPath: String, sourcePath: String, groupCols: Seq[String],
-      aggs: Seq[MvAgg], numParts: Int, base: Long, stateSchema: StructType): Unit = {
+      aggs: Seq[MvAgg], numParts: Int, base: Long, stateSchema: StructType,
+      join: Option[MvJoin] = None, baseDim: Long = -1L): Unit = {
     val props = new Properties()
     props.setProperty("sourcePath", sourcePath)
     props.setProperty("groupCols",
@@ -880,6 +1124,14 @@ object MatView {
     props.setProperty("numParts", numParts.toString)
     props.setProperty("createBase", base.toString)
     props.setProperty("stateSchemaDdl", stateSchema.toDDL)
+    join.foreach { j =>
+      props.setProperty("joinDimPath", j.dimPath)
+      props.setProperty("joinFactKey", j.factKey)
+      props.setProperty("joinDimKey", j.dimKey)
+      props.setProperty("joinDimCols",
+        j.dimCols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
+      props.setProperty("createBaseDim", baseDim.toString)
+    }
     val tmp = Paths.get(viewPath, s".mv-tmp-${UUID.randomUUID()}")
     val out = Files.newOutputStream(tmp)
     try props.store(out, "graft MatView definition") finally out.close()

@@ -104,9 +104,9 @@ case class CreateMatViewCommand(nameParts: Seq[String], select: String)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    val (srcName, groupCols, aggs) = MatView.parseSelect(spark, select)
-    val src = AcidTable.open(spark, MatViewSql.pathOf(srcName.split('.').toSeq))
-    MatView.create(spark, src, MatViewSql.pathOf(nameParts), groupCols, aggs)
+    MatView.createFromSelect(spark, select,
+      n => AcidTable.open(spark, MatViewSql.pathOf(n.split('.').toSeq)),
+      MatViewSql.pathOf(nameParts))
     Nil
   }
 }

@@ -71,10 +71,17 @@ object RliScale {
       Some(Seq("P0")))
 
     // synthetic index body: nKeys distinct keys over 64 partition values,
-    // shard-written FROM EXECUTORS through the real bulk-ingest path
+    // shard-written FROM EXECUTORS through the real bulk-ingest path. The
+    // 40 seed pks ride along: the `done = true` flag below promises the
+    // index covers EVERY live key, and an index that proves seed keys
+    // empty would violate the completeness invariant (round-17 advice).
     val kp = spark.range(0, nKeys.toLong)
       .select(concat(lit("k"), col("id")).cast("string").as("__rk"),
         concat(lit("P"), (col("id") % 64)).cast("string").as("__rp"))
+      .unionByName(spark.createDataFrame(
+        java.util.Arrays.asList(seed.map(r => Row(r.getString(0), "P0")): _*),
+        StructType(Seq(StructField("__rk", StringType, nullable = false),
+          StructField("__rp", StringType, nullable = false)))))
     var refs: Seq[AcidTable.RliRef] = Nil
     val buildMs = timedMs {
       refs = t.writeRliDeltaDistributed(kp).getOrElse(
@@ -143,6 +150,43 @@ object RliScale {
     emit("rli_probe_delta_key", timedMs(t.rliLookup(t.latestVersion(), Seq("a3"))),
       (1 to 10).map(_ => timedMs(t.rliLookup(t.latestVersion(), Seq("a3")))),
       s"cells=${t.rliLookup(t.latestVersion(), Seq("a3")).map(_.size).getOrElse(-1)}")
+
+    // 4b. distributed fold × racing vacuum (round 18, r17 verdict #7):
+    //     the executor-leg fold's input anchor (mtime-touch before the
+    //     job) must hold against a CONCURRENT aggressive sweeper — grace
+    //     1.5 s, 100 ms period, far inside the fold's multi-second
+    //     executor-read window at this key count. Forcing
+    //     RliDriverFoldMax = 0 sends the next dirty-shard merge through
+    //     distributedRliFold while the sweeper runs; any anchor hole
+    //     reads as a fold crash, a wrong probe, or a vacuum error.
+    locally {
+      val savedBudget = AcidTable.RliDriverFoldMax
+      AcidTable.RliDriverFoldMax = 0L
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val vac = new Thread(() => {
+        while (!stop.get()) {
+          try { t.vacuum(keepVersions = 2, graceMillis = 1500); () }
+          catch { case e: Throwable => errs.add(e.toString); () }
+          Thread.sleep(100)
+        }
+      }, "rliscale-race-vacuum")
+      vac.setDaemon(true)
+      vac.start()
+      try {
+        (1 to AcidTable.MaxRliRefs).foreach(_ => appendOnce())
+        val (raceMs, refsAfterRace) = appendOnce() // the distributed fold, raced
+        stop.set(true); vac.join(15000)
+        require(errs.isEmpty, s"vacuum errors racing the distributed fold: $errs")
+        val probeOk = t.rliLookup(t.latestVersion(), present).exists(_.nonEmpty)
+        require(probeOk, "probe lost under fold x vacuum race")
+        emit("fold_distributed_vacuum_race", raceMs, Nil,
+          s"racing sweeper grace=1.5s period=100ms; refs=$refsAfterRace; clean")
+      } finally {
+        stop.set(true)
+        AcidTable.RliDriverFoldMax = savedBudget
+      }
+    }
 
     // 5. per-commit index-header bytes: above RliGenInlineMax refs the
     //    generation list lives in a content-addressed side file carried

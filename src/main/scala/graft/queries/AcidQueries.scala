@@ -1112,6 +1112,91 @@ object AcidQueries {
         ORDER BY pk
       """)),
 
+    // ---- C5 materialized view: star-join maintenance (round 18) -----------------
+    // CREATE MATERIALIZED VIEW over `fact JOIN dim GROUP BY dim.col` —
+    // the most common production MV shape — maintained with the bilinear
+    // delta decomposition Δ(F⋈D) = ΔF⋈D_old ∪ F_new⋈ΔD: a fact-only
+    // commit folds as delta-fact ⋈ dim (no fact scan), a dim change
+    // re-joins the fact against the dim DELTA only. The gate drives fact
+    // updates / predicate deletes / inserts AND dim relabels / deletes —
+    // including both sides changing inside ONE refresh window — then
+    // reads the view; the oracle recomputes the star rollup over the two
+    // replayed relations. MatViewJoinSpec pins the mechanics (dual
+    // high-water marker, destroyed-unchanged-partition delta-boundedness,
+    // min/max join recompute, SQL join grammar on both front-ends).
+    Q(
+      "q_acid_matview_join",
+      (s, dir) => {
+        import graft.lake.MvJoin
+        val factSchema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("ck", StringType), StructField("price", DecimalType(18, 2))))
+        val dimSchema = StructType(Seq(
+          StructField("ckey", StringType), StructField("dpart", StringType),
+          StructField("seg", StringType)))
+        val fact = AcidTable.create(s, scratch(), factSchema, "pk", "part",
+          stablePartitions = true)
+        val dim = AcidTable.create(s, scratch(), dimSchema, "ckey", "dpart",
+          stablePartitions = true)
+        val fBase = Tables.orders(s, dir).filter(col("o_orderkey") < 20000).select(
+          col("o_orderkey").cast("string").as("pk"),
+          concat(lit("p"), (col("o_orderkey") % 4).cast("string")).as("part"),
+          col("o_custkey").cast("string").as("ck"),
+          Qdsl.dec2(col("o_totalprice")).as("price"))
+        val dBase = Tables.customer(s, dir).filter(col("c_custkey") < 400).select(
+          col("c_custkey").cast("string").as("ckey"),
+          concat(lit("q"), (col("c_nationkey") % 3).cast("string")).as("dpart"),
+          col("c_mktsegment").as("seg"))
+        fact.upsert(fBase)
+        dim.upsert(dBase)
+        val mv = MatView.create(s, fact, scratch(), Seq("seg"),
+          Seq(MvAgg("cnt", "count", "*"), MvAgg("rev", "sum", "price")),
+          join = Some(MvJoin(dim.path, "ck", "ckey", Seq("seg"))))
+        // fact-only trickle: price updates fold as ΔF ⋈ dim, no fact scan
+        fact.upsert(fBase.filter(col("pk").cast("long") % 10 === 0)
+          .withColumn("price", Qdsl.dec2(col("price") * 2)))
+        mv.refresh()
+        // fact predicate delete
+        fact.deleteWhere(col("pk").cast("long") < 500)
+        mv.refresh()
+        // dim relabel: whole customer slices move between groups
+        dim.upsert(dBase.filter(col("ckey").cast("long") % 5 === 0)
+          .withColumn("seg", lit("REMAPPED")))
+        mv.refresh()
+        // both sides change inside ONE refresh window: dim keys vanish
+        // while brand-new facts arrive
+        dim.delete(Seq("7", "13"))
+        fact.upsert(fBase.filter(col("pk").cast("long") < 300)
+          .withColumn("pk", (col("pk").cast("long") + 9000000).cast("string")))
+        mv.refresh()
+        mv.read().select(col("seg"), col("cnt"),
+          col("rev").cast("double").as("rev")).orderBy(col("seg"))
+      },
+      Some("""
+        WITH fbase AS (
+          SELECT o_orderkey AS k, o_custkey AS ck,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM orders WHERE o_orderkey < 20000),
+        fupd AS (
+          SELECT k, ck,
+                 CASE WHEN k % 10 = 0 THEN CAST(price * 2 AS DECIMAL(18,2))
+                      ELSE price END AS price
+          FROM fbase),
+        fsurv AS (SELECT * FROM fupd WHERE k >= 500),
+        fins AS (SELECT k + 9000000 AS k, ck, price FROM fbase WHERE k < 300),
+        ffin AS (SELECT * FROM fsurv UNION ALL SELECT * FROM fins),
+        dbase AS (
+          SELECT c_custkey AS ckey, c_mktsegment AS seg
+          FROM customer WHERE c_custkey < 400),
+        dfin AS (
+          SELECT ckey,
+                 CASE WHEN ckey % 5 = 0 THEN 'REMAPPED' ELSE seg END AS seg
+          FROM dbase WHERE ckey NOT IN (7, 13))
+        SELECT seg, COUNT(*) AS cnt, CAST(SUM(price) AS DOUBLE) AS rev
+        FROM ffin JOIN dfin ON ffin.ck = dfin.ckey
+        GROUP BY seg ORDER BY seg
+      """)),
+
     // ---- C5 materialized view: LIVE stream maintenance --------------------------
     // The production loop closed: the view maintains itself off the
     // table's change-feed STREAM (AcidCdc source → per-batch fold with

@@ -746,6 +746,97 @@ object TextQueries {
         GROUP BY gram ORDER BY n DESC, gram LIMIT 64
       """)),
 
+    // ---- C45/C52 BPE merge-rule TRAINING (round 18, r17 verdict #6) -------------
+    // The iterative half of tokenizer training (q_text_vocab_induct is
+    // the frequency-scoring pass): k rounds of highest-frequency
+    // adjacent-pair merging over the corpus vocabulary — real BPE, not a
+    // frequency cut. Shape: ONE corpus pass builds the word-frequency
+    // table (text never touched again), then each iteration is a
+    // generator + codegen hash aggregation over vocabulary-sized (pair,
+    // weight) rows and a 1-row TakeOrdered; the merge itself is a
+    // map-side literal string replace. At 100 TB the corpus cost is the
+    // single word count; the k-round loop costs k × |vocab|, independent
+    // of corpus size. Symbol sequences ride as `(a)(b)(c)` strings:
+    // adjacent matches share no characters, so SQL `replace`'s
+    // left-to-right non-overlapping scan IS the greedy BPE merge — and
+    // DuckDB replays the identical deterministic sequence (ties broken
+    // count DESC, pair ASC) with the same encoding, k rounds unrolled as
+    // chained CTEs.
+    Q(
+      "q_text_bpe_train",
+      (s, dir) => {
+        val k = 8
+        val base = Tables.documents(s, dir)
+          .select(explode(split(lower(col("text")), " ")).as("wd"))
+          .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
+          .groupBy("wd").agg(count(lit(1)).as("cnt"))
+          .select(regexp_replace(col("wd"), "(.)", "($1)").as("syms"), col("cnt"))
+        var ws = base.persist()
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        try {
+          var step = 1
+          var exhausted = false
+          while (step <= k && !exhausted) {
+            val pairs = ws
+              .select(col("cnt"),
+                split(expr("substring(syms, 2, length(syms) - 2)"), "\\)\\(").as("ss"))
+              .select(col("cnt"), explode(zip_with(
+                slice(col("ss"), lit(1), size(col("ss")) - 1),
+                slice(col("ss"), lit(2), size(col("ss")) - 1),
+                (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+              .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+              .agg(sum(col("cnt")).as("n"))
+            val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+            if (top.isEmpty) exhausted = true
+            else {
+              val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+              merges += ((step, l, r, n))
+              val nxt = ws.select(
+                expr(s"replace(syms, '($l)($r)', '($l$r)')").as("syms"),
+                col("cnt")).persist()
+              nxt.count() // materialize before releasing the parent
+              ws.unpersist(); ws = nxt
+              step += 1
+            }
+          }
+        } finally { ws.unpersist(); () }
+        import s.implicits._
+        merges.toSeq.toDF("step", "lhs", "rhs", "freq")
+          .select(col("step"), col("lhs"), col("rhs"),
+            concat(col("lhs"), col("rhs")).as("merged"), col("freq"))
+          .orderBy(col("step"))
+      },
+      Some {
+        val wfreq = """
+          wfreq AS (
+            SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents)
+            WHERE regexp_full_match(wd, '[a-z]+') AND len(wd) >= 2
+            GROUP BY wd),
+          ws0 AS (
+            SELECT regexp_replace(wd, '(.)', '(\1)', 'g') AS syms, cnt FROM wfreq)"""
+        val iters = (1 to 8).map { i =>
+          s"""
+          p$i AS (
+            SELECT ss[i] AS l, ss[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM (SELECT string_split(trim(syms, '()'), ')(') AS ss, cnt
+                  FROM ws${i - 1}) t,
+                 LATERAL (SELECT unnest(generate_series(1, len(ss) - 1)) AS i) g
+            GROUP BY 1, 2),
+          m$i AS (SELECT $i AS step, l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+          ws$i AS (
+            SELECT replace(w.syms, '(' || m.l || ')(' || m.r || ')',
+                           '(' || m.l || m.r || ')') AS syms, w.cnt
+            FROM ws${i - 1} w, m$i m)"""
+        }.mkString(",")
+        val union = (1 to 8).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+        s"""
+        WITH $wfreq, $iters
+        SELECT step, l AS lhs, r AS rhs, l || r AS merged, n AS freq
+        FROM ($union) ORDER BY step
+        """
+      }),
+
     // ---- C45 repetition / boilerplate filter (Gopher-style) ---------------------
     // The standard LLM-corpus quality gate: flag documents dominated by a
     // single token or bigram. Shape: explode → codegen'd partial+final

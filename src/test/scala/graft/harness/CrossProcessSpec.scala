@@ -104,6 +104,62 @@ class CrossProcessSpec extends AnyFunSuite {
     assert(s.victimRowsSeen > 0, s"victim left no committed rows: $s")
   }
 
+  test("SAME-KEY + DELETE contention: DV/tombstone/resurrection on one key pool") {
+    // round-18 (r17 verdict #4): ~30% of transactions are CONDITIONAL DV
+    // deletes (morDeletes) on the SAME keys both JVMs merge — deletion
+    // vectors, tombstone materialization at the next touch, and key
+    // resurrection all contend across address spaces. The sealing pass
+    // keeps the max-oracle exact: final state must equal the per-key max
+    // over both write logs, row for row.
+    val dir = Files.createTempDirectory("xproc-skdel-spec-").resolve("records").toString
+    val s = CrossProcess.orchestrateSameKey(
+      TestSpark.spark, dir,
+      txnsPerWorker = 40,
+      workers = 2,
+      vacuumPeriodMs = 750,
+      vacuumGraceMs = 20000,
+      workerTimeoutMinutes = 15,
+      del = true)
+    info(s"committed=${s.committed} finalRows=${s.finalRows} vacuumRuns=${s.vacuumRuns}")
+    assert(s.delMode)
+    assert(s.workerFailures.isEmpty, s"worker failures: $s")
+    // committed includes each worker's sealing merges on top of its 40
+    assert(s.committed >= 80, s"not all transactions committed: $s")
+    assert(s.wrongRows.isEmpty, s"delete/merge contention produced wrong winners: ${s.wrongRows}")
+    assert(s.missingKeys.isEmpty, s"keys lost under delete contention: ${s.missingKeys}")
+    assert(s.extraKeys.isEmpty, s"unexplained keys (undead deletes): ${s.extraKeys}")
+    assert(s.malformedRows.isEmpty, s"torn rows: ${s.malformedRows}")
+    assert(s.fsckFindings.isEmpty, s"fsck not clean: ${s.fsckFindings}")
+    assert(s.vacuumErrors.isEmpty, s"vacuum threw: ${s.vacuumErrors}")
+    assert(s.vacuumRuns >= 3, s"vacuum loop barely ran: $s")
+  }
+
+  test("SAME-KEY + DELETE crash leg: SIGKILL mid-delete-contention, seal oracle holds") {
+    val dir = Files.createTempDirectory("xproc-skdelcrash-").resolve("records").toString
+    val s = CrossProcess.orchestrateSameKeyCrash(
+      TestSpark.spark, dir,
+      txnsPerWorker = 40,
+      vacuumPeriodMs = 750,
+      vacuumGraceMs = 20000,
+      workerTimeoutMinutes = 15,
+      del = true)
+    info(s"committed=${s.committed} finalRows=${s.finalRows} " +
+      s"victimRowsSeen=${s.victimRowsSeen} vacuumRuns=${s.vacuumRuns}")
+    assert(s.delMode && s.crashMode)
+    assert(s.workerFailures.isEmpty, s"survivor failures: $s")
+    assert(s.committed >= 40, s"survivor did not finish its volume: $s")
+    // survivor seals its touched keys ABOVE every victim stamp, so each
+    // such key's final value must EQUAL the survivor's logged max even
+    // though the victim's deletes died mid-flight
+    assert(s.wrongRows.isEmpty, s"survivor seal oracle violated: ${s.wrongRows}")
+    assert(s.missingKeys.isEmpty, s"survivor keys lost after crash: ${s.missingKeys}")
+    assert(s.malformedRows.isEmpty, s"torn rows after crash: ${s.malformedRows}")
+    assert(s.fsckFindings.isEmpty, s"fsck not clean after crash: ${s.fsckFindings}")
+    assert(s.vacuumErrors.isEmpty, s"vacuum threw: ${s.vacuumErrors}")
+    assert(s.victimWasAlive, s"victim exited before the kill: $s")
+    assert(s.victimRowsSeen > 0, s"victim left no committed evidence: $s")
+  }
+
   test("SIGKILL of one writer JVM mid-run: survivor exact, no torn rows, clean fsck") {
     val dir = Files.createTempDirectory("xproc-crash-").resolve("records").toString
     val s = CrossProcess.orchestrateCrash(

@@ -257,6 +257,53 @@ class RecordIndexSpec extends AnyFunSuite {
     } finally AcidTable.RliDriverFoldMax = saved
   }
 
+  test("distributed fold survives an aggressive concurrent vacuum (anchor holds)") {
+    // Round-18 (r17 verdict #7): distributedRliFold mtime-touches its
+    // input run files before the Spark job so a racing vacuum's age guard
+    // keeps them readable through the executor-read window. Race it for
+    // real: a vacuum loop with a grace window SHORTER than the test
+    // (1.5 s, 100 ms period) sweeps continuously while commits drive
+    // several executor-leg folds (RliDriverFoldMax = 0), including a
+    // generation-growth re-shard. Any anchor hole surfaces as a fold
+    // failure (unreadable run file), a wrong/incomplete probe, or an
+    // fsck finding.
+    val saved = AcidTable.RliDriverFoldMax
+    AcidTable.RliDriverFoldMax = 0L
+    try {
+      val t = newTable()
+      t.upsert(spark.range(0, 2000)
+        .selectExpr("concat('R', id) as primaryKeyValue",
+          "concat('P', id % 3) as partitionKeyValue", "cast(id as string) as dataValue"))
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val vac = new Thread(() => {
+        while (!stop.get()) {
+          try { t.vacuum(keepVersions = 2, graceMillis = 1500); () }
+          catch { case e: Throwable => errs.add(e.toString); () }
+          Thread.sleep(100)
+        }
+      }, "rli-race-vacuum")
+      vac.setDaemon(true)
+      vac.start()
+      try {
+        // two full delta windows: the first overflow fold is the growth
+        // re-shard, the second a wide-generation incremental — both on
+        // the executor leg, both racing the sweeper
+        (1 to 2 * (AcidTable.MaxRliRefs + 1)).foreach(i =>
+          t.upsert(df(Record(s"V$i", s"P${i % 3}", s"v$i"))))
+      } finally { stop.set(true); vac.join(15000) }
+      assert(errs.isEmpty, s"vacuum threw while racing the fold: $errs")
+      assert(isDone(t), "fold under racing vacuum must keep the done flag")
+      assert(t.lookup(Seq("R500")).collect().map(_.getString(2)).toSeq == Seq("500"))
+      assert(t.lookup(Seq(s"V${AcidTable.MaxRliRefs}")).collect()
+        .map(_.getString(2)).toSeq == Seq(s"v${AcidTable.MaxRliRefs}"))
+      assert(t.lookupFiles(Seq("GONE")).isEmpty, "proven-empty must survive the race")
+      val findings = t.fsck(graceMs = 0).collect()
+      assert(findings.isEmpty, s"fsck not clean after fold × vacuum race: " +
+        findings.map(_.toString).mkString(", "))
+    } finally AcidTable.RliDriverFoldMax = saved
+  }
+
   test("wide generation: refs move to a content-addressed side file") {
     val saved = AcidTable.RliGenInlineMax
     AcidTable.RliGenInlineMax = 4 // engage the indirection on a CI-sized generation
