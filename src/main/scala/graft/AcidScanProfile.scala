@@ -80,6 +80,30 @@ object AcidScanProfile {
       spark.read.parquet(stockDir).createOrReplaceTempView("prof_stock")
       spark.sql(q.format("prof_stock"))
     })
+    // third route: the GRAFT table's own data files through the STOCK
+    // reader — separates file-layout effects (sizes, row groups,
+    // encodings) from the batch-scan machinery itself
+    val graftFiles = t.snapshot().inputFiles
+    println(s"graft files=${graftFiles.length} " +
+      s"bytes=${graftFiles.map(f => new java.io.File(f.stripPrefix("file:")).length()).sum}")
+    val stockFiles = spark.read.parquet(stockDir).inputFiles
+    println(s"stock files=${stockFiles.length} " +
+      s"bytes=${stockFiles.map(f => new java.io.File(f.stripPrefix("file:")).length()).sum}")
+    phases("hybrid", () => {
+      spark.read.parquet(graftFiles: _*).createOrReplaceTempView("prof_hybrid")
+      spark.sql(
+        "SELECT prio, count(*) AS n, sum(price) AS rev FROM prof_hybrid " +
+          "WHERE price > 1000.0 GROUP BY prio")
+    })
+    // task-count + plan shape of the graft route, once
+    locally {
+      val df = spark.sql(q.format("graft.ab.ordersacid"))
+      df.write.format("noop").mode("overwrite").save()
+      val scans = org.apache.spark.sql.graft.AcidBatchScan.scansOf(df)
+      println(s"graft planned files=${org.apache.spark.sql.graft.AcidBatchScan.lastPlannedFiles.get()} " +
+        s"scans=${scans.size}")
+      println(df.queryExecution.executedPlan.toString.linesIterator.take(25).mkString("\n"))
+    }
     spark.stop()
   }
 }

@@ -3148,20 +3148,24 @@ final class AcidTable private (
     def newFilter() =
       org.apache.spark.util.sketch.BloomFilter.create(expected, AcidTable.BloomFpp)
 
-    // cell routing: rel "part=<esc>/bNNN-…" → (partition value, bucket)
-    val cellOf: Option[String => (String, Int)] = {
-      val cells = files.map { f =>
-        val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol="))
-        f -> (pv, fileBucketOf(f))
-      }
-      if (hashSafeInternal(schema(pkCol).dataType) && cells.forall(_._2._2.isDefined))
-        Some(cells.map { case (f, (pv, b)) => f -> ((pv, b.get)) }.toMap.apply)
-      else None
-    }
+    // cell routing: rel "part=<esc>/bNNN-…" → (partition value, Option
+    // bucket). BUCKETLESS files (bin-packed / coarse partitions) route by
+    // PARTITION alone — each absorbs every row of its partition, so its
+    // sidecar holds exactly its partition's keys and point-lookup pruning
+    // still drops the other partitions' files (pre-round-18 this fell
+    // back to one commit-wide filter shared by EVERY file, which made
+    // bloom pruning a no-op on any commit containing a coarse file).
     val partIdx = schema.fieldIndex(partitionCol)
     val pkIdx = schema.fieldIndex(pkCol)
     val pkDt = schema(pkIdx).dataType
+    val bucketRoutable = hashSafeInternal(pkDt)
+    val filesByPart: Map[String, Seq[(String, Option[Int])]] = files
+      .map { f =>
+        val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(f.takeWhile(_ != '/').stripPrefix(s"$partitionCol="))
+        (f, pv, fileBucketOf(f))
+      }
+      .groupBy(_._2).view.mapValues(_.map(t => (t._1, t._3))).toMap
 
     // one filter per (file, col) under cell routing; per col commit-wide else
     val perFile: Map[String, scala.collection.mutable.Map[String,
@@ -3171,23 +3175,24 @@ final class AcidTable private (
     val commitWide = scala.collection.mutable.Map.empty[String,
       org.apache.spark.util.sketch.BloomFilter]
     val incomplete = scala.collection.mutable.Set.empty[String]
-    val fileOfCell: Map[(String, Int), Seq[String]] = cellOf match {
-      case Some(co) => files.groupBy(co)
-      case None => Map.empty
-    }
     val colIdx = cols.map(c => c -> schema.fieldIndex(c))
     rows.foreach { r =>
       val targets: Seq[scala.collection.mutable.Map[String,
           org.apache.spark.util.sketch.BloomFilter]] =
-        if (cellOf.isEmpty) Seq(commitWide)
-        else if (r.isNullAt(partIdx) || r.isNullAt(pkIdx)) Seq(commitWide) // never routed
+        if (r.isNullAt(partIdx) || r.isNullAt(pkIdx)) Seq(commitWide) // never routed
         else {
-          val cell = (r.getUTF8String(partIdx).toString,
-            driverBucketOf(r.get(pkIdx, pkDt)))
-          fileOfCell.get(cell) match {
-            case Some(fs) => fs.map(perFile)
-            case None => Seq(commitWide) // row outside any new file's cell
+          val pv = r.getUTF8String(partIdx).toString
+          val inPart = filesByPart.getOrElse(pv, Nil)
+          // bucketless files always absorb the row; bucketed ones only
+          // when the row's hash bucket matches (un-hashable PK types
+          // cannot route by bucket → every partition file, conservative)
+          val fs = inPart.collect {
+            case (f, None) => f
+            case (f, Some(b))
+                if !bucketRoutable || b == driverBucketOf(r.get(pkIdx, pkDt)) => f
           }
+          if (fs.nonEmpty) fs.map(perFile)
+          else Seq(commitWide) // row outside any new file's cell
         }
       colIdx.foreach { case (c, idx) =>
         if (!r.isNullAt(idx)) {
@@ -3214,24 +3219,18 @@ final class AcidTable private (
           c -> bos.toByteArray
         }
       }
-    if (cellOf.isEmpty) {
-      // one shared payload slot: every file points at the same bytes
-      val entries = serialize(commitWide)
-      if (entries.nonEmpty) writeBloomSegment(files.map(f => f -> entries))
-    } else {
-      // any commit-wide leakage (NULL cells, unrouted rows) merges into
-      // every file's filter so no key is ever missing from a stamp
-      writeBloomSegment(files.map { f =>
-        val m = perFile(f)
-        commitWide.foreach { case (c, wide) =>
-          m.get(c) match {
-            case Some(bf) => bf.mergeInPlace(wide); ()
-            case None => m(c) = wide
-          }
+    // any commit-wide leakage (NULL cells, unrouted rows) merges into
+    // every file's filter so no key is ever missing from a stamp
+    writeBloomSegment(files.map { f =>
+      val m = perFile(f)
+      commitWide.foreach { case (c, wide) =>
+        m.get(c) match {
+          case Some(bf) => bf.mergeInPlace(wide); ()
+          case None => m(c) = wide
         }
-        f -> serialize(m)
-      })
-    }
+      }
+      f -> serialize(m)
+    })
   }
 
   /** ONE distributed pass over a commit's new files building per-file
@@ -4430,11 +4429,33 @@ final class AcidTable private (
         rawCells.map(c => if (denseParts(c.part)) FileCell(c.part, -1) else c).distinct,
         scopedFiles)
       var touched = touched0
+      val touchedFiles = scopedFiles.filter(f => touched.exists(c => fileInCell(f, c)))
       val coarseParts =
         if (forceCoarse) touched.map(_.part).toSet
-        else if (rebucket) Set.empty[String]
+        else if (rebucket) {
+          // compaction BIN-PACKS small partitions (round 18, the
+          // acid_scan_identity 2× fix): folding a tiny partition into
+          // numBuckets file groups writes numBuckets near-empty parquet
+          // files, and every subsequent scan pays numBuckets× the
+          // open/footer cost — measured as the whole 0.26 s identity-pair
+          // gap (512 × ~5 KB files vs stock's 16). A partition keeps the
+          // keyed per-bucket layout only when its live bytes give each
+          // bucket file at least [[AcidTable.CompactMinBucketFileBytes]];
+          // below that it compacts to partition scope — one size-rolled
+          // file stream, the Delta-OPTIMIZE bin-packing behavior. Keyed
+          // commits on such a partition stay correct (a bucketless file
+          // belongs to every bucket — the standing conservatism), and the
+          // next compaction past the threshold re-buckets it.
+          // one pass over touchedFiles (a 20 k-partition compact must not
+          // pay O(partitions × files) membership filters)
+          val bytesByDir = touchedFiles.groupBy(_.takeWhile(_ != '/'))
+            .map { case (d, fs) => d -> inputBytes(fs, scopedSizes) }
+          touched.iterator.map(_.part).filter { p =>
+            bytesByDir.getOrElse(partDir(p), 0L) <
+              numBuckets.toLong * AcidTable.CompactMinBucketFileBytes
+          }.toSet
+        }
         else denseParts ++ legacyParts
-      val touchedFiles = scopedFiles.filter(f => touched.exists(c => fileInCell(f, c)))
       val inB = if (outputBounded) inputBytes(touchedFiles, scopedSizes) else Long.MaxValue
       // write-time statistics input: when the driver fast path ran, the
       // commit's rows are in hand — recordWriteStats can stamp ranges with
@@ -5159,27 +5180,36 @@ final class AcidTable private (
     require(stray.isEmpty,
       s"commit produced rows outside its touched cells: ${stray.mkString(", ")}")
     val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // same size-rolling contract as the distributed writer: roll a file
+    // group at the estimated-record cap derived from targetFileBytes.
+    // Production fast-path commits (≤4 MiB input vs a 128 MiB target)
+    // never roll; this keeps a lowered target honest for COARSE
+    // (bin-packed) partitions, which round 18 made fast-path-common.
+    val recordsPerFile =
+      math.max(1L, targetFileBytes / math.max(1, schema.defaultSize)).toInt
     groups.toSeq.sortBy(_._1).foreach { case ((p, b), rs) =>
       Files.createDirectories(dataRoot.resolve(partDir(p)))
       val prefix = if (b < 0) "" else bucketPrefix(b)
-      val rel = s"${partDir(p)}/${prefix}c-$commitId-0.parquet"
-      val dataRows = rs.map { r =>
-        val dr = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          dataFileSchema.length)
-        var i = 0
-        while (i < dataFieldIdx.length) {
-          dr.update(i, r.get(dataFieldIdx(i), dataFileSchema(i).dataType))
-          i += 1
+      rs.grouped(recordsPerFile).zipWithIndex.foreach { case (chunk, k) =>
+        val rel = s"${partDir(p)}/${prefix}c-$commitId-$k.parquet"
+        val dataRows = chunk.map { r =>
+          val dr = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            dataFileSchema.length)
+          var i = 0
+          while (i < dataFieldIdx.length) {
+            dr.update(i, r.get(dataFieldIdx(i), dataFileSchema(i).dataType))
+            i += 1
+          }
+          dr
         }
-        dr
+        val bytes = org.apache.spark.sql.graft.LocalParquetIO
+          .write(dataRoot.resolve(rel).toFile, dataFileSchema, dataRows, spark)
+        // the rows just written ARE the file's contents — cache them so the
+        // next commit touching this file group skips the parquet read
+        AcidTable.cacheFileRows(dataRoot.resolve(rel).toString, dataFileSchema,
+          dataRows.toSeq, bytes)
+        moved += (rel -> bytes)
       }
-      val bytes = org.apache.spark.sql.graft.LocalParquetIO
-        .write(dataRoot.resolve(rel).toFile, dataFileSchema, dataRows, spark)
-      // the rows just written ARE the file's contents — cache them so the
-      // next commit touching this file group skips the parquet read
-      AcidTable.cacheFileRows(dataRoot.resolve(rel).toString, dataFileSchema,
-        dataRows.toSeq, bytes)
-      moved += (rel -> bytes)
     }
     AcidTable.writeCallNanos.addAndGet(System.nanoTime() - t0)
     moved.toSeq
@@ -6984,6 +7014,23 @@ object AcidTable {
     * bulk loads never qualify anyway (outputBounded/inputBytes).
     */
   val FastPathMaxBytes: Long = 4L * 1024 * 1024
+
+  /** Compaction bin-packing floor (round 18): a partition keeps the
+    * per-bucket file-group layout through compact() only when its live
+    * bytes give each bucket file at least this much; below it the
+    * partition compacts to ONE size-rolled bucketless stream. A bucket
+    * file under 64 KiB is pure overhead — parquet footer/dictionary
+    * bytes rival the data, and a full scan pays numBuckets× the
+    * open/footer cost (the acid_scan_identity 2× drift: 512 × ~5 KB
+    * files). 64 KiB keeps the floor LOW on purpose: any partition whose
+    * cells carry real data (≥ numBuckets × 64 KiB ≈ 2 MiB at 32
+    * buckets) keeps the keyed file-group layout that makes trickle DML
+    * and CDC diffs cell-scoped; at 100 TB every partition is far above
+    * it. Tunable: `-Dgraft.compact.minBucketFileBytes=N`. */
+  val CompactMinBucketFileBytes: Long =
+    sys.props.get("graft.compact.minBucketFileBytes")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(64L * 1024)
 
   /** Byte budget for the MATVIEW driver fold's cell streaming (round-14
     * verdict #7) — deliberately wider than [[FastPathMaxBytes]], and

@@ -567,7 +567,7 @@ object AcidQueries {
         FROM (VALUES (0, 'UPSERT', 19, 19),
                      (1, 'UPDATE', 19, 11),
                      (2, 'DELETE', 17, 5),
-                     (3, 'COMPACT', 17, 2),
+                     (3, 'COMPACT', 2, 2),
                      (4, 'RESTORE', 19, 2))
           AS h(version, operation, n_files, n_touched_cells)
         ORDER BY version
