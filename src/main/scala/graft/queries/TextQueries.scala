@@ -32,6 +32,87 @@ object TextQueries {
        |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, x) -> (acc * 31 + x) % $P)""".stripMargin
 
+  /** BPE training rounds shared by the train/apply gates and their
+    * oracle-CTE generator — one constant so the Spark loop and the
+    * unrolled DuckDB replay can never disagree on k. */
+  private val BpeRounds = 8
+
+  /** The BPE training loop (round 18): word-frequency table from ONE
+    * corpus pass, then `k` rounds of highest-frequency adjacent-pair
+    * merging over `(a)(b)`-encoded symbol strings (ties count DESC,
+    * pair ASC — fully deterministic). Returns the FINAL segmentation
+    * (wd, syms, cnt — still persisted; caller unpersists) and the merge
+    * table (step, lhs, rhs, freq). Corpus text is touched exactly once;
+    * each round is a vocabulary-sized codegen hash aggregation + a
+    * 1-row TakeOrdered + a map-side literal replace.
+    */
+  private def bpeTrain(s: SparkSession, dir: String, k: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val base = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("wd"))
+      .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
+      .groupBy("wd").agg(count(lit(1)).as("cnt"))
+      .select(col("wd"),
+        regexp_replace(col("wd"), "(.)", "($1)").as("syms"), col("cnt"))
+    var ws = base.persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val pairs = ws
+        .select(col("cnt"),
+          split(expr("substring(syms, 2, length(syms) - 2)"), "\\)\\(").as("ss"))
+        .select(col("cnt"), explode(zip_with(
+          slice(col("ss"), lit(1), size(col("ss")) - 1),
+          slice(col("ss"), lit(2), size(col("ss")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, n))
+        val nxt = ws.select(col("wd"),
+          expr(s"replace(syms, '($l)($r)', '($l$r)')").as("syms"),
+          col("cnt")).persist()
+        nxt.count() // materialize before releasing the parent
+        ws.unpersist(); ws = nxt
+        step += 1
+      }
+    }
+    (ws, merges.toSeq)
+  }
+
+  /** The DuckDB replay of [[bpeTrain]] as chained CTEs: `wfreq`, `ws0`,
+    * then per round i `p_i` (pair counts), `m_i` (the argmax merge), and
+    * `ws_i` (the rewritten segmentation, word carried through). */
+  private def bpeOracleCtes(k: Int): String = {
+    val wfreq = """
+          wfreq AS (
+            SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents)
+            WHERE regexp_full_match(wd, '[a-z]+') AND len(wd) >= 2
+            GROUP BY wd),
+          ws0 AS (
+            SELECT wd, regexp_replace(wd, '(.)', '(\1)', 'g') AS syms, cnt FROM wfreq)"""
+    val iters = (1 to k).map { i =>
+      s"""
+          p$i AS (
+            SELECT ss[i] AS l, ss[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM (SELECT string_split(trim(syms, '()'), ')(') AS ss, cnt
+                  FROM ws${i - 1}) t,
+                 LATERAL (SELECT unnest(generate_series(1, len(ss) - 1)) AS i) g
+            GROUP BY 1, 2),
+          m$i AS (SELECT $i AS step, l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+          ws$i AS (
+            SELECT w.wd, replace(w.syms, '(' || m.l || ')(' || m.r || ')',
+                           '(' || m.l || m.r || ')') AS syms, w.cnt
+            FROM ws${i - 1} w, m$i m)"""
+    }.mkString(",")
+    wfreq + "," + iters
+  }
+
   /** DuckDB rendering of distinct word-bigram shingles of `trim(text)`. */
   private[queries] val sqlShingles =
     """list_distinct(list_transform(
@@ -765,77 +846,65 @@ object TextQueries {
     Q(
       "q_text_bpe_train",
       (s, dir) => {
-        val k = 8
-        val base = Tables.documents(s, dir)
-          .select(explode(split(lower(col("text")), " ")).as("wd"))
-          .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
-          .groupBy("wd").agg(count(lit(1)).as("cnt"))
-          .select(regexp_replace(col("wd"), "(.)", "($1)").as("syms"), col("cnt"))
-        var ws = base.persist()
-        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-        try {
-          var step = 1
-          var exhausted = false
-          while (step <= k && !exhausted) {
-            val pairs = ws
-              .select(col("cnt"),
-                split(expr("substring(syms, 2, length(syms) - 2)"), "\\)\\(").as("ss"))
-              .select(col("cnt"), explode(zip_with(
-                slice(col("ss"), lit(1), size(col("ss")) - 1),
-                slice(col("ss"), lit(2), size(col("ss")) - 1),
-                (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-              .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-              .agg(sum(col("cnt")).as("n"))
-            val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
-            if (top.isEmpty) exhausted = true
-            else {
-              val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-              merges += ((step, l, r, n))
-              val nxt = ws.select(
-                expr(s"replace(syms, '($l)($r)', '($l$r)')").as("syms"),
-                col("cnt")).persist()
-              nxt.count() // materialize before releasing the parent
-              ws.unpersist(); ws = nxt
-              step += 1
-            }
-          }
-        } finally { ws.unpersist(); () }
+        val (ws, merges) = bpeTrain(s, dir, BpeRounds)
+        ws.unpersist()
         import s.implicits._
-        merges.toSeq.toDF("step", "lhs", "rhs", "freq")
+        merges.toDF("step", "lhs", "rhs", "freq")
           .select(col("step"), col("lhs"), col("rhs"),
             concat(col("lhs"), col("rhs")).as("merged"), col("freq"))
           .orderBy(col("step"))
       },
       Some {
-        val wfreq = """
-          wfreq AS (
-            SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-              SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents)
-            WHERE regexp_full_match(wd, '[a-z]+') AND len(wd) >= 2
-            GROUP BY wd),
-          ws0 AS (
-            SELECT regexp_replace(wd, '(.)', '(\1)', 'g') AS syms, cnt FROM wfreq)"""
-        val iters = (1 to 8).map { i =>
-          s"""
-          p$i AS (
-            SELECT ss[i] AS l, ss[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
-            FROM (SELECT string_split(trim(syms, '()'), ')(') AS ss, cnt
-                  FROM ws${i - 1}) t,
-                 LATERAL (SELECT unnest(generate_series(1, len(ss) - 1)) AS i) g
-            GROUP BY 1, 2),
-          m$i AS (SELECT $i AS step, l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-          ws$i AS (
-            SELECT replace(w.syms, '(' || m.l || ')(' || m.r || ')',
-                           '(' || m.l || m.r || ')') AS syms, w.cnt
-            FROM ws${i - 1} w, m$i m)"""
-        }.mkString(",")
-        val union = (1 to 8).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+        val union = (1 to BpeRounds).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
         s"""
-        WITH $wfreq, $iters
+        WITH ${bpeOracleCtes(BpeRounds)}
         SELECT step, l AS lhs, r AS rhs, l || r AS merged, n AS freq
         FROM ($union) ORDER BY step
         """
       }),
+
+    // ---- C45/C52 BPE tokenizer INFERENCE on the trained merges ------------------
+    // The loop closed (r17 verdict #6's second half): the merge table
+    // q_text_bpe_train produces is immediately CONSUMED — every corpus
+    // word segments under the trained merge sequence (the vocabulary-
+    // keyed map is the trained tokenizer), and each document's subword
+    // budget is the sum over its words' segment counts. Shape: the
+    // trained (word → token count) map is vocabulary-sized and
+    // broadcast-joins the exploded corpus words — one corpus pass on top
+    // of training's. The oracle replays training AND inference in one
+    // DuckDB query (the same unrolled merge CTEs, final segmentation
+    // joined back to the documents' words).
+    Q(
+      "q_text_bpe_apply",
+      (s, dir) => {
+        val (ws, _) = bpeTrain(s, dir, BpeRounds)
+        try {
+          val vocab = ws.select(col("wd"),
+            size(split(expr("substring(syms, 2, length(syms) - 2)"), "\\)\\("))
+              .cast("long").as("ntok"))
+          Tables.documents(s, dir)
+            .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+            .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
+            .join(vocab, Seq("wd"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+            .orderBy(col("doc_id"))
+        } finally { ws.unpersist(); () }
+      },
+      Some(s"""
+        WITH ${bpeOracleCtes(BpeRounds)},
+        vocab AS (
+          SELECT wd, CAST(len(string_split(trim(syms, '()'), ')(')) AS BIGINT) AS ntok
+          FROM ws$BpeRounds),
+        dw AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd FROM documents),
+        dwf AS (
+          SELECT doc_id, wd FROM dw
+          WHERE regexp_full_match(wd, '[a-z]+') AND len(wd) >= 2)
+        SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(v.ntok) AS BIGINT) AS n_tokens
+        FROM dwf JOIN vocab v USING (wd)
+        GROUP BY doc_id ORDER BY doc_id
+      """)),
 
     // ---- C45 repetition / boilerplate filter (Gopher-style) ---------------------
     // The standard LLM-corpus quality gate: flag documents dominated by a
