@@ -317,6 +317,69 @@ object BaselineBench {
     val mvRows = Seq("matview_refresh_1x" -> 1, "matview_refresh_64x" -> 64)
       .filter(p => abSelected(p._1)).map(p => mvPair(p._1, p._2))
 
+    // star-join matview pair (round 18, r17 verdict #2): the SAME trickle
+    // regime over `fact ⋈ dim GROUP BY dim.seg` — after a small fact
+    // commit, the graft side folds delta-fact ⋈ dim into the stored
+    // state (NO fact scan: the bilinear decomposition's fact-only term);
+    // the stock side is the star rollup a user without the view runs —
+    // full fact scan ⋈ dim + GROUP BY. Two fact scales, same delta: the
+    // refresh must stay flat while the recompute grows with the fact.
+    def mvJoinPair(label: String, replicas: Int): (String, Double, Double) = {
+      import graft.lake.{AcidTable, MatView, MvAgg, MvJoin}
+      import org.apache.spark.sql.types._
+      val factSchema = StructType(Seq(
+        StructField("pk", LongType), StructField("part", StringType),
+        StructField("ck", StringType), StructField("price", DecimalType(18, 2))))
+      val dimSchema = StructType(Seq(
+        StructField("ckey", StringType), StructField("dpart", StringType),
+        StructField("seg", StringType)))
+      val fact = AcidTable.create(spark,
+        Files.createTempDirectory(s"ab-mvj-$label-").resolve("f").toString,
+        factSchema, "pk", "part", stablePartitions = true)
+      val dim = AcidTable.create(spark,
+        Files.createTempDirectory(s"ab-mvj-$label-").resolve("d").toString,
+        dimSchema, "ckey", "dpart", stablePartitions = true)
+      val base = pq("orders")
+        .crossJoin(spark.range(replicas).select(col("id").as("rep")))
+        .select(
+          (col("o_orderkey") * replicas + col("rep")).cast("long").as("pk"),
+          concat_ws("", lit("p"), (col("o_orderkey") % 16).cast("string")).as("part"),
+          col("o_custkey").cast("string").as("ck"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      fact.upsert(base)
+      fact.compact(0)
+      dim.upsert(pq("customer").select(
+        col("c_custkey").cast("string").as("ckey"),
+        concat_ws("", lit("q"), (col("c_nationkey") % 4).cast("string")).as("dpart"),
+        col("c_mktsegment").as("seg")))
+      val mv = MatView.create(spark, fact,
+        Files.createTempDirectory(s"ab-mvj-v-$label-").resolve("v").toString,
+        Seq("seg"), Seq(MvAgg("cnt", "count", "*"), MvAgg("rev", "sum", "price")),
+        join = Some(MvJoin(dim.path, "ck", "ckey", Seq("seg"))))
+      val gts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val sts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until reps).foreach { i =>
+        fact.upsert(base.filter(col("pk") % (18701L * replicas) === i)
+          .withColumn("price", (col("price") * lit(2)).cast("decimal(18,2)")))
+        gts += time { mv.refresh() }
+        sts += time {
+          fact.snapshot()
+            .join(dim.snapshot().select(col("ckey"), col("seg")),
+              col("ck") === col("ckey"), "inner")
+            .groupBy(col("seg"))
+            .agg(count(lit(1)).as("cnt"), sum(col("price")).as("rev"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val g = gts.sorted.apply(gts.size / 2)
+      val s0 = sts.sorted.apply(sts.size / 2)
+      println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
+      (label, g, s0)
+    }
+    val mvJoinRows =
+      Seq("matview_join_refresh_1x" -> 1, "matview_join_refresh_64x" -> 64)
+        .filter(p => abSelected(p._1)).map(p => mvJoinPair(p._1, p._2))
+
     // bloom point-lookup pair (round-11b): the metadata-pruned keyed read
     // vs the stock partitioned-parquet scan+filter a user without the
     // lake runs over the SAME rows and comparable file count. The graft
@@ -480,7 +543,8 @@ object BaselineBench {
       if (abSelected("acid_scan_dv_unrelated"))
         Seq(acidDvScanPair("acid_scan_dv_unrelated")) else Nil
 
-    val js = (rows ++ mvRows ++ bloomRows ++ acidScanRows ++ dvScanRows).map { case (l, g, s0) =>
+    val js = (rows ++ mvRows ++ mvJoinRows ++ bloomRows ++ acidScanRows ++
+        dvScanRows).map { case (l, g, s0) =>
       "\"" + l + "\":{" + f""""graft":$g%.3f,"stock":$s0%.3f,"ratio":${g / s0}%.3f}"""
     }.mkString("{", ",", "}")
     spark.stop()

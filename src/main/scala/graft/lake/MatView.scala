@@ -148,6 +148,16 @@ final class MatView private (
       if (j.dimCols.contains(j.dimKey)) ds else ds.filterNot(_ == j.dimKey)
     }
 
+  /** Schema of the maintained relation: the fact schema plus the
+    * referenced dim columns' fields (single-table views: the fact schema
+    * itself). The driver fold's row kernels compile against THIS, so
+    * group identity and state routing agree with the distributed plan
+    * for join views too. */
+  private lazy val relationSchema: StructType =
+    if (join.isEmpty) source.schema
+    else StructType(source.schema.fields.toSeq ++
+      relationCols.drop(source.schema.length).map(c => dimTable.get.schema(c)))
+
   // ----------------------------------------------------------- expressions --
 
   /** Injective string encoding of the group tuple: NULL → a lone U+0000
@@ -280,7 +290,7 @@ final class MatView private (
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
     scala.util.Try {
       val empty = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), source.schema)
+        new java.util.ArrayList[org.apache.spark.sql.Row](), relationSchema)
       val sel = empty.select(
         keyExpr.as("__mv_key"),
         pmod(xxhash64(keyExpr), lit(numParts.toLong)).cast(StringType).as("__mv_part"))
@@ -340,7 +350,8 @@ final class MatView private (
     if (sys.props.get("graft.mv.debug").contains("true"))
       Console.err.println(s"[mv-localFold] $msg")
 
-  private def localFoldRows(stateBase: Long, fromV: Long, srcV: Long)
+  private def localFoldRows(stateBase: Long, fromV: Long, srcV: Long,
+      dimPin: Long = -1L)
       : Option[Option[Seq[org.apache.spark.sql.catalyst.InternalRow]]] = {
     import org.apache.spark.sql.graft.PlanShim
     val kernel = driverKeyKernel.getOrElse { dbg("no kernel"); return None }
@@ -352,11 +363,11 @@ final class MatView private (
     if (st.schema.fieldNames.toSeq != stateSchema.fieldNames.toSeq ||
         !st.schema.fields.zip(stateSchema.fields).forall { case (a, b) =>
           PlanShim.sameType(a.dataType, b.dataType) }) { dbg("state schema mismatch: " + st.schema.fieldNames.toSeq + " vs " + stateSchema.fieldNames.toSeq); return None }
-    val srcIdxOf = source.schema.fieldNames.zipWithIndex.toMap
+    val srcIdxOf = relationSchema.fieldNames.zipWithIndex.toMap
     val stIdxOf = stateSchema.fieldNames.zipWithIndex.toMap
     val groupOk = groupCols.forall { g =>
       srcIdxOf.contains(g) && stIdxOf.contains(g) &&
-        PlanShim.sameType(source.schema(g).dataType, stateSchema(g).dataType)
+        PlanShim.sameType(relationSchema(g).dataType, stateSchema(g).dataType)
     }
     if (!groupOk) { dbg("groupOk false"); return None }
     def integral(dt: DataType): Boolean = dt match {
@@ -373,9 +384,9 @@ final class MatView private (
         srcIdxOf.contains(c) && stIdxOf.contains(s"${n}__s") &&
           stIdxOf.contains(s"${n}__n") &&
           stateSchema(s"${n}__n").dataType == LongType &&
-          ((integral(source.schema(c).dataType) &&
+          ((integral(relationSchema(c).dataType) &&
               stateSchema(s"${n}__s").dataType == LongType) ||
-            (source.schema(c).dataType.isInstanceOf[DecimalType] &&
+            (relationSchema(c).dataType.isInstanceOf[DecimalType] &&
               stateSchema(s"${n}__s").dataType.isInstanceOf[DecimalType]))
       case _ => false
     }
@@ -386,9 +397,63 @@ final class MatView private (
     // group-count-bounded (10k cap below), so megabyte-class touched
     // cells stream through the driver row kernels instead of paying the
     // distributed fold's fixed multi-job latency
-    val delta = source.localChangeRows(fromV, srcV, AcidTable.MvFoldMaxBytes)
+    val factDelta = source.localChangeRows(fromV, srcV, AcidTable.MvFoldMaxBytes)
       .getOrElse { dbg("localChangeRows None"); return None }
-    if (delta.isEmpty) return Some(None)
+    // join views (round 18): the fact delta joins against the dim ON THE
+    // DRIVER — a bucket-pruned dim point lookup by the delta's fk values
+    // (the dim is keyed by the join key; the caller gated on a fact-only
+    // window, so the dim snapshot is the applied one). A trickle fact
+    // commit then refreshes the star view with ZERO Spark jobs, same as
+    // the single-table fast path.
+    val delta: Seq[(org.apache.spark.sql.catalyst.InternalRow, Int)] = join match {
+      case None => factDelta
+      case Some(j) =>
+        val d = dimTable.get
+        if (j.dimKey != d.pkCol) { dbg("dim key is not the dim pk"); return None }
+        if (!PlanShim.sameType(source.schema(j.factKey).dataType,
+            d.schema(j.dimKey).dataType)) { dbg("fk/dimKey type mismatch"); return None }
+        val fkIdx = source.schema.fieldIndex(j.factKey)
+        val fkDt = source.schema(fkIdx).dataType
+        val keys = factDelta.iterator.collect {
+          case (r, _) if !r.isNullAt(fkIdx) => String.valueOf(r.get(fkIdx, fkDt))
+        }.toSeq.distinct
+        if (keys.isEmpty) Nil
+        else {
+          // pinned at the APPLIED dim version: a dim commit racing this
+          // fact-only fold must not leak newer dim rows into a window
+          // stamped :fromD (an archived pin falls back to distributed)
+          val dimRows = scala.util.Try(d.localLookupRows(keys, dimPin)).toOption
+            .flatten.getOrElse { dbg("dim localLookupRows None"); return None }
+          val dimPkIdx = d.schema.fieldIndex(d.pkCol)
+          val byKey = dimRows.groupBy(r =>
+            String.valueOf(r.get(dimPkIdx, d.schema(dimPkIdx).dataType)))
+          val dimColIdx = relationCols.drop(source.schema.length)
+            .map(c => d.schema.fieldIndex(c))
+          factDelta.flatMap { case (r, net) =>
+            if (r.isNullAt(fkIdx)) Nil
+            else byKey.getOrElse(String.valueOf(r.get(fkIdx, fkDt)), Nil).map { dr =>
+              val out = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(relationSchema.length)
+              var i = 0
+              while (i < source.schema.length) {
+                out.update(i, r.get(i, source.schema(i).dataType)); i += 1
+              }
+              var k = 0
+              while (k < dimColIdx.length) {
+                out.update(source.schema.length + k,
+                  dr.get(dimColIdx(k), d.schema(dimColIdx(k)).dataType))
+                k += 1
+              }
+              (out: org.apache.spark.sql.catalyst.InternalRow, net)
+            }
+          }
+        }
+    }
+    // a join view's nonempty fact window can net to zero joined rows —
+    // fall to the distributed path, which advances the high-water marks
+    // with an empty marker commit (returning Some(None) here would
+    // re-diff the same window on every later refresh)
+    if (delta.isEmpty) return (if (join.isEmpty) Some(None) else None)
 
     val accs = new java.util.LinkedHashMap[String, GroupAcc]
     delta.foreach { case (row, net) =>
@@ -416,7 +481,7 @@ final class MatView private (
             if (!row.isNullAt(ci)) {
               acc.sawNonNull(i) = true
               acc.cnt(i) += net.toLong
-              source.schema(c).dataType match {
+              relationSchema(c).dataType match {
                 case ByteType =>
                   acc.sumL(i) += (row.getByte(ci).toInt * s).toLong * k
                 case ShortType =>
@@ -426,7 +491,7 @@ final class MatView private (
                 case LongType =>
                   acc.sumL(i) += row.getLong(ci) * s * k
                 case _: DecimalType =>
-                  val v = row.get(ci, source.schema(c).dataType)
+                  val v = row.get(ci, relationSchema(c).dataType)
                     .asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
                   acc.sumD(i) = acc.sumD(i).add(
                     v.multiply(java.math.BigDecimal.valueOf(net.toLong)))
@@ -454,7 +519,7 @@ final class MatView private (
       val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         stateSchema.length)
       groupCols.foreach { g =>
-        row.update(stIdxOf(g), acc.rep.get(srcIdxOf(g), source.schema(g).dataType))
+        row.update(stIdxOf(g), acc.rep.get(srcIdxOf(g), relationSchema(g).dataType))
       }
       var i = 0
       while (i < aggs.length) {
@@ -530,10 +595,12 @@ final class MatView private (
       // metadata-gated delta folds and commits entirely on the driver —
       // zero Spark jobs; anything outside the gate falls through to the
       // distributed formulation below, which stays authoritative.
-      // Join views always take the distributed path: the fold's delta is
-      // a JOIN, not a raw CDC slice.
+      // Join views ride it too (round 18) when the window is FACT-ONLY
+      // (dim unchanged): the fact delta joins against a driver dim point
+      // lookup — a dim-change window always folds distributed.
       val localAttempt =
-        if (incrementalOk && join.isEmpty) localFoldRows(stateBase, fromV, srcV)
+        if (incrementalOk && (join.isEmpty || dimV <= fromD))
+          localFoldRows(stateBase, fromV, srcV, dimPin = fromD)
         else None
       localAttempt match {
         case Some(None) => return fromV // net-zero range: nothing to fold
@@ -543,7 +610,8 @@ final class MatView private (
               .toAttributes(stateSchema)
             state.casUpsertOp(
               org.apache.spark.sql.graft.PlanShim.localRelationDf(spark, attrs, stateRows),
-              s"MVREFRESH:$srcV", stateBase)
+              if (join.isEmpty) s"MVREFRESH:$srcV" else s"MVREFRESH:$srcV:$fromD",
+              stateBase)
             return srcV
           } catch {
             case _: CommitConflictException =>

@@ -267,6 +267,34 @@ class MatViewJoinSpec extends AnyFunSuite {
     assert(mv.appliedVersions()._1 === f.latestVersion())
   }
 
+  test("a fact-only trickle refresh is driver-only: zero Spark jobs") {
+    // round-18: the join view's fast path — the fact delta joins against
+    // a bucket-pruned DRIVER dim point lookup pinned at the applied dim
+    // version, then folds and commits on the driver row kernels exactly
+    // like the single-table trickle path
+    val f = seededFact("zj"); val d = seededDim("zj")
+    val mv = mkView("zj", f, d)
+    f.upsert(factRows(("k1", "p0", "d2", 12L, "2.00"))) // fk migration too
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      mv.refresh()
+      Thread.sleep(500) // listener events are async; settle before reading
+      assert(jobs.get() === 0,
+        s"fact-only join trickle must fold on the driver (saw ${jobs.get()} jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got(mv) === expect(f, d))
+    // and a DIM change still folds exactly (distributed path)
+    d.upsert(dimRows(("d2", "q1", "E", 2L)))
+    mv.refresh()
+    assert(got(mv) === expect(f, d))
+  }
+
   test("create() validates join shape loudly") {
     val f = seededFact("val"); val d = seededDim("val")
     // overlapping column names fact/dim
