@@ -482,4 +482,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("partial_max_by".r.findAllIn(p).size >= 1,
       s"E-step argmax lost its map-side partial:\n$p")
   }
+
+  test("BPE inference broadcasts the trained vocab and partial-aggregates per doc") {
+    // round 18: the trained (word -> token count) map is vocabulary-sized
+    // — it must broadcast so the exploded corpus words never shuffle by
+    // word for the join, and the per-doc budget sum must collapse
+    // map-side. (Training itself is k vocab-sized hash aggregations +
+    // 1-row TakeOrdereds, exercised by the same call.)
+    val p = plan("q_text_bpe_apply")
+    assert(p.contains("BroadcastHashJoin"), s"trained vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus words shuffled by word (SMJ present):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial aggregation:\n$p")
+  }
 }
