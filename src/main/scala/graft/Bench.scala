@@ -107,9 +107,20 @@ object Bench {
     // entry, current record vs baseline records
     val curEnv = parseArrayMapByKey(cur, "entry_canaries")
     val baseEnvs = base.map(parseArrayMapByKey(_, "entry_canaries"))
-    // global ambience: every canary sample in the record
-    val curAmb = parseNumArrayByKey(cur, "canary_samples")
-    val baseAmb = base.flatMap(parseNumArrayByKey(_, "canary_samples"))
+    // global ambience: every canary sample in the record. Child records
+    // carry the raw "canary_samples" array; MERGED full-run records only
+    // carry the "ambience" summary object — fall back to its canary_med
+    // (one representative sample) so the global floor is never empty on
+    // bench_history.jsonl, whose records are all merged.
+    def canarySamples(j: String): Seq[Double] =
+      parseNumArrayByKey(j, "canary_samples") match {
+        case xs if xs.nonEmpty => xs
+        case _ =>
+          """"ambience":\{[^}]*"canary_med":([0-9.]+)""".r
+            .findFirstMatchIn(j).map(_.group(1).toDouble).toSeq
+      }
+    val curAmb = canarySamples(cur)
+    val baseAmb = base.flatMap(canarySamples)
     val ambShift =
       if (curAmb.isEmpty || baseAmb.isEmpty) 1.0
       else med(curAmb) / math.max(med(baseAmb), 1e-9)

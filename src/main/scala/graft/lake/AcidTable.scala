@@ -3185,11 +3185,15 @@ final class AcidTable private (
           val inPart = filesByPart.getOrElse(pv, Nil)
           // bucketless files always absorb the row; bucketed ones only
           // when the row's hash bucket matches (un-hashable PK types
-          // cannot route by bucket → every partition file, conservative)
+          // cannot route by bucket → every partition file, conservative).
+          // Hash the row's bucket ONCE, not per candidate file.
+          val rowBucket =
+            if (bucketRoutable && inPart.exists(_._2.isDefined))
+              driverBucketOf(r.get(pkIdx, pkDt))
+            else -1
           val fs = inPart.collect {
             case (f, None) => f
-            case (f, Some(b))
-                if !bucketRoutable || b == driverBucketOf(r.get(pkIdx, pkDt)) => f
+            case (f, Some(b)) if !bucketRoutable || b == rowBucket => f
           }
           if (fs.nonEmpty) fs.map(perFile)
           else Seq(commitWide) // row outside any new file's cell

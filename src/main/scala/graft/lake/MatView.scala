@@ -25,7 +25,19 @@ final case class MvAgg(name: String, func: String, input: String)
   * create), so every view column resolves to exactly one side.
   */
 final case class MvJoin(
-    dimPath: String, factKey: String, dimKey: String, dimCols: Seq[String])
+    dimPath: String, factKey: String, dimKey: String, dimCols: Seq[String]) {
+
+  /** Dim columns the maintained relation actually carries, in join order:
+    * the join key plus the referenced dim columns, with the key dropped
+    * unless the view references it. The ONE definition of this rule —
+    * relation schema derivation, create-time validation, and the join's
+    * post-projection all read it, so they cannot drift apart.
+    */
+  def effectiveDimCols: Seq[String] = {
+    val ds = (dimKey +: dimCols).distinct
+    if (dimCols.contains(dimKey)) ds else ds.filterNot(_ == dimKey)
+  }
+}
 
 /** Incrementally-maintained materialized aggregate view over an
   * [[AcidTable]] — the lakehouse `CREATE MATERIALIZED VIEW … GROUP BY`
@@ -123,7 +135,7 @@ final class MatView private (
     val j = join.get
     val out = factRows.join(dimProjected(dimRows, extra),
       col(j.factKey) === col(j.dimKey), "inner")
-    if (j.dimCols.contains(j.dimKey)) out else out.drop(j.dimKey)
+    if (j.effectiveDimCols.contains(j.dimKey)) out else out.drop(j.dimKey)
   }
 
   /** Dim snapshot pinned at `v`; v < 0 = the empty pre-creation state
@@ -143,10 +155,7 @@ final class MatView private (
 
   /** Column names of the maintained relation, in [[joinRows]] order. */
   private lazy val relationCols: Seq[String] =
-    source.schema.fieldNames.toSeq ++ join.toSeq.flatMap { j =>
-      val ds = (j.dimKey +: j.dimCols).distinct
-      if (j.dimCols.contains(j.dimKey)) ds else ds.filterNot(_ == j.dimKey)
-    }
+    source.schema.fieldNames.toSeq ++ join.toSeq.flatMap(_.effectiveDimCols)
 
   /** Schema of the maintained relation: the fact schema plus the
     * referenced dim columns' fields (single-table views: the fact schema
@@ -449,11 +458,16 @@ final class MatView private (
           }
         }
     }
-    // a join view's nonempty fact window can net to zero joined rows —
-    // fall to the distributed path, which advances the high-water marks
-    // with an empty marker commit (returning Some(None) here would
-    // re-diff the same window on every later refresh)
-    if (delta.isEmpty) return (if (join.isEmpty) Some(None) else None)
+    // a join view's nonempty fact window can net to zero joined rows
+    // (keys missing the dim, all-null FKs): the high-water marks must
+    // still advance or every later refresh re-diffs the same window —
+    // commit the empty marker from HERE (zero rows fold; zero Spark
+    // jobs), not via the distributed path whose relationDelta job this
+    // fast path exists to avoid. Single-table views keep Some(None): a
+    // net-zero CDC window needs no commit because the next refresh's
+    // driver re-diff is metadata-cheap.
+    if (delta.isEmpty)
+      return (if (join.isEmpty) Some(None) else Some(Some(Nil)))
 
     val accs = new java.util.LinkedHashMap[String, GroupAcc]
     delta.foreach { case (row, net) =>
@@ -1065,11 +1079,7 @@ object MatView {
           overlap.mkString(", "))
     }
     val inputSchema = StructType(source.schema.fields.toSeq ++
-      join.toSeq.flatMap { j =>
-        val ds = (j.dimKey +: j.dimCols).distinct
-        val eff = if (j.dimCols.contains(j.dimKey)) ds else ds.filterNot(_ == j.dimKey)
-        eff.map(c => dimT.get.schema(c))
-      })
+      join.toSeq.flatMap(_.effectiveDimCols.map(c => dimT.get.schema(c))))
     groupCols.foreach(g => require(inputSchema.fieldNames.contains(g),
       s"group column $g not in ${if (join.isEmpty) "source" else "fact ⋈ dim"} schema"))
     val names = aggs.map(_.name)

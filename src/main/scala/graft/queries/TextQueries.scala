@@ -50,7 +50,10 @@ object TextQueries {
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     val base = Tables.documents(s, dir)
       .select(explode(split(lower(col("text")), " ")).as("wd"))
-      .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
+      // \A..\z, not ^..$: Java's $ also matches before a trailing line
+      // terminator, so "word\n" would count here yet fail the oracle's
+      // regexp_full_match (RE2 whole-string semantics)
+      .filter(col("wd").rlike("\\A[a-z]+\\z") && length(col("wd")) >= 2)
       .groupBy("wd").agg(count(lit(1)).as("cnt"))
       .select(col("wd"),
         regexp_replace(col("wd"), "(.)", "($1)").as("syms"), col("cnt"))
@@ -106,9 +109,12 @@ object TextQueries {
             GROUP BY 1, 2),
           m$i AS (SELECT $i AS step, l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
           ws$i AS (
-            SELECT w.wd, replace(w.syms, '(' || m.l || ')(' || m.r || ')',
-                           '(' || m.l || m.r || ')') AS syms, w.cnt
-            FROM ws${i - 1} w, m$i m)"""
+            SELECT w.wd,
+                   CASE WHEN m.l IS NULL THEN w.syms
+                        ELSE replace(w.syms, '(' || m.l || ')(' || m.r || ')',
+                                     '(' || m.l || m.r || ')') END AS syms,
+                   w.cnt
+            FROM ws${i - 1} w LEFT JOIN m$i m ON TRUE)"""
     }.mkString(",")
     wfreq + "," + iters
   }
@@ -878,18 +884,31 @@ object TextQueries {
       "q_text_bpe_apply",
       (s, dir) => {
         val (ws, _) = bpeTrain(s, dir, BpeRounds)
-        try {
-          val vocab = ws.select(col("wd"),
-            size(split(expr("substring(syms, 2, length(syms) - 2)"), "\\)\\("))
-              .cast("long").as("ntok"))
-          Tables.documents(s, dir)
-            .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
-            .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
-            .join(vocab, Seq("wd"))
-            .groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
-            .orderBy(col("doc_id"))
-        } finally { ws.unpersist(); () }
+        // materialize the trained tokenizer LOCALLY before unpersisting:
+        // the harness executes the returned plan after this builder
+        // returns, so a plan still referencing `ws` would re-run the
+        // whole training lineage on every action. The map is
+        // vocabulary-sized by construction (the same bound the training
+        // loop's per-round aggregation rides), and as a local relation
+        // its broadcast to the corpus join is the plan we want anyway.
+        val vocabRows = ws.select(col("wd"),
+          size(split(expr("substring(syms, 2, length(syms) - 2)"), "\\)\\("))
+            .cast("long").as("ntok")).collect()
+        val vocabSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("wd",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ntok",
+            org.apache.spark.sql.types.LongType)))
+        val vocab = s.createDataFrame(
+          java.util.Arrays.asList(vocabRows: _*), vocabSchema)
+        ws.unpersist()
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+          .filter(col("wd").rlike("\\A[a-z]+\\z") && length(col("wd")) >= 2)
+          .join(broadcast(vocab), Seq("wd"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+          .orderBy(col("doc_id"))
       },
       Some(s"""
         WITH ${bpeOracleCtes(BpeRounds)},
