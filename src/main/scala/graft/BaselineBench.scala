@@ -355,7 +355,7 @@ object BaselineBench {
       val mv = MatView.create(spark, fact,
         Files.createTempDirectory(s"ab-mvj-v-$label-").resolve("v").toString,
         Seq("seg"), Seq(MvAgg("cnt", "count", "*"), MvAgg("rev", "sum", "price")),
-        join = Some(MvJoin(dim.path, "ck", "ckey", Seq("seg"))))
+        joins = Seq(MvJoin(dim.path, "ck", "ckey", Seq("seg"))))
       val gts = scala.collection.mutable.ArrayBuffer.empty[Double]
       val sts = scala.collection.mutable.ArrayBuffer.empty[Double]
       (0 until reps).foreach { i =>

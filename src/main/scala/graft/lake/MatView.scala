@@ -20,9 +20,12 @@ final case class MvAgg(name: String, func: String, input: String)
 /** Star-join view definition (round-18, r17 verdict #2): the maintained
   * relation is `source INNER JOIN dim ON source(factKey) = dim(dimKey)`,
   * with only `dimCols` — the dim columns the view's groups/aggregates
-  * actually reference — carried through the join. Column names must be
-  * DISJOINT between the fact schema and `dimKey ++ dimCols` (validated at
-  * create), so every view column resolves to exactly one side.
+  * actually reference — carried through the join. A view may declare
+  * SEVERAL of these (the full star: `fact ⋈ dim1 ⋈ … ⋈ dimk`, every
+  * `factKey` a FACT column — star, not snowflake). Column names must be
+  * DISJOINT across the fact schema and every join's `dimKey ++ dimCols`
+  * (validated at create), so every view column resolves to exactly one
+  * relation.
   */
 final case class MvJoin(
     dimPath: String, factKey: String, dimKey: String, dimCols: Seq[String]) {
@@ -95,18 +98,18 @@ final class MatView private (
     val createBase: Long,
     stateSchemaDdl: String,
     /** Star-join views (round 18): the maintained relation is
-      * fact ⋈ dim; None = the classic single-table view. */
-    val join: Option[MvJoin] = None,
-    /** Dim version the view reflected at creation (−1 for non-join). */
-    val createBaseDim: Long = -1L) {
+      * fact ⋈ dim1 ⋈ … ⋈ dimk; empty = the classic single-table view. */
+    val joins: Seq[MvJoin] = Nil,
+    /** Per-join dim versions the view reflected at creation. */
+    val createBaseDims: Seq[Long] = Nil) {
 
   // lazy: create() builds a pre-state probe instance to derive the state
   // schema from the aggregation plan before the state table exists
   lazy val state: AcidTable = AcidTable.open(spark, MatView.statePath(viewPath))
 
-  /** The join's dimension table (join views only). */
-  lazy val dimTable: Option[AcidTable] =
-    join.map(j => AcidTable.open(spark, j.dimPath))
+  /** The joins' dimension tables, in join order (join views only). */
+  lazy val dimTables: Seq[AcidTable] =
+    joins.map(j => AcidTable.open(spark, j.dimPath))
 
   private lazy val stateSchema: StructType = StructType.fromDDL(stateSchemaDdl)
 
@@ -118,54 +121,69 @@ final class MatView private (
   /** Dim-side projection: the join key plus only the dim columns the view
     * references (`_extra` lets the CDC fold carry `_change_type` through).
     */
-  private def dimProjected(dimRows: DataFrame, extra: Seq[String] = Nil): DataFrame = {
-    val j = join.get
+  private def dimProjected(
+      j: MvJoin, dimRows: DataFrame, extra: Seq[String] = Nil): DataFrame =
     dimRows.select(((j.dimKey +: j.dimCols).distinct ++ extra).map(col): _*)
-  }
 
-  /** `factRows ⋈ dimRows` on the declared keys, keeping fact columns +
-    * the referenced dim columns (+ `extra` pass-through columns from the
-    * dim side). The join key column from the dim side is dropped unless
-    * the view references it. Equi-join left to Catalyst/AQE: a
-    * dimension-sized right side broadcasts off its size stats; the fold's
-    * delta-sized LEFT side broadcasts instead when it is the smaller one.
+  /** One star step: `rows ⋈ dimRows` on `j`'s keys, keeping the left
+    * side's columns + the referenced dim columns (+ `extra` pass-through
+    * columns from the dim side). The join key column from the dim side is
+    * dropped unless the view references it. Equi-join left to
+    * Catalyst/AQE: a dimension-sized right side broadcasts off its size
+    * stats; the fold's delta-sized LEFT side broadcasts instead when it
+    * is the smaller one.
     */
-  private def joinRows(
-      factRows: DataFrame, dimRows: DataFrame, extra: Seq[String] = Nil): DataFrame = {
-    val j = join.get
-    val out = factRows.join(dimProjected(dimRows, extra),
+  private def joinStep(
+      j: MvJoin, rows: DataFrame, dimRows: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    val out = rows.join(dimProjected(j, dimRows, extra),
       col(j.factKey) === col(j.dimKey), "inner")
     if (j.effectiveDimCols.contains(j.dimKey)) out else out.drop(j.dimKey)
   }
 
-  /** Dim snapshot pinned at `v`; v < 0 = the empty pre-creation state
-    * (NOT latest — [[AcidTable.snapshot]]'s -1 means latest). */
-  private def dimSnapshotAt(v: Long): DataFrame = {
-    val d = dimTable.get
+  /** The full star chain: `factRows ⋈ dims(0) ⋈ … ⋈ dims(k-1)` in join
+    * order. `extraAt` names the ONE position whose dim frame carries
+    * pass-through columns (the dim-delta term's `_change_type`). Every
+    * fk is a fact column, so the chain order is semantically irrelevant —
+    * it is kept as declared for deterministic column order.
+    */
+  private def joinAll(
+      factRows: DataFrame, dims: Seq[DataFrame],
+      extraAt: Int = -1, extra: Seq[String] = Nil): DataFrame =
+    joins.zip(dims).zipWithIndex.foldLeft(factRows) {
+      case (acc, ((j, d), i)) =>
+        joinStep(j, acc, d, if (i == extraAt) extra else Nil)
+    }
+
+  /** Dim `i`'s snapshot pinned at `v`; v < 0 = the empty pre-creation
+    * state (NOT latest — [[AcidTable.snapshot]]'s -1 means latest). */
+  private def dimSnapshotAt(i: Int, v: Long): DataFrame = {
+    val d = dimTables(i)
     if (v < 0) spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), d.schema)
     else d.snapshot(v)
   }
 
   /** The maintained relation's snapshot at pinned versions: the fact
-    * snapshot for single-table views, fact ⋈ dim for join views. */
-  private def relationSnapshot(vF: Long, vD: Long): DataFrame =
-    if (join.isEmpty) source.snapshot(vF)
-    else joinRows(source.snapshot(vF), dimSnapshotAt(vD))
+    * snapshot for single-table views, the star chain for join views. */
+  private def relationSnapshot(vF: Long, vDs: Seq[Long]): DataFrame =
+    if (joins.isEmpty) source.snapshot(vF)
+    else joinAll(source.snapshot(vF), joins.indices.map(i => dimSnapshotAt(i, vDs(i))))
 
-  /** Column names of the maintained relation, in [[joinRows]] order. */
+  /** Column names of the maintained relation, in [[joinAll]] order. */
   private lazy val relationCols: Seq[String] =
-    source.schema.fieldNames.toSeq ++ join.toSeq.flatMap(_.effectiveDimCols)
+    source.schema.fieldNames.toSeq ++ joins.flatMap(_.effectiveDimCols)
 
-  /** Schema of the maintained relation: the fact schema plus the
+  /** Schema of the maintained relation: the fact schema plus each join's
     * referenced dim columns' fields (single-table views: the fact schema
     * itself). The driver fold's row kernels compile against THIS, so
     * group identity and state routing agree with the distributed plan
     * for join views too. */
   private lazy val relationSchema: StructType =
-    if (join.isEmpty) source.schema
+    if (joins.isEmpty) source.schema
     else StructType(source.schema.fields.toSeq ++
-      relationCols.drop(source.schema.length).map(c => dimTable.get.schema(c)))
+      joins.zip(dimTables).flatMap { case (j, d) =>
+        j.effectiveDimCols.map(c => d.schema(c)) })
 
   // ----------------------------------------------------------- expressions --
 
@@ -247,40 +265,50 @@ final class MatView private (
     * `MVREFRESH:<v>` commit marker among the state table's retained
     * manifests, falling back to the creation-time base. The marker rides
     * the SAME commit as the delta it applied, so this read can never
-    * observe a half-applied refresh. Join views stamp BOTH high-water
-    * marks in one marker (`MVREFRESH:<vFact>:<vDim>`); this accessor
-    * reports the fact-side mark, [[appliedVersions]] both.
+    * observe a half-applied refresh. Join views stamp EVERY high-water
+    * mark in one marker (`MVREFRESH:<vFact>:<vDim1>:…:<vDimk>`); this
+    * accessor reports the fact-side mark, [[appliedVersions]] all.
     */
   def appliedVersion(): Long = appliedVersionsUpTo(state.latestVersion())._1
 
-  /** (fact version, dim version) the view currently reflects; the dim
-    * component is −1 for single-table views. */
-  def appliedVersions(): (Long, Long) = appliedVersionsUpTo(state.latestVersion())
+  /** (fact version, per-join dim versions) the view currently reflects;
+    * the dim component is empty for single-table views. */
+  def appliedVersions(): (Long, Seq[Long]) =
+    appliedVersionsUpTo(state.latestVersion())
 
-  /** `MVREFRESH:<vF>[:<vD>]` → (vF, vD); vD −1 when absent (a
-    * single-table marker, or a join view maintained before any dim
-    * change). */
-  private def parseMarker(op: String): Option[(Long, Long)] =
+  /** Creation-time dim marks padded to the join count (−1 = never
+    * reflected — pre-creation empty state). */
+  private lazy val baseDims: Seq[Long] =
+    joins.indices.map(i => createBaseDims.lift(i).getOrElse(-1L))
+
+  /** `MVREFRESH:<vF>[:<vDi>…]` → (vF, dims padded to the join count with
+    * −1 — a short marker is one written before later joins existed). */
+  private def parseMarker(op: String): Option[(Long, Seq[Long])] =
     if (!op.startsWith("MVREFRESH:")) None
     else {
       val ps = op.stripPrefix("MVREFRESH:").split(':')
-      Some((ps(0).toLong, if (ps.length > 1) ps(1).toLong else -1L))
+      Some((ps(0).toLong,
+        joins.indices.map(i => ps.lift(i + 1).map(_.toLong).getOrElse(-1L))))
     }
 
   /** [[appliedVersions]] as of a PINNED state version — the CAS refresh
     * computes its delta from this, so the marker it reads and the base it
     * commits against are the same snapshot. Componentwise max is exact:
-    * both high-water marks are monotone across refresh commits. */
-  private def appliedVersionsUpTo(stateV: Long): (Long, Long) = {
-    if (stateV < 0) return (createBase, createBaseDim)
+    * every high-water mark is monotone across refresh commits. */
+  private def appliedVersionsUpTo(stateV: Long): (Long, Seq[Long]) = {
+    if (stateV < 0) return (createBase, baseDims)
     val ops = state.history().select("version", "operation").collect()
     ops.iterator
       .filter(r => r.getLong(0) <= stateV)
       .flatMap(r => parseMarker(r.getString(1)))
-      .foldLeft((createBase, createBaseDim)) { case ((f0, d0), (f, d)) =>
-        (math.max(f0, f), math.max(d0, d))
+      .foldLeft((createBase, baseDims)) { case ((f0, ds0), (f, ds)) =>
+        (math.max(f0, f), ds0.zip(ds).map(t => math.max(t._1, t._2)))
       }
   }
+
+  /** `MVREFRESH:<vF>` with every dim mark appended for join views. */
+  private def markerFor(vF: Long, vDs: Seq[Long]): String =
+    s"MVREFRESH:$vF" + vDs.map(d => s":$d").mkString
 
   // ------------------------------------------- driver trickle fast path --
 
@@ -360,7 +388,7 @@ final class MatView private (
       Console.err.println(s"[mv-localFold] $msg")
 
   private def localFoldRows(stateBase: Long, fromV: Long, srcV: Long,
-      dimPin: Long = -1L)
+      dimPins: Seq[Long] = Nil)
       : Option[Option[Seq[org.apache.spark.sql.catalyst.InternalRow]]] = {
     import org.apache.spark.sql.graft.PlanShim
     val kernel = driverKeyKernel.getOrElse { dbg("no kernel"); return None }
@@ -408,58 +436,77 @@ final class MatView private (
     // distributed fold's fixed multi-job latency
     val factDelta = source.localChangeRows(fromV, srcV, AcidTable.MvFoldMaxBytes)
       .getOrElse { dbg("localChangeRows None"); return None }
-    // join views (round 18): the fact delta joins against the dim ON THE
-    // DRIVER — a bucket-pruned dim point lookup by the delta's fk values
-    // (the dim is keyed by the join key; the caller gated on a fact-only
-    // window, so the dim snapshot is the applied one). A trickle fact
-    // commit then refreshes the star view with ZERO Spark jobs, same as
-    // the single-table fast path.
-    val delta: Seq[(org.apache.spark.sql.catalyst.InternalRow, Int)] = join match {
-      case None => factDelta
-      case Some(j) =>
-        val d = dimTable.get
-        if (j.dimKey != d.pkCol) { dbg("dim key is not the dim pk"); return None }
-        if (!PlanShim.sameType(source.schema(j.factKey).dataType,
-            d.schema(j.dimKey).dataType)) { dbg("fk/dimKey type mismatch"); return None }
-        val fkIdx = source.schema.fieldIndex(j.factKey)
-        val fkDt = source.schema(fkIdx).dataType
-        val keys = factDelta.iterator.collect {
-          case (r, _) if !r.isNullAt(fkIdx) => String.valueOf(r.get(fkIdx, fkDt))
-        }.toSeq.distinct
-        if (keys.isEmpty) Nil
-        else {
+    // join views (round 18): the fact delta joins against every dim ON
+    // THE DRIVER — per join, a bucket-pruned dim point lookup by the
+    // delta's fk values (each dim is keyed by its join key; the caller
+    // gated on a fact-only window, so the dim snapshots are the applied
+    // ones). A trickle fact commit then refreshes the star view with
+    // ZERO Spark jobs, same as the single-table fast path. Every fk is a
+    // fact column and every dim key its table's PK, so each fact row
+    // matches at most one row PER dim — the star expansion is a pure
+    // per-join map lookup, no cross products.
+    val delta: Seq[(org.apache.spark.sql.catalyst.InternalRow, Int)] =
+      if (joins.isEmpty) factDelta
+      else {
+        // per join: (fk index/type, effective-col indices into the dim
+        // schema, output offset into the relation row, key → dim row)
+        var outOff = source.schema.length
+        val perJoin = joins.zip(dimTables).zipWithIndex.map { case ((j, d), i) =>
+          if (j.dimKey != d.pkCol) { dbg(s"dim $i key is not the dim pk"); return None }
+          if (!PlanShim.sameType(source.schema(j.factKey).dataType,
+              d.schema(j.dimKey).dataType)) { dbg(s"fk/dimKey $i type mismatch"); return None }
+          val fkIdx = source.schema.fieldIndex(j.factKey)
+          val fkDt = source.schema(fkIdx).dataType
+          val keys = factDelta.iterator.collect {
+            case (r, _) if !r.isNullAt(fkIdx) => String.valueOf(r.get(fkIdx, fkDt))
+          }.toSeq.distinct
           // pinned at the APPLIED dim version: a dim commit racing this
           // fact-only fold must not leak newer dim rows into a window
-          // stamped :fromD (an archived pin falls back to distributed)
-          val dimRows = scala.util.Try(d.localLookupRows(keys, dimPin)).toOption
-            .flatten.getOrElse { dbg("dim localLookupRows None"); return None }
+          // stamped with the applied marks (an archived pin falls back
+          // to distributed)
+          val dimRows =
+            if (keys.isEmpty) Nil
+            else scala.util.Try(d.localLookupRows(keys, dimPins(i))).toOption
+              .flatten.getOrElse { dbg(s"dim $i localLookupRows None"); return None }
           val dimPkIdx = d.schema.fieldIndex(d.pkCol)
-          val byKey = dimRows.groupBy(r =>
-            String.valueOf(r.get(dimPkIdx, d.schema(dimPkIdx).dataType)))
-          val dimColIdx = relationCols.drop(source.schema.length)
-            .map(c => d.schema.fieldIndex(c))
-          factDelta.flatMap { case (r, net) =>
-            if (r.isNullAt(fkIdx)) Nil
-            else byKey.getOrElse(String.valueOf(r.get(fkIdx, fkDt)), Nil).map { dr =>
-              val out = new org.apache.spark.sql.catalyst.expressions
-                .GenericInternalRow(relationSchema.length)
-              var i = 0
-              while (i < source.schema.length) {
-                out.update(i, r.get(i, source.schema(i).dataType)); i += 1
-              }
-              var k = 0
-              while (k < dimColIdx.length) {
-                out.update(source.schema.length + k,
-                  dr.get(dimColIdx(k), d.schema(dimColIdx(k)).dataType))
-                k += 1
-              }
-              (out: org.apache.spark.sql.catalyst.InternalRow, net)
+          val byKey = dimRows.iterator.map(r =>
+            String.valueOf(r.get(dimPkIdx, d.schema(dimPkIdx).dataType)) -> r).toMap
+          val dimColIdx = j.effectiveDimCols.map(c => d.schema.fieldIndex(c))
+          val off = outOff
+          outOff += dimColIdx.length
+          (d, fkIdx, fkDt, dimColIdx, off, byKey)
+        }
+        factDelta.flatMap { case (r, net) =>
+          // inner-join semantics: a null fk or a key missing any dim
+          // drops the fact row
+          val dimHits = perJoin.map { case (_, fkIdx, fkDt, _, _, byKey) =>
+            if (r.isNullAt(fkIdx)) None
+            else byKey.get(String.valueOf(r.get(fkIdx, fkDt)))
+          }
+          if (dimHits.exists(_.isEmpty)) Nil
+          else {
+            val out = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(relationSchema.length)
+            var i = 0
+            while (i < source.schema.length) {
+              out.update(i, r.get(i, source.schema(i).dataType)); i += 1
             }
+            perJoin.zip(dimHits).foreach {
+              case ((d, _, _, dimColIdx, off, _), Some(dr)) =>
+                var k = 0
+                while (k < dimColIdx.length) {
+                  out.update(off + k,
+                    dr.get(dimColIdx(k), d.schema(dimColIdx(k)).dataType))
+                  k += 1
+                }
+              case _ => () // unreachable: dimHits.exists(_.isEmpty) filtered
+            }
+            Seq((out: org.apache.spark.sql.catalyst.InternalRow, net))
           }
         }
-    }
+      }
     // a join view's nonempty fact window can net to zero joined rows
-    // (keys missing the dim, all-null FKs): the high-water marks must
+    // (keys missing a dim, all-null FKs): the high-water marks must
     // still advance or every later refresh re-diffs the same window —
     // commit the empty marker from HERE (zero rows fold; zero Spark
     // jobs), not via the distributed path whose relationDelta job this
@@ -467,7 +514,7 @@ final class MatView private (
     // net-zero CDC window needs no commit because the next refresh's
     // driver re-diff is metadata-cheap.
     if (delta.isEmpty)
-      return (if (join.isEmpty) Some(None) else Some(Some(Nil)))
+      return (if (joins.isEmpty) Some(None) else Some(Some(Nil)))
 
     val accs = new java.util.LinkedHashMap[String, GroupAcc]
     delta.foreach { case (row, net) =>
@@ -602,19 +649,20 @@ final class MatView private (
     while (true) {
       val stateBase = state.latestVersion()
       val srcV = source.latestVersion()
-      val dimV = dimTable.map(_.latestVersion()).getOrElse(-1L)
-      val (fromV, fromD) = appliedVersionsUpTo(stateBase)
-      if (srcV <= fromV && (join.isEmpty || dimV <= fromD)) return fromV
+      val dimVs = dimTables.map(_.latestVersion())
+      val (fromV, fromDs) = appliedVersionsUpTo(stateBase)
+      val dimsCurrent = joins.indices.forall(i => dimVs(i) <= fromDs(i))
+      if (srcV <= fromV && dimsCurrent) return fromV
       // driver trickle fast path first (round-11 verdict #3): a
       // metadata-gated delta folds and commits entirely on the driver —
       // zero Spark jobs; anything outside the gate falls through to the
       // distributed formulation below, which stays authoritative.
       // Join views ride it too (round 18) when the window is FACT-ONLY
-      // (dim unchanged): the fact delta joins against a driver dim point
-      // lookup — a dim-change window always folds distributed.
+      // (every dim unchanged): the fact delta joins against driver dim
+      // point lookups — a dim-change window always folds distributed.
       val localAttempt =
-        if (incrementalOk && (join.isEmpty || dimV <= fromD))
-          localFoldRows(stateBase, fromV, srcV, dimPin = fromD)
+        if (incrementalOk && dimsCurrent)
+          localFoldRows(stateBase, fromV, srcV, dimPins = fromDs)
         else None
       localAttempt match {
         case Some(None) => return fromV // net-zero range: nothing to fold
@@ -624,7 +672,7 @@ final class MatView private (
               .toAttributes(stateSchema)
             state.casUpsertOp(
               org.apache.spark.sql.graft.PlanShim.localRelationDf(spark, attrs, stateRows),
-              if (join.isEmpty) s"MVREFRESH:$srcV" else s"MVREFRESH:$srcV:$fromD",
+              markerFor(srcV, fromDs),
               stateBase)
             return srcV
           } catch {
@@ -633,7 +681,7 @@ final class MatView private (
               if (attempts > MatView.MaxCasRetries) throw new CommitConflictException(
                 s"matview refresh lost ${MatView.MaxCasRetries} CAS races at $viewPath")
           }
-        case None => refreshDistributed(stateBase, fromV, fromD, srcV, dimV) match {
+        case None => refreshDistributed(stateBase, fromV, fromDs, srcV, dimVs) match {
           case Some(v) => return v
           case None => // CAS loss inside the distributed fold: re-read and retry
             attempts += 1
@@ -649,59 +697,67 @@ final class MatView private (
     * current versions, in CDC shape (relation columns + `_change_type`).
     *
     * Single-table views: the fact CDC feed itself. Join views use the
-    * classic bilinear decomposition
+    * classic multilinear (telescoping) decomposition
     *
-    *   Δ(F ⋈ D) = ΔF ⋈ D@old  ∪  F@new ⋈ ΔD
+    *   Δ(F ⋈ D1 ⋈ … ⋈ Dk) =
+    *     ΔF ⋈ D1@old ⋈ … ⋈ Dk@old
+    *     ∪ for each i: F@new ⋈ D1@new … D(i-1)@new ⋈ ΔDi ⋈ D(i+1)@old … Dk@old
     *
-    * (exact for inner-join multisets: (F+ΔF)⋈(D+ΔD) − F⋈D expands to
-    * those two terms, the ΔF⋈ΔD cross term riding in the second). Each
-    * term has exactly ONE delta side, so the joined row's sign is that
-    * side's `_change_type` unchanged. The FIRST term is the hot path —
-    * fact-only commits cost ΔF ⋈ dim with no fact scan at all; the
-    * second term only exists when the dim actually changed (slowly
-    * changing by design), and even then the fact scan is one
-    * equi-join against a delta Catalyst broadcasts.
+    * (exact for inner-join multisets: expanding (F+ΔF)⋈∏(Di+ΔDi) −
+    * F⋈∏Di telescopes into exactly these k+1 terms, every cross term
+    * riding in the first term whose position carries a delta). Each term
+    * has exactly ONE delta side, so the joined row's sign is that side's
+    * `_change_type` unchanged. The FIRST term is the hot path —
+    * fact-only commits cost ΔF ⋈ dims with no fact scan at all; a dim
+    * term only exists when that dim actually changed (slowly changing by
+    * design), and even then the fact scan is one equi-join against a
+    * delta Catalyst broadcasts.
     *
-    * Requires the dim's `fromD` snapshot to still be retained (the
+    * Requires each dim's applied snapshot to still be retained (the
     * refresh cadence must beat dim vacuum horizons — same contract as
     * the fact-side CDC read).
     */
   private def relationDelta(
-      fromV: Long, srcV: Long, fromD: Long, dimV: Long): DataFrame = {
-    if (join.isEmpty) return source.changesBetween(fromV, srcV)
-    val factDelta =
+      fromV: Long, srcV: Long, fromDs: Seq[Long], dimVs: Seq[Long]): DataFrame = {
+    if (joins.isEmpty) return source.changesBetween(fromV, srcV)
+    val factTerm =
       if (srcV > fromV)
-        Some(joinRows(source.changesBetween(fromV, srcV), dimSnapshotAt(fromD)))
-      else None
-    val dimDelta =
-      if (dimV > fromD)
-        Some(joinRows(source.snapshot(srcV),
-          dimTable.get.changesBetween(fromD, dimV), extra = Seq("_change_type")))
-      else None
+        Seq(joinAll(source.changesBetween(fromV, srcV),
+          joins.indices.map(i => dimSnapshotAt(i, fromDs(i)))))
+      else Nil
+    val dimTerms = joins.indices.filter(i => dimVs(i) > fromDs(i)).map { i =>
+      val dims = joins.indices.map { p =>
+        if (p < i) dimSnapshotAt(p, dimVs(p)) // @new
+        else if (p == i) dimTables(i).changesBetween(fromDs(i), dimVs(i))
+        else dimSnapshotAt(p, fromDs(p)) // @old
+      }
+      joinAll(source.snapshot(srcV), dims, extraAt = i, extra = Seq("_change_type"))
+    }
     val relCols = relationCols :+ "_change_type"
-    val parts = (factDelta.toSeq ++ dimDelta.toSeq)
+    (factTerm ++ dimTerms)
       .map(_.select(relCols.map(col): _*))
-    parts.reduce(_.unionByName(_))
+      .reduce(_.unionByName(_))
   }
 
   /** One distributed refresh attempt from a pinned state base: Some(v) =
     * the source version now reflected (committed, or already current);
     * None = lost the CAS race (caller re-reads and retries). */
   private def refreshDistributed(
-      stateBase: Long, fromV: Long, fromD: Long, srcV: Long, dimV: Long): Option[Long] = {
+      stateBase: Long, fromV: Long, fromDs: Seq[Long],
+      srcV: Long, dimVs: Seq[Long]): Option[Long] = {
     // materialize the diff ONCE (delta-sized, spills if large): the fold
     // consumes it several times (emptiness, touched keys, the fold
     // itself) — uncached, each consumer would re-run the whole diff scan
-    val delta = relationDelta(fromV, srcV, fromD, dimV)
+    val delta = relationDelta(fromV, srcV, fromDs, dimVs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val marker =
-      if (join.isEmpty) s"MVREFRESH:$srcV" else s"MVREFRESH:$srcV:$dimV"
+    val marker = markerFor(srcV, dimVs)
     try {
       if (delta.isEmpty) {
         // net-zero range: no group changed, but the high-water marks must
         // still advance for join views (a dim commit touching no joined
         // row would otherwise be re-diffed forever)
-        if (join.isDefined && (srcV > fromV || dimV > fromD)) {
+        if (joins.nonEmpty &&
+            (srcV > fromV || joins.indices.exists(i => dimVs(i) > fromDs(i)))) {
           try state.casUpsertOp(
             spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema),
@@ -713,7 +769,7 @@ final class MatView private (
       }
       val newRows =
         if (incrementalOk) incrementalRows(delta)
-        else recomputeRows(delta, srcV, dimV)
+        else recomputeRows(delta, srcV, dimVs)
       try {
         commitFold(newRows, marker, stateBase)
         Some(srcV)
@@ -782,25 +838,25 @@ final class MatView private (
       var attempts = 0
       while (attempts <= MatView.MaxCasRetries) {
         val stateBase = state.latestVersion()
-        val (applied, appliedD) = appliedVersionsUpTo(stateBase)
+        val (applied, appliedDs) = appliedVersionsUpTo(stateBase)
         val fresh0 = batch.filter(col("_commit_version") > applied)
         // join views: the stream is the FACT's change feed; each batch
-        // joins against the dim pinned at the applied dim mark (stream
+        // joins against the dims pinned at the applied dim marks (stream
         // maintenance keeps the dim slowly-changing contract — dim
         // commits are picked up by a manual refresh())
-        val fresh = (if (join.isEmpty) fresh0
-          else joinRows(fresh0, dimSnapshotAt(appliedD)).select(
+        val fresh = (if (joins.isEmpty) fresh0
+          else joinAll(fresh0,
+            joins.indices.map(i => dimSnapshotAt(i, appliedDs(i)))).select(
             (relationCols ++ Seq("_change_type", "_commit_version")).map(col): _*))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           if (fresh.isEmpty) return
           val maxV = fresh.agg(max(col("_commit_version"))).head().getLong(0)
           val delta = fresh.drop("_commit_version")
-          val marker =
-            if (join.isEmpty) s"MVREFRESH:$maxV" else s"MVREFRESH:$maxV:$appliedD"
+          val marker = markerFor(maxV, appliedDs)
           val newRows =
             if (incrementalOk) incrementalRows(delta)
-            else recomputeRows(delta, maxV, appliedD)
+            else recomputeRows(delta, maxV, appliedDs)
           try {
             commitFold(newRows, marker, stateBase)
             return
@@ -881,10 +937,11 @@ final class MatView private (
     * the delta's group reach, not source size. Changed groups with no
     * surviving rows become tombstones.
     */
-  private def recomputeRows(delta: DataFrame, srcV: Long, dimV: Long = -1L): DataFrame = {
+  private def recomputeRows(
+      delta: DataFrame, srcV: Long, dimVs: Seq[Long] = Nil): DataFrame = {
     val touched = withKeyPart(
       delta.select(groupCols.map(col): _*).distinct())
-    val snap = relationSnapshot(srcV, dimV).withColumn("__mv_key", keyExpr)
+    val snap = relationSnapshot(srcV, dimVs).withColumn("__mv_key", keyExpr)
     val live = fullState(
       snap.join(touched.select("__mv_key"), Seq("__mv_key"), "left_semi")
         .drop("__mv_key"))
@@ -916,12 +973,12 @@ object MatView {
     * storm, not a workload. */
   val MaxCasRetries: Int = 20
 
-  /** A parsed defining SELECT: the source (fact) table name, an optional
-    * star-join (`dim` table + the ON-equality's two column names, side
-    * assignment resolved against real schemas in [[createFromSelect]]),
-    * group columns, aggregates. */
+  /** A parsed defining SELECT: the source (fact) table name, zero or
+    * more star-joins (each a `dim` table + the ON-equality's two column
+    * names, side assignment resolved against real schemas in
+    * [[createFromSelect]]), group columns, aggregates. */
   private[lake] final case class MvSelect(
-      src: String, join: Option[(String, String, String)],
+      src: String, joins: Seq[(String, String, String)],
       groupCols: Seq[String], aggs: Seq[MvAgg])
 
   /** Reduce a defining SELECT to the maintainable-view definition: one
@@ -950,7 +1007,10 @@ object MatView {
       case other => throw new IllegalArgumentException(
         s"materialized view must select FROM one table, got: ${other.nodeName}")
     }
-    def fromClause(p: LogicalPlan): (String, Option[(String, String, String)]) = p match {
+    // chained inner joins parse left-nested (Join(Join(fact, d1), d2)):
+    // peel them off in declaration order — each dim joins the FACT (star;
+    // create() rejects keys that are not fact columns)
+    def fromClause(p: LogicalPlan): (String, Seq[(String, String, String)]) = p match {
       case Join(l, r, Inner, cond, _) =>
         val eq = cond match {
           case Some(EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)) =>
@@ -959,12 +1019,13 @@ object MatView {
             "materialized view JOIN needs a single-equality ON " +
               s"(col = col), got: ${other.map(_.sql).getOrElse("<none>")}")
         }
-        (relName(l), Some((relName(r), eq._1, eq._2)))
-      case other => (relName(other), None)
+        val (src, js) = fromClause(l)
+        (src, js :+ ((relName(r), eq._1, eq._2)))
+      case other => (relName(other), Nil)
     }
     PlanShim.parse(spark, select) match {
       case Aggregate(groupExprs, selectExprs, child, _) =>
-        val (src, join) = fromClause(child)
+        val (src, joins) = fromClause(child)
         val groupCols = groupExprs.map {
           case a: UnresolvedAttribute => a.nameParts.last
           case other => throw new IllegalArgumentException(
@@ -991,7 +1052,7 @@ object MatView {
             s"materialized view select items must be group columns or aliased " +
               s"aggregates, got: ${other.sql}")
         }
-        MvSelect(src, join, groupCols, aggs)
+        MvSelect(src, joins, groupCols, aggs)
       case other => throw new IllegalArgumentException(
         s"materialized view definition must be a GROUP BY aggregation, got: ${other.nodeName}")
     }
@@ -1010,7 +1071,7 @@ object MatView {
       resolve: String => AcidTable, viewPath: String): MatView = {
     val sel = parseSelect(spark, select)
     val src = resolve(sel.src)
-    val join = sel.join.map { case (dimName, k1, k2) =>
+    val joins = sel.joins.map { case (dimName, k1, k2) =>
       val dim = resolve(dimName)
       val inFact = Seq(k1, k2).filter(src.schema.fieldNames.contains)
       val inDim = Seq(k1, k2).filter(dim.schema.fieldNames.contains)
@@ -1024,7 +1085,7 @@ object MatView {
         .distinct.filter(dim.schema.fieldNames.contains)
       MvJoin(dim.path, factKey, dimKey, dimCols)
     }
-    create(spark, src, viewPath, sel.groupCols, sel.aggs, join = join)
+    create(spark, src, viewPath, sel.groupCols, sel.aggs, joins = joins)
   }
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -1059,29 +1120,37 @@ object MatView {
       aggs: Seq[MvAgg],
       numParts: Int = -1,
       numBuckets: Int = -1,
-      join: Option[MvJoin] = None): MatView = {
+      joins: Seq[MvJoin] = Nil): MatView = {
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
-    // the view's input schema: fact columns, plus the referenced dim
-    // columns for star-join views (names disjoint by the checks below)
-    val dimT = join.map(j => AcidTable.open(spark, j.dimPath))
-    join.foreach { j =>
-      val d = dimT.get
+    // the view's input schema: fact columns, plus each join's referenced
+    // dim columns for star-join views (names disjoint by the checks below)
+    val dimTs = joins.map(j => AcidTable.open(spark, j.dimPath))
+    joins.zip(dimTs).foreach { case (j, d) =>
       require(source.schema.fieldNames.contains(j.factKey),
-        s"join key ${j.factKey} not in fact schema")
+        s"join key ${j.factKey} not in fact schema (star joins key off the " +
+          "fact table; snowflake chains are not maintainable here)")
       require(d.schema.fieldNames.contains(j.dimKey),
         s"join key ${j.dimKey} not in dim schema")
       j.dimCols.foreach(c => require(d.schema.fieldNames.contains(c),
         s"dim column $c not in dim schema"))
-      val overlap = (j.dimKey +: j.dimCols).distinct
-        .filter(source.schema.fieldNames.contains)
-      require(overlap.isEmpty,
-        s"join view needs disjoint fact/dim column names; both sides have: " +
-          overlap.mkString(", "))
+    }
+    // every view column must resolve to exactly one relation: the fact
+    // schema and every join's carried columns must be pairwise disjoint
+    locally {
+      val sides = ("fact" -> source.schema.fieldNames.toSeq) +:
+        joins.zipWithIndex.map { case (j, i) =>
+          s"dim ${j.dimPath}" -> ((j.dimKey +: j.dimCols).distinct) }
+      val dup = sides.flatMap(_._2).groupBy(identity).collect {
+        case (c, occ) if occ.size > 1 => c }
+      require(dup.isEmpty,
+        s"join view needs disjoint column names across fact and every dim; " +
+          s"duplicated: ${dup.toSeq.sorted.mkString(", ")}")
     }
     val inputSchema = StructType(source.schema.fields.toSeq ++
-      join.toSeq.flatMap(_.effectiveDimCols.map(c => dimT.get.schema(c))))
+      joins.zip(dimTs).flatMap { case (j, d) =>
+        j.effectiveDimCols.map(c => d.schema(c)) })
     groupCols.foreach(g => require(inputSchema.fieldNames.contains(g),
-      s"group column $g not in ${if (join.isEmpty) "source" else "fact ⋈ dim"} schema"))
+      s"group column $g not in ${if (joins.isEmpty) "source" else "fact ⋈ dims"} schema"))
     val names = aggs.map(_.name)
     require(names.map(_.toLowerCase).distinct.size == names.size,
       s"duplicate aggregate names: ${names.mkString(", ")}")
@@ -1098,7 +1167,7 @@ object MatView {
       else {
         require(inputSchema.fieldNames.contains(a.input),
           s"aggregate input ${a.input} not in " +
-            s"${if (join.isEmpty) "source" else "fact ⋈ dim"} schema")
+            s"${if (joins.isEmpty) "source" else "fact ⋈ dims"} schema")
         val dt = inputSchema(a.input).dataType
         if (a.func == "sum" || a.func == "avg") dt match {
           case ByteType | ShortType | IntegerType | LongType | _: DecimalType => ()
@@ -1114,15 +1183,15 @@ object MatView {
     Files.createDirectories(root.toPath)
 
     val v0 = source.latestVersion()
-    val v0D = dimT.map(_.latestVersion()).getOrElse(-1L)
+    val v0Ds = dimTs.map(_.latestVersion())
     // freeze the state schema from the aggregation plan itself (sum/count
     // result types are Spark's business, not re-derived per refresh);
     // the probe instance never touches its (lazy, not-yet-created) state.
     // numParts only shapes the __mv_part VALUE (always StringType), so a
     // placeholder probe derives the schema before sizing is chosen.
     val probe = new MatView(spark, viewPath, source, groupCols, aggs,
-      math.max(1, numParts), v0, "__probe STRING", join, v0D)
-    val stateSchema = probe.fullState(probe.relationSnapshot(v0, v0D).limit(0)).schema
+      math.max(1, numParts), v0, "__probe STRING", joins, v0Ds)
+    val stateSchema = probe.fullState(probe.relationSnapshot(v0, v0Ds).limit(0)).schema
 
     // Stage the initial aggregate ONCE (a source scan create() pays
     // anyway); the staged row count is the exact group count, which sizes
@@ -1131,7 +1200,7 @@ object MatView {
     val groups: Long =
       if (v0 < 0) 0L
       else {
-        probe.fullState(probe.relationSnapshot(v0, v0D)).drop("__mv_part")
+        probe.fullState(probe.relationSnapshot(v0, v0Ds)).drop("__mv_part")
           .write.mode("overwrite").parquet(stageDir.toString)
         // a zero-row source can stage no schema-carrying files at all
         try spark.read.parquet(stageDir.toString).count()
@@ -1148,14 +1217,13 @@ object MatView {
     AcidTable.create(spark, statePath(viewPath), stateSchema,
       "__mv_key", "__mv_part", stablePartitions = true, numBuckets = chosenBuckets)
     writeProps(viewPath, source.path, groupCols, aggs, chosenParts, v0, stateSchema,
-      join, v0D)
+      joins, v0Ds)
     val mv = open(spark, viewPath)
     if (groups > 0) {
       val staged = spark.read.parquet(stageDir.toString)
       val init = mv.conformed(staged.withColumn("__mv_part",
         pmod(xxhash64(col("__mv_key")), lit(chosenParts.toLong)).cast(StringType)))
-      mv.state.upsertOp(init, None,
-        if (join.isEmpty) s"MVREFRESH:$v0" else s"MVREFRESH:$v0:$v0D")
+      mv.state.upsertOp(init, None, mv.markerFor(v0, v0Ds))
     }
     deleteRecursively(stageDir.toFile)
     mv
@@ -1173,25 +1241,36 @@ object MatView {
       MvAgg(java.net.URLDecoder.decode(n, "UTF-8"), f,
         java.net.URLDecoder.decode(c, "UTF-8"))
     }
-    val join = Option(props.getProperty("joinDimPath")).map { dp =>
-      MvJoin(dp,
-        props.getProperty("joinFactKey"), props.getProperty("joinDimKey"),
-        Option(props.getProperty("joinDimCols")).map(_.split(',').toSeq
-          .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")))
-          .getOrElse(Nil))
+    def readJoin(prefix: String): Option[MvJoin] =
+      Option(props.getProperty(s"${prefix}DimPath")).map { dp =>
+        MvJoin(dp,
+          props.getProperty(s"${prefix}FactKey"), props.getProperty(s"${prefix}DimKey"),
+          Option(props.getProperty(s"${prefix}DimCols")).map(_.split(',').toSeq
+            .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")))
+            .getOrElse(Nil))
+      }
+    // numbered multi-join format (join0DimPath…); falls back to the
+    // round-18 single-join keys so pre-existing view dirs still open
+    val joins = Iterator.from(0).map(i => readJoin(s"join$i"))
+      .takeWhile(_.isDefined).flatten.toSeq match {
+      case Nil => readJoin("join").toSeq
+      case js => js
     }
+    val baseDims = Option(props.getProperty("createBaseDims"))
+      .map(_.split(',').toSeq.filter(_.nonEmpty).map(_.toLong))
+      .getOrElse(Option(props.getProperty("createBaseDim")).map(_.toLong).toSeq)
     new MatView(spark, viewPath, source, groupCols, aggs,
       props.getProperty("numParts").toInt,
       props.getProperty("createBase").toLong,
       props.getProperty("stateSchemaDdl"),
-      join,
-      Option(props.getProperty("createBaseDim")).map(_.toLong).getOrElse(-1L))
+      joins,
+      baseDims)
   }
 
   private def writeProps(
       viewPath: String, sourcePath: String, groupCols: Seq[String],
       aggs: Seq[MvAgg], numParts: Int, base: Long, stateSchema: StructType,
-      join: Option[MvJoin] = None, baseDim: Long = -1L): Unit = {
+      joins: Seq[MvJoin] = Nil, baseDims: Seq[Long] = Nil): Unit = {
     val props = new Properties()
     props.setProperty("sourcePath", sourcePath)
     props.setProperty("groupCols",
@@ -1202,14 +1281,15 @@ object MatView {
     props.setProperty("numParts", numParts.toString)
     props.setProperty("createBase", base.toString)
     props.setProperty("stateSchemaDdl", stateSchema.toDDL)
-    join.foreach { j =>
-      props.setProperty("joinDimPath", j.dimPath)
-      props.setProperty("joinFactKey", j.factKey)
-      props.setProperty("joinDimKey", j.dimKey)
-      props.setProperty("joinDimCols",
+    joins.zipWithIndex.foreach { case (j, i) =>
+      props.setProperty(s"join${i}DimPath", j.dimPath)
+      props.setProperty(s"join${i}FactKey", j.factKey)
+      props.setProperty(s"join${i}DimKey", j.dimKey)
+      props.setProperty(s"join${i}DimCols",
         j.dimCols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
-      props.setProperty("createBaseDim", baseDim.toString)
     }
+    if (joins.nonEmpty)
+      props.setProperty("createBaseDims", baseDims.mkString(","))
     val tmp = Paths.get(viewPath, s".mv-tmp-${UUID.randomUUID()}")
     val out = Files.newOutputStream(tmp)
     try props.store(out, "graft MatView definition") finally out.close()

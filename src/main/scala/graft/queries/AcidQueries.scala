@@ -1151,7 +1151,7 @@ object AcidQueries {
         dim.upsert(dBase)
         val mv = MatView.create(s, fact, scratch(), Seq("seg"),
           Seq(MvAgg("cnt", "count", "*"), MvAgg("rev", "sum", "price")),
-          join = Some(MvJoin(dim.path, "ck", "ckey", Seq("seg"))))
+          joins = Seq(MvJoin(dim.path, "ck", "ckey", Seq("seg"))))
         // fact-only trickle: price updates fold as ΔF ⋈ dim, no fact scan
         fact.upsert(fBase.filter(col("pk").cast("long") % 10 === 0)
           .withColumn("price", Qdsl.dec2(col("price") * 2)))
@@ -1195,6 +1195,109 @@ object AcidQueries {
         SELECT seg, COUNT(*) AS cnt, CAST(SUM(price) AS DOUBLE) AS rev
         FROM ffin JOIN dfin ON ffin.ck = dfin.ckey
         GROUP BY seg ORDER BY seg
+      """)),
+
+    // ---- C5 materialized view: MULTI-DIM star maintenance (round 18) ------------
+    // The full production star: `fact ⋈ dim1 ⋈ dim2 GROUP BY d1.col,
+    // d2.col`, maintained with the telescoping decomposition (one term
+    // per changed relation, each with exactly one delta side). The gate
+    // drives fact-only windows (driver fold), each dim alone, and all
+    // three sides changing inside ONE refresh window; the oracle
+    // recomputes the two-dim rollup over the replayed relations.
+    Q(
+      "q_acid_matview_star",
+      (s, dir) => {
+        import graft.lake.MvJoin
+        val factSchema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("ck", StringType), StructField("pr", StringType),
+          StructField("price", DecimalType(18, 2))))
+        val dim1Schema = StructType(Seq(
+          StructField("ckey", StringType), StructField("dpart", StringType),
+          StructField("seg", StringType)))
+        val dim2Schema = StructType(Seq(
+          StructField("prio", StringType), StructField("ppart", StringType),
+          StructField("pclass", StringType)))
+        val fact = AcidTable.create(s, scratch(), factSchema, "pk", "part",
+          stablePartitions = true)
+        val dim1 = AcidTable.create(s, scratch(), dim1Schema, "ckey", "dpart",
+          stablePartitions = true)
+        val dim2 = AcidTable.create(s, scratch(), dim2Schema, "prio", "ppart",
+          stablePartitions = true)
+        val fBase = Tables.orders(s, dir).filter(col("o_orderkey") < 20000).select(
+          col("o_orderkey").cast("string").as("pk"),
+          concat(lit("p"), (col("o_orderkey") % 4).cast("string")).as("part"),
+          col("o_custkey").cast("string").as("ck"),
+          col("o_orderpriority").as("pr"),
+          Qdsl.dec2(col("o_totalprice")).as("price"))
+        val dBase = Tables.customer(s, dir).filter(col("c_custkey") < 400).select(
+          col("c_custkey").cast("string").as("ckey"),
+          concat(lit("q"), (col("c_nationkey") % 3).cast("string")).as("dpart"),
+          col("c_mktsegment").as("seg"))
+        val pBase = Tables.orders(s, dir).select(col("o_orderpriority")).distinct()
+          .select(col("o_orderpriority").as("prio"), lit("r0").as("ppart"),
+            when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"), lit("HOT"))
+              .otherwise(lit("COLD")).as("pclass"))
+        fact.upsert(fBase); dim1.upsert(dBase); dim2.upsert(pBase)
+        val mv = MatView.create(s, fact, scratch(), Seq("seg", "pclass"),
+          Seq(MvAgg("cnt", "count", "*"), MvAgg("rev", "sum", "price")),
+          joins = Seq(MvJoin(dim1.path, "ck", "ckey", Seq("seg")),
+            MvJoin(dim2.path, "pr", "prio", Seq("pclass"))))
+        // fact-only trickle (driver fold: ΔF ⋈ both dims, zero jobs)
+        fact.upsert(fBase.filter(col("pk").cast("long") % 10 === 0)
+          .withColumn("price", Qdsl.dec2(col("price") * 2)))
+        mv.refresh()
+        // dim1-only window: customer slices relabel
+        dim1.upsert(dBase.filter(col("ckey").cast("long") % 5 === 0)
+          .withColumn("seg", lit("REMAPPED")))
+        mv.refresh()
+        // dim2-only window: a priority class flips wholesale
+        dim2.upsert(pBase.filter(substring(col("prio"), 1, 1) === "3")
+          .withColumn("pclass", lit("HOT")))
+        mv.refresh()
+        // ALL THREE sides change inside one refresh window
+        fact.deleteWhere(col("pk").cast("long") < 500)
+        dim1.delete(Seq("7", "13"))
+        dim2.upsert(pBase.filter(substring(col("prio"), 1, 1) === "5")
+          .withColumn("pclass", lit("URGENTISH")))
+        mv.refresh()
+        mv.read().select(col("seg"), col("pclass"), col("cnt"),
+          col("rev").cast("double").as("rev"))
+          .orderBy(col("seg"), col("pclass"))
+      },
+      Some("""
+        WITH fbase AS (
+          SELECT o_orderkey AS k, o_custkey AS ck, o_orderpriority AS pr,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM orders WHERE o_orderkey < 20000),
+        fupd AS (
+          SELECT k, ck, pr,
+                 CASE WHEN k % 10 = 0 THEN CAST(price * 2 AS DECIMAL(18,2))
+                      ELSE price END AS price
+          FROM fbase),
+        ffin AS (SELECT * FROM fupd WHERE k >= 500),
+        dbase AS (
+          SELECT c_custkey AS ckey, c_mktsegment AS seg
+          FROM customer WHERE c_custkey < 400),
+        dfin AS (
+          SELECT ckey,
+                 CASE WHEN ckey % 5 = 0 THEN 'REMAPPED' ELSE seg END AS seg
+          FROM dbase WHERE ckey NOT IN (7, 13)),
+        pbase AS (
+          SELECT DISTINCT o_orderpriority AS prio,
+                 CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2')
+                      THEN 'HOT' ELSE 'COLD' END AS pclass
+          FROM orders),
+        pfin AS (
+          SELECT prio,
+                 CASE WHEN substring(prio, 1, 1) = '3' THEN 'HOT'
+                      WHEN substring(prio, 1, 1) = '5' THEN 'URGENTISH'
+                      ELSE pclass END AS pclass
+          FROM pbase)
+        SELECT seg, pclass, COUNT(*) AS cnt, CAST(SUM(price) AS DOUBLE) AS rev
+        FROM ffin JOIN dfin ON ffin.ck = dfin.ckey
+                  JOIN pfin ON ffin.pr = pfin.prio
+        GROUP BY seg, pclass ORDER BY seg, pclass
       """)),
 
     // ---- C5 materialized view: LIVE stream maintenance --------------------------

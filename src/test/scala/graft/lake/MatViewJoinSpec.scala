@@ -75,7 +75,7 @@ class MatViewJoinSpec extends AnyFunSuite {
       aggs: Seq[MvAgg] = Seq(MvAgg("cnt", "count", "*"),
         MvAgg("sv", "sum", "val"), MvAgg("sd", "sum", "dec"))): MatView =
     MatView.create(spark, fact, tmp(s"$pfx-v"), Seq("dgrp"), aggs,
-      join = Some(MvJoin(dim.path, "fk", "dk", Seq("dgrp"))))
+      joins = Seq(MvJoin(dim.path, "fk", "dk", Seq("dgrp"))))
 
   /** The oracle: from-scratch join + GROUP BY over the two snapshots. */
   private def expect(fact: AcidTable, dim: AcidTable): Seq[Seq[Any]] =
@@ -95,7 +95,7 @@ class MatViewJoinSpec extends AnyFunSuite {
     val mv = mkView("init", f, d)
     assert(got(mv) === expect(f, d))
     assert(got(mv).map(_.head) === Seq("A", "B")) // dX fact + d9 dim drop out
-    assert(mv.appliedVersions() === (f.latestVersion(), d.latestVersion()))
+    assert(mv.appliedVersions() === (f.latestVersion(), Seq(d.latestVersion())))
   }
 
   test("fact-side DML shapes fold incrementally and match a recompute") {
@@ -139,7 +139,7 @@ class MatViewJoinSpec extends AnyFunSuite {
     f.upsert(factRows(("k9", "p0", "d3", 90L, "9.00")))
     d.upsert(dimRows(("d3", "q0", "D", 3L)))
     mv.refresh(); assert(got(mv) === expect(f, d))
-    assert(mv.appliedVersions() === (f.latestVersion(), d.latestVersion()))
+    assert(mv.appliedVersions() === (f.latestVersion(), Seq(d.latestVersion())))
   }
 
   test("min/max join views recompute only touched groups and stay exact") {
@@ -147,7 +147,7 @@ class MatViewJoinSpec extends AnyFunSuite {
     val mv = MatView.create(spark, f, tmp("mm-v"), Seq("dgrp"),
       Seq(MvAgg("cnt", "count", "*"), MvAgg("mx", "max", "val"),
         MvAgg("mw", "min", "dw")),
-      join = Some(MvJoin(d.path, "fk", "dk", Seq("dgrp", "dw"))))
+      joins = Seq(MvJoin(d.path, "fk", "dk", Seq("dgrp", "dw"))))
     def expectMm(): Seq[Seq[Any]] =
       f.snapshot().join(d.snapshot().select(col("dk"), col("dgrp"), col("dw")),
           col("fk") === col("dk"), "inner")
@@ -204,7 +204,7 @@ class MatViewJoinSpec extends AnyFunSuite {
     assert(got(mv) === expect(f, d))
     // the high-water mark must cover the dim commit (else every later
     // refresh re-joins the full fact snapshot against the same ΔD)
-    assert(mv.appliedVersions()._2 === d.latestVersion())
+    assert(mv.appliedVersions()._2 === Seq(d.latestVersion()))
   }
 
   test("SQL front-end (text session): CREATE MATERIALIZED VIEW ... JOIN") {
@@ -295,6 +295,145 @@ class MatViewJoinSpec extends AnyFunSuite {
     assert(got(mv) === expect(f, d))
   }
 
+  // ------------------------------------------------------- multi-dim star --
+
+  private val fact2Schema = StructType(Seq(
+    StructField("pk", StringType), StructField("part", StringType),
+    StructField("fk", StringType), StructField("gk", StringType),
+    StructField("val", LongType)))
+  private val dim2Schema = StructType(Seq(
+    StructField("gkey", StringType), StructField("gpart", StringType),
+    StructField("region", StringType)))
+
+  private def fact2Rows(ts: (String, String, String, String, java.lang.Long)*): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(ts.map { case (pk, part, fk, gk, v) =>
+        org.apache.spark.sql.Row(pk, part, fk, gk, v)
+      }: _*), fact2Schema)
+
+  private def dim2Rows(ts: (String, String, String)*): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(ts.map { case (k, p, r) =>
+        org.apache.spark.sql.Row(k, p, r)
+      }: _*), dim2Schema)
+
+  /** fact ⋈ dim ⋈ dim2 fixture: 6 facts, two fks each; one fk misses
+    * dim, one misses dim2. */
+  private def seededStar(pfx: String): (AcidTable, AcidTable, AcidTable, MatView) = {
+    val f = AcidTable.create(spark, tmp(s"$pfx-f2"), fact2Schema, "pk", "part",
+      stablePartitions = true)
+    f.upsert(fact2Rows(
+      ("k1", "p0", "d1", "g1", 10L), ("k2", "p1", "d1", "g2", 20L),
+      ("k3", "p0", "d2", "g1", 30L), ("k4", "p1", "d2", "g2", 40L),
+      ("k5", "p0", "dX", "g1", 50L), ("k6", "p1", "d3", "gX", 60L)))
+    val d1 = seededDim(s"$pfx-s")
+    val d2 = AcidTable.create(spark, tmp(s"$pfx-g"), dim2Schema, "gkey", "gpart",
+      stablePartitions = true)
+    d2.upsert(dim2Rows(("g1", "r0", "EU"), ("g2", "r1", "US"), ("g9", "r0", "AP")))
+    val mv = MatView.create(spark, f, tmp(s"$pfx-v2"), Seq("dgrp", "region"),
+      Seq(MvAgg("cnt", "count", "*"), MvAgg("sv", "sum", "val")),
+      joins = Seq(MvJoin(d1.path, "fk", "dk", Seq("dgrp")),
+        MvJoin(d2.path, "gk", "gkey", Seq("region"))))
+    (f, d1, d2, mv)
+  }
+
+  private def expectStar(f: AcidTable, d1: AcidTable, d2: AcidTable): Seq[Seq[Any]] =
+    f.snapshot()
+      .join(d1.snapshot().select(col("dk"), col("dgrp")), col("fk") === col("dk"))
+      .join(d2.snapshot().select(col("gkey"), col("region")), col("gk") === col("gkey"))
+      .groupBy(col("dgrp"), col("region"))
+      .agg(count(lit(1)).as("cnt"), sum(col("val")).as("sv"))
+      .collect().map(_.toSeq).toSeq.sortBy(r => (r(0).toString, r(1).toString))
+
+  private def gotStar(mv: MatView): Seq[Seq[Any]] =
+    mv.read().collect().map(_.toSeq).toSeq.sortBy(r => (r(0).toString, r(1).toString))
+
+  test("two-dim star view: initial materialization + per-side DML windows") {
+    val (f, d1, d2, mv) = seededStar("star")
+    assert(gotStar(mv) === expectStar(f, d1, d2))
+    assert(mv.appliedVersions() ===
+      (f.latestVersion(), Seq(d1.latestVersion(), d2.latestVersion())))
+    // fact-only window (ΔF term): insert + fk migration + delete
+    f.upsert(fact2Rows(("k7", "p0", "d3", "g2", 70L),
+      ("k3", "p0", "d1", "g2", 31L)))
+    f.delete(Seq("k2"))
+    mv.refresh(); assert(gotStar(mv) === expectStar(f, d1, d2))
+    // dim1-only window (first ΔD term): relabel + delete
+    d1.upsert(dimRows(("d2", "q1", "C", 2L)))
+    d1.delete(Seq("d3"))
+    mv.refresh(); assert(gotStar(mv) === expectStar(f, d1, d2))
+    // dim2-only window (second ΔD term): relabel + appearance (gX lands)
+    d2.upsert(dim2Rows(("g1", "r0", "APAC"), ("gX", "r1", "LATAM")))
+    mv.refresh(); assert(gotStar(mv) === expectStar(f, d1, d2))
+    assert(mv.appliedVersions() ===
+      (f.latestVersion(), Seq(d1.latestVersion(), d2.latestVersion())))
+  }
+
+  test("two-dim star view: all three sides change inside ONE refresh window") {
+    val (f, d1, d2, mv) = seededStar("star3")
+    // every telescoping term live at once: ΔF ⋈ D1@old ⋈ D2@old,
+    // F@new ⋈ ΔD1 ⋈ D2@old, F@new ⋈ D1@new ⋈ ΔD2
+    f.upsert(fact2Rows(("k8", "p1", "d2", "g1", 80L)))
+    f.delete(Seq("k1"))
+    d1.upsert(dimRows(("d1", "q0", "M", 1L), ("dX", "q1", "N", 5L)))
+    d2.delete(Seq("g2"))
+    d2.upsert(dim2Rows(("gX", "r0", "ME")))
+    mv.refresh(); assert(gotStar(mv) === expectStar(f, d1, d2))
+    // and a follow-up fact trickle still folds exactly
+    f.upsert(fact2Rows(("k9", "p0", "d1", "gX", 90L)))
+    mv.refresh(); assert(gotStar(mv) === expectStar(f, d1, d2))
+  }
+
+  test("two-dim star view: fact-only trickle is driver-only, zero Spark jobs") {
+    val (f, d1, d2, mv) = seededStar("starz")
+    f.upsert(fact2Rows(("k1", "p0", "d2", "g2", 11L))) // both-fk migration
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      mv.refresh()
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        s"fact-only two-dim trickle must fold on the driver (saw ${jobs.get()} jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(gotStar(mv) === expectStar(f, d1, d2))
+  }
+
+  test("SQL front-end: two chained JOINs in CREATE MATERIALIZED VIEW") {
+    val wh = Files.createTempDirectory("mvj-sql2-wh-").toString
+    val sess = new AcidSqlSession(spark, wh)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS db")
+    sess.execute("""CREATE TABLE db.fact (pk STRING, part STRING, fk STRING,
+      gk STRING, v BIGINT) USING hudi PARTITIONED BY (part)
+      TBLPROPERTIES (primaryKey = 'pk')""")
+    sess.execute("""CREATE TABLE db.dim (dk STRING, dpart STRING, g STRING)
+      USING hudi PARTITIONED BY (dpart) TBLPROPERTIES (primaryKey = 'dk')""")
+    sess.execute("""CREATE TABLE db.geo (gkey STRING, gpart STRING, region STRING)
+      USING hudi PARTITIONED BY (gpart) TBLPROPERTIES (primaryKey = 'gkey')""")
+    sess.execute("""INSERT INTO db.fact VALUES
+      ('k1','p0','d1','g1',10), ('k2','p1','d1','g2',20), ('k3','p0','d2','g1',5)""")
+    sess.execute("INSERT INTO db.dim VALUES ('d1','q0','A'), ('d2','q0','B')")
+    sess.execute("INSERT INTO db.geo VALUES ('g1','r0','EU'), ('g2','r0','US')")
+    sess.execute("""CREATE MATERIALIZED VIEW db.mvs AS
+      SELECT g, region, count(*) AS cnt, sum(v) AS sv
+      FROM db.fact f JOIN db.dim d ON f.fk = d.dk
+                     JOIN db.geo e ON f.gk = e.gkey
+      GROUP BY g, region""")
+    def readMv() = sess.query("SELECT g, region, cnt, sv FROM db.mvs ORDER BY g, region")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(readMv() === Seq(("A", "EU", 1L, 10L), ("A", "US", 1L, 20L), ("B", "EU", 1L, 5L)))
+    sess.execute("INSERT INTO db.fact VALUES ('k4','p1','d2','g2',50)")
+    sess.execute("UPDATE db.geo SET region = 'APAC' WHERE gkey = 'g1'")
+    sess.execute("REFRESH MATERIALIZED VIEW db.mvs")
+    assert(readMv() === Seq(("A", "APAC", 1L, 10L), ("A", "US", 1L, 20L),
+      ("B", "APAC", 1L, 5L), ("B", "US", 1L, 50L)))
+    sess.execute("DROP MATERIALIZED VIEW db.mvs")
+  }
+
   test("create() validates join shape loudly") {
     val f = seededFact("val"); val d = seededDim("val")
     // overlapping column names fact/dim
@@ -303,18 +442,18 @@ class MatViewJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       MatView.create(spark, f, tmp("val-v1"), Seq("fk"),
         Seq(MvAgg("cnt", "count", "*")),
-        join = Some(MvJoin(clash.path, "fk", "pk", Seq("val"))))
+        joins = Seq(MvJoin(clash.path, "fk", "pk", Seq("val"))))
     }
     // unknown keys / dim columns
     intercept[IllegalArgumentException] {
       MatView.create(spark, f, tmp("val-v2"), Seq("dgrp"),
         Seq(MvAgg("cnt", "count", "*")),
-        join = Some(MvJoin(d.path, "nope", "dk", Seq("dgrp"))))
+        joins = Seq(MvJoin(d.path, "nope", "dk", Seq("dgrp"))))
     }
     intercept[IllegalArgumentException] {
       MatView.create(spark, f, tmp("val-v3"), Seq("dgrp"),
         Seq(MvAgg("cnt", "count", "*")),
-        join = Some(MvJoin(d.path, "fk", "dk", Seq("nope"))))
+        joins = Seq(MvJoin(d.path, "fk", "dk", Seq("nope"))))
     }
   }
 }
