@@ -119,6 +119,186 @@ object TextQueries {
     wfreq + "," + iters
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training constants,
+    * shared by the train/apply gates and their oracle-CTE generator so
+    * the Spark loop and the unrolled DuckDB replay cannot disagree. */
+  private val UniPieceMax = 4 // max piece length (seed substrings + DP span)
+  private val UniRounds = 3 // hard-EM iterations
+  private val UniWordMax = 16 // words longer than this are excluded BOTH sides
+
+  /** Viterbi segmentation of one word under integer micro-nat piece
+    * costs: minimize total cost; ties prefer the LONGER final piece
+    * (deterministic — integer costs, left-to-right positions, k
+    * ascending with `<=` so the larger k wins equal totals). Returns the
+    * BPE-style `(p1)(p2)…` encoding, or null when no piece path covers
+    * the word (callers treat that as a loud invariant breach: round-1
+    * vocab contains every single character, and a later round's vocab
+    * contains each word's own previous segmentation pieces).
+    */
+  private def uniViterbi(wd: String, cost: collection.Map[String, Long]): String = {
+    val n = wd.length
+    val best = new Array[Long](n + 1)
+    java.util.Arrays.fill(best, Long.MaxValue)
+    val seg = new Array[String](n + 1)
+    best(0) = 0L; seg(0) = ""
+    var p = 1
+    while (p <= n) {
+      var k = 1
+      while (k <= math.min(UniPieceMax, p)) {
+        if (best(p - k) != Long.MaxValue) {
+          cost.get(wd.substring(p - k, p)) match {
+            case Some(c) =>
+              val tot = best(p - k) + c
+              if (tot <= best(p)) {
+                best(p) = tot
+                seg(p) = seg(p - k) + "(" + wd.substring(p - k, p) + ")"
+              }
+            case None =>
+          }
+        }
+        k += 1
+      }
+      p += 1
+    }
+    seg(n)
+  }
+
+  /** Micro-nat piece costs from a vocab's counts: `round(ln(T/cnt)·1e6)`
+    * — the q_text_lm_score determinism contract (fixed-point BEFORE any
+    * comparison/summation; cross-engine parity assumes Math.log and
+    * DuckDB ln round identically, as every LM gate already does). */
+  private def uniCosts(vocab: Seq[(String, Long)]): Map[String, Long] = {
+    val tot = vocab.iterator.map(_._2).sum.toDouble
+    vocab.iterator.map { case (p, c) =>
+      p -> math.round(math.log(tot / c) * 1e6) }.toMap
+  }
+
+  /** Hard-EM unigram-LM training (round 18b — the SentencePiece-flavored
+    * sibling of [[bpeTrain]]): seed the vocabulary with EVERY substring
+    * of length 1..[[UniPieceMax]] of the corpus's words (occurrence-
+    * weighted by word frequency), then [[UniRounds]] rounds of
+    * (Viterbi-segment every distinct word under the current micro-nat
+    * costs) → (re-count pieces from the segmentations) → (re-derive
+    * costs). Pieces that no segmentation uses drop out — the vocabulary
+    * shrinks monotonically toward the used set, and feasibility is
+    * invariant because each word's own previous pieces survive by
+    * construction.
+    *
+    * Scale shape: ONE corpus pass builds the word-frequency table; every
+    * round is vocabulary-sized — the cost map is the trained tokenizer
+    * (collected like the BPE apply gate's vocab, broadcast into a
+    * per-word Scala UDF; the DP is genuinely imperative per-row work, the
+    * one place a UDF beats composition), and the re-count is a map-side
+    * explode + hash aggregation over |vocab| rows. At web-corpus vocab
+    * (1e8 words) the same loop degrades to a shuffled piece join, as the
+    * LM gates declare.
+    *
+    * Returns (final segmentations: wd/cnt/seg, final vocab rows:
+    * piece/cnt/cost ordered by piece).
+    */
+  private def unigramTrain(s: SparkSession, dir: String)
+      : (Seq[(String, Long, String)], Seq[(String, Long, Long)]) = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("wd"))
+      .filter(col("wd").rlike("\\A[a-z]+\\z") &&
+        length(col("wd")).between(2, UniWordMax))
+      .groupBy("wd").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val seed = words.select(col("cnt"), explode(expr(
+          s"""flatten(transform(sequence(1, length(wd)),
+              i -> transform(sequence(1, least($UniPieceMax, length(wd) - i + 1)),
+                   k -> substring(wd, i, k))))""")).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+        .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      var vocab = seed
+      var segged: Seq[(String, Long, String)] = Nil
+      for (t <- 1 to UniRounds) {
+        val cost = uniCosts(vocab)
+        val segUdf = udf((wd: String) => {
+          val sgm = uniViterbi(wd, cost)
+          require(sgm != null, s"unigram vocab cannot cover '$wd'")
+          sgm
+        })
+        val round = words.withColumn("seg", segUdf(col("wd")))
+        vocab = round.select(col("cnt"),
+            explode(split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\("))
+              .as("piece"))
+          .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+          .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        if (t == UniRounds)
+          segged = round.orderBy("wd").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      }
+      val cost = uniCosts(vocab)
+      (segged, vocab.map { case (p, c) => (p, c, cost(p)) })
+    } finally { words.unpersist(); () }
+  }
+
+  /** The DuckDB replay of [[unigramTrain]] as chained CTEs: `uw` (word
+    * frequencies), `v0` (the substring seed), then per round t `c_t`
+    * (micro-nat costs), the UNROLLED Viterbi DP `dp{t}_{p}` for p =
+    * 0..[[UniWordMax]] (each position's best row QUALIFY-selected with
+    * the same total-ASC / piece-length-DESC tie-break the Scala DP
+    * applies), `fin_t` (each word's segmentation read off at its own
+    * length), and `v_t` (the re-count). */
+  private def unigramOracleCtes(): String = {
+    val uw = s"""
+          uw AS MATERIALIZED (
+            SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents)
+            WHERE regexp_full_match(wd, '[a-z]+')
+              AND len(wd) BETWEEN 2 AND $UniWordMax
+            GROUP BY wd),
+          v0 AS MATERIALIZED (
+            SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+              SELECT substr(wd, i, k) AS piece, cnt
+              FROM uw,
+                   LATERAL (SELECT unnest(generate_series(1, len(wd))) AS i) gi,
+                   LATERAL (SELECT unnest(generate_series(1, $UniPieceMax)) AS k) gk
+              WHERE i + k - 1 <= len(wd))
+            GROUP BY piece)"""
+    val rounds = (1 to UniRounds).map { t =>
+      val costs = s"""
+          c$t AS MATERIALIZED (
+            SELECT piece, CAST(round(ln(
+              (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v${t - 1}) / cnt) * 1000000)
+              AS BIGINT) AS cost
+            FROM v${t - 1})"""
+      val dp0 = s"""
+          dp${t}_0 AS MATERIALIZED (SELECT wd, cnt, CAST(0 AS BIGINT) AS best, '' AS seg FROM uw)"""
+      val dps = (1 to UniWordMax).map { p =>
+        val branches = (1 to math.min(UniPieceMax, p)).map { k =>
+          s"""
+            SELECT d.wd, d.cnt, d.best + c.cost AS best,
+                   d.seg || '(' || substr(d.wd, ${p - k + 1}, $k) || ')' AS seg,
+                   $k AS k
+            FROM dp${t}_${p - k} d
+            JOIN c$t c ON c.piece = substr(d.wd, ${p - k + 1}, $k)
+            WHERE len(d.wd) >= $p"""
+        }.mkString(" UNION ALL ")
+        s"""
+          dp${t}_$p AS MATERIALIZED (
+            SELECT wd, cnt, best, seg FROM ($branches) cand
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY wd ORDER BY best ASC, k DESC) = 1)"""
+      }.mkString(",")
+      val fin = (2 to UniWordMax).map(p =>
+        s"SELECT wd, cnt, seg FROM dp${t}_$p WHERE len(wd) = $p")
+        .mkString(" UNION ALL ")
+      s"""$costs,
+          $dp0,
+          $dps,
+          fin$t AS MATERIALIZED ($fin),
+          v$t AS MATERIALIZED (
+            SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+              SELECT unnest(string_split(trim(seg, '()'), ')(')) AS piece, cnt
+              FROM fin$t)
+            GROUP BY piece)"""
+    }.mkString(",")
+    uw + "," + rounds
+  }
+
   /** DuckDB rendering of distinct word-bigram shingles of `trim(text)`. */
   private[queries] val sqlShingles =
     """list_distinct(list_transform(
@@ -922,6 +1102,77 @@ object TextQueries {
           WHERE regexp_full_match(wd, '[a-z]+') AND len(wd) >= 2)
         SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(v.ntok) AS BIGINT) AS n_tokens
         FROM dwf JOIN vocab v USING (wd)
+        GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // ---- C45/C52 unigram-LM tokenizer TRAINING (round 18b) ----------------------
+    // The OTHER standard tokenizer-training family (SentencePiece's
+    // unigram model) next to BPE's merge rules: hard-EM over a substring
+    // seed — each round Viterbi-segments every distinct corpus word under
+    // integer micro-nat piece costs (min total; ties to the longer
+    // piece), re-counts pieces from the segmentations, and re-derives
+    // costs; unused pieces fall out of the vocabulary. All comparisons
+    // happen on fixed-point integers (the q_text_lm_score contract), so
+    // the DuckDB oracle replays the identical EM trajectory with the DP
+    // UNROLLED over word positions as chained CTEs.
+    Q(
+      "q_text_unigram_train",
+      (s, dir) => {
+        val (_, vocab) = unigramTrain(s, dir)
+        import s.implicits._
+        vocab.toDF("piece", "cnt", "cost").orderBy(col("piece"))
+      },
+      Some(s"""
+        WITH ${unigramOracleCtes()}
+        SELECT piece, cnt, CAST(round(ln(
+          (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v$UniRounds) / cnt) * 1000000)
+          AS BIGINT) AS cost
+        FROM v$UniRounds ORDER BY piece
+      """)),
+
+    // ---- C45/C52 unigram-LM tokenizer INFERENCE ---------------------------------
+    // The trained unigram tokenizer consumed: each corpus word's final-
+    // round Viterbi segmentation gives its piece count, and per-document
+    // subword budgets sum through a broadcast join of the vocabulary-
+    // sized (word → piece count) map — the q_text_bpe_apply shape on the
+    // unigram model.
+    Q(
+      "q_text_unigram_apply",
+      (s, dir) => {
+        val (segged, _) = unigramTrain(s, dir)
+        val ntokSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("wd",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ntok",
+            org.apache.spark.sql.types.LongType)))
+        val rows: Seq[org.apache.spark.sql.Row] = segged.map { case (wd, _, seg) =>
+          org.apache.spark.sql.Row(wd,
+            seg.stripPrefix("(").stripSuffix(")").split("\\)\\(").length.toLong)
+        }
+        val ntok = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), ntokSchema)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+          .filter(col("wd").rlike("\\A[a-z]+\\z") &&
+            length(col("wd")).between(2, UniWordMax))
+          .join(broadcast(ntok), Seq("wd"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${unigramOracleCtes()},
+        nw AS (
+          SELECT wd, CAST(len(string_split(trim(seg, '()'), ')(')) AS BIGINT) AS ntok
+          FROM fin$UniRounds),
+        dw AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd FROM documents),
+        dwf AS (
+          SELECT doc_id, wd FROM dw
+          WHERE regexp_full_match(wd, '[a-z]+')
+            AND len(wd) BETWEEN 2 AND $UniWordMax)
+        SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(nw.ntok) AS BIGINT) AS n_tokens
+        FROM dwf JOIN nw USING (wd)
         GROUP BY doc_id ORDER BY doc_id
       """)),
 

@@ -497,4 +497,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"no map-side partial aggregation:\n$p")
   }
+
+  test("unigram-LM inference broadcasts the trained tokenizer and partial-aggregates") {
+    // round 18b: same contract as the BPE gate for the unigram sibling —
+    // the (word -> piece count) map from training is vocabulary-sized and
+    // must broadcast; the corpus never shuffles by word, and per-doc
+    // budgets collapse map-side. (The training loop's per-round work is
+    // vocabulary-sized by construction; this pins the one corpus-scale
+    // plan the family produces.)
+    val p = plan("q_text_unigram_apply")
+    assert(p.contains("BroadcastHashJoin"), s"trained tokenizer not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus words shuffled by word (SMJ present):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial aggregation:\n$p")
+  }
 }
