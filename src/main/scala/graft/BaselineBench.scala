@@ -380,6 +380,84 @@ object BaselineBench {
       Seq("matview_join_refresh_1x" -> 1, "matview_join_refresh_64x" -> 64)
         .filter(p => abSelected(p._1)).map(p => mvJoinPair(p._1, p._2))
 
+    // multi-dim star matview pair (round 18b): the same trickle regime
+    // over `fact ⋈ dim1 ⋈ dim2 GROUP BY d1.seg, d2.pclass` — the graft
+    // side folds delta-fact ⋈ both dims (driver point lookups, zero
+    // jobs); the stock side recomputes the two-dim star rollup. The
+    // refresh must stay flat across the fact scale-up while the
+    // recompute grows with the fact.
+    def mvStarPair(label: String, replicas: Int): (String, Double, Double) = {
+      import graft.lake.{AcidTable, MatView, MvAgg, MvJoin}
+      import org.apache.spark.sql.types._
+      val factSchema = StructType(Seq(
+        StructField("pk", LongType), StructField("part", StringType),
+        StructField("ck", StringType), StructField("pr", StringType),
+        StructField("price", DecimalType(18, 2))))
+      val dim1Schema = StructType(Seq(
+        StructField("ckey", StringType), StructField("dpart", StringType),
+        StructField("seg", StringType)))
+      val dim2Schema = StructType(Seq(
+        StructField("prio", StringType), StructField("ppart", StringType),
+        StructField("pclass", StringType)))
+      val fact = AcidTable.create(spark,
+        Files.createTempDirectory(s"ab-mvs-$label-").resolve("f").toString,
+        factSchema, "pk", "part", stablePartitions = true)
+      val dim1 = AcidTable.create(spark,
+        Files.createTempDirectory(s"ab-mvs-$label-").resolve("d1").toString,
+        dim1Schema, "ckey", "dpart", stablePartitions = true)
+      val dim2 = AcidTable.create(spark,
+        Files.createTempDirectory(s"ab-mvs-$label-").resolve("d2").toString,
+        dim2Schema, "prio", "ppart", stablePartitions = true)
+      val base = pq("orders")
+        .crossJoin(spark.range(replicas).select(col("id").as("rep")))
+        .select(
+          (col("o_orderkey") * replicas + col("rep")).cast("long").as("pk"),
+          concat_ws("", lit("p"), (col("o_orderkey") % 16).cast("string")).as("part"),
+          col("o_custkey").cast("string").as("ck"),
+          col("o_orderpriority").as("pr"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      fact.upsert(base)
+      fact.compact(0)
+      dim1.upsert(pq("customer").select(
+        col("c_custkey").cast("string").as("ckey"),
+        concat_ws("", lit("q"), (col("c_nationkey") % 4).cast("string")).as("dpart"),
+        col("c_mktsegment").as("seg")))
+      dim2.upsert(pq("orders").select(col("o_orderpriority")).distinct()
+        .select(col("o_orderpriority").as("prio"), lit("r0").as("ppart"),
+          when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"), lit("HOT"))
+            .otherwise(lit("COLD")).as("pclass")))
+      val mv = MatView.create(spark, fact,
+        Files.createTempDirectory(s"ab-mvs-v-$label-").resolve("v").toString,
+        Seq("seg", "pclass"),
+        Seq(MvAgg("cnt", "count", "*"), MvAgg("rev", "sum", "price")),
+        joins = Seq(MvJoin(dim1.path, "ck", "ckey", Seq("seg")),
+          MvJoin(dim2.path, "pr", "prio", Seq("pclass"))))
+      val gts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val sts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until reps).foreach { i =>
+        fact.upsert(base.filter(col("pk") % (18701L * replicas) === i)
+          .withColumn("price", (col("price") * lit(2)).cast("decimal(18,2)")))
+        gts += time { mv.refresh() }
+        sts += time {
+          fact.snapshot()
+            .join(dim1.snapshot().select(col("ckey"), col("seg")),
+              col("ck") === col("ckey"), "inner")
+            .join(dim2.snapshot().select(col("prio"), col("pclass")),
+              col("pr") === col("prio"), "inner")
+            .groupBy(col("seg"), col("pclass"))
+            .agg(count(lit(1)).as("cnt"), sum(col("price")).as("rev"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val g = gts.sorted.apply(gts.size / 2)
+      val s0 = sts.sorted.apply(sts.size / 2)
+      println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
+      (label, g, s0)
+    }
+    val mvStarRows =
+      Seq("matview_star_refresh_1x" -> 1, "matview_star_refresh_64x" -> 64)
+        .filter(p => abSelected(p._1)).map(p => mvStarPair(p._1, p._2))
+
     // bloom point-lookup pair (round-11b): the metadata-pruned keyed read
     // vs the stock partitioned-parquet scan+filter a user without the
     // lake runs over the SAME rows and comparable file count. The graft
@@ -543,7 +621,7 @@ object BaselineBench {
       if (abSelected("acid_scan_dv_unrelated"))
         Seq(acidDvScanPair("acid_scan_dv_unrelated")) else Nil
 
-    val js = (rows ++ mvRows ++ mvJoinRows ++ bloomRows ++ acidScanRows ++
+    val js = (rows ++ mvRows ++ mvJoinRows ++ mvStarRows ++ bloomRows ++ acidScanRows ++
         dvScanRows).map { case (l, g, s0) =>
       "\"" + l + "\":{" + f""""graft":$g%.3f,"stock":$s0%.3f,"ratio":${g / s0}%.3f}"""
     }.mkString("{", ",", "}")
