@@ -546,6 +546,56 @@ object SampleQueries {
         FROM t
       """)),
 
+    // ---- C52 packing on the TRAINED BPE budget (round 18b) --------------
+    // The r17-verdict loop fully closed: the packing plan re-gated on the
+    // tokenizer q_text_bpe_train actually TRAINS (not the fixed WordPiece
+    // list) — per-document budgets are the sum of each word's trained
+    // subword count, unknown words (non-lowercase-alpha, out-of-filter
+    // lengths) degrading to 1 token like WordPiece's unknown piece. The
+    // trained map is vocabulary-sized and broadcasts into the corpus
+    // explode; the pack window's one exchange still carries only (shard,
+    // doc_id, ntok). The oracle replays BPE training AND the budget sum
+    // AND the packing layout in one DuckDB query.
+    Q(
+      "q_pack_context_bpe",
+      (s, dir) => {
+        val B = 256
+        val vocab = TextQueries.bpeTrainedNtok(s, dir)
+        val ntok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("cw"))
+          .join(broadcast(vocab), lower(col("cw")) === vocab("wd"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(sum(coalesce(col("ntok"), lit(1L))).as("ntok"))
+        val w = Window.partitionBy(col("lang"), col("source"), col("shard"))
+          .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            (saltedKey("pack:") % PackShards).as("shard"))
+          .join(ntok, Seq("doc_id"))
+          .withColumn("cum0", coalesce(sum(col("ntok")).over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("source"), col("shard"),
+            col("ntok"),
+            expr(s"cum0 div $B").as("bin"),
+            (col("cum0") % B).as("bin_offset"))
+      },
+      Some(s"""
+        WITH ${TextQueries.bpeVocabOracleCtes},
+        sk AS (SELECT doc_id, lang, source,
+                      (${sqlSaltedKey("pack:")}) % $PackShards AS shard
+               FROM documents),
+        dt AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS wd
+               FROM documents),
+        nt AS (SELECT dt.doc_id, CAST(SUM(COALESCE(v.ntok, 1)) AS BIGINT) AS ntok
+               FROM dt LEFT JOIN vocab v ON v.wd = lower(dt.wd) GROUP BY 1),
+        t AS (SELECT sk.doc_id, sk.lang, sk.source, sk.shard, nt.ntok,
+                     CAST(COALESCE(SUM(nt.ntok)
+                       OVER (PARTITION BY sk.lang, sk.source, sk.shard ORDER BY sk.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+              FROM nt JOIN sk ON sk.doc_id = nt.doc_id)
+        SELECT doc_id, lang, source, shard, ntok, cum0 // 256 AS bin, cum0 % 256 AS bin_offset
+        FROM t
+      """)),
+
     // ---- C52 packing EXECUTION ------------------------------------------
     // The step after the packing plan: materialize each context window —
     // the sub-shard's documents concatenated in doc_id order into their
