@@ -1146,9 +1146,13 @@ object TextQueries {
     Q(
       "q_text_unigram_train",
       (s, dir) => {
-        val (_, vocab) = unigramTrain(s, dir)
+        // the TRAIN gate always trains (the bench must time real EM
+        // rounds, not a cache read); the result refreshes the session
+        // cache the apply gate reads
+        val trained = unigramTrainUncached(s, dir)
+        unigramCache.put((s, dir), trained)
         import s.implicits._
-        vocab.toDF("piece", "cnt", "cost").orderBy(col("piece"))
+        trained._2.toDF("piece", "cnt", "cost").orderBy(col("piece"))
       },
       Some(s"""
         WITH ${unigramOracleCtes()}
