@@ -443,13 +443,15 @@ final class MatView private (
     // ones). A trickle fact commit then refreshes the star view with
     // ZERO Spark jobs, same as the single-table fast path. Every fk is a
     // fact column and every dim key its table's PK, so each fact row
-    // matches at most one row PER dim — the star expansion is a pure
-    // per-join map lookup, no cross products.
+    // normally matches at most one row per dim; the expansion below still
+    // keeps MULTISET semantics (all matches per dim, combinations across
+    // dims) so a breached PK invariant folds identically to the
+    // authoritative distributed join instead of silently keeping one row.
     val delta: Seq[(org.apache.spark.sql.catalyst.InternalRow, Int)] =
       if (joins.isEmpty) factDelta
       else {
         // per join: (fk index/type, effective-col indices into the dim
-        // schema, output offset into the relation row, key → dim row)
+        // schema, output offset into the relation row, key → dim rows)
         var outOff = source.schema.length
         val perJoin = joins.zip(dimTables).zipWithIndex.map { case ((j, d), i) =>
           if (j.dimKey != d.pkCol) { dbg(s"dim $i key is not the dim pk"); return None }
@@ -469,8 +471,8 @@ final class MatView private (
             else scala.util.Try(d.localLookupRows(keys, dimPins(i))).toOption
               .flatten.getOrElse { dbg(s"dim $i localLookupRows None"); return None }
           val dimPkIdx = d.schema.fieldIndex(d.pkCol)
-          val byKey = dimRows.iterator.map(r =>
-            String.valueOf(r.get(dimPkIdx, d.schema(dimPkIdx).dataType)) -> r).toMap
+          val byKey = dimRows.groupBy(r =>
+            String.valueOf(r.get(dimPkIdx, d.schema(dimPkIdx).dataType)))
           val dimColIdx = j.effectiveDimCols.map(c => d.schema.fieldIndex(c))
           val off = outOff
           outOff += dimColIdx.length
@@ -478,30 +480,37 @@ final class MatView private (
         }
         factDelta.flatMap { case (r, net) =>
           // inner-join semantics: a null fk or a key missing any dim
-          // drops the fact row
-          val dimHits = perJoin.map { case (_, fkIdx, fkDt, _, _, byKey) =>
-            if (r.isNullAt(fkIdx)) None
-            else byKey.get(String.valueOf(r.get(fkIdx, fkDt)))
-          }
+          // drops the fact row; multiple matches per dim (PK invariant
+          // breached) expand combinatorially like the distributed join
+          val dimHits: Seq[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+            perJoin.map { case (_, fkIdx, fkDt, _, _, byKey) =>
+              if (r.isNullAt(fkIdx)) Nil
+              else byKey.getOrElse(String.valueOf(r.get(fkIdx, fkDt)), Nil)
+            }
           if (dimHits.exists(_.isEmpty)) Nil
           else {
-            val out = new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(relationSchema.length)
-            var i = 0
-            while (i < source.schema.length) {
-              out.update(i, r.get(i, source.schema(i).dataType)); i += 1
+            val combos = dimHits.foldLeft(Seq(List
+                .empty[org.apache.spark.sql.catalyst.InternalRow])) {
+              (acc, hits) => acc.flatMap(c => hits.map(h => c :+ h))
             }
-            perJoin.zip(dimHits).foreach {
-              case ((d, _, _, dimColIdx, off, _), Some(dr)) =>
-                var k = 0
-                while (k < dimColIdx.length) {
-                  out.update(off + k,
-                    dr.get(dimColIdx(k), d.schema(dimColIdx(k)).dataType))
-                  k += 1
-                }
-              case _ => () // unreachable: dimHits.exists(_.isEmpty) filtered
+            combos.map { combo =>
+              val out = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(relationSchema.length)
+              var i = 0
+              while (i < source.schema.length) {
+                out.update(i, r.get(i, source.schema(i).dataType)); i += 1
+              }
+              perJoin.zip(combo).foreach {
+                case ((d, _, _, dimColIdx, off, _), dr) =>
+                  var k = 0
+                  while (k < dimColIdx.length) {
+                    out.update(off + k,
+                      dr.get(dimColIdx(k), d.schema(dimColIdx(k)).dataType))
+                    k += 1
+                  }
+              }
+              (out: org.apache.spark.sql.catalyst.InternalRow, net)
             }
-            Seq((out: org.apache.spark.sql.catalyst.InternalRow, net))
           }
         }
       }

@@ -141,12 +141,22 @@ object TextQueries {
       ws.unpersist()
       rows
     })
-    val vocabSchema = org.apache.spark.sql.types.StructType(Seq(
+    localNtokDf(s,
+      vocabRows.toSeq.map(r => (r.getString(0), r.getLong(1))))
+  }
+
+  /** A local `(wd STRING, ntok BIGINT)` relation — the broadcastable
+    * trained-tokenizer shape the BPE and unigram apply/packing gates
+    * share (one definition so the contract cannot drift between the two
+    * families). */
+  private def localNtokDf(s: SparkSession, rows: Seq[(String, Long)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("wd",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("ntok",
         org.apache.spark.sql.types.LongType)))
-    s.createDataFrame(java.util.Arrays.asList(vocabRows.toSeq: _*), vocabSchema)
+    s.createDataFrame(java.util.Arrays.asList(
+      rows.map(t => org.apache.spark.sql.Row(t._1, t._2)): _*), schema)
   }
 
   /** The CTE prefix replaying BPE training into the trained `vocab`
@@ -269,15 +279,20 @@ object TextQueries {
           require(sgm != null, s"unigram vocab cannot cover '$wd'")
           sgm
         })
-        val round = words.withColumn("seg", segUdf(col("wd")))
-        vocab = round.select(col("cnt"),
-            explode(split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\("))
-              .as("piece"))
-          .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
-          .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-        if (t == UniRounds)
-          segged = round.orderBy("wd").collect()
-            .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+        // persisted: the final round runs TWO actions (recount + the
+        // segmentation collect) — uncached, the per-word DP would run
+        // over the whole vocabulary twice
+        val round = words.withColumn("seg", segUdf(col("wd"))).persist()
+        try {
+          vocab = round.select(col("cnt"),
+              explode(split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\("))
+                .as("piece"))
+            .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+            .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          if (t == UniRounds)
+            segged = round.orderBy("wd").collect()
+              .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+        } finally { round.unpersist(); () }
       }
       val cost = uniCosts(vocab)
       (segged, vocab.map { case (p, c) => (p, c, cost(p)) })
@@ -676,6 +691,11 @@ object TextQueries {
       rm(new java.io.File(p).getParentFile)
     }
     signatureStores.clear()
+    // release the session-keyed trained tokenizers too: the caches are
+    // keyed by SparkSession, so without this a long-lived JVM cycling
+    // sessions would pin each session (and its vocab-sized artifacts)
+    bpeNtokCache.clear()
+    unigramCache.clear()
   }
 
   /** Exact Jaccard ≥ 0.8 near-dup pairs over [[hashedShingleSets]]. The
@@ -1172,17 +1192,9 @@ object TextQueries {
       "q_text_unigram_apply",
       (s, dir) => {
         val (segged, _) = unigramTrain(s, dir)
-        val ntokSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("wd",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("ntok",
-            org.apache.spark.sql.types.LongType)))
-        val rows: Seq[org.apache.spark.sql.Row] = segged.map { case (wd, _, seg) =>
-          org.apache.spark.sql.Row(wd,
-            seg.stripPrefix("(").stripSuffix(")").split("\\)\\(").length.toLong)
-        }
-        val ntok = s.createDataFrame(
-          java.util.Arrays.asList(rows: _*), ntokSchema)
+        val ntok = localNtokDf(s, segged.map { case (wd, _, seg) =>
+          (wd, seg.stripPrefix("(").stripSuffix(")").split("\\)\\(").length.toLong)
+        })
         Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
           .filter(col("wd").rlike("\\A[a-z]+\\z") &&
