@@ -403,6 +403,61 @@ class MatViewJoinSpec extends AnyFunSuite {
     assert(gotStar(mv) === expectStar(f, d1, d2))
   }
 
+  test("three-dim star view: the telescoping terms generalize past two") {
+    // k = 3: a third tiny dim keyed off `part` itself (any fact column
+    // may be a join key). One window changes the fact and ALL THREE dims.
+    val (f, d1, d2, _) = seededStar("star4")
+    val d3Schema = StructType(Seq(
+      StructField("pk2", StringType), StructField("zpart", StringType),
+      StructField("zone", StringType)))
+    val d3 = AcidTable.create(spark, tmp("star4-z"), d3Schema, "pk2", "zpart",
+      stablePartitions = true)
+    d3.upsert(spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("p0", "z0", "EVEN"),
+      org.apache.spark.sql.Row("p1", "z0", "ODD")), d3Schema))
+    val mv = MatView.create(spark, f, tmp("star4-v"), Seq("dgrp", "region", "zone"),
+      Seq(MvAgg("cnt", "count", "*"), MvAgg("sv", "sum", "val")),
+      joins = Seq(MvJoin(d1.path, "fk", "dk", Seq("dgrp")),
+        MvJoin(d2.path, "gk", "gkey", Seq("region")),
+        MvJoin(d3.path, "part", "pk2", Seq("zone"))))
+    def expect3(): Seq[Seq[Any]] =
+      f.snapshot()
+        .join(d1.snapshot().select(col("dk"), col("dgrp")), col("fk") === col("dk"))
+        .join(d2.snapshot().select(col("gkey"), col("region")), col("gk") === col("gkey"))
+        .join(d3.snapshot().select(col("pk2"), col("zone")), col("part") === col("pk2"))
+        .groupBy(col("dgrp"), col("region"), col("zone"))
+        .agg(count(lit(1)).as("cnt"), sum(col("val")).as("sv"))
+        .collect().map(_.toSeq).toSeq
+        .sortBy(r => (r(0).toString, r(1).toString, r(2).toString))
+    def got3(): Seq[Seq[Any]] =
+      mv.read().collect().map(_.toSeq).toSeq
+        .sortBy(r => (r(0).toString, r(1).toString, r(2).toString))
+    assert(got3() === expect3())
+    // fact-only trickle still folds (driver path, three dim lookups)
+    f.upsert(fact2Rows(("k1", "p0", "d2", "g2", 12L)))
+    mv.refresh(); assert(got3() === expect3())
+    // ALL FOUR relations change in one window: every telescoping term live
+    f.upsert(fact2Rows(("kA", "p1", "d3", "g1", 100L)))
+    d1.upsert(dimRows(("d2", "q1", "G", 2L)))
+    d2.upsert(dim2Rows(("g1", "r0", "EMEA")))
+    d3.upsert(spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("p1", "z0", "PRIME")), d3Schema))
+    mv.refresh(); assert(got3() === expect3())
+    assert(mv.appliedVersions() === (f.latestVersion(),
+      Seq(d1.latestVersion(), d2.latestVersion(), d3.latestVersion())))
+  }
+
+  test("two-dim star view: stream maintenance folds against both pinned dims") {
+    val (f, d1, d2, mv) = seededStar("starst")
+    f.upsert(fact2Rows(("k7", "p0", "d3", "g2", 70L)))
+    f.delete(Seq("k1"))
+    val ckpt = Files.createTempDirectory("mvs-ckpt-").toString
+    val q = mv.maintainStream(ckpt)
+    q.awaitTermination()
+    assert(gotStar(mv) === expectStar(f, d1, d2))
+    assert(mv.appliedVersions()._1 === f.latestVersion())
+  }
+
   test("SQL front-end: two chained JOINs in CREATE MATERIALIZED VIEW") {
     val wh = Files.createTempDirectory("mvj-sql2-wh-").toString
     val sess = new AcidSqlSession(spark, wh)
