@@ -945,6 +945,117 @@ object SampleQueries {
         GROUP BY doc_id, p.prior_micro
       """)),
 
+    // ---- C51 trained quality classifier (logistic regression, GD) -------
+    // The NB gate's sibling with the ITERATIVE training shape: full-batch
+    // gradient descent on a 3-feature logistic model over the same 30%
+    // labeled slice (label = the shared heuristic >= 0.5), then scoring
+    // the whole corpus with the trained weights. Determinism contract:
+    // weights live as BIGINT micro-units; per-doc gradient contributions
+    // quantize via floor(v·1e6 + 0.5) BEFORE the sum (identical floor
+    // both engines; partial-agg-order-independent integer sums); the
+    // update divides with TRUNCATING integer division (Scala Long `/` ≡
+    // DuckDB `//` — probed: (-7)//2 = -3 in DuckDB 1.0, truncation not
+    // floor); 48 rounds at step 64·mean-gradient reach 97.6% label
+    // agreement with mixed predictions (8·2 learned only the majority
+    // class); z accumulates in one explicitly-parenthesized
+    // left-assoc chain so the float sequence is engine-identical. The
+    // sigmoid's exp carries the same cross-engine rounding assumption
+    // every ln-based gate documents. Shape: features persist once;
+    // each GD round is ONE map-side integer-sum aggregation over the
+    // labeled slice (the full-batch shape — at web scale the same loop
+    // runs on a sampled minibatch per round); the corpus-wide scoring
+    // pass is a map-only projection with driver-literal weights.
+    Q(
+      "q_text_quality_lr",
+      (s, dir) => {
+        val iters = 48
+        val d = Tables.documents(s, dir)
+        def withFeatures(df: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val words = split(trim(col("text")), " ")
+          val nTok = size(words).cast("double")
+          val stopHits = size(filter(words,
+            w => w.isin("the", "a", "data", "row"))).cast("double")
+          df.select(col("doc_id"),
+            least(nTok / 100.0, lit(1.0)).as("f1"),
+            (stopHits / nTok).as("f2"),
+            least(length(regexp_replace(col("text"), " ", "")).cast("double")
+              / nTok / 10.0, lit(1.0)).as("f3"),
+            (TextQueries.qualityScore >= 0.5).cast("double").as("y"))
+        }
+        val feats = withFeatures(d.filter(col("doc_id") % 10 < 3)).persist()
+        try {
+          val w = Array(0L, 0L, 0L, 0L)
+          def zMicro =
+            ((lit(w(0)).cast("double")
+              + lit(w(1)).cast("double") * col("f1"))
+              + lit(w(2)).cast("double") * col("f2")) +
+              lit(w(3)).cast("double") * col("f3")
+          var n = -1L
+          for (_ <- 1 to iters) {
+            val g = col("y") - lit(1.0) / (lit(1.0) + exp(-(zMicro / 1e6)))
+            val r = feats.agg(
+              sum(floor(g * 1e6 + 0.5).cast("long")).as("s0"),
+              sum(floor(g * col("f1") * 1e6 + 0.5).cast("long")).as("s1"),
+              sum(floor(g * col("f2") * 1e6 + 0.5).cast("long")).as("s2"),
+              sum(floor(g * col("f3") * 1e6 + 0.5).cast("long")).as("s3"),
+              count(lit(1)).as("n")).head()
+            n = r.getLong(4)
+            var j = 0
+            while (j < 4) { w(j) += (64 * r.getLong(j)) / n; j += 1 }
+          }
+          withFeatures(d)
+            .select(col("doc_id"), col("y").cast("int").as("label"),
+              floor(zMicro + 0.5).cast("long").as("z_micro"))
+            .withColumn("pred", (col("z_micro") > 0).cast("int"))
+            .orderBy(col("doc_id"))
+        } finally { feats.unpersist(); () }
+      },
+      Some {
+        val featSql = (src: String) => s"""
+          SELECT doc_id,
+                 least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS f1,
+                 CAST(len(list_filter(w, x -> x IN ('the', 'a', 'data', 'row'))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE) AS f2,
+                 least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE) / 10.0, 1.0) AS f3,
+                 CASE WHEN ${TextQueries.sqlQualityExpr("w", "text")} >= 0.5
+                      THEN 1.0 ELSE 0.0 END AS y
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS w, text FROM $src)"""
+        val iters = (1 to 48).map { t =>
+          s"""
+          g$t AS MATERIALIZED (
+            SELECT CAST(SUM(CAST(floor(g * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s0,
+                   CAST(SUM(CAST(floor(g * f1 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+                   CAST(SUM(CAST(floor(g * f2 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+                   CAST(SUM(CAST(floor(g * f3 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s3
+            FROM (SELECT f1, f2, f3,
+                    y - 1.0 / (1.0 + exp(-((((w.b * 1.0 + w.w1 * f1) + w.w2 * f2)
+                      + w.w3 * f3) / 1000000))) AS g
+                  FROM feat CROSS JOIN w${t - 1} w) q),
+          w$t AS (
+            SELECT w.b + (64 * g.s0) // n.n AS b, w.w1 + (64 * g.s1) // n.n AS w1,
+                   w.w2 + (64 * g.s2) // n.n AS w2, w.w3 + (64 * g.s3) // n.n AS w3
+            FROM w${t - 1} w, g$t g, n)"""
+        }.mkString(",")
+        s"""
+        WITH feat AS MATERIALIZED (
+          ${featSql("documents WHERE doc_id % 10 < 3")}),
+        n AS (SELECT COUNT(*) AS n FROM feat),
+        w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1,
+                      CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+        $iters,
+        allf AS (${featSql("documents")})
+        SELECT doc_id, CAST(y AS INTEGER) AS label,
+               CAST(floor((((w.b * 1.0 + w.w1 * f1) + w.w2 * f2) + w.w3 * f3)
+                 + 0.5) AS BIGINT) AS z_micro,
+               CAST(CAST(floor((((w.b * 1.0 + w.w1 * f1) + w.w2 * f2) + w.w3 * f3)
+                 + 0.5) AS BIGINT) > 0 AS INTEGER) AS pred
+        FROM allf CROSS JOIN w48 w
+        ORDER BY doc_id
+        """
+      }),
+
     // ---- C51 corpus-frequency boilerplate detection ---------------------
     // CCNet-style boilerplate: a shingle (word bigram, distinct per doc,
     // identified by its 30-bit [[TextHash.polyHash]]) occurring in > 1/16
