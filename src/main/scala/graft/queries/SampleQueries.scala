@@ -81,6 +81,11 @@ object SampleQueries {
     */
   private val PackShards = 16
 
+  /** GD rounds for the LR quality classifier — ONE constant shared by the
+    * Spark loop, the oracle's unrolled CTE range, and its final-weights
+    * reference, so the three cannot drift. */
+  private val LrRounds = 48
+
   def all: Seq[Q] = Seq(
 
     // ---- C50 mixture rebalance: Bernoulli rejection sampling ------------
@@ -960,7 +965,11 @@ object SampleQueries {
     // class); z accumulates in one explicitly-parenthesized
     // left-assoc chain so the float sequence is engine-identical. The
     // sigmoid's exp carries the same cross-engine rounding assumption
-    // every ln-based gate documents. Shape: features persist once;
+    // every ln-based gate documents — AMPLIFIED here: a 1-ulp sigmoid
+    // divergence in any round shifts a weight permanently, so a libm
+    // mismatch fails the whole gate rather than one row (the ln gates
+    // would already fail per-row on such a box; this gate just makes the
+    // shared assumption maximally visible). Shape: features persist once;
     // each GD round is ONE map-side integer-sum aggregation over the
     // labeled slice (the full-batch shape — at web scale the same loop
     // runs on a sampled minibatch per round); the corpus-wide scoring
@@ -968,19 +977,13 @@ object SampleQueries {
     Q(
       "q_text_quality_lr",
       (s, dir) => {
-        val iters = 48
         val d = Tables.documents(s, dir)
         def withFeatures(df: org.apache.spark.sql.DataFrame)
             : org.apache.spark.sql.DataFrame = {
-          val words = split(trim(col("text")), " ")
-          val nTok = size(words).cast("double")
-          val stopHits = size(filter(words,
-            w => w.isin("the", "a", "data", "row"))).cast("double")
-          df.select(col("doc_id"),
-            least(nTok / 100.0, lit(1.0)).as("f1"),
-            (stopHits / nTok).as("f2"),
-            least(length(regexp_replace(col("text"), " ", "")).cast("double")
-              / nTok / 10.0, lit(1.0)).as("f3"),
+          // the SAME components qualityScore is built from — features and
+          // labels share one definition and cannot drift
+          val (f1, f2, f3) = TextQueries.qualityFeatures
+          df.select(col("doc_id"), f1.as("f1"), f2.as("f2"), f3.as("f3"),
             (TextQueries.qualityScore >= 0.5).cast("double").as("y"))
         }
         val feats = withFeatures(d.filter(col("doc_id") % 10 < 3)).persist()
@@ -991,8 +994,7 @@ object SampleQueries {
               + lit(w(1)).cast("double") * col("f1"))
               + lit(w(2)).cast("double") * col("f2")) +
               lit(w(3)).cast("double") * col("f3")
-          var n = -1L
-          for (_ <- 1 to iters) {
+          for (_ <- 1 to LrRounds) {
             val g = col("y") - lit(1.0) / (lit(1.0) + exp(-(zMicro / 1e6)))
             val r = feats.agg(
               sum(floor(g * 1e6 + 0.5).cast("long")).as("s0"),
@@ -1000,9 +1002,15 @@ object SampleQueries {
               sum(floor(g * col("f2") * 1e6 + 0.5).cast("long")).as("s2"),
               sum(floor(g * col("f3") * 1e6 + 0.5).cast("long")).as("s3"),
               count(lit(1)).as("n")).head()
-            n = r.getLong(4)
+            // empty labeled slice: NULL sums, n = 0 — weights stay 0 (the
+            // oracle's COALESCE/GREATEST arms produce the same trajectory)
+            val n = math.max(r.getLong(4), 1L)
             var j = 0
-            while (j < 4) { w(j) += (64 * r.getLong(j)) / n; j += 1 }
+            while (j < 4) {
+              val sj = if (r.isNullAt(j)) 0L else r.getLong(j)
+              w(j) += (64 * sj) / n
+              j += 1
+            }
           }
           withFeatures(d)
             .select(col("doc_id"), col("y").cast("int").as("label"),
@@ -1012,17 +1020,15 @@ object SampleQueries {
         } finally { feats.unpersist(); () }
       },
       Some {
-        val featSql = (src: String) => s"""
-          SELECT doc_id,
-                 least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS f1,
-                 CAST(len(list_filter(w, x -> x IN ('the', 'a', 'data', 'row'))) AS DOUBLE)
-                   / CAST(len(w) AS DOUBLE) AS f2,
-                 least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                   / CAST(len(w) AS DOUBLE) / 10.0, 1.0) AS f3,
+        val featSql = (src: String) => {
+          val (f1, f2, f3) = TextQueries.sqlQualityFeatures("w", "text")
+          s"""
+          SELECT doc_id, $f1 AS f1, $f2 AS f2, $f3 AS f3,
                  CASE WHEN ${TextQueries.sqlQualityExpr("w", "text")} >= 0.5
                       THEN 1.0 ELSE 0.0 END AS y
           FROM (SELECT doc_id, string_split(trim(text), ' ') AS w, text FROM $src)"""
-        val iters = (1 to 48).map { t =>
+        }
+        val iters = (1 to LrRounds).map { t =>
           s"""
           g$t AS MATERIALIZED (
             SELECT CAST(SUM(CAST(floor(g * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s0,
@@ -1034,8 +1040,10 @@ object SampleQueries {
                       + w.w3 * f3) / 1000000))) AS g
                   FROM feat CROSS JOIN w${t - 1} w) q),
           w$t AS (
-            SELECT w.b + (64 * g.s0) // n.n AS b, w.w1 + (64 * g.s1) // n.n AS w1,
-                   w.w2 + (64 * g.s2) // n.n AS w2, w.w3 + (64 * g.s3) // n.n AS w3
+            SELECT w.b + (64 * COALESCE(g.s0, 0)) // GREATEST(n.n, 1) AS b,
+                   w.w1 + (64 * COALESCE(g.s1, 0)) // GREATEST(n.n, 1) AS w1,
+                   w.w2 + (64 * COALESCE(g.s2, 0)) // GREATEST(n.n, 1) AS w2,
+                   w.w3 + (64 * COALESCE(g.s3, 0)) // GREATEST(n.n, 1) AS w3
             FROM w${t - 1} w, g$t g, n)"""
         }.mkString(",")
         s"""
@@ -1045,14 +1053,14 @@ object SampleQueries {
         w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1,
                       CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
         $iters,
-        allf AS (${featSql("documents")})
-        SELECT doc_id, CAST(y AS INTEGER) AS label,
-               CAST(floor((((w.b * 1.0 + w.w1 * f1) + w.w2 * f2) + w.w3 * f3)
-                 + 0.5) AS BIGINT) AS z_micro,
-               CAST(CAST(floor((((w.b * 1.0 + w.w1 * f1) + w.w2 * f2) + w.w3 * f3)
-                 + 0.5) AS BIGINT) > 0 AS INTEGER) AS pred
-        FROM allf CROSS JOIN w48 w
-        ORDER BY doc_id
+        allf AS (${featSql("documents")}),
+        zz AS (
+          SELECT doc_id, CAST(y AS INTEGER) AS label,
+                 CAST(floor((((w.b * 1.0 + w.w1 * f1) + w.w2 * f2) + w.w3 * f3)
+                   + 0.5) AS BIGINT) AS z_micro
+          FROM allf CROSS JOIN w$LrRounds w)
+        SELECT doc_id, label, z_micro, CAST(z_micro > 0 AS INTEGER) AS pred
+        FROM zz ORDER BY doc_id
         """
       }),
 

@@ -374,23 +374,46 @@ object TextQueries {
     * curation pipeline so the two cannot drift. [[sqlQualityExpr]] is its
     * DuckDB rendering; the two must change together.
     */
-  private[queries] def qualityScore: org.apache.spark.sql.Column = {
+  /** The heuristic's three RAW feature components — (capped length,
+    * stopword ratio, capped average word length) — shared by
+    * [[qualityScore]] and the LR classifier gate so trained features can
+    * never drift from the labels they predict. [[sqlQualityFeatures]] is
+    * the DuckDB rendering; the two must change together. */
+  private[queries] def qualityFeatures
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) = {
     val words = split(trim(col("text")), " ")
     val nTokens = size(words).cast("double")
     val stopHits = size(filter(words, w => w.isin("the", "a", "data", "row"))).cast("double")
     val avgWlen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
-    round(least(nTokens / 100.0, lit(1.0)) * 0.5 + (lit(1.0) - stopHits / nTokens) * 0.3
-      + least(avgWlen / 10.0, lit(1.0)) * 0.2, 4)
+    (least(nTokens / 100.0, lit(1.0)),
+      stopHits / nTokens,
+      least(avgWlen / 10.0, lit(1.0)))
   }
+
+  private[queries] def qualityScore: org.apache.spark.sql.Column = {
+    val (f1, f2, f3) = qualityFeatures
+    round(f1 * 0.5 + (lit(1.0) - f2) * 0.3 + f3 * 0.2, 4)
+  }
+
+  /** DuckDB renderings of [[qualityFeatures]] given token-list and text
+    * column names. */
+  private[queries] def sqlQualityFeatures(
+      w: String, text: String): (String, String, String) = (
+    s"least(CAST(len($w) AS DOUBLE) / 100.0, 1.0)",
+    s"""CAST(len(list_filter($w, x -> x IN ('the', 'a', 'data', 'row'))) AS DOUBLE)
+       |             / CAST(len($w) AS DOUBLE)""".stripMargin,
+    s"""least(CAST(length(replace($text, ' ', '')) AS DOUBLE)
+       |             / CAST(len($w) AS DOUBLE) / 10.0, 1.0)""".stripMargin)
 
   /** DuckDB rendering of [[qualityScore]] given token-list and text
     * column names. */
-  private[queries] def sqlQualityExpr(w: String, text: String): String =
-    s"""round(least(CAST(len($w) AS DOUBLE) / 100.0, 1.0) * 0.5
-       |      + (1.0 - CAST(len(list_filter($w, x -> x IN ('the', 'a', 'data', 'row'))) AS DOUBLE)
-       |             / CAST(len($w) AS DOUBLE)) * 0.3
-       |      + least(CAST(length(replace($text, ' ', '')) AS DOUBLE)
-       |             / CAST(len($w) AS DOUBLE) / 10.0, 1.0) * 0.2, 4)""".stripMargin
+  private[queries] def sqlQualityExpr(w: String, text: String): String = {
+    val (f1, f2, f3) = sqlQualityFeatures(w, text)
+    s"""round($f1 * 0.5
+       |      + (1.0 - $f2) * 0.3
+       |      + $f3 * 0.2, 4)""".stripMargin
+  }
 
   /** Spark-side 64-bit word-level SimHash as a (doc_id, lang, simhash)
     * DataFrame (shared by the signature and pair queries; the DuckDB

@@ -266,6 +266,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no map-side partial aggregation:\n$p")
   }
 
+  test("LR quality scoring is a joinless map projection over the corpus") {
+    // round 18b: training happens in the builder (driver-coordinated
+    // integer-sum aggregations over the persisted labeled slice); the
+    // RETURNED plan is the corpus-wide scoring pass — the trained weights
+    // are driver literals, so the plan must carry no join of any kind and
+    // only the final orderBy's range exchange
+    val p = plan("q_text_quality_lr")
+    assert(!p.contains("Join"), s"scoring pass must be joinless:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+      s"scoring pass should shuffle only for the final orderBy:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scoring pass must not hash-shuffle the corpus:\n$p")
+  }
+
   test("lm scoring joins the vocab as a broadcast and partial-aggregates per doc") {
     // the unigram vocab is tiny vs the token stream: it must broadcast so
     // the token explode never shuffles by term, and the per-doc surprisal

@@ -317,9 +317,9 @@ class MatViewJoinSpec extends AnyFunSuite {
         org.apache.spark.sql.Row(k, p, r)
       }: _*), dim2Schema)
 
-  /** fact ⋈ dim ⋈ dim2 fixture: 6 facts, two fks each; one fk misses
+  /** fact + dim + dim2 tables only: 6 facts, two fks each; one fk misses
     * dim, one misses dim2. */
-  private def seededStar(pfx: String): (AcidTable, AcidTable, AcidTable, MatView) = {
+  private def seededStarTables(pfx: String): (AcidTable, AcidTable, AcidTable) = {
     val f = AcidTable.create(spark, tmp(s"$pfx-f2"), fact2Schema, "pk", "part",
       stablePartitions = true)
     f.upsert(fact2Rows(
@@ -330,6 +330,12 @@ class MatViewJoinSpec extends AnyFunSuite {
     val d2 = AcidTable.create(spark, tmp(s"$pfx-g"), dim2Schema, "gkey", "gpart",
       stablePartitions = true)
     d2.upsert(dim2Rows(("g1", "r0", "EU"), ("g2", "r1", "US"), ("g9", "r0", "AP")))
+    (f, d1, d2)
+  }
+
+  /** [[seededStarTables]] plus the two-dim view over them. */
+  private def seededStar(pfx: String): (AcidTable, AcidTable, AcidTable, MatView) = {
+    val (f, d1, d2) = seededStarTables(pfx)
     val mv = MatView.create(spark, f, tmp(s"$pfx-v2"), Seq("dgrp", "region"),
       Seq(MvAgg("cnt", "count", "*"), MvAgg("sv", "sum", "val")),
       joins = Seq(MvJoin(d1.path, "fk", "dk", Seq("dgrp")),
@@ -406,7 +412,7 @@ class MatViewJoinSpec extends AnyFunSuite {
   test("three-dim star view: the telescoping terms generalize past two") {
     // k = 3: a third tiny dim keyed off `part` itself (any fact column
     // may be a join key). One window changes the fact and ALL THREE dims.
-    val (f, d1, d2, _) = seededStar("star4")
+    val (f, d1, d2) = seededStarTables("star4")
     val d3Schema = StructType(Seq(
       StructField("pk2", StringType), StructField("zpart", StringType),
       StructField("zone", StringType)))
