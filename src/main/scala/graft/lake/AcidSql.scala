@@ -362,6 +362,18 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
   private val DropMvStmt =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
 
+  // Branch / write-audit-publish lifecycle (round 18c) — recognized
+  // textually like CloneStmt. CREATE BRANCH also registers the branch as
+  // a session table named `<table>_branch_<name>` so every existing DML
+  // and SELECT route (Spark-parsed identifiers can't carry '@') stages
+  // onto the branch; PUBLISH/DROP unregister it.
+  private val CreateBranchStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+([\w.-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val PublishBranchStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+PUBLISH\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  private val DropBranchStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+
   private val views = scala.collection.concurrent.TrieMap.empty[String, MatView]
 
   def view(name: String): MatView =
@@ -417,6 +429,18 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
         partitions = scope)
     case VacuumStmt(tn, retain) =>
       table(tn).vacuum(keepVersions = Option(retain).map(_.toInt).getOrElse(2)).toLong
+    case CreateBranchStmt(tn, bn, ver) =>
+      val br = table(tn).createBranch(bn, Option(ver).map(_.toLong).getOrElse(-1L))
+      tables(s"${tn.split('.').last}_branch_$bn") = br
+      0L
+    case PublishBranchStmt(tn, bn) =>
+      val v = table(tn).publishBranch(bn)
+      tables.remove(s"${tn.split('.').last}_branch_$bn")
+      v
+    case DropBranchStmt(tn, bn) =>
+      table(tn).dropBranch(bn)
+      tables.remove(s"${tn.split('.').last}_branch_$bn")
+      0L
     case CreateMvStmt(vn, select) =>
       val nameParts = vn.split('.').toSeq
       val mv = MatView.createFromSelect(spark, select, table(_),

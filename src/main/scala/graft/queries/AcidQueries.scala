@@ -1662,6 +1662,65 @@ object AcidQueries {
         ORDER BY side, pk
       """)),
 
+    // ---- C5 named branches + write-audit-publish (round 18c) --------------------
+    // Iceberg's branch/WAP surface on the manifest design: a branch is a
+    // zero-copy fork under the table root; staged commits are invisible on
+    // main until a squashed CAS publish fast-forwards it (fork+1). The
+    // lifecycle stages an upsert+delete on a branch, PROVES main unchanged
+    // during the audit, publishes, then PROVES a second branch whose fork
+    // was overtaken by a direct main commit is refused typed (the oracle
+    // never sees its staged write). Delta-bounded publish, link hygiene,
+    // DV/meta/index carry are pinned in BranchSpec.
+    Q(
+      "q_acid_branch_wap",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t.upsert(base)
+        val preFork = t.snapshot().collect().toSet
+        val br = t.createBranch("audit")
+        br.upsert(base.filter(col("pk").cast("long") % 3 === 0)
+          .withColumn("val", col("val") + 100))
+        br.delete(Seq("4", "8"))
+        // the audit: staged rows visible on the branch, main bit-unchanged
+        require(t.snapshot().collect().toSet == preFork,
+          "branch staging must not leak onto main")
+        require(t.branch("audit").snapshot().count() == 23,
+          "branch must expose the staged state")
+        t.publishBranch("audit")
+        // a branch whose fork main has since overtaken must refuse publish
+        val stale = t.createBranch("stale")
+        stale.upsert(s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row("0", "p0", -999.0)), schema))
+        t.upsert(s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row("24", "p0", 77.0)), schema))
+        val refused = scala.util.Try(t.publishBranch("stale")).failed.toOption
+        require(refused.exists(_.isInstanceOf[graft.lake.CommitConflictException]),
+          "overtaken branch must refuse publish with the typed conflict")
+        t.dropBranch("stale")
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation),
+        branched AS (
+          SELECT pk, part,
+                 CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN val + 100 ELSE val END AS val
+          FROM base WHERE pk NOT IN ('4', '8'))
+        SELECT pk, part,
+               CASE WHEN pk = '24' THEN 77.0 ELSE val END AS val
+        FROM branched ORDER BY pk
+      """)),
+
     // ---- C5 CHECK constraints (round 10) ----------------------------------------
     // ALTER TABLE ADD CONSTRAINT … CHECK: validated against existing rows
     // at add time, enforced inline on every write path afterwards. The

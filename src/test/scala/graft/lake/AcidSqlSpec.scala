@@ -275,4 +275,48 @@ class AcidSqlSpec extends AnyFunSuite {
     val r5 = t.snapshot().filter(col("primaryKeyValue") === "R5").head()
     assert(r5.getString(1) == "P1" && r5.getString(2) == "v5")
   }
+
+  test("branch lifecycle text: CREATE BRANCH / staged DML / PUBLISH / DROP") {
+    val wh = Files.createTempDirectory("acid-sql-wh-").toString
+    val sess = new AcidSqlSession(spark, wh)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS acid")
+    sess.execute("""
+      CREATE TABLE IF NOT EXISTS acid.records(
+          primaryKeyValue STRING,
+          partitionKeyValue STRING,
+          dataValue STRING
+      )
+      USING hudi
+      PARTITIONED BY (partitionKeyValue)
+      TBLPROPERTIES (primaryKey = 'primaryKeyValue')
+    """)
+    Seq(("K1", "P0", "a"), ("K2", "P1", "b"))
+      .toDF("primaryKeyValue", "partitionKeyValue", "dataValue")
+      .createOrReplaceTempView("br_src")
+    sess.execute("INSERT INTO acid.records SELECT * FROM br_src")
+
+    // stage onto the branch through the registered session name; main
+    // stays at the fork state until PUBLISH
+    sess.execute("ALTER TABLE acid.records CREATE BRANCH audit")
+    Seq(("K3", "P0", "c"))
+      .toDF("primaryKeyValue", "partitionKeyValue", "dataValue")
+      .createOrReplaceTempView("br_stage")
+    sess.execute("INSERT INTO records_branch_audit SELECT * FROM br_stage")
+    sess.execute("DELETE FROM records_branch_audit WHERE primaryKeyValue IN ('K2')")
+    assert(sess.table("acid.records").snapshot().count() == 2)
+    assert(sess.query("SELECT count(*) AS n FROM records_branch_audit")
+      .collect().head.getLong(0) == 2L) // K1 + K3, K2 staged-deleted
+    sess.execute("ALTER TABLE acid.records PUBLISH BRANCH audit")
+    val keys = sess.table("acid.records").snapshot()
+      .collect().map(_.getString(0)).toSet
+    assert(keys == Set("K1", "K3"))
+    assertThrows[IllegalArgumentException] { sess.table("records_branch_audit") }
+
+    // DROP BRANCH abandons the staged state
+    sess.execute("ALTER TABLE acid.records CREATE BRANCH scrap")
+    sess.execute("DELETE FROM records_branch_scrap WHERE primaryKeyValue IN ('K1')")
+    sess.execute("ALTER TABLE acid.records DROP BRANCH scrap")
+    assert(sess.table("acid.records").snapshot().count() == 2)
+    assertThrows[IllegalArgumentException] { sess.table("records_branch_scrap") }
+  }
 }
