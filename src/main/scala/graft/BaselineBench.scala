@@ -621,8 +621,100 @@ object BaselineBench {
       if (abSelected("acid_scan_dv_unrelated"))
         Seq(acidDvScanPair("acid_scan_dv_unrelated")) else Nil
 
+    // branch write-audit-publish pair (round 18c): the FULL WAP cycle for
+    // a small staged delta (~9 rows) against one partition of a large
+    // table. The graft side forks a branch (hard links), stages the delta
+    // transactionally, audits the post-change partition state on the
+    // branch, and fast-forwards main with the squashed CAS publish —
+    // data I/O is the delta alone. The stock side is the hand-rolled WAP
+    // a user without branches runs over partitioned parquet: stage the
+    // delta to a side dir, compute the merged partition, audit it, and
+    // OVERWRITE the touched partition — data I/O grows with the
+    // partition, and nothing guards against a concurrent writer. Measured
+    // at TWO table scales with the SAME delta (the matview-pair
+    // treatment): the graft cycle is delta-bounded metadata + links and
+    // must stay ~flat while the stock rewrite grows with the partition —
+    // the trend that is the branch's reason to exist at 100 TB.
+    def branchPair(label: String, replicas: Int): (String, Double, Double) = {
+      import graft.lake.AcidTable
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("pk", StringType), StructField("part", StringType),
+        StructField("price", DoubleType)))
+      val t = AcidTable.create(spark,
+        Files.createTempDirectory(s"ab-branch-$label-").resolve("t").toString,
+        schema, "pk", "part", stablePartitions = true)
+      val base = pq("orders")
+        .crossJoin(spark.range(replicas).select(col("id").as("rep")))
+        .select(
+          (col("o_orderkey") * replicas + col("rep")).cast("string").as("pk"),
+          concat_ws("", lit("p"), (col("o_custkey") % 16).cast("string")).as("part"),
+          col("o_totalprice").cast("double").as("price"))
+      t.upsert(base)
+      t.compact(0)
+      val stockDir =
+        Files.createTempDirectory(s"ab-branch-stock-$label-").resolve("p").toString
+      base.write.partitionBy("part").parquet(stockDir)
+      val gts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val sts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until reps).foreach { i =>
+        // ~9 updated rows per rep at every replica scale — the audited
+        // hotfix regime (staged delta ≪ table). The delta batch is
+        // MATERIALIZED before the clock starts (mvPair's "same changed
+        // source, NOT timed" protocol): WAP's cost under test is the
+        // stage/audit/publish machinery, not the upstream scan that
+        // produced the batch — both sides would pay that identically.
+        val deltaRows = base
+          .filter(col("part") === "p3" &&
+            col("pk").cast("long") % (1009L * replicas) === i)
+          .withColumn("price", col("price") * 2)
+          .collect()
+        val delta = spark.createDataFrame(
+          java.util.Arrays.asList(deltaRows: _*), schema)
+        gts += time {
+          val br = t.createBranch(s"wap$i")
+          br.upsert(delta)
+          // the audit: post-change partition state, read THROUGH the branch
+          require(br.snapshot().filter(col("part") === "p3" && col("price") < 0)
+            .isEmpty, "audit must pass")
+          t.publishBranch(s"wap$i")
+        }
+        sts += time {
+          val stage = Files.createTempDirectory("ab-branch-stage-")
+            .resolve("d").toString
+          delta.write.parquet(stage)
+          val staged = spark.read.parquet(stage)
+            .select(col("pk").as("spk"), col("price").as("sprice"))
+          def merged = spark.read.parquet(stockDir).filter(col("part") === "p3")
+            .join(staged, col("pk") === col("spk"), "left")
+            .select(col("pk"),
+              coalesce(col("sprice"), col("price")).as("price"))
+          // the same audit over the would-be-published partition state
+          require(merged.filter(col("price") < 0).isEmpty, "audit must pass")
+          // hand-rolled publish: write the merged partition to a side dir,
+          // then swap it in (reading and overwriting the same path in one
+          // job is not allowed, and the swap is the closest a raw-parquet
+          // user gets to atomic publication)
+          val tmpOut = Files.createTempDirectory("ab-branch-swap-")
+            .resolve("part=p3").toString
+          merged.write.parquet(tmpOut)
+          val live = java.nio.file.Paths.get(stockDir, "part=p3")
+          Files.walk(live).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+          Files.move(java.nio.file.Paths.get(tmpOut), live)
+        }
+      }
+      val g = gts.sorted.apply(gts.size / 2)
+      val s0 = sts.sorted.apply(sts.size / 2)
+      println(f"| $label | $g%.3f | $s0%.3f | ${g / s0}%.2f |")
+      (label, g, s0)
+    }
+    val branchRows =
+      Seq("branch_publish_1x" -> 1, "branch_publish_8x" -> 8)
+        .filter(p => abSelected(p._1)).map(p => branchPair(p._1, p._2))
+
     val js = (rows ++ mvRows ++ mvJoinRows ++ mvStarRows ++ bloomRows ++ acidScanRows ++
-        dvScanRows).map { case (l, g, s0) =>
+        dvScanRows ++ branchRows).map { case (l, g, s0) =>
       "\"" + l + "\":{" + f""""graft":$g%.3f,"stock":$s0%.3f,"ratio":${g / s0}%.3f}"""
     }.mkString("{", ",", "}")
     spark.stop()

@@ -1879,6 +1879,95 @@ object TextQueries {
         GROUP BY t.doc_id ORDER BY doc_id
       """)),
 
+    // ---- C43 Bloom-filter decontamination (round 18c) ---------------------------
+    // The q_dedup_decontaminate shape for the regime where the blocklist
+    // is TOO BIG to broadcast as a raw shingle set: at web scale the
+    // "benchmark" side can itself be billions of shingles (all known eval
+    // suites + their paraphrases), but a Bloom filter over it is bounded
+    // by its BIT ARRAY regardless of blocklist size. Built here as pure
+    // relational algebra so DuckDB replays it bit-exactly: each shingle
+    // hash probes k=4 positions of an m=2^20 ring via double hashing
+    // (h1 = h mod m; stride h2 odd so probes cycle the full ring), the
+    // blocklist's DISTINCT position set IS the filter (≤ min(k·|bench|,
+    // m) rows — capped by m forever), and a training shingle is a
+    // CANDIDATE iff all k probed positions are present. Candidates —
+    // bloom-FP-inflated but tiny relative to the corpus — then verify
+    // against the exact blocklist with a SHUFFLED equi-join (no broadcast
+    // claimed on the exact set; the join input is the candidate subset,
+    // not the corpus). False positives are deterministic (fixed hash
+    // family), so n_candidates ≥ n_hit is itself oracle-checked.
+    // Scale shape: corpus side stays map-local through probe generation +
+    // broadcast position join + partial agg; only candidates shuffle.
+    Q(
+      "q_dedup_decontaminate_bloom",
+      (s, dir) => {
+        val m = 1048576L // 2^20 bloom bits
+        val k = 4
+        val sh = hashedShingleSets(s, dir)
+        val bench = sh.filter(col("doc_id") % 10 === 7)
+          .select(explode(col("hs")).as("h")).distinct()
+        // pos_j = (h % m + j * stride) % m, stride = ((h/7) % (m/2))*2+1
+        // (odd). h ∈ [0, 1e9+7) so nothing here can overflow a BIGINT in
+        // either engine, and Spark's Long '/' matches DuckDB '//' on the
+        // non-negative domain.
+        def posOf(h: org.apache.spark.sql.Column,
+            j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          ((h % m) + j * ((h.cast("long") / 7L % (m / 2)) * 2L + 1L)) % m
+        val js = explode(sequence(lit(0L), lit(k - 1L))).as("j")
+        val bloomPos = bench.select(col("h"), js)
+          .select(posOf(col("h"), col("j")).as("pos")).distinct()
+          .withColumn("bit", lit(1L))
+        val train = sh.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+        val flagged = train.select(col("doc_id"), col("h"), js)
+          .withColumn("pos", posOf(col("h"), col("j")))
+          .join(broadcast(bloomPos), Seq("pos"), "left")
+          .groupBy(col("doc_id"), col("h"))
+          .agg(sum(coalesce(col("bit"), lit(0L))).as("hits"))
+          .withColumn("cand", col("hits") === k)
+        val verified = flagged.filter(col("cand"))
+          .join(bench.withColumn("hit", lit(1L)), Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        flagged.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("cand"), lit(1L)).otherwise(lit(0L))).as("n_candidates"))
+          .join(verified, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"), col("n_candidates"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles") >= 0.5)
+              .as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform($sqlShingles, x -> ${sqlPolyHash("x")})) AS hv
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+        bench AS (SELECT DISTINCT unnest(hv) AS h FROM sh WHERE doc_id % 10 = 7),
+        jj AS (SELECT unnest(range(0, 4)) AS j),
+        bpos AS (SELECT DISTINCT ((h % 1048576) + j * (((h // 7) % 524288) * 2 + 1)) % 1048576 AS pos
+                 FROM bench, jj),
+        train AS (SELECT doc_id, unnest(hv) AS h FROM sh WHERE doc_id % 10 <> 7),
+        probes AS (SELECT doc_id, h,
+                          ((h % 1048576) + j * (((h // 7) % 524288) * 2 + 1)) % 1048576 AS pos
+                   FROM train, jj),
+        cand AS (SELECT pr.doc_id AS doc_id, pr.h AS h, (count(p.pos) = 4) AS cand
+                 FROM probes pr LEFT JOIN bpos p ON pr.pos = p.pos
+                 GROUP BY pr.doc_id, pr.h),
+        ver AS (SELECT c.doc_id AS doc_id, count(b.h) AS n_hit
+                FROM cand c LEFT JOIN bench b ON c.h = b.h
+                WHERE c.cand GROUP BY c.doc_id)
+        SELECT c.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN c.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+               CAST(coalesce(any_value(v.n_hit), 0) AS BIGINT) AS n_hit,
+               (CAST(coalesce(any_value(v.n_hit), 0) AS DOUBLE) / count(*)) >= 0.5
+                 AS contaminated
+        FROM cand c LEFT JOIN ver v ON c.doc_id = v.doc_id
+        GROUP BY c.doc_id ORDER BY c.doc_id
+      """)),
+
     // ---- C43 duplicated-span coverage (substring-dedup metric) ------------------
     // How much of each document is covered by corpus-duplicated spans —
     // the document-level metric behind exact substring deduplication (Lee

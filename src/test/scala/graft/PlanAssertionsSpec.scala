@@ -172,6 +172,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no map-side partial aggregation of per-doc hit counts:\n$p")
   }
 
+  test("bloom decontamination broadcasts only the position set; corpus stays map-local to the probe") {
+    // the blocklist can be too big to broadcast raw — the Bloom position
+    // set is bounded by the bit-array size (m) forever, so THAT side must
+    // broadcast while the corpus probe stream stays map-local; only the
+    // candidate subset (bloom survivors) may shuffle into the exact
+    // verification join
+    val p = plan("q_dedup_decontaminate_bloom")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bloom position probe is not a broadcast hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("lang rebalance never shuffles or sorts the corpus: stats join back as broadcasts") {
     // the per-language counts (5 rows) and the global min (1 row) must
     // come back to the corpus scan as broadcasts — at 100 TB the sampler

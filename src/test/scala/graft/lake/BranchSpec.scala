@@ -164,6 +164,26 @@ class BranchSpec extends AnyFunSuite {
       .foreach(f => assert(nlink(f) == 1, s"dangling branch link survives: $f"))
   }
 
+  test("publish runs zero Spark jobs (pure metadata + links)") {
+    val t = mkTable((0 until 40).map(i => (s"k$i", s"p${i % 4}", i.toDouble)))
+    val br = t.createBranch("b")
+    br.upsert(Seq(("k2", "p2", 123.0)).toDF("pk", "part", "v"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.publishBranch("b")
+      Thread.sleep(500) // listener events are async; settle before reading
+      assert(jobs.get() === 0,
+        s"publish must be metadata + hard links only (saw ${jobs.get()} jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(contents(t).contains(("k2", "p2", 123.0)))
+  }
+
   test("record index travels through publish (probe routes via the index)") {
     val t = AcidTable.create(spark, scratch(), schema, "pk", "part", stablePartitions = true)
     t.setTableProperty("recordIndex", Some("true"))
