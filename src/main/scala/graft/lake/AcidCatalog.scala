@@ -86,10 +86,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** SQL time travel: `SELECT … FROM graft.ns.t VERSION AS OF n` pins the
     * scan to manifest version n — the catalog face of
-    * [[AcidTable.snapshot]]'s version parameter. */
+    * [[AcidTable.snapshot]]'s version parameter. A non-numeric version
+    * string resolves as a TAG name (`VERSION AS OF 'train_v1'`) — tag
+    * names are validated non-numeric at creation, so the two namespaces
+    * cannot collide. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val base = loadTable(ident).asInstanceOf[AcidV2Table]
-    new AcidV2Table(base.acid, ident, Some(version.toLong))
+    val v = scala.util.Try(version.toLong).getOrElse(base.acid.tagVersion(version))
+    new AcidV2Table(base.acid, ident, Some(v))
   }
 
   /** `TIMESTAMP AS OF t`: Spark hands the timestamp in MICROseconds; the

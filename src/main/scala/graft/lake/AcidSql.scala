@@ -373,6 +373,13 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+PUBLISH\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val DropBranchStmt =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  // Tag lifecycle (round 18c): named immutable snapshot refs that pin
+  // their versions against vacuum's timeline archival. Reads resolve by
+  // tag through the catalog route's `VERSION AS OF '<name>'`.
+  private val CreateTagStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val DropTagStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
 
   private val views = scala.collection.concurrent.TrieMap.empty[String, MatView]
 
@@ -440,6 +447,11 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     case DropBranchStmt(tn, bn) =>
       table(tn).dropBranch(bn)
       tables.remove(s"${tn.split('.').last}_branch_$bn")
+      0L
+    case CreateTagStmt(tn, tag, ver) =>
+      table(tn).createTag(tag, Option(ver).map(_.toLong).getOrElse(-1L))
+    case DropTagStmt(tn, tag) =>
+      table(tn).dropTag(tag)
       0L
     case CreateMvStmt(vn, select) =>
       val nameParts = vn.split('.').toSeq

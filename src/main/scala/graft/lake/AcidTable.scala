@@ -3726,8 +3726,13 @@ final class AcidTable private (
     // conflict paths and oldestRetainedVersion rely on. Time travel below
     // the horizon then fails loudly instead of resolving against a gutted
     // manifest.
+    // tags pin the prefix: archival stops at the oldest tagged version
+    // (see the tag section — retaining a mid-timeline hole would break
+    // the monotone-existence contract the binary searches rely on), so a
+    // tagged snapshot stays readable by name regardless of keepVersions
+    val pinned = taggedVersions()
     (oldestRetainedVersion(latest) until keepFrom)
-      .takeWhile(v => commitTime(v + 1) < cutoff)
+      .takeWhile(v => commitTime(v + 1) < cutoff && !pinned.contains(v))
       .foreach { v =>
         Files.deleteIfExists(manifestPath(v))
         ()
@@ -4346,6 +4351,93 @@ final class AcidTable private (
     if (dropAfter) dropBranch(name)
     fork + 1
   }
+
+  // -------------------------------------------------------------------- tags --
+  //
+  // Named immutable snapshot refs (round 18c, the Iceberg tag surface):
+  // a tag is a name → version mapping under `_commits/_tags/` whose
+  // target vacuum's timeline archival must RETAIN — "the exact corpus
+  // snapshot run 1234 trained on" stays readable by name forever, not
+  // just for keepVersions commits. Retention semantics on a LINEAR
+  // timeline: archival only ever removes a PREFIX of manifests (the
+  // monotone-existence contract oldestRetainedVersion's binary search
+  // and every conflict path rely on), so a tag pins the timeline FROM
+  // its version forward — the archival sweep stops at the oldest tagged
+  // version. That is a deliberate trade-off, stated loudly: an ancient
+  // tag keeps O(commits-since) small manifest files on disk (metadata,
+  // never data rewrite), and dropping the tag releases them at the next
+  // vacuum. Data-file liveness needs no special case — the sweep's
+  // anchor is already "oldest manifest on disk", which the pin holds at
+  // or below the tagged version.
+
+  private def tagsDir: Path = commitsDir.resolve(AcidTable.TagsDir)
+  private def tagPath(name: String): Path = tagsDir.resolve(name)
+
+  /** Tag `version` (default: current latest) as `name`. Tags are
+    * immutable — re-tagging an existing name fails (drop it first) — and
+    * purely numeric names are refused so `VERSION AS OF '<name>'` can
+    * never be ambiguous with a version number. */
+  def createTag(name: String, version: Long = -1L): Long = {
+    requireBranchName(name)
+    require(!name.forall(_.isDigit),
+      s"invalid tag name '$name': purely numeric names are reserved for versions")
+    val latest = latestVersion()
+    val v = if (version >= 0) version else latest
+    require(v >= 0, s"cannot tag an empty table ($path)")
+    require(v <= latest, s"tag target v$v does not exist (latest: v$latest)")
+    require(Files.exists(manifestPath(v)),
+      s"cannot tag v$v: manifest archived by vacuum " +
+        s"(oldest retained: v${oldestRetainedVersion(latest)})")
+    Files.createDirectories(tagsDir)
+    val tmp = tagsDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, s"$v\n".getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(tagPath(name), tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists on $path (tags are immutable; DROP TAG first)")
+    }
+    finally { Files.deleteIfExists(tmp); () }
+    // close the create-vs-archival race: a vacuum that read the tag set
+    // just before this link may archive v concurrently — re-check and
+    // withdraw the tag rather than leave a name pointing at a gutted
+    // version
+    if (!Files.exists(manifestPath(v))) {
+      Files.deleteIfExists(tagPath(name))
+      throw new IllegalArgumentException(
+        s"cannot tag v$v: manifest archived by a concurrent vacuum ($path)")
+    }
+    v
+  }
+
+  /** Remove a tag; its pinned versions become archivable at the next
+    * vacuum. */
+  def dropTag(name: String): Unit = {
+    require(Files.deleteIfExists(tagPath(name)), s"unknown tag '$name' on $path")
+    ()
+  }
+
+  /** (name, version) of every live tag, name-sorted. */
+  def listTags(): Seq[(String, Long)] =
+    Option(tagsDir.toFile.list()).getOrElse(Array.empty).toSeq
+      .filterNot(_.startsWith(".")).sorted
+      .flatMap(n => scala.util.Try(tagVersion(n)).toOption.map(n -> _))
+
+  /** The version tag `name` pins. */
+  def tagVersion(name: String): Long =
+    try new String(Files.readAllBytes(tagPath(name)), StandardCharsets.UTF_8).trim.toLong
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new IllegalArgumentException(s"unknown tag '$name' on $path")
+    }
+
+  /** Snapshot read pinned at a tag — `snapshot(tagVersion(name))`. */
+  def snapshotTag(name: String): DataFrame = snapshot(tagVersion(name))
+
+  private[lake] def taggedVersions(): Set[Long] =
+    Option(tagsDir.toFile.list()).getOrElse(Array.empty).toSeq
+      .filterNot(_.startsWith("."))
+      .flatMap(n => scala.util.Try(tagVersion(n)).toOption).toSet
 
   // ------------------------------------------------------------ internals --
 
@@ -6786,6 +6878,9 @@ object AcidTable {
     * publish CAS targets. */
   private[lake] val BranchesDir = "_branches"
   private[lake] val BranchPropsFile = "_branch.properties"
+
+  /** Tag refs live under `_commits/_tags/<name>` (see the tag section). */
+  private[lake] val TagsDir = "_tags"
 
   /** Decoded partition directory of a root `@<encoded dir>|…` segment
     * line — the key both sides of the branch-publish delta compare on. */

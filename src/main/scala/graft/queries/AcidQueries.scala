@@ -1721,6 +1721,64 @@ object AcidQueries {
         FROM branched ORDER BY pk
       """)),
 
+    // ---- C5 snapshot tags pin versions against vacuum (round 18c) ---------------
+    // Iceberg's tag surface: a named immutable ref to a version that
+    // vacuum's timeline archival must RETAIN — "the exact corpus snapshot
+    // run X trained on" stays readable by name. The lifecycle tags v1,
+    // keeps mutating, then vacuums with keepVersions=1: the sweep PROVES
+    // v0 archived (the untagged prefix goes) while the tagged v1 still
+    // reads — the result is the tagged and current snapshots side by
+    // side. Pin mechanics, release-on-drop, data-file survival, and the
+    // catalog's VERSION AS OF '<tag>' route are pinned in TagSpec.
+    Q(
+      "q_acid_tag_pin",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("val", DoubleType)))
+        val t = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+        t.upsert(base) // v0
+        t.upsert(base.filter(col("pk").cast("long") % 3 === 0)
+          .withColumn("val", col("val") + 100)) // v1
+        require(t.createTag("train") == 1L, "tag must pin the latest version")
+        t.deleteWhere(col("pk").cast("long") % 7 === 0) // v2
+        t.upsert(base.filter(col("pk").cast("long") % 5 === 0)
+          .withColumn("val", col("val") * 2)) // v3
+        Thread.sleep(30) // let the last supersession age past the grace cutoff
+        t.vacuum(keepVersions = 1, graceMillis = 0)
+        require(scala.util.Try(t.snapshot(0L).collect()).isFailure,
+          "untagged v0 must be archived")
+        require(scala.util.Try(t.snapshot(1L).collect()).isSuccess,
+          "tagged v1 must survive the vacuum")
+        t.snapshotTag("train").withColumn("side", lit("tagged"))
+          .unionByName(t.snapshot().withColumn("side", lit("current")))
+          .orderBy(col("side"), col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_regionkey AS DOUBLE) AS val
+          FROM nation),
+        v1 AS (
+          SELECT pk, part,
+                 CASE WHEN CAST(pk AS BIGINT) % 3 = 0 THEN val + 100 ELSE val END AS val
+          FROM base),
+        v2 AS (SELECT * FROM v1 WHERE CAST(pk AS BIGINT) % 7 <> 0),
+        cur AS (
+          SELECT pk, part, val * 2 AS val FROM base WHERE CAST(pk AS BIGINT) % 5 = 0
+          UNION ALL
+          SELECT pk, part, val FROM v2 WHERE CAST(pk AS BIGINT) % 5 <> 0)
+        SELECT pk, part, val, 'tagged' AS side FROM v1
+        UNION ALL
+        SELECT pk, part, val, 'current' AS side FROM cur
+        ORDER BY side, pk
+      """)),
+
     // ---- C5 CHECK constraints (round 10) ----------------------------------------
     // ALTER TABLE ADD CONSTRAINT … CHECK: validated against existing rows
     // at add time, enforced inline on every write path afterwards. The
