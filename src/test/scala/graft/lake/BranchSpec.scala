@@ -184,6 +184,50 @@ class BranchSpec extends AnyFunSuite {
     assert(contents(t).contains(("k2", "p2", 123.0)))
   }
 
+  test("publish racing a concurrent main commit: one linearization, no torn state") {
+    // the CAS contract under REAL interleaving: a main writer (OCC
+    // retry loop — always lands) races publishBranch (CAS — wins only at
+    // fork+1). Whichever order the scheduler picks, the final table must
+    // be one of the two serial histories, never a mix that loses either
+    // side's write or resurrects a branch-deleted row.
+    (0 until 5).foreach { round =>
+      val t = mkTable((0 until 20).map(i => (s"k$i", s"p${i % 2}", i.toDouble)))
+      val br = t.createBranch("b")
+      br.upsert(Seq(("bk", "p0", -5.0)).toDF("pk", "part", "v"))
+      br.delete(Seq("k7"))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pubOutcome = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Long]]()
+      val pub = new Thread(() => {
+        gate.await()
+        pubOutcome.set(
+          try Right(t.publishBranch("b"))
+          catch { case e: Throwable => Left(e) })
+      })
+      val wrt = new Thread(() => {
+        gate.await()
+        AcidTable.open(spark, t.path)
+          .upsert(Seq(("mk", "p1", 99.0)).toDF("pk", "part", "v"))
+      })
+      pub.start(); wrt.start(); gate.countDown()
+      pub.join(60000); wrt.join(60000)
+      val got = contents(t)
+      assert(got.contains(("mk", "p1", 99.0)), "main writer must always land")
+      pubOutcome.get() match {
+        case Right(_) =>
+          // publish won the CAS; the writer retried on top of it
+          assert(got.contains(("bk", "p0", -5.0)) && !got.exists(_._1 == "k7"),
+            s"published branch state lost after writer retry: $got")
+        case Left(e) =>
+          assert(e.isInstanceOf[CommitConflictException], s"untyped refusal: $e")
+          // publish refused: branch writes invisible, branch intact
+          assert(!got.exists(_._1 == "bk") && got.exists(_._1 == "k7"),
+            s"refused publish leaked staged state: $got")
+          assert(t.listBranches().map(_._1) == Seq("b"))
+      }
+      assert(t.fsck().count() == 0, "post-race metadata must be clean")
+    }
+  }
+
   test("record index travels through publish (probe routes via the index)") {
     val t = AcidTable.create(spark, scratch(), schema, "pk", "part", stablePartitions = true)
     t.setTableProperty("recordIndex", Some("true"))
