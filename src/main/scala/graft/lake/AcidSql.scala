@@ -527,6 +527,12 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
 
   private val DescribeHistoryStmt =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  // ref inventories (round 18c): the read faces of the branch/tag
+  // lifecycle verbs
+  private val ShowBranchesStmt =
+    """(?is)\s*SHOW\s+BRANCHES\s+([\w.]+)\s*;?\s*""".r
+  private val ShowTagsStmt =
+    """(?is)\s*SHOW\s+TAGS\s+([\w.]+)\s*;?\s*""".r
   private val ShowPartitionsStmt =
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*""".r
   private val DescribeDetailStmt =
@@ -547,6 +553,15 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     * `DESCRIBE HISTORY db.table`). */
   def query(sql: String): org.apache.spark.sql.DataFrame = sql match {
     case DescribeHistoryStmt(tn) => table(tn).history()
+    case ShowBranchesStmt(tn) =>
+      val t = table(tn)
+      import spark.implicits._
+      t.listBranches().map { case (n, fork) =>
+        (n, fork, t.branch(n).latestVersion())
+      }.toDF("branch", "fork_version", "head_version")
+    case ShowTagsStmt(tn) =>
+      import spark.implicits._
+      table(tn).listTags().toDF("tag", "version")
     case ShowPartitionsStmt(tn) => table(tn).partitionsInventory()
     case DescribeDetailStmt(tn) => table(tn).detail()
     case FsckRepairStmt(tn) => table(tn).fsckRepair()

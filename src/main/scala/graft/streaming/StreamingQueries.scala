@@ -596,6 +596,38 @@ object StreamingQueries {
         WHERE rn = 1 ORDER BY user_id, event_type
       """)),
 
+    // ---- C39 state-bounded dedup: dropDuplicatesWithinWatermark (round 18c) -----
+    // The production form of streaming dedup: unlike dropDuplicates
+    // (whose per-key state lives FOREVER — unbounded on an endless
+    // stream), WithinWatermark evicts a key's state once the watermark
+    // passes its event time + delay, so state is bounded by the delay
+    // window. Determinism contract for the oracle: the delay here
+    // EXCEEDS the corpus's event-time span, so no state can expire
+    // during the replay and the output is exactly first-occurrence
+    // dedup — same oracle as q_stream_dedup, but executed by the
+    // distinct bounded-state operator (StreamingDeduplicationWithin-
+    // Watermark). The semantics the span hides — eviction and RE-EMISSION
+    // of a key after its window passes, where dropDuplicates stays
+    // silent forever — are pinned batch-by-batch in
+    // DedupWithinWatermarkSpec, where crafted MemoryStream batches make
+    // watermark progression explicit.
+    Q(
+      "q_stream_dedup_within_wm",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Append()) { ev =>
+          ev.withWatermark("ts", "365 days")
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+        }.select(col("user_id"), col("event_type"), col("event_id"))
+          .orderBy(col("user_id"), col("event_type")),
+      Some("""
+        SELECT user_id, event_type, event_id FROM
+          (SELECT user_id, event_type, event_id,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+        WHERE rn = 1 ORDER BY user_id, event_type
+      """)),
+
     // ---- C39 watermark LATE-DATA semantics (the drop rule itself) ---------------
     // The in-order replay can never drop a row, so this gate runs the
     // late replay: the withheld slice arrives LAST, after the watermark

@@ -312,6 +312,18 @@ class AcidSqlSpec extends AnyFunSuite {
     assert(keys == Set("K1", "K3"))
     assertThrows[IllegalArgumentException] { sess.table("records_branch_audit") }
 
+    // ref inventories
+    sess.execute("ALTER TABLE acid.records CREATE TAG published")
+    assert(sess.query("SHOW TAGS acid.records").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq("published" -> 1L))
+    sess.execute("ALTER TABLE acid.records CREATE BRANCH inv")
+    val br = sess.query("SHOW BRANCHES acid.records").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(br == Seq(("inv", 1L, 0L))) // fork at main v1, branch clone head v0
+    sess.execute("ALTER TABLE acid.records DROP BRANCH inv")
+    sess.execute("ALTER TABLE acid.records DROP TAG published")
+    assert(sess.query("SHOW TAGS acid.records").count() == 0)
+
     // DROP BRANCH abandons the staged state
     sess.execute("ALTER TABLE acid.records CREATE BRANCH scrap")
     sess.execute("DELETE FROM records_branch_scrap WHERE primaryKeyValue IN ('K1')")
