@@ -796,6 +796,61 @@ object StreamingQueries {
         ORDER BY user_id, view_id, purchase_id
       """)),
 
+    // ---- C40+ stream-stream FULL OUTER interval join (round 18c) ----------------
+    // Completes the stream-stream join matrix (inner, left, full): BOTH
+    // sides' unmatched rows must emit exactly once, each when ITS state
+    // can no longer match — a view when its 1-hour forward window falls
+    // fully below the join watermark (vts + 1h < wm, the left gate's
+    // rule), a purchase when no view can still arrive for it (views
+    // match with vts ∈ [pts − 1h, pts] and late views are bounded below
+    // by wm, so eviction is pts < wm). The oracle replays both eviction
+    // rules against the final watermark min(max vts, max pts) − 2 h.
+    Q(
+      "q_stream_stream_full_join",
+      (s, dir) =>
+        runStream(s, dir, OutputMode.Append(), statePartitions = 8) { ev =>
+          val views = ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+            .withWatermark("view_ts", "2 hours")
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+            .withWatermark("purchase_ts", "2 hours")
+          views.join(purchases,
+            col("user_id") === col("p_user_id")
+              && col("purchase_ts") >= col("view_ts")
+              && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+            "full_outer")
+        }.select(coalesce(col("user_id"), col("p_user_id")).as("uid"),
+            coalesce(col("view_id"), lit(-1L)).as("view_id"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+          .orderBy(col("uid"), col("view_id"), col("purchase_id")),
+      Some("""
+        WITH v AS (SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS vts
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+              FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(vts) FROM v), (SELECT max(pts) FROM p))
+                      - INTERVAL 2 HOUR AS w),
+        m AS (SELECT v.user_id AS uid, v.view_id, p.purchase_id
+              FROM v JOIN p ON v.user_id = p.user_id
+               AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR),
+        um AS (SELECT v.user_id AS uid, v.view_id, CAST(-1 AS BIGINT) AS purchase_id
+               FROM v, wm
+               WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+                 AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR)
+                 AND v.vts + INTERVAL 1 HOUR < wm.w),
+        up AS (SELECT p.user_id AS uid, CAST(-1 AS BIGINT) AS view_id, p.purchase_id
+               FROM p, wm
+               WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+                 AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR)
+                 AND p.pts < wm.w)
+        SELECT uid, view_id, purchase_id FROM m
+        UNION ALL SELECT uid, view_id, purchase_id FROM um
+        UNION ALL SELECT uid, view_id, purchase_id FROM up
+        ORDER BY uid, view_id, purchase_id
+      """)),
+
     // ---- C41 (Spark 4 API): same counters via transformWithState ----------------
     Q(
       "q_stream_state_tws",
