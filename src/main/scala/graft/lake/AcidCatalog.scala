@@ -159,6 +159,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(r.fieldNames.length == 1,
             s"nested RENAME COLUMN is not supported: ${r.fieldNames.mkString(".")}")
           acid.renameColumn(r.fieldNames.head, r.newName)
+        case u: TableChange.UpdateColumnType =>
+          require(u.fieldNames.length == 1,
+            s"nested ALTER COLUMN TYPE is not supported: ${u.fieldNames.mkString(".")}")
+          acid.widenColumn(u.fieldNames.head, u.newDataType)
         case a: TableChange.AddConstraint =>
           a.constraint() match {
             case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>

@@ -338,6 +338,11 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val RenameColStmt =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  // Delta's type-widening DDL shape (round 18c); the type text parses
+  // through Catalyst's grammar and the lossless-upcast validation lives
+  // in AcidTable.widenColumn
+  private val AlterColTypeStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w(),. ]+?)\s*;?\s*""".r
   // Delta's maintenance statements: OPTIMIZE bin-packs (optionally
   // Z-ordering by the named columns), VACUUM garbage-collects beyond the
   // retention window. RETAIN … VERSIONS keeps manifest-count retention
@@ -404,6 +409,10 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
       0L
     case RenameColStmt(tn, o, n) =>
       register(tn.split('.').toSeq, table(tn).renameColumn(o, n))
+      0L
+    case AlterColTypeStmt(tn, c, ty) =>
+      register(tn.split('.').toSeq, table(tn).widenColumn(c,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(ty)))
       0L
     case OptimizeStmt(tn, where, zorder) =>
       // plain OPTIMIZE folds only genuinely fragmented partitions (the

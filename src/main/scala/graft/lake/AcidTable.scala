@@ -9,7 +9,7 @@ import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /** Transactional (ACID) keyed, partitioned table over plain parquet — the
   * Spark-native replacement for the reference's Hudi COW + OCC layer
@@ -1999,6 +1999,59 @@ final class AcidTable private (
     AcidTable.writeMeta(path, next, pkCol, partitionCol, precombineCol, stablePartitions,
       numBuckets, (droppedCols :+ oldName).distinct, checkConstraints, nextRenames,
       columnDefaults)
+    AcidTable.open(spark, path)
+  }
+
+  /** Metadata-only TYPE WIDENING (round 18c — the Delta 3.2 "type
+    * widening" / Iceberg numeric-promotion surface): change a column's
+    * type along a lossless-upcast edge with ZERO data rewrite. Files
+    * written before the widen keep their narrow physical type; every
+    * read path requests the widened logical schema and Spark's parquet
+    * readers (vectorized and row-based, Spark 4's widening support)
+    * upcast per file. Supported edges — exactly the set where every old
+    * value maps to the same logical value under the new type:
+    * byte→short/int/long, short→int/long, int→long, float→double, and
+    * DECIMAL precision growth at the SAME scale (unscaled values carry
+    * verbatim). Guard rails, each loud:
+    *  - never the PK or partition column (bucket routing and partition
+    *    directories derive from their rendered bytes — a type change
+    *    would re-route existing keys), and not while the column is
+    *    referenced by `statsColumns`/`bloomColumns` (their
+    *    order-preserving long encodings are TYPE-specific: a float file
+    *    envelope is meaningless in the double domain — drop the property
+    *    first, widen, re-add to re-stamp),
+    *  - not a column with outstanding renames/defaults in flight for the
+    *    same name (one metadata surgery at a time; purge first).
+    * CHECK constraints re-analyze against the widened schema on the next
+    * write, and precombine comparisons upcast consistently.
+    */
+  def widenColumn(name: String, to: DataType): AcidTable = {
+    require(schema.fieldNames.contains(name), s"column $name does not exist")
+    val from = schema(name).dataType
+    require(name != pkCol && name != partitionCol,
+      s"cannot widen key/partition column '$name': bucket routing and partition " +
+        "directories derive from its rendered bytes")
+    requireNotStatsOrBloomColumn(name, "widen")
+    require(!renamedCols.contains(name) && !columnDefaults.contains(name),
+      s"cannot widen column '$name' while a rename alias chain or metadata-only " +
+        "DEFAULT is outstanding for it; run purgeDroppedColumns() first")
+    val ok = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision &&
+          d2.precision <= DecimalType.MAX_PRECISION
+      case _ => false
+    }
+    require(ok, s"unsupported widening $from -> $to: only lossless upcasts " +
+      "(byte/short/int up to long, float->double, decimal precision growth at " +
+      "the same scale) are metadata-only")
+    val next = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    AcidTable.writeMeta(path, next, pkCol, partitionCol, precombineCol, stablePartitions,
+      numBuckets, droppedCols, checkConstraints, renamedCols, columnDefaults)
     AcidTable.open(spark, path)
   }
 
@@ -4457,7 +4510,24 @@ final class AcidTable private (
     require(missing.isEmpty,
       s"batch is missing table columns ${missing.mkString(", ")} " +
         s"(table schema: ${schema.toDDL})")
-    withPart.select(schema.fieldNames.map(col): _*)
+    val projected = withPart.select(schema.fieldNames.map(col): _*)
+    // TYPE enforcement (round 18c, surfaced by WidenColumnSpec): a batch
+    // column whose type differs from the declared schema used to write
+    // ITS OWN type into the data file — e.g. an uncast Scala BigDecimal
+    // lands as decimal(38,18) under a decimal(10,2) schema — POISONING
+    // the table: every later snapshot fails with a physical-type
+    // mismatch. Lossless upcasts (incl. NullType literals) coerce
+    // silently; anything lossy refuses loudly BEFORE a byte is written.
+    val coerced = schema.fields.map { f =>
+      val dt = projected.schema(f.name).dataType
+      if (dt == f.dataType) col(f.name)
+      else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(dt, f.dataType))
+        col(f.name).cast(f.dataType).as(f.name)
+      else throw new IllegalArgumentException(
+        s"batch column '${f.name}' has type ${dt.sql} but the table declares " +
+          s"${f.dataType.sql} and the cast is not lossless; cast the batch explicitly")
+    }
+    projected.select(coerced.toSeq: _*)
   }
 
   /** Parsed hidden-partitioning transform (None = partition values are

@@ -1779,6 +1779,63 @@ object AcidQueries {
         ORDER BY side, pk
       """)),
 
+    // ---- C5 metadata-only TYPE WIDENING (round 18c) -----------------------------
+    // Delta 3.2's type-widening / Iceberg numeric promotion: INT→BIGINT
+    // and FLOAT→DOUBLE with ZERO rewrite — files written before the widen
+    // keep their narrow physical type and every reader upcasts per file.
+    // The lifecycle writes narrow, widens, writes values REPRESENTABLE
+    // ONLY in the wide types (a 5-billion count), and snapshots the mix;
+    // the oracle replays with explicit casts. Zero-data-movement, the
+    // driver fast path over narrow pre-images, guard rails, and the
+    // mistyped-batch refusal this work surfaced are pinned in
+    // WidenColumnSpec.
+    Q(
+      "q_acid_widen_type",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("pk", StringType), StructField("part", StringType),
+          StructField("cnt", IntegerType), StructField("ratio", FloatType)))
+        val t0 = AcidTable.create(s, scratch(), schema, "pk", "part", stablePartitions = true)
+        val base = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_nationkey").cast("int").as("cnt"),
+          // Spark promotes float division to double; the batch must carry
+          // the declared FLOAT (values are exact quarters, so the
+          // round-trip is lossless)
+          (col("n_regionkey").cast("float") / lit(4.0f)).cast("float").as("ratio"))
+        t0.upsert(base)
+        val t = t0.widenColumn("cnt", LongType).widenColumn("ratio", DoubleType)
+        // post-widen commit: values only the wide types can hold, plus an
+        // update that rewrites one narrow cell (mixing physical types
+        // inside one partition)
+        t.upsert(s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row("90", "p0", 5000000000L, 2.5),
+          org.apache.spark.sql.Row("3", "p1", 3000000003L, 0.75)),
+          StructType(Seq(
+            StructField("pk", StringType), StructField("part", StringType),
+            StructField("cnt", LongType), StructField("ratio", DoubleType)))))
+        t.snapshot().orderBy(col("pk"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS pk,
+                 'p' || CAST(n_nationkey % 2 AS VARCHAR) AS part,
+                 CAST(n_nationkey AS BIGINT) AS cnt,
+                 CAST(CAST(n_regionkey AS FLOAT) / CAST(4.0 AS FLOAT) AS DOUBLE) AS ratio
+          FROM nation),
+        updated AS (
+          SELECT pk, part,
+                 CASE WHEN pk = '3' THEN CAST(3000000003 AS BIGINT) ELSE cnt END AS cnt,
+                 CASE WHEN pk = '3' THEN CAST(0.75 AS DOUBLE) ELSE ratio END AS ratio
+          FROM base)
+        SELECT pk, part, cnt, ratio FROM updated
+        UNION ALL
+        SELECT '90' AS pk, 'p0' AS part,
+               CAST(5000000000 AS BIGINT) AS cnt, CAST(2.5 AS DOUBLE) AS ratio
+        ORDER BY pk
+      """)),
+
     // ---- C5 CHECK constraints (round 10) ----------------------------------------
     // ALTER TABLE ADD CONSTRAINT … CHECK: validated against existing rows
     // at add time, enforced inline on every write path afterwards. The

@@ -277,6 +277,61 @@ object SampleQueries {
               < CAST(round(sqrt(CAST(m.min_cnt AS DOUBLE) / c.cnt) * 1000000) AS BIGINT)
       """)),
 
+    // ---- C50 weighted sampling WITHOUT replacement (A-ES, round 18c) ----
+    // Efraimidis–Spiliotis reservoir keys: draw u ~ U(0,1) per document,
+    // rank by u^(1/w), keep the top k — an EXACT weighted sample without
+    // replacement in ONE corpus pass whose only exchange is the partial
+    // top-k reduce (TakeOrdered), the 100 TB shape (no corpus sort, no
+    // per-group state). Determinism is engineered in two places: u derives
+    // from the salted text hash ((h % 1e6)·1e-6 + 5e-7 — exact integer →
+    // one correctly-rounded multiply/add chain), and weights are POWERS
+    // OF TWO by document-length class so u^(1/w) is an ITERATED sqrt —
+    // IEEE 754 requires sqrt (unlike pow/ln) to be correctly rounded, so
+    // the ranking key is bit-identical in any compliant engine and no
+    // libm variance can flip a selection at the k-boundary. Output keys
+    // quantize half-up to nano-units for the hash compare.
+    Q(
+      "q_sample_weighted_reservoir",
+      (s, dir) => {
+        val u = ((saltedKey("wrs:") % 1000000L).cast("double") * lit(1e-6) + lit(5e-7))
+        val wt = when(length(col("text")) < 200, 1L)
+          .when(length(col("text")) < 500, 2L)
+          .when(length(col("text")) < 1000, 4L)
+          .otherwise(8L)
+        val key = when(col("wt") === 1L, col("u"))
+          .when(col("wt") === 2L, sqrt(col("u")))
+          .when(col("wt") === 4L, sqrt(sqrt(col("u"))))
+          .otherwise(sqrt(sqrt(sqrt(col("u")))))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), wt.as("wt"), u.as("u"))
+          .withColumn("key", key)
+          .orderBy(col("key").desc, col("doc_id"))
+          .limit(500)
+          .select(col("doc_id"), col("lang"), col("wt"),
+            floor(col("key") * lit(1e9) + lit(0.5)).cast("long").as("key_q"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(text) < 200 THEN 1
+                      WHEN length(text) < 500 THEN 2
+                      WHEN length(text) < 1000 THEN 4
+                      ELSE 8 END AS wt,
+                 (CAST((${sqlSaltedKey("wrs:")}) % 1000000 AS DOUBLE) * 1e-6 + 5e-7) AS u
+          FROM documents),
+        k AS (
+          SELECT doc_id, lang, wt,
+                 CASE wt WHEN 1 THEN u WHEN 2 THEN sqrt(u)
+                         WHEN 4 THEN sqrt(sqrt(u))
+                         ELSE sqrt(sqrt(sqrt(u))) END AS key
+          FROM t),
+        sel AS (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 500)
+        SELECT doc_id, lang, CAST(wt AS BIGINT) AS wt,
+               CAST(floor(key * 1e9 + 0.5) AS BIGINT) AS key_q
+        FROM sel ORDER BY doc_id
+      """)),
+
     // ---- C50 deterministic global shuffle into training shards ----------
     // The step between curation and tokenization that destroys source /
     // language locality: every document hashes to one of 8 shards and each
