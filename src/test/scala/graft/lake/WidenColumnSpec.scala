@@ -132,6 +132,31 @@ class WidenColumnSpec extends AnyFunSuite {
     assert(t.snapshot().filter(col("pk") === "z2").head().getDecimal(4).toString == "1.50")
   }
 
+  test("time travel and CDC across the widen read narrow versions under the current schema") {
+    // table meta is unversioned by design: a post-widen read of a
+    // pre-widen version serves the CURRENT (wide) schema, upcasting the
+    // narrow bytes — lossless, so no information changes, and every
+    // consumer sees ONE schema for the table's whole timeline
+    val t0 = mk() // v0, narrow
+    val t = t0.widenColumn("cnt", LongType)
+    t.upsert(Seq(("k0", "p0", 9000000000L, 0.0f, BigDecimal("0.00")))
+      .toDF("pk", "part", "cnt", "ratio", "amt")
+      .select(col("pk"), col("part"), col("cnt"), col("ratio"),
+        col("amt").cast("decimal(10,2)"))) // v1, wide value
+    val v0 = t.snapshot(0L)
+    assert(v0.schema("cnt").dataType == LongType)
+    assert(v0.filter(col("pk") === "k0").head().getLong(2) == 0L)
+    val cdc = t.changesBetween(0L, 1L)
+    assert(cdc.schema("cnt").dataType == LongType)
+    // classification (delete+insert vs update pair) is the diff's own
+    // contract; the pin here is the TYPING: the narrow pre-image value
+    // reads as long next to the wide post-image
+    val imgs = cdc.filter(col("pk") === "k0")
+      .collect().map(_.getLong(2)).toSet
+    assert(imgs == Set(0L, 9000000000L),
+      s"CDC must upcast the narrow pre-image: $imgs")
+  }
+
   test("catalog SQL route: ALTER COLUMN TYPE widens and scans upcast") {
     val wh = Files.createTempDirectory("graft-widen-wh-").toString
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
