@@ -357,6 +357,10 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
   private val OptWhereIn = """(?is)\s*(\w+)\s+IN\s*\(([^)]*)\)\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  // Delta's RESTORE statement (round 18c): metadata-only re-link to a
+  // prior version through AcidTable.restore's vacuumed-target refusal
+  private val RestoreStmt =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   // Materialized-view lifecycle (not in Spark's grammar — recognized
   // textually like CloneStmt; the defining SELECT goes through Spark's
   // parser and must reduce to a single GROUP BY over one session table)
@@ -445,6 +449,8 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
         partitions = scope)
     case VacuumStmt(tn, retain) =>
       table(tn).vacuum(keepVersions = Option(retain).map(_.toInt).getOrElse(2)).toLong
+    case RestoreStmt(tn, v) =>
+      table(tn).restore(v.toLong)
     case CreateBranchStmt(tn, bn, ver) =>
       val br = table(tn).createBranch(bn, Option(ver).map(_.toLong).getOrElse(-1L))
       tables(s"${tn.split('.').last}_branch_$bn") = br
@@ -555,6 +561,10 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s+REPAIR\s*;?\s*""".r
   private val FsckStmt =
     """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s*;?\s*""".r
+  // read-only vacuum preview (round 18c, the Delta DRY RUN face) — a
+  // query statement: it RETURNS the would-be-removed items
+  private val VacuumDryRunStmt =
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s+DRY\s+RUN\s*;?\s*""".r
 
   /** Execute a read statement (SELECT text) over the session's tables —
     * completes the reference's text lifecycle: DDL, DML, and now the
@@ -575,6 +585,8 @@ final class AcidSqlSession(spark: SparkSession, warehouseDir: String) {
     case DescribeDetailStmt(tn) => table(tn).detail()
     case FsckRepairStmt(tn) => table(tn).fsckRepair()
     case FsckStmt(tn) => table(tn).fsck()
+    case VacuumDryRunStmt(tn, retain) =>
+      table(tn).vacuumPreview(keepVersions = Option(retain).map(_.toInt).getOrElse(2))
     case _ =>
       // materialized views substitute FIRST (their names shadow nothing:
       // the table map is consulted for whatever relations remain)

@@ -511,4 +511,71 @@ class AcidTableMaintenanceSpec extends AnyFunSuite {
       Seq("kind", "version", "name", "detail", "action"))
     assert(sess.query("FSCK TABLE frdb.t REPAIR").count() == 0)
   }
+
+  test("vacuumPreview (DRY RUN) lists exactly what the real run removes, touching nothing") {
+    val t = newTable() // v0..: churn so old files + manifests retire
+    t.upsert(df(Record("R1", "P0", "a"), Record("R2", "P1", "b"))) // v0
+    t.upsert(df(Record("R1", "P0", "a2"))) // v1: R1's cell rewritten
+    t.upsert(df(Record("R2", "P1", "b2"))) // v2
+    Thread.sleep(30)
+    val preview = t.vacuumPreview(keepVersions = 1, graceMillis = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val (pm, pd) = preview.partition(_._1 == "manifest")
+    assert(pm.map(_._2).sorted == Seq("v000000000000.txt", "v000000000001.txt"))
+    assert(pd.nonEmpty, "the superseded cell files must be listed")
+    // read-only: every listed item still exists
+    pd.foreach { case (_, rel) =>
+      assert(new java.io.File(t.path, s"data/$rel").exists(), s"preview deleted $rel")
+    }
+    // the real run removes exactly the previewed data files
+    val removed = t.vacuum(keepVersions = 1, graceMillis = 0L)
+    assert(removed == pd.size, s"preview listed ${pd.size}, vacuum removed $removed")
+    pd.foreach { case (_, rel) =>
+      assert(!new java.io.File(t.path, s"data/$rel").exists())
+    }
+    assert(t.vacuumPreview(keepVersions = 1, graceMillis = 0L).count() == 0,
+      "post-vacuum preview must be empty")
+
+    // tag pinning flows through the preview's archival walk
+    val t2 = newTable()
+    t2.upsert(df(Record("K1", "P0", "x"))) // v0
+    t2.createTag("pin", 0L)
+    t2.upsert(df(Record("K1", "P0", "y"))) // v1
+    t2.upsert(df(Record("K1", "P0", "z"))) // v2
+    Thread.sleep(30)
+    val kinds = t2.vacuumPreview(keepVersions = 1, graceMillis = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(!kinds.exists(_._2 == "v000000000000.txt"),
+      s"tagged v0 must not be listed archivable: $kinds")
+  }
+
+  test("SQL faces: VACUUM DRY RUN returns the preview; RESTORE TABLE re-links") {
+    val wh = Files.createTempDirectory("acid-maint-wh-").toString
+    val sess = new AcidSqlSession(spark, wh)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS vp")
+    sess.execute("""
+      CREATE TABLE IF NOT EXISTS vp.t(
+          primaryKeyValue STRING, partitionKeyValue STRING, dataValue STRING
+      ) USING hudi PARTITIONED BY (partitionKeyValue)
+      TBLPROPERTIES (primaryKey = 'primaryKeyValue')
+    """)
+    Seq(("A", "P0", "1")).toDF("primaryKeyValue", "partitionKeyValue", "dataValue")
+      .createOrReplaceTempView("vp_src")
+    sess.execute("INSERT INTO vp.t SELECT * FROM vp_src") // v0
+    sess.execute("DELETE FROM vp.t WHERE primaryKeyValue IN ('A')") // v1
+    Thread.sleep(30)
+    // statement route: returns the preview frame; inside the default
+    // 10-minute grace window it must list NOTHING (the same age guard
+    // that makes the deleting statement safe next to live commits)
+    val dry = sess.query("VACUUM vp.t RETAIN 1 VERSIONS DRY RUN")
+    assert(dry.columns.toSeq == Seq("kind", "name", "bytes"))
+    assert(dry.count() == 0, "grace must protect fresh artifacts in the DRY RUN too")
+    // past the grace window the same walk lists the retired v0 artifacts
+    assert(sess.table("vp.t").vacuumPreview(keepVersions = 1, graceMillis = 0L)
+      .count() >= 1)
+    assert(sess.table("vp.t").snapshot().count() == 0)
+    // RESTORE text: back to v0, the pre-delete state
+    sess.execute("RESTORE TABLE vp.t TO VERSION AS OF 0")
+    assert(sess.table("vp.t").snapshot().count() == 1)
+  }
 }
