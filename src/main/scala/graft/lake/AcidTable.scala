@@ -4173,20 +4173,35 @@ final class AcidTable private (
         Files.copy(src, dst); ()
       }
     }
-    // bloom filters travel as ONE consolidated segment (clone loses only
-    // pruning, never correctness, if this is skipped — but a clone of a
-    // bloomColumns table should keep its point-lookup profile). The
-    // source may hold any mix of legacy per-file sidecars and commit
-    // segments; the clone re-stamps them in the segment layout.
-    dest.writeBloomSegment(files.flatMap { f =>
-      val m = readBlooms(f)
-      if (m.isEmpty) None
-      else Some(f -> m.toSeq.sortBy(_._1).map { case (c, bf) =>
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        c -> bos.toByteArray
-      })
-    })
+    // bloom filters travel by VERBATIM CARRY of the bloom root (clone
+    // loses only pruning, never correctness, if skipped): segments are
+    // directories of (data-file rel → payload) and legacy sidecars are
+    // path-addressed by rel, and the clone shares every rel, so the
+    // immutable bytes carry unchanged — hard-linked like the data files.
+    // O(bloom bytes), not O(files × deserialize × re-serialize): the
+    // round-18c MetaScale branch leg measured the per-file re-stamp this
+    // replaces at ~11 s of a 12.7 s fork at 100 k files. Entries for
+    // files outside the pinned snapshot ride along as bounded dead
+    // weight; the clone's own vacuum sweeps them with the usual liveness
+    // rules.
+    if (Files.exists(bloomRoot)) {
+      val destBloomRoot = Paths.get(destPath, AcidTable.BloomDir)
+      val walk = Files.walk(bloomRoot)
+      try walk.forEach { p =>
+        val rel = bloomRoot.relativize(p)
+        val dst = destBloomRoot.resolve(rel)
+        if (Files.isDirectory(p)) { Files.createDirectories(dst); () }
+        else if (!p.getFileName.toString.startsWith(".tmp-")) {
+          Files.createDirectories(dst.getParent)
+          try Files.createLink(dst, p)
+          catch {
+            case _: FileAlreadyExistsException => () // FAE ⊂ FSException: first
+            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+              Files.copy(p, dst); ()
+          }
+        }
+      } finally walk.close()
+    }
     if (Files.exists(clusterStatsPath))
       Files.copy(clusterStatsPath, Paths.get(destPath, ClusterStatsFile))
     // free-form table properties travel too (Delta SHALLOW CLONE parity):

@@ -254,6 +254,43 @@ object MetaScale {
     emit("fsck", fsckCold, (1 to 10).map(_ => timedMs(t.fsck().collect())),
       s"findings=$fsckFindings")
 
+    // 8b. branch write-audit-publish lifecycle (round 18c): create is the
+    //     zero-copy fork (O(live files) hard links + carried side state),
+    //     the staged commit is an ordinary cell-scoped commit against the
+    //     fork, and publish is the squashed CAS — O(changed partitions)
+    //     metadata + O(new files) links, so it must stay FLAT across the
+    //     file-count scales while only create grows with the table
+    val brCreate = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val brStage = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val brPublish = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val brDrop = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until 3).foreach { i =>
+      brCreate += timedMs(t.createBranch(s"ms$i"))
+      val br = t.branch(s"ms$i")
+      brStage += timedMs(br.upsert(spark.createDataFrame(
+        java.util.Arrays.asList(Row("k5", "P0", 1000.0 + i)), schema), Some(Seq("P0"))))
+      // publish and cleanup timed apart: the CAS publish is the claimed
+      // O(changed partitions) step; the drop is an O(files) unlink walk
+      // (any directory-tree removal), amortizable and off the commit path
+      brPublish += timedMs(t.publishBranch(s"ms$i", dropAfter = false))
+      brDrop += timedMs(t.dropBranch(s"ms$i"))
+    }
+    emit("branch_create", brCreate.head, brCreate.tail.toSeq,
+      "zero-copy fork: O(live files) links + verbatim bloom/index carry")
+    emit("branch_stage_commit", brStage.head, brStage.tail.toSeq,
+      "cell-scoped commit on the fork")
+    emit("branch_publish", brPublish.head, brPublish.tail.toSeq,
+      "squashed CAS publish, 1 touched partition (cleanup timed separately)")
+    emit("branch_drop", brDrop.head, brDrop.tail.toSeq,
+      "O(files) unlink walk of the fork's own dir entries")
+
+    // 8c. snapshot tags: O(1) ref files regardless of table size
+    val tagCr = (0 until 5).map(i => timedMs(t.createTag(s"mt$i")))
+    val tagRd = (0 until 5).map(i => timedMs(t.tagVersion(s"mt$i")))
+    (0 until 5).foreach(i => t.dropTag(s"mt$i")) // release before the vacuum leg
+    emit("tag_create", tagCr.head, tagCr.tail)
+    emit("tag_resolve", tagRd.head, tagRd.tail)
+
     // 9. vacuum, measured LAST (it archives the timeline the rows above
     //    read): the FIRST call pays the real GC — data-file sweep over
     //    the whole data dir (O(live files) by definition: GC must
