@@ -82,6 +82,16 @@ object CrossProcess {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("worker") => workerMain(args.drop(1))
     case Some("skworker") => sameKeyWorkerMain(args.drop(1))
+    case Some("bpworker") => branchWapWorkerMain(args.drop(1))
+    case Some("branch") =>
+      val rounds = args.lift(1).map(_.toInt).getOrElse(30)
+      val workers = args.lift(2).map(_.toInt).getOrElse(2)
+      val spark = localSession()
+      val dir = Files.createTempDirectory("graft-xproc-bp-").resolve("records")
+      val summary = orchestrateBranchWap(spark, dir.toString, rounds, workers)
+      println(branchWapJson(summary))
+      spark.stop()
+      sys.exit(if (summary.ok) 0 else 1)
     case Some("samekey") | Some("samekey-del") =>
       val del = args.headOption.contains("samekey-del")
       val txnsPerWorker = args.lift(1).map(_.toInt).getOrElse(500)
@@ -755,6 +765,247 @@ object CrossProcess {
     gobbler.setDaemon(true)
     gobbler.start()
     (proc, outFile)
+  }
+
+  final case class BpWorkerReport(
+      published: Int,
+      refused: Int,
+      firstFailure: Option[String],
+      maxWritten: Map[String, String])
+
+  final case class BranchWapSummary(
+      workers: Int,
+      rounds: Int,
+      published: Int,
+      refused: Int,
+      workerFailures: Seq[String],
+      wrongRows: Seq[String],
+      missingKeys: Seq[String],
+      extraKeys: Seq[String],
+      malformedRows: Seq[String],
+      fsckFindings: Seq[String],
+      vacuumRuns: Int,
+      vacuumErrors: Seq[String],
+      finalRows: Long,
+      elapsedSec: Double) {
+    def ok: Boolean =
+      workerFailures.isEmpty && wrongRows.isEmpty && missingKeys.isEmpty &&
+        extraKeys.isEmpty && malformedRows.isEmpty && fsckFindings.isEmpty &&
+        vacuumErrors.isEmpty && published + refused == workers * rounds
+  }
+
+  /** Cross-PROCESS write-audit-publish contention (round 18c): `workers`
+    * JVMs each loop `rounds` of the full WAP cycle against ONE table dir
+    * — fork a uniquely-named branch, stage an update-if-greater merge on
+    * 1-3 keys of the shared pool, AUDIT the staged state through the
+    * branch, then race `publishBranch`'s CAS — with the orchestrator's
+    * vacuum loop running the whole time. The publish CAS admits exactly
+    * one fork per main version, so concurrent publishes and the
+    * create-exclusive link are contended across address spaces with no
+    * shared locks or caches.
+    *
+    * Exact oracle, the samekey construction restricted to PUBLISHED
+    * rounds: a published branch's staged max-merge lands atomically and
+    * serially (each fork derives from the prior published head), so the
+    * final value per key must equal the per-key MAX over all workers'
+    * PUBLISHED stamps — a REFUSED round's stamp (unique per round) must
+    * never be visible anywhere, which the exact equality implies. Every
+    * round must end PUBLISHED or TYPED-REFUSED: any other outcome is a
+    * worker failure.
+    */
+  def orchestrateBranchWap(
+      spark: SparkSession,
+      tableDir: String,
+      rounds: Int,
+      workers: Int = 2,
+      vacuumPeriodMs: Long = 1000,
+      vacuumGraceMs: Long = 20000,
+      workerTimeoutMinutes: Long = 30): BranchWapSummary = {
+    require(workers >= 1 && workers <= 8, "workers must be in [1, 8]")
+    val t0 = System.nanoTime()
+    val table = AcidTable.create(
+      spark, tableDir, recordSchema,
+      pkCol = "primaryKeyValue", partitionCol = "partitionKeyValue",
+      precombineCol = Some("dataValue"), stablePartitions = true)
+    val outDir = Files.createTempDirectory("graft-xproc-bp-out-")
+    val procs = (0 until workers).map(w =>
+      (w, spawnBpWorker(w, tableDir, outDir, rounds)))
+    val vac = startVacuumLoop(table, vacuumPeriodMs, vacuumGraceMs, "xproc-bp-vacuum")
+    val workerFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val reports = procs.flatMap { case (w, (proc, outFile)) =>
+      val finished = proc.waitFor(workerTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { proc.destroyForcibly(); workerFailures += s"bpworker $w: timeout"; None }
+      else if (proc.exitValue() != 0) { workerFailures += s"bpworker $w: exit ${proc.exitValue()}"; None }
+      else parseBpReport(outFile) match {
+        case Some(r) =>
+          r.firstFailure.foreach(f => workerFailures += s"bpworker $w: $f")
+          Some(r)
+        case None => workerFailures += s"bpworker $w: unreadable report"; None
+      }
+    }
+    vac.finish()
+    val expected: Map[String, String] = reports.flatMap(_.maxWritten.toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    import spark.implicits._
+    val finalRows = scala.util.Try(table.snapshot().as[Record].collect()) match {
+      case scala.util.Success(rows) => rows.toSeq
+      case scala.util.Failure(e) =>
+        workerFailures += s"final snapshot unreadable: $e"; Seq.empty[Record]
+    }
+    val byKey = finalRows.map(r => r.primaryKeyValue -> r).toMap
+    val wrong = expected.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      byKey.get(k) match {
+        case Some(r) if r.dataValue == v => None
+        case Some(r) => Some(s"$k: table=${r.dataValue} expected=$v")
+        case None => None
+      }
+    }
+    val missing = expected.keys.toSeq.filterNot(byKey.contains).sorted
+    val extra = byKey.keys.toSeq.filterNot(expected.contains).sorted
+    val malformed = finalRows.flatMap { r =>
+      val shapeOk = SkValueRe.pattern.matcher(String.valueOf(r.dataValue)).matches() &&
+        r.partitionKeyValue == skPartitionOf(r.primaryKeyValue)
+      if (shapeOk) None else Some(s"${r.primaryKeyValue}|${r.partitionKeyValue}|${r.dataValue}")
+    }
+    try { table.vacuum(keepVersions = 2, graceMillis = vacuumGraceMs); () }
+    catch { case e: Throwable => vac.errors.add(s"final: $e"); () }
+    val fsckFindings = table.fsck(graceMs = 0).collect()
+      .map(r => s"${r.getString(0)} v${r.getLong(1)} ${r.getString(2)}").toSeq
+    BranchWapSummary(
+      workers = workers, rounds = rounds,
+      published = reports.map(_.published).sum,
+      refused = reports.map(_.refused).sum,
+      workerFailures = workerFailures.toSeq,
+      wrongRows = wrong, missingKeys = missing, extraKeys = extra,
+      malformedRows = malformed,
+      fsckFindings = fsckFindings,
+      vacuumRuns = vac.runs.get(), vacuumErrors = vac.errors.asScala.toSeq,
+      finalRows = finalRows.size.toLong,
+      elapsedSec = (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def spawnBpWorker(
+      w: Int, tableDir: String, outDir: Path, rounds: Int): (Process, Path) = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
+        a.startsWith("-Xmx"))
+      .toSeq :+ "-Xmx4g"
+    val outFile = outDir.resolve(s"bpworker-$w.report")
+    val cmd = (javaBin +: jvmArgs) ++ Seq(
+      "-cp", sys.props("java.class.path"), "graft.harness.CrossProcess", "bpworker",
+      tableDir, outFile.toString, rounds.toString, w.toString,
+      (7177L + 941L * w).toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val gobbler = new Thread(() => {
+      val in = proc.getInputStream
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
+    }, s"xproc-bp-gobbler-$w")
+    gobbler.setDaemon(true)
+    gobbler.start()
+    (proc, outFile)
+  }
+
+  /** Branch-WAP worker body: each round forks `w{w}r{i}`, stages one
+    * update-if-greater merge of 1-3 shared-pool keys, audits the staged
+    * values THROUGH the branch read surface, then publishes. A typed
+    * refusal drops the branch and counts `refused`; anything else
+    * non-published is a failure. Published stamps feed the max log the
+    * orchestrator's oracle replays. */
+  private def branchWapWorkerMain(args: Array[String]): Unit = {
+    val Array(tableDir, outFile, rounds, worker, seed) = args.take(5)
+    val w = worker.toInt
+    val spark = localSession()
+    val table = AcidTable.open(spark, tableDir)
+    val rnd = new scala.util.Random(seed.toLong)
+    val maxPublished = scala.collection.mutable.Map.empty[String, String]
+    var published = 0
+    var refused = 0
+    var firstFailure: Option[String] = None
+    try {
+      (1 to rounds.toInt).foreach { i =>
+        val name = s"w${w}r$i"
+        val br = table.createBranch(name)
+        val keys = (0 until 1 + rnd.nextInt(3))
+          .map(_ => s"Key${rnd.nextInt(SkKeyPool)}").distinct
+        val value = skValue(i, w)
+        val rows = keys.map(k => org.apache.spark.sql.Row(k, skPartitionOf(k), value))
+        val batch = spark.createDataFrame(java.util.Arrays.asList(rows: _*), recordSchema)
+        br.mergeConditional(
+          batch,
+          matched = Seq(graft.lake.MergeMatchedClause.Update(
+            Some(org.apache.spark.sql.functions.col("s.dataValue") >
+              org.apache.spark.sql.functions.col("t.dataValue")),
+            Seq("dataValue"))),
+          notMatched = Seq(None),
+          partitionsHint = Some(keys.map(skPartitionOf).distinct))
+        // the audit: every staged key must read AT OR ABOVE this round's
+        // stamp through the branch (the fork may legitimately hold higher)
+        val seen = br.lookup(keys, Some(keys.map(skPartitionOf).distinct))
+          .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+        keys.foreach { k =>
+          if (seen.get(k).forall(_ < value) && firstFailure.isEmpty)
+            firstFailure = Some(s"audit: $k below $value on branch $name")
+        }
+        try {
+          table.publishBranch(name)
+          published += 1
+          keys.foreach { k =>
+            if (maxPublished.get(k).forall(_ < value)) maxPublished(k) = value
+          }
+        } catch {
+          case _: graft.lake.CommitConflictException =>
+            refused += 1
+            table.dropBranch(name)
+        }
+      }
+    } catch {
+      case e: Throwable => if (firstFailure.isEmpty) firstFailure = Some(e.toString)
+    }
+    val enc = (s: String) => URLEncoder.encode(s, "UTF-8")
+    val lines = Seq(
+      s"published\t$published",
+      s"refused\t$refused",
+      s"firstFailure\t${firstFailure.map(enc).getOrElse("-")}") ++
+      maxPublished.toSeq.sortBy(_._1).map { case (k, v) => s"max\t${enc(k)}\t${enc(v)}" }
+    Files.write(Paths.get(outFile),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    spark.stop()
+    sys.exit(if (firstFailure.isEmpty) 0 else 1)
+  }
+
+  private def parseBpReport(p: Path): Option[BpWorkerReport] =
+    if (!Files.exists(p)) None
+    else scala.util.Try {
+      val dec = (s: String) => URLDecoder.decode(s, "UTF-8")
+      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t", -1).toSeq)
+      val kv = lines.filter(_.head != "max").map(l => l(0) -> l(1)).toMap
+      BpWorkerReport(
+        published = kv("published").toInt,
+        refused = kv("refused").toInt,
+        firstFailure = Some(kv("firstFailure")).filter(_ != "-").map(dec),
+        maxWritten = lines.filter(_.head == "max")
+          .map(l => dec(l(1)) -> dec(l(2))).toMap)
+    }.toOption
+
+  private def branchWapJson(s: BranchWapSummary): String = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    s"""{"metric":"cross_process_branch_wap","ok":${s.ok},""" +
+      s""""workers":${s.workers},"rounds":${s.rounds},""" +
+      s""""published":${s.published},"refused":${s.refused},""" +
+      f""""elapsedSec":${s.elapsedSec}%.1f,""" +
+      s""""wrongRows":${arr(s.wrongRows)},"missingKeys":${arr(s.missingKeys)},""" +
+      s""""extraKeys":${arr(s.extraKeys)},"malformedRows":${arr(s.malformedRows)},""" +
+      s""""finalRows":${s.finalRows},"vacuumRuns":${s.vacuumRuns},""" +
+      s""""vacuumErrors":${arr(s.vacuumErrors)},""" +
+      s""""fsckFindings":${arr(s.fsckFindings)},""" +
+      s""""workerFailures":${arr(s.workerFailures)}}"""
   }
 
   /** Same-key worker body: `txns` conditional merges of 1-3 random keys

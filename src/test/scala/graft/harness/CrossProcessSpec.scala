@@ -188,4 +188,29 @@ class CrossProcessSpec extends AnyFunSuite {
     assert(s.victimWasAlive, s"victim exited before the kill — nothing was crashed: $s")
     assert(s.victimRowsSeen > 0, s"victim committed nothing before the kill: $s")
   }
+
+  test("BRANCH WAP contention: two JVMs race fork/stage/audit/publish, CAS serializes") {
+    val dir = Files.createTempDirectory("xproc-bp-spec-").resolve("records").toString
+    val s = CrossProcess.orchestrateBranchWap(
+      TestSpark.spark, dir,
+      rounds = 10,
+      workers = 2,
+      vacuumPeriodMs = 750,
+      vacuumGraceMs = 20000,
+      workerTimeoutMinutes = 15)
+    info(s"published=${s.published} refused=${s.refused} finalRows=${s.finalRows} " +
+      s"vacuumRuns=${s.vacuumRuns}")
+    assert(s.workerFailures.isEmpty, s"worker failures: $s")
+    // every round linearizes: published or typed-refused, nothing else
+    assert(s.published + s.refused == 20, s"rounds lost: $s")
+    assert(s.published >= 2, s"publishes barely happened: $s")
+    // exact oracle over the PUBLISHED rounds only: a refused publish that
+    // leaked staged state would surface as a wrong value or an extra key
+    assert(s.wrongRows.isEmpty, s"published state wrong: ${s.wrongRows}")
+    assert(s.missingKeys.isEmpty, s"published keys lost: ${s.missingKeys}")
+    assert(s.extraKeys.isEmpty, s"refused/staged state leaked: ${s.extraKeys}")
+    assert(s.malformedRows.isEmpty, s"torn rows: ${s.malformedRows}")
+    assert(s.fsckFindings.isEmpty, s"fsck not clean: ${s.fsckFindings}")
+    assert(s.vacuumErrors.isEmpty, s"vacuum threw: ${s.vacuumErrors}")
+  }
 }
