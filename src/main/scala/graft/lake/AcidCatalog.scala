@@ -78,9 +78,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // GraftSqlParser extension) reads as a first-class catalog table
     if (new java.io.File(path, "_mv.properties").exists())
       return new MatViewV2Table(MatView.open(spark, path), ident)
-    if (!new java.io.File(path, "_meta.properties").exists())
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        ident.namespace.toSeq :+ ident.name)
+    if (!new java.io.File(path, "_meta.properties").exists()) {
+      // Iceberg-style METADATA TABLES (round 18c): `db.t.history`,
+      // `.partitions`, `.detail`, `.branches`, `.tags` — the identifier's
+      // namespace tail names the parent table and the name selects the
+      // metadata relation, so plain SELECT reaches the operational
+      // surfaces without the text front-end's SHOW/DESCRIBE verbs
+      val parent = ident.namespace.lastOption.map { pn =>
+        (warehouse +: ident.namespace.dropRight(1).toSeq :+ pn).mkString("/")
+      }
+      val rel = GraftCatalog.metadataRelations.get(ident.name)
+      (parent, rel) match {
+        case (Some(pp), Some(f)) if new java.io.File(pp, "_meta.properties").exists() =>
+          return new MetadataV2Table(AcidTable.open(spark, pp), ident, f)
+        case _ =>
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            ident.namespace.toSeq :+ ident.name)
+      }
+    }
     new AcidV2Table(AcidTable.open(spark, path), ident)
   }
 
@@ -296,6 +311,67 @@ final class MatViewV2Table(val mv: MatView, ident: Identifier)
             override def sqlContext: SQLContext = context
             override def schema: StructType = viewSchema
             override def buildScan(): org.apache.spark.rdd.RDD[Row] = mv.read().rdd
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+object GraftCatalog {
+  /** Metadata-relation registry for `db.t.<name>` identifiers (see
+    * [[GraftCatalog.loadTable]]): each serves one operational surface —
+    * timeline, partition inventory, layout summary, ref inventories — as
+    * a read-only catalog table, the Iceberg metadata-table idiom. */
+  private[lake] val metadataRelations: Map[String, AcidTable => DataFrame] = Map(
+    "history" -> (t => t.history()),
+    "partitions" -> (t => t.partitionsInventory()),
+    "detail" -> (t => t.detail()),
+    "branches" -> { t =>
+      val sp = t.spark
+      import sp.implicits._
+      t.listBranches().map { case (n, fork) =>
+        (n, fork, t.branch(n).latestVersion())
+      }.toDF("branch", "fork_version", "head_version")
+    },
+    "tags" -> { t =>
+      val sp = t.spark
+      import sp.implicits._
+      t.listTags().toDF("tag", "version")
+    })
+}
+
+/** One metadata relation of an [[AcidTable]] served as a read-only catalog
+  * table (`SELECT * FROM graft.db.t.history` …): the frame is recomputed
+  * per scan, so every query sees the current state. */
+final class MetadataV2Table(
+    acid: AcidTable, ident: Identifier, rel: AcidTable => DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = ident.toString
+
+  private lazy val relSchema: StructType = rel(acid).schema
+
+  override def schema(): StructType = relSchema
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.LinkedHashMap[String, String]()
+    m.put("type", "metadata_table")
+    m.put("source", acid.path)
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = relSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = relSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] = rel(acid).rdd
           }.asInstanceOf[T]
       }
     }

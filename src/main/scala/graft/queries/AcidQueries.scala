@@ -1609,6 +1609,59 @@ object AcidQueries {
         GROUP BY 1 ORDER BY 1
       """)),
 
+    // ---- C5 catalog metadata tables (round 18c) ---------------------------------
+    // The Iceberg metadata-table idiom: `db.t.history` / `.partitions` /
+    // `.tags` / `.branches` (+ `.detail`) resolve through the catalog as
+    // read-only relations, so plain SELECT — joins, filters, aggregations
+    // included — reaches the operational surfaces without SHOW/DESCRIBE
+    // verbs. The lifecycle runs deterministic DML (numBuckets=1 so file
+    // counts are exact), tags and forks refs, then UNIONs the relations'
+    // deterministic columns; the oracle is the literal expected state.
+    Q(
+      "q_sql_metadata_tables",
+      (s, dir) => {
+        val wh = scratch()
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.lake.GraftCatalog].getName)
+        s.conf.set("spark.sql.graft.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.md")
+        s.sql("""CREATE TABLE graft.md.mt (pk STRING, part STRING, val DOUBLE)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk', 'numBuckets' = '1')""".stripMargin)
+        Tables.nation(s, dir).select(
+          col("n_nationkey").cast("string").as("pk"),
+          concat(lit("p"), (col("n_nationkey") % 2).cast("string")).as("part"),
+          col("n_regionkey").cast("double").as("val"))
+          .createOrReplaceTempView("md_src")
+        s.sql("INSERT INTO graft.md.mt SELECT * FROM md_src") // v0
+        s.sql("DELETE FROM graft.md.mt WHERE pk IN ('4', '8')") // v1
+        val t = AcidTable.open(s, s"$wh/md/mt")
+        t.createTag("train")
+        t.createBranch("audit")
+        s.sql("""
+          |SELECT 'history' AS rel, CAST(version AS STRING) AS k, operation AS v
+          |FROM graft.md.mt.history
+          |UNION ALL
+          |SELECT 'partitions', part, CAST(num_files AS STRING)
+          |FROM graft.md.mt.partitions
+          |UNION ALL
+          |SELECT 'tags', tag, CAST(version AS STRING) FROM graft.md.mt.tags
+          |UNION ALL
+          |SELECT 'branches', branch, CAST(fork_version AS STRING)
+          |FROM graft.md.mt.branches
+          |ORDER BY rel, k, v""".stripMargin)
+      },
+      Some("""
+        SELECT rel, k, v FROM (VALUES
+          ('branches', 'audit', '1'),
+          ('history', '0', 'UPSERT'),
+          ('history', '1', 'DELETE'),
+          ('partitions', 'p0', '1'),
+          ('partitions', 'p1', '1'),
+          ('tags', 'train', '1')) AS m(rel, k, v)
+        ORDER BY rel, k, v
+      """)),
+
     // ---- C5 zero-copy SHALLOW CLONE (round 10) ----------------------------------
     // cloneTo hard-links the pinned snapshot's files into an independent
     // table (O(files) metadata, no data copied); both sides then diverge:

@@ -409,4 +409,33 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"), e.getMessage)
     spark.sql("DROP TABLE graft.fsck.t")
   }
+
+  test("metadata tables: live recompute per scan, SQL composition, unknown names refuse") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-cat-md-").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mdx")
+    spark.sql("""CREATE TABLE graft.mdx.t (pk STRING, part STRING, v DOUBLE)
+                |PARTITIONED BY (part)
+                |TBLPROPERTIES ('primaryKey' = 'pk')""".stripMargin)
+    import spark.implicits._
+    Seq(("a", "p0", 1.0), ("b", "p1", 2.0)).toDF("pk", "part", "v")
+      .createOrReplaceTempView("mdx_src")
+    spark.sql("INSERT INTO graft.mdx.t SELECT * FROM mdx_src")
+    // SQL composes over the relation (aggregation, not just SELECT *)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.mdx.t.history WHERE operation = 'UPSERT'")
+      .head().getLong(0) == 1L)
+    // live recompute: a ref created AFTER the first scan appears
+    assert(spark.sql("SELECT count(*) FROM graft.mdx.t.tags").head().getLong(0) == 0L)
+    AcidTable.open(spark, s"$wh/mdx/t").createTag("snap")
+    assert(spark.sql("SELECT tag FROM graft.mdx.t.tags").head().getString(0) == "snap")
+    // unknown metadata names and orphan parents refuse as missing tables
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft.mdx.t.nonsense").collect()
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft.mdx.ghost.history").collect()
+    }
+  }
 }
