@@ -262,11 +262,21 @@ class RecordIndexSpec extends AnyFunSuite {
     // input run files before the Spark job so a racing vacuum's age guard
     // keeps them readable through the executor-read window. Race it for
     // real: a vacuum loop with a grace window SHORTER than the test
-    // (1.5 s, 100 ms period) sweeps continuously while commits drive
+    // (100 ms period) sweeps continuously while commits drive
     // several executor-leg folds (RliDriverFoldMax = 0), including a
     // generation-growth re-shard. Any anchor hole surfaces as a fold
     // failure (unreadable run file), a wrong/incomplete probe, or an
     // fsck finding.
+    //
+    // Grace sizing: the retention contract (verify skill / BASELINE) is
+    // that graceMillis exceeds the longest in-flight operation — grace
+    // also bounds the window between a sweep's liveness snapshot and its
+    // deletes, so a grace shorter than one stalled upsert+sweep can
+    // delete a LIVE file the snapshot predates. The original 1.5 s read
+    // flaked exactly that way late in a long suite JVM (GC stalls >1.5 s:
+    // an upsert hit FILE_NOT_EXIST on a live data file). 6 s still sweeps
+    // first-half files while the ~30-upsert distributed-fold loop runs,
+    // keeping the run-file anchor genuinely raced, within contract.
     val saved = AcidTable.RliDriverFoldMax
     AcidTable.RliDriverFoldMax = 0L
     try {
@@ -278,7 +288,7 @@ class RecordIndexSpec extends AnyFunSuite {
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val vac = new Thread(() => {
         while (!stop.get()) {
-          try { t.vacuum(keepVersions = 2, graceMillis = 1500); () }
+          try { t.vacuum(keepVersions = 2, graceMillis = 6000); () }
           catch { case e: Throwable => errs.add(e.toString); () }
           Thread.sleep(100)
         }
