@@ -1049,9 +1049,41 @@ object SampleQueries {
               + lit(w(1)).cast("double") * col("f1"))
               + lit(w(2)).cast("double") * col("f2")) +
               lit(w(3)).cast("double") * col("f3")
-          for (_ <- 1 to LrRounds) {
-            val g = col("y") - lit(1.0) / (lit(1.0) + exp(-(zMicro / 1e6)))
-            val r = feats.agg(
+          // The training loop's weights ride as a one-row broadcast
+          // relation instead of per-round literals: literals are inlined
+          // into the generated whole-stage code, so 48 rounds compiled 48
+          // distinct codegen units (the dominant per-round fixed cost over
+          // a 1.5k-row cached slice); as attributes of a joined row the
+          // generated source is round-invariant and the codegen cache
+          // serves rounds 2..48 (guide §1.2 per-task work / §4). The
+          // expression tree — cast/ordering/parenthesization — is
+          // identical, so the float sequence and the weight trajectory
+          // are unchanged (the DuckDB oracle replays the same CROSS JOIN
+          // shape).
+          def zMicroW =
+            ((col("b__w").cast("double")
+              + col("w1__w").cast("double") * col("f1"))
+              + col("w2__w").cast("double") * col("f2")) +
+              col("w3__w").cast("double") * col("f3")
+          // AQE off for the loop only: each round is a single partial/final
+          // aggregation to one row over a cached slice — there is nothing
+          // for AQE to re-optimize, and its per-stage materialization turns
+          // the round into 3 jobs (broadcast, partial, final) instead of 1.
+          // Restored in the finally below; the corpus-wide scoring pass and
+          // every other entry keep the session default.
+          val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val wSchema = org.apache.spark.sql.types.StructType.fromDDL(
+            "b__w BIGINT, w1__w BIGINT, w2__w BIGINT, w3__w BIGINT")
+          try for (_ <- 1 to LrRounds) {
+            // createDataFrame(rows, schema), not toDF: the tuple encoder
+            // path generates + compiles a serializer per call (seen hot in
+            // driver thread dumps); the Row path converts on the driver
+            // with no codegen
+            val wRow = s.createDataFrame(java.util.Arrays.asList(
+              org.apache.spark.sql.Row(w(0), w(1), w(2), w(3))), wSchema)
+            val g = col("y") - lit(1.0) / (lit(1.0) + exp(-(zMicroW / 1e6)))
+            val r = feats.crossJoin(broadcast(wRow)).agg(
               sum(floor(g * 1e6 + 0.5).cast("long")).as("s0"),
               sum(floor(g * col("f1") * 1e6 + 0.5).cast("long")).as("s1"),
               sum(floor(g * col("f2") * 1e6 + 0.5).cast("long")).as("s2"),
@@ -1066,7 +1098,7 @@ object SampleQueries {
               w(j) += (64 * sj) / n
               j += 1
             }
-          }
+          } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
           withFeatures(d)
             .select(col("doc_id"), col("y").cast("int").as("label"),
               floor(zMicro + 0.5).cast("long").as("z_micro"))

@@ -58,6 +58,15 @@ object TextQueries {
       .select(col("wd"),
         regexp_replace(col("wd"), "(.)", "($1)").as("syms"), col("cnt"))
     var ws = base.persist()
+    // previous generation, kept cached until the CURRENT one has been
+    // materialized by a real consumer: each round's pair aggregation is
+    // the first action on the freshly-persisted frame, so it materializes
+    // the cache AND aggregates in one job — the former nxt.count()
+    // materialization job (one per round, k jobs total) was pure fixed
+    // cost (guide §1.2: fewer passes). Two vocabulary-sized generations
+    // are cached at once, which is the same budget the count() protocol
+    // held between count() and unpersist().
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -72,6 +81,8 @@ object TextQueries {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("n"))
       val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      // ws is materialized now; its parent can release its storage
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -79,11 +90,15 @@ object TextQueries {
         val nxt = ws.select(col("wd"),
           expr(s"replace(syms, '($l)($r)', '($l$r)')").as("syms"),
           col("cnt")).persist()
-        nxt.count() // materialize before releasing the parent
-        ws.unpersist(); ws = nxt
+        prev = ws; ws = nxt
         step += 1
       }
     }
+    // the final generation may be unmaterialized (its pair aggregation
+    // never ran): materialize before releasing its parent, or the
+    // caller's first action would recompute through an unpersisted
+    // lineage all the way down to the raw corpus
+    if (prev != null) { ws.count(); prev.unpersist(); prev = null }
     (ws, merges.toSeq)
   }
 
