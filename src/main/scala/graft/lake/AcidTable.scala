@@ -2527,8 +2527,28 @@ final class AcidTable private (
       fromFiles.filterNot(stable), fromSizes), fromDvs)
     val to = applyDvs(snapshotFromFiles(
       toFiles.filterNot(stable), toSizes), toDvs)
-    to.exceptAll(from).withColumn("_change_type", lit("insert"))
-      .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
+    // ONE signed net aggregation instead of the former
+    //   to.exceptAll(from) ∪ from.exceptAll(to):
+    // Spark rewrites EACH exceptAll into its own union + count-aggregate +
+    // replicate (RewriteExceptAll), so the old plan scanned both sides
+    // TWICE and paid two aggregation exchanges. Netting signs in a single
+    // aggregate is the identical multiset algebra — max(cnt_to−cnt_from,0)
+    // inserts and max(cnt_from−cnt_to,0) deletes are |net| rows of
+    // sign(net) — with each side scanned once and one exchange. Grouping
+    // equality matches set-op equality (nulls equal, NaN equal, −0.0
+    // normalized; map columns are invalid in both). At 100 TB this halves
+    // the CDC read volume of every incremental consumer (matview folds,
+    // the CDC stream source, signature maintenance).
+    val cols = to.columns.map(col)
+    to.withColumn("__cdc_sgn", lit(1L))
+      .unionByName(from.withColumn("__cdc_sgn", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("__cdc_sgn")).as("__cdc_net"))
+      .filter(col("__cdc_net") =!= 0L)
+      .withColumn("_change_type",
+        explode(array_repeat(
+          when(col("__cdc_net") > 0, lit("insert")).otherwise(lit("delete")),
+          abs(col("__cdc_net")).cast("int"))))
+      .drop("__cdc_net")
   }
 
   /** The diff-relevant file lists (+ recorded sizes, + DV entries) of two

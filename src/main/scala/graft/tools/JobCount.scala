@@ -34,8 +34,31 @@ object JobCount {
 
     val jobs = new AtomicLong; val stages = new AtomicLong
     val tasks = new AtomicLong; val taskNanos = new AtomicLong
+    // SPARK_GRAFT_JOBTRACE=1: print every job's callsite + wall, to name
+    // which operation each of an entry's jobs belongs to
+    val trace = sys.env.get("SPARK_GRAFT_JOBTRACE").contains("1")
+    val jobT0 = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (trace) {
+          val prop = Option(e.properties)
+            .map(_.getProperty("callSite.short", "")).getOrElse("")
+          // the SQL-execution property is usually unset; the result
+          // stage's name carries the materializing RDD's callsite
+          val named = e.stageInfos.map(_.name)
+            .filterNot(_.contains("CompletableFuture.java"))
+          val cs = if (prop.nonEmpty) prop
+            else if (named.nonEmpty) named.mkString(" | ")
+            else e.stageInfos.lastOption.map(_.name).getOrElse("?")
+          jobT0.put(e.jobId, (System.nanoTime(), cs)); ()
+        }
+        ()
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (trace) Option(jobT0.remove(e.jobId)).foreach { case (t0, cs) =>
+          println(f"[jobtrace] job ${e.jobId}%4d ${(System.nanoTime() - t0) / 1e6}%8.1fms  $cs")
+        }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(); ()
       }
@@ -45,6 +68,19 @@ object JobCount {
         ()
       }
     })
+
+    if (trace) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val head = qe.logical.toString.linesIterator.take(2).mkString(" ~ ").take(180)
+          println(f"[exectrace] $funcName%-12s ${durationNs / 1e6}%8.1fms  $head")
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            error: Exception): Unit = ()
+      })
 
     // same warm protocol as Bench: one untimed run absorbs codegen/JIT
     names.foreach { name =>
