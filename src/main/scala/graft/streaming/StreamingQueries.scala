@@ -205,11 +205,13 @@ object StreamingQueries {
     // per-batch fixed cost. Size state parallelism to the stream instead;
     // the partition count binds at checkpoint creation, so setting it just
     // for the start of this query is safe and local. On a real cluster
-    // this is the same knob, sized to state volume ÷ target store size —
-    // which is why it is a PER-QUERY parameter: the interval joins carry
-    // ~270k candidate pairs of state at the bench SF and win from more
-    // stores, while the small keyed aggregations would only pay the
-    // per-store fixed cost.
+    // this is the same knob, sized to state volume ÷ target store size.
+    // Round 18 re-measured the interval joins' former 8-store override:
+    // per-batch cost is store-commit fixed cost with CONTENTION that grows
+    // with concurrent state tasks (2≈4 < 8 ≪ 32: 32 stores read 2.3 s per
+    // TASK vs 0.24 s at 8 — a 20× taskTime blowup on identical ~5 MB
+    // state), so the joins now ride the family default; by the volume ÷
+    // 64 MB sizing rule even 4 is generous for this state.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q =
@@ -725,7 +727,7 @@ object StreamingQueries {
     Q(
       "q_stream_stream_join",
       (s, dir) =>
-        runStream(s, dir, OutputMode.Append(), statePartitions = 8) { ev =>
+        runStream(s, dir, OutputMode.Append()) { ev =>
           val views = ev.filter(col("event_type") === "view")
             .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
             .withWatermark("view_ts", "2 hours")
@@ -760,7 +762,7 @@ object StreamingQueries {
     Q(
       "q_stream_stream_left_join",
       (s, dir) =>
-        runStream(s, dir, OutputMode.Append(), statePartitions = 8) { ev =>
+        runStream(s, dir, OutputMode.Append()) { ev =>
           val views = ev.filter(col("event_type") === "view")
             .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
             .withWatermark("view_ts", "2 hours")
@@ -808,7 +810,7 @@ object StreamingQueries {
     Q(
       "q_stream_stream_full_join",
       (s, dir) =>
-        runStream(s, dir, OutputMode.Append(), statePartitions = 8) { ev =>
+        runStream(s, dir, OutputMode.Append()) { ev =>
           val views = ev.filter(col("event_type") === "view")
             .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
             .withWatermark("view_ts", "2 hours")
