@@ -2887,6 +2887,32 @@ final class AcidTable private (
   private def statsEntriesForFiles(
       files: Seq[String], cols: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
     if (files.isEmpty || cols.isEmpty) return Map.empty
+    // small-commit driver route (round 18): new files under the fast-path
+    // budget are read back on the driver (cached local parquet reads) and
+    // get EXACTLY the distributed pass's per-file ranges with zero Spark
+    // jobs — unlike the commit-batch fast path above, which only has the
+    // commit's rows in hand and stamps commit-wide ranges.
+    if (fastSchemaOk && driverScaleFiles(files)) {
+      return files.map { f =>
+        val rows = readFileRowsLocal(f)
+        f -> cols.flatMap { c =>
+          val idx = schema.fieldIndex(c)
+          val dt = schema(idx).dataType
+          var lo = Long.MaxValue; var hi = Long.MinValue
+          var seen = false; var nulls = 0L
+          rows.foreach { r =>
+            if (r.isNullAt(idx)) nulls += 1
+            else AcidTable.statsEncodeInternal(dt, r, idx).foreach { v =>
+              if (v < lo) lo = v
+              if (v > hi) hi = v
+              seen = true
+            }
+          }
+          (if (seen) Seq(c -> (lo, hi)) else Nil) ++
+            Seq(s"$c#n" -> (nulls, rows.size.toLong))
+        }.toMap
+      }.toMap
+    }
     val byBasename = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
     // min/max in the column's NATIVE type (Spark's ordering for date/
     // timestamp/decimal/string matches the sidecar encoding's order), then
@@ -3316,6 +3342,37 @@ final class AcidTable private (
     * ∝ what the commit wrote, never table size. */
   private def recordBloomsForFiles(files: Seq[String], cols: Seq[String]): Unit = {
     if (files.isEmpty || cols.isEmpty) return
+    // small-commit driver route (round 18): new files under the fast-path
+    // budget are read back on the driver and stamped with EXACTLY the
+    // per-file filters the distributed pass builds — each file's filter
+    // holds its own rows only — with zero Spark jobs.
+    if (fastSchemaOk && driverScaleFiles(files)) {
+      val expected = bloomExpectedItemsProp.toLong
+      val colIdx = cols.map(c => (c, schema.fieldIndex(c), schema(c).dataType))
+      writeBloomSegment(files.map { f =>
+        val rows = readFileRowsLocal(f)
+        f -> colIdx.flatMap { case (c, idx, dt) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .create(expected, AcidTable.BloomFpp)
+          var ok = true
+          rows.foreach { r =>
+            if (!r.isNullAt(idx)) dt match {
+              case StringType => bf.putBinary(r.getUTF8String(idx).getBytes); ()
+              case _ => AcidTable.statsEncodeInternal(dt, r, idx) match {
+                case Some(l) => bf.putLong(l); ()
+                case None => ok = false
+              }
+            }
+          }
+          if (ok) {
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos)
+            Some(c -> bos.toByteArray)
+          } else None
+        }
+      })
+      return
+    }
     val byBasename = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
     val dts: Seq[DataType] = cols.map(c => schema(c).dataType)
     val expected = bloomExpectedItemsProp
@@ -6386,15 +6443,39 @@ final class AcidTable private (
           .distinct).toSeq)
       case None =>
         if (newFiles.isEmpty) return AcidTable.RliInherit
-        // snapshotFromFiles, not a raw parquet read: the partition value
-        // lives in the directory name, not in the file bytes
-        val kp = snapshotFromFiles(newFiles)
-          .select(col(pkCol).cast(StringType).as("__rk"),
-            col(partitionCol).cast(StringType).as("__rp"))
-          .distinct()
-        writeRliDeltaDistributed(kp) match {
-          case Some(refs) => AcidTable.RliAppend(refs)
-          case None => AcidTable.RliAuto
+        // small-commit driver route (round 18): the index is on by
+        // default, so this pass taxes EVERY distributed commit with a
+        // Spark job — but a commit whose new files fit the fast-path
+        // budget can read them back on the driver (cached local parquet
+        // reads, partition injected from the directory name) and write
+        // the delta run with zero jobs, producing the same entries the
+        // distributed distinct would. Row-count gated on top of the byte
+        // budget: BULK commits keep the distributed sharded write — its
+        // executor-sharded generation is what seeds the index's shard
+        // layout (RecordIndexSpec pins that shape) — so only
+        // transactional-scale deltas take the driver run.
+        val localRoute =
+          if (fastSchemaOk && driverScaleFiles(newFiles))
+            Some(readRowsLocal(newFiles)).filter(_.size <= AcidTable.RliLocalWriteMaxRows)
+          else None
+        localRoute match {
+          case Some(rows) =>
+            if (rows.exists(r => r.isNullAt(pkFieldIdx) || r.isNullAt(partFieldIdx)))
+              AcidTable.RliAuto
+            else AcidTable.RliAppend(writeRliDelta(rows.map(r =>
+              (String.valueOf(r.get(pkFieldIdx, schema(pkFieldIdx).dataType)), rowPart(r)))
+              .distinct).toSeq)
+          case None =>
+            // snapshotFromFiles, not a raw parquet read: the partition value
+            // lives in the directory name, not in the file bytes
+            val kp = snapshotFromFiles(newFiles)
+              .select(col(pkCol).cast(StringType).as("__rk"),
+                col(partitionCol).cast(StringType).as("__rp"))
+              .distinct()
+            writeRliDeltaDistributed(kp) match {
+              case Some(refs) => AcidTable.RliAppend(refs)
+              case None => AcidTable.RliAuto
+            }
         }
     }
   }
@@ -7518,6 +7599,13 @@ object AcidTable {
     sys.props.get("graft.compact.minBucketFileBytes")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(64L * 1024)
+
+  /** Row cap for the RLI small-commit driver run (round 18): at or under
+    * it, a distributed commit's index delta is read back and written on
+    * the driver (zero jobs); above it the executor-sharded write keeps
+    * seeding the generation layout. Transactional commits are orders of
+    * magnitude under this; bulk loads orders of magnitude over. */
+  val RliLocalWriteMaxRows: Int = 1024
 
   /** Byte budget for the MATVIEW driver fold's cell streaming (round-14
     * verdict #7) — deliberately wider than [[FastPathMaxBytes]], and
