@@ -21,6 +21,21 @@ object AcidQueries {
   private def scratch(): String =
     Files.createTempDirectory("graft-acid-").resolve(UUID.randomUUID().toString).toString
 
+  /** Run independent commit pipelines concurrently (guide §2.6: actions
+    * are only sequential because the driver calls them sequentially).
+    * Used by the star-view gates whose fact/dim loads land on SEPARATE
+    * tables — concurrent ingest is the production shape, and each
+    * pipeline's own commits stay strictly ordered inside its thread.
+    * Failures propagate loudly (first one rethrown after all join). */
+  private def inParallel(fs: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = fs.map(f => new Thread(() => {
+      try f() catch { case t: Throwable => errs.add(t); () }
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   def all: Seq[Q] = Seq(
     // ---- C5 upsert → second upsert (update) → delete-by-key → snapshot ----------
     Q(
@@ -1147,8 +1162,8 @@ object AcidQueries {
           col("c_custkey").cast("string").as("ckey"),
           concat(lit("q"), (col("c_nationkey") % 3).cast("string")).as("dpart"),
           col("c_mktsegment").as("seg"))
-        fact.upsert(fBase)
-        dim.upsert(dBase)
+        // two independent tables load concurrently (guide §2.6)
+        inParallel(() => { fact.upsert(fBase); () }, () => { dim.upsert(dBase); () })
         val mv = MatView.create(s, fact, scratch(), Seq("seg"),
           Seq(MvAgg("cnt", "count", "*"), MvAgg("rev", "sum", "price")),
           joins = Seq(MvJoin(dim.path, "ck", "ckey", Seq("seg"))))
@@ -1164,10 +1179,11 @@ object AcidQueries {
           .withColumn("seg", lit("REMAPPED")))
         mv.refresh()
         // both sides change inside ONE refresh window: dim keys vanish
-        // while brand-new facts arrive
-        dim.delete(Seq("7", "13"))
-        fact.upsert(fBase.filter(col("pk").cast("long") < 300)
-          .withColumn("pk", (col("pk").cast("long") + 9000000).cast("string")))
+        // while brand-new facts arrive (independent tables — concurrent)
+        inParallel(
+          () => { dim.delete(Seq("7", "13")); () },
+          () => { fact.upsert(fBase.filter(col("pk").cast("long") < 300)
+            .withColumn("pk", (col("pk").cast("long") + 9000000).cast("string"))); () })
         mv.refresh()
         mv.read().select(col("seg"), col("cnt"),
           col("rev").cast("double").as("rev")).orderBy(col("seg"))
@@ -1238,7 +1254,9 @@ object AcidQueries {
           .select(col("o_orderpriority").as("prio"), lit("r0").as("ppart"),
             when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"), lit("HOT"))
               .otherwise(lit("COLD")).as("pclass"))
-        fact.upsert(fBase); dim1.upsert(dBase); dim2.upsert(pBase)
+        // three independent tables load concurrently (guide §2.6)
+        inParallel(() => { fact.upsert(fBase); () },
+          () => { dim1.upsert(dBase); () }, () => { dim2.upsert(pBase); () })
         val mv = MatView.create(s, fact, scratch(), Seq("seg", "pclass"),
           Seq(MvAgg("cnt", "count", "*"), MvAgg("rev", "sum", "price")),
           joins = Seq(MvJoin(dim1.path, "ck", "ckey", Seq("seg")),
@@ -1255,11 +1273,13 @@ object AcidQueries {
         dim2.upsert(pBase.filter(substring(col("prio"), 1, 1) === "3")
           .withColumn("pclass", lit("HOT")))
         mv.refresh()
-        // ALL THREE sides change inside one refresh window
-        fact.deleteWhere(col("pk").cast("long") < 500)
-        dim1.delete(Seq("7", "13"))
-        dim2.upsert(pBase.filter(substring(col("prio"), 1, 1) === "5")
-          .withColumn("pclass", lit("URGENTISH")))
+        // ALL THREE sides change inside one refresh window (the three
+        // DMLs hit three independent tables — concurrent, §2.6)
+        inParallel(
+          () => { fact.deleteWhere(col("pk").cast("long") < 500); () },
+          () => { dim1.delete(Seq("7", "13")); () },
+          () => { dim2.upsert(pBase.filter(substring(col("prio"), 1, 1) === "5")
+            .withColumn("pclass", lit("URGENTISH"))); () })
         mv.refresh()
         mv.read().select(col("seg"), col("pclass"), col("cnt"),
           col("rev").cast("double").as("rev"))
