@@ -574,9 +574,12 @@ object SimilarityQueries {
       "q_sim_topk_pq",
       (s, dir) => {
         val SUB = 8; val M = 8; val K = 16; val SHORT = 100; val NQ = 10; val TOPK = 5
+        // codegen integer L2² (guide §4): the former
+        // aggregate(zip_with(...)) HOF evaluated interpreted per element
+        // and dominated this gate's task time; exact integer arithmetic,
+        // so the sum is bit-identical and the oracle is unchanged
         def idist(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v)
+          org.apache.spark.sql.graft.LongL2Dist.dist(a, b)
         val qe = Tables.embeddings(s, dir).select(col("vec_id"),
           transform(col("embedding"),
             x => round(x.cast("double") * 1e6).cast("long")).as("q"))

@@ -31,6 +31,11 @@ object JobCount {
         classOf[org.apache.spark.sql.graft.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v": session-conf overrides for quick A/Bs
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
 
     val jobs = new AtomicLong; val stages = new AtomicLong
     val tasks = new AtomicLong; val taskNanos = new AtomicLong
