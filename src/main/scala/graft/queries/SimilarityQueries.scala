@@ -183,9 +183,10 @@ object SimilarityQueries {
         val queries = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
             col("scale").as("q_scale"))
-        val idot = aggregate(
-          zip_with(col("q_qv"), col("qv"), (a, b) => (a * b).cast("long")),
-          lit(0L), (acc, x) => acc + x)
+        // codegen integer dot (guide §4) — the HOF formulation evaluated
+        // interpreted per element; int multiply + long sum is the same
+        // exact arithmetic (quantized values within ±127), oracle unchanged
+        val idot = org.apache.spark.sql.graft.IntDotLong.dot(col("q_qv"), col("qv"))
         e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
           .withColumn("score",
             round(idot.cast("double") * col("q_scale") * col("scale"), 6))

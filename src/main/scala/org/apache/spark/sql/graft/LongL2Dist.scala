@@ -70,3 +70,59 @@ object LongL2Dist {
     ExpressionUtils.column(
       LongL2Dist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/** Codegen integer dot product over `array<int>` — replaces the SQ8
+  * gate's `aggregate(zip_with(a,b,(x,y)=>(x*y).cast(long)))` HOF. Each
+  * element multiplies in INT (the HOF's exact op — the gates' quantized
+  * values are within ±127, so the int product never overflows) and
+  * widens to Long for the sum; exact integer arithmetic keeps any fold
+  * order bit-identical to the HOF and the DuckDB oracle.
+  */
+case class IntDotLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType),
+      ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += (x.getInt(i) * y.getInt(i)).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) ($a.getInt($i) * $b.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntDotLong {
+  /** Column-level entry point: `int_dot(a, b)` as a [[Column]]. */
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      IntDotLong(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
